@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. Spark 4 made the converters
+  * (`classic.ExpressionUtils`) `private[sql]`, so custom Catalyst
+  * expressions (e.g. [[graft.ops.TitleCase]]) need this one-hop shim in
+  * the `org.apache.spark.sql` namespace to surface as `Column`s.
+  * Public-API based: mirrors what Spark's own `functions` object does.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

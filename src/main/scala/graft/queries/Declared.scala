@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops._
+
+/** The declared t2 query set Q01–Q22 (SURVEY.md §2.5) expressed
+  * Spark-first with the DataFrame API, plus the exact DuckDB oracle SQL
+  * per query. Determinism policy (SURVEY §2.5): explicit ORDER BY,
+  * ROUND(·,2) on double aggregates, no nondeterministic functions.
+  *
+  * Column names are aliased identically in the DataFrame code and the
+  * SQL — the driver's compare sorts columns by name before hashing.
+  */
+object Declared {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ---- Q01 (S1,P1,A2): scan + count -------------------------------------
+  def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(count(lit(1)).as("n"))
+
+  // ---- Q02 (S2, projection): rename/project -----------------------------
+  def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("line"),
+        col("l_quantity").as("qty"))
+      .orderBy("orderkey", "line")
+
+  // ---- Q03 (P3): per-column null profile --------------------------------
+  def q03(s: SparkSession, dir: String): DataFrame =
+    nullProfile(t(s, dir, "orders"), Seq("o_custkey", "o_totalprice", "o_orderdate"))
+
+  // ---- Q04 (P4): duplicate-row count ------------------------------------
+  def q04(s: SparkSession, dir: String): DataFrame =
+    dupRowCount(Tables.events(s, dir))
+
+  // ---- Q05 (D1): full-row dedup cardinality -----------------------------
+  def q05(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).distinct().agg(count(lit(1)).as("n"))
+
+  // ---- Q06 (F1): trim + first-letter capitalization ---------------------
+  def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        concat(
+          upper(substring(trim(col("c_name")), 1, 1)),
+          lower(expr("substring(trim(c_name), 2)"))).as("norm"))
+      .orderBy("c_custkey")
+
+  // ---- Q07 (F2): date parse/extract + null propagation ------------------
+  def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("ship_d"),
+        year(col("l_shipdate")).as("y"),
+        month(col("l_shipdate")).as("m"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---- Q08 (K1): deterministic surrogate key ----------------------------
+  def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        md5(concat_ws("|", col("c_name"), col("c_nationkey").cast("string"))).as("sk"))
+      .orderBy("c_custkey")
+
+  // ---- Q09 (D2): first-wins dedup by key --------------------------------
+  def q09(s: SparkSession, dir: String): DataFrame =
+    dedupFirstWins(
+      Tables.events(s, dir),
+      key = Seq("user_id"),
+      order = Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_id", "event_type")
+      .orderBy("user_id")
+
+  // ---- Q10 (D3): composite-key dedup cardinality ------------------------
+  def q10(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select("user_id", "event_type").distinct()
+      .agg(count(lit(1)).as("n"))
+
+  // ---- Q11 (J1): broadcast equi-join fact→dim ---------------------------
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    // dim-side broadcast: the fact (orders) never shuffles (J1 pattern).
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---- Q12 (J2 semi): customers having orders ----------------------------
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey").orderBy("c_custkey")
+  }
+
+  // ---- Q13 (J2 anti): customers with no URGENT order ---------------------
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey").orderBy("c_custkey")
+  }
+
+  // ---- Q14 (A1): group-by + having ---------------------------------------
+  def q14(s: SparkSession, dir: String): DataFrame =
+    dupCheck(Tables.events(s, dir), Seq("user_id", "event_type"))
+      .orderBy("user_id", "event_type")
+
+  // ---- Q15 (J1 multi-way): 4-table chain join + agg ----------------------
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    // region/nation are tiny: broadcast both so only the orders→customer
+    // join shuffles (and AQE may broadcast customer too at small SF).
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("orders_cnt"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // ---- Q16 (agg battery; TPC-H Q1 shape) ----------------------------------
+  def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---- Q17 (distinct agg) --------------------------------------------------
+  def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("nd"))
+      .orderBy("o_orderpriority")
+
+  // ---- Q18 (window analytic): rank within partition -------------------------
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(round(col("c_acctbal"), 2).desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), rank().over(w).as("rk"))
+      .orderBy("c_mktsegment", "rk", "c_custkey")
+  }
+
+  // ---- Q19 (sort/limit/top-k) -----------------------------------------------
+  def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+
+  // ---- Q20 (set ops) ----------------------------------------------------------
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val oK = t(s, dir, "orders").select(col("o_custkey").as("k"))
+    val cK = t(s, dir, "customer").select(col("c_custkey").as("k"))
+    val u = oK.union(cK).distinct().select(lit("u").as("tag"), col("k"))
+    val e = cK.except(oK).select(lit("e").as("tag"), col("k"))
+    val i = cK.intersect(oK).select(lit("i").as("tag"), col("k"))
+    u.unionAll(e).unionAll(i).orderBy("tag", "k")
+  }
+
+  // ---- Q21 (conditional expr) ---------------------------------------------------
+  def q21(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") >= 0, 1).otherwise(0)).as("nonneg"),
+        sum(when(col("value") < 0, 1).otherwise(0)).as("neg"))
+      .orderBy("event_type")
+
+  // ---- Q22 (end-to-end pipeline replica) ------------------------------------------
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val dim = c.select(col("c_nationkey"), col("c_mktsegment")).distinct()
+    val keyed = dim.select(
+      md5(concat_ws("|", col("c_nationkey").cast("string"), col("c_mktsegment"))).as("sk"),
+      col("c_nationkey"), col("c_mktsegment"))
+    c.join(broadcast(keyed), Seq("c_nationkey", "c_mktsegment"))
+      .groupBy(col("sk"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("facts"))
+      .orderBy("sk")
+  }
+
+  /** DataFrame-API entries, keyed identically to [[oracleSql]]. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_count"            -> (q01 _),
+    "q02_project_rename"   -> (q02 _),
+    "q03_null_profile"     -> (q03 _),
+    "q04_dup_count"        -> (q04 _),
+    "q05_distinct_count"   -> (q05 _),
+    "q06_titlecase_norm"   -> (q06 _),
+    "q07_date_parse"       -> (q07 _),
+    "q08_surrogate_key"    -> (q08 _),
+    "q09_first_wins_dedup" -> (q09 _),
+    "q10_key_dedup_count"  -> (q10 _),
+    "q11_join_fact_dim"    -> (q11 _),
+    "q12_semi_join"        -> (q12 _),
+    "q13_anti_join"        -> (q13 _),
+    "q14_group_having"     -> (q14 _),
+    "q15_multiway_join"    -> (q15 _),
+    "q16_agg_battery"      -> (q16 _),
+    "q17_distinct_agg"     -> (q17 _),
+    "q18_window_rank"      -> (q18 _),
+    "q19_topk"             -> (q19 _),
+    "q20_set_ops"          -> (q20 _),
+    "q21_conditional_agg"  -> (q21 _),
+    "q22_pipeline_replica" -> (q22 _),
+  )
+
+  /** DuckDB oracle SQL (SURVEY §2.5, validated 22/22 there). */
+  val oracleSql: Map[String, String] = Map(
+    "q01_count" ->
+      "SELECT COUNT(*) AS n FROM lineitem",
+    "q02_project_rename" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber AS line, l_quantity AS qty
+        |FROM lineitem ORDER BY orderkey, line""".stripMargin,
+    "q03_null_profile" ->
+      """SELECT COUNT(*) - COUNT(o_custkey) AS n_o_custkey,
+        |       COUNT(*) - COUNT(o_totalprice) AS n_o_totalprice,
+        |       COUNT(*) - COUNT(o_orderdate) AS n_o_orderdate
+        |FROM orders""".stripMargin,
+    "q04_dup_count" ->
+      """SELECT (SELECT COUNT(*) FROM events)
+        |     - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM events)) AS dup_rows""".stripMargin,
+    "q05_distinct_count" ->
+      "SELECT COUNT(*) AS n FROM (SELECT DISTINCT * FROM events)",
+    "q06_titlecase_norm" ->
+      """SELECT c_custkey,
+        |       UPPER(LEFT(TRIM(c_name), 1)) || LOWER(SUBSTRING(TRIM(c_name), 2)) AS norm
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q07_date_parse" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_shipdate AS DATE) AS ship_d,
+        |       YEAR(l_shipdate) AS y, MONTH(l_shipdate) AS m
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q08_surrogate_key" ->
+      """SELECT c_custkey, MD5(CONCAT_WS('|', c_name, CAST(c_nationkey AS STRING))) AS sk
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q09_first_wins_dedup" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q10_key_dedup_count" ->
+      "SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, event_type FROM events) t",
+    "q11_join_fact_dim" ->
+      """SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q12_semi_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_group_having" ->
+      """SELECT user_id, event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY user_id, event_type
+        |HAVING COUNT(*) > 1 ORDER BY user_id, event_type""".stripMargin,
+    "q15_multiway_join" ->
+      """SELECT r.r_name, n.n_name, COUNT(*) AS orders_cnt,
+        |       ROUND(SUM(o.o_totalprice), 2) AS total
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
+    "q16_agg_battery" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2)                      AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2)                 AS sum_base,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        |       ROUND(AVG(l_quantity), 2)                      AS avg_qty,
+        |       COUNT(*)                                       AS cnt
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q17_distinct_agg" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS nd
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q18_window_rank" ->
+      """SELECT c_mktsegment, c_custkey,
+        |       RANK() OVER (PARTITION BY c_mktsegment ORDER BY ROUND(c_acctbal,2) DESC, c_custkey) AS rk
+        |FROM customer ORDER BY c_mktsegment, rk, c_custkey""".stripMargin,
+    "q19_topk" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q20_set_ops" ->
+      """SELECT 'u' AS tag, k FROM
+        |  (SELECT o_custkey AS k FROM orders UNION SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'e', k FROM
+        |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'i', k FROM
+        |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+        |ORDER BY tag, k""".stripMargin,
+    "q21_conditional_agg" ->
+      """SELECT event_type,
+        |       SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS nonneg,
+        |       SUM(CASE WHEN value <  0 THEN 1 ELSE 0 END) AS neg
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q22_pipeline_replica" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |), keyed AS (
+        |  SELECT MD5(CONCAT_WS('|', CAST(c_nationkey AS STRING), c_mktsegment)) AS sk,
+        |         c_nationkey, c_mktsegment
+        |  FROM dim
+        |)
+        |SELECT k.sk, k.c_mktsegment, COUNT(*) AS facts
+        |FROM customer c JOIN keyed k
+        |  ON c.c_nationkey = k.c_nationkey AND c.c_mktsegment = k.c_mktsegment
+        |GROUP BY k.sk, k.c_mktsegment ORDER BY k.sk""".stripMargin,
+  )
+}
