@@ -54,10 +54,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         bad = None
         for c in got.columns:
             a, b = got[c], want[c]
-            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                af = a.astype(float).to_numpy()
-                bf = b.astype(float).to_numpy()
-                ok = (np.isclose(af, bf, atol=1e-9, equal_nan=True)).all()
+            if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+                af = a.to_numpy(dtype=float)
+                bf = b.to_numpy(dtype=float)
+                # atol-only: the driver's gate is a strict hash compare,
+                # so default rtol=1e-5 drift would hide real mismatches.
+                ok = (np.isclose(af, bf, rtol=0, atol=1e-9, equal_nan=True)).all()
+            elif pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b):
+                # int-vs-float dtype mismatch IS a failure at the real gate
+                # (DuckDB HUGEINT renders as float) -- never coerce it away.
+                ok = False
             else:
                 ok = (a.astype(str).to_numpy() == b.astype(str).to_numpy()).all()
             if not ok:

@@ -1,33 +1,34 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main (driver contract): run every registered query on
   * `SPARK_GRAFT_SF_DIR`, 3 runs each (first run doubles as warmup),
   * report the median wall seconds per query and the total as ONE JSON
-  * line. Results are forced with `.count()` — full plan executes, no
-  * driver-side result materialization skew.
+  * line — printed to stdout AND written to `SPARK_GRAFT_BENCH_OUT`
+  * (sbt's [info] log prefixes made the stdout line unparseable for the
+  * driver in round 1).
+  *
+  * Results are forced with a `noop`-format write: the full physical plan
+  * executes — including the declared global ORDER BYs, which a
+  * `.count()` would let Catalyst's EliminateSorts drop — with zero sink
+  * cost and no driver-side collect.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Engine.session(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      appName = "graft-bench")
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       }.sorted
@@ -36,7 +37,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      Files.writeString(Paths.get(out), line + "\n")
+    }
     spark.stop()
   }
 }

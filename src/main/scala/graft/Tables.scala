@@ -22,10 +22,8 @@ object Tables {
     * dedup/window semantics are unaffected; convert explicitly via
     * [[eventTs]] where real timestamp semantics are needed.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events") // nanosAsLong is set at session build (Engine)
 
   /** Nanosecond-long `ts` -> TimestampType (microsecond precision,
     * truncating sub-microsecond deliberately — SURVEY §7.4 item 7). */

@@ -88,12 +88,14 @@ object Declared {
       .select("user_id", "event_type").distinct()
       .agg(count(lit(1)).as("n"))
 
-  // ---- Q11 (J1): broadcast equi-join fact→dim ---------------------------
+  // ---- Q11 (J1): equi-join fact→dim -------------------------------------
   def q11(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
-    // dim-side broadcast: the fact (orders) never shuffles (J1 pattern).
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // No broadcast hint: a hard hint forces driver collect-and-broadcast
+    // regardless of dim size (OOM risk at 100 TB). AQE still picks a
+    // broadcast hash join when the dim is under the threshold.
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("o_orderkey")
   }
@@ -205,6 +207,21 @@ object Declared {
       .orderBy("sk")
   }
 
+  // ---- Q23 (F1): the TitleCase Catalyst expression itself, end-to-end ----
+  // documents.text is multi-word lowercase (verified: chars ⊆ [a-z ],
+  // single spaces), so Python-title() semantics coincide with a portable
+  // per-word first-letter-upper oracle; the Spark side runs the real
+  // codegen'd expression (cleanName = TitleCase ∘ trim).
+  def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), cleanName(col("text")).as("title_text"))
+      .orderBy("doc_id")
+
+  // ---- Q24 (P2): schema/dtype report (rows-only check; engines render
+  // type names differently so no hash oracle) ------------------------------
+  def q24(s: SparkSession, dir: String): DataFrame =
+    schemaReport(t(s, dir, "lineitem")).orderBy("column_name")
+
   /** DataFrame-API entries, keyed identically to [[oracleSql]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count"            -> (q01 _),
@@ -229,6 +246,8 @@ object Declared {
     "q20_set_ops"          -> (q20 _),
     "q21_conditional_agg"  -> (q21 _),
     "q22_pipeline_replica" -> (q22 _),
+    "q23_titlecase_expr"   -> (q23 _),
+    "q24_schema_report"    -> (q24 _),
   )
 
   /** DuckDB oracle SQL (SURVEY §2.5, validated 22/22 there). */
@@ -321,10 +340,13 @@ object Declared {
         |SELECT 'i', k FROM
         |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
         |ORDER BY tag, k""".stripMargin,
+    // CAST AS BIGINT: DuckDB SUM over INTEGER yields HUGEINT (rendered as
+    // float by the driver) while Spark sum(when(..,1)) is BIGINT; cast so
+    // both sides hash identically.
     "q21_conditional_agg" ->
       """SELECT event_type,
-        |       SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS nonneg,
-        |       SUM(CASE WHEN value <  0 THEN 1 ELSE 0 END) AS neg
+        |       CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonneg,
+        |       CAST(SUM(CASE WHEN value <  0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q22_pipeline_replica" ->
       """WITH dim AS (
@@ -338,5 +360,13 @@ object Declared {
         |FROM customer c JOIN keyed k
         |  ON c.c_nationkey = k.c_nationkey AND c.c_mktsegment = k.c_mktsegment
         |GROUP BY k.sk, k.c_mktsegment ORDER BY k.sk""".stripMargin,
+    "q23_titlecase_expr" ->
+      """SELECT doc_id,
+        |       array_to_string(
+        |         list_transform(string_split(trim(text), ' '),
+        |                        w -> upper(w[1]) || w[2:]),
+        |         ' ') AS title_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q24_schema_report intentionally has no oracle (rows-only check).
   )
 }
