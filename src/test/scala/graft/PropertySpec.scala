@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops._
+
+/** Property-based invariants (SURVEY §5.2.2) over ScalaCheck generators,
+  * sampled with a fixed seed (no scalatest-plus bridge in the offline
+  * cache, so sampling is driven directly — still generative, still
+  * deterministic). Pure-function properties take many cases; Spark-backed
+  * properties take fewer to keep the suite fast.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def forAllSampled[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var done = 0
+    var tries = 0
+    while (done < n && tries < n * 10) {
+      gen.apply(Gen.Parameters.default, seed).foreach { a => f(a); done += 1 }
+      seed = seed.next
+      tries += 1
+    }
+    assert(done === n, s"generator produced only $done/$n samples")
+  }
+
+  private def title(s: String): String =
+    TitleCaseUtil.titleCase(UTF8String.fromString(s)).toString
+
+  // Names-ish strings: letters (incl. accents/odd case mappings), digits,
+  // separators.
+  private val nameGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+      Seq(' ', '\'', '-', '.', ',', 'é', 'ß', 'Ж', 'ǅ'))).map(_.mkString)
+
+  test("titleCase is idempotent") {
+    forAllSampled(nameGen, 200) { s => assert(title(title(s)) === title(s)) }
+  }
+
+  test("titleCase preserves code-point length and non-letters verbatim") {
+    forAllSampled(nameGen, 200) { s =>
+      val t = title(s)
+      assert(t.codePointCount(0, t.length) === s.codePointCount(0, s.length))
+      assert(
+        s.filterNot(_.isLetter) === t.filterNot(_.isLetter),
+        "non-letters must pass through unchanged")
+    }
+  }
+
+  test("normalizeColumnName is idempotent and space-free") {
+    forAllSampled(nameGen, 200) { s =>
+      val n = normalizeColumnName(s)
+      assert(normalizeColumnName(n) === n)
+      assert(!n.contains(" "))
+    }
+  }
+
+  private val kvGen: Gen[List[(Int, Int)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0, 20), Gen.choose(0, 100)))
+
+  test("semi and anti join partition the input") {
+    forAllSampled(Gen.zip(kvGen, kvGen), 6) { case (left, right) =>
+      val l = left.toDF("k", "v")
+      val r = right.toDF("k", "v")
+      val semi = l.join(r.select("k").distinct(), Seq("k"), "left_semi")
+      val anti = antiExisting(l, r, Seq("k"))
+      assert(semi.count() + anti.count() === l.count())
+      assert(semi.join(anti, Seq("k"), "left_semi").count() === 0L)
+    }
+  }
+
+  test("surrogateKey is injective on distinct keys") {
+    forAllSampled(kvGen, 6) { kvs =>
+      val distinctKeys = kvs.toDF("k1", "k2").distinct()
+      val keyed = distinctKeys
+        .select(surrogateKey(Seq($"k1".cast("string"), $"k2".cast("string"))).as("sk"))
+      assert(keyed.distinct().count() === distinctKeys.count())
+    }
+  }
+
+  test("dedupFirstWins emits exactly one row per key") {
+    forAllSampled(kvGen, 6) { kvs =>
+      val df = kvs.toDF("k", "ord")
+      val out = dedupFirstWins(df, Seq("k"), Seq($"ord", $"k"))
+      assert(out.count() === df.select("k").distinct().count())
+      assert(out.count() <= df.count())
+    }
+  }
+}
