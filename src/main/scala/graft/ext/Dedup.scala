@@ -1,8 +1,175 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.Tables
+
+/** Dedup family for LLM-data pipelines over `documents` (SURVEY §2.4):
+  * exact content-hash dedup, first-wins keep lists, n-gram Jaccard
+  * similarity, SimHash fingerprints, and MinHashLSH near-dup candidate
+  * pairs.
+  *
+  * Scale design: exact dedup and SimHash are one hash-shuffle each;
+  * Jaccard here is evaluated on an O(N) deterministic candidate set
+  * (consecutive ids), NOT all pairs; MinHashLSH banding buckets
+  * candidates so the join is bucket-local — the all-pairs O(N²) plan
+  * never exists.
+  */
 object Dedup {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** Exact-dedup content key (D1 generalized): hash of the raw text. */
+  def contentHash(text: Column): Column = md5(text)
+
+  /** Token-set (unigram) Jaccard between two token-array columns. */
+  def jaccardSets(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b)))
+
+  /** Word trigram shingles (distinct), empty for texts under 3 tokens
+    * (element_at is ANSI-strict — never index out of bounds).
+    */
+  def shingles3(text: Column): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 16-bit SimHash over distinct tokens: bit j is the sign of the sum
+    * of ±1 votes, where token j-votes come from the j-th hex digit of
+    * md5(token). md5 (not Spark's murmur `hash`) keeps the fingerprint
+    * engine-portable and stable across versions.
+    */
+  val simhashBits = 16
+
+  def simhashVotes(j: Int): Column =
+    sum(when(substring(md5(col("word")), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j")
+
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = df.select(id.as("__id"), explode(array_distinct(split(text, " "))).as("word"))
+    val votes = words.groupBy(col("__id"))
+      .agg(simhashVotes(0), (1 until simhashBits).map(simhashVotes): _*)
+    val assembled = (0 until simhashBits)
+      .map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    votes.select(col("__id"), assembled.cast("long").as(s"simhash$simhashBits"))
+  }
+
+  // ---- declared queries ---------------------------------------------------
+
+  def q55(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        countDistinct(contentHash(col("text"))).as("distinct_docs"))
+      .orderBy("source")
+
+  def q56(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(contentHash(col("text")))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select("keep_id")
+      .orderBy("keep_id")
+
+  /** Near-dup candidates by MinHashLSH over trigram-shingle sets
+    * (rows-only check: spark.ml's hash family is not expressible in the
+    * DuckDB oracle). Deterministic via fixed seed. `approxSimilarityJoin`
+    * expands only LSH-bucket-colliding pairs — the scale path.
+    */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tf = new HashingTF()
+      .setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val featured = tf.transform(base)
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(5).setSeed(42L)
+    val model = lsh.fit(featured)
+    model.approxSimilarityJoin(featured, featured, 0.6, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("id_a"),
+        col("datasetB.doc_id").as("id_b"),
+        round(col("jaccard_dist"), 4).as("jaccard_dist"))
+      .filter(col("id_a") < col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Unigram-set and trigram-shingle Jaccard for every consecutive-id
+    * pair — the deterministic O(N) candidate set (the synthetic corpus
+    * plants near-dups at adjacent ids; a real pipeline would get its
+    * candidates from q57's LSH buckets).
+    */
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).select(
+      col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("w1"),
+      shingles3(col("text")).as("w3"))
+    val a = t.select(col("doc_id").as("id_a"), col("w1").as("a1"), col("w3").as("a3"))
+    val b = t.select(col("doc_id").as("id_b"), col("w1").as("b1"), col("w3").as("b3"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(
+        col("id_a"), col("id_b"),
+        round(jaccardSets(col("a1"), col("b1")), 4).as("jaccard1"),
+        round(jaccardSets(col("a3"), col("b3")), 4).as("jaccard3"))
+      .orderBy("id_a")
+  }
+
+  def q59(s: SparkSession, dir: String): DataFrame =
+    simhash(docs(s, dir), col("doc_id"), col("text"))
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_exact_dedup"      -> (q55 _),
+    "q56_dedup_keep_first" -> (q56 _),
+    "q57_minhash_neardup"  -> (q57 _),
+    "q58_ngram_jaccard"    -> (q58 _),
+    "q59_simhash"          -> (q59 _),
+  )
+
+  private val simhashOracle: String = {
+    val sums = (0 until simhashBits).map(j =>
+      s"SUM(CASE WHEN substring(md5(word), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val bits = (0 until simhashBits).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word FROM documents),
+       |b AS (SELECT doc_id, $sums FROM w GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash$simhashBits FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q55_exact_dedup" ->
+      """SELECT source, COUNT(*) AS docs, COUNT(DISTINCT md5(text)) AS distinct_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q56_dedup_keep_first" ->
+      """SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+        |ORDER BY keep_id""".stripMargin,
+    // q57_minhash_neardup: rows-only (spark.ml hash family).
+    "q58_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split(text,' ')) AS w1,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS w3
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.w1, b.w1)) AS DOUBLE)
+        |        / len(list_distinct(a.w1 || b.w1)), 4) AS jaccard1,
+        |  ROUND(CAST(len(list_intersect(a.w3, b.w3)) AS DOUBLE)
+        |        / len(list_distinct(a.w3 || b.w3)), 4) AS jaccard3
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
+    "q59_simhash" -> simhashOracle,
+  )
 }

@@ -1,8 +1,92 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY §2.4): media as opaque `binary`
+  * payloads with a typed metadata struct, plus decode / feature-extract /
+  * frame-sample operators.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake (features derived from the payload
+  * md5) — but the Spark-side plumbing is real: schemas, batch shapes,
+  * partition-parallel evaluation, and explode-based frame fan-out are
+  * exactly what a libjpeg/ffmpeg-backed implementation would run under.
+  */
 object Multimodal {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** Media payload schema: (id, payload binary, meta struct). The
+    * testdata has no binary table, so documents.text is encoded as the
+    * stand-in payload — byte-faithful and deterministic.
+    */
+  def binarize(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("media_id"),
+      encode(text, "UTF-8").as("payload"),
+      struct(
+        length(encode(text, "UTF-8")).cast("long").as("n_bytes"),
+        lit("text/plain").as("format")).as("meta"))
+
+  /** STUB decode — a real build links a codec here. Deterministic fake:
+    * 4 float features from the payload digest, so downstream operators
+    * (similarity, clustering) see realistic shapes.
+    */
+  def decodeStub(payload: Column): Column =
+    transform(sequence(lit(0), lit(3)), i =>
+      conv(substring(md5(payload), i * 2 + 1, lit(2)), 16, 10).cast("double") / 255.0)
+
+  /** Frame sampling: one output row per sampled frame offset; a video
+    * decoder would seek to `frame_idx`; the fake derives a per-frame
+    * feature from (digest, frame_idx).
+    */
+  def sampleFrames(df: DataFrame, nFrames: Int): DataFrame =
+    df.select(
+      col("media_id"), col("meta"),
+      posexplode(transform(sequence(lit(0), lit(nFrames - 1)), i =>
+        md5(concat(md5(col("payload")), i.cast("string")))))
+        .as(Seq("frame_idx", "frame_key")))
+
+  // ---- declared queries ---------------------------------------------------
+
+  /** Binary metadata extraction (oracle-checked: byte length + content
+    * key are portable).
+    */
+  def q62(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        substring(md5(col("text")), 1, 8).as("content_key"))
+      .orderBy("doc_id")
+
+  /** Full plumbing pass (rows-only): binarize → decode-stub features →
+    * 3-frame sample; N docs in, 3N frame rows out.
+    */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val media = binarize(docs(s, dir), col("doc_id"), col("text"))
+      .withColumn("features", decodeStub(col("payload")))
+    sampleFrames(media, nFrames = 3)
+      .select(
+        col("media_id"), col("frame_idx"), col("frame_key"),
+        col("meta.n_bytes").as("n_bytes"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_multimodal_meta"   -> (q62 _),
+    "q63_multimodal_frames" -> (q63 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q62_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       substring(md5(text), 1, 8) AS content_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q63_multimodal_frames: rows-only (decode stub is engine-local).
+  )
 }

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Extension-operator semantics on tiny local fixtures plus the sf0.001
+  * testdata (read-only driver fixtures).
+  */
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- text analysis ----------------------------------------------------
+
+  test("tokenCount and stopword hits") {
+    val r = Seq("the cat and the hat").toDF("text")
+      .select(
+        TextAnalysis.tokenCount($"text"),
+        TextAnalysis.stopwordHits($"text", Seq("the", "and")))
+      .head()
+    assert((r.getInt(0), r.getInt(1)) === ((5, 3)))
+  }
+
+  test("guessLang picks the best stopword list with stable tie-break") {
+    val out = Seq(
+      (1, "the cat of a hat"),          // en
+      (2, "der hund und die katze"),    // de
+      (3, "le chat et la maison"),      // fr
+      (4, "xyz qqq zzz")                // no stopwords at all
+    ).toDF("id", "text")
+      .select($"id", TextAnalysis.guessLang($"text").as("g"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(out === Seq("en", "de", "fr", "unknown"))
+  }
+
+  test("qualityScore rewards long non-stopword text, bounded by 1") {
+    val rows = Seq(
+      ("short", "a the a the"),                       // all stopwords
+      ("long", Seq.fill(60)("word").mkString(" "))    // 60 plain tokens
+    ).toDF("id", "text")
+      .select($"id", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("short") === 0.0)
+    assert(rows("long") === 1.0)
+  }
+
+  test("fingerprint is whitespace/case-canonical") {
+    val fps = Seq("Hello  World", "hello world", "other").toDF("text")
+      .select(TextAnalysis.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  // ---- dedup ------------------------------------------------------------
+
+  test("jaccardSets on known sets") {
+    val r = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccardSets($"x", $"y")).head().getDouble(0)
+    assert(r === 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("shingles3: trigrams for long text, empty under 3 tokens") {
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles3($"text").as("sh")).collect()
+    assert(out(0).getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](0).isEmpty)
+  }
+
+  test("simhash: identical texts collide, near texts are close, disjoint far") {
+    val df = Seq(
+      (1L, "spark scans the table and joins rows fast"),
+      (2L, "spark scans the table and joins rows fast"),    // identical
+      (3L, "spark scans a table and joins rows quickly"),   // near
+      (4L, "zzz qqq www eee rrr ttt yyy uuu")               // disjoint
+    ).toDF("id", "text")
+    val hs = Dedup.simhash(df, $"id", $"text").orderBy("__id")
+      .collect().map(_.getLong(1))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hs(0) === hs(1))
+    assert(hamming(hs(0), hs(2)) < hamming(hs(0), hs(3)))
+  }
+
+  test("minhash near-dup query is deterministic across runs") {
+    val a = Dedup.q57(spark, sf).collect().toSeq
+    val b = Dedup.q57(spark, sf).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  // ---- similarity -------------------------------------------------------
+
+  test("dot and l2Norm on known vectors") {
+    val r = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 1.0))).toDF("a", "b")
+      .select(Similarity.dot($"a", $"b"), Similarity.l2Norm($"a")).head()
+    assert(r.getDouble(0) === 4.0)
+    assert(r.getDouble(1) === 3.0)
+  }
+
+  test("brute-force knn: self is always the top match with sim 1.0") {
+    val out = Similarity.q60(spark, sf)
+    val selfRows = out.filter($"qid" === $"did").collect()
+    assert(selfRows.length === 50)
+    assert(selfRows.forall(_.getDouble(2) === 1.0))
+  }
+
+  test("LSH knn recall: bucketed top-1 equals brute-force top-1 for most queries") {
+    val brute = Similarity.q60(spark, sf)
+    val lsh = Similarity.q61(spark, sf)
+    // self-match (sim 1.0) must always be in its own bucket
+    assert(lsh.filter($"qid" === $"did").count() === 50)
+    // candidate volume must be far below all-pairs
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(lsh.count() <= 50L * 3)
+    assert(n * n > 50L * n, "sanity: all-pairs would be larger")
+    assert(brute.count() === 250)
+  }
+
+  test("LSH signatures are deterministic (no RNG)") {
+    val planes1 = Similarity.hyperplanes(8, 64)
+    val planes2 = Similarity.hyperplanes(8, 64)
+    assert(planes1.map(_.toSeq).toSeq === planes2.map(_.toSeq).toSeq)
+  }
+
+  // ---- multimodal -------------------------------------------------------
+
+  test("binarize produces payload bytes + typed metadata struct") {
+    val out = Multimodal.binarize(Seq((7L, "héllo")).toDF("id", "t"), $"id", $"t")
+    assert(out.schema.fieldNames.toSeq === Seq("media_id", "payload", "meta"))
+    val r = out.head()
+    assert(r.getAs[Array[Byte]]("payload").length === 6) // é is 2 bytes in UTF-8
+    assert(r.getStruct(2).getLong(0) === 6L)
+    assert(r.getStruct(2).getString(1) === "text/plain")
+  }
+
+  test("decodeStub yields 4 deterministic features in [0,1]") {
+    val media = Multimodal.binarize(Seq((1L, "abc")).toDF("id", "t"), $"id", $"t")
+    val f1 = media.select(Multimodal.decodeStub($"payload")).head().getSeq[Double](0)
+    val f2 = media.select(Multimodal.decodeStub($"payload")).head().getSeq[Double](0)
+    assert(f1 === f2)
+    assert(f1.length === 4)
+    assert(f1.forall(x => x >= 0.0 && x <= 1.0))
+  }
+
+  test("sampleFrames fans out n rows per media item") {
+    val media = Multimodal.binarize(
+      Seq((1L, "aa"), (2L, "bb")).toDF("id", "t"), $"id", $"t")
+    val frames = Multimodal.sampleFrames(media, nFrames = 4)
+    assert(frames.count() === 8)
+    assert(frames.select("frame_idx").distinct().count() === 4)
+    // per-frame keys differ (a decoder would seek per frame)
+    assert(frames.select("frame_key").distinct().count() === 8)
+  }
+}
