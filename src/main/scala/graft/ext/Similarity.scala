@@ -24,22 +24,28 @@ object Similarity {
   /** float32 vector → double vector (widen BEFORE any arithmetic). */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential-fold dot product via higher-order functions — stays in
-    * codegen, no UDF.
+  /** Native fused-loop dot product ([[graft.ops.DotProduct]]): the
+    * higher-order `aggregate(zip_with(...))` formulation interprets two
+    * lambdas per element — at N×K pairs × 64 dims that was the hot loop
+    * of every similarity query.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  def dot(a: Column, b: Column): Column = graft.ops.DotProduct(a, b)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Add a normalized-embedding column once; cosine then reduces to a
     * plain dot of unit vectors (norms are not recomputed per pair —
     * at N×K pair counts that would be the dominant waste).
+    *
+    * Two projection steps on purpose: the norm is materialized as its
+    * own column first, so the division lambda reads a bound reference
+    * instead of re-deriving the norm per element.
     */
-  def withUnitVec(df: DataFrame, vecCol: String, out: String): DataFrame = {
-    val d = asDouble(col(vecCol))
-    df.withColumn(out, transform(d, x => x / l2Norm(d)))
-  }
+  def withUnitVec(df: DataFrame, vecCol: String, out: String): DataFrame =
+    df.withColumn("__dv", asDouble(col(vecCol)))
+      .withColumn("__norm", l2Norm(col("__dv")))
+      .withColumn(out, transform(col("__dv"), x => x / col("__norm")))
+      .drop("__dv", "__norm")
 
   /** Deterministic ±1 hyperplanes: sign p,d from the md5 of "p:d".
     * Engine- and run-independent (no RNG), so LSH buckets are
