@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the batch vocabulary over the
+  * `events` table (SURVEY §7.6 — north-star extension; the reference has
+  * no streaming).
+  *
+  * `events.ts` arrives as bigint NANOSECONDS (parquet TIMESTAMP(NANOS)
+  * under `nanosAsLong` — SURVEY §7.4.7); [[withEventTime]] converts to a
+  * real timestamp (microsecond precision, deliberate truncation) before
+  * any watermark/window logic.
+  *
+  * State-bounding is the 100 TB concern here: every stateful op below
+  * carries a watermark so state is evicted as event time advances —
+  * unbounded keys never accumulate.
+  */
+object EventStream {
+
+  /** File-source stream over a directory of parquet parts — the
+    * deterministic way to drive streaming from the fixtures.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      // glob, not the bare file path: the file-stream source requires a
+      // directory basePath and discovers matching files beneath it
+      .parquet(s"$dir/events.*")
+
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+  /** Tumbling-window counts by event type (A1 re-expressed): watermark
+    * bounds both late data and aggregation state.
+    */
+  def windowedCounts(
+      df: DataFrame,
+      watermark: String = "10 minutes",
+      win: String = "1 hour"): DataFrame =
+    withEventTime(df)
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("events"), col("sum_value"))
+
+  /** Streaming dedup (D1/D2 re-expressed): exactly-once per event_id
+    * within the watermark horizon; state for ids older than the
+    * watermark is dropped (`dropDuplicates` + watermark column).
+    */
+  def dedupEvents(df: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    withEventTime(df)
+      .withWatermark("event_ts", watermark)
+      .dropDuplicates("event_id", "event_ts")
+
+  /** Per-user running aggregate via mapGroupsWithState — the custom-state
+    * surface (`KeyValueGroupedDataset`) for logic windows can't express.
+    */
+  final case class UserAgg(userId: Long, events: Long, totalValue: Double)
+
+  def userRunningAgg(spark: SparkSession, df: DataFrame): Dataset[UserAgg] = {
+    import spark.implicits._
+    withEventTime(df)
+      .select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
+          val (n, v) = rows.foldLeft((0L, 0.0)) { case ((c, s), (_, value)) =>
+            (c + 1, s + value)
+          }
+          val next = UserAgg(user, prev.events + n, prev.totalValue + v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against the memory sink and
+    * return the collected table (AvailableNow semantics via
+    * processAllAvailable — deterministic for file sources).
+    */
+  def runToTable(
+      spark: SparkSession,
+      df: Dataset[_],
+      name: String,
+      mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

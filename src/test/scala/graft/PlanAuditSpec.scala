@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Physical-plan audit: the properties that make these plans survive a
+  * 100× scale-up, asserted so a regression (lost pushdown, a cartesian
+  * product, a forced broadcast, a global sort where top-k suffices)
+  * fails CI rather than a future benchmark.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Plan after AQE finalization (run the query, then inspect). */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("q16 agg battery: shipdate filter reaches the parquet scan") {
+    val p = plan("q16_agg_battery")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q16 scans only the columns it needs") {
+    val p = plan("q16_agg_battery")
+    // ReadSchema must not include unused wide columns
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"), p)
+  }
+
+  test("q19 top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q19_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q11 join: AQE chooses the strategy (no forced broadcast), equi-join only") {
+    val p = finalPlan("q11_join_fact_dim")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("no declared query plans a cartesian product (except the brute-force knn)") {
+    val exempt = Set("q60_knn_brute") // all-pairs is that query's contract
+    SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
+  test("q23 custom TitleCase expression runs inside whole-stage codegen") {
+    // AQE plan strings hide codegen stages; inspect the generated Java
+    // instead — the static call proves the expression is INSIDE a
+    // generated stage, not a fallback eval.
+    // AQE wraps stages in a way codegenString does not traverse; turn it
+    // off for this one plan inspection.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q23_titlecase_expr")(spark, sf)
+      val gen = org.apache.spark.sql.execution.debug.codegenString(
+        df.queryExecution.executedPlan)
+      assert(gen.contains("graft.ops.TitleCaseUtil.titleCase"), gen.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q60 native dot_product appears in the plan (no interpreted lambdas)") {
+    val p = plan("q60_knn_brute")
+    assert(p.contains("dot_product"), p)
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+
+  test("q09 first-wins dedup shuffles once on the key") {
+    val df = SparkEntry.queries("q09_first_wins_dedup")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // one exchange for the window partition, one for the final ORDER BY —
+    // nothing else (no accidental extra repartitions)
+    val exchanges = exec.collect { case e: Exchange => e }
+    assert(exchanges.length <= 2, exec.toString)
+  }
+
+  test("q01 count aggregates partially before the final exchange") {
+    val p = plan("q01_count")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0, p)
+    assert(p.indexOf("HashAggregate", firstAgg + 1) > firstAgg, "partial+final expected: " + p)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+
+/** Streaming semantics: batch/stream parity on the real fixture, dedup
+  * statefulness, custom state, and late-data drop via MemoryStream.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("windowed counts: streaming result equals the batch computation") {
+    val streamed = EventStream.runToTable(
+      spark,
+      EventStream.windowedCounts(EventStream.readEvents(spark, sf)),
+      "win_counts", OutputMode.Complete())
+
+    val batch = EventStream.withEventTime(spark.read.parquet(s"$sf/events.parquet"))
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("event_type"), col("events"), col("sum_value"))
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming dedup emits each event_id once") {
+    val deduped = EventStream.runToTable(
+      spark,
+      EventStream.dedupEvents(EventStream.readEvents(spark, sf)),
+      "dedup_events", OutputMode.Append())
+    val dupKeys = deduped.groupBy("event_id", "event_ts").count()
+      .filter(col("count") > 1)
+    assert(dupKeys.isEmpty)
+    // matches batch distinct on the same key
+    val batchDistinct = EventStream.withEventTime(spark.read.parquet(s"$sf/events.parquet"))
+      .dropDuplicates("event_id", "event_ts")
+    assert(deduped.count() === batchDistinct.count())
+  }
+
+  test("mapGroupsWithState accumulates per-user aggregates across batches") {
+    val input = MemoryStream[(Long, Long, String, Double)](spark)
+    val df = input.toDF().toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", col("event_id") * expr("1000000000")) // nanos
+      .withColumn("user_id", col("user_id"))
+    val agg = EventStream.userRunningAgg(spark, df)
+    val q = agg.writeStream.format("memory").queryName("user_agg")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L, 7L, "a", 1.0), (2L, 7L, "a", 2.0), (3L, 8L, "b", 5.0))
+      q.processAllAvailable()
+      input.addData((4L, 7L, "a", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("user_agg")
+      .groupBy("userId").agg(max("events").as("events"), max("totalValue").as("tv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(last(7L) === ((3L, 7.0))) // state carried across the two batches
+    assert(last(8L) === ((1L, 5.0)))
+  }
+
+  test("late data beyond the watermark is dropped") {
+    val input = MemoryStream[(Long, String)](spark)
+    // minutes → nanos; watermark 10 minutes, window 1 hour
+    def nanos(min: Long) = min * 60L * 1000000000L
+    val df = input.toDF().toDF("minute", "event_type")
+      .withColumn("ts", col("minute") * expr("60000000000"))
+      .withColumn("value", lit(1.0))
+      .withColumn("event_id", col("minute"))
+      .withColumn("user_id", lit(1L))
+    val counts = EventStream.windowedCounts(df, watermark = "10 minutes", win = "1 hour")
+    val q = counts.writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((5L, "x"), (200L, "x"))   // watermark advances to 200min - 10min
+      q.processAllAvailable()
+      input.addData((6L, "x"))                // 6min < watermark → dropped
+      input.addData((201L, "x"))              // on time → counted
+      q.processAllAvailable()
+    } finally q.stop()
+    val byWindow = spark.table("late_test")
+      .groupBy("win_start").agg(max("events").as("events"))
+      .collect().map(r => r.getTimestamp(0).toInstant.getEpochSecond / 3600 -> r.getLong(1))
+      .toMap
+    assert(byWindow(0L) === 1L) // hour-0 window: only the minute-5 event; minute-6 dropped
+    assert(byWindow(3L) === 2L) // hour-3 window: minutes 200 and 201
+  }
+}
