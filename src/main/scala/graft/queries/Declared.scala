@@ -222,6 +222,12 @@ object Declared {
   def q24(s: SparkSession, dir: String): DataFrame =
     schemaReport(t(s, dir, "lineitem")).orderBy("column_name")
 
+  // ---- Q25 (approx distinct, §2.4): HLL sketch (rows-only — HLL
+  // implementations differ across engines; exactness is asserted against
+  // the exact count in OpsSpec instead) --------------------------------
+  def q25(s: SparkSession, dir: String): DataFrame =
+    approxDistinct(t(s, dir, "orders"), "o_custkey")
+
   /** DataFrame-API entries, keyed identically to [[oracleSql]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count"            -> (q01 _),
@@ -248,6 +254,7 @@ object Declared {
     "q22_pipeline_replica" -> (q22 _),
     "q23_titlecase_expr"   -> (q23 _),
     "q24_schema_report"    -> (q24 _),
+    "q25_approx_distinct"  -> (q25 _),
   )
 
   /** DuckDB oracle SQL (SURVEY §2.5, validated 22/22 there). */

@@ -98,6 +98,45 @@ class OpsSpec extends SparkTestBase {
     assert(out === Seq("k1", "k3"))
   }
 
+  test("saltedResolveFk equals the unsalted join on a skewed fixture") {
+    // hot key: 90% of facts share one key
+    val fact = ((1 to 90).map(i => ("hot", i)) ++ Seq(("k1", 91), ("k2", 92)))
+      .toDF("k", "v")
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k3", "C")).toDF("k", "attr")
+    val plain = resolveFk(fact, dim, Seq("k"), broadcastDim = false)
+      .orderBy("v").collect().toSeq
+    val salted = saltedResolveFk(fact, dim, Seq("k"), buckets = 8)
+      .select(plain.head.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .orderBy("v").collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("dedupFirstWinsSalted equals single-shuffle dedupFirstWins") {
+    val df = ((1 to 50).map(i => ("hot", i, s"v$i")) ++
+      Seq(("k1", 3, "a"), ("k1", 1, "b"), ("k2", 9, "c")))
+      .toDF("k", "ord", "payload")
+    val plain = dedupFirstWins(df, Seq("k"), Seq($"ord"))
+      .orderBy("k").collect().toSeq
+    val salted = dedupFirstWinsSalted(df, Seq("k"), Seq($"ord"), buckets = 4)
+      .orderBy("k").collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("approxDistinct lands within the configured error of the exact count") {
+    val df = spark.range(10000).select(($"id" % 1234).as("k"))
+    val approx = approxDistinct(df, "k").head().getLong(0)
+    assert(math.abs(approx - 1234.0) / 1234.0 < 0.1, s"approx=$approx")
+  }
+
+  test("Metrics.record captures completed actions with durations") {
+    val (n, actions) = Metrics.record(spark) {
+      spark.range(100).filter($"id" % 2 === 0).count()
+    }
+    assert(n === 50L)
+    assert(actions.nonEmpty)
+    assert(actions.forall(_.durationMs >= 0))
+  }
+
   test("dupCheck returns keys occurring more than once") {
     val df = Seq("a", "a", "b", "c", "c", "c").toDF("k")
     val out = dupCheck(df, Seq("k")).orderBy("k").collect()
