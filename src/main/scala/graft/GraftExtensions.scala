@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.ops.{DotProduct, TitleCase}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions in the SQL function registry, so `spark.sql`
+  * users get them by name — not just the Scala Column API.
+  *
+  * Activated via `spark.sql.extensions=graft.GraftExtensions`
+  * (Engine.session sets it).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("title_case"),
+      info("title_case",
+        "title_case(str) - Python str.title() semantics: letters after a non-letter upcase, letters after a letter downcase."),
+      (children: Seq[Expression]) => TitleCase(children.head)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(a, b) - fused-loop dot product of two array<double> columns."),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}
