@@ -100,7 +100,7 @@ object Healthcare {
     * on the natural key, deterministic surrogate key.
     */
   def patients(clean: DataFrame): DataFrame =
-    dedupFirstWins(
+    dedupFirstWinsAgg(
       clean.select(
         cleanName(col("name")).as("name"),
         col("age"), col("gender"), col("blood_type"), col("_ingest_ord")),
@@ -125,7 +125,7 @@ object Healthcare {
       parseDate(col("discharge_date")).as("discharge_date"),
       col("medication"), col("test_results"), col("_ingest_ord"))
     resolveFk(facts, dim.select((patientKey :+ "patient_sk").map(col): _*), patientKey)
-      .transform(dedupFirstWins(_, admissionKey, Seq(col("_ingest_ord"))))
+      .transform(dedupFirstWinsAgg(_, admissionKey, Seq(col("_ingest_ord"))))
       .transform(withSurrogateKey(_, "admission_sk", admissionKey))
       .select("admission_sk", "patient_sk", "medical_condition",
         "date_of_admission", "doctor", "hospital", "insurance_provider",

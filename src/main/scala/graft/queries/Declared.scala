@@ -222,6 +222,17 @@ object Declared {
   def q24(s: SparkSession, dir: String): DataFrame =
     schemaReport(t(s, dir, "lineitem")).orderBy("column_name")
 
+  // ---- Q26 (D2 via aggregation): same contract as Q09, different
+  // physical strategy — min_by partial aggregation instead of a window
+  // sort, so the certifying oracle doubles as an equivalence proof -----
+  def q26(s: SparkSession, dir: String): DataFrame =
+    dedupFirstWinsAgg(
+      Tables.events(s, dir),
+      key = Seq("user_id"),
+      order = Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_id", "event_type")
+      .orderBy("user_id")
+
   // ---- Q25 (approx distinct, §2.4): HLL sketch (rows-only — HLL
   // implementations differ across engines; exactness is asserted against
   // the exact count in OpsSpec instead) --------------------------------
@@ -255,6 +266,7 @@ object Declared {
     "q23_titlecase_expr"   -> (q23 _),
     "q24_schema_report"    -> (q24 _),
     "q25_approx_distinct"  -> (q25 _),
+    "q26_first_wins_agg"   -> (q26 _),
   )
 
   /** DuckDB oracle SQL (SURVEY §2.5, validated 22/22 there). */
@@ -367,6 +379,11 @@ object Declared {
         |FROM customer c JOIN keyed k
         |  ON c.c_nationkey = k.c_nationkey AND c.c_mktsegment = k.c_mktsegment
         |GROUP BY k.sk, k.c_mktsegment ORDER BY k.sk""".stripMargin,
+    "q26_first_wins_agg" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q23_titlecase_expr" ->
       """SELECT doc_id,
         |       array_to_string(

@@ -105,7 +105,7 @@ class ExtensionsSpec extends SparkTestBase {
     assert(selfRows.forall(_.getDouble(2) === 1.0))
   }
 
-  test("LSH knn recall: bucketed top-1 equals brute-force top-1 for most queries") {
+  test("LSH knn: self-bucket always found, candidate volume bounded below all-pairs") {
     val brute = Similarity.q60(spark, sf)
     val lsh = Similarity.q61(spark, sf)
     // self-match (sim 1.0) must always be in its own bucket

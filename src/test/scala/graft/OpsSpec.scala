@@ -98,6 +98,17 @@ class OpsSpec extends SparkTestBase {
     assert(out === Seq("k1", "k3"))
   }
 
+  test("dedupFirstWinsAgg equals window-based dedupFirstWins") {
+    val df = Seq(
+      ("k1", 2, "late"), ("k1", 1, "first"), ("k2", 5, "only"),
+      ("k1", 3, "later"), ("k2", 6, "late"), (null, 4, "nullkey")
+    ).toDF("k", "ord", "v")
+    val win = dedupFirstWins(df, Seq("k"), Seq($"ord")).orderBy("ord").collect().toSeq
+    val agg = dedupFirstWinsAgg(df, Seq("k"), Seq($"ord")).orderBy("ord").collect().toSeq
+    assert(agg === win)
+    assert(agg.map(_.getString(2)).toSet === Set("first", "only", "nullkey"))
+  }
+
   test("saltedResolveFk equals the unsalted join on a skewed fixture") {
     // hot key: 90% of facts share one key
     val fact = ((1 to 90).map(i => ("hot", i)) ++ Seq(("k1", 91), ("k2", 92)))
