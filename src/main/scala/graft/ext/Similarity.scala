@@ -112,9 +112,32 @@ object Similarity {
       .orderBy("qid", "did")
   }
 
+  /** IVF-style ANN: candidates restricted to the query's coarse cell —
+    * here the provided `label` column stands in for the quantizer
+    * assignment (a real IVF trains centroids; the search shape is
+    * identical: equi-join on cell id, rank within cell). Exactly
+    * oracle-expressible, unlike trained-centroid IVF.
+    */
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unit = withUnitVec(emb(s, dir), "embedding", "u")
+      .select(col("vec_id"), col("u"), col("label"))
+    val q = unit.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("u").as("qu"), col("label"))
+    val d = unit.select(col("vec_id").as("did"), col("u").as("du"), col("label"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    q.join(d, "label") // cell-local equi-join — the IVF probe shape
+      .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("did"), round(col("sim"), 2).as("sim"))
+      .orderBy("qid", "did")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_knn_brute" -> (q60 _),
     "q61_knn_lsh"   -> (q61 _),
+    "q64_knn_ivf"   -> (q64 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -132,5 +155,18 @@ object Similarity {
         |ORDER BY qid, did""".stripMargin,
     // q61_knn_lsh: rows-only (the LSH bucketing is the thing under test;
     // reproducing it in the oracle would just duplicate the implementation).
+    "q64_knn_ivf" ->
+      """WITH sims AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS did,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(d.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings q JOIN embeddings d ON q.label = d.label
+        |  WHERE q.vec_id < 50
+        |), ranked AS (
+        |  SELECT qid, did, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
+        |  FROM sims)
+        |SELECT qid, did, ROUND(sim, 2) AS sim FROM ranked WHERE rn <= 3
+        |ORDER BY qid, did""".stripMargin,
   )
 }

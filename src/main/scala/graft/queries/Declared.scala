@@ -233,6 +233,31 @@ object Declared {
       .select("user_id", "event_id", "event_type")
       .orderBy("user_id")
 
+  // ---- Q27 (rollup): hierarchical aggregation with grouping markers.
+  // Sums rounded to 0 decimals: at ~1e9 magnitudes cross-engine
+  // summation-order drift (~1e-4) is far inside the 0.5 boundary, where
+  // 2-decimal rounding would sit within drift of a boundary. ------------
+  def q27(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 0).as("rev"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  // ---- Q28 (scalar battery): string/date/null scalar functions -------
+  def q28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("up"),
+        lower(col("o_orderstatus")).as("lo"),
+        substring(col("o_orderpriority"), 1, 3).as("sub"),
+        regexp_replace(col("o_orderpriority"), "-", "_").as("rep"),
+        length(col("o_orderpriority")).cast("long").as("len"),
+        coalesce(col("o_custkey"), lit(-1L)).as("co"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("dd"))
+      .orderBy("o_orderkey")
+
   // ---- Q25 (approx distinct, §2.4): HLL sketch (rows-only — HLL
   // implementations differ across engines; exactness is asserted against
   // the exact count in OpsSpec instead) --------------------------------
@@ -267,6 +292,8 @@ object Declared {
     "q24_schema_report"    -> (q24 _),
     "q25_approx_distinct"  -> (q25 _),
     "q26_first_wins_agg"   -> (q26 _),
+    "q27_rollup"           -> (q27 _),
+    "q28_scalar_battery"   -> (q28 _),
   )
 
   /** DuckDB oracle SQL (SURVEY §2.5, validated 22/22 there). */
@@ -379,6 +406,21 @@ object Declared {
         |FROM customer c JOIN keyed k
         |  ON c.c_nationkey = k.c_nationkey AND c.c_mktsegment = k.c_mktsegment
         |GROUP BY k.sk, k.c_mktsegment ORDER BY k.sk""".stripMargin,
+    "q27_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_extendedprice), 0) AS rev, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q28_scalar_battery" ->
+      """SELECT o_orderkey,
+        |       UPPER(o_orderpriority) AS up,
+        |       LOWER(o_orderstatus) AS lo,
+        |       SUBSTRING(o_orderpriority, 1, 3) AS sub,
+        |       REPLACE(o_orderpriority, '-', '_') AS rep,
+        |       CAST(LENGTH(o_orderpriority) AS BIGINT) AS len,
+        |       COALESCE(o_custkey, -1) AS co,
+        |       CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q26_first_wins_agg" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,
