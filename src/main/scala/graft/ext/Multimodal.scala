@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -50,6 +50,35 @@ object Multimodal {
       posexplode(transform(sequence(lit(0), lit(nFrames - 1)), i =>
         md5(concat(md5(col("payload")), i.cast("string")))))
         .as(Seq("frame_idx", "frame_key")))
+
+  /** Partition-batch decode — the Scala analog of a `mapInPandas` batch
+    * UDF: one decoder instance per partition processes rows as an
+    * iterator batch (exactly where a libjpeg/ffmpeg handle would be
+    * opened once per partition and reused). The decode itself is the
+    * deterministic stub; the iterator/batch plumbing, schema, and
+    * per-partition lifecycle are the real thing.
+    */
+  final case class DecodedMedia(
+      media_id: Long, n_bytes: Long, width: Int, height: Int, checksum: Long)
+
+  def decodeBatch(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "codec" init happens here, once
+        rows.map { case (id, payload) =>
+          var crc = 0L
+          var i = 0
+          while (i < payload.length) { crc = crc * 31 + (payload(i) & 0xff); i += 1 }
+          DecodedMedia(
+            media_id = id,
+            n_bytes = payload.length.toLong,
+            width = (math.abs(crc) % 1920).toInt + 1,  // stub dims
+            height = (math.abs(crc) % 1080).toInt + 1,
+            checksum = crc)
+        }
+      }
+  }
 
   // ---- declared queries ---------------------------------------------------
 

@@ -66,6 +66,15 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, " +", " "))))
 
+  /** Polynomial rolling hash over the token sequence (order-sensitive,
+    * unlike the md5 canonical fingerprint): fold tokens into
+    * h = h*31 + murmur(token), entirely inside the engine via the
+    * `aggregate` higher-order function. Engine-local (Spark murmur), so
+    * unit-tested rather than oracle-checked.
+    */
+  def rollingHash(tokensCol: Column): Column =
+    aggregate(tokensCol, lit(0L), (h, w) => h * 31L + hash(w).cast("long"))
+
   // ---- declared queries ---------------------------------------------------
 
   def q50(s: SparkSession, dir: String): DataFrame =

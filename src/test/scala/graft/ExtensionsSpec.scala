@@ -143,6 +143,28 @@ class ExtensionsSpec extends SparkTestBase {
     assert(f1.forall(x => x >= 0.0 && x <= 1.0))
   }
 
+  test("rollingHash is order-sensitive where the canonical fingerprint is not") {
+    val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
+      .select(
+        TextAnalysis.rollingHash(split($"t1", " ")).as("h1"),
+        TextAnalysis.rollingHash(split($"t2", " ")).as("h2"))
+    val r = df.head()
+    assert(r.getLong(0) !== r.getLong(1))
+    // determinism
+    assert(df.head().getLong(0) === r.getLong(0))
+  }
+
+  test("decodeBatch: per-partition batch decode with typed output schema") {
+    val media = Multimodal.binarize(
+      Seq((1L, "hello"), (2L, "world")).toDF("id", "t"), $"id", $"t")
+    val out = Multimodal.decodeBatch(spark, media).orderBy("media_id").collect()
+    assert(out.length === 2)
+    assert(out(0).n_bytes === 5L && out(0).width >= 1 && out(0).height >= 1)
+    // deterministic checksum per payload
+    val again = Multimodal.decodeBatch(spark, media).orderBy("media_id").collect()
+    assert(out.map(_.checksum).toSeq === again.map(_.checksum).toSeq)
+  }
+
   test("sampleFrames fans out n rows per media item") {
     val media = Multimodal.binarize(
       Seq((1L, "aa"), (2L, "bb")).toDF("id", "t"), $"id", $"t")
