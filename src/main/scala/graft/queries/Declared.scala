@@ -258,6 +258,36 @@ object Declared {
           .cast("long").as("dd"))
       .orderBy("o_orderkey")
 
+  // ---- Q29 (J1 beyond broadcast): explicit sort-merge join — the plan
+  // the fact⋈dim join takes when the dim outgrows the broadcast
+  // threshold; same oracle semantics as Q11 ---------------------------
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").hint("merge")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---- Q30 (window analytics): lag + running aggregate. The running
+  // sum accumulates in the SAME order in both engines (the window ORDER
+  // BY is total), so the doubles are bit-identical pre-ROUND. ----------
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"),
+        round(lag(col("value"), 1).over(w), 2).as("prev_value"),
+        round(sum(col("value")).over(running), 2).as("running_sum"),
+        row_number().over(w).as("seq"))
+      .orderBy("user_id", "seq")
+  }
+
   // ---- Q25 (approx distinct, §2.4): HLL sketch (rows-only — HLL
   // implementations differ across engines; exactness is asserted against
   // the exact count in OpsSpec instead) --------------------------------
@@ -294,6 +324,8 @@ object Declared {
     "q26_first_wins_agg"   -> (q26 _),
     "q27_rollup"           -> (q27 _),
     "q28_scalar_battery"   -> (q28 _),
+    "q29_sort_merge_join"  -> (q29 _),
+    "q30_window_analytics" -> (q30 _),
   )
 
   /** DuckDB oracle SQL (SURVEY §2.5, validated 22/22 there). */
@@ -421,6 +453,20 @@ object Declared {
         |       COALESCE(o_custkey, -1) AS co,
         |       CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q29_sort_merge_join" ->
+      """SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q30_window_analytics" ->
+      """SELECT user_id, event_id,
+        |       ROUND(value, 2) AS value,
+        |       ROUND(LAG(value, 1) OVER w, 2) AS prev_value,
+        |       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+        |       ROW_NUMBER() OVER w AS seq
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, seq""".stripMargin,
     "q26_first_wins_agg" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,

@@ -80,6 +80,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("aggregate(zip_with"), p)
   }
 
+  test("q29 hint produces a SortMergeJoin (the beyond-broadcast plan)") {
+    val p = finalPlan("q29_sort_merge_join")
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("q26 agg-based dedup partially aggregates (no window sort of the input)") {
+    val p = plan("q26_first_wins_agg")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "), p)
+  }
+
   test("q09 first-wins dedup shuffles once on the key") {
     val df = SparkEntry.queries("q09_first_wins_dedup")(spark, sf)
     df.write.format("noop").mode("overwrite").save()
