@@ -19,16 +19,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    def arity(name: String, n: Int, children: Seq[Expression]): Unit =
+      if (children.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n argument(s), got ${children.length}")
+
     ext.injectFunction((
       new FunctionIdentifier("title_case"),
       info("title_case",
         "title_case(str) - Python str.title() semantics: letters after a non-letter upcase, letters after a letter downcase."),
-      (children: Seq[Expression]) => TitleCase(children.head)))
+      (children: Seq[Expression]) => {
+        arity("title_case", 1, children); TitleCase(children.head)
+      }))
 
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       info("dot_product",
         "dot_product(a, b) - fused-loop dot product of two array<double> columns."),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity("dot_product", 2, children); DotProduct(children(0), children(1))
+      }))
   }
 }

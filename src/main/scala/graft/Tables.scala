@@ -26,9 +26,19 @@ object Tables {
     table(spark, dir, "events") // nanosAsLong is set at session build (Engine)
 
   /** Nanosecond-long `ts` -> TimestampType (microsecond precision,
-    * truncating sub-microsecond deliberately — SURVEY §7.4 item 7). */
-  def eventTs(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.timestamp_micros((tsNanos / 1000L).cast("long"))
+    * truncating sub-microsecond deliberately — SURVEY §7.4 item 7).
+    * INTEGER division (`div`), not `/`: Column `/` is double division,
+    * and at ~1.7e18 epoch nanos the double rounding can land one
+    * microsecond high before the cast truncates.
+    */
+  def eventTs(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    // subtract the sub-microsecond remainder first: the division then
+    // operates on an exact multiple of 1000 (< 2^53 after division), so
+    // the double arithmetic is exact
+    val micros = ((tsNanos - pmod(tsNanos, lit(1000L))) / 1000L).cast("long")
+    timestamp_micros(micros)
+  }
 
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

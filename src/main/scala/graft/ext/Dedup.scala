@@ -25,10 +25,13 @@ object Dedup {
   /** Exact-dedup content key (D1 generalized): hash of the raw text. */
   def contentHash(text: Column): Column = md5(text)
 
-  /** Token-set (unigram) Jaccard between two token-array columns. */
+  /** Token-set (unigram) Jaccard between two token-array columns.
+    * NULL when both sets are empty (ANSI mode would otherwise throw
+    * DIVIDE_BY_ZERO; oracle mirrors with NULLIF).
+    */
   def jaccardSets(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
-      size(array_distinct(concat(a, b)))
+      nullif(size(array_distinct(concat(a, b))).cast("double"), lit(0.0))
 
   /** Word trigram shingles (distinct) from an ALREADY-MATERIALIZED token
     * array column; empty under 3 tokens (element_at is ANSI-strict —
@@ -113,7 +116,10 @@ object Dedup {
     // (the shingle arrays) multiplies the shuffle and the row-dedup cost.
     // Persist: the self-join evaluates its input in BOTH legs; without
     // this the shingle+hash pipeline runs twice (spill-safe storage
-    // level, the same persist a production LSH join would use).
+    // level, the same persist a production LSH join would use). Not
+    // unpersisted (the result is lazy); bounded, because the
+    // CacheManager dedups identical canonical plans, so repeated
+    // invocations share one cache entry.
     val featured = tf.transform(base).select("doc_id", "features")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lsh = new MinHashLSH()
@@ -192,9 +198,9 @@ object Dedup {
         |  FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  ROUND(CAST(len(list_intersect(a.w1, b.w1)) AS DOUBLE)
-        |        / len(list_distinct(a.w1 || b.w1)), 4) AS jaccard1,
+        |        / NULLIF(CAST(len(list_distinct(a.w1 || b.w1)) AS DOUBLE), 0), 4) AS jaccard1,
         |  ROUND(CAST(len(list_intersect(a.w3, b.w3)) AS DOUBLE)
-        |        / len(list_distinct(a.w3 || b.w3)), 4) AS jaccard3
+        |        / NULLIF(CAST(len(list_distinct(a.w3 || b.w3)) AS DOUBLE), 0), 4) AS jaccard3
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
     "q59_simhash" -> simhashOracle,

@@ -124,7 +124,8 @@ object Healthcare {
       col("billing_amount"), col("room_number"), col("admission_type"),
       parseDate(col("discharge_date")).as("discharge_date"),
       col("medication"), col("test_results"), col("_ingest_ord"))
-    resolveFk(facts, dim.select((patientKey :+ "patient_sk").map(col): _*), patientKey)
+    resolveFk(facts, dim.select((patientKey :+ "patient_sk").map(col): _*), patientKey,
+      nullSafeKeys = true)
       .transform(dedupFirstWinsAgg(_, admissionKey, Seq(col("_ingest_ord"))))
       .transform(withSurrogateKey(_, "admission_sk", admissionKey))
       .select("admission_sk", "patient_sk", "medical_condition",
@@ -170,7 +171,15 @@ object Healthcare {
     raw.persist()
     val (n, nullNames, nullAdmits, dupRows) = profile(raw)
 
-    val deduped = raw.dropDuplicates(raw.columns.filter(_ != "_ingest_ord"))
+    // Full-row dedup must keep the FIRST copy's _ingest_ord —
+    // dropDuplicates keeps an ARBITRARY copy, which could hand a later
+    // ord to the downstream first-wins dedups. Persisted because the dim
+    // build, fact build, and count all reuse it.
+    val deduped = dedupFirstWinsAgg(
+      raw,
+      key = raw.columns.filter(_ != "_ingest_ord").toIndexedSeq,
+      order = Seq(col("_ingest_ord")))
+    deduped.persist()
     val dim = patients(deduped)
     dim.persist() // used twice: own write + FK resolution
     val fact = admissions(deduped, dim)
@@ -199,6 +208,7 @@ object Healthcare {
       admissionsTotal = admissionsTotal,
       elapsedSec = (System.nanoTime() - t0) / 1e9)
     raw.unpersist()
+    deduped.unpersist()
     dim.unpersist()
     metrics
   }

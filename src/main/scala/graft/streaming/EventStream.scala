@@ -30,7 +30,7 @@ object EventStream {
       .parquet(s"$dir/events.*")
 
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    df.withColumn("event_ts", graft.Tables.eventTs(col("ts")))
 
   /** Tumbling-window counts by event type (A1 re-expressed): watermark
     * bounds both late data and aggregation state.
@@ -48,13 +48,15 @@ object EventStream {
         col("event_type"), col("events"), col("sum_value"))
 
   /** Streaming dedup (D1/D2 re-expressed): exactly-once per event_id
-    * within the watermark horizon; state for ids older than the
-    * watermark is dropped (`dropDuplicates` + watermark column).
+    * within the watermark horizon — `dropDuplicatesWithinWatermark`
+    * keys on event_id ALONE, so a producer retry that re-emits an id
+    * with a drifted timestamp is still suppressed; id state older than
+    * the watermark is evicted.
     */
   def dedupEvents(df: DataFrame, watermark: String = "10 minutes"): DataFrame =
     withEventTime(df)
       .withWatermark("event_ts", watermark)
-      .dropDuplicates("event_id", "event_ts")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Per-user running aggregate via mapGroupsWithState — the custom-state
     * surface (`KeyValueGroupedDataset`) for logic windows can't express.

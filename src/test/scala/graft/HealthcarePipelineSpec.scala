@@ -73,6 +73,17 @@ class HealthcarePipelineSpec extends SparkTestBase {
     assert(admissions.filter(col("date_of_admission").isNull).count() >= 1L)
   }
 
+  test("null-name patient still links to its admission (null-safe FK join)") {
+    // fixture row 7: ',33,Male,B+,...' — the reference's dict lookup
+    // matches None keys, so the admission must carry the dim row's sk
+    val nullPatient = patients.filter(col("name").isNull)
+    assert(nullPatient.count() === 1L)
+    val sk = nullPatient.head().getAs[String]("patient_sk")
+    assert(admissions.filter(col("patient_sk") === sk).count() === 1L)
+    // and no admission is orphaned
+    assert(admissions.filter(col("patient_sk").isNull).count() === 0L)
+  }
+
   test("metrics mirror the reference's pre/post stats") {
     assert(metrics.inputRows === 200L)
     assert(metrics.afterDedupRows === 199L)

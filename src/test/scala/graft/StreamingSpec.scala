@@ -35,12 +35,11 @@ class StreamingSpec extends SparkTestBase {
       spark,
       EventStream.dedupEvents(EventStream.readEvents(spark, sf)),
       "dedup_events", OutputMode.Append())
-    val dupKeys = deduped.groupBy("event_id", "event_ts").count()
-      .filter(col("count") > 1)
+    val dupKeys = deduped.groupBy("event_id").count().filter(col("count") > 1)
     assert(dupKeys.isEmpty)
-    // matches batch distinct on the same key
-    val batchDistinct = EventStream.withEventTime(spark.read.parquet(s"$sf/events.parquet"))
-      .dropDuplicates("event_id", "event_ts")
+    // matches batch distinct on event_id (the dedup key)
+    val batchDistinct = spark.read.parquet(s"$sf/events.parquet")
+      .dropDuplicates("event_id")
     assert(deduped.count() === batchDistinct.count())
   }
 
