@@ -288,6 +288,20 @@ object Declared {
       .orderBy("user_id", "seq")
   }
 
+  // ---- Q31 (json functions): extract from the events.props JSON
+  // payload and aggregate — semi-structured columns are first-class ----
+  def q31(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 2).as("avg_k"),
+        count(col("k")).as("n_k"))
+      .orderBy("event_type")
+
   // ---- Q25 (approx distinct, §2.4): HLL sketch (rows-only — HLL
   // implementations differ across engines; exactness is asserted against
   // the exact count in OpsSpec instead) --------------------------------
@@ -326,6 +340,7 @@ object Declared {
     "q28_scalar_battery"   -> (q28 _),
     "q29_sort_merge_join"  -> (q29 _),
     "q30_window_analytics" -> (q30 _),
+    "q31_json_extract"     -> (q31 _),
   )
 
   /** DuckDB oracle SQL (SURVEY §2.5, validated 22/22 there). */
@@ -467,6 +482,12 @@ object Declared {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, seq""".stripMargin,
+    "q31_json_extract" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 2) AS avg_k,
+        |       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q26_first_wins_agg" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,
