@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, attach the latest right row with
+  * `rightTime <= leftTime` within the same key (backward as-of; the
+  * time-series join Spark has no native operator for).
+  *
+  * Strategy (brief preference (a): compose existing ops): tag and UNION
+  * the two sides, then one window pass per key ordered by (time, side)
+  * carries the most recent right row forward via
+  * `last(_, ignoreNulls)`. The whole right payload travels as ONE
+  * struct, so multi-column payloads can never mix values from
+  * different right rows. ONE shuffle on the key — same cost as any
+  * grouped window: no range-explode, no per-key driver loop; skewed
+  * keys fall under the same AQE/salting story as every keyed shuffle.
+  *
+  * Payload columns come back null when no right row precedes the left
+  * row (outer as-of semantics). Ties (`rightTime == leftTime`) match,
+  * mirroring `<=`.
+  */
+object AsofJoin {
+
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadPrefix: String = "asof_"): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => key.contains(c) || c == rightTime)
+    val leftOnly = left.columns.filterNot(key.contains)
+    val payloadStruct = struct(payloadCols.map(col).toIndexedSeq: _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c).copy(name = c)))
+
+    // align both sides onto (key..., leftOnly..., __t, __side, __payload)
+    val rightAligned = right.select(
+      (key.map(col) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+          payloadStruct.as("__payload"))).toIndexedSeq: _*)
+    val leftAligned = left.select(
+      (key.map(col) ++ leftOnly.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+          lit(null).cast(payloadType).as("__payload"))).toIndexedSeq: _*)
+
+    // right (__side=0) sorts before left (__side=1) at equal time → ties match
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightAligned.unionByName(leftAligned)
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        (key.map(col) ++ leftOnly.map(col) ++
+          payloadCols.map(c => col(s"__carried.$c").as(s"$payloadPrefix$c"))).toIndexedSeq: _*)
+  }
+}
