@@ -68,17 +68,58 @@ object Dedup {
     */
   val simhashBits = 16
 
-  def simhashVotes(j: Int): Column =
-    sum(when(substring(md5(col("word")), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j")
-
-  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val words = df.select(id.as("__id"), explode(array_distinct(split(text, " "))).as("word"))
+  /** Parametric SimHash: bit j votes from the j-th hex digit of the
+    * word's md5 (≤ 32 bits). The digest is projected ONCE per word —
+    * the per-bit aggregates read substrings of the materialized hex,
+    * not `bits` separate md5 evaluations.
+    */
+  def simhashN(df: DataFrame, id: Column, text: Column, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 32, "md5 hex provides 32 digit-votes")
+    val words = df
+      .select(id.as("__id"), explode(array_distinct(split(text, " "))).as("word"))
+      .select(col("__id"), md5(col("word")).as("__hex"))
+    def vote(j: Int): Column =
+      sum(when(substring(col("__hex"), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j")
     val votes = words.groupBy(col("__id"))
-      .agg(simhashVotes(0), (1 until simhashBits).map(simhashVotes): _*)
-    val assembled = (0 until simhashBits)
+      .agg(vote(0), (1 until bits).map(vote): _*)
+    val assembled = (0 until bits)
       .map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
       .reduce(_ + _)
-    votes.select(col("__id"), assembled.cast("long").as(s"simhash$simhashBits"))
+    votes.select(col("__id"), assembled.cast("long").as(s"simhash$bits"))
+  }
+
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame =
+    simhashN(df, id, text, simhashBits)
+
+  /** SimHash banding — LSH for Hamming space: split the fingerprint
+    * into `bands` equal bit-slices; any two fingerprints within
+    * `maxHamming` of each other MUST agree on at least one band when
+    * `maxHamming < bands` (pigeonhole), so the band equi-join finds all
+    * such pairs without the all-pairs compare.
+    */
+  def simhashBandPairs(
+      hashed: DataFrame, // (__id, simhash<bits>)
+      bits: Int,
+      bands: Int,
+      maxHamming: Int): DataFrame = {
+    val hc = hashed.columns.last
+    val width = bits / bands
+    val banded = hashed.select(
+      col("__id"), col(hc).as("__sh"),
+      explode(sequence(lit(0), lit(bands - 1))).as("__band"))
+      .withColumn("__bval",
+        expr(s"shiftright(__sh, __band * $width) & ${(1L << width) - 1}"))
+    val a = banded.select(col("__id").as("id_a"), col("__sh").as("ha"),
+      col("__band"), col("__bval"))
+    val b = banded.select(col("__id").as("id_b"), col("__sh").as("hb"),
+      col("__band"), col("__bval"))
+    a.join(b, Seq("__band", "__bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(
+        col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
   }
 
   // ---- declared queries ---------------------------------------------------
@@ -162,13 +203,46 @@ object Dedup {
       .withColumnRenamed("__id", "doc_id")
       .orderBy("doc_id")
 
+  /** SimHash near-dup candidate pairs: 32-bit fingerprint, 4×8-bit
+    * bands, Hamming ≤ 2 (pigeonhole-complete at this setting). The
+    * hamming-space counterpart of q57's set-space MinHashLSH.
+    */
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    val hashed = simhashN(docs(s, dir), col("doc_id"), col("text"), bits = 32)
+    simhashBandPairs(hashed, bits = 32, bands = 4, maxHamming = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_exact_dedup"      -> (q55 _),
     "q56_dedup_keep_first" -> (q56 _),
     "q57_minhash_neardup"  -> (q57 _),
     "q58_ngram_jaccard"    -> (q58 _),
     "q59_simhash"          -> (q59 _),
+    "q65_simhash_neardup"  -> (q65 _),
   )
+
+  private val simhashNearDupOracle: String = {
+    val bits = 32
+    val sums = (0 until bits).map(j =>
+      s"SUM(CASE WHEN substring(__hex, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val asm = (0 until bits).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, md5(unnest(list_distinct(string_split(text,' ')))) AS __hex FROM documents),
+       |b AS (SELECT doc_id, $sums FROM w GROUP BY doc_id),
+       |h AS (SELECT doc_id, CAST($asm AS BIGINT) AS sh FROM b),
+       |bands AS (
+       |  SELECT doc_id, sh, unnest(range(0, 4)) AS band,
+       |         (sh >> (CAST(unnest(range(0, 4)) AS INTEGER) * 8)) & 255 AS bval
+       |  FROM h),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS ha, b.sh AS hb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   private val simhashOracle: String = {
     val sums = (0 until simhashBits).map(j =>
@@ -204,5 +278,6 @@ object Dedup {
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
     "q59_simhash" -> simhashOracle,
+    "q65_simhash_neardup" -> simhashNearDupOracle,
   )
 }

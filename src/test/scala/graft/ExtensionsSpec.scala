@@ -82,6 +82,23 @@ class ExtensionsSpec extends SparkTestBase {
     assert(hamming(hs(0), hs(2)) < hamming(hs(0), hs(3)))
   }
 
+  test("simhash band pairs find exactly the brute-force pairs within maxHamming") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hashed = Dedup.simhashN(docs, col("doc_id"), col("text"), bits = 32)
+    val banded = Dedup.simhashBandPairs(hashed, bits = 32, bands = 4, maxHamming = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the collected fingerprints (500 docs -> fine locally)
+    val hs = hashed.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (ia, ib)).toSet
+    // pigeonhole: hamming<=2 over 4 bands => at least one band agrees,
+    // so banding must be COMPLETE, not just sound
+    assert(banded === brute)
+    assert(banded.nonEmpty)
+  }
+
   test("minhash near-dup query is deterministic across runs") {
     val a = Dedup.q57(spark, sf).collect().toSeq
     val b = Dedup.q57(spark, sf).collect().toSeq
