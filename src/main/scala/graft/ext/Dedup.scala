@@ -74,10 +74,13 @@ object Dedup {
     * not `bits` separate md5 evaluations.
     */
   def simhashN(df: DataFrame, id: Column, text: Column, bits: Int): DataFrame = {
-    require(bits >= 1 && bits <= 32, "md5 hex provides 32 digit-votes")
+    require(bits >= 1 && bits <= 63, "long fingerprint (sign bit excluded)")
+    // md5 hex gives 32 digit-votes; wider fingerprints use sha256 (64)
+    val digest: Column => Column =
+      if (bits <= 32) md5 else (c: Column) => sha2(c, 256)
     val words = df
       .select(id.as("__id"), explode(array_distinct(split(text, " "))).as("word"))
-      .select(col("__id"), md5(col("word")).as("__hex"))
+      .select(col("__id"), digest(col("word")).as("__hex"))
     def vote(j: Int): Column =
       sum(when(substring(col("__hex"), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j")
     val votes = words.groupBy(col("__id"))
@@ -203,13 +206,18 @@ object Dedup {
       .withColumnRenamed("__id", "doc_id")
       .orderBy("doc_id")
 
-  /** SimHash near-dup candidate pairs: 32-bit fingerprint, 4×8-bit
-    * bands, Hamming ≤ 2 (pigeonhole-complete at this setting). The
-    * hamming-space counterpart of q57's set-space MinHashLSH.
+  /** SimHash near-dup candidate pairs: 60-bit fingerprint (sha256
+    * votes — this corpus's docs are distributionally so similar that
+    * 32-bit fingerprints collapse into hot buckets), 4×15-bit bands,
+    * Hamming ≤ 2 (pigeonhole-complete). Bounded to the first 1000 docs
+    * like q60's probe set so the candidate volume is stable across
+    * scale factors; at sf0.01 the bound covers the whole corpus.
+    * The hamming-space counterpart of q57's set-space MinHashLSH.
     */
   def q65(s: SparkSession, dir: String): DataFrame = {
-    val hashed = simhashN(docs(s, dir), col("doc_id"), col("text"), bits = 32)
-    simhashBandPairs(hashed, bits = 32, bands = 4, maxHamming = 2)
+    val subset = docs(s, dir).filter(col("doc_id") < 1000)
+    val hashed = simhashN(subset, col("doc_id"), col("text"), bits = 60)
+    simhashBandPairs(hashed, bits = 60, bands = 4, maxHamming = 2)
       .orderBy("id_a", "id_b")
   }
 
@@ -223,18 +231,19 @@ object Dedup {
   )
 
   private val simhashNearDupOracle: String = {
-    val bits = 32
+    val bits = 60
     val sums = (0 until bits).map(j =>
       s"SUM(CASE WHEN substring(__hex, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j")
       .mkString(", ")
     val asm = (0 until bits).map(j =>
       s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    s"""WITH w AS (SELECT doc_id, md5(unnest(list_distinct(string_split(text,' ')))) AS __hex FROM documents),
+    s"""WITH w AS (SELECT doc_id, sha256(unnest(list_distinct(string_split(text,' ')))) AS __hex
+       |           FROM documents WHERE doc_id < 1000),
        |b AS (SELECT doc_id, $sums FROM w GROUP BY doc_id),
        |h AS (SELECT doc_id, CAST($asm AS BIGINT) AS sh FROM b),
        |bands AS (
        |  SELECT doc_id, sh, unnest(range(0, 4)) AS band,
-       |         (sh >> (CAST(unnest(range(0, 4)) AS INTEGER) * 8)) & 255 AS bval
+       |         (sh >> (CAST(unnest(range(0, 4)) AS INTEGER) * 15)) & 32767 AS bval
        |  FROM h),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS ha, b.sh AS hb
