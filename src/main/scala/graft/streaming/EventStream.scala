@@ -80,6 +80,25 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: pair each left row with right rows of
+    * the same key whose event time falls within `within` BEFORE the
+    * left row's time. Watermarks on BOTH sides + the interval condition
+    * bound the join state (Spark evicts right-side state older than
+    * watermark + interval) — the only shape a stream-stream join scales
+    * under. Column names must be disjoint across the two sides apart
+    * from `key`.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      within: String): DataFrame =
+    left.withWatermark(leftTs, within)
+      .join(
+        right.withWatermark(rightTs, within),
+        expr(s"""$leftKey = $rightKey AND
+                |$rightTs BETWEEN $leftTs - INTERVAL $within AND $leftTs""".stripMargin))
+
   /** Run a streaming DataFrame to completion against the memory sink and
     * return the collected table (AvailableNow semantics via
     * processAllAvailable — deterministic for file sources).

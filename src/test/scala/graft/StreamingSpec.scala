@@ -64,6 +64,30 @@ class StreamingSpec extends SparkTestBase {
     assert(last(8L) === ((1L, 5.0)))
   }
 
+  test("stream-stream interval join pairs rows within the time bound") {
+    val clicks = MemoryStream[(Long, Long)](spark)
+    val views = MemoryStream[(Long, Long)](spark)
+    val c = clicks.toDF().toDF("cu", "cmin")
+      .withColumn("click_ts", timestamp_seconds(col("cmin") * 60))
+    val v = views.toDF().toDF("vu", "vmin")
+      .withColumn("view_ts", timestamp_seconds(col("vmin") * 60))
+    val joined = EventStream.intervalJoin(
+      c, v, "cu", "vu", "click_ts", "view_ts", "10 minutes")
+      .select("cu", "cmin", "vmin")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData((1L, 100L), (1L, 95L), (1L, 80L), (2L, 100L))
+      clicks.addData((1L, 101L), (2L, 150L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // click@101 by user 1 matches views at 100 and 95 (within 10 min),
+    // NOT the view at 80; user 2's click@150 matches nothing
+    assert(rows === Set((1L, 101L, 100L), (1L, 101L, 95L)))
+  }
+
   test("late data beyond the watermark is dropped") {
     val input = MemoryStream[(Long, String)](spark)
     // minutes → nanos; watermark 10 minutes, window 1 hour
