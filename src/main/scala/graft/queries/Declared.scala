@@ -243,6 +243,15 @@ object Declared {
       .agg(round(sum(col("l_extendedprice")), 0).as("rev"), count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  // ---- Q32 (cube): full grouping-set lattice over two dims ----------
+  def q32(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 0).as("rev"), count(lit(1)).as("cnt"))
+      .orderBy(
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   // ---- Q28 (scalar battery): string/date/null scalar functions -------
   def q28(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -341,6 +350,7 @@ object Declared {
     "q29_sort_merge_join"  -> (q29 _),
     "q30_window_analytics" -> (q30 _),
     "q31_json_extract"     -> (q31 _),
+    "q32_cube"             -> (q32 _),
   )
 
   /** DuckDB oracle SQL (SURVEY §2.5, validated 22/22 there). */
@@ -458,6 +468,11 @@ object Declared {
         |       ROUND(SUM(l_extendedprice), 0) AS rev, COUNT(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q32_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       ROUND(SUM(o_totalprice), 0) AS rev, COUNT(*) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q28_scalar_battery" ->
       """SELECT o_orderkey,
         |       UPPER(o_orderpriority) AS up,
