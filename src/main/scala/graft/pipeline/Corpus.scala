@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+import graft.Tables
+import graft.ext.{Dedup, TextAnalysis}
+
+final case class CorpusConfig(
+    inDir: String,
+    outPath: String,
+    langs: Seq[String] = Seq("en"),
+    minQuality: Double = 0.3,
+    nearDupBits: Int = 60,
+    nearDupBands: Int = 4,
+    nearDupMaxHamming: Int = 2)
+
+final case class CorpusMetrics(
+    input: Long,
+    afterLang: Long,
+    afterQuality: Long,
+    afterExactDedup: Long,
+    written: Long,
+    nearDupPairsDropped: Long)
+
+/** Training-corpus cleaning pipeline — the LLM-data counterpart of the
+  * healthcare ETL: compose the text-analysis and dedup operators into
+  * one declarative job.
+  *
+  *   read → language filter (heuristic, not the label) → quality
+  *   threshold → exact content dedup (keep lowest doc_id) → SimHash
+  *   band near-dup removal (greedy keep-first) → sorted parquet + stats
+  *
+  * Every stage is a set operation; the near-dup stage is band-bucketed
+  * (never all-pairs). Greedy keep-first drops the higher doc_id of
+  * every candidate pair, which guarantees the OUTPUT contains no pair
+  * within the Hamming threshold (any surviving pair would contain a
+  * dropped id — contradiction). At 100 TB the doc_id ordering makes
+  * the drop set deterministic across retries.
+  */
+object Corpus {
+
+  def run(spark: SparkSession, config: CorpusConfig): CorpusMetrics = {
+    val docs = Tables.table(spark, config.inDir, "documents")
+    val input = docs.count()
+
+    val scored = docs
+      .withColumn("guess", TextAnalysis.guessLang(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    val byLang = scored.filter(col("guess").isin(config.langs: _*))
+    val afterLang = byLang.count()
+
+    val byQuality = byLang.filter(col("quality") >= config.minQuality)
+    val afterQuality = byQuality.count()
+
+    // exact dedup: keep the lowest doc_id per content hash
+    val keep = byQuality
+      .groupBy(Dedup.contentHash(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exact = byQuality.join(keep, Seq("doc_id"), "left_semi")
+    exact.persist() // reused: count, simhash build, final anti-join
+    val afterExact = exact.count()
+
+    // near-dup removal: greedy keep-first over band-bucketed candidates
+    val hashed = Dedup.simhashN(exact, col("doc_id"), col("text"), config.nearDupBits)
+    val pairs = Dedup.simhashBandPairs(
+      hashed, config.nearDupBits, config.nearDupBands, config.nearDupMaxHamming)
+    val dropIds = pairs.select(col("id_b").as("doc_id")).distinct()
+    val dropped = dropIds.count()
+    val clean = exact.join(dropIds, Seq("doc_id"), "left_anti")
+      .drop("guess", "quality")
+
+    clean
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(config.outPath)
+    val written = spark.read.parquet(config.outPath).count()
+    exact.unpersist()
+
+    CorpusMetrics(input, afterLang, afterQuality, afterExact, written, dropped)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val inDir = sys.env.getOrElse("GRAFT_CORPUS_IN", "/root/testdata/sf0.001")
+    val outPath = sys.env.getOrElse("GRAFT_CORPUS_OUT", "out/corpus_clean")
+    val spark = Engine.session(appName = "graft-corpus")
+    val m = run(spark, CorpusConfig(inDir, outPath))
+    println(s"[corpus] input=${m.input} lang=${m.afterLang} quality=${m.afterQuality} " +
+      s"exact=${m.afterExactDedup} neardup_dropped=${m.nearDupPairsDropped} written=${m.written}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+import graft.pipeline.{Corpus, CorpusConfig}
+
+/** Corpus-cleaning pipeline: monotone stage counts, output free of
+  * exact AND near duplicates, deterministic across runs.
+  */
+class CorpusPipelineSpec extends SparkTestBase {
+
+  private lazy val out = Files.createTempDirectory("graft_corpus").toString + "/clean"
+  private lazy val config = CorpusConfig(
+    inDir = "/root/testdata/sf0.001",
+    outPath = out,
+    langs = Seq("en"),
+    minQuality = 0.3)
+  private lazy val metrics = Corpus.run(spark, config)
+  private lazy val clean = { metrics; spark.read.parquet(out) }
+
+  test("stage counts are monotone non-increasing and non-trivial") {
+    assert(metrics.input >= metrics.afterLang)
+    assert(metrics.afterLang >= metrics.afterQuality)
+    assert(metrics.afterQuality >= metrics.afterExactDedup)
+    assert(metrics.afterExactDedup >= metrics.written)
+    assert(metrics.written > 0)
+    assert(metrics.afterLang < metrics.input, "language filter must bite on a 5-lang corpus")
+  }
+
+  test("output has no exact content duplicates") {
+    val n = clean.count()
+    assert(clean.select(Dedup.contentHash(col("text"))).distinct().count() === n)
+  }
+
+  test("output contains no near-dup pair within the Hamming threshold") {
+    val hashed = Dedup.simhashN(clean, col("doc_id"), col("text"), config.nearDupBits)
+    val pairs = Dedup.simhashBandPairs(
+      hashed, config.nearDupBits, config.nearDupBands, config.nearDupMaxHamming)
+    assert(pairs.isEmpty, "greedy keep-first must leave no in-threshold pair")
+  }
+
+  test("pipeline is deterministic across runs") {
+    val out2 = Files.createTempDirectory("graft_corpus2").toString + "/clean"
+    val m2 = Corpus.run(spark, config.copy(outPath = out2))
+    assert(m2 === metrics)
+    val ids1 = clean.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = spark.read.parquet(out2).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 === ids2)
+  }
+}
