@@ -134,10 +134,34 @@ object Similarity {
       .orderBy("qid", "did")
   }
 
+  /** Embedding-cosine near-dup machinery, cell-bounded: within each
+    * coarse cell, count pairs above a similarity threshold and report
+    * the cell's max similarity — the profile a dedup pass would use to
+    * pick its threshold. (This corpus has no embedding near-dups — max
+    * same-cell cosine ≈ 0.48 — so a thresholded pair LIST would be
+    * empty; the profile certifies the same pair machinery with
+    * non-trivial output. Threshold margin verified ≫ float drift.)
+    */
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    val unit = withUnitVec(emb(s, dir), "embedding", "u")
+      .select(col("vec_id"), col("u"), col("label"))
+    val a = unit.select(col("label"), col("vec_id").as("id_a"), col("u").as("ua"))
+    val b = unit.select(col("label"), col("vec_id").as("id_b"), col("u").as("ub"))
+    a.join(b, "label").filter(col("id_a") < col("id_b"))
+      .select(col("label"), dot(col("ua"), col("ub")).as("sim"))
+      .groupBy(col("label"))
+      .agg(
+        sum(when(col("sim") >= 0.3, 1L).otherwise(0L)).as("close_pairs"),
+        round(max(col("sim")), 2).as("max_sim"),
+        count(lit(1)).as("pairs"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_knn_brute" -> (q60 _),
     "q61_knn_lsh"   -> (q61 _),
     "q64_knn_ivf"   -> (q64 _),
+    "q66_embedding_neardup" -> (q66 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -168,5 +192,16 @@ object Similarity {
         |  FROM sims)
         |SELECT qid, did, ROUND(sim, 2) AS sim FROM ranked WHERE rn <= 3
         |ORDER BY qid, did""".stripMargin,
+    "q66_embedding_neardup" ->
+      """WITH sims AS (
+        |  SELECT a.label, list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                         CAST(b.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label,
+        |       CAST(SUM(CASE WHEN sim >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS close_pairs,
+        |       ROUND(MAX(sim), 2) AS max_sim,
+        |       COUNT(*) AS pairs
+        |FROM sims GROUP BY label ORDER BY label""".stripMargin,
   )
 }
