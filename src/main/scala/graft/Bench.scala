@@ -31,8 +31,11 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
-      }.sorted
-      name -> times(times.length / 2) // median
+      }
+      // median over SUCCESSFUL runs only: a -1 sentinel sorts to the
+      // front and would skew the median low; all-failed reports -1
+      val ok = times.filter(_ >= 0).sorted
+      name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -27,16 +27,16 @@ object Tables {
 
   /** Nanosecond-long `ts` -> TimestampType (microsecond precision,
     * truncating sub-microsecond deliberately — SURVEY §7.4 item 7).
-    * INTEGER division (`div`), not `/`: Column `/` is double division,
-    * and at ~1.7e18 epoch nanos the double rounding can land one
-    * microsecond high before the cast truncates.
+    * EXACT integer division via decimal: Column `/` is double division,
+    * and epoch nanos ~1.7e18 exceed 2^53 — converting to double first
+    * loses up to 128 ns BEFORE any divide, so even a pre-rounded
+    * multiple of 1000 lands a microsecond off for ~1.6% of values.
+    * decimal(20,0) holds any long exactly; decimal division is exact;
+    * the long cast truncates the fraction (values are positive).
     */
   def eventTs(tsNanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    // subtract the sub-microsecond remainder first: the division then
-    // operates on an exact multiple of 1000 (< 2^53 after division), so
-    // the double arithmetic is exact
-    val micros = ((tsNanos - pmod(tsNanos, lit(1000L))) / 1000L).cast("long")
+    val micros = (tsNanos.cast("decimal(20,0)") / lit(1000)).cast("long")
     timestamp_micros(micros)
   }
 

@@ -145,7 +145,15 @@ object Similarity {
   def q66(s: SparkSession, dir: String): DataFrame = {
     val unit = withUnitVec(emb(s, dir), "embedding", "u")
       .select(col("vec_id"), col("u"), col("label"))
-    val a = unit.select(col("label"), col("vec_id").as("id_a"), col("u").as("ua"))
+    // Probe side bounded (same contract as q65): without it the per-cell
+    // pair count is O(cell²) — quadratic in one hot cell at 100 TB. The
+    // bound caps pairs at `bound × cell_size` (linear in cell size); a
+    // production near-dup pass would instead pre-split hot cells
+    // (salting) or sample, but the declared query keeps the bound
+    // oracle-expressible. No-op at sf0.01 (500 vectors), so the hash
+    // row is unchanged.
+    val a = unit.filter(col("vec_id") < 1000)
+      .select(col("label"), col("vec_id").as("id_a"), col("u").as("ua"))
     val b = unit.select(col("label"), col("vec_id").as("id_b"), col("u").as("ub"))
     a.join(b, "label").filter(col("id_a") < col("id_b"))
       .select(col("label"), dot(col("ua"), col("ub")).as("sim"))
@@ -197,7 +205,8 @@ object Similarity {
         |  SELECT a.label, list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                         CAST(b.embedding AS DOUBLE[])) AS sim
         |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 1000)
         |SELECT label,
         |       CAST(SUM(CASE WHEN sim >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS close_pairs,
         |       ROUND(MAX(sim), 2) AS max_sim,

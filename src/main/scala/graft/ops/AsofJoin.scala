@@ -47,9 +47,17 @@ object AsofJoin {
         Seq(col(leftTime).as("__t"), lit(1).as("__side"),
           lit(null).cast(payloadType).as("__payload"))).toIndexedSeq: _*)
 
-    // right (__side=0) sorts before left (__side=1) at equal time → ties match
+    // right (__side=0) sorts before left (__side=1) at equal time → ties
+    // match. `__payload` is the final tiebreak: when several right rows
+    // share one (key, rightTime), `last(ignoreNulls)` would otherwise
+    // pick whichever the partitioning happened to order last — adding
+    // the payload struct to the sort makes the winner the struct-wise
+    // maximum, deterministic across runs/partitionings. (Left rows carry
+    // a NULL payload, but they all sort after the rights at equal time
+    // and contribute nothing to `last(ignoreNulls)`, so their mutual
+    // order is immaterial.)
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightAligned.unionByName(leftAligned)
       .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))

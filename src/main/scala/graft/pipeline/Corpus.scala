@@ -22,7 +22,7 @@ final case class CorpusMetrics(
     afterQuality: Long,
     afterExactDedup: Long,
     written: Long,
-    nearDupPairsDropped: Long)
+    nearDupDocsDropped: Long)
 
 /** Training-corpus cleaning pipeline — the LLM-data counterpart of the
   * healthcare ETL: compose the text-analysis and dedup operators into
@@ -67,7 +67,12 @@ object Corpus {
     val hashed = Dedup.simhashN(exact, col("doc_id"), col("text"), config.nearDupBits)
     val pairs = Dedup.simhashBandPairs(
       hashed, config.nearDupBits, config.nearDupBands, config.nearDupMaxHamming)
+    // dropIds is tiny (distinct ids to remove) but DERIVING it runs the
+    // full simhash + band self-join — persist before counting so the
+    // final anti-join reuses the result instead of recomputing the whole
+    // near-dup pipeline a second time.
     val dropIds = pairs.select(col("id_b").as("doc_id")).distinct()
+    dropIds.persist()
     val dropped = dropIds.count()
     val clean = exact.join(dropIds, Seq("doc_id"), "left_anti")
       .drop("guess", "quality")
@@ -77,6 +82,7 @@ object Corpus {
       .sortWithinPartitions("doc_id")
       .write.mode(SaveMode.Overwrite).parquet(config.outPath)
     val written = spark.read.parquet(config.outPath).count()
+    dropIds.unpersist()
     exact.unpersist()
 
     CorpusMetrics(input, afterLang, afterQuality, afterExact, written, dropped)
@@ -88,7 +94,7 @@ object Corpus {
     val spark = Engine.session(appName = "graft-corpus")
     val m = run(spark, CorpusConfig(inDir, outPath))
     println(s"[corpus] input=${m.input} lang=${m.afterLang} quality=${m.afterQuality} " +
-      s"exact=${m.afterExactDedup} neardup_dropped=${m.nearDupPairsDropped} written=${m.written}")
+      s"exact=${m.afterExactDedup} neardup_docs_dropped=${m.nearDupDocsDropped} written=${m.written}")
     spark.stop()
   }
 }

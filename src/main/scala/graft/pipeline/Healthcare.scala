@@ -146,22 +146,31 @@ object Healthcare {
     * min/max stats prune reads on those columns at 100 TB (the same read
     * paths the Mongo indexes served).
     */
+  /** @return (createdRows, totalRowsAfterWrite). The delta is persisted
+    *   and counted ONCE; the post-write total is `before + created` — no
+    *   re-scan of the full sink after every write (at 100 TB that scan
+    *   costs more than the write itself), and no second execution of the
+    *   upstream plan for the count.
+    */
   def writeIdempotent(
-      df: DataFrame, path: String, key: Seq[String], overwrite: Boolean): Long = {
+      df: DataFrame, path: String, key: Seq[String], overwrite: Boolean): (Long, Long) = {
     val spark = df.sparkSession
     val existing: Option[DataFrame] =
       if (overwrite) None
       else scala.util.Try(spark.read.parquet(path)).toOption
+    val before = existing.fold(0L)(_.count())
     val delta = existing.fold(df)(ex => antiExisting(df, ex, key))
     val createdRows = delta
       .repartitionByRange(col(key.head))
       .sortWithinPartitions(key.map(col): _*)
-    // Append first, count after: counting `delta` pre-write would run the
-    // whole upstream plan twice.
-    createdRows.write
-      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
-      .parquet(path)
-    spark.read.parquet(path).count()
+    createdRows.persist()
+    try {
+      val created = createdRows.count()
+      createdRows.write
+        .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+        .parquet(path)
+      (created, before + created)
+    } finally createdRows.unpersist()
   }
 
   /** Run the full DAG; returns the post-stats the reference logs. */
@@ -184,16 +193,9 @@ object Healthcare {
     dim.persist() // used twice: own write + FK resolution
     val fact = admissions(deduped, dim)
 
-    val patientsBefore =
-      if (config.overwrite) 0L
-      else scala.util.Try(spark.read.parquet(s"${config.outDir}/patients").count()).getOrElse(0L)
-    val admissionsBefore =
-      if (config.overwrite) 0L
-      else scala.util.Try(spark.read.parquet(s"${config.outDir}/admissions").count()).getOrElse(0L)
-
-    val patientsTotal = writeIdempotent(
+    val (patientsCreated, patientsTotal) = writeIdempotent(
       dim, s"${config.outDir}/patients", Seq("patient_sk"), config.overwrite)
-    val admissionsTotal = writeIdempotent(
+    val (admissionsCreated, admissionsTotal) = writeIdempotent(
       fact, s"${config.outDir}/admissions", Seq("admission_sk"), config.overwrite)
 
     val metrics = RunMetrics(
@@ -202,15 +204,40 @@ object Healthcare {
       nullAdmitDates = nullAdmits,
       dupRows = dupRows,
       afterDedupRows = deduped.count(),
-      patientsCreated = patientsTotal - patientsBefore,
-      admissionsCreated = admissionsTotal - admissionsBefore,
+      patientsCreated = patientsCreated,
+      admissionsCreated = admissionsCreated,
       patientsTotal = patientsTotal,
       admissionsTotal = admissionsTotal,
       elapsedSec = (System.nanoTime() - t0) / 1e9)
     raw.unpersist()
     deduped.unpersist()
     dim.unpersist()
+    writeLog(metrics, config.logDir)
     metrics
+  }
+
+  /** The reference's log lines (`migration.py:136-142,240-251`). */
+  def metricLines(m: RunMetrics): Seq[String] = Seq(
+    s"[healthcare] input=${m.inputRows} dups=${m.dupRows} " +
+      s"null_names=${m.nullNames} null_admit_dates=${m.nullAdmitDates}",
+    s"[healthcare] patients: created=${m.patientsCreated} total=${m.patientsTotal}",
+    s"[healthcare] admissions: created=${m.admissionsCreated} total=${m.admissionsTotal}",
+    f"[healthcare] elapsed=${m.elapsedSec}%.1fs")
+
+  /** M1 log-file parity (`migration.py:28-48` writes
+    * `logs/migration.log` alongside console output): append this run's
+    * metric lines so successive runs accumulate, like the reference's
+    * FileHandler.
+    */
+  def writeLog(m: RunMetrics, logDir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val dir = Files.createDirectories(Paths.get(logDir))
+    val path = dir.resolve("migration.log")
+    Files.write(
+      path,
+      (metricLines(m).mkString("", "\n", "\n")).getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    path
   }
 
   /** Entry point mirroring `python migration.py`. */
@@ -218,12 +245,7 @@ object Healthcare {
     val config = PipelineConfig.fromEnv()
     val spark = Engine.session(appName = "graft-healthcare")
     val m = run(spark, config)
-    // The reference's log lines (migration.py:136-142, 240-251).
-    println(s"[healthcare] input=${m.inputRows} dups=${m.dupRows} " +
-      s"null_names=${m.nullNames} null_admit_dates=${m.nullAdmitDates}")
-    println(s"[healthcare] patients: created=${m.patientsCreated} total=${m.patientsTotal}")
-    println(s"[healthcare] admissions: created=${m.admissionsCreated} total=${m.admissionsTotal}")
-    println(f"[healthcare] elapsed=${m.elapsedSec}%.1fs")
+    metricLines(m).foreach(println)
     spark.stop()
   }
 }

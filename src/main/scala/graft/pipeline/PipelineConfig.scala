@@ -8,16 +8,19 @@ package graft.pipeline
 final case class PipelineConfig(
     csvPath: String,
     outDir: String,
-    overwrite: Boolean = true)
+    overwrite: Boolean = true,
+    logDir: String = "logs")
 
 object PipelineConfig {
   /** Env-driven construction with the reference's defaults-from-env
     * pattern; `GRAFT_OVERWRITE` parallels `DROP_COLLECTIONS`
-    * (`migration.py:21`, README.md:132-133).
+    * (`migration.py:21`, README.md:132-133) and `GRAFT_LOG_DIR`
+    * parallels `LOG_DIR` (`.env.example:5`, `migration.py:28-33`).
     */
   def fromEnv(env: Map[String, String] = sys.env): PipelineConfig =
     PipelineConfig(
       csvPath = env.getOrElse("GRAFT_CSV_PATH", "data/healthcare_dataset.csv"),
       outDir = env.getOrElse("GRAFT_OUT_DIR", "out/healthcare"),
-      overwrite = env.getOrElse("GRAFT_OVERWRITE", "true").toBoolean)
+      overwrite = env.getOrElse("GRAFT_OVERWRITE", "true").toBoolean,
+      logDir = env.getOrElse("GRAFT_LOG_DIR", "logs"))
 }

@@ -58,25 +58,50 @@ object EventStream {
       .withWatermark("event_ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Per-user running aggregate via mapGroupsWithState — the custom-state
-    * surface (`KeyValueGroupedDataset`) for logic windows can't express.
+  /** Per-user running aggregate via flatMapGroupsWithState — the
+    * custom-state surface (`KeyValueGroupedDataset`) for logic windows
+    * can't express.
+    *
+    * State is BOUNDED: `EventTimeTimeout` + the stream's watermark evict
+    * a user's state once event time passes the user's last event by
+    * `stateTtlMs` — on an unbounded key domain (billions of users at
+    * 100 TB) state size tracks the ACTIVE key set, not the all-time one.
+    * A user seen again after eviction restarts from zero.
     */
   final case class UserAgg(userId: Long, events: Long, totalValue: Double)
 
-  def userRunningAgg(spark: SparkSession, df: DataFrame): Dataset[UserAgg] = {
+  def userRunningAgg(
+      spark: SparkSession,
+      df: DataFrame,
+      watermark: String = "10 minutes",
+      stateTtlMs: Long = 60L * 60 * 1000): Dataset[UserAgg] = {
     import spark.implicits._
     withEventTime(df)
-      .select(col("user_id").as[Long], col("value").as[Double])
+      .withWatermark("event_ts", watermark)
+      .select(
+        col("user_id").as[Long], col("value").as[Double],
+        col("event_ts").as[java.sql.Timestamp])
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserAgg]) =>
-          val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
-          val (n, v) = rows.foldLeft((0L, 0.0)) { case ((c, s), (_, value)) =>
-            (c + 1, s + value)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+         state: GroupState[UserAgg]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed lastEvent + TTL: evict
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
+            var n = 0L; var v = 0.0; var lastMs = Long.MinValue
+            rows.foreach { case (_, value, ts) =>
+              n += 1; v += value; lastMs = math.max(lastMs, ts.getTime)
+            }
+            val next = UserAgg(user, prev.events + n, prev.totalValue + v)
+            state.update(next)
+            // must exceed the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(lastMs + stateTtlMs, state.getCurrentWatermarkMs + 1))
+            Iterator.single(next)
           }
-          val next = UserAgg(user, prev.events + n, prev.totalValue + v)
-          state.update(next)
-          next
       }
   }
 

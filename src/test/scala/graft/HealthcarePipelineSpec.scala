@@ -18,9 +18,10 @@ class HealthcarePipelineSpec extends SparkTestBase {
   private lazy val workDir = Files.createTempDirectory("graft_hc").toString
   private lazy val csv = s"$workDir/healthcare.csv"
   private lazy val out = s"$workDir/out"
+  private lazy val logDir = s"$workDir/logs"
   private lazy val metrics = {
     HealthcareFixture.write(csv, rows = 200)
-    Healthcare.run(spark, PipelineConfig(csv, out, overwrite = true))
+    Healthcare.run(spark, PipelineConfig(csv, out, overwrite = true, logDir = logDir))
   }
   private lazy val patients = { metrics; spark.read.parquet(s"$out/patients") }
   private lazy val admissions = { metrics; spark.read.parquet(s"$out/admissions") }
@@ -97,11 +98,26 @@ class HealthcarePipelineSpec extends SparkTestBase {
 
   test("re-running in append mode creates nothing new") {
     val before = (patients.count(), admissions.count())
-    val m2 = Healthcare.run(spark, PipelineConfig(csv, out, overwrite = false))
+    val m2 = Healthcare.run(
+      spark, PipelineConfig(csv, out, overwrite = false, logDir = logDir))
     assert(m2.patientsCreated === 0L)
     assert(m2.admissionsCreated === 0L)
     assert((spark.read.parquet(s"$out/patients").count(),
       spark.read.parquet(s"$out/admissions").count()) === before)
+  }
+
+  // -- M1 log-file parity (migration.py:28-48 writes logs/migration.log) --
+
+  test("run writes the metric counters to the log file") {
+    metrics // force at least one run
+    val log = java.nio.file.Paths.get(logDir).resolve("migration.log")
+    assert(java.nio.file.Files.exists(log))
+    val text = new String(java.nio.file.Files.readAllBytes(log), "UTF-8")
+    assert(text.contains(s"patients: created=${metrics.patientsCreated} " +
+      s"total=${metrics.patientsTotal}"), text)
+    assert(text.contains(s"admissions: created=${metrics.admissionsCreated} " +
+      s"total=${metrics.admissionsTotal}"), text)
+    assert(text.contains(s"input=${metrics.inputRows}"), text)
   }
 
   // -- X1 layout: written files support scan-level filter pushdown --------

@@ -64,6 +64,34 @@ class StreamingSpec extends SparkTestBase {
     assert(last(8L) === ((1L, 5.0)))
   }
 
+  test("mapGroupsWithState evicts state once the watermark passes the TTL") {
+    val input = MemoryStream[(Long, Long, String, Double)](spark)
+    // event_id doubles as SECONDS → nanos; watermark delay 10 min
+    val df = input.toDF().toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", col("event_id") * expr("1000000000"))
+    // TTL 1 hour: user 7's state should die once the watermark passes
+    // (last event + 3600s)
+    val agg = EventStream.userRunningAgg(
+      spark, df, watermark = "10 minutes", stateTtlMs = 3600L * 1000)
+    val q = agg.writeStream.format("memory").queryName("user_agg_ttl")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1000L, 7L, "a", 1.0), (1000L, 8L, "b", 1.0))
+      q.processAllAvailable()                 // user 7: events=1; wm → 400s
+      input.addData((20000L, 8L, "b", 1.0))   // wm → 19400s > 1000+3600
+      q.processAllAvailable()
+      input.addData((20001L, 8L, "b", 1.0))   // timeout FIRES this batch
+      q.processAllAvailable()
+      input.addData((20002L, 7L, "a", 5.0))   // user 7 returns post-eviction
+      q.processAllAvailable()
+    } finally q.stop()
+    val user7 = spark.table("user_agg_ttl").filter(col("userId") === 7L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    // first life: (1, 1.0); second life RESTARTS at (1, 5.0) — state was
+    // evicted, not carried (unbounded-accumulation would give (2, 6.0))
+    assert(user7 === Set((1L, 1.0), (1L, 5.0)))
+  }
+
   test("stream-stream interval join pairs rows within the time bound") {
     val clicks = MemoryStream[(Long, Long)](spark)
     val views = MemoryStream[(Long, Long)](spark)
