@@ -317,6 +317,104 @@ object Declared {
   def q25(s: SparkSession, dir: String): DataFrame =
     approxDistinct(t(s, dir, "orders"), "o_custkey")
 
+  // ---- Q67 (as-of join): for each click, the latest purchase value at
+  // or before it for the same user — certifies ops.AsofJoin against
+  // DuckDB's native ASOF JOIN. The right side is pre-aggregated to one
+  // row per (user_id, ts) so both engines' pick-at-equal-time is unique
+  // by construction. `ts` is bigint nanos on the Spark side and
+  // TIMESTAMP in DuckDB — ordering agrees, and ts itself is never
+  // output (SURVEY §2.5 note 1). ----------------------------------------
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("r_value"))
+    AsofJoin.asofJoin(
+      clicks, purchases,
+      key = Seq("user_id"), leftTime = "ts", rightTime = "ts")
+      .select(col("user_id"), col("event_id"), col("asof_r_value"))
+      .orderBy("event_id", "user_id")
+  }
+
+  // ---- Q68 (bucketed range join): points (customer keys) matched to
+  // intervals (order-derived [o_custkey-5, o_custkey+5]) — certifies
+  // ops.RangeJoin's quantized equi-join against a plain BETWEEN join.
+  // bucketWidth 16 ≈ interval length 11: ~1-2 buckets per interval. ----
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    val points = t(s, dir, "customer").select("c_custkey")
+    val intervals = t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 300)
+      .select(
+        col("o_orderkey"),
+        (col("o_custkey") - 5).as("s"),
+        (col("o_custkey") + 5).as("e"))
+    RangeJoin.rangeJoin(points, intervals, "c_custkey", "s", "e", bucketWidth = 16L)
+      .select("o_orderkey", "c_custkey")
+      .orderBy("o_orderkey", "c_custkey")
+  }
+
+  // ---- Q69 (typed UDAF): ops.StatsAggregator registered through
+  // functions.udaf — single-pass per-group count/min/max/sum with a
+  // merge-associative buffer (partial aggregation map-side, like a
+  // built-in). Oracle = the equivalent built-in battery. ----------------
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    val stats = udaf(new StatsAggregator, org.apache.spark.sql.Encoders.DOUBLE)
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(stats(col("value")).as("st"))
+      .select(
+        col("event_type"),
+        col("st.count").as("n"),
+        round(col("st.min"), 2).as("mn"),
+        round(col("st.max"), 2).as("mx"),
+        round(col("st.sum"), 2).as("sm"))
+      .orderBy("event_type")
+  }
+
+  // ---- Q70 (TPC-H Q9-shape 3-way join over the previously-unused
+  // part/supplier tables): date + size predicates must reach both scans
+  // (PlanAuditSpec asserts), join order left to Catalyst/AQE — part and
+  // supplier are dims, broadcast under the threshold.
+  // Revenue accumulates in DECIMAL (SURVEY §7.4.5): the double sum here
+  // lands within summation-order drift of a .xx5 rounding boundary
+  // (observed: 269030.225), so exact decimal arithmetic — identical in
+  // both engines — is required; output cast back to DOUBLE. -------------
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date"))
+    val p = t(s, dir, "part").filter(col("p_size") <= 20)
+    val sup = t(s, dir, "supplier")
+    val revenue = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount").cast("decimal(18,2)"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_name"), col("p_brand"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(revenue), 2).cast("double").as("rev"))
+      .orderBy("s_name", "p_brand")
+  }
+
+  // ---- Q71 (full-outer join — the one join shape the declared set
+  // lacked, SURVEY §2.2): customer keys vs urgent-order counts keyed
+  // OUTSIDE the customer range on the high end (+900 shift), so BOTH
+  // sides null-extend: customers with no urgent orders AND order groups
+  // with no customer. ---------------------------------------------------
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey")
+    val oagg = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select((col("o_custkey") + 900).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(oagg, col("c_custkey") === col("k"), "full_outer")
+      .select(col("c_custkey"), col("k"), col("n_orders"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("k").asc_nulls_first)
+  }
+
   /** DataFrame-API entries, keyed identically to [[oracleSql]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count"            -> (q01 _),
@@ -351,6 +449,11 @@ object Declared {
     "q30_window_analytics" -> (q30 _),
     "q31_json_extract"     -> (q31 _),
     "q32_cube"             -> (q32 _),
+    "q67_asof_join"        -> (q67 _),
+    "q68_range_join"       -> (q68 _),
+    "q69_stats_udaf"       -> (q69 _),
+    "q70_part_supplier_join" -> (q70 _),
+    "q71_full_outer_join"  -> (q71 _),
   )
 
   /** DuckDB oracle SQL (SURVEY §2.5, validated 22/22 there). */
@@ -515,6 +618,42 @@ object Declared {
         |                        w -> upper(w[1]) || w[2:]),
         |         ' ') AS title_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q67_asof_join" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, ts, ROUND(MAX(value), 2) AS asof_r_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.user_id, l.event_id, r.asof_r_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id, l.user_id""".stripMargin,
+    "q68_range_join" ->
+      """SELECT i.o_orderkey, c.c_custkey
+        |FROM customer c JOIN (
+        |  SELECT o_orderkey, o_custkey - 5 AS s, o_custkey + 5 AS e
+        |  FROM orders WHERE o_orderkey <= 300) i
+        |ON c.c_custkey BETWEEN i.s AND i.e
+        |ORDER BY i.o_orderkey, c.c_custkey""".stripMargin,
+    "q69_stats_udaf" ->
+      """SELECT event_type, COUNT(value) AS n, ROUND(MIN(value), 2) AS mn,
+        |       ROUND(MAX(value), 2) AS mx, ROUND(SUM(value), 2) AS sm
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q70_part_supplier_join" ->
+      """SELECT s.s_name, p.p_brand, COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |                      (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+        |            AS DOUBLE) AS rev
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE l.l_shipdate >= DATE '1996-01-01' AND p.p_size <= 20
+        |GROUP BY s.s_name, p.p_brand ORDER BY s.s_name, p.p_brand""".stripMargin,
+    "q71_full_outer_join" ->
+      """WITH oagg AS (
+        |  SELECT o_custkey + 900 AS k, COUNT(*) AS n_orders
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  GROUP BY o_custkey + 900)
+        |SELECT c.c_custkey, o.k, o.n_orders
+        |FROM customer c FULL OUTER JOIN oagg o ON c.c_custkey = o.k
+        |ORDER BY c_custkey NULLS FIRST, k NULLS FIRST""".stripMargin,
     // q24_schema_report intentionally has no oracle (rows-only check).
   )
 }

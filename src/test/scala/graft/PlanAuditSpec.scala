@@ -104,6 +104,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges.length <= 2, exec.toString)
   }
 
+  test("q70 pushes both dimension predicates down to the parquet scans") {
+    val p = plan("q70_part_supplier_join")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("l_shipdate") && p.contains("p_size"), p)
+  }
+
+  test("q68 range join plans as an equi-join on the bucket, not a nested loop") {
+    val p = finalPlan("q68_range_join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q66 bounded probe: the vec_id cap reaches the parquet scan") {
+    val p = plan("q66_embedding_neardup")
+    assert(p.contains("LessThan(vec_id,1000)"), p)
+  }
+
   test("q01 count aggregates partially before the final exchange") {
     val p = plan("q01_count")
     val firstAgg = p.indexOf("HashAggregate")
