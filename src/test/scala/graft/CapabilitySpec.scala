@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the round-3 capability queries (Capability.scala)
+  * — the oracle gate certifies values; these pin down the *contracts*
+  * that the oracle can't see (equivalence of the two sessionization
+  * strategies, pivot null cells, CDC class arithmetic, centroid math).
+  */
+class CapabilitySpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q37 sessions partition the events: n_events sums to the table count") {
+    val total = Tables.events(spark, sf).count()
+    val summed = q("q37_sessionize").agg(sum("n_events")).head().getLong(0)
+    assert(summed == total)
+  }
+
+  test("q45 native session_window agrees with q37 gaps-and-islands") {
+    // Same gap (12 h), same data: the > (q37, exact nanos) vs >= (q45,
+    // µs-truncated) boundary difference only bites on a gap of exactly
+    // 12 h — absent in continuous-timestamp data, so the two strategies
+    // must produce the same (user_id, n_events, first_event) multiset.
+    val islands = q("q37_sessionize")
+      .select("user_id", "n_events", "first_event")
+    val native = q("q45_session_window")
+      .select("user_id", "n_events", "first_event")
+    assert(islands.exceptAll(native).isEmpty && native.exceptAll(islands).isEmpty)
+  }
+
+  test("q33 pivot: one row per user, spot cell equals the direct filtered sum") {
+    val ev = Tables.events(spark, sf)
+    assert(q("q33_pivot").count() == ev.select("user_id").distinct().count())
+    val u = ev.select("user_id").head().getLong(0)
+    val direct = ev.filter(col("user_id") === u && col("event_type") === "click")
+      .agg(round(sum("value"), 2)).head().getDouble(0)
+    val cell = q("q33_pivot").filter(col("user_id") === u).head().getAs[Double]("click")
+    assert(cell == direct)
+  }
+
+  test("q43 CDC classes match the modulo carving computed independently") {
+    val keys = Tables.table(spark, sf, "orders")
+      .select(col("o_orderkey").as("k")).distinct()
+    val expected = keys.select(
+      sum(when(col("k") % 3 === 0 && col("k") % 7 =!= 0, 1).otherwise(0)).as("ins"),
+      sum(when(col("k") % 7 === 0 && col("k") % 3 =!= 0, 1).otherwise(0)).as("del"),
+      sum(when(col("k") % 3 =!= 0 && col("k") % 7 =!= 0 && col("k") % 5 === 0, 1)
+        .otherwise(0)).as("upd")).head()
+    val got = q("q43_cdc_diff").groupBy("change").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("insert") == expected.getLong(0))
+    assert(got("delete") == expected.getLong(1))
+    // price*1.1 never round-trips to the same 2-decimal value here, so
+    // every %5==0 survivor is an update
+    assert(got("update") == expected.getLong(2))
+  }
+
+  test("q44 centroid equals the directly-computed mean for a spot cell") {
+    val Row(lbl: Long, pos: Long, c: Double) =
+      q("q44_centroid").filter(col("lbl") === 0 && col("pos") === 0).head()
+    val direct = Tables.table(spark, sf, "embeddings")
+      .filter(col("label") === 0)
+      .select(element_at(col("embedding"), 1).as("v"))
+      .agg(avg("v")).head().getDouble(0)
+    assert(lbl == 0 && pos == 0)
+    assert(math.abs(c - BigDecimal(direct).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("q36 percentiles are ordered p50 <= p90 <= p99 within every group") {
+    q("q36_percentiles").collect().foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3), r)
+    }
+  }
+
+  test("q46 outliers: every group keeps at most 1% + interpolation slack") {
+    val perType = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q("q46_outlier_filter").collect().foreach { r =>
+      val frac = r.getLong(1).toDouble / perType(r.getString(0))
+      assert(frac <= 0.015, s"${r.getString(0)}: $frac")
+    }
+  }
+}

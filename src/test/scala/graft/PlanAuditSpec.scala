@@ -120,6 +120,47 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("LessThan(vec_id,1000)"), p)
   }
 
+  test("q33 pivot with an explicit value list scans the source exactly once") {
+    // an unlisted pivot would add a distinct value-discovery job first
+    val p = plan("q33_pivot")
+    assert("FileScan|BatchScan".r.findAllIn(p).length == 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q34 word-count top-100 compiles to TakeOrderedAndProject") {
+    val p = plan("q34_word_count")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q35 higher-order array functions stay in-row (no Generate fan-out)") {
+    val p = plan("q35_array_hof")
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("q37 sessionize reuses one hash partitioning across both window passes") {
+    val df = SparkEntry.queries("q37_sessionize")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // one hash exchange on user_id (lag + running sum + groupBy all use
+    // it) + one range exchange for the final ORDER BY — nothing else
+    val exchanges = exec.collect { case e: Exchange => e }
+    assert(exchanges.length <= 2, exec.toString)
+  }
+
+  test("q44 centroid aggregates partially map-side (two HashAggregates)") {
+    val p = plan("q44_centroid")
+    val first = p.indexOf("HashAggregate")
+    assert(first >= 0 && p.indexOf("HashAggregate", first + 1) > first, p)
+  }
+
+  test("q46 outlier filter broadcasts the 5-row threshold table") {
+    val p = finalPlan("q46_outlier_filter")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q01 count aggregates partially before the final exchange") {
     val p = plan("q01_count")
     val firstAgg = p.indexOf("HashAggregate")
