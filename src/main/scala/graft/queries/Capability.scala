@@ -246,6 +246,88 @@ object Capability {
       .orderBy("event_type")
   }
 
+  // ---- Q47 (map functions): build → probe → introspect a MapType
+  // column (str_to_map / element_at / map_keys / map_contains_key).
+  // All map ops are per-row codegen'd scalars — no shuffle; the oracle
+  // states the expected values directly (DuckDB's MAP surface differs
+  // syntactically but the semantics under test are Spark's). -----------
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val kv = concat(
+      lit("seg:"), col("c_mktsegment"),
+      lit(",key:"), col("c_custkey").cast("string"))
+    val m = str_to_map(kv, lit(","), lit(":"))
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        element_at(m, "seg").as("seg"),
+        element_at(m, "key").cast("long").as("key_back"),
+        size(m).cast("long").as("m_size"),
+        array_join(array_sort(map_keys(m)), ",").as("ks"),
+        map_contains_key(m, "seg").cast("long").as("has_seg"))
+      .orderBy("c_custkey")
+  }
+
+  // ---- Q48 (array set algebra): intersect/union/except/max/contains
+  // over per-row arrays. Spark's set ops dedup and keep left order —
+  // both engines sort-before-join so the contract is order-free. Sort
+  // happens on the NUMERIC element, then cast to string (lexicographic
+  // sort of "10" < "2" would diverge). Per-row codegen, no shuffle. ----
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val a1 = array(k % 10, k % 7, k % 10, k % 4)
+    val a2 = array(k % 10, k % 3, k % 5)
+    def joined(a: Column): Column =
+      array_join(transform(array_sort(a), _.cast("string")), ",")
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        joined(array_intersect(a1, a2)).as("inter"),
+        joined(array_union(a1, a2)).as("uni"),
+        joined(array_except(a1, a2)).as("exc"),
+        array_max(a1).cast("long").as("mx"),
+        array_contains(a1, k % 3).cast("long").as("has_m3"))
+      .orderBy("c_custkey")
+  }
+
+  // ---- Q49 (regex battery): extract / global replace / match / count /
+  // extract_all. DuckDB's regexp_replace is first-match-only without the
+  // 'g' flag — the oracle passes it explicitly to match Spark's
+  // replace-all. Booleans surfaced as BIGINT to keep dtype compare
+  // engine-neutral. Map-side codegen only. -----------------------------
+  def q49(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        col("c_name").rlike("^Customer#0*[0-9]+$").cast("long").as("ok"),
+        expr("regexp_count(c_name, '0')").cast("long").as("zeros"),
+        array_join(expr("regexp_extract_all(c_name, '[0-9]{3}', 0)"), ",").as("triples"))
+      .orderBy("c_custkey")
+
+  // ---- Q72 (value-range window frames): trailing-24h sliding aggregate
+  // via RANGE BETWEEN on int64 nanos — the event-time analytics shape
+  // (rate limiting, rolling exposure) that ROWS frames cannot express
+  // when row density varies. Peers (tied ts) enter the frame together in
+  // both engines, so ties are deterministic by construction. first/last
+  // over the full-partition frame certifies explicit-frame navigation.
+  // One shuffle on user_id serves every window. ------------------------
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val w24 = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-dayNs, 0L)
+    val wfull = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w24).as("n24"),
+        round(sum(col("value")).over(w24), 2).as("s24"),
+        first(col("event_id")).over(wfull).as("first_ev"),
+        last(col("event_id")).over(wfull).as("last_ev"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_pivot"           -> (q33 _),
     "q34_word_count"      -> (q34 _),
@@ -261,6 +343,10 @@ object Capability {
     "q44_centroid"        -> (q44 _),
     "q45_session_window"  -> (q45 _),
     "q46_outlier_filter"  -> (q46 _),
+    "q47_map_funcs"       -> (q47 _),
+    "q48_array_setops"    -> (q48 _),
+    "q49_regex_battery"   -> (q49 _),
+    "q72_range_frame"     -> (q72 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -393,5 +479,49 @@ object Capability {
         |FROM events e JOIN th ON e.event_type = th.event_type
         |WHERE e.value IS NOT NULL AND e.value > th.p99
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q47_map_funcs" ->
+      """SELECT c_custkey,
+        |  c_mktsegment AS seg,
+        |  c_custkey AS key_back,
+        |  CAST(2 AS BIGINT) AS m_size,
+        |  'key,seg' AS ks,
+        |  CAST(1 AS BIGINT) AS has_seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q48_array_setops" ->
+      """SELECT c_custkey,
+        |  COALESCE(array_to_string(list_transform(list_sort(list_distinct(
+        |    list_filter(a1, x -> list_contains(a2, x)))), x -> CAST(x AS VARCHAR)), ','), '') AS inter,
+        |  COALESCE(array_to_string(list_transform(list_sort(list_distinct(
+        |    list_concat(a1, a2))), x -> CAST(x AS VARCHAR)), ','), '') AS uni,
+        |  COALESCE(array_to_string(list_transform(list_sort(list_distinct(
+        |    list_filter(a1, x -> NOT list_contains(a2, x)))), x -> CAST(x AS VARCHAR)), ','), '') AS exc,
+        |  CAST(list_max(a1) AS BIGINT) AS mx,
+        |  CAST(list_contains(a1, CAST(c_custkey % 3 AS BIGINT)) AS BIGINT) AS has_m3
+        |FROM (SELECT c_custkey,
+        |        [c_custkey % 10, c_custkey % 7, c_custkey % 10, c_custkey % 4] AS a1,
+        |        [c_custkey % 10, c_custkey % 3, c_custkey % 5] AS a2
+        |      FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "q49_regex_battery" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  CAST(regexp_matches(c_name, '^Customer#0*[0-9]+$') AS BIGINT) AS ok,
+        |  CAST(len(regexp_extract_all(c_name, '0')) AS BIGINT) AS zeros,
+        |  array_to_string(regexp_extract_all(c_name, '[0-9]{3}', 0), ',') AS triples
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q72_range_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER w24 AS BIGINT) AS n24,
+        |  ROUND(SUM(value) OVER w24, 2) AS s24,
+        |  FIRST_VALUE(event_id) OVER wfull AS first_ev,
+        |  LAST_VALUE(event_id) OVER wfull AS last_ev
+        |FROM events
+        |WINDOW
+        |  w24 AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |          RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW),
+        |  wfull AS (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }
