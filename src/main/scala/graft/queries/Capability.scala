@@ -328,6 +328,66 @@ object Capability {
       .orderBy("user_id", "event_id")
   }
 
+  // ---- Q73 (correlated SCALAR subquery — TPC-H Q17 shape): per-part
+  // average threshold applied back to the fact. Catalyst decorrelates
+  // this to aggregate-then-join (one shuffle on l_partkey feeding both
+  // sides) — the naive per-row re-scan plan never exists; PlanAuditSpec
+  // pins it. The threshold is exact: quantities are integral doubles, so
+  // AVG = exact-int-sum / n is bit-identical across engines and the
+  // row-membership predicate cannot drift. Revenue summed in DECIMAL
+  // (§7.4.5) then rounded once. SQL-declared (the DataFrame DSL has no
+  // correlated-scalar verb). --------------------------------------------
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("sq_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("sq_part")
+    s.sql(
+      """SELECT p.p_brand, COUNT(*) AS n,
+        |       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2)
+        |            AS DOUBLE) AS below_rev
+        |FROM sq_lineitem l JOIN sq_part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+        |                      FROM sq_lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
+  }
+
+  // ---- Q74 (correlated EXISTS under a range predicate — TPC-H Q4
+  // shape): the date filter prunes orders BEFORE the semi-join probe
+  // (pushdown audited); EXISTS decorrelates to a left-semi hash join on
+  // l_orderkey, never a per-order probe loop. -------------------------
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("ex_lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("ex_orders")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM ex_orders
+        |WHERE o_orderdate >= DATE '1995-06-01'
+        |  AND o_orderdate <  DATE '1995-09-01'
+        |  AND EXISTS (SELECT 1 FROM ex_lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.05)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  // ---- Q75 (NOT IN three-valued-logic contract): a NULL in the NOT IN
+  // list makes the predicate never-TRUE (poisoned count = 0) — the
+  // classic silent-wrong-answer trap. Spark plans this as a null-aware
+  // anti join; the clean variant (nulls filtered) is a plain anti join.
+  // The nullable RHS is carved deterministically (orderkey % 100). -----
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("nn_customer")
+    t(s, dir, "orders").createOrReplaceTempView("nn_orders")
+    s.sql(
+      """SELECT
+        |  (SELECT COUNT(*) FROM nn_customer WHERE c_custkey NOT IN
+        |     (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+        |                  ELSE o_custkey END
+        |      FROM nn_orders WHERE o_orderpriority = '1-URGENT')) AS poisoned,
+        |  (SELECT COUNT(*) FROM nn_customer WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM nn_orders
+        |      WHERE o_orderpriority = '1-URGENT'
+        |        AND o_orderkey % 100 <> 0)) AS clean""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_pivot"           -> (q33 _),
     "q34_word_count"      -> (q34 _),
@@ -347,6 +407,9 @@ object Capability {
     "q48_array_setops"    -> (q48 _),
     "q49_regex_battery"   -> (q49 _),
     "q72_range_frame"     -> (q72 _),
+    "q73_scalar_subquery" -> (q73 _),
+    "q74_exists_range"    -> (q74 _),
+    "q75_not_in_nulls"    -> (q75 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -523,5 +586,32 @@ object Capability {
         |  wfull AS (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q73_scalar_subquery" ->
+      """SELECT p.p_brand, COUNT(*) AS n,
+        |       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2)
+        |            AS DOUBLE) AS below_rev
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+    "q74_exists_range" ->
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-06-01'
+        |  AND o_orderdate <  DATE '1995-09-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.05)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q75_not_in_nulls" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+        |     (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+        |                  ELSE o_custkey END
+        |      FROM orders WHERE o_orderpriority = '1-URGENT')) AS poisoned,
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'
+        |        AND o_orderkey % 100 <> 0)) AS clean""".stripMargin,
   )
 }

@@ -167,4 +167,46 @@ class PlanAuditSpec extends SparkTestBase {
     assert(firstAgg >= 0, p)
     assert(p.indexOf("HashAggregate", firstAgg + 1) > firstAgg, "partial+final expected: " + p)
   }
+
+  test("q48/q49 scalar batteries shuffle only for output order (range exchange)") {
+    Seq("q48_array_setops", "q49_regex_battery").foreach { name =>
+      val p = plan(name)
+      val n = "Exchange".r.findAllIn(p).length
+      assert(n == 1, s"$name: expected only the ORDER BY exchange:\n$p")
+      assert(p.contains("Exchange rangepartitioning"),
+        s"$name: the single exchange should be range (sort), not a data shuffle:\n$p")
+    }
+  }
+
+  test("q72 value-range frames reuse one hash partitioning for both windows") {
+    val df = SparkEntry.queries("q72_range_frame")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // one hash exchange on user_id shared by the 24h-range and the
+    // full-partition frame + one range exchange for the final ORDER BY
+    val exchanges = exec.collect { case e: Exchange => e }
+    assert(exchanges.length <= 2, exec.toString)
+  }
+
+  test("q73 correlated scalar subquery decorrelates to joins (no per-row re-scan)") {
+    val p = finalPlan("q73_scalar_subquery")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+    // the per-part AVG shows up as a real aggregate feeding a join
+    assert(p.contains("HashAggregate") && p.contains("Join"), p)
+  }
+
+  test("q74 EXISTS becomes a left-semi join with the date filter pushed down") {
+    val p = finalPlan("q74_exists_range")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+  }
+
+  test("q75 NOT IN plans as a null-aware anti join, not a nested loop over nulls") {
+    val df = SparkEntry.queries("q75_not_in_nulls")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("NAAJ") || p.contains("LeftAnti"), p)
+  }
 }
