@@ -8,8 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+    TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries ++ Sampling.queries
 
   def oracleSql: Map[String, String] =
-    TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql
+    TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
+      Multimodal.oracleSql ++ Sampling.oracleSql
 }

@@ -1,0 +1,137 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Reproducible corpus sampling & batching operators for LLM training
+  * pipelines (SURVEY §2.4 extension family):
+  *
+  *  - [[hashSplit]] — deterministic train/val/test assignment from a
+  *    content-stable key. The industry failure mode this kills: `rand()`
+  *    splits that reshuffle membership on every rerun/backfill and leak
+  *    val docs into train. An md5 bucket is pure map-side compute —
+  *    no shuffle, no state, identical on any engine, stable forever.
+  *  - [[packBudget]] — size-budget sequence packing (pretraining batch
+  *    assembly): a running sum per SHARD (not global — a global
+  *    ORDER BY window would serialize the whole corpus through one
+  *    task at 100 TB) bins documents into contiguous packs.
+  *  - [[mixKeep]] — per-source weighted downsampling (domain mixing)
+  *    as a map-side filter: rate lives in a CASE/broadcast table, the
+  *    kept set is deterministic, and no shuffle happens at all.
+  *
+  * All three are oracle-certified (q76-q78) because they are pure
+  * integer/string compute — no RNG anywhere.
+  */
+object Sampling {
+
+  /** 256-way uniform bucket from the md5 hex prefix of a key. Hex
+    * strings of equal length compare lexicographically = numerically,
+    * so thresholds are just 2-hex-char literals ('cd' ≈ 205/256 ≈ 80%).
+    */
+  def bucket256(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 2)
+
+  /** Adds `split` ∈ train/val/test. Defaults ≈ 80/10/10 (205/25/26 of
+    * the 256 buckets).
+    */
+  def hashSplit(
+      df: DataFrame, key: Column,
+      trainHi: String = "cd", valHi: String = "e6"): DataFrame = {
+    val b = bucket256(key)
+    df.withColumn("split",
+      when(b < trainHi, "train").when(b < valHi, "val").otherwise("test"))
+  }
+
+  /** Adds `pack_id`: documents are packed in `order` within `shard`
+    * into bins of `budget` size-units; a doc belongs to the pack its
+    * START offset falls in (docs larger than the budget own their
+    * pack). The window runs per shard, so the running sum parallelizes
+    * across shards — never a global single-task sort. Division happens
+    * in double then truncates to long: exact while the per-shard
+    * cumulative size < 2^53 (9 PB of chars per shard — not a real
+    * constraint).
+    */
+  def packBudget(
+      df: DataFrame, shard: Column, order: Column, size: Column,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(shard).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val startOffset = sum(size).over(w) - size
+    df.withColumn("pack_id", floor(startOffset / lit(budget.toDouble)).cast("long"))
+  }
+
+  /** Keep-filter for weighted source mixing: a row survives iff its
+    * bucket clears the per-row rate threshold (a 2-hex-char string,
+    * 'zz' = keep-all since every bucket < 'zz').
+    */
+  def mixKeep(df: DataFrame, key: Column, rateHex: Column): DataFrame =
+    df.filter(bucket256(key) < rateHex)
+
+  // ---- certifying queries ------------------------------------------
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** q76: split × lang census of the deterministic 80/10/10 split. */
+  def q76(s: SparkSession, dir: String): DataFrame =
+    hashSplit(docs(s, dir), col("doc_id"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+
+  /** q77: pack census — 4096-char packs per source shard. */
+  def q77(s: SparkSession, dir: String): DataFrame =
+    packBudget(docs(s, dir), col("source"), col("doc_id"), col("n_chars"), 4096L)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy("source", "pack_id")
+
+  /** q78: domain mixing — even-numbered sources kept whole, odd ones
+    * downsampled to ~25%, reported per source.
+    */
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(
+      substring(col("source"), 4, 10).cast("int") % 2 === 0, lit("zz"))
+      .otherwise(lit("40"))
+    mixKeep(docs(s, dir), col("doc_id"), rate)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("chars"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_hash_split"  -> (q76 _),
+    "q77_seq_packing" -> (q77 _),
+    "q78_corpus_mix"  -> (q78 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q76_hash_split" ->
+      """SELECT split, lang, COUNT(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents) t
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q77_seq_packing" ->
+      """WITH c AS (
+        |  SELECT source, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT source, CAST(FLOOR((cum - n_chars) / 4096.0) AS BIGINT) AS pack_id,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
+    "q78_corpus_mix" ->
+      """SELECT source, COUNT(*) AS kept, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |      < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |             THEN 'zz' ELSE '40' END
+        |GROUP BY source ORDER BY source""".stripMargin,
+  )
+}

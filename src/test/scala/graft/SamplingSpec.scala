@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sampling
+
+/** Invariants of the reproducible-sampling family (ext/Sampling.scala)
+  * beyond the q76-q78 oracle rows.
+  */
+class SamplingSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("hashSplit is total, stable across runs, and roughly 80/10/10") {
+    val a = Sampling.hashSplit(docs, col("doc_id"))
+    assert(a.filter(col("split").isNull).count() === 0)
+    // determinism: a second independent evaluation assigns identically
+    val b = Sampling.hashSplit(docs, col("doc_id"))
+    assert(a.select("doc_id", "split").exceptAll(b.select("doc_id", "split")).isEmpty)
+    val byS = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(byS("train") / n > 0.6 && byS("train") / n < 0.95, byS)
+  }
+
+  test("packBudget: packs are contiguous from 0 per shard and start-offset bounded") {
+    val packed = Sampling.packBudget(
+      docs, col("source"), col("doc_id"), col("n_chars"), 4096L)
+    // every pack's summed size spans at least its start boundary: pack k
+    // exists only if the shard's cumulative size reached k*budget
+    val perShard = packed.groupBy("source")
+      .agg(max("pack_id").as("maxp"), sum("n_chars").as("total"))
+    val bad = perShard.filter(col("maxp") * 4096L >= col("total")).count()
+    assert(bad === 0, "a pack id exists beyond the shard's total size")
+    // contiguity: distinct pack count = max + 1 in each shard
+    val gaps = packed.groupBy("source")
+      .agg(countDistinct("pack_id").as("np"), max("pack_id").as("maxp"))
+      .filter(col("np") =!= col("maxp") + 1).count()
+    assert(gaps === 0, "pack ids must be contiguous from 0")
+  }
+
+  test("mixKeep keeps a deterministic subset and keep-all threshold keeps all") {
+    val kept = Sampling.mixKeep(docs, col("doc_id"), lit("40"))
+    assert(kept.count() > 0 && kept.count() < docs.count())
+    assert(kept.exceptAll(docs).isEmpty) // strictly a subset, rows unchanged
+    assert(Sampling.mixKeep(docs, col("doc_id"), lit("zz")).count() === docs.count())
+  }
+}
