@@ -47,6 +47,24 @@ object EventStream {
         col("window.start").as("win_start"),
         col("event_type"), col("events"), col("sum_value"))
 
+  /** Per-user session aggregation via the native `session_window`
+    * gap-merge operator — the same operator q45 certifies in batch,
+    * here under a watermark: Spark keeps only OPEN sessions (those the
+    * watermark hasn't sealed) in the state store and emits a session
+    * exactly once when the watermark passes its close, so state tracks
+    * the concurrently-active session count, not history. Append mode is
+    * required (sessions are final on emit).
+    */
+  def sessionCounts(
+      df: DataFrame,
+      watermark: String = "10 minutes",
+      gap: String = "12 hours"): DataFrame =
+    withEventTime(df)
+      .withWatermark("event_ts", watermark)
+      .groupBy(col("user_id"), session_window(col("event_ts"), gap))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+      .select(col("user_id"), col("n_events"), col("first_event"))
+
   /** Streaming dedup (D1/D2 re-expressed): exactly-once per event_id
     * within the watermark horizon — `dropDuplicatesWithinWatermark`
     * keys on event_id ALONE, so a producer retry that re-emits an id

@@ -30,6 +30,23 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("session_window under a watermark emits exactly the batch sessions it seals") {
+    val streamed = EventStream.runToTable(
+      spark,
+      EventStream.sessionCounts(EventStream.readEvents(spark, sf)),
+      "sess_counts", OutputMode.Append())
+    val batch = SparkEntry.queries("q45_session_window")(spark, sf)
+    // append mode: a session is emitted once, when the watermark passes
+    // its close — sessions still open at end-of-input are withheld, so
+    // the streamed set is a subset of batch, and every emitted row must
+    // match the batch computation exactly
+    assert(streamed.exceptAll(batch).isEmpty,
+      "streamed session not present in batch result")
+    val (ns, nb) = (streamed.count(), batch.count())
+    assert(ns > 0 && ns >= nb / 2,
+      s"expected most sessions sealed by end-of-input ($ns of $nb)")
+  }
+
   test("streaming dedup emits each event_id once") {
     val deduped = EventStream.runToTable(
       spark,
