@@ -388,6 +388,41 @@ object Capability {
         |        AND o_orderkey % 100 <> 0)) AS clean""".stripMargin)
   }
 
+  // ---- Q79 (gap-fill / LOCF): last-observation-carried-forward over a
+  // sparse sensor column via IGNORE NULLS frame navigation, plus the
+  // inter-event gap. The time-series repair shape: one shuffle on the
+  // entity key, running frame, no self-join (the naive formulation is
+  // an inequality self-join — quadratic). Gap is in MICROSECONDS via
+  // exact integer `div` (DuckDB truncates TIMESTAMP(NANOS) to µs on
+  // read, so nanos are not oracle-comparable; ordering still uses the
+  // full-precision nanos). ---------------------------------------------
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tsUs = expr("ts div 1000")
+    Tables.events(s, dir)
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        last(col("value"), ignoreNulls = true).over(run).as("locf"),
+        (tsUs - lag(tsUs, 1).over(w)).as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---- Q80 (unpivot/melt — the inverse of q33's pivot): wide→long
+  // reshape. Spark's `unpivot` is a zero-shuffle row-local expansion
+  // (k× output rows, no exchange until the final sort); the oracle is
+  // the UNION ALL it desugars to. --------------------------------------
+  def q80(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").as("price"),
+        (col("o_orderkey") % 100).cast("double").as("key100"))
+      .unpivot(
+        Array(col("o_orderkey")),
+        Array(col("price"), col("key100")), "k", "v")
+      .orderBy("o_orderkey", "k")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_pivot"           -> (q33 _),
     "q34_word_count"      -> (q34 _),
@@ -410,6 +445,8 @@ object Capability {
     "q73_scalar_subquery" -> (q73 _),
     "q74_exists_range"    -> (q74 _),
     "q75_not_in_nulls"    -> (q75 _),
+    "q79_locf"            -> (q79 _),
+    "q80_unpivot"         -> (q80 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -613,5 +650,20 @@ object Capability {
         |     (SELECT o_custkey FROM orders
         |      WHERE o_orderpriority = '1-URGENT'
         |        AND o_orderkey % 100 <> 0)) AS clean""".stripMargin,
+    "q79_locf" ->
+      """SELECT user_id, event_id, value,
+        |  LAST_VALUE(value IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS locf,
+        |  epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q80_unpivot" ->
+      """SELECT o_orderkey, k, v FROM (
+        |  SELECT o_orderkey, 'price' AS k, o_totalprice AS v FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'key100' AS k,
+        |         CAST(o_orderkey % 100 AS DOUBLE) AS v FROM orders) t
+        |ORDER BY o_orderkey, k""".stripMargin,
   )
 }
