@@ -423,6 +423,64 @@ object Capability {
         Array(col("price"), col("key100")), "k", "v")
       .orderBy("o_orderkey", "k")
 
+  // ---- Q81 (bitwise aggregates): bit_and/bit_or/bit_xor fold — flag
+  // merging / bitmap-style rollups. Partial-aggregable (associative +
+  // commutative), so one shuffle with map-side combine. ---------------
+  def q81(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("bit_and(user_id)").as("ba"),
+        expr("bit_or(user_id)").as("bo"),
+        expr("bit_xor(user_id)").as("bx"))
+      .orderBy("event_type")
+
+  // ---- Q82 (FILTER-clause aggregation): the SQL-standard form of q21's
+  // conditional aggregation — each aggregate carries its own predicate
+  // in ONE pass (no per-predicate scans, no self-joins). ---------------
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("fc_orders")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 100000) AS hi,
+        |  CAST(SUM(o_orderkey % 10) FILTER (WHERE o_orderstatus = 'F')
+        |       AS BIGINT) AS sf
+        |FROM fc_orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  // ---- Q83 (LATERAL join): top-3 orders per market segment via a
+  // correlated LATERAL subquery — the "per-group top-k as a join" form.
+  // Catalyst decorrelates it to a ranked window over ONE scan of the
+  // join, not one probe query per segment (5 segments here; 5 million
+  // correlation values at 100 TB would make per-probe execution
+  // impossible). --------------------------------------------------------
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("lt_orders")
+    t(s, dir, "customer").createOrReplaceTempView("lt_customer")
+    s.sql(
+      """SELECT c.c_mktsegment, t.o_orderkey, t.pr
+        |FROM (SELECT DISTINCT c_mktsegment FROM lt_customer) c,
+        |LATERAL (SELECT o_orderkey, ROUND(o_totalprice, 2) AS pr
+        |         FROM lt_orders o JOIN lt_customer c2
+        |           ON o.o_custkey = c2.c_custkey
+        |         WHERE c2.c_mktsegment = c.c_mktsegment
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |ORDER BY c_mktsegment, pr DESC, o_orderkey""".stripMargin)
+  }
+
+  // ---- Q84 (ordered string aggregation): listagg WITHIN GROUP — the
+  // deterministic form (collect_list alone has partition-dependent
+  // order; the explicit ORDER BY is what makes this oracle-safe and
+  // rerun-stable). ------------------------------------------------------
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("sa_nation")
+    s.sql(
+      """SELECT n_regionkey,
+        |  listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS names
+        |FROM sa_nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_pivot"           -> (q33 _),
     "q34_word_count"      -> (q34 _),
@@ -447,6 +505,10 @@ object Capability {
     "q75_not_in_nulls"    -> (q75 _),
     "q79_locf"            -> (q79 _),
     "q80_unpivot"         -> (q80 _),
+    "q81_bitwise_agg"     -> (q81 _),
+    "q82_filter_clause"   -> (q82 _),
+    "q83_lateral_topk"    -> (q83 _),
+    "q84_string_agg"      -> (q84 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -665,5 +727,29 @@ object Capability {
         |  SELECT o_orderkey, 'key100' AS k,
         |         CAST(o_orderkey % 100 AS DOUBLE) AS v FROM orders) t
         |ORDER BY o_orderkey, k""".stripMargin,
+    "q81_bitwise_agg" ->
+      """SELECT event_type,
+        |  bit_and(user_id) AS ba, bit_or(user_id) AS bo, bit_xor(user_id) AS bx
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q82_filter_clause" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 100000) AS hi,
+        |  CAST(SUM(o_orderkey % 10) FILTER (WHERE o_orderstatus = 'F')
+        |       AS BIGINT) AS sf
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q83_lateral_topk" ->
+      """SELECT c.c_mktsegment, t.o_orderkey, t.pr
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) c,
+        |LATERAL (SELECT o_orderkey, ROUND(o_totalprice, 2) AS pr
+        |         FROM orders o JOIN customer c2
+        |           ON o.o_custkey = c2.c_custkey
+        |         WHERE c2.c_mktsegment = c.c_mktsegment
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |ORDER BY c_mktsegment, pr DESC, o_orderkey""".stripMargin,
+    "q84_string_agg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, '|' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
   )
 }

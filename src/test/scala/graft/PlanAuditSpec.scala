@@ -209,4 +209,16 @@ class PlanAuditSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("NAAJ") || p.contains("LeftAnti"), p)
   }
+
+  test("q83 LATERAL top-k decorrelates to a ranked window, not per-group probes") {
+    val p = finalPlan("q83_lateral_topk")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q81 bitwise aggregates combine map-side (partial+final)") {
+    val p = plan("q81_bitwise_agg")
+    val first = p.indexOf("HashAggregate")
+    assert(first >= 0 && p.indexOf("HashAggregate", first + 1) > first, p)
+  }
 }
