@@ -221,4 +221,16 @@ class PlanAuditSpec extends SparkTestBase {
     val first = p.indexOf("HashAggregate")
     assert(first >= 0 && p.indexOf("HashAggregate", first + 1) > first, p)
   }
+
+  test("q09 first-wins dedup gets partial WindowGroupLimit before the shuffle") {
+    // rn()=1 filters push a per-key top-1 limit into each map task, so
+    // only one row per key per partition is shuffled — the property that
+    // makes window-based dedup survive 100 TB instead of shuffling the
+    // full table into the window sort
+    val p = plan("q09_first_wins_dedup")
+    val first = p.indexOf("WindowGroupLimit")
+    assert(first >= 0, s"WindowGroupLimit missing:\n$p")
+    assert(p.indexOf("WindowGroupLimit", first + 1) > first,
+      s"expected Partial AND Final WindowGroupLimit:\n$p")
+  }
 }
