@@ -481,6 +481,30 @@ object Capability {
         |FROM sa_nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
   }
 
+  // ---- Q85 (recursive CTE — iterative graph traversal): transitive
+  // closure over an implicit binary tree on customer keys (parent =
+  // floor((k-1)/2)), reporting the per-depth census. Each recursion
+  // step is ONE distributed hash join of the frontier against the base
+  // relation — depth is O(log N) here, so the 100 TB cost is
+  // ~40 bounded joins, not a driver-side loop over rows. Division goes
+  // through floor(x/2.0) — portable exact integer semantics in both
+  // engines (Spark `/` on bigint is double division; DuckDB needs `//`
+  // for integer div). ---------------------------------------------------
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("rc_customer")
+    s.sql(
+      """WITH RECURSIVE tree(k, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS k, 0 AS depth
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.depth + 1
+        |  FROM rc_customer c JOIN tree t
+        |    ON CAST(FLOOR((c.c_custkey - 1) / 2.0) AS BIGINT) = t.k
+        |  WHERE c.c_custkey > 0)
+        |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n,
+        |       MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_pivot"           -> (q33 _),
     "q34_word_count"      -> (q34 _),
@@ -509,6 +533,7 @@ object Capability {
     "q82_filter_clause"   -> (q82 _),
     "q83_lateral_topk"    -> (q83 _),
     "q84_string_agg"      -> (q84 _),
+    "q85_recursive_cte"   -> (q85 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -751,5 +776,16 @@ object Capability {
       """SELECT n_regionkey,
         |  string_agg(n_name, '|' ORDER BY n_name) AS names
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q85_recursive_cte" ->
+      """WITH RECURSIVE tree(k, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS k, 0 AS depth
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.depth + 1
+        |  FROM customer c JOIN tree t
+        |    ON CAST(FLOOR((c.c_custkey - 1) / 2.0) AS BIGINT) = t.k
+        |  WHERE c.c_custkey > 0)
+        |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n,
+        |       MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
   )
 }
