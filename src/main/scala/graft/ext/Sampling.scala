@@ -47,8 +47,11 @@ object Sampling {
 
   /** Adds `pack_id`: documents are packed in `order` within `shard`
     * into bins of `budget` size-units; a doc belongs to the pack its
-    * START offset falls in (docs larger than the budget own their
-    * pack). The window runs per shard, so the running sum parallelizes
+    * START offset falls in. (A doc larger than the budget still lands
+    * in the pack its start offset falls in — it may share that pack
+    * with a predecessor, and the ids its span crosses are skipped; pack
+    * ids are contiguous only when every doc size ≤ budget.) The window
+    * runs per shard, so the running sum parallelizes
     * across shards — never a global single-task sort. Division happens
     * in double then truncates to long: exact while the per-shard
     * cumulative size < 2^53 (9 PB of chars per shard — not a real
@@ -93,8 +96,10 @@ object Sampling {
     * downsampled to ~25%, reported per source.
     */
   def q78(s: SparkSession, dir: String): DataFrame = {
+    // length-unbounded substr — must parse the identical suffix the
+    // oracle's substr(source, 4) does, whatever the id width
     val rate = when(
-      substring(col("source"), 4, 10).cast("int") % 2 === 0, lit("zz"))
+      expr("substr(source, 4)").cast("int") % 2 === 0, lit("zz"))
       .otherwise(lit("40"))
     mixKeep(docs(s, dir), col("doc_id"), rate)
       .groupBy(col("source"))

@@ -48,16 +48,22 @@ object AsofJoin {
           lit(null).cast(payloadType).as("__payload"))).toIndexedSeq: _*)
 
     // right (__side=0) sorts before left (__side=1) at equal time → ties
-    // match. `__payload` is the final tiebreak: when several right rows
+    // match. The payload is the final tiebreak: when several right rows
     // share one (key, rightTime), `last(ignoreNulls)` would otherwise
-    // pick whichever the partitioning happened to order last — adding
-    // the payload struct to the sort makes the winner the struct-wise
-    // maximum, deterministic across runs/partitionings. (Left rows carry
-    // a NULL payload, but they all sort after the rights at equal time
-    // and contribute nothing to `last(ignoreNulls)`, so their mutual
-    // order is immaterial.)
+    // pick whichever the partitioning happened to order last — sorting
+    // on the payload makes the winner deterministic across
+    // runs/partitionings. Struct comparison when the payload type is
+    // orderable; unorderable payloads (maps) fall back to their JSON
+    // serialization, which is deterministic and always orderable. (Left
+    // rows carry a NULL payload, but they all sort after the rights at
+    // equal time and contribute nothing to `last(ignoreNulls)`, so
+    // their mutual order is immaterial.)
+    val tiebreak =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(payloadType))
+        col("__payload")
+      else to_json(col("__payload"))
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("__t"), col("__side"), col("__payload"))
+      .orderBy(col("__t"), col("__side"), tiebreak)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightAligned.unionByName(leftAligned)
       .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))

@@ -43,6 +43,15 @@ package object ops {
     * would make `("x", NULL)` collide with `(NULL, "x")` and with
     * `("x")`. md5/concat_ws/coalesce are codegen'd built-ins; at 100 TB
     * this is a pure map-side projection — no shuffle.
+    *
+    * VERSIONING CONTRACT: the key is a pure function of (separator,
+    * null-sentinel, column order), so changing ANY of them re-keys the
+    * universe — an append-mode sink written under the old derivation
+    * stops matching in the idempotent anti-join and rows duplicate.
+    * The encoding above is v2 (v1 used an empty separator and a space
+    * sentinel, fixed for collision-safety). If it ever changes again,
+    * existing sinks must be rewritten (full overwrite run) before the
+    * next append.
     */
   def surrogateKey(cols: Seq[Column]): Column =
     md5(concat_ws("\u0001",

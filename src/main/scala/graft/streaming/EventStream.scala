@@ -88,6 +88,15 @@ object EventStream {
     */
   final case class UserAgg(userId: Long, events: Long, totalValue: Double)
 
+  /** State carries the max event time seen ACROSS batches, not just the
+    * current batch's: a late-but-in-watermark older event must never
+    * regress the eviction deadline below `true last event + TTL`.
+    * (Flat fields — a nested case class defeats the state encoder's
+    * codegen.)
+    */
+  final case class UserState(
+      userId: Long, events: Long, totalValue: Double, lastEventMs: Long)
+
   def userRunningAgg(
       spark: SparkSession,
       df: DataFrame,
@@ -103,22 +112,24 @@ object EventStream {
       .flatMapGroupsWithState(
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
-         state: GroupState[UserAgg]) =>
+         state: GroupState[UserState]) =>
           if (state.hasTimedOut) {
             state.remove() // watermark passed lastEvent + TTL: evict
             Iterator.empty
           } else {
-            val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
-            var n = 0L; var v = 0.0; var lastMs = Long.MinValue
+            val prev = state.getOption
+              .getOrElse(UserState(user, 0L, 0.0, Long.MinValue))
+            var n = 0L; var v = 0.0; var lastMs = prev.lastEventMs
             rows.foreach { case (_, value, ts) =>
               n += 1; v += value; lastMs = math.max(lastMs, ts.getTime)
             }
-            val next = UserAgg(user, prev.events + n, prev.totalValue + v)
+            val next = UserState(user, prev.events + n, prev.totalValue + v, lastMs)
             state.update(next)
-            // must exceed the current watermark or Spark rejects it
+            // deadline from the all-time last event; must also exceed the
+            // current watermark or Spark rejects it
             state.setTimeoutTimestamp(
               math.max(lastMs + stateTtlMs, state.getCurrentWatermarkMs + 1))
-            Iterator.single(next)
+            Iterator.single(UserAgg(user, next.events, next.totalValue))
           }
       }
   }

@@ -25,6 +25,11 @@ class SamplingSpec extends SparkTestBase {
   }
 
   test("packBudget: packs are contiguous from 0 per shard and start-offset bounded") {
+    // contiguity holds only when every doc fits the budget (an oversize
+    // doc's span skips ids) — assert the precondition so a fixture or
+    // budget change fails loudly here, not as a confusing invariant miss
+    val maxDoc = docs.agg(max("n_chars")).head.getLong(0)
+    assert(maxDoc <= 4096L, s"precondition: doc of $maxDoc chars exceeds the budget")
     val packed = Sampling.packBudget(
       docs, col("source"), col("doc_id"), col("n_chars"), 4096L)
     // every pack's summed size spans at least its start boundary: pack k

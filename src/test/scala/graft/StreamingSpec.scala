@@ -109,6 +109,37 @@ class StreamingSpec extends SparkTestBase {
     assert(user7 === Set((1L, 1.0), (1L, 5.0)))
   }
 
+  test("a late in-watermark event does not regress the eviction deadline") {
+    val input = MemoryStream[(Long, Long, String, Double)](spark)
+    val df = input.toDF().toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", col("event_id") * expr("1000000000")) // seconds → nanos
+    // generous watermark so the old event is admissible; TTL 1 hour
+    val agg = EventStream.userRunningAgg(
+      spark, df, watermark = "3 hours", stateTtlMs = 3600L * 1000)
+    val q = agg.writeStream.format("memory").queryName("user_agg_late")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((10000L, 7L, "a", 1.0))   // user 7 last event at 10000s
+      q.processAllAvailable()
+      input.addData((9000L, 7L, "a", 2.0))    // LATE but within watermark
+      q.processAllAvailable()
+      // advance watermark past 9000+3600 but NOT past 10000+3600:
+      // wm = 14300 - 10800 = 13500s; a regressed deadline (12600s) would
+      // fire here and evict — the true deadline (13600s) must not
+      input.addData((14300L, 8L, "b", 1.0))
+      q.processAllAvailable()
+      input.addData((14301L, 8L, "b", 1.0))   // batch where a timeout would fire
+      q.processAllAvailable()
+      input.addData((14302L, 7L, "a", 4.0))   // user 7 continues
+      q.processAllAvailable()
+    } finally q.stop()
+    val user7 = spark.table("user_agg_late").filter(col("userId") === 7L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    // state survived: (1,1.0) → (2,3.0) → (3,7.0); an early eviction
+    // would restart the third emission at (1, 4.0)
+    assert(user7 === Set((1L, 1.0), (2L, 3.0), (3L, 7.0)))
+  }
+
   test("stream-stream interval join pairs rows within the time bound") {
     val clicks = MemoryStream[(Long, Long)](spark)
     val views = MemoryStream[(Long, Long)](spark)
