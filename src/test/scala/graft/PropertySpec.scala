@@ -89,4 +89,31 @@ class PropertySpec extends SparkTestBase {
       assert(out.count() <= df.count())
     }
   }
+
+  // Arbitrary positive doc sizes INCLUDING oversize (> budget) docs —
+  // the general contract the fixture-backed SamplingSpec cannot reach.
+  private val sizesGen: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(1L, 300L))
+
+  test("packBudget: pack_id == floor(startOffset / budget), nondecreasing, for any sizes") {
+    val budget = 100L
+    forAllSampled(sizesGen, 6) { sizes =>
+      val df = sizes.zipWithIndex
+        .map { case (sz, i) => (i.toLong, sz) }.toDF("ord", "sz")
+      val out = graft.ext.Sampling
+        .packBudget(df, org.apache.spark.sql.functions.lit("s"), $"ord", $"sz", budget)
+        .select("ord", "sz", "pack_id")
+        .collect().sortBy(_.getLong(0))
+      var start = 0L
+      var prevPack = -1L
+      out.foreach { r =>
+        val expected = start / budget
+        assert(r.getLong(2) === expected,
+          s"ord=${r.getLong(0)} sz=${r.getLong(1)} start=$start")
+        assert(r.getLong(2) >= prevPack, "pack_id must be nondecreasing")
+        prevPack = r.getLong(2)
+        start += r.getLong(1)
+      }
+    }
+  }
 }
