@@ -505,6 +505,28 @@ object Capability {
         |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
   }
 
+  // ---- Q86 (higher-order MAP functions): transform_values / map_filter
+  // / map_zip_with over a per-row map — like q35's array HOFs these run
+  // inside codegen with no fan-out and no shuffle. The map is built from
+  // row data, probed back to scalars for the oracle (DuckDB's map-lambda
+  // surface differs; the semantics under test are Spark's — q47's
+  // pattern). -----------------------------------------------------------
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val m = map(lit("a"), k % 7, lit("b"), k % 5, lit("c"), k % 3)
+    val doubled = transform_values(m, (_, v) => v * 2)
+    val odds = map_filter(m, (_, v) => v % 2 === 1)
+    val zipped = map_zip_with(m, doubled, (_, v1, v2) => v1 + v2)
+    t(s, dir, "customer")
+      .select(
+        k.as("c_custkey"),
+        element_at(doubled, "a").as("da"),
+        size(odds).cast("long").as("n_odd"),
+        element_at(zipped, "b").as("zb"),
+        array_join(transform(array_sort(map_values(m)), _.cast("string")), ",").as("vals"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_pivot"           -> (q33 _),
     "q34_word_count"      -> (q34 _),
@@ -534,6 +556,7 @@ object Capability {
     "q83_lateral_topk"    -> (q83 _),
     "q84_string_agg"      -> (q84 _),
     "q85_recursive_cte"   -> (q85 _),
+    "q86_map_hof"         -> (q86 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -787,5 +810,15 @@ object Capability {
         |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n,
         |       MIN(k) AS min_k, MAX(k) AS max_k
         |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
+    "q86_map_hof" ->
+      """SELECT c_custkey,
+        |  (c_custkey % 7) * 2 AS da,
+        |  CAST((c_custkey % 7) % 2 + (c_custkey % 5) % 2 + (c_custkey % 3) % 2
+        |       AS BIGINT) AS n_odd,
+        |  (c_custkey % 5) * 3 AS zb,
+        |  array_to_string(list_transform(list_sort(
+        |    [c_custkey % 7, c_custkey % 5, c_custkey % 3]),
+        |    x -> CAST(x AS VARCHAR)), ',') AS vals
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }
