@@ -527,6 +527,24 @@ object Capability {
       .orderBy("c_custkey")
   }
 
+  // ---- Q87 (VARIANT semi-structured type): parse the JSON payload
+  // ONCE into Spark 4's binary variant encoding, then extract typed
+  // fields — the scale answer to repeated get_json_object string
+  // re-parsing (q31 does the per-call parse; at 100 TB parse-once +
+  // binary extraction wins on every additional field). Oracle reads the
+  // same fields with DuckDB's JSON extraction. -------------------------
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val v = parse_json(col("props"))
+    Tables.events(s, dir)
+      .filter(col("props").isNotNull)
+      .select(
+        col("event_id"),
+        try_variant_get(v, "$.k", "bigint").as("k"),
+        try_variant_get(v, "$.k", "string").as("ks"),
+        try_variant_get(v, "$.missing", "bigint").as("miss"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_pivot"           -> (q33 _),
     "q34_word_count"      -> (q34 _),
@@ -557,6 +575,7 @@ object Capability {
     "q84_string_agg"      -> (q84 _),
     "q85_recursive_cte"   -> (q85 _),
     "q86_map_hof"         -> (q86 _),
+    "q87_variant_json"    -> (q87 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -820,5 +839,12 @@ object Capability {
         |    [c_custkey % 7, c_custkey % 5, c_custkey % 3]),
         |    x -> CAST(x AS VARCHAR)), ',') AS vals
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q87_variant_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.k') AS ks,
+        |  CAST(json_extract(props, '$.missing') AS BIGINT) AS miss
+        |FROM events WHERE props IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
   )
 }
