@@ -37,9 +37,23 @@ object Sampling {
   /** Adds `split` ∈ train/val/test. Defaults ≈ 80/10/10 (205/25/26 of
     * the 256 buckets).
     */
+  /** A threshold compared against [[bucket256]] output must itself be a
+    * lowercase 2-hex string ('zz' allowed as keep-all) — uppercase,
+    * wrong-length, or non-hex values compare lexicographically against
+    * the md5 prefix and silently misassign every row.
+    */
+  private val HexThreshold = "^([0-9a-f]{2}|zz)$".r
+  private def requireHex(name: String, v: String): Unit = require(
+    HexThreshold.matches(v),
+    s"$name must be a lowercase 2-hex-char threshold (or 'zz'), got '$v'")
+
   def hashSplit(
       df: DataFrame, key: Column,
       trainHi: String = "cd", valHi: String = "e6"): DataFrame = {
+    requireHex("trainHi", trainHi)
+    requireHex("valHi", valHi)
+    require(trainHi <= valHi,
+      s"trainHi ('$trainHi') must be <= valHi ('$valHi') — otherwise the 'val' split is unreachable")
     val b = bucket256(key)
     df.withColumn("split",
       when(b < trainHi, "train").when(b < valHi, "val").otherwise("test"))
@@ -70,8 +84,15 @@ object Sampling {
     * bucket clears the per-row rate threshold (a 2-hex-char string,
     * 'zz' = keep-all since every bucket < 'zz').
     */
-  def mixKeep(df: DataFrame, key: Column, rateHex: Column): DataFrame =
-    df.filter(bucket256(key) < rateHex)
+  def mixKeep(df: DataFrame, key: Column, rateHex: Column): DataFrame = {
+    // rateHex is per-row (a CASE or broadcast-joined rate table), so the
+    // shape check runs in-plan: a malformed rate fails the job loudly
+    // instead of silently skewing the mix.
+    val guarded = when(rateHex.rlike("^([0-9a-f]{2}|zz)$"), bucket256(key) < rateHex)
+      .otherwise(raise_error(concat(lit("mixKeep: rateHex must be 2 lowercase hex chars or 'zz', got '"),
+        rateHex, lit("'"))).cast("boolean"))
+    df.filter(guarded)
+  }
 
   // ---- certifying queries ------------------------------------------
 

@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  import org.apache.spark.sql.types._
+
+  /** Whether Spark can sort values of this type — decides if the payload
+    * struct itself can be the deterministic tiebreak or must fall back to
+    * its JSON serialization. Implemented locally (not via Catalyst's
+    * internal `RowOrdering.isOrderable`, which is not a stable public
+    * surface): arrays/structs order iff their element/field types do;
+    * maps and variant never order; anything else unknown-exotic also
+    * falls back — the `to_json` fallback is always correct, just a
+    * little slower to compare.
+    */
+  private[graft] def isOrderable(dt: DataType): Boolean = dt match {
+    case _: MapType                       => false
+    case v if v.typeName == "variant"     => false
+    case a: ArrayType                     => isOrderable(a.elementType)
+    case s: StructType                    => s.fields.forall(f => isOrderable(f.dataType))
+    case _                                => true
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -59,8 +78,7 @@ object AsofJoin {
     // equal time and contribute nothing to `last(ignoreNulls)`, so
     // their mutual order is immaterial.)
     val tiebreak =
-      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(payloadType))
-        col("__payload")
+      if (isOrderable(payloadType)) col("__payload")
       else to_json(col("__payload"))
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col("__t"), col("__side"), tiebreak)

@@ -51,8 +51,12 @@ package object ops {
     * The encoding above is v2 (v1 used an empty separator and a space
     * sentinel, fixed for collision-safety). If it ever changes again,
     * existing sinks must be rewritten (full overwrite run) before the
-    * next append.
+    * next append. Sinks record the version they were written under
+    * (`Healthcare.writeIdempotent` stamps a `_graft_key_version` marker)
+    * and a mismatched append fails fast instead of silently duplicating.
     */
+  val surrogateKeyVersion: Int = 2
+
   def surrogateKey(cols: Seq[Column]): Column =
     md5(concat_ws("\u0001",
       cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))

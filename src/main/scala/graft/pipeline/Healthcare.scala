@@ -146,11 +146,54 @@ object Healthcare {
     * min/max stats prune reads on those columns at 100 TB (the same read
     * paths the Mongo indexes served).
     */
+  /** Marker file recording which surrogate-key derivation a sink was
+    * written under (K1 versioning contract, `ops.surrogateKeyVersion`).
+    * An append against a sink keyed under a DIFFERENT derivation would
+    * pass the anti-join for every row (old keys never match new keys)
+    * and silently duplicate the whole sink — fail fast instead.
+    */
+  private val KeyVersionMarker = "_graft_key_version"
+
+  private def checkKeyVersion(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = new HPath(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new HPath(dir, KeyVersionMarker)
+    if (fs.exists(marker)) {
+      val found = {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+      require(found == surrogateKeyVersion.toString,
+        s"sink $path was written under surrogate-key version $found but this build derives " +
+          s"version ${surrogateKeyVersion} — appending would duplicate every row. " +
+          "Re-run with overwrite to re-key the sink.")
+    }
+  }
+
+  private def stampKeyVersion(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = new HPath(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new HPath(dir, KeyVersionMarker), true)
+    try out.write(s"${surrogateKeyVersion}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** @return (createdRows, totalRowsAfterWrite). The delta is persisted
+    *   (DISK_ONLY — it is about to be written anyway, so burning executor
+    *   memory on a MEMORY_AND_DISK copy of the full output buys nothing)
     *   and counted ONCE; the post-write total is `before + created` — no
     *   re-scan of the full sink after every write (at 100 TB that scan
     *   costs more than the write itself), and no second execution of the
     *   upstream plan for the count.
+    *
+    *   SINGLE-WRITER ASSUMPTION: `before + created` is the observed total
+    *   only if no other writer appends between the `before` count and the
+    *   write — the same assumption the reference's count-then-insert loop
+    *   makes (`migration.py:240-249`). Under concurrent writers, re-scan
+    *   the sink when a strict total is needed.
     */
   def writeIdempotent(
       df: DataFrame, path: String, key: Seq[String], overwrite: Boolean): (Long, Long) = {
@@ -158,17 +201,21 @@ object Healthcare {
     val existing: Option[DataFrame] =
       if (overwrite) None
       else scala.util.Try(spark.read.parquet(path)).toOption
+    if (existing.isDefined) checkKeyVersion(spark, path)
     val before = existing.fold(0L)(_.count())
     val delta = existing.fold(df)(ex => antiExisting(df, ex, key))
     val createdRows = delta
       .repartitionByRange(col(key.head))
       .sortWithinPartitions(key.map(col): _*)
-    createdRows.persist()
+    createdRows.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
       val created = createdRows.count()
       createdRows.write
         .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
         .parquet(path)
+      // stamp AFTER the write: overwrite mode replaces the directory,
+      // which would wipe a pre-write marker
+      stampKeyVersion(spark, path)
       (created, before + created)
     } finally createdRows.unpersist()
   }

@@ -61,6 +61,25 @@ class AsofJoinSpec extends SparkTestBase {
     assert(shuffles.length <= 1, exec.toString)
   }
 
+  test("payload orderability check: maps/variant fall back, atomics/structs/arrays order") {
+    import org.apache.spark.sql.types._
+    import graft.ops.AsofJoin.isOrderable
+    assert(isOrderable(StructType(Seq(StructField("a", DoubleType), StructField("b", StringType)))))
+    assert(isOrderable(ArrayType(LongType)))
+    assert(!isOrderable(MapType(StringType, LongType)))
+    assert(!isOrderable(StructType(Seq(StructField("m", MapType(StringType, LongType))))))
+    assert(!isOrderable(ArrayType(MapType(StringType, LongType))))
+    assert(!isOrderable(VariantType))
+  }
+
+  test("as-of join with a map payload still resolves deterministically") {
+    val right = Seq(("A", 1L, Map("p" -> 10.0)), ("A", 5L, Map("p" -> 11.0)))
+      .toDF("sym", "qt", "m")
+    val out = asofJoin(trades.filter($"sym" === "A"), right, Seq("sym"), "tt", "qt")
+      .filter($"tt" === 7L).head()
+    assert(out.getAs[Map[String, Double]]("asof_m") === Map("p" -> 11.0))
+  }
+
   test("StatsAggregator computes single-pass stats, skipping nulls") {
     val agg = new StatsAggregator().toColumn
     val ds = Seq[java.lang.Double](1.0, 2.0, null, 4.0).toDS()

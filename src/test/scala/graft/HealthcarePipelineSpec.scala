@@ -96,6 +96,26 @@ class HealthcarePipelineSpec extends SparkTestBase {
 
   // -- idempotency (J2 against live sink state) ---------------------------
 
+  test("sink records the surrogate-key version and a mismatched append fails fast") {
+    metrics // force the initial run
+    val marker = java.nio.file.Paths.get(s"$out/patients/_graft_key_version")
+    assert(Files.exists(marker))
+    assert(new String(Files.readAllBytes(marker), "UTF-8").trim ===
+      surrogateKeyVersion.toString)
+    // simulate a sink written under an older derivation (drop Hadoop's
+    // local-FS .crc sidecar, which the out-of-band edit invalidates)
+    val crc = java.nio.file.Paths.get(s"$out/patients/._graft_key_version.crc")
+    Files.write(marker, "1\n".getBytes("UTF-8"))
+    Files.deleteIfExists(crc)
+    val e = intercept[IllegalArgumentException] {
+      Healthcare.run(spark, PipelineConfig(csv, out, overwrite = false, logDir = logDir))
+    }
+    assert(e.getMessage.contains("surrogate-key version"), e.getMessage)
+    // restore for the append-idempotency test
+    Files.write(marker, s"$surrogateKeyVersion\n".getBytes("UTF-8"))
+    Files.deleteIfExists(crc)
+  }
+
   test("re-running in append mode creates nothing new") {
     val before = (patients.count(), admissions.count())
     val m2 = Healthcare.run(

@@ -51,4 +51,31 @@ class SamplingSpec extends SparkTestBase {
     assert(kept.exceptAll(docs).isEmpty) // strictly a subset, rows unchanged
     assert(Sampling.mixKeep(docs, col("doc_id"), lit("zz")).count() === docs.count())
   }
+
+  test("hashSplit rejects malformed and inverted thresholds loudly") {
+    // uppercase compares above every md5 hex char — would silently
+    // assign everything to 'test'
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, col("doc_id"), trainHi = "CD")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, col("doc_id"), trainHi = "c")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, col("doc_id"), valHi = "0g")
+    }
+    // inverted: trainHi > valHi makes 'val' unreachable
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, col("doc_id"), trainHi = "e6", valHi = "cd")
+    }
+  }
+
+  test("mixKeep fails the job on a malformed per-row rate") {
+    val e = intercept[Exception] {
+      Sampling.mixKeep(docs, col("doc_id"), lit("1")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("rateHex")), e.getMessage)
+  }
 }
