@@ -227,6 +227,30 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** q94 — the library's INTENDED near-dup composition, end-to-end:
+    * LSH candidate generation (q65's pigeonhole-complete simhash bands)
+    * → exact unigram-Jaccard rescoring (q58's scorer) → threshold. The
+    * expensive exact compare runs only on the bucket-local candidate
+    * pairs, never all pairs — this is the query a 100 TB dedup pipeline
+    * actually executes, with each certified stage composed.
+    */
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    val subset = docs(s, dir).filter(col("doc_id") < 1000)
+    val pairs = simhashBandPairs(
+      simhashN(subset, col("doc_id"), col("text"), bits = 60),
+      bits = 60, bands = 4, maxHamming = 2)
+    val toks = subset.select(
+      col("doc_id"), array_distinct(split(col("text"), " ")).as("w1"))
+    pairs
+      .join(toks.select(col("doc_id").as("id_a"), col("w1").as("a1")), "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("w1").as("b1")), "id_b")
+      .select(
+        col("id_a"), col("id_b"), col("hamming"),
+        round(jaccardSets(col("a1"), col("b1")), 4).as("jaccard1"))
+      .filter(col("jaccard1") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_exact_dedup"      -> (q55 _),
     "q56_dedup_keep_first" -> (q56 _),
@@ -234,9 +258,13 @@ object Dedup {
     "q58_ngram_jaccard"    -> (q58 _),
     "q59_simhash"          -> (q59 _),
     "q65_simhash_neardup"  -> (q65 _),
+    "q94_band_rescore"     -> (q94 _),
   )
 
-  private val simhashNearDupOracle: String = {
+  /** Shared CTE prefix for the 60-bit/4-band simhash candidate pairs
+    * (used by both the q65 and q94 oracles).
+    */
+  private val simhashCandCte: String = {
     val bits = 60
     val sums = (0 until bits).map(j =>
       s"SUM(CASE WHEN substring(__hex, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j")
@@ -253,11 +281,31 @@ object Dedup {
        |  FROM h),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS ha, b.sh AS hb
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val simhashNearDupOracle: String =
+    s"""$simhashCandCte
        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  private val bandRescoreOracle: String =
+    s"""$simhashCandCte,
+       |pairs AS (
+       |  SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(ha, hb)) <= 2),
+       |t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS w1
+       |      FROM documents WHERE doc_id < 1000)
+       |SELECT p.id_a, p.id_b, p.hamming,
+       |  ROUND(CAST(len(list_intersect(ta.w1, tb.w1)) AS DOUBLE)
+       |        / NULLIF(CAST(len(list_distinct(ta.w1 || tb.w1)) AS DOUBLE), 0), 4) AS jaccard1
+       |FROM pairs p
+       |JOIN t ta ON ta.doc_id = p.id_a
+       |JOIN t tb ON tb.doc_id = p.id_b
+       |WHERE ROUND(CAST(len(list_intersect(ta.w1, tb.w1)) AS DOUBLE)
+       |        / NULLIF(CAST(len(list_distinct(ta.w1 || tb.w1)) AS DOUBLE), 0), 4) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
 
   private val simhashOracle: String = {
     val sums = (0 until simhashBits).map(j =>
@@ -294,5 +342,6 @@ object Dedup {
         |ORDER BY id_a""".stripMargin,
     "q59_simhash" -> simhashOracle,
     "q65_simhash_neardup" -> simhashNearDupOracle,
+    "q94_band_rescore" -> bandRescoreOracle,
   )
 }

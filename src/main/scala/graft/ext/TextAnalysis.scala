@@ -117,12 +117,82 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** q91 — within-document repetition ratio (the Gopher/C4 duplicate-
+    * token signal): 1 - distinct/total tokens. A doc that repeats itself
+    * (boilerplate, scraper loops) scores high and gets filtered before
+    * any cross-document dedup ever runs. Pure map-side projection.
+    */
+  def q91(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        round(lit(1.0) -
+          size(array_distinct(col("ws"))).cast("double") / size(col("ws")), 4)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+
+  /** q92 — Gopher-style quality rule battery: token count, mean word
+    * length, stopword fraction, and the keep/drop decision. The keep
+    * predicate is evaluated in INTEGER arithmetic (stop_hits*10 <=
+    * 3*n_tokens instead of stop_frac <= 0.3) so the boundary can never
+    * drift between engines; the fractional columns are display-only.
+    */
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val nTokens = size(ws)
+    val stopHits = size(filter(ws, w => w.isin("the", "a")))
+    val nonspace = length(regexp_replace(col("text"), " ", ""))
+    docs(s, dir).select(
+      col("doc_id"),
+      nTokens.cast("long").as("n_tokens"),
+      round(stopHits.cast("double") / nTokens, 4).as("stop_frac"),
+      round(nonspace.cast("double") / nTokens, 4).as("mean_wlen"),
+      when(
+        nTokens >= 20 &&
+          stopHits * 10 <= nTokens * 3 && // stop_frac <= 0.30
+          nonspace >= nTokens * 3 &&      // mean word length in [3, 8]
+          nonspace <= nTokens * 8,
+        1).otherwise(0).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** q93 — PII scrubbing: redact emails then phone-shaped tokens via
+    * sequential regexp_replace (map-side, codegen'd — the 100 TB shape
+    * is N scans of a regex automaton per doc, no shuffle). The fixture
+    * corpus has no PII, so the query synthesizes a contact line per
+    * customer, proving the redaction hits; clean text passes through
+    * byte-identical (asserted in the spec).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "555-[0-9]{4}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRe, "[EMAIL]"),
+      phoneRe, "[PHONE]")
+
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(
+      col("c_name"), lit(" <user"), col("c_custkey").cast("string"),
+      lit("@mail.example.com> tel 555-"),
+      lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"))
+    Tables.table(s, dir, "customer")
+      .select(col("c_custkey"), scrubPii(synth).as("scrubbed"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
     "q52_quality_score" -> (q52 _),
     "q53_token_count"   -> (q53 _),
     "q54_fingerprint"   -> (q54 _),
+    "q91_doc_repetition" -> (q91 _),
+    "q92_gopher_rules"   -> (q92 _),
+    "q93_pii_scrub"      -> (q93 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -164,5 +234,35 @@ object TextAnalysis {
     "q54_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q91_doc_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        |  ROUND(1.0 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |        / len(string_split(text,' ')), 4) AS rep_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q92_gopher_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(string_split(text,' ')) AS n_tokens,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS stop_hits,
+        |    length(replace(text, ' ', '')) AS nonspace
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stop_frac,
+        |  ROUND(CAST(nonspace AS DOUBLE) / n_tokens, 4) AS mean_wlen,
+        |  CAST(CASE WHEN n_tokens >= 20 AND stop_hits * 10 <= n_tokens * 3
+        |              AND nonspace >= n_tokens * 3 AND nonspace <= n_tokens * 8
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q93_pii_scrub" ->
+      """SELECT c_custkey,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@mail.example.com> tel 555-'
+        |        || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '555-[0-9]{4}', '[PHONE]', 'g') AS scrubbed
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops._
+
+/** Round-4 certification queries: the skew tools get oracle rows (they
+  * were implemented and unit-tested but never driver-certified — the
+  * same gap the round-2 verdict flagged for as-of/range/UDAF), plus a
+  * TPC-H Q3-shape join that exercises join ORDERING (two filters on two
+  * different tables, three-way join, decimal top-k).
+  */
+object Round4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ---- Q88 (saltedResolveFk certification): the salted fact→dim join
+  // must produce EXACTLY the plain-join result — the salt changes the
+  // shuffle profile (hot key spread over 8 reducers), never the rows.
+  // Oracle = the unsalted LEFT JOIN. Revenue in DECIMAL (§7.4.5).
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val dim = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    saltedResolveFk(fact, dim, Seq("c_custkey"), buckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ---- Q89 (dedupFirstWinsSalted certification): two-phase salted
+  // first-wins dedup composes (min over per-salt minima = global min),
+  // so the result must equal the single-shuffle window dedup. Oracle =
+  // plain ROW_NUMBER()=1. (l_orderkey, l_linenumber) is NOT unique in
+  // this synthetic data — the order spans the full payload (rows are
+  // unique) so it is total and the winner deterministic.
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    dedupFirstWinsSalted(li, Seq("l_orderkey"),
+      Seq(col("l_linenumber"), col("l_quantity"), col("l_extendedprice")),
+      buckets = 8)
+      .orderBy("l_orderkey")
+  }
+
+  // ---- Q90 (TPC-H Q3 shape): segment filter on customer, date filters
+  // on orders AND lineitem, 3-way join, decimal revenue, top-10. The
+  // plan to want: both date filters pushed to their scans, customer
+  // broadcast, TakeOrderedAndProject for the limit (never a global
+  // sort). Revenue in DECIMAL so the descending order — and therefore
+  // WHICH rows make the top 10 — is bit-identical across engines.
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("date"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val revenue = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount").cast("decimal(18,2)"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(round(sum(revenue), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_salted_join"  -> (q88 _),
+    "q89_salted_dedup" -> (q89 _),
+    "q90_tpch_q3"      -> (q90 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q88_salted_join" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n,
+        |       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q89_salted_dedup" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "q90_tpch_q3" ->
+      """SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+        |       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |                      (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+        |            AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < DATE '1998-01-01'
+        |  AND l.l_shipdate > DATE '1998-01-01'
+        |GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+  )
+}

@@ -171,6 +171,18 @@ class ExtensionsSpec extends SparkTestBase {
     assert(df.head().getLong(0) === r.getLong(0))
   }
 
+  test("scrubPii redacts emails and phone tokens, passes clean text through untouched") {
+    val df = Seq(
+      "reach me at jane.doe+spam@sub.example.co.uk today",
+      "call 555-0199 or 555-12345 now", // second token: only the 555-1234 prefix matches
+      "the fast key order sort table scan" // clean corpus text — must be identity
+    ).toDF("t").select(TextAnalysis.scrubPii($"t").as("s"))
+    val out = df.collect().map(_.getString(0))
+    assert(out(0) === "reach me at [EMAIL] today")
+    assert(out(1) === "call [PHONE] or [PHONE]5 now")
+    assert(out(2) === "the fast key order sort table scan")
+  }
+
   test("decodeBatch: per-partition batch decode with typed output schema") {
     val media = Multimodal.binarize(
       Seq((1L, "hello"), (2L, "world")).toDF("id", "t"), $"id", $"t")

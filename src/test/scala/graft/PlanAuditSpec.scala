@@ -233,4 +233,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.indexOf("WindowGroupLimit", first + 1) > first,
       s"expected Partial AND Final WindowGroupLimit:\n$p")
   }
+
+  test("q90 TPC-H Q3: both date filters push to their scans, top-10 is TakeOrdered") {
+    val p = plan("q90_tpch_q3")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("o_orderdate") && p.contains("l_shipdate") &&
+      p.contains("c_mktsegment"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q88 salted join spreads the key but plans only equi-joins") {
+    val p = finalPlan("q88_salted_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q93 PII scrub is a pure map-side projection (no shuffle beyond output order)") {
+    val p = plan("q93_pii_scrub")
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n == 1 && p.contains("Exchange rangepartitioning"),
+      s"expected only the ORDER BY range exchange:\n$p")
+  }
+
+  test("q91/q92 quality signals stay in-row (no Generate fan-out)") {
+    Seq("q91_doc_repetition", "q92_gopher_rules").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Generate"), s"$name explodes where a map suffices:\n$p")
+    }
+  }
 }
