@@ -491,7 +491,10 @@ object Capability {
   // engines (Spark `/` on bigint is double division; DuckDB needs `//`
   // for integer div). ---------------------------------------------------
   def q85(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "customer").createOrReplaceTempView("rc_customer")
+    // project the ONE column the recursion touches before registering
+    // the view: the base relation is re-scanned every iteration, so
+    // column pruning here is multiplied by the recursion depth
+    t(s, dir, "customer").select("c_custkey").createOrReplaceTempView("rc_customer")
     s.sql(
       """WITH RECURSIVE tree(k, depth) AS (
         |  SELECT CAST(0 AS BIGINT) AS k, 0 AS depth

@@ -74,10 +74,60 @@ object Round4 {
       .limit(10)
   }
 
+  // ---- Q95 (ops.Cdc.applyChanges certification): apply a synthesized
+  // changelog (updates + deletes keyed into the customer snapshot;
+  // latest sequence number wins) and return the merged snapshot. The
+  // oracle desugars the same semantics: ROW_NUMBER DESC = 1 per key,
+  // anti-join survivors, union non-delete winners.
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    val changes = t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("u"), col("o_orderkey").cast("string")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"),
+        when(col("o_orderkey") % 10 === 0, "delete").otherwise("update").as("op"),
+        col("o_orderkey").as("seq"))
+    graft.ops.Cdc.applyChanges(base, changes, Seq("c_custkey"), "op", col("seq"))
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+  }
+
+  // ---- Q96 (ops.Layout.zorderKey certification): the Morton curve key
+  // itself, computed with FROZEN stats literals so the oracle needs no
+  // stats pass. Certifying the key certifies the clustering: the write
+  // path only range-partitions and sorts on this value.
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    val z = graft.ops.Layout.zorderKey(
+      Seq(col("l_partkey"), col("l_suppkey")),
+      Seq((1.0, 2000.0), (1.0, 100.0)), bitsPerCol = 16)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), z.as("zkey"))
+      .orderBy("l_orderkey", "l_linenumber", "zkey")
+  }
+
+  private val zorderOracle: String = {
+    val bits = 16
+    val stats = Seq(("l_partkey", 1.0, 2000.0), ("l_suppkey", 1.0, 100.0))
+    val norms = stats.map { case (c, mn, mx) =>
+      s"LEAST(GREATEST(CAST(FLOOR(((CAST($c AS DOUBLE) - $mn) / ${mx - mn}) * 65535) AS BIGINT), 0), 65535)"
+    }
+    val n = norms.size
+    val terms = for {
+      j <- 0 until bits
+      (norm, i) <- norms.zipWithIndex
+    } yield s"((($norm >> $j) & 1) << ${j * n + i})"
+    s"""SELECT l_orderkey, l_linenumber, CAST(${terms.mkString(" | ")} AS BIGINT) AS zkey
+       |FROM lineitem ORDER BY l_orderkey, l_linenumber, zkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_salted_join"  -> (q88 _),
     "q89_salted_dedup" -> (q89 _),
     "q90_tpch_q3"      -> (q90 _),
+    "q95_cdc_apply"    -> (q95 _),
+    "q96_zorder_key"   -> (q96 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -105,5 +155,24 @@ object Round4 {
         |  AND l.l_shipdate > DATE '1998-01-01'
         |GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q95_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         'u' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        |         o_totalprice AS c_acctbal,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'delete' ELSE 'update' END AS op,
+        |         o_orderkey AS seq
+        |  FROM orders WHERE o_orderkey <= 1000),
+        |latest AS (
+        |  SELECT c_custkey, c_name, c_acctbal, op FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal FROM (
+        |  SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal FROM latest WHERE lower(op) <> 'delete')
+        |ORDER BY c_custkey""".stripMargin,
+    "q96_zorder_key" -> zorderOracle,
   )
 }
