@@ -122,12 +122,25 @@ object Round4 {
        |FROM lineitem ORDER BY l_orderkey, l_linenumber, zkey""".stripMargin
   }
 
+  // ---- Q97 (ops.Sketches rows-only): per-rollup approx uniques from
+  // MERGED per-shard HLL sketches — the persist-then-merge distinct
+  // pattern. Sketch estimates are engine-specific (DataSketches HLL vs
+  // DuckDB's), so no hash oracle; merge-losslessness and the 5% error
+  // bound vs exact are spec-asserted (LayoutSpec).
+  def q97(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.distinctByRollup(
+      t(s, dir, "orders"),
+      shard = Seq("o_orderstatus"), rollup = Seq("o_orderpriority"),
+      col("o_custkey"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_salted_join"  -> (q88 _),
     "q89_salted_dedup" -> (q89 _),
     "q90_tpch_q3"      -> (q90 _),
     "q95_cdc_apply"    -> (q95 _),
     "q96_zorder_key"   -> (q96 _),
+    "q97_hll_rollup"   -> (q97 _),
   )
 
   val oracleSql: Map[String, String] = Map(

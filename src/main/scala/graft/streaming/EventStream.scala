@@ -153,6 +153,68 @@ object EventStream {
         expr(s"""$leftKey = $rightKey AND
                 |$rightTs BETWEEN $leftTs - INTERVAL $within AND $leftTs""".stripMargin))
 
+  /** Streaming CDC apply — a changelog stream maintained into a parquet
+    * snapshot via `foreachBatch`. The snapshot CARRIES each row's
+    * changelog sequence number (`orderCol`), and every micro-batch
+    * merges snapshot ∪ batch latest-wins on that sequence — so a
+    * late-arriving LOWER sequence number never overwrites newer state,
+    * across batches, not just within one. Replayed batches converge to
+    * the same snapshot (same winners at equal sequence because payloads
+    * are identical), giving exactly-once EFFECT without sink
+    * transactions.
+    *
+    * Deletes are physically removed, not tombstoned: a change for a
+    * deleted key older than the delete can therefore resurrect it only
+    * if it arrives AFTER the delete was applied — full protection
+    * requires retained tombstones with TTL compaction (the standard
+    * trade; out of scope here and documented).
+    *
+    * At 100 TB the rewrite targets the PARTITIONS the batch touches
+    * (partition-overwrite), not the whole table — the stage-and-swap
+    * full rewrite here is the bounded-test shape of that pattern.
+    */
+  def cdcApplyStream(
+      changes: DataFrame,
+      snapshotPath: String,
+      key: Seq[String],
+      opCol: String,
+      orderCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val snapshotSchema = org.apache.spark.sql.types.StructType(
+      changes.schema.filterNot(_.name == opCol))
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val base = scala.util.Try(spark.read.parquet(snapshotPath)).getOrElse(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapshotSchema))
+        // snapshot rows re-enter the merge as 'update' changes at their
+        // STORED sequence — the staleness guard
+        val all = base.withColumn(opCol, lit("update"))
+          .unionByName(batch.select(base.columns.map(col) :+ col(opCol): _*))
+        val others = all.columns.filterNot(key.contains)
+        val latest = all
+          .groupBy(key.map(col): _*)
+          .agg(max_by(struct(others.map(col).toIndexedSeq: _*), col(orderCol)).as("__w"))
+          .select(key.map(col) ++ others.map(c => col(s"__w.$c").as(c)): _*)
+        val next = latest
+          .filter(lower(col(opCol)) =!= "delete")
+          .select(snapshotSchema.fieldNames.map(col).toIndexedSeq: _*)
+        // stage-and-swap, never read-and-overwrite in place (the merged
+        // plan reads the path being replaced), and never collect to the
+        // driver — the swap is two metadata ops on the FileSystem
+        import org.apache.hadoop.fs.{Path => HPath}
+        val dst = new HPath(snapshotPath)
+        val stage = new HPath(snapshotPath + "__stage")
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        next.write.mode("overwrite").parquet(stage.toString)
+        fs.delete(dst, true)
+        if (!fs.rename(stage, dst))
+          throw new java.io.IOException(s"swap failed: $stage -> $dst")
+        ()
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the memory sink and
     * return the collected table (AvailableNow semantics via
     * processAllAvailable — deterministic for file sources).

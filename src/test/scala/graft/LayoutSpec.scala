@@ -107,6 +107,38 @@ class LayoutSpec extends SparkTestBase {
     assert(out.toSeq === Seq((1L, "a", 10), (2L, "b3", 22), (4L, "d", 40)))
   }
 
+  test("HLL sketches: shard-sketch union estimate equals the whole-table sketch estimate") {
+    import graft.ops.Sketches
+    val docs = spark.read.parquet(s"$sf/orders.parquet")
+    // per-status shards, merged back — the persist-then-merge pattern
+    val merged = docs.groupBy("o_orderstatus")
+      .agg(Sketches.hllSketch(col("o_custkey")).as("sk"))
+      .agg(Sketches.hllEstimate(Sketches.hllMerge(col("sk"))).as("est"))
+      .head().getLong(0)
+    val direct = docs
+      .agg(Sketches.hllEstimate(Sketches.hllSketch(col("o_custkey"))).as("est"))
+      .head().getLong(0)
+    assert(merged === direct, "sketch union must be lossless vs one-shot sketching")
+    val exact = docs.select("o_custkey").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact beyond 5%")
+  }
+
+  test("distinctByRollup estimates per-rollup uniques within error") {
+    import graft.ops.Sketches
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val est = Sketches.distinctByRollup(
+      orders, shard = Seq("o_orderstatus"), rollup = Seq("o_orderpriority"),
+      col("o_custkey"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n).toDouble / n < 0.05, s"$k: est ${est(k)} vs exact $n")
+    }
+  }
+
   test("applyChanges is idempotent: re-applying the same changelog is a no-op") {
     val base = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "v")
     val changes = Seq((2L, "b2", 21, "update", 1L), (9L, "z", 90, "insert", 1L))

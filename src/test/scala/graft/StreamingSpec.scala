@@ -190,4 +190,28 @@ class StreamingSpec extends SparkTestBase {
     assert(byWindow(0L) === 1L) // hour-0 window: only the minute-5 event; minute-6 dropped
     assert(byWindow(3L) === 2L) // hour-3 window: minutes 200 and 201
   }
+
+  test("cdcApplyStream: latest-wins across batches, stale updates lose, deletes remove") {
+    val snap = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/snapshot"
+    val input = MemoryStream[(Long, String, Int, String, Long)](spark)
+    val changes = input.toDF().toDF("id", "name", "v", "op", "seq")
+    val q = EventStream.cdcApplyStream(changes, snap, Seq("id"), "op", "seq")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString)
+      .start()
+    try {
+      // batch 1: two inserts, one update superseding an insert
+      input.addData((1L, "a", 1, "insert", 1L), (2L, "b", 2, "insert", 2L),
+        (1L, "a2", 11, "update", 3L))
+      q.processAllAvailable()
+      // batch 2: delete one key, insert another, and a LATE lower-seq
+      // update for id=1 — the snapshot carries seq, so it must LOSE
+      input.addData((2L, "b", 2, "delete", 4L), (3L, "c", 3, "insert", 5L),
+        (1L, "stale", 0, "update", 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(snap).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, "a2", 11), (3L, "c", 3)))
+  }
 }
