@@ -42,13 +42,75 @@ object AsofJoin {
     case _                                => true
   }
 
+  /** Join direction: Backward attaches the latest right row at or
+    * before the left time (the default, `rightTime <= leftTime`);
+    * Forward the earliest right row at or after it
+    * (`rightTime >= leftTime`); Nearest whichever of the two is closer
+    * in absolute time (ties -> the backward match, the convention
+    * pandas `merge_asof(direction='nearest')` uses).
+    */
+  sealed trait Direction
+  case object Backward extends Direction
+  case object Forward extends Direction
+  case object Nearest extends Direction
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       key: Seq[String],
       leftTime: String,
       rightTime: String,
-      payloadPrefix: String = "asof_"): DataFrame = {
+      payloadPrefix: String = "asof_"): DataFrame =
+    asofJoinDir(left, right, key, leftTime, rightTime, Backward, payloadPrefix)
+
+  /** Directional as-of. Forward mirrors Backward: the window simply
+    * orders time DESCENDING, so "latest at-or-before" becomes "earliest
+    * at-or-after" with the identical one-shuffle plan. Nearest runs both
+    * passes over the same keyed partitioning and picks per-row — two
+    * window passes, still ONE shuffle (both windows share the key
+    * partitioning; AQE reuses the exchange).
+    */
+  def asofJoinDir(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      direction: Direction,
+      payloadPrefix: String = "asof_"): DataFrame = direction match {
+    case Nearest =>
+      // each pass carries the matched right TIME as extra payload
+      // (`__rt`) so the per-row distance compare is local arithmetic;
+      // distances go through cast("double") (epoch seconds for
+      // timestamps), ties prefer the backward match
+      val rAug = right.withColumn("__rt", col(rightTime))
+      val back = asofJoinDirImpl(left, rAug, key, leftTime, rightTime,
+        forward = false, "__b_")
+      val both = asofJoinDirImpl(back, rAug, key, leftTime, rightTime,
+        forward = true, "__f_")
+      val lt = col(leftTime).cast("double")
+      val useBack = col("__f___rt").isNull ||
+        (col("__b___rt").isNotNull &&
+          (lt - col("__b___rt").cast("double")) <= (col("__f___rt").cast("double") - lt))
+      val payloadCols = right.columns.filterNot(c => key.contains(c) || c == rightTime)
+      both.select(
+        (left.columns.map(col) ++ payloadCols.map(c =>
+          when(useBack, col(s"__b_$c")).otherwise(col(s"__f_$c"))
+            .as(s"$payloadPrefix$c"))).toIndexedSeq: _*)
+    case Backward =>
+      asofJoinDirImpl(left, right, key, leftTime, rightTime, forward = false, payloadPrefix)
+    case Forward =>
+      asofJoinDirImpl(left, right, key, leftTime, rightTime, forward = true, payloadPrefix)
+  }
+
+  private def asofJoinDirImpl(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      forward: Boolean,
+      payloadPrefix: String): DataFrame = {
     val payloadCols = right.columns.filterNot(c => key.contains(c) || c == rightTime)
     val leftOnly = left.columns.filterNot(key.contains)
     val payloadStruct = struct(payloadCols.map(col).toIndexedSeq: _*)
@@ -80,8 +142,12 @@ object AsofJoin {
     val tiebreak =
       if (isOrderable(payloadType)) col("__payload")
       else to_json(col("__payload"))
+    // forward = the same plan over time DESCENDING: "latest at-or-
+    // before" becomes "earliest at-or-after"; rights still sort before
+    // lefts at equal time so ties stay inclusive in both directions
+    val timeOrder = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("__t"), col("__side"), tiebreak)
+      .orderBy(timeOrder, col("__side"), tiebreak)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightAligned.unionByName(leftAligned)
       .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))

@@ -134,6 +134,26 @@ object Round4 {
       col("o_custkey"))
       .orderBy("o_orderpriority")
 
+  // ---- Q98 (forward as-of join): for each click, the EARLIEST
+  // purchase at or after it per user — q67's mirror, certifying
+  // ops.AsofJoin's Forward direction against DuckDB's ASOF with a
+  // `<=` condition. Right side pre-aggregated to unique (user, ts) so
+  // pick-at-equal-time is unique by construction.
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("r_value"))
+    graft.ops.AsofJoin.asofJoinDir(
+      clicks, purchases,
+      key = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      direction = graft.ops.AsofJoin.Forward)
+      .select(col("user_id"), col("event_id"), col("asof_r_value"))
+      .orderBy("event_id", "user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_salted_join"  -> (q88 _),
     "q89_salted_dedup" -> (q89 _),
@@ -141,6 +161,7 @@ object Round4 {
     "q95_cdc_apply"    -> (q95 _),
     "q96_zorder_key"   -> (q96 _),
     "q97_hll_rollup"   -> (q97 _),
+    "q98_asof_forward" -> (q98 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -187,5 +208,12 @@ object Round4 {
         |  SELECT c_custkey, c_name, c_acctbal FROM latest WHERE lower(op) <> 'delete')
         |ORDER BY c_custkey""".stripMargin,
     "q96_zorder_key" -> zorderOracle,
+    "q98_asof_forward" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, ts, ROUND(MAX(value), 2) AS asof_r_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.user_id, l.event_id, r.asof_r_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY l.event_id, l.user_id""".stripMargin,
   )
 }

@@ -61,6 +61,37 @@ class AsofJoinSpec extends SparkTestBase {
     assert(shuffles.length <= 1, exec.toString)
   }
 
+  test("forward as-of: earliest right row at or after each left time") {
+    import graft.ops.AsofJoin
+    val out = AsofJoin.asofJoinDir(trades, quotes, Seq("sym"), "tt", "qt", AsofJoin.Forward)
+      .orderBy("sym", "tt")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq === Seq(
+      ("A", 0L, Some(10.0)),  // earliest quote at/after 0 is qt=1
+      ("A", 5L, Some(11.0)),  // tie at 5 matches
+      ("A", 7L, Some(12.0)),  // next quote is qt=9
+      ("A", 12L, None),       // nothing after 12
+      ("B", 3L, Some(99.0)),  // B's quote at 4
+      ("C", 1L, None)))
+  }
+
+  test("nearest as-of picks the closer side, backward on ties") {
+    import graft.ops.AsofJoin
+    val out = AsofJoin.asofJoinDir(trades, quotes, Seq("sym"), "tt", "qt", AsofJoin.Nearest)
+      .orderBy("sym", "tt")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq === Seq(
+      ("A", 0L, Some(10.0)),  // only forward exists (qt=1)
+      ("A", 5L, Some(11.0)),  // exact hit
+      ("A", 7L, Some(11.0)),  // back dist 2 (qt=5) <= fwd dist 2 (qt=9): tie -> backward
+      ("A", 12L, Some(12.0)), // only backward exists
+      ("B", 3L, Some(99.0)),  // only forward exists
+      ("C", 1L, None)))       // no quotes at all
+  }
+
   test("payload orderability check: maps/variant fall back, atomics/structs/arrays order") {
     import org.apache.spark.sql.types._
     import graft.ops.AsofJoin.isOrderable
