@@ -65,10 +65,11 @@ object AsofJoin {
 
   /** Directional as-of. Forward mirrors Backward: the window simply
     * orders time DESCENDING, so "latest at-or-before" becomes "earliest
-    * at-or-after" with the identical one-shuffle plan. Nearest runs both
-    * passes over the same keyed partitioning and picks per-row — two
-    * window passes, still ONE shuffle (both windows share the key
-    * partitioning; AQE reuses the exchange).
+    * at-or-after" with the identical one-shuffle plan. Nearest composes
+    * the two passes — the forward pass unions fresh right-side rows
+    * into the backward result, so it re-shuffles on the key: TWO keyed
+    * shuffles total (asserted in AsofJoinSpec), the price of carrying
+    * both candidates; still no range explosion and no per-key loop.
     */
   def asofJoinDir(
       left: DataFrame,

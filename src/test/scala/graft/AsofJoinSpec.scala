@@ -92,6 +92,20 @@ class AsofJoinSpec extends SparkTestBase {
       ("C", 1L, None)))       // no quotes at all
   }
 
+  test("nearest as-of costs exactly two keyed shuffles") {
+    import graft.ops.AsofJoin
+    val df = AsofJoin.asofJoinDir(trades, quotes, Seq("sym"), "tt", "qt", AsofJoin.Nearest)
+    df.write.format("noop").mode("overwrite").save()
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length <= 2, exec.toString)
+  }
+
   test("payload orderability check: maps/variant fall back, atomics/structs/arrays order") {
     import org.apache.spark.sql.types._
     import graft.ops.AsofJoin.isOrderable
