@@ -38,4 +38,32 @@ object RangeJoin {
       .filter(col(startCol) <= col(pointCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval overlap join (`lStart <= rEnd AND rStart <=
+    * lEnd`) — the two-sided generalization of [[rangeJoin]]. Both sides
+    * explode to their bucket ranges; a pair sharing k buckets would
+    * surface k times, so the join keeps each pair ONLY in the first
+    * bucket both occupy (`max(startBucket_l, startBucket_r)`) — a pure
+    * per-row filter, no post-distinct shuffle. Column names must be
+    * disjoint across the two sides. Cost: one hash shuffle of
+    * N×(avg span/width) per side.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(s: String, e: String) = explode(sequence(
+      floor(col(s) / bucketWidth).cast("long"),
+      floor(col(e) / bucketWidth).cast("long")))
+    val l = left.withColumn("__bucket", buckets(lStart, lEnd))
+    val r = right.withColumn("__bucket", buckets(rStart, rEnd))
+    l.join(r, Seq("__bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bucket") === greatest(
+        floor(col(lStart) / bucketWidth), floor(col(rStart) / bucketWidth)).cast("long"))
+      .drop("__bucket")
+  }
 }

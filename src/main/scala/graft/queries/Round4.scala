@@ -154,6 +154,26 @@ object Round4 {
       .orderBy("event_id", "user_id")
   }
 
+  // ---- Q99 (interval overlap join): order-derived intervals × customer-
+  // derived intervals — certifies ops.RangeJoin.intervalOverlapJoin's
+  // first-shared-bucket dedup (each overlapping pair appears EXACTLY
+  // once) against the plain overlap-condition join.
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 200)
+      .select(
+        col("o_orderkey"),
+        (col("o_custkey") - 5).as("ls"), (col("o_custkey") + 5).as("le"))
+    val ri = t(s, dir, "customer")
+      .filter(col("c_custkey") <= 300)
+      .select(
+        col("c_custkey"),
+        (col("c_custkey") - 2).as("rs"), (col("c_custkey") + 2).as("re"))
+    graft.ops.RangeJoin.intervalOverlapJoin(li, ri, "ls", "le", "rs", "re", bucketWidth = 16L)
+      .select("o_orderkey", "c_custkey")
+      .orderBy("o_orderkey", "c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_salted_join"  -> (q88 _),
     "q89_salted_dedup" -> (q89 _),
@@ -162,6 +182,7 @@ object Round4 {
     "q96_zorder_key"   -> (q96 _),
     "q97_hll_rollup"   -> (q97 _),
     "q98_asof_forward" -> (q98 _),
+    "q99_interval_overlap" -> (q99 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -215,5 +236,13 @@ object Round4 {
         |SELECT l.user_id, l.event_id, r.asof_r_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id, l.user_id""".stripMargin,
+    "q99_interval_overlap" ->
+      """SELECT l.o_orderkey, r.c_custkey
+        |FROM (SELECT o_orderkey, o_custkey - 5 AS ls, o_custkey + 5 AS le
+        |      FROM orders WHERE o_orderkey <= 200) l
+        |JOIN (SELECT c_custkey, c_custkey - 2 AS rs, c_custkey + 2 AS re
+        |      FROM customer WHERE c_custkey <= 300) r
+        |ON l.ls <= r.re AND r.rs <= l.le
+        |ORDER BY o_orderkey, c_custkey""".stripMargin,
   )
 }
