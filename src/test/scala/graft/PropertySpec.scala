@@ -116,4 +116,60 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("z-order bit interleave is a bijection on the quantized grid") {
+    // injectivity on pairs within the bit budget: z(a,b) == z(c,d) iff
+    // (a,b) == (c,d) — verified pure-Scala against the Column expression
+    // on a sampled grid
+    val pairGen = for {
+      a <- Gen.choose(0L, 255L); b <- Gen.choose(0L, 255L)
+      c <- Gen.choose(0L, 255L); d <- Gen.choose(0L, 255L)
+    } yield (a, b, c, d)
+    def zScala(x: Long, y: Long): Long =
+      (0 until 8).map(j => (((x >> j) & 1) << (2 * j)) | (((y >> j) & 1) << (2 * j + 1))).reduce(_ | _)
+    forAllSampled(pairGen, 200) { case (a, b, c, d) =>
+      assert((zScala(a, b) == zScala(c, d)) === ((a, b) == (c, d)))
+    }
+    // the Column expression agrees with the reference bit math
+    val samples = forAllCollect(pairGen, 30)
+    val df = samples.map { case (a, b, _, _) => (a, b) }.toDF("x", "y")
+      .select(org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"),
+        ops.Layout.interleaveBits(
+          Seq(org.apache.spark.sql.functions.col("x"),
+            org.apache.spark.sql.functions.col("y")), 8).as("z"))
+    df.collect().foreach(r => assert(r.getLong(2) === zScala(r.getLong(0), r.getLong(1))))
+  }
+
+  test("interval overlap join equals the naive join for random interval sets") {
+    val ivGen = Gen.listOfN(12, for {
+      s <- Gen.choose(-50L, 50L); len <- Gen.choose(0L, 20L)
+    } yield (s, s + len))
+    forAllSampled(Gen.zip(ivGen, ivGen, Gen.oneOf(1L, 3L, 8L, 64L)), 5) {
+      case (as, bs, width) =>
+        val a = as.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+          .toDF("aid", "as", "ae")
+        val b = bs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+          .toDF("bid", "bs", "be")
+        val naive = a.join(b, $"as" <= $"be" && $"bs" <= $"ae")
+          .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sorted.toSeq
+        val bucketed = ops.RangeJoin.intervalOverlapJoin(a, b, "as", "ae", "bs", "be", width)
+          .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sorted.toSeq
+        assert(bucketed === naive, s"width=$width")
+    }
+  }
+
+  private def forAllCollect[A](gen: Gen[A], n: Int): Seq[A] = {
+    var seed = Seed(7L)
+    val buf = scala.collection.mutable.Buffer.empty[A]
+    var tries = 0
+    while (buf.size < n && tries < n * 10) {
+      gen.apply(Gen.Parameters.default, seed).foreach(buf += _)
+      seed = seed.next
+      tries += 1
+    }
+    buf.toSeq
+  }
 }
