@@ -58,4 +58,20 @@ object Sources {
     */
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  /** Read a parquet directory whose files were written under EVOLVING
+    * schemas (columns added over time — the normal life of a 100 TB
+    * table). `mergeSchema` unions the per-file footers; files written
+    * before a column existed surface NULL for it. Schema merging reads
+    * every footer, so production tables should pin the merged schema
+    * once (pass `pinned`) instead of re-merging per query — pinning
+    * also restores ordinary footer-skipping scan startup.
+    */
+  def readParquetEvolved(
+      spark: SparkSession, path: String,
+      pinned: Option[StructType] = None): DataFrame =
+    pinned match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None    => spark.read.option("mergeSchema", "true").parquet(path)
+    }
 }

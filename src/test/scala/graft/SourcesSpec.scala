@@ -73,4 +73,23 @@ class SourcesSpec extends SparkTestBase {
     assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
       s"pruning missing:\n$plan")
   }
+
+  test("schema evolution: merged read unions columns, old files yield nulls") {
+    import spark.implicits._
+    val path = tmp("evolve")
+    // epoch 1: two columns
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(path)
+    // epoch 2: a column added — appended files carry the wider schema
+    Seq((3L, "c", 30.0)).toDF("id", "name", "score")
+      .write.mode("append").parquet(path)
+    val merged = Sources.readParquetEvolved(spark, path)
+    assert(merged.columns.sorted.toSeq === Seq("id", "name", "score"))
+    val rows = merged.orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSeq
+    assert(rows === Seq((1L, None), (2L, None), (3L, Some(30.0))))
+    // pinned read: same data without per-query footer merging
+    val pinned = Sources.readParquetEvolved(spark, path, Some(merged.schema))
+    assert(pinned.exceptAll(merged).isEmpty && merged.exceptAll(pinned).isEmpty)
+  }
 }
