@@ -165,11 +165,40 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Per-vector max-abs int8 quantization: scale = 127/max|x|, code =
+    * floor(x*scale). The 4× storage/bandwidth compression every
+    * large-scale ANN index applies before sharding; floor (not round)
+    * because round's half-case tie-breaking differs across engines
+    * while floor is universal. Dequant error ≤ 1/scale by construction.
+    */
+  def quantizeInt8(v: Column): (Column, Column) = {
+    val d = asDouble(v)
+    val scale = lit(127.0) / array_max(transform(d, abs(_)))
+    (scale, transform(d, x => floor(x * scale)))
+  }
+
+  /** q100 — int8 quantization with its measured reconstruction error:
+    * the quantized codes hash-match the oracle exactly (integer output
+    * of identical double math), and the max dequantization error is
+    * certified under the 1/scale bound.
+    */
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    val (scale, codes) = quantizeInt8(col("embedding"))
+    val d = asDouble(col("embedding"))
+    emb(s, dir).select(
+      col("vec_id"),
+      codes.as("q8"),
+      round(array_max(zip_with(d, codes, (x, c) => abs(x - c / scale))), 4)
+        .as("max_err"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_knn_brute" -> (q60 _),
     "q61_knn_lsh"   -> (q61 _),
     "q64_knn_ivf"   -> (q64 _),
     "q66_embedding_neardup" -> (q66 _),
+    "q100_embed_quant" -> (q100 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -212,5 +241,14 @@ object Similarity {
         |       ROUND(MAX(sim), 2) AS max_sim,
         |       COUNT(*) AS pairs
         |FROM sims GROUP BY label ORDER BY label""".stripMargin,
+    "q100_embed_quant" ->
+      """WITH t AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |         127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS s
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  list_transform(e, x -> CAST(FLOOR(x * s) AS BIGINT)) AS q8,
+        |  ROUND(list_max(list_transform(e, x -> abs(x - FLOOR(x * s) / s))), 4) AS max_err
+        |FROM t ORDER BY vec_id""".stripMargin,
   )
 }

@@ -184,6 +184,38 @@ object TextAnalysis {
       .orderBy("c_custkey")
   }
 
+  /** q101 — sliding-window document chunking (embedding/pretraining
+    * prep): token windows of `chunkTokens` starting every
+    * `strideTokens` (overlap = chunk - stride). Row-local explode of
+    * start offsets — rows multiply, the token array does not leave the
+    * row, and no shuffle happens until the declared output sort. A doc
+    * shorter than one chunk yields exactly one (shorter) chunk.
+    */
+  def chunkDocs(
+      df: DataFrame, id: Column, text: Column,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0, "chunk/stride must be positive")
+    val ws = tokens(text)
+    df.select(id.as("doc_id"), ws.as("__ws"))
+      .select(
+        col("doc_id"), col("__ws"),
+        explode(sequence(
+          lit(1),
+          greatest(size(col("__ws")) - chunkTokens, lit(0)) + 1,
+          lit(strideTokens))).as("start_tok"))
+      .select(
+        col("doc_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        concat_ws(" ", slice(col("__ws"), col("start_tok"), lit(chunkTokens))).as("chunk"),
+        size(slice(col("__ws"), col("start_tok"), lit(chunkTokens))).cast("long")
+          .as("chunk_tokens"))
+  }
+
+  def q101(s: SparkSession, dir: String): DataFrame =
+    chunkDocs(docs(s, dir), col("doc_id"), col("text"),
+      chunkTokens = 32, strideTokens = 24)
+      .orderBy("doc_id", "start_tok")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -193,6 +225,7 @@ object TextAnalysis {
     "q91_doc_repetition" -> (q91 _),
     "q92_gopher_rules"   -> (q92 _),
     "q93_pii_scrub"      -> (q93 _),
+    "q101_doc_chunks"    -> (q101 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -264,5 +297,14 @@ object TextAnalysis {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |    '555-[0-9]{4}', '[PHONE]', 'g') AS scrubbed
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q101_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |             unnest(range(1, GREATEST(len(ws) - 32, 0) + 2, 24)) AS st
+        |      FROM t)
+        |SELECT doc_id, CAST(st AS BIGINT) AS start_tok,
+        |       array_to_string(ws[st:st+31], ' ') AS chunk,
+        |       CAST(len(ws[st:st+31]) AS BIGINT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, start_tok""".stripMargin,
   )
 }
