@@ -14,7 +14,10 @@ final case class CorpusConfig(
     minQuality: Double = 0.3,
     nearDupBits: Int = 60,
     nearDupBands: Int = 4,
-    nearDupMaxHamming: Int = 2)
+    nearDupMaxHamming: Int = 2,
+    chunkTokens: Int = 32,
+    chunkStride: Int = 24,
+    packBudgetChars: Long = 4096L)
 
 final case class CorpusMetrics(
     input: Long,
@@ -22,7 +25,9 @@ final case class CorpusMetrics(
     afterQuality: Long,
     afterExactDedup: Long,
     written: Long,
-    nearDupDocsDropped: Long)
+    nearDupDocsDropped: Long,
+    chunksWritten: Long,
+    packs: Long)
 
 /** Training-corpus cleaning pipeline — the LLM-data counterpart of the
   * healthcare ETL: compose the text-analysis and dedup operators into
@@ -31,6 +36,9 @@ final case class CorpusMetrics(
   *   read → language filter (heuristic, not the label) → quality
   *   threshold → exact content dedup (keep lowest doc_id) → SimHash
   *   band near-dup removal (greedy keep-first) → sorted parquet + stats
+  *   → sliding-window chunking → size-budget packing (the training-prep
+  *   tail: chunks are what gets embedded/tokenized, packs are the batch
+  *   assembly unit)
   *
   * Every stage is a set operation; the near-dup stage is band-bucketed
   * (never all-pairs). Greedy keep-first drops the higher doc_id of
@@ -85,7 +93,30 @@ object Corpus {
     dropIds.unpersist()
     exact.unpersist()
 
-    CorpusMetrics(input, afterLang, afterQuality, afterExact, written, dropped)
+    // training-prep tail: chunk the CLEAN corpus (read back from the
+    // sink — the cleaned table is the contract boundary), then pack
+    // chunks into contiguous size-budget bins per source shard
+    val cleanDocs = spark.read.parquet(config.outPath)
+    val chunks = TextAnalysis.chunkDocs(
+      cleanDocs.withColumnRenamed("doc_id", "__id"), col("__id"), col("text"),
+      config.chunkTokens, config.chunkStride)
+      .join(cleanDocs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val packed = graft.ext.Sampling.packBudget(
+      chunks.withColumn("chunk_chars", length(col("chunk"))),
+      shard = col("source"),
+      order = struct(col("doc_id"), col("start_tok")),
+      size = col("chunk_chars").cast("long"),
+      budget = config.packBudgetChars)
+    packed
+      .repartitionByRange(col("source"), col("pack_id"))
+      .sortWithinPartitions("source", "pack_id", "doc_id", "start_tok")
+      .write.mode(SaveMode.Overwrite).parquet(config.outPath + "_chunks")
+    val chunkTable = spark.read.parquet(config.outPath + "_chunks")
+    val chunksWritten = chunkTable.count()
+    val packs = chunkTable.select("source", "pack_id").distinct().count()
+
+    CorpusMetrics(input, afterLang, afterQuality, afterExact, written, dropped,
+      chunksWritten, packs)
   }
 
   def main(args: Array[String]): Unit = {
@@ -94,7 +125,8 @@ object Corpus {
     val spark = Engine.session(appName = "graft-corpus")
     val m = run(spark, CorpusConfig(inDir, outPath))
     println(s"[corpus] input=${m.input} lang=${m.afterLang} quality=${m.afterQuality} " +
-      s"exact=${m.afterExactDedup} neardup_docs_dropped=${m.nearDupDocsDropped} written=${m.written}")
+      s"exact=${m.afterExactDedup} neardup_docs_dropped=${m.nearDupDocsDropped} " +
+      s"written=${m.written} chunks=${m.chunksWritten} packs=${m.packs}")
     spark.stop()
   }
 }
