@@ -260,4 +260,15 @@ class PlanAuditSpec extends SparkTestBase {
       assert(!p.contains("Generate"), s"$name explodes where a map suffices:\n$p")
     }
   }
+
+  test("q100/q101 shuffle only for output order (single range exchange)") {
+    // quantization is pure map-side; chunking fans rows out IN-ROW via
+    // explode — neither moves data until the declared ORDER BY
+    Seq("q100_embed_quant", "q101_doc_chunks").foreach { name =>
+      val p = plan(name)
+      val n = "Exchange".r.findAllIn(p).length
+      assert(n == 1 && p.contains("Exchange rangepartitioning"),
+        s"$name: expected only the ORDER BY range exchange:\n$p")
+    }
+  }
 }
