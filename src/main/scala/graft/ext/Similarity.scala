@@ -181,17 +181,25 @@ object Similarity {
     * the quantized codes hash-match the oracle exactly (integer output
     * of identical double math), and the max dequantization error is
     * certified under the 1/scale bound.
+    *
+    * STAGED projections, one derived value per step: higher-order
+    * lambdas are interpreted, so an inlined `scale` (itself an
+    * array_max over a transform) would re-evaluate per ELEMENT —
+    * O(d²) per vector, measured 2.5× slower at sf0.1. Same trap as
+    * `Dedup.shingles3FromTokens` documents for split.
     */
-  def q100(s: SparkSession, dir: String): DataFrame = {
-    val (scale, codes) = quantizeInt8(col("embedding"))
-    val d = asDouble(col("embedding"))
-    emb(s, dir).select(
-      col("vec_id"),
-      codes.as("q8"),
-      round(array_max(zip_with(d, codes, (x, c) => abs(x - c / scale))), 4)
-        .as("max_err"))
+  def q100(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), col("e"),
+        (lit(127.0) / array_max(transform(col("e"), abs(_)))).as("s"))
+      .select(col("vec_id"), col("e"), col("s"),
+        transform(col("e"), x => floor(x * col("s"))).as("q8"))
+      .select(
+        col("vec_id"), col("q8"),
+        round(array_max(zip_with(col("e"), col("q8"),
+          (x, c) => abs(x - c / col("s")))), 4).as("max_err"))
       .orderBy("vec_id")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_knn_brute" -> (q60 _),
