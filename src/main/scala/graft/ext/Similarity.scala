@@ -170,12 +170,18 @@ object Similarity {
     * large-scale ANN index applies before sharding; floor (not round)
     * because round's half-case tie-breaking differs across engines
     * while floor is universal. Dequant error ≤ 1/scale by construction.
+    *
+    * A DataFrame operator (not a Column pair) ON PURPOSE: the scale
+    * must materialize in its own projection before the code lambda
+    * references it — higher-order lambdas are interpreted, and an
+    * inlined scale re-evaluates its array_max per ELEMENT (O(d²)/vec,
+    * measured 3.5× at sf0.1). Appends `__qscale` and `q8`.
     */
-  def quantizeInt8(v: Column): (Column, Column) = {
-    val d = asDouble(v)
-    val scale = lit(127.0) / array_max(transform(d, abs(_)))
-    (scale, transform(d, x => floor(x * scale)))
-  }
+  def quantizeInt8(df: DataFrame, vec: Column): DataFrame =
+    df.withColumn("__e", asDouble(vec))
+      .withColumn("__qscale", lit(127.0) / array_max(transform(col("__e"), abs(_))))
+      .withColumn("q8", transform(col("__e"), x => floor(x * col("__qscale"))))
+      .drop("__e")
 
   /** q100 — int8 quantization with its measured reconstruction error:
     * the quantized codes hash-match the oracle exactly (integer output
@@ -189,16 +195,13 @@ object Similarity {
     * `Dedup.shingles3FromTokens` documents for split.
     */
   def q100(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .select(col("vec_id"), col("e"),
-        (lit(127.0) / array_max(transform(col("e"), abs(_)))).as("s"))
-      .select(col("vec_id"), col("e"), col("s"),
-        transform(col("e"), x => floor(x * col("s"))).as("q8"))
+    quantizeInt8(
+      emb(s, dir).select(col("vec_id"), col("embedding")), col("embedding"))
+      .withColumn("__e", asDouble(col("embedding")))
       .select(
         col("vec_id"), col("q8"),
-        round(array_max(zip_with(col("e"), col("q8"),
-          (x, c) => abs(x - c / col("s")))), 4).as("max_err"))
+        round(array_max(zip_with(col("__e"), col("q8"),
+          (x, c) => abs(x - c / col("__qscale")))), 4).as("max_err"))
       .orderBy("vec_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
