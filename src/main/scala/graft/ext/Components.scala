@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Connected components over a pair graph — the dedup-GROUP operator a
+  * production corpus pipeline runs after LSH candidate generation
+  * (q65/q94 emit near-dup PAIRS; deciding which docs to keep requires
+  * the transitive closure: A~B and B~C must land in ONE group even when
+  * A~C was never a candidate pair).
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts
+  * labeled with its own id; each round every vertex takes the min of
+  * its own label and its neighbors' labels; converged when no label
+  * changes. Each round is one equi-join shuffle + one aggregation —
+  * fully distributed, never a driver-side adjacency structure.
+  *
+  * Scale design (100 TB): rounds needed = the graph diameter. Near-dup
+  * graphs are unions of small dense clusters (diameter 2-4 in
+  * practice), so the loop is a handful of shuffles regardless of corpus
+  * size. Each round `localCheckpoint`s the label frame: lineage would
+  * otherwise grow by two shuffles per round and replan from scratch
+  * every iteration. For adversarial long-chain graphs the
+  * large-star/small-star contraction (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14) converges in
+  * O(log²N) rounds — `maxIter` guards that regime and fails loudly
+  * rather than silently returning partial components.
+  */
+object Components {
+
+  /** @param vertices single-column frame `id` (one row per vertex)
+    * @param edges two-column frame `src`,`dst` (undirected; either
+    *              orientation; self-loops and duplicates tolerated)
+    * @return (`id`, `comp`) where `comp` = min vertex id reachable
+    */
+  def connectedComponents(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    // Symmetrize once: propagation below only follows src→dst.
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+
+    var labels = vertices.select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // Neighbor labels flow along each (directed) edge: dst receives
+      // src's current label. One shuffle for the join (on src), one for
+      // the min-agg (on id).
+      val viaNbr = sym
+        .join(labels.select(col("id").as("src"), col("comp")), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(viaNbr)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      val changed = next.select(col("id"), col("comp").as("nc"))
+        .join(labels, "id")
+        .filter(col("nc") =!= col("comp"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "graph diameter exceeds the bound; raise maxIter or switch to " +
+        "star-contraction for long-chain graphs")
+    labels
+  }
+
+  // ---- declared queries ---------------------------------------------------
+
+  /** q102 — dedup groups: connected components of the simhash-band
+    * near-dup candidate graph (q65's pigeonhole-complete pair set,
+    * Hamming ≤ 2), labeling EVERY doc in the bounded probe set with the
+    * min doc_id of its near-dup group (singletons label themselves).
+    * This is the stage that turns near-dup PAIRS into keep/drop GROUPS.
+    */
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    val subset = Tables.table(s, dir, "documents").filter(col("doc_id") < 1000)
+    val pairs = Dedup.simhashBandPairs(
+      Dedup.simhashN(subset, col("doc_id"), col("text"), bits = 60),
+      bits = 60, bands = 4, maxHamming = 2)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = connectedComponents(
+      subset.select(col("doc_id").as("id")), pairs)
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_neardup_components" -> (q102 _),
+  )
+
+  /** Oracle: transitive closure by recursive CTE over the SAME edge set
+    * the Spark side derives (Dedup's engine-portable simhash bands).
+    * `UNION` (set semantics) dedups the frontier so the walk terminates;
+    * min reachable id per start vertex = the component label.
+    */
+  private val componentsOracle: String =
+    s"""${Dedup.simhashCandCte(recursive = true)},
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 2),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |verts AS (SELECT doc_id AS id FROM documents WHERE doc_id < 1000),
+       |walk AS (
+       |  SELECT id AS start, id AS node FROM verts
+       |  UNION
+       |  SELECT wk.start, e.dst AS node
+       |  FROM walk wk JOIN edges e ON e.src = wk.node)
+       |SELECT start AS doc_id, MIN(node) AS component
+       |FROM walk GROUP BY start ORDER BY doc_id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q102_neardup_components" -> componentsOracle,
+  )
+}

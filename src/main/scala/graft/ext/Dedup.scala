@@ -262,16 +262,20 @@ object Dedup {
   )
 
   /** Shared CTE prefix for the 60-bit/4-band simhash candidate pairs
-    * (used by both the q65 and q94 oracles).
+    * (used by the q65/q94 oracles here and the q102 component oracle).
+    * `recursive = true` emits `WITH RECURSIVE` so callers can append a
+    * recursive member to the same CTE list (SQL scopes RECURSIVE over
+    * the whole WITH clause).
     */
-  private val simhashCandCte: String = {
+  private[ext] def simhashCandCte(recursive: Boolean = false): String = {
     val bits = 60
     val sums = (0 until bits).map(j =>
       s"SUM(CASE WHEN substring(__hex, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j")
       .mkString(", ")
     val asm = (0 until bits).map(j =>
       s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    s"""WITH w AS (SELECT doc_id, sha256(unnest(list_distinct(string_split(text,' ')))) AS __hex
+    val withKw = if (recursive) "WITH RECURSIVE" else "WITH"
+    s"""$withKw w AS (SELECT doc_id, sha256(unnest(list_distinct(string_split(text,' ')))) AS __hex
        |           FROM documents WHERE doc_id < 1000),
        |b AS (SELECT doc_id, $sums FROM w GROUP BY doc_id),
        |h AS (SELECT doc_id, CAST($asm AS BIGINT) AS sh FROM b),
@@ -285,13 +289,13 @@ object Dedup {
   }
 
   private val simhashNearDupOracle: String =
-    s"""$simhashCandCte
+    s"""${simhashCandCte()}
        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
        |ORDER BY id_a, id_b""".stripMargin
 
   private val bandRescoreOracle: String =
-    s"""$simhashCandCte,
+    s"""${simhashCandCte()},
        |pairs AS (
        |  SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
        |  FROM cand WHERE bit_count(xor(ha, hb)) <= 2),

@@ -9,9 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Sampling.queries
+      Multimodal.queries ++ Sampling.queries ++ Components.queries
 
   def oracleSql: Map[String, String] =
     TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      Multimodal.oracleSql ++ Sampling.oracleSql
+      Multimodal.oracleSql ++ Sampling.oracleSql ++ Components.oracleSql
 }

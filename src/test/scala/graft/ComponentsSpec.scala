@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Components
+
+/** Connected-components semantics on hand-built graphs (the dedup-group
+  * stage that turns near-dup pairs into transitive keep/drop groups).
+  */
+class ComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(
+      verts: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(
+      verts.toDF("id"), edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("components merge transitively; singletons label themselves") {
+    // 1-2, 2-3 chain (3 must reach 1 transitively), 5-6 pair, 4 and 7 isolated
+    val got = run(1L to 7L, Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("long chain converges (multi-round propagation)") {
+    // path 1-2-3-...-10: min label needs ~9 rounds to reach the far end
+    val edges = (1L until 10L).map(i => (i, i + 1))
+    val got = run(1L to 10L, edges)
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("edge orientation, duplicates, and self-loops don't matter") {
+    val got = run(
+      Seq(1L, 2L, 3L),
+      Seq((2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L), (3L, 2L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("non-convergence inside maxIter fails loudly, not partially") {
+    val edges = (1L until 10L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException] {
+      Components.connectedComponents(
+        (1L to 10L).toDF("id"), edges.toDF("src", "dst"), maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("q102 labels are a valid clustering of the q65 pair set") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = Components.q102(spark, dir)
+    val pairs = graft.ext.Dedup.q65(spark, dir)
+      .select($"id_a", $"id_b")
+    // every candidate pair must share a component
+    val split = pairs
+      .join(labels.select($"doc_id".as("id_a"), $"component".as("ca")), "id_a")
+      .join(labels.select($"doc_id".as("id_b"), $"component".as("cb")), "id_b")
+      .filter($"ca" =!= $"cb")
+    assert(split.count() === 0L)
+    // component label = min doc_id within the component
+    val badLabel = labels.groupBy($"component")
+      .agg(min($"doc_id").as("mn"))
+      .filter($"component" =!= $"mn")
+    assert(badLabel.count() === 0L)
+  }
+}
