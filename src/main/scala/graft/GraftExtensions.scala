@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.ops.{DotProduct, TitleCase}
+import graft.ops.{DotProduct, NfcNormalize, StripAccents, TitleCase}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions in the SQL function registry, so `spark.sql`
@@ -30,6 +30,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "title_case(str) - Python str.title() semantics: letters after a non-letter upcase, letters after a letter downcase."),
       (children: Seq[Expression]) => {
         arity("title_case", 1, children); TitleCase(children.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(str) - Unicode canonical composition (NFC); combining sequences collapse to precomposed chars."),
+      (children: Seq[Expression]) => {
+        arity("nfc_normalize", 1, children); NfcNormalize(children.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("strip_accents"),
+      info("strip_accents",
+        "strip_accents(str) - NFD-decompose then drop combining marks (é→e, ü→u)."),
+      (children: Seq[Expression]) => {
+        arity("strip_accents", 1, children); StripAccents(children.head)
       }))
 
     ext.injectFunction((

@@ -216,6 +216,33 @@ object TextAnalysis {
       chunkTokens = 32, strideTokens = 24)
       .orderBy("doc_id", "start_tok")
 
+  /** q103 — Unicode normalization ([[graft.ops.UnicodeNorm]]): the
+    * corpus is ASCII, so the query first DIRTIES it deterministically
+    * (every 'e' → 'e' + U+0301 combining acute, the decomposed form a
+    * crawler actually emits), then certifies that NFC composes it
+    * (length shrinks back), and that strip_accents(nfc(dirty))
+    * round-trips to the original text byte-for-byte. Both engines
+    * normalize independently — Java's `java.text.Normalizer` vs
+    * DuckDB's utf8proc — so a hash match certifies real Unicode
+    * conformance, not shared code.
+    */
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.UnicodeNorm
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        regexp_replace(col("text"), "e", "e\u0301").as("__dirty"))
+      .select(col("doc_id"), col("text"), col("__dirty"),
+        UnicodeNorm.nfcNormalize(col("__dirty")).as("__nfc"))
+      .select(
+        col("doc_id"),
+        length(col("__dirty")).cast("long").as("len_dirty"),
+        length(col("__nfc")).cast("long").as("len_nfc"),
+        substring(col("__nfc"), 1, 60).as("nfc_prefix"),
+        (UnicodeNorm.stripAccents(col("__nfc")) === col("text"))
+          .cast("int").as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -226,6 +253,7 @@ object TextAnalysis {
     "q92_gopher_rules"   -> (q92 _),
     "q93_pii_scrub"      -> (q93 _),
     "q101_doc_chunks"    -> (q101 _),
+    "q103_unicode_norm"  -> (q103 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -306,5 +334,17 @@ object TextAnalysis {
         |       array_to_string(ws[st:st+31], ' ') AS chunk,
         |       CAST(len(ws[st:st+31]) AS BIGINT) AS chunk_tokens
         |FROM c ORDER BY doc_id, start_tok""".stripMargin,
+    "q103_unicode_norm" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, replace(text, 'e', 'e' || chr(769)) AS dirty
+        |  FROM documents),
+        |n AS (SELECT doc_id, text, dirty, nfc_normalize(dirty) AS nfc FROM d)
+        |SELECT doc_id,
+        |  length(dirty) AS len_dirty,
+        |  length(nfc) AS len_nfc,
+        |  substr(nfc, 1, 60) AS nfc_prefix,
+        |  CAST(CASE WHEN strip_accents(nfc) = text THEN 1 ELSE 0 END AS INTEGER)
+        |    AS roundtrip_ok
+        |FROM n ORDER BY doc_id""".stripMargin,
   )
 }
