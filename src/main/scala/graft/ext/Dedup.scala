@@ -50,6 +50,19 @@ object Dedup {
 
   def shingles3(text: Column): Column = shingles3FromTokens(split(text, " "))
 
+  /** Word k-gram shingles (distinct) from a materialized token array —
+    * the general form of [[shingles3FromTokens]] (same projection-first
+    * contract; empty under k tokens). Decontamination uses longer
+    * grams (k=5..13) than near-dup shingling.
+    */
+  def shinglesK(ws: Column, k: Int): Column = {
+    require(k >= 1, "k-gram size must be positive")
+    when(size(ws) >= k,
+      array_distinct(transform(sequence(lit(1), size(ws) - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Stride-sampled trigram shingles: every `stride`-th trigram only.
     * Sampling shingles BEFORE MinHash is the standard candidate-gen
     * trade (recall barely moves, cost drops by the stride) — use for
@@ -123,6 +136,54 @@ object Dedup {
       .select(
         col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+  }
+
+  /** Engine-portable MinHash signature: component k = MIN over the
+    * doc's shingle set of md5("k:" ++ shingle). Unlike spark.ml's
+    * `MinHashLSH` (q57 — engine-local hash family, rows-only check),
+    * md5-min signatures are reproducible in ANY engine, so the whole
+    * MinHash→banding→candidate-pairs path becomes oracle-certifiable.
+    *
+    * One explode + ONE combiner-friendly groupBy computes all
+    * `numHashes` components (each min is a partial agg — the shuffle
+    * carries `numHashes` 32-char minima per doc, not the shingles).
+    */
+  def minhashSignature(
+      df: DataFrame, id: Column, shingleSet: Column, numHashes: Int): DataFrame = {
+    require(numHashes >= 1, "need at least one hash component")
+    val g = df.select(id.as("__id"), explode(shingleSet).as("__s"))
+    val aggs = (0 until numHashes).map(k =>
+      min(md5(concat(lit(s"$k:"), col("__s")))).as(s"mh$k"))
+    g.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a [[minhashSignature]] frame: split the signature
+    * into `bands` contiguous row-groups, key each by the md5 of its
+    * concatenated components, and equi-join on (band, key). Two docs
+    * with shingle-Jaccard j collide on a given band w.p. j^(rows), so
+    * near-dups (j→1) are found w.h.p. while distant pairs almost never
+    * join — the all-pairs plan never exists.
+    */
+  def minhashBandPairs(
+      sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      "numHashes must divide evenly into bands")
+    val rows = numHashes / bands
+    val bandKeys = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws("|",
+          (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("bkey"))
+    }
+    val banded = sig
+      .select(col("__id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("__id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = banded.select(col("__id").as("id_a"), col("band"), col("bkey"))
+    val b = banded.select(col("__id").as("id_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("long").as("shared_bands"))
   }
 
   // ---- declared queries ---------------------------------------------------
@@ -251,6 +312,23 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** q107 — the PORTABLE MinHash near-dup candidate path, end-to-end
+    * oracle-certified (the certified counterpart of q57's rows-only
+    * spark.ml variant): trigram shingles → 12-component md5-min
+    * signature → 4 bands × 3 rows → band-bucket equi-join. Bounded to
+    * doc_id < 1000 like q60/q65 so candidate volume is stable across
+    * scale factors.
+    */
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") < 1000)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), shingles3FromTokens(col("ws")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = minhashSignature(base, col("doc_id"), col("sh"), numHashes = 12)
+    minhashBandPairs(sig, numHashes = 12, bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_exact_dedup"      -> (q55 _),
     "q56_dedup_keep_first" -> (q56 _),
@@ -259,6 +337,7 @@ object Dedup {
     "q59_simhash"          -> (q59 _),
     "q65_simhash_neardup"  -> (q65 _),
     "q94_band_rescore"     -> (q94 _),
+    "q107_minhash_portable" -> (q107 _),
   )
 
   /** Shared CTE prefix for the 60-bit/4-band simhash candidate pairs
@@ -322,6 +401,35 @@ object Dedup {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash$simhashBits FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** q107 oracle: the same md5-min signature + banding, spelled in
+    * DuckDB (12 min-aggs, 4 UNION ALL band rows, self-join on bucket).
+    */
+  private val minhashPortableOracle: String = {
+    val mins = (0 until 12).map(k =>
+      s"MIN(md5('$k:' || s)) AS mh$k").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val key = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM m"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(string_split(text,' ')) - 1),
+       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+       |         || ' ' || string_split(text,' ')[i+2])) AS sh
+       |  FROM documents
+       |  WHERE doc_id < 1000 AND len(string_split(text,' ')) >= 3),
+       |g AS (SELECT doc_id, unnest(sh) AS s FROM t),
+       |m AS (SELECT doc_id, $mins FROM g GROUP BY doc_id),
+       |b AS (
+       |  $bandRows)
+       |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+       |  CAST(COUNT(*) AS BIGINT) AS shared_bands
+       |FROM b a JOIN b b2
+       |  ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+       |GROUP BY a.doc_id, b2.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q55_exact_dedup" ->
       """SELECT source, COUNT(*) AS docs, COUNT(DISTINCT md5(text)) AS distinct_docs
@@ -347,5 +455,6 @@ object Dedup {
     "q59_simhash" -> simhashOracle,
     "q65_simhash_neardup" -> simhashNearDupOracle,
     "q94_band_rescore" -> bandRescoreOracle,
+    "q107_minhash_portable" -> minhashPortableOracle,
   )
 }

@@ -9,9 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Sampling.queries ++ Components.queries
+      Multimodal.queries ++ Sampling.queries ++ Components.queries ++
+      Decontam.queries
 
   def oracleSql: Map[String, String] =
     TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      Multimodal.oracleSql ++ Sampling.oracleSql ++ Components.oracleSql
+      Multimodal.oracleSql ++ Sampling.oracleSql ++ Components.oracleSql ++
+      Decontam.oracleSql
 }

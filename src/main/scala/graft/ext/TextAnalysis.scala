@@ -216,6 +216,77 @@ object TextAnalysis {
       chunkTokens = 32, strideTokens = 24)
       .orderBy("doc_id", "start_tok")
 
+  /** q105 — URL parsing + per-domain cap (the RefinedWeb-style curation
+    * step: extract the registrable host, then cap how many documents
+    * any one domain contributes to the corpus). The fixture corpus has
+    * no URLs, so the query synthesizes one per doc from its own columns
+    * — which makes the oracle GROUND TRUTH: DuckDB constructs the
+    * expected host/path/query-param directly from the same columns, so
+    * a hash match certifies Spark's `parse_url` parser against known
+    * answers, not against another parser.
+    *
+    * Scale shape: parse_url is per-row codegen; the cap is one window
+    * rank per host (hosts are the natural partition key — skew-prone in
+    * real crawls, where the salting tools q88/q89 apply).
+    */
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val url = concat(
+      lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+      lit("/"), col("doc_id").cast("string"),
+      lit("?ref="), col("source"), lit("&page=2"))
+    docs(s, dir)
+      .select(col("doc_id"), url.as("url"))
+      .select(
+        col("doc_id"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref_param"))
+      .withColumn("host_rank",
+        row_number().over(Window.partitionBy(col("host")).orderBy(col("doc_id")))
+          .cast("long"))
+      .withColumn("kept", (col("host_rank") <= 40).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** q106 — TF-IDF top terms per document: term frequency per (doc,
+    * term), document frequency per term, score = tf·ln(N/df), top-3
+    * terms per doc. The canonical keyword/salience operator (BM25's
+    * core, the classic relevance baseline).
+    *
+    * Scale shape: one explode feeding a (doc,term) partial-agg (the
+    * heavy shuffle, combiner-reduced), a term-keyed agg for df that
+    * REUSES the tf frame (no second scan), one co-partitioned join on
+    * term, and a per-doc rank-3 window that Spark 4 executes as a
+    * partial WindowGroupLimit — top-k is filtered map-side before the
+    * window shuffle. N arrives as a literal (one count job), never a
+    * cross join at runtime. Ranking compares ROUND(tfidf, 6) with a
+    * term tie-break so a 1-ulp ln() divergence between engines cannot
+    * reorder the cutoff.
+    */
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val n = d.count()
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val scored = tf.join(dfq, "term")
+      .withColumn("tfidf6",
+        round(col("tf") * log(lit(n.toDouble) / col("doc_freq")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf6").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(
+        col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"),
+        col("tf").cast("long").as("tf"),
+        col("doc_freq").cast("long").as("doc_freq"),
+        round(col("tfidf6"), 4).as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** q103 — Unicode normalization ([[graft.ops.UnicodeNorm]]): the
     * corpus is ASCII, so the query first DIRTIES it deterministically
     * (every 'e' → 'e' + U+0301 combining acute, the decomposed form a
@@ -254,6 +325,8 @@ object TextAnalysis {
     "q93_pii_scrub"      -> (q93 _),
     "q101_doc_chunks"    -> (q101 _),
     "q103_unicode_norm"  -> (q103 _),
+    "q105_url_domain_cap" -> (q105 _),
+    "q106_tfidf"         -> (q106 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -346,5 +419,35 @@ object TextAnalysis {
         |  CAST(CASE WHEN strip_accents(nfc) = text THEN 1 ELSE 0 END AS INTEGER)
         |    AS roundtrip_ok
         |FROM n ORDER BY doc_id""".stripMargin,
+    "q105_url_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/' || lang || '/'
+        |      || CAST(doc_id AS VARCHAR) || '?ref=' || source || '&page=2' AS url,
+        |    source || '.example.com' AS host,
+        |    '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+        |    source AS ref_param
+        |  FROM documents)
+        |SELECT doc_id, url, host, path, ref_param,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS BIGINT)
+        |    AS host_rank,
+        |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) <= 40
+        |       THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "q106_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+        |         ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.doc_freq), 6) AS tfidf6
+        |       FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT sc.*, ROW_NUMBER() OVER
+        |        (PARTITION BY doc_id ORDER BY tfidf6 DESC, term) AS rnk
+        |      FROM sc)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq,
+        |  ROUND(tfidf6, 4) AS tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
   )
 }
