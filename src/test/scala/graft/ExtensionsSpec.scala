@@ -203,4 +203,23 @@ class ExtensionsSpec extends SparkTestBase {
     // per-frame keys differ (a decoder would seek per frame)
     assert(frames.select("frame_key").distinct().count() === 8)
   }
+
+  test("portable minhash: identical shingle sets share ALL bands, disjoint none") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c", "b c d", "c d e")),   // identical to 1
+      (3L, Seq("x y z", "y z w"))             // fully disjoint
+    ).toDF("doc_id", "sh")
+    val sig = Dedup.minhashSignature(df, $"doc_id", $"sh", numHashes = 12)
+    val pairs = Dedup.minhashBandPairs(sig, numHashes = 12, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs === Map((1L, 2L) -> 4L))
+  }
+
+  test("portable minhash signature is deterministic across evaluations") {
+    val df = Seq((1L, Seq("a b c", "d e f"))).toDF("doc_id", "sh")
+    val s1 = Dedup.minhashSignature(df, $"doc_id", $"sh", 12).collect()
+    val s2 = Dedup.minhashSignature(df, $"doc_id", $"sh", 12).collect()
+    assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
+  }
 }

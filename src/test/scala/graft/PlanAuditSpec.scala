@@ -271,4 +271,33 @@ class PlanAuditSpec extends SparkTestBase {
         s"$name: expected only the ORDER BY range exchange:\n$p")
     }
   }
+
+  test("q103 unicode normalization runs inside whole-stage codegen") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q103_unicode_norm")(spark, sf)
+      val gen = org.apache.spark.sql.execution.debug.codegenString(
+        df.queryExecution.executedPlan)
+      assert(gen.contains("graft.ops.UnicodeNormUtil.nfc"), gen.take(2000))
+      assert(gen.contains("graft.ops.UnicodeNormUtil.stripAccents"), gen.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q104 decontamination broadcasts the eval gram set (train never shuffles grams)") {
+    val p = finalPlan("q104_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval side should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"train grams must not shuffle for the join:\n$p")
+  }
+
+  test("q106 tf-idf rank-3 gets partial WindowGroupLimit before the shuffle") {
+    val p = plan("q106_tfidf")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q105 parse_url battery shuffles only for the host window + output order") {
+    val p = plan("q105_url_domain_cap")
+    assert(!p.contains("CartesianProduct") && !p.contains("Generate"), p)
+  }
 }
