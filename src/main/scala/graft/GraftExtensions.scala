@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.ops.{DotProduct, NfcNormalize, StripAccents, TitleCase}
+import graft.ops.{DeflateLen, DotProduct, NfcNormalize, StripAccents, TitleCase}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions in the SQL function registry, so `spark.sql`
@@ -46,6 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "strip_accents(str) - NFD-decompose then drop combining marks (é→e, ü→u)."),
       (children: Seq[Expression]) => {
         arity("strip_accents", 1, children); StripAccents(children.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("deflate_len"),
+      info("deflate_len",
+        "deflate_len(str) - raw-DEFLATE length of the UTF-8 text at fixed level 6 (compression-ratio quality signal)."),
+      (children: Seq[Expression]) => {
+        arity("deflate_len", 1, children); DeflateLen(children.head)
       }))
 
     ext.injectFunction((

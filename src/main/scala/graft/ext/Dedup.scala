@@ -55,11 +55,17 @@ object Dedup {
     * contract; empty under k tokens). Decontamination uses longer
     * grams (k=5..13) than near-dup shingling.
     */
-  def shinglesK(ws: Column, k: Int): Column = {
+  def shinglesK(ws: Column, k: Int): Column =
+    array_distinct(shinglesKAll(ws, k))
+
+  /** All k-gram OCCURRENCES in order (no distinct) — duplication-rate
+    * metrics (q108) count occurrences, not the distinct gram set.
+    */
+  def shinglesKAll(ws: Column, k: Int): Column = {
     require(k >= 1, "k-gram size must be positive")
     when(size(ws) >= k,
-      array_distinct(transform(sequence(lit(1), size(ws) - (k - 1)), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))))
+      transform(sequence(lit(1), size(ws) - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
   }
 

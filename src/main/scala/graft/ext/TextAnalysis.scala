@@ -287,6 +287,79 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** q108 — duplicate-10-gram fraction (Gopher's within-CORPUS
+    * duplication signal, complementing q91's within-document one): the
+    * fraction of a doc's 10-gram occurrences that appear more than once
+    * corpus-wide. High values mark boilerplate/template docs that
+    * survive exact dedup because the duplication is partial.
+    *
+    * Scale shape: this is THE canonical heavy text metric — one
+    * explode, a gram-keyed count (combiner-reduced: identical grams
+    * collapse map-side), a co-partitioned join back on gram (both sides
+    * hash-partition on gram; AQE reuses the exchange), then a doc-keyed
+    * agg of two counters. No step holds more than (gram, count) state.
+    */
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(Dedup.shinglesKAll(col("ws"), 10)).as("gram"))
+    val counts = g.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+    g.join(counts, "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_grams"))
+      .select(
+        col("doc_id"), col("n_grams"), col("dup_grams"),
+        round(col("dup_grams").cast("double") / col("n_grams"), 4)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** q109 — inverted index (term → document-frequency + sorted posting
+    * list): the retrieval-side structure a corpus engine materializes
+    * for BM25/keyword search. Postings are emitted as a '|'-joined
+    * string (the q48 sorted-join contract — parquet list vs DuckDB list
+    * don't hash-compare).
+    *
+    * Scale shape: one explode of DISTINCT per-doc terms, one term-keyed
+    * agg; collect_list is bounded per term by document frequency — for
+    * web-scale vocabularies the hot stopword postings are the skew case
+    * (cap df or shard hot terms in production; the fixture vocabulary
+    * needs neither).
+    */
+  def q109(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(col("doc_id"))), "|")
+          .as("postings"))
+      .orderBy("term")
+
+  /** q110 — compression-ratio quality signal ([[graft.ops.DeflateLen]]):
+    * deflate_len/byte_len per doc plus the corpus band check. Rows-only
+    * by design: DEFLATE is not expressible in the oracle engine — the
+    * expression's determinism and known-ratio contracts are unit-tested
+    * (ExtensionsSpec), the same treatment as q25's HLL sketches.
+    */
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DeflateLen
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("raw_bytes"),
+        DeflateLen(col("text")).cast("long").as("deflate_bytes"))
+      .select(
+        col("doc_id"), col("raw_bytes"), col("deflate_bytes"),
+        round(col("deflate_bytes").cast("double") / col("raw_bytes"), 4)
+          .as("compress_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** q103 — Unicode normalization ([[graft.ops.UnicodeNorm]]): the
     * corpus is ASCII, so the query first DIRTIES it deterministically
     * (every 'e' → 'e' + U+0301 combining acute, the decomposed form a
@@ -327,6 +400,9 @@ object TextAnalysis {
     "q103_unicode_norm"  -> (q103 _),
     "q105_url_domain_cap" -> (q105 _),
     "q106_tfidf"         -> (q106 _),
+    "q108_dup_ngram_frac" -> (q108 _),
+    "q109_inverted_index" -> (q109 _),
+    "q110_compress_ratio" -> (q110 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -449,5 +525,24 @@ object TextAnalysis {
         |  CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq,
         |  ROUND(tfidf6, 4) AS tfidf
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q108_dup_ngram_frac" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 8),
+        |        i -> array_to_string(ws[i:i+9], ' '))) AS gram
+        |      FROM t WHERE len(ws) >= 10),
+        |c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram)
+        |SELECT g.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+        |  ROUND(CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 4) AS dup_frac
+        |FROM g JOIN c USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q109_inverted_index" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |  array_to_string(list_sort(list(doc_id)), '|') AS postings
+        |FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term
+        |      FROM documents)
+        |GROUP BY term ORDER BY term""".stripMargin,
   )
 }

@@ -222,4 +222,39 @@ class ExtensionsSpec extends SparkTestBase {
     val s2 = Dedup.minhashSignature(df, $"doc_id", $"sh", 12).collect()
     assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
   }
+
+  test("shinglesKAll keeps occurrences; shinglesK dedups them") {
+    val df = Seq(Tuple1(Seq("a", "b", "a", "b", "a"))).toDF("ws")
+    val all = df.select(Dedup.shinglesKAll($"ws", 2)).head().getSeq[String](0)
+    assert(all === Seq("a b", "b a", "a b", "b a"))
+    val dst = df.select(Dedup.shinglesK($"ws", 2)).head().getSeq[String](0)
+    assert(dst === Seq("a b", "b a"))
+  }
+
+  test("deflate_len is deterministic and orders repetitive below random text") {
+    import graft.ops.DeflateUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    val repetitive = "spam ham " * 200
+    val varied = (1 to 400).map(i => s"w${i * 7919 % 1000}").mkString(" ")
+    val rLen = DeflateUtil.deflateLen(UTF8String.fromString(repetitive))
+    val vLen = DeflateUtil.deflateLen(UTF8String.fromString(varied))
+    assert(rLen === DeflateUtil.deflateLen(UTF8String.fromString(repetitive)))
+    // repetitive text compresses far better
+    assert(rLen.toDouble / repetitive.length <
+      0.5 * vLen.toDouble / varied.length)
+    // SQL registry + codegen path agree with the direct call
+    val viaSql = spark.sql(
+      s"SELECT deflate_len('${repetitive.take(100)}')").head().getInt(0)
+    assert(viaSql ===
+      DeflateUtil.deflateLen(UTF8String.fromString(repetitive.take(100))))
+  }
+
+  test("q110 ratios are in (0, 2] and non-null for the fixture corpus") {
+    val r = TextAnalysis.q110(spark, sf)
+    val stats = r.agg(
+      min($"compress_ratio"), max($"compress_ratio"),
+      sum(when($"compress_ratio".isNull, 1).otherwise(0))).head()
+    assert(stats.getDouble(0) > 0.0 && stats.getDouble(1) <= 2.0)
+    assert(stats.getLong(2) === 0L)
+  }
 }
