@@ -39,11 +39,14 @@ object Components {
       vertices: DataFrame,
       edges: DataFrame,
       maxIter: Int = 30): DataFrame = {
-    // Symmetrize once: propagation below only follows src→dst.
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // Materialize the (possibly expensive) edge derivation ONCE before
+    // symmetrizing — the union references `edges` twice, which would
+    // otherwise evaluate the upstream pipeline (e.g. a simhash band
+    // join) twice inside one materialization.
+    val e1 = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = e1
+      .union(e1.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .localCheckpoint(true)
 
     var labels = vertices.select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
@@ -51,19 +54,23 @@ object Components {
     var converged = false
     while (!converged && iter < maxIter) {
       // Neighbor labels flow along each (directed) edge: dst receives
-      // src's current label. One shuffle for the join (on src), one for
-      // the min-agg (on id).
+      // src's current label. The label rows carry their OWN comp as
+      // `oc` through the union, so one min-agg both produces the new
+      // labels AND detects change (labels only ever decrease:
+      // min(comp) < max(oc) ⇔ this vertex changed) — no per-round
+      // labels⋈next join. Per round: one join shuffle (on src), one
+      // agg shuffle (on id), then a local scan of the checkpoint for
+      // the convergence count.
       val viaNbr = sym
         .join(labels.select(col("id").as("src"), col("comp")), "src")
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.union(viaNbr)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .select(col("dst").as("id"), col("comp"),
+          lit(null).cast("long").as("oc"))
+      val next = labels.select(col("id"), col("comp"), col("comp").as("oc"))
+        .union(viaNbr)
+        .groupBy("id").agg(min("comp").as("comp"), max("oc").as("oc"))
         .localCheckpoint(true)
-      val changed = next.select(col("id"), col("comp").as("nc"))
-        .join(labels, "id")
-        .filter(col("nc") =!= col("comp"))
-        .count()
-      labels = next
+      val changed = next.filter(col("comp") < col("oc")).count()
+      labels = next.select(col("id"), col("comp"))
       converged = changed == 0
       iter += 1
     }

@@ -32,13 +32,23 @@ object Decontam {
     */
   def contaminationReport(
       trainDocs: DataFrame, evalDocs: DataFrame, k: Int): DataFrame = {
+    // explode_OUTER on purpose: a plain explode triggers
+    // InferFiltersFromGenerate, whose `size(grams) > 0` predicate gets
+    // pushed through the gram projection and INLINED — re-evaluating
+    // the whole k-gram transform (with split re-run per element_at, in
+    // interpreted mode) once more per row just to test emptiness.
+    // Measured 5× on q104 at sf0.1. The outer generator is exempt from
+    // that rule; the isnotnull filter on the GENERATED attribute cannot
+    // be pushed below the Generate.
     val evalGrams = evalDocs
-      .select(explode(Dedup.shinglesK(col("ws"), k)).as("gram"))
+      .select(explode_outer(Dedup.shinglesK(col("ws"), k)).as("gram"))
+      .filter(col("gram").isNotNull)
       .distinct()
     val trainGrams = trainDocs
       .select(col("doc_id"), Dedup.shinglesK(col("ws"), k).as("grams"))
       .select(col("doc_id"), size(col("grams")).as("n_grams"),
-        explode(col("grams")).as("gram"))
+        explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
     trainGrams
       .join(broadcast(evalGrams), "gram")
       .groupBy(col("doc_id"))

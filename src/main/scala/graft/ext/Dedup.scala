@@ -157,7 +157,13 @@ object Dedup {
   def minhashSignature(
       df: DataFrame, id: Column, shingleSet: Column, numHashes: Int): DataFrame = {
     require(numHashes >= 1, "need at least one hash component")
-    val g = df.select(id.as("__id"), explode(shingleSet).as("__s"))
+    // explode_outer + isnotnull (not plain explode): avoids the
+    // InferFiltersFromGenerate size()>0 predicate, which would push
+    // through the shingle projection and re-evaluate the whole
+    // transform per row (see Decontam.contaminationReport). Docs with
+    // empty shingle sets drop out either way.
+    val g = df.select(id.as("__id"), explode_outer(shingleSet).as("__s"))
+      .filter(col("__s").isNotNull)
     val aggs = (0 until numHashes).map(k =>
       min(md5(concat(lit(s"$k:"), col("__s")))).as(s"mh$k"))
     g.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
@@ -326,10 +332,12 @@ object Dedup {
     * scale factors.
     */
   def q107(s: SparkSession, dir: String): DataFrame = {
+    // No size()>0 pre-filter here: it would be pushed below the shingle
+    // projection and inlined (the interpreted-lambda recompute trap);
+    // minhashSignature's outer-explode drops empty sets anyway.
     val base = docs(s, dir).filter(col("doc_id") < 1000)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), shingles3FromTokens(col("ws")).as("sh"))
-      .filter(size(col("sh")) > 0)
     val sig = minhashSignature(base, col("doc_id"), col("sh"), numHashes = 12)
     minhashBandPairs(sig, numHashes = 12, bands = 4)
       .orderBy("id_a", "id_b")

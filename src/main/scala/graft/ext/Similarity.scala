@@ -90,10 +90,15 @@ object Similarity {
       .orderBy("qid", "did")
   }
 
-  /** LSH-bucketed ANN top-3 (rows-only check): vectors meet only inside
-    * their 8-bit signature bucket, so the pair count is sum of squared
-    * bucket sizes — at 100 TB, with more planes and multiprobe, this is
-    * the only shape that survives; the all-pairs plan of q60 does not.
+  /** LSH-bucketed ANN top-3: vectors meet only inside their 8-bit
+    * signature bucket, so the pair count is sum of squared bucket sizes
+    * — at 100 TB, with more planes and multiprobe, this is the only
+    * shape that survives; the all-pairs plan of q60 does not.
+    *
+    * Oracle-checked since round 4: the ±1 hyperplanes are
+    * deterministic md5 constants, so the oracle embeds them as literal
+    * arrays and independently recomputes unit vectors, signatures,
+    * bucket joins, and ranks (previously rows-only).
     */
   def q61(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -212,7 +217,38 @@ object Similarity {
     "q100_embed_quant" -> (q100 _),
   )
 
+  /** q61 oracle: the md5-derived ±1 planes are query CONSTANTS (like
+    * q66's 0.3 threshold), embedded as literals; everything downstream —
+    * unit vectors, signature bits, the bucket equi-join, rank-3 — is
+    * recomputed independently by the oracle engine. Signature bits are
+    * taken on the unit vector exactly as the Spark side does, so the
+    * two engines evaluate the same sums.
+    */
+  private val knnLshOracle: String = {
+    val planeLits = hyperplanes(8, 64).map(_.mkString("[", ", ", "]"))
+    val sigExpr = planeLits.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(uv, $p) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |u AS (SELECT vec_id,
+       |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
+       |      FROM e),
+       |s AS (SELECT vec_id, uv, $sigExpr AS sig FROM u),
+       |sims AS (
+       |  SELECT q.vec_id AS qid, d.vec_id AS did,
+       |         list_inner_product(q.uv, d.uv) AS sim
+       |  FROM s q JOIN s d ON q.sig = d.sig
+       |  WHERE q.vec_id < 50),
+       |ranked AS (
+       |  SELECT qid, did, sim,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
+       |  FROM sims)
+       |SELECT qid, did, ROUND(sim, 2) AS sim FROM ranked WHERE rn <= 3
+       |ORDER BY qid, did""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q61_knn_lsh" -> knnLshOracle,
     "q60_knn_brute" ->
       """WITH sims AS (
         |  SELECT q.vec_id AS qid, d.vec_id AS did,
@@ -225,8 +261,6 @@ object Similarity {
         |  FROM sims)
         |SELECT qid, did, ROUND(sim, 2) AS sim FROM ranked WHERE rn <= 5
         |ORDER BY qid, did""".stripMargin,
-    // q61_knn_lsh: rows-only (the LSH bucketing is the thing under test;
-    // reproducing it in the oracle would just duplicate the implementation).
     "q64_knn_ivf" ->
       """WITH sims AS (
         |  SELECT q.vec_id AS qid, d.vec_id AS did,

@@ -300,10 +300,14 @@ object TextAnalysis {
     * agg of two counters. No step holds more than (gram, count) state.
     */
   def q108(s: SparkSession, dir: String): DataFrame = {
+    // explode_outer + isnotnull: see Decontam.contaminationReport — a
+    // plain explode's inferred size()>0 filter would inline the 10-gram
+    // transform a second time per row.
     val g = docs(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"),
-        explode(Dedup.shinglesKAll(col("ws"), 10)).as("gram"))
+        explode_outer(Dedup.shinglesKAll(col("ws"), 10)).as("gram"))
+      .filter(col("gram").isNotNull)
     val counts = g.groupBy(col("gram")).agg(count(lit(1)).as("n"))
     g.join(counts, "gram")
       .groupBy(col("doc_id"))

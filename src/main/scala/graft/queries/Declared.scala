@@ -415,6 +415,28 @@ object Declared {
       .orderBy(col("c_custkey").asc_nulls_first, col("k").asc_nulls_first)
   }
 
+  // ---- Q111 (P2, certified): the schema report q24 could never hash-
+  // match because engines RENDER type names differently — so map both
+  // engines' native names onto one canonical vocabulary (int32/int64/
+  // float64/string/timestamp) and certify THAT. lineitem covers all
+  // five; an unmapped type surfaces as 'other:<name>' and fails the
+  // hash rather than hiding. -------------------------------------------
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    val canon = Map(
+      "int" -> "int32", "bigint" -> "int64", "double" -> "float64",
+      "string" -> "string", "timestamp" -> "timestamp",
+      // parquet timestamp without UTC-adjustment metadata surfaces as
+      // NTZ in Spark and plain TIMESTAMP in DuckDB — one canon bucket
+      "timestamp_ntz" -> "timestamp",
+      "date" -> "date", "boolean" -> "bool")
+    val rows = t(s, dir, "lineitem").schema.fields.toSeq.map { f =>
+      val simple = f.dataType.simpleString // SQL names: bigint/int/double/…
+      (f.name, canon.getOrElse(simple, s"other:$simple"))
+    }
+    import s.implicits._
+    rows.toDF("column_name", "canon_type").orderBy("column_name")
+  }
+
   /** DataFrame-API entries, keyed identically to [[oracleSql]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count"            -> (q01 _),
@@ -454,6 +476,7 @@ object Declared {
     "q69_stats_udaf"       -> (q69 _),
     "q70_part_supplier_join" -> (q70 _),
     "q71_full_outer_join"  -> (q71 _),
+    "q111_schema_canon"    -> (q111 _),
   )
 
   /** DuckDB oracle SQL (SURVEY §2.5, validated 22/22 there). */
@@ -654,6 +677,20 @@ object Declared {
         |SELECT c.c_custkey, o.k, o.n_orders
         |FROM customer c FULL OUTER JOIN oagg o ON c.c_custkey = o.k
         |ORDER BY c_custkey NULLS FIRST, k NULLS FIRST""".stripMargin,
-    // q24_schema_report intentionally has no oracle (rows-only check).
+    // q24_schema_report intentionally has no oracle (rows-only check);
+    // q111_schema_canon certifies the same P2 surface via the canonical
+    // type vocabulary both engines can map onto.
+    "q111_schema_canon" ->
+      """SELECT column_name,
+        |  CASE column_type
+        |    WHEN 'INTEGER' THEN 'int32'
+        |    WHEN 'BIGINT' THEN 'int64'
+        |    WHEN 'DOUBLE' THEN 'float64'
+        |    WHEN 'VARCHAR' THEN 'string'
+        |    WHEN 'TIMESTAMP' THEN 'timestamp'
+        |    WHEN 'DATE' THEN 'date'
+        |    WHEN 'BOOLEAN' THEN 'bool'
+        |    ELSE 'other:' || lower(column_type) END AS canon_type
+        |FROM (DESCRIBE lineitem) ORDER BY column_name""".stripMargin,
   )
 }
