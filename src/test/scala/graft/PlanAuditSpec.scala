@@ -300,4 +300,19 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("q105_url_domain_cap")
     assert(!p.contains("CartesianProduct") && !p.contains("Generate"), p)
   }
+
+  test("gram explodes don't inline the shingle transform into scan filters") {
+    // InferFiltersFromGenerate + pushdown would re-evaluate the k-gram
+    // transform per row inside a Filter (split re-run per element_at,
+    // interpreted) — measured 8× on q104. explode_outer keeps filters
+    // on the GENERATED attribute; a Filter line containing the
+    // transform is the regression signature.
+    Seq("q104_decontaminate", "q107_minhash_portable", "q108_dup_ngram_frac")
+      .foreach { name =>
+        val p = plan(name)
+        val badFilter = p.linesIterator.exists(l =>
+          l.contains("Filter") && l.contains("transform(sequence"))
+        assert(!badFilter, s"$name inlines the shingle transform into a filter:\n$p")
+      }
+  }
 }
