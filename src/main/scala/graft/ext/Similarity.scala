@@ -209,7 +209,47 @@ object Similarity {
           (x, c) => abs(x - c / col("__qscale")))), 4).as("max_err"))
       .orderBy("vec_id")
 
+  /** One Lloyd iteration of k-means: assign every vector to its nearest
+    * seed centroid (max cosine on unit vectors, ties to the lowest
+    * centroid id on ROUND(sim, 6) — the q106 trick, so a 1-ulp dot
+    * drift can't flip an assignment across engines), then recompute
+    * per-centroid means per dimension. This is the IVF coarse-quantizer
+    * TRAINING kernel whose search shape q64 certifies.
+    *
+    * Scale shape: seeds broadcast (k rows — structurally bounded);
+    * assignment is map-side; the only shuffles are the per-vector rank
+    * (bounded by k candidates per vector) and the (centroid, dim)
+    * mean agg — vectors are never collected. Iterating = calling this
+    * in a driver loop over re-derived seeds (Components-style).
+    */
+  def kmeansStep(unit: DataFrame, seeds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    val assigned = unit.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("u"), col("cid"),
+        round(dot(col("u"), col("cu")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assigned
+      .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("x")), 4).as("c"))
+      .orderBy("cid", "pos")
+  }
+
+  /** q112 — the k-means step on the embeddings table with deterministic
+    * seeds (the 8 lowest vec_ids), certifying assignment + mean
+    * recomputation against an oracle that replays both independently.
+    */
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    val unit = withUnitVec(emb(s, dir), "embedding", "u").select("vec_id", "u")
+    val seeds = unit.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    kmeansStep(unit, seeds)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_kmeans_step" -> (q112 _),
     "q60_knn_brute" -> (q60 _),
     "q61_knn_lsh"   -> (q61 _),
     "q64_knn_ivf"   -> (q64 _),
@@ -248,6 +288,25 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q112_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |u AS (SELECT vec_id,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
+        |      FROM e),
+        |seeds AS (SELECT vec_id AS cid, uv AS cu FROM u WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT u.vec_id, s.cid, u.uv,
+        |         ROUND(list_inner_product(u.uv, s.cu), 6) AS sim
+        |  FROM u CROSS JOIN seeds s),
+        |asg AS (
+        |  SELECT vec_id, cid, uv,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |  FROM sims),
+        |x AS (SELECT cid, UNNEST(uv) AS x, UNNEST(range(1, len(uv) + 1)) AS ord
+        |      FROM asg WHERE rn = 1)
+        |SELECT cid, CAST(ord AS BIGINT) - 1 AS pos,
+        |       CAST(COUNT(*) AS BIGINT) AS n_members, ROUND(AVG(x), 4) AS c
+        |FROM x GROUP BY cid, ord ORDER BY cid, pos""".stripMargin,
     "q61_knn_lsh" -> knnLshOracle,
     "q60_knn_brute" ->
       """WITH sims AS (

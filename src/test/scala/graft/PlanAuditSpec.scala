@@ -301,6 +301,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("Generate"), p)
   }
 
+  test("runtime bloom filter prunes the fact side under a selective dim filter") {
+    // The 100 TB story for selective fact⋈dim shuffle joins: Spark
+    // injects a bloom filter built from the filtered dim onto the fact
+    // scan, dropping non-joining fact rows BEFORE the shuffle. Local
+    // thresholds are sized for real clusters, so pin the capability by
+    // lowering them; production keeps defaults.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    try {
+      val fact = Tables.table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val dim = Tables.table(spark, sf, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = fact.join(dim,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected an injected bloom filter on the fact side:\n$p")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("gram explodes don't inline the shingle transform into scan filters") {
     // InferFiltersFromGenerate + pushdown would re-evaluate the k-gram
     // transform per row inside a Filter (split re-run per element_at,
