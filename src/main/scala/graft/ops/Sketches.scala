@@ -43,4 +43,32 @@ object Sketches {
       .groupBy(rollup.map(col): _*)
       .agg(hllEstimate(hllMerge(col("sk"))).as("approx_uniques"))
   }
+
+  // ---- Count-min sketch: the FREQUENCY counterpart of HLL's distinct
+  // counting. Same deployment pattern — per-shard sketch bytes, merged
+  // later — answering "how often does item X occur" within
+  // ε·N overcount (never undercount) without a per-item groupBy.
+
+  /** Per-group count-min sketch of `c` as binary (Spark's built-in
+    * aggregate; `eps` = overcount bound as a fraction of total adds,
+    * fixed seed for reproducibility).
+    */
+  def cmsSketch(c: Column, eps: Double = 0.001, conf: Double = 0.99,
+      seed: Int = 42): Column =
+    count_min_sketch(c, lit(eps), lit(conf), lit(seed))
+
+  /** Point estimate for one item from stored sketch bytes. Deserializes
+    * per call — probe sets are small by design (heavy-hitter candidates,
+    * not the full key space); bulk probing should deserialize once per
+    * partition via mapPartitions.
+    */
+  private val estimateUdf =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte], item: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .estimateCount(item)
+    }
+
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    estimateUdf(sketch, item)
 }

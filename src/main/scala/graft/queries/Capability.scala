@@ -548,7 +548,33 @@ object Capability {
       .orderBy("event_id")
   }
 
+  // ---- Q113 (rolling 7-day distinct users — DAU/WAU): exact sliding
+  // count-distinct is the classic "hard at scale" analytics op because
+  // distinct doesn't decompose over overlapping windows. The scalable
+  // exact shape: ONE distinct shuffle to (day, user), then a range join
+  // against the (tiny, broadcast) day spine fans each row into ≤7
+  // window anchors, and a final two-phase distinct-agg per anchor day.
+  // Fan-out is bounded by 7× the DEDUPLICATED per-day users, never the
+  // raw events. (The approximate alternative at extreme scale: daily
+  // HLL sketches unioned over the window — Sketches.distinctByRollup.)
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(to_date(Tables.eventTs(col("ts"))).as("day"), col("user_id"))
+      .distinct()
+    val spine = broadcast(du.select(col("day").as("anchor")).distinct())
+    du.join(spine,
+      col("day").between(date_sub(col("anchor"), 6), col("anchor")))
+      .groupBy(col("anchor"))
+      .agg(
+        countDistinct(when(col("day") === col("anchor"), col("user_id")))
+          .as("dau"),
+        countDistinct(col("user_id")).as("wau"))
+      .select(col("anchor").as("day"), col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_rolling_wau"    -> (q113 _),
     "q33_pivot"           -> (q33 _),
     "q34_word_count"      -> (q34 _),
     "q35_array_hof"       -> (q35 _),
@@ -849,5 +875,16 @@ object Capability {
         |  CAST(json_extract(props, '$.missing') AS BIGINT) AS miss
         |FROM events WHERE props IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    "q113_rolling_wau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |spine AS (SELECT DISTINCT day AS anchor FROM du)
+        |SELECT s.anchor AS day,
+        |  CAST(COUNT(DISTINCT CASE WHEN du.day = s.anchor
+        |                           THEN du.user_id END) AS BIGINT) AS dau,
+        |  CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+        |FROM spine s JOIN du
+        |  ON du.day BETWEEN s.anchor - 6 AND s.anchor
+        |GROUP BY s.anchor ORDER BY day""".stripMargin,
   )
 }

@@ -134,6 +134,25 @@ object Round4 {
       col("o_custkey"))
       .orderBy("o_orderpriority")
 
+  // ---- Q114 (ops.Sketches count-min, rows-only like q97): per-source
+  // CMS sketches over document tokens, probed for every vocabulary
+  // term. The frequency counterpart of q97's HLL — heavy-hitter counts
+  // within ε·N overcount from mergeable bytes, no per-term groupBy.
+  // Sketch bytes/estimates are engine-specific → no hash oracle; the
+  // ε-bound vs exact counts is spec-asserted (ExtensionsSpec).
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode_outer(split(col("text"), " ")).as("term"))
+      .filter(col("term").isNotNull)
+    val sk = toks.groupBy(col("source"))
+      .agg(graft.ops.Sketches.cmsSketch(col("term")).as("sk"))
+    val probes = broadcast(toks.select("term").distinct())
+    sk.crossJoin(probes)
+      .select(col("source"), col("term"),
+        graft.ops.Sketches.cmsEstimate(col("sk"), col("term")).as("est"))
+      .orderBy("source", "term")
+  }
+
   // ---- Q98 (forward as-of join): for each click, the EARLIEST
   // purchase at or after it per user — q67's mirror, certifying
   // ops.AsofJoin's Forward direction against DuckDB's ASOF with a
@@ -181,6 +200,7 @@ object Round4 {
     "q95_cdc_apply"    -> (q95 _),
     "q96_zorder_key"   -> (q96 _),
     "q97_hll_rollup"   -> (q97 _),
+    "q114_cms_counts"  -> (q114 _),
     "q98_asof_forward" -> (q98 _),
     "q99_interval_overlap" -> (q99 _),
   )

@@ -249,6 +249,27 @@ class ExtensionsSpec extends SparkTestBase {
       DeflateUtil.deflateLen(UTF8String.fromString(repetitive.take(100))))
   }
 
+  test("q114 CMS estimates bound exact counts within eps*N (never under)") {
+    val dir = "/root/testdata/sf0.001"
+    val est = graft.queries.Round4.q114(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val toks = graft.Tables.table(spark, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("term"))
+    val exact = toks.groupBy($"source", $"term").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = toks.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every occurring (source, term) pair is probed; the probe set also
+    // covers non-occurring pairs, whose exact count is 0
+    assert(est.nonEmpty && exact.keySet.subsetOf(est.keySet))
+    est.foreach { case ((src, term), e) =>
+      val x = exact.getOrElse((src, term), 0L)
+      assert(e >= x, s"CMS undercounts $src/$term: $e < $x")
+      assert(e <= x + (0.001 * totals(src)).ceil.toLong + 1,
+        s"CMS overcount beyond eps*N for $src/$term: $e vs $x (N=${totals(src)})")
+    }
+  }
+
   test("q110 ratios are in (0, 2] and non-null for the fixture corpus") {
     val r = TextAnalysis.q110(spark, sf)
     val stats = r.agg(
