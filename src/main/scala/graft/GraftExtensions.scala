@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer rule: collapse idempotent normalizer chains
+    // (nfc_normalize/strip_accents/title_case) before codegen.
+    ext.injectOptimizerRule(_ => graft.plans.CollapseIdempotentNorms)
+
     def arity(name: String, n: Int, children: Seq[Expression]): Unit =
       if (children.length != n)
         throw new IllegalArgumentException(

@@ -222,19 +222,77 @@ object Similarity {
     * mean agg — vectors are never collected. Iterating = calling this
     * in a driver loop over re-derived seeds (Components-style).
     */
-  def kmeansStep(unit: DataFrame, seeds: DataFrame): DataFrame = {
+  /** Nearest-seed assignment: (vec_id, u, cid). Seeds broadcast. */
+  private def assignToSeeds(unit: DataFrame, seeds: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
-    val assigned = unit.crossJoin(broadcast(seeds))
+    unit.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("u"), col("cid"),
         round(dot(col("u"), col("cu")), 6).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-    assigned
+      .select(col("vec_id"), col("u"), col("cid"))
+  }
+
+  def kmeansStep(unit: DataFrame, seeds: DataFrame): DataFrame =
+    assignToSeeds(unit, seeds)
       .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos").cast("long").as("pos"))
       .agg(count(lit(1)).as("n_members"), round(avg(col("x")), 4).as("c"))
       .orderBy("cid", "pos")
+
+  /** Full spherical k-means fit: iterate assign → mean → re-normalize
+    * until assignments stabilize (or maxIter). Seeds = the k lowest
+    * vec_ids' unit vectors — deterministic, no RNG, rerun-stable.
+    *
+    * Scale shape per round: one broadcast-assign (map-side, k
+    * candidates per vector), one (cid, pos) mean agg, one k-row
+    * centroid rebuild — vectors are never collected; only the k×dims
+    * centroid table moves to the driver-side broadcast. Assignment
+    * frames are `localCheckpoint`ed per round (flat lineage, same
+    * discipline as Components.connectedComponents). Convergence =
+    * zero vectors changed cluster, checked via a co-keyed join of
+    * consecutive assignments.
+    *
+    * @return final assignments (vec_id, cid)
+    */
+  def kmeansFit(unit: DataFrame, k: Int, maxIter: Int = 20): DataFrame = {
+    require(k >= 1 && maxIter >= 1)
+    var seeds = unit.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    var prev: DataFrame = null
+    var assigned: DataFrame = null
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      assigned = assignToSeeds(unit, seeds).localCheckpoint(true)
+      if (prev != null) {
+        val changed = assigned.select(col("vec_id"), col("cid").as("nc"))
+          .join(prev.select(col("vec_id"), col("cid")), "vec_id")
+          .filter(col("nc") =!= col("cid")).count()
+        converged = changed == 0
+      }
+      if (!converged) {
+        // new centroids: per-dimension mean, re-normalized (spherical
+        // k-means — cosine geometry needs unit centroids)
+        val means = assigned
+          .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(avg(col("x")).as("c"))
+          .groupBy(col("cid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("c")))),
+            s => s.getField("c")).as("cv"))
+        seeds = means
+          .withColumn("__n", sqrt(dot(col("cv"), col("cv"))))
+          .select(col("cid"),
+            transform(col("cv"), x => x / col("__n")).as("cu"))
+          .localCheckpoint(true)
+      }
+      prev = assigned
+      iter += 1
+    }
+    assigned.select(col("vec_id"), col("cid"))
   }
 
   /** q112 — the k-means step on the embeddings table with deterministic

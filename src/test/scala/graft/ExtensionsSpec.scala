@@ -249,6 +249,30 @@ class ExtensionsSpec extends SparkTestBase {
       DeflateUtil.deflateLen(UTF8String.fromString(repetitive.take(100))))
   }
 
+  test("kmeansFit recovers well-separated clusters deterministically") {
+    // 3 clusters hugging orthogonal axes in 4 dims; ids arranged so the
+    // deterministic seeds (lowest 3 ids) land one per cluster
+    def v(axis: Int, eps: Double): Seq[Double] =
+      (0 until 4).map(i => if (i == axis) 1.0 else eps)
+    val rows = Seq(
+      (0L, v(0, 0.05)), (1L, v(1, 0.04)), (2L, v(2, 0.03)),
+      (3L, v(0, 0.08)), (4L, v(1, 0.07)), (5L, v(2, 0.06)),
+      (6L, v(0, 0.02)), (7L, v(1, 0.01)), (8L, v(2, 0.09)))
+    val unit = Similarity
+      .withUnitVec(rows.toDF("vec_id", "embedding"), "embedding", "u")
+      .select("vec_id", "u")
+    val got = Similarity.kmeansFit(unit, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      0L -> 0L, 3L -> 0L, 6L -> 0L,
+      1L -> 1L, 4L -> 1L, 7L -> 1L,
+      2L -> 2L, 5L -> 2L, 8L -> 2L))
+    // rerun-stable (no RNG anywhere)
+    val again = Similarity.kmeansFit(unit, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("q114 CMS estimates bound exact counts within eps*N (never under)") {
     val dir = "/root/testdata/sf0.001"
     val est = graft.queries.Round4.q114(spark, dir)
