@@ -17,12 +17,20 @@ final case class CorpusConfig(
     nearDupMaxHamming: Int = 2,
     chunkTokens: Int = 32,
     chunkStride: Int = 24,
-    packBudgetChars: Long = 4096L)
+    packBudgetChars: Long = 4096L,
+    // benchmark decontamination: when set, docs sharing a decontamK-gram
+    // with any doc in the eval parquet (a `text` column) are dropped
+    decontamEvalPath: Option[String] = None,
+    decontamK: Int = 8,
+    // near-dup scope: pairwise greedy (default — no surviving pair is a
+    // near-dup) vs transitive components (one survivor per dedup GROUP)
+    transitiveNearDup: Boolean = false)
 
 final case class CorpusMetrics(
     input: Long,
     afterLang: Long,
     afterQuality: Long,
+    afterDecontam: Long,
     afterExactDedup: Long,
     written: Long,
     nearDupDocsDropped: Long,
@@ -34,8 +42,10 @@ final case class CorpusMetrics(
   * one declarative job.
   *
   *   read → language filter (heuristic, not the label) → quality
-  *   threshold → exact content dedup (keep lowest doc_id) → SimHash
-  *   band near-dup removal (greedy keep-first) → sorted parquet + stats
+  *   threshold → [optional] benchmark decontamination (eval k-gram
+  *   overlap, broadcast eval side) → exact content dedup (keep lowest
+  *   doc_id) → SimHash band near-dup removal (greedy keep-first, or
+  *   transitive connected-components groups) → sorted parquet + stats
   *   → sliding-window chunking → size-budget packing (the training-prep
   *   tail: chunks are what gets embedded/tokenized, packs are the batch
   *   assembly unit)
@@ -62,12 +72,27 @@ object Corpus {
     val byQuality = byLang.filter(col("quality") >= config.minQuality)
     val afterQuality = byQuality.count()
 
+    // optional benchmark decontamination (Decontam.contaminationReport's
+    // machinery): drop any doc sharing a k-gram with the eval set
+    val decontaminated = config.decontamEvalPath match {
+      case Some(evalPath) =>
+        val evalDocs = spark.read.parquet(evalPath)
+          .select(split(col("text"), " ").as("ws"))
+        val contaminated = graft.ext.Decontam.contaminationReport(
+          byQuality.select(col("doc_id"), split(col("text"), " ").as("ws")),
+          evalDocs, config.decontamK)
+          .select("doc_id")
+        byQuality.join(contaminated, Seq("doc_id"), "left_anti")
+      case None => byQuality
+    }
+    val afterDecontam = decontaminated.count()
+
     // exact dedup: keep the lowest doc_id per content hash
-    val keep = byQuality
+    val keep = decontaminated
       .groupBy(Dedup.contentHash(col("text")).as("__h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val exact = byQuality.join(keep, Seq("doc_id"), "left_semi")
+    val exact = decontaminated.join(keep, Seq("doc_id"), "left_semi")
     exact.persist() // reused: count, simhash build, final anti-join
     val afterExact = exact.count()
 
@@ -79,7 +104,21 @@ object Corpus {
     // full simhash + band self-join — persist before counting so the
     // final anti-join reuses the result instead of recomputing the whole
     // near-dup pipeline a second time.
-    val dropIds = pairs.select(col("id_b").as("doc_id")).distinct()
+    //   pairwise (default): drop every id_b — no surviving pair is a
+    //     near-dup (any such pair would contain a dropped id).
+    //   transitive: connected components over the pair graph, keep the
+    //     min id per GROUP — one survivor per dedup cluster even when
+    //     A~B, B~C but A and C never met in a band.
+    val dropIds =
+      if (config.transitiveNearDup) {
+        val verts = pairs.select(col("id_a").as("id"))
+          .union(pairs.select(col("id_b").as("id"))).distinct()
+        graft.ext.Components
+          .connectedComponents(verts, pairs.select(
+            col("id_a").as("src"), col("id_b").as("dst")))
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as("doc_id"))
+      } else pairs.select(col("id_b").as("doc_id")).distinct()
     dropIds.persist()
     val dropped = dropIds.count()
     val clean = exact.join(dropIds, Seq("doc_id"), "left_anti")
@@ -115,8 +154,8 @@ object Corpus {
     val chunksWritten = chunkTable.count()
     val packs = chunkTable.select("source", "pack_id").distinct().count()
 
-    CorpusMetrics(input, afterLang, afterQuality, afterExact, written, dropped,
-      chunksWritten, packs)
+    CorpusMetrics(input, afterLang, afterQuality, afterDecontam, afterExact,
+      written, dropped, chunksWritten, packs)
   }
 
   def main(args: Array[String]): Unit = {
@@ -125,7 +164,8 @@ object Corpus {
     val spark = Engine.session(appName = "graft-corpus")
     val m = run(spark, CorpusConfig(inDir, outPath))
     println(s"[corpus] input=${m.input} lang=${m.afterLang} quality=${m.afterQuality} " +
-      s"exact=${m.afterExactDedup} neardup_docs_dropped=${m.nearDupDocsDropped} " +
+      s"decontam=${m.afterDecontam} exact=${m.afterExactDedup} " +
+      s"neardup_docs_dropped=${m.nearDupDocsDropped} " +
       s"written=${m.written} chunks=${m.chunksWritten} packs=${m.packs}")
     spark.stop()
   }

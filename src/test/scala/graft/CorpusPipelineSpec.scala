@@ -24,7 +24,9 @@ class CorpusPipelineSpec extends SparkTestBase {
   test("stage counts are monotone non-increasing and non-trivial") {
     assert(metrics.input >= metrics.afterLang)
     assert(metrics.afterLang >= metrics.afterQuality)
-    assert(metrics.afterQuality >= metrics.afterExactDedup)
+    assert(metrics.afterQuality === metrics.afterDecontam,
+      "no eval set configured -> decontamination is a no-op")
+    assert(metrics.afterDecontam >= metrics.afterExactDedup)
     assert(metrics.afterExactDedup >= metrics.written)
     assert(metrics.written > 0)
     assert(metrics.afterLang < metrics.input, "language filter must bite on a 5-lang corpus")
@@ -57,6 +59,38 @@ class CorpusPipelineSpec extends SparkTestBase {
     // packs: each pack's id equals floor(startOffset / budget) — spot
     // check by re-deriving the running sum per shard
     assert(metrics.packs > 0 && metrics.packs <= metrics.chunksWritten)
+  }
+
+  test("decontamination stage drops docs overlapping the eval set") {
+    // eval set = the text of one surviving clean doc: that doc (and any
+    // doc sharing a k-gram with it) must vanish from the output
+    val evalDir = Files.createTempDirectory("graft_eval").toString + "/eval"
+    val victim = clean.orderBy("doc_id").limit(1)
+    victim.select("text").write.parquet(evalDir)
+    val out3 = Files.createTempDirectory("graft_corpus3").toString + "/clean"
+    val m3 = Corpus.run(spark, config.copy(
+      outPath = out3, decontamEvalPath = Some(evalDir), decontamK = 5))
+    assert(m3.afterDecontam < m3.afterQuality,
+      "the planted eval doc must be flagged")
+    val victimId = victim.collect()(0).getAs[Long]("doc_id")
+    val survivors = spark.read.parquet(out3)
+      .filter(col("doc_id") === victimId).count()
+    assert(survivors === 0L)
+  }
+
+  test("transitive near-dup mode keeps at most one doc per component") {
+    val out4 = Files.createTempDirectory("graft_corpus4").toString + "/clean"
+    val m4 = Corpus.run(spark, config.copy(
+      outPath = out4, transitiveNearDup = true))
+    val clean4 = spark.read.parquet(out4)
+    // pairwise guarantee still holds (components subsume it)
+    val hashed = Dedup.simhashN(clean4, col("doc_id"), col("text"), config.nearDupBits)
+    val pairs = Dedup.simhashBandPairs(
+      hashed, config.nearDupBits, config.nearDupBands, config.nearDupMaxHamming)
+    assert(pairs.isEmpty)
+    // transitive mode can only drop MORE than greedy pairwise
+    assert(m4.written <= metrics.written)
+    assert(m4.written > 0)
   }
 
   test("pipeline is deterministic across runs") {
