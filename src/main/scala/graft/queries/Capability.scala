@@ -573,7 +573,50 @@ object Capability {
       .orderBy("day")
   }
 
+  // ---- Q115 (conversion funnel): per-user ordered step progression
+  // click → purchase (first click, first purchase AFTER that click),
+  // aggregated to step counts + conversion rate. The standard product
+  // funnel, expressed as two min-aggs and a conditional join — no
+  // per-user iteration, no window over raw events wider than one key.
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t_buy"))
+    val conv = firstClick.join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("t_click"))
+      .agg(min(when(col("t_buy") >= col("t_click"), col("t_buy")))
+        .as("t_conv"))
+    conv.agg(
+      count(lit(1)).as("clickers"),
+      count(col("t_conv")).as("converted"),
+      round(count(col("t_conv")).cast("double") / count(lit(1)), 4)
+        .as("conv_rate"))
+  }
+
+  // ---- Q116 (retention cohorts): users bucketed by FIRST-seen day
+  // (the cohort), counted by how many distinct later weeks they return.
+  // Two aggs + one co-keyed join — the cohort table every analytics
+  // engine must produce. Week offset in integer arithmetic (datediff /
+  // 7) so the bucket boundary cannot drift between engines.
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), to_date(Tables.eventTs(col("ts"))).as("day"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    act.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        floor(datediff(col("day"), col("cohort_day")) / 7).as("week_off"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("week_off"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("cohort_day", "week_off")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_funnel"         -> (q115 _),
+    "q116_retention"      -> (q116 _),
     "q113_rolling_wau"    -> (q113 _),
     "q33_pivot"           -> (q33 _),
     "q34_word_count"      -> (q34 _),
@@ -875,6 +918,33 @@ object Capability {
         |  CAST(json_extract(props, '$.missing') AS BIGINT) AS miss
         |FROM events WHERE props IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    "q115_funnel" ->
+      """WITH fc AS (
+        |  SELECT user_id, MIN(ts) AS t_click FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (SELECT user_id, ts AS t_buy FROM events
+        |      WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT fc.user_id, fc.t_click,
+        |         MIN(CASE WHEN p.t_buy >= fc.t_click THEN p.t_buy END) AS t_conv
+        |  FROM fc LEFT JOIN p ON p.user_id = fc.user_id
+        |  GROUP BY fc.user_id, fc.t_click)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS clickers,
+        |       CAST(COUNT(t_conv) AS BIGINT) AS converted,
+        |       ROUND(CAST(COUNT(t_conv) AS DOUBLE) / COUNT(*), 4) AS conv_rate
+        |FROM conv""".stripMargin,
+    "q116_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id),
+        |w AS (SELECT DISTINCT act.user_id, c.cohort_day,
+        |        CAST(FLOOR(date_diff('day', c.cohort_day, act.day) / 7.0) AS BIGINT)
+        |          AS week_off
+        |      FROM act JOIN c ON act.user_id = c.user_id)
+        |SELECT cohort_day, week_off,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        |FROM w GROUP BY cohort_day, week_off
+        |ORDER BY cohort_day, week_off""".stripMargin,
     "q113_rolling_wau" ->
       """WITH du AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
