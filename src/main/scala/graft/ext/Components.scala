@@ -48,7 +48,16 @@ object Components {
       .union(e1.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
 
-    var labels = vertices.select(col("id"), col("id").as("comp"))
+    // Label EVERY node the edges mention, not just declared vertices:
+    // an edge endpoint absent from `vertices` would otherwise enter the
+    // label frame with a NULL old-comp on its first appearance, the
+    // null-safe change count would miss it, and the loop could converge
+    // EARLY with wrong groups — silently, despite the loud-failure goal.
+    var labels = vertices.select(col("id"))
+      .union(e1.select(col("src").as("id")))
+      .union(e1.select(col("dst").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false

@@ -88,9 +88,12 @@ object Sampling {
     // rateHex is per-row (a CASE or broadcast-joined rate table), so the
     // shape check runs in-plan: a malformed rate fails the job loudly
     // instead of silently skewing the mix.
+    // coalesce inside the message: a NULL rateHex (e.g. an unmatched
+    // left-joined rate table) must name itself, not null the whole
+    // concat and raise a message-less error
     val guarded = when(rateHex.rlike("^([0-9a-f]{2}|zz)$"), bucket256(key) < rateHex)
       .otherwise(raise_error(concat(lit("mixKeep: rateHex must be 2 lowercase hex chars or 'zz', got '"),
-        rateHex, lit("'"))).cast("boolean"))
+        coalesce(rateHex, lit("<null>")), lit("'"))).cast("boolean"))
     df.filter(guarded)
   }
 

@@ -254,6 +254,11 @@ object Similarity {
     * zero vectors changed cluster, checked via a co-keyed join of
     * consecutive assignments.
     *
+    * Empty clusters follow classic Lloyd behavior: a centroid that
+    * loses all members produces no mean row and silently drops from
+    * the next round's seed set (k shrinks) — deterministic, and the
+    * right default for dedup/IVF uses where a dead cell is a dead cell.
+    *
     * @return final assignments (vec_id, cid)
     */
   def kmeansFit(unit: DataFrame, k: Int, maxIter: Int = 20): DataFrame = {

@@ -190,25 +190,41 @@ object TextAnalysis {
     * start offsets — rows multiply, the token array does not leave the
     * row, and no shuffle happens until the declared output sort. A doc
     * shorter than one chunk yields exactly one (shorter) chunk.
+    *
+    * COMPLETE COVERAGE: when the stride doesn't land the last window on
+    * the document end, one extra clamped window (start = len-chunk+1)
+    * is emitted so the final tokens are never silently dropped — up to
+    * stride-1 trailing tokens of nearly every long doc would otherwise
+    * vanish from the training corpus.
+    *
+    * `carry` columns pass through unchanged (e.g. `source` for the
+    * packing stage) — re-joining the chunk table to its parent just to
+    * recover a column would shuffle the largest frame in the pipeline.
     */
   def chunkDocs(
       df: DataFrame, id: Column, text: Column,
-      chunkTokens: Int, strideTokens: Int): DataFrame = {
+      chunkTokens: Int, strideTokens: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(chunkTokens > 0 && strideTokens > 0, "chunk/stride must be positive")
     val ws = tokens(text)
-    df.select(id.as("doc_id"), ws.as("__ws"))
+    val carryCols = carry.map(col)
+    val n = size(col("__ws"))
+    val base = sequence(
+      lit(1), greatest(n - chunkTokens, lit(0)) + 1, lit(strideTokens))
+    val lastStart = n - chunkTokens + 1
+    val starts = when(
+      n > chunkTokens && (n - chunkTokens) % strideTokens =!= 0,
+      concat(base, array(lastStart))).otherwise(base)
+    df.select(id.as("doc_id") +: ws.as("__ws") +: carryCols: _*)
       .select(
-        col("doc_id"), col("__ws"),
-        explode(sequence(
-          lit(1),
-          greatest(size(col("__ws")) - chunkTokens, lit(0)) + 1,
-          lit(strideTokens))).as("start_tok"))
+        col("doc_id") +: col("__ws") +:
+          explode(starts).as("start_tok") +: carryCols: _*)
       .select(
-        col("doc_id"),
-        col("start_tok").cast("long").as("start_tok"),
-        concat_ws(" ", slice(col("__ws"), col("start_tok"), lit(chunkTokens))).as("chunk"),
-        size(slice(col("__ws"), col("start_tok"), lit(chunkTokens))).cast("long")
-          .as("chunk_tokens"))
+        col("doc_id") +:
+          col("start_tok").cast("long").as("start_tok") +:
+          concat_ws(" ", slice(col("__ws"), col("start_tok"), lit(chunkTokens))).as("chunk") +:
+          size(slice(col("__ws"), col("start_tok"), lit(chunkTokens))).cast("long")
+            .as("chunk_tokens") +: carryCols: _*)
   }
 
   def q101(s: SparkSession, dir: String): DataFrame =
@@ -480,9 +496,13 @@ object TextAnalysis {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q101_doc_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |c AS (SELECT doc_id, ws,
-        |             unnest(range(1, GREATEST(len(ws) - 32, 0) + 2, 24)) AS st
-        |      FROM t)
+        |s AS (SELECT doc_id, ws,
+        |             list_concat(
+        |               range(1, GREATEST(len(ws) - 32, 0) + 2, 24),
+        |               CASE WHEN len(ws) > 32 AND (len(ws) - 32) % 24 <> 0
+        |                    THEN [len(ws) - 31] ELSE CAST([] AS BIGINT[]) END) AS starts
+        |      FROM t),
+        |c AS (SELECT doc_id, ws, unnest(starts) AS st FROM s)
         |SELECT doc_id, CAST(st AS BIGINT) AS start_tok,
         |       array_to_string(ws[st:st+31], ' ') AS chunk,
         |       CAST(len(ws[st:st+31]) AS BIGINT) AS chunk_tokens

@@ -22,21 +22,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * unit-tested instead. Codegen'd like [[TitleCase]].
   */
 object DeflateUtil {
+  // One zlib stream + scratch buffer per executor thread, reset()
+  // between rows: Deflater init/end is a JNI native-state cycle that
+  // costs about as much as deflating a small document — per-row
+  // allocation would double the operator. The thread-local lives for
+  // the executor thread's lifetime (bounded: one native stream per
+  // core), the standard pattern for per-row codec use.
+  private val localDeflater = ThreadLocal.withInitial[Deflater](() =>
+    new Deflater(6, true))
+  private val localBuf = ThreadLocal.withInitial[Array[Byte]](() =>
+    new Array[Byte](8192))
+
   /** Raw-DEFLATE output length at fixed level 6. zlib's algorithm is
     * fully deterministic for (input, level, strategy), so this is a
     * stable per-row metric, not an approximation.
     */
   def deflateLen(s: UTF8String): Int = {
     val bytes = s.getBytes
-    val d = new Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = localDeflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = localBuf.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }
 

@@ -65,12 +65,21 @@ object Layout {
     interleaveBits(norm, bitsPerCol)
   }
 
-  /** One-pass (min, max) stats for [[zorderKey]]. */
+  /** One-pass (min, max) stats for [[zorderKey]]. Fails with a clear
+    * message (not a bare NullPointerException) on an empty input or an
+    * all-null clustered column — both routine in per-partition
+    * maintenance jobs and both meaningless to Z-order.
+    */
   def minMaxStats(df: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    cols.indices.map { i =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"minMaxStats: column '${cols(i)}' has no non-null values " +
+          "(empty input or all-null column) — nothing to cluster on")
+      (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    }
   }
 
   /** Cluster `df` along the Z-order curve of `cols`: range-partition on

@@ -35,6 +35,16 @@ object UnicodeNormUtil {
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
   }
 
+  /** Contract: output is ALWAYS in NFC, marks removed. The no-mark path
+    * must still NFC-normalize (not return the input verbatim): for
+    * mark-free but decomposed input — e.g. conjoining Hangul jamo,
+    * which NFD leaves decomposed and which contains no Mn characters —
+    * returning the input would make strip_accents(x) differ from
+    * strip_accents(nfc_normalize(x)), breaking both the canonical-hash
+    * use case and the CollapseIdempotentNorms rewrite that relies on
+    * the equivalence. ASCII (the hot path) still short-circuits inside
+    * [[nfc]] with zero allocation.
+    */
   def stripAccents(s: UTF8String): UTF8String = {
     val d = Normalizer.normalize(s.toString, Normalizer.Form.NFD)
     var hasMark = false
@@ -44,7 +54,7 @@ object UnicodeNormUtil {
         hasMark = true
       i += 1
     }
-    if (!hasMark) s
+    if (!hasMark) nfc(s)
     else {
       val sb = new java.lang.StringBuilder(d.length)
       var j = 0

@@ -136,10 +136,12 @@ object Corpus {
     // sink — the cleaned table is the contract boundary), then pack
     // chunks into contiguous size-budget bins per source shard
     val cleanDocs = spark.read.parquet(config.outPath)
+    // `carry` threads `source` through the explode — re-joining the
+    // chunk table (the pipeline's largest frame) to its parent just to
+    // recover one column would add a full shuffle join
     val chunks = TextAnalysis.chunkDocs(
       cleanDocs.withColumnRenamed("doc_id", "__id"), col("__id"), col("text"),
-      config.chunkTokens, config.chunkStride)
-      .join(cleanDocs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      config.chunkTokens, config.chunkStride, carry = Seq("source"))
     val packed = graft.ext.Sampling.packBudget(
       chunks.withColumn("chunk_chars", length(col("chunk"))),
       shard = col("source"),

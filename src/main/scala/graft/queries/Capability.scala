@@ -551,19 +551,23 @@ object Capability {
   // ---- Q113 (rolling 7-day distinct users — DAU/WAU): exact sliding
   // count-distinct is the classic "hard at scale" analytics op because
   // distinct doesn't decompose over overlapping windows. The scalable
-  // exact shape: ONE distinct shuffle to (day, user), then a range join
-  // against the (tiny, broadcast) day spine fans each row into ≤7
-  // window anchors, and a final two-phase distinct-agg per anchor day.
-  // Fan-out is bounded by 7× the DEDUPLICATED per-day users, never the
-  // raw events. (The approximate alternative at extreme scale: daily
-  // HLL sketches unioned over the window — Sketches.distinctByRollup.)
+  // exact shape: ONE distinct shuffle to (day, user), then a MAP-SIDE
+  // explode of each row into exactly the ≤7 anchor days it can serve
+  // (a range join against the day spine would nested-loop every row
+  // against EVERY anchor — |du|×|days| predicate evaluations for the
+  // same ≤7 survivors), a broadcast semi join clipping anchors to
+  // observed days (calendar gaps, the trailing 6 days), and a final
+  // two-phase distinct-agg per anchor. (The approximate alternative at
+  // extreme scale: daily HLL sketches unioned over the window —
+  // Sketches.distinctByRollup.)
   def q113(s: SparkSession, dir: String): DataFrame = {
     val du = Tables.events(s, dir)
       .select(to_date(Tables.eventTs(col("ts"))).as("day"), col("user_id"))
       .distinct()
+    val fanned = du.select(col("day"), col("user_id"),
+      explode(sequence(col("day"), date_add(col("day"), 6))).as("anchor"))
     val spine = broadcast(du.select(col("day").as("anchor")).distinct())
-    du.join(spine,
-      col("day").between(date_sub(col("anchor"), 6), col("anchor")))
+    fanned.join(spine, Seq("anchor"), "left_semi")
       .groupBy(col("anchor"))
       .agg(
         countDistinct(when(col("day") === col("anchor"), col("user_id")))

@@ -144,12 +144,26 @@ object Round4 {
     val toks = t(s, dir, "documents")
       .select(col("source"), explode_outer(split(col("text"), " ")).as("term"))
       .filter(col("term").isNotNull)
-    val sk = toks.groupBy(col("source"))
+    // Deserialize each group's sketch ONCE and broadcast the live
+    // objects; probing then costs a hash lookup per row. Running
+    // cmsEstimate per row instead would readFrom() the multi-KB bytes
+    // once per (source, term) — exactly the bulk-probe anti-pattern
+    // the Sketches scaladoc warns about. The collect is k rows (one
+    // sketch per source), not data.
+    val sketches = toks.groupBy(col("source"))
       .agg(graft.ops.Sketches.cmsSketch(col("term")).as("sk"))
-    val probes = broadcast(toks.select("term").distinct())
-    sk.crossJoin(probes)
+      .collect()
+      .map { r =>
+        r.getString(0) -> org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sk")))
+      }.toMap
+    val bc = s.sparkContext.broadcast(sketches)
+    val probe = udf((src: String, term: String) =>
+      bc.value(src).estimateCount(term))
+    toks.select("source").distinct()
+      .crossJoin(broadcast(toks.select("term").distinct()))
       .select(col("source"), col("term"),
-        graft.ops.Sketches.cmsEstimate(col("sk"), col("term")).as("est"))
+        probe(col("source"), col("term")).as("est"))
       .orderBy("source", "term")
   }
 

@@ -185,6 +185,15 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // recover from a crash inside a previous swap window: if the
+        // snapshot is missing but the rename-aside copy exists, the
+        // crash happened between the two renames — fall back to the
+        // aside copy instead of silently rebuilding from one batch
+        import org.apache.hadoop.fs.{Path => HPath}
+        val dstP = new HPath(snapshotPath)
+        val oldP = new HPath(snapshotPath + "__old")
+        val fsRec = dstP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fsRec.exists(dstP) && fsRec.exists(oldP)) fsRec.rename(oldP, dstP)
         val base = scala.util.Try(spark.read.parquet(snapshotPath)).getOrElse(
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapshotSchema))
@@ -202,15 +211,24 @@ object EventStream {
           .select(snapshotSchema.fieldNames.map(col).toIndexedSeq: _*)
         // stage-and-swap, never read-and-overwrite in place (the merged
         // plan reads the path being replaced), and never collect to the
-        // driver — the swap is two metadata ops on the FileSystem
-        import org.apache.hadoop.fs.{Path => HPath}
+        // driver. RENAME-ASIDE, not delete-then-rename: a crash between
+        // delete(dst) and rename(stage, dst) would lose the ENTIRE
+        // snapshot — batch replay would then rebuild from only the
+        // failed batch's keys, silently. With rename-aside the old
+        // snapshot survives every crash point (the recovery branch
+        // above restores it), and the aside copy is deleted only after
+        // the new snapshot is in place.
         val dst = new HPath(snapshotPath)
         val stage = new HPath(snapshotPath + "__stage")
+        val old = new HPath(snapshotPath + "__old")
         val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
         next.write.mode("overwrite").parquet(stage.toString)
-        fs.delete(dst, true)
+        fs.delete(old, true) // clear any stale aside copy
+        if (fs.exists(dst) && !fs.rename(dst, old))
+          throw new java.io.IOException(s"swap failed: $dst -> $old")
         if (!fs.rename(stage, dst))
           throw new java.io.IOException(s"swap failed: $stage -> $dst")
+        fs.delete(old, true)
         ()
       }
   }

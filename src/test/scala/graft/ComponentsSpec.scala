@@ -37,6 +37,13 @@ class ComponentsSpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("edge endpoints absent from the vertices frame still merge correctly") {
+    // vertex 1 appears only in the edge list: it must join 2's
+    // component with min label 1, not converge early with {2->2}
+    val got = run(Seq(2L, 3L), Seq((1L, 2L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("non-convergence inside maxIter fails loudly, not partially") {
     val edges = (1L until 10L).map(i => (i, i + 1))
     val e = intercept[IllegalArgumentException] {

@@ -52,9 +52,23 @@ class CorpusPipelineSpec extends SparkTestBase {
     // every clean doc appears in the chunk table
     assert(clean.select("doc_id")
       .exceptAll(chunks.select("doc_id").distinct()).isEmpty)
-    // chunk windows: starts advance by the stride, first start is 1
-    val badStart = chunks
-      .filter((col("start_tok") - 1) % config.chunkStride =!= 0).count()
+    // COMPLETE coverage: per doc, the windows reach the last token
+    // (the clamped final window closes any stride remainder), start at
+    // 1, and every start is on the stride grid OR the final clamp
+    val docLens = clean.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val cover = chunks.groupBy("doc_id")
+      .agg(
+        min("start_tok").as("first_start"),
+        max(col("start_tok") + col("chunk_tokens") - 1).as("cover_end"))
+      .join(docLens, "doc_id")
+    assert(cover.filter(col("first_start") =!= 1).count() === 0)
+    assert(cover.filter(col("cover_end") =!= col("n_tok")).count() === 0,
+      "trailing tokens must never be dropped")
+    val badStart = chunks.join(docLens, "doc_id")
+      .filter((col("start_tok") - 1) % config.chunkStride =!= 0 &&
+        col("start_tok") =!= col("n_tok") - config.chunkTokens + 1)
+      .count()
     assert(badStart === 0)
     // packs: each pack's id equals floor(startOffset / budget) — spot
     // check by re-deriving the running sum per shard

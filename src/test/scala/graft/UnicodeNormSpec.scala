@@ -35,6 +35,16 @@ class UnicodeNormSpec extends SparkTestBase {
     assert(UnicodeNormUtil.stripAccents(ascii) eq ascii)
   }
 
+  test("stripAccents output is NFC even for mark-free decomposed input") {
+    // conjoining Hangul jamo: NFD-stable, contains NO Mn marks — the
+    // no-mark fast path must still compose, or strip(x) != strip(nfc(x))
+    // and the CollapseIdempotentNorms rewrite would change results
+    val jamo = "\u1100\u1161" // ᄀ + ᅡ, composes to 가 (U+AC00)
+    assert(UnicodeNormUtil.stripAccents(u(jamo)).toString === "\uAC00")
+    assert(UnicodeNormUtil.stripAccents(u(jamo)).toString ===
+      UnicodeNormUtil.stripAccents(UnicodeNormUtil.nfc(u(jamo))).toString)
+  }
+
   test("normalized forms hash identically after nfc (the dedup motivation)") {
     val df = Seq(composed, decomposed).toDF("t")
       .select(md5(UnicodeNorm.nfcNormalize($"t")).as("h"))
