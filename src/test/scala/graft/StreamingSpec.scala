@@ -214,4 +214,42 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     assert(out.toSeq === Seq((1L, "a2", 11), (3L, "c", 3)))
   }
+
+  test("cdcApplyStream recovers a snapshot stranded mid-swap") {
+    // simulate a crash BETWEEN the two swap renames: the snapshot dir
+    // is gone, only the rename-aside copy exists — the next batch must
+    // restore it and merge on top, not rebuild from the batch alone
+    val snap = java.nio.file.Files.createTempDirectory("graft_cdc_r").toString + "/snapshot"
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_cdc_rc1").toString
+    val input1 = MemoryStream[(Long, String, Int, String, Long)](spark)
+    val q1 = EventStream.cdcApplyStream(
+      input1.toDF().toDF("id", "name", "v", "op", "seq"), snap, Seq("id"), "op", "seq")
+      .option("checkpointLocation", ckpt1).start()
+    try {
+      input1.addData((1L, "a", 1, "insert", 1L), (2L, "b", 2, "insert", 2L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // crash simulation: dst renamed aside, new dst never arrived
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dst = new HPath(snap)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(dst, new HPath(snap + "__old")))
+    assert(!fs.exists(dst))
+    // a fresh query (new checkpoint — the failed batch replays) applies
+    // one more change; keys 1 and 2 must SURVIVE via the aside copy
+    val input2 = MemoryStream[(Long, String, Int, String, Long)](spark)
+    val q2 = EventStream.cdcApplyStream(
+      input2.toDF().toDF("id", "name", "v", "op", "seq"), snap, Seq("id"), "op", "seq")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cdc_rc2").toString)
+      .start()
+    try {
+      input2.addData((3L, "c", 3, "insert", 5L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = spark.read.parquet(snap).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, "a", 1), (2L, "b", 2), (3L, "c", 3)))
+    assert(!fs.exists(new HPath(snap + "__old")), "aside copy cleaned up")
+  }
 }
