@@ -618,7 +618,42 @@ object Capability {
       .orderBy("cohort_day", "week_off")
   }
 
+  // ---- Q117 (incremental aggregate maintenance): the 100 TB rollup
+  // pattern — a stored agg table is REFRESHED by merging the delta
+  // batch's partial aggregates (sum of sums, sum of counts), never by
+  // re-scanning history. count/sum are the mergeable state; avg is
+  // DERIVED at read time from (sum, count) — storing avg itself would
+  // make the rollup unmergeable. The oracle recomputes from the full
+  // table directly, so the hash match IS the proof that the merge
+  // algebra equals a full recompute. Totals in DECIMAL (§7.4.5).
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def part(df: DataFrame): DataFrame = df
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+    // "stored" rollup = history; "delta" = the new batch (played here
+    // by a deterministic 10% slice)
+    val stored = part(o.filter(col("o_orderkey") % 10 =!= 0))
+    val delta = part(o.filter(col("o_orderkey") % 10 === 0))
+    // avg in exact INTEGER-CENTS arithmetic: decimal division rounds at
+    // an engine-specific intermediate scale (observed a 1-cent
+    // divergence at a .xx5 boundary) — (2·cents + n) div (2·n) is
+    // round-half-up with no intermediate rounding at all
+    stored.unionByName(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      .withColumn("__cents", (col("total") * 100).cast("long"))
+      .select(
+        col("o_custkey"), col("n"),
+        round(col("total"), 2).cast("double").as("total"),
+        (expr("(2 * __cents + n) div (2 * n)") / 100.0).as("avg_price"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_incr_agg"       -> (q117 _),
     "q115_funnel"         -> (q115 _),
     "q116_retention"      -> (q116 _),
     "q113_rolling_wau"    -> (q113 _),
@@ -922,6 +957,17 @@ object Capability {
         |  CAST(json_extract(props, '$.missing') AS BIGINT) AS miss
         |FROM events WHERE props IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    "q117_incr_agg" ->
+      """WITH a AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, n,
+        |  CAST(ROUND(total, 2) AS DOUBLE) AS total,
+        |  ((2 * cents + n) // (2 * n)) / 100.0 AS avg_price
+        |FROM a ORDER BY o_custkey""".stripMargin,
     "q115_funnel" ->
       """WITH fc AS (
         |  SELECT user_id, MIN(ts) AS t_click FROM events
