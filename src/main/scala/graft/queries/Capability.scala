@@ -652,7 +652,34 @@ object Capability {
       .orderBy("o_custkey")
   }
 
+  // ---- Q118 (ops.Scd SCD Type 2): versioned-dimension merge. The dim
+  // starts as one current generation of customers; the incoming
+  // snapshot mutates every 7th balance and adds brand-new keys — the
+  // operator must close the changed versions, open their successors
+  // and the new keys, and pass everything else through. The oracle
+  // desugars the same fates in SQL over identically-synthesized inputs.
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val dim = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .withColumn("valid_from", lit("2024-01-01").cast("date"))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(1))
+    val incoming = c.select(
+      col("c_custkey"), col("c_name"),
+      when(col("c_custkey") % 7 === 0, col("c_acctbal") + 10)
+        .otherwise(col("c_acctbal")).as("c_acctbal"))
+      .unionByName(c.filter(col("c_custkey") < 100).select(
+        (col("c_custkey") + 100000).as("c_custkey"), col("c_name"),
+        col("c_acctbal")))
+    graft.ops.Scd.scd2Apply(
+      dim, incoming,
+      key = Seq("c_custkey"), attrs = Seq("c_name", "c_acctbal"),
+      batchDate = lit("2024-06-01").cast("date"))
+      .orderBy(col("c_custkey"), col("valid_from"), col("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_scd2"           -> (q118 _),
     "q117_incr_agg"       -> (q117 _),
     "q115_funnel"         -> (q115 _),
     "q116_retention"      -> (q116 _),
@@ -957,6 +984,42 @@ object Capability {
         |  CAST(json_extract(props, '$.missing') AS BIGINT) AS miss
         |FROM events WHERE props IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    "q118_scd2" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |         DATE '2024-01-01' AS valid_from,
+        |         CAST(NULL AS DATE) AS valid_to, 1 AS is_current
+        |  FROM customer),
+        |inc AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, c_name, c_acctbal
+        |  FROM customer WHERE c_custkey < 100),
+        |j AS (
+        |  SELECT COALESCE(d.c_custkey, i.c_custkey) AS c_custkey,
+        |         d.c_name AS dn, d.c_acctbal AS db,
+        |         d.valid_from AS dvf, d.valid_to AS dvt,
+        |         i.c_name AS inm, i.c_acctbal AS ib,
+        |         d.c_custkey IS NOT NULL AS has_cur,
+        |         i.c_custkey IS NOT NULL AS has_inc
+        |  FROM dim d FULL OUTER JOIN inc i ON d.c_custkey = i.c_custkey),
+        |chg AS (
+        |  SELECT *, (dn IS DISTINCT FROM inm) OR (db IS DISTINCT FROM ib)
+        |           AS changed
+        |  FROM j)
+        |SELECT c_custkey, dn AS c_name, db AS c_acctbal,
+        |       dvf AS valid_from, dvt AS valid_to, 1 AS is_current
+        |FROM chg WHERE has_cur AND (NOT has_inc OR NOT changed)
+        |UNION ALL
+        |SELECT c_custkey, dn, db, dvf, DATE '2024-06-01', 0
+        |FROM chg WHERE has_cur AND has_inc AND changed
+        |UNION ALL
+        |SELECT c_custkey, inm, ib, DATE '2024-06-01', CAST(NULL AS DATE), 1
+        |FROM chg WHERE has_inc AND (NOT has_cur OR changed)
+        |ORDER BY c_custkey, valid_from, is_current""".stripMargin,
     "q117_incr_agg" ->
       """WITH a AS (
         |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
