@@ -98,7 +98,8 @@ object Components {
     * min doc_id of its near-dup group (singletons label themselves).
     * This is the stage that turns near-dup PAIRS into keep/drop GROUPS.
     */
-  def q102(s: SparkSession, dir: String): DataFrame = {
+  private def neardupLabels(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val subset = Tables.table(s, dir, "documents").filter(col("doc_id") < 1000)
     val pairs = Dedup.simhashBandPairs(
       Dedup.simhashN(subset, col("doc_id"), col("text"), bits = 60),
@@ -106,20 +107,51 @@ object Components {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val labels = connectedComponents(
       subset.select(col("doc_id").as("id")), pairs)
-    labels.select(col("id").as("doc_id"), col("comp").as("component"))
-      .orderBy("doc_id")
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+    (subset, labels)
+  }
+
+  def q102(s: SparkSession, dir: String): DataFrame =
+    neardupLabels(s, dir)._2.orderBy("doc_id")
+
+  /** q119 — quality-aware keep list: per near-dup component, keep the
+    * BEST-quality member (ties to the lowest doc_id), not the lowest
+    * id — the keep policy production dedup actually uses (a near-dup
+    * group should surrender everything but its best exemplar). Composes
+    * the certified q102 components with the certified q52 quality
+    * score; quality is rounded BEFORE ranking (the q106 trick) so a
+    * 1-ulp drift cannot flip a winner.
+    */
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (subset, labels) = neardupLabels(s, dir)
+    val quality = subset.select(col("doc_id"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+    val w = Window.partitionBy("component")
+    labels.join(quality, "doc_id")
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("q").desc, col("doc_id"))))
+      .withColumn("members", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("component"), col("doc_id").as("keep_id"),
+        col("q").as("keep_quality"),
+        col("members").cast("long").as("members"))
+      .orderBy("component")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_neardup_components" -> (q102 _),
+    "q119_component_best"     -> (q119 _),
   )
 
-  /** Oracle: transitive closure by recursive CTE over the SAME edge set
-    * the Spark side derives (Dedup's engine-portable simhash bands).
-    * `UNION` (set semantics) dedups the frontier so the walk terminates;
-    * min reachable id per start vertex = the component label.
+  /** Oracle CTE chain: transitive closure by recursive CTE over the
+    * SAME edge set the Spark side derives (Dedup's engine-portable
+    * simhash bands). `UNION` (set semantics) dedups the frontier so the
+    * walk terminates; min reachable id per start vertex = the component
+    * label. Shared by the q102 and q119 oracles.
     */
-  private val componentsOracle: String =
+  private[ext] val componentsCte: String =
     s"""${Dedup.simhashCandCte(recursive = true)},
        |pairs AS (
        |  SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 2),
@@ -132,11 +164,37 @@ object Components {
        |  SELECT id AS start, id AS node FROM verts
        |  UNION
        |  SELECT wk.start, e.dst AS node
-       |  FROM walk wk JOIN edges e ON e.src = wk.node)
-       |SELECT start AS doc_id, MIN(node) AS component
-       |FROM walk GROUP BY start ORDER BY doc_id""".stripMargin
+       |  FROM walk wk JOIN edges e ON e.src = wk.node),
+       |comp AS (
+       |  SELECT start AS doc_id, MIN(node) AS component
+       |  FROM walk GROUP BY start)""".stripMargin
+
+  private val componentsOracle: String =
+    s"""$componentsCte
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
+
+  private val componentBestOracle: String =
+    s"""$componentsCte,
+       |ql AS (
+       |  SELECT doc_id,
+       |    ROUND((1.0 - CAST(len(list_filter(string_split(text,' '),
+       |                        w -> w IN ('a','the'))) AS DOUBLE)
+       |            / len(string_split(text,' ')))
+       |          * LEAST(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0, 1.0),
+       |          6) AS q
+       |  FROM documents WHERE doc_id < 1000),
+       |j AS (SELECT c.component, c.doc_id, ql.q FROM comp c JOIN ql USING (doc_id)),
+       |r AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY component) AS members
+       |  FROM j)
+       |SELECT component, doc_id AS keep_id, q AS keep_quality,
+       |       CAST(members AS BIGINT) AS members
+       |FROM r WHERE rn = 1 ORDER BY component""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q102_neardup_components" -> componentsOracle,
+    "q119_component_best"     -> componentBestOracle,
   )
 }
