@@ -4,10 +4,12 @@ import java.nio.file.{Files, Paths}
 
 /** Benchmark main (driver contract): run every registered query on
   * `SPARK_GRAFT_SF_DIR`, 3 runs each (first run doubles as warmup),
-  * report the median wall seconds per query and the total as ONE JSON
-  * line — printed to stdout AND written to `SPARK_GRAFT_BENCH_OUT`
-  * (sbt's [info] log prefixes made the stdout line unparseable for the
-  * driver in round 1).
+  * report the median wall seconds per query and the total. The full
+  * per-query JSON goes to `bench/results-<sf>.json` (and
+  * `SPARK_GRAFT_BENCH_OUT` if set) and is printed once; the LAST
+  * stdout line is a compact summary JSON that survives the driver's
+  * log-tail truncation (the 119-query line did not — r3/r4's
+  * `parsed: null`).
   *
   * Results are forced with a `noop`-format write: the full physical plan
   * executes — including the declared global ORDER BYs, which a
@@ -40,12 +42,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    // The full per-query map (119 queries ≈ 4 KB) overflows the
+    // driver's captured log tail, so it goes to a durable artifact
+    // (BASELINE.md's promised bench/results-<sf>.json); stdout gets the
+    // full line FIRST (human-greppable) and then a compact line LAST —
+    // small enough to always survive tail truncation and parse.
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val resultsFile = Paths.get(s"bench/results-$sfName.json")
+    Files.createDirectories(resultsFile.getParent)
+    Files.writeString(resultsFile, fullLine + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
-      Files.writeString(Paths.get(out), line + "\n")
+      Files.writeString(Paths.get(out), fullLine + "\n")
     }
+    println(fullLine)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+        s""""results_file":"$resultsFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,10 +22,11 @@ import graft.Tables
   * practice), so the loop is a handful of shuffles regardless of corpus
   * size. Each round `localCheckpoint`s the label frame: lineage would
   * otherwise grow by two shuffles per round and replan from scratch
-  * every iteration. For adversarial long-chain graphs the
-  * large-star/small-star contraction (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond", SoCC'14) converges in
-  * O(log²N) rounds — `maxIter` guards that regime and fails loudly
+  * every iteration. For adversarial long-chain graphs use
+  * [[connectedComponentsStar]] (large-star/small-star contraction,
+  * Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14), which converges in O(log²N) rounds regardless of
+  * diameter — `maxIter` guards the min-label regime and fails loudly
   * rather than silently returning partial components.
   */
 object Components {
@@ -85,9 +86,95 @@ object Components {
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
-        "graph diameter exceeds the bound; raise maxIter or switch to " +
-        "star-contraction for long-chain graphs")
+        "graph diameter exceeds the bound; raise maxIter or use " +
+        "connectedComponentsStar for long-chain graphs")
     labels
+  }
+
+  /** Star-contraction connected components (Kiveris et al., SoCC'14):
+    * alternating large-star / small-star rounds. Large-star attaches
+    * every neighbor LARGER than a vertex to the minimum of its
+    * neighborhood; small-star attaches the smaller neighbors (and the
+    * vertex itself) to that minimum. The pair provably converges to a
+    * forest of single-level stars rooted at each component's minimum
+    * id in O(log²N) rounds on ANY graph — including the path/chain
+    * graphs where min-label propagation needs diameter rounds.
+    *
+    * Use this when the candidate graph may contain long chains
+    * (e.g. transitive near-dup edges over sliding shingles);
+    * [[connectedComponents]] stays the fast path for the shallow
+    * dense clusters LSH actually emits (fewer shuffles per round).
+    *
+    * Scale shape per round: two symmetric/directed edge projections,
+    * two grouped min-aggs, two equi-joins — all distributed, nothing
+    * driver-side; the edge frame is `localCheckpoint`ed per round so
+    * lineage stays flat. Edge counts never grow: each round's output
+    * is ≤ the input edge count (contraction), so the shuffles shrink
+    * as the forest flattens.
+    *
+    * @return (`id`, `comp`) — identical contract to
+    *         [[connectedComponents]]
+    */
+  def connectedComponentsStar(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val allIds = vertices.select(col("id"))
+      .union(e.select(col("src").as("id")))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+
+    // For each u: attach every neighbor v > u to m = min(N(u) ∪ {u}).
+    def largeStar(cur: DataFrame): DataFrame = {
+      val nbrs = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = nbrs.groupBy("src")
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      nbrs.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // Orient each edge large→small; for each u attach its smaller
+    // neighbors (and u itself) to m = min of those neighbors.
+    def smallStar(cur: DataFrame): DataFrame = {
+      val dir = cur.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = dir.groupBy("src").agg(min(col("dst")).as("m"))
+      dir.join(mins, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+
+    var iter = 0
+    var converged = e.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // Exact fixed-point test (both sides are distinct edge sets):
+      // same cardinality + empty one-sided difference ⇔ set equality.
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "this bounds O(log²N) rounds; raise maxIter")
+    // At the fixed point the edges form disjoint single-level stars:
+    // every non-root vertex carries exactly one edge to its component
+    // minimum; roots (and singletons) label themselves.
+    allIds
+      .join(e.select(col("src").as("id"), col("dst").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   // ---- declared queries ---------------------------------------------------

@@ -93,16 +93,19 @@ object Multimodal {
         substring(md5(col("text")), 1, 8).as("content_key"))
       .orderBy("doc_id")
 
-  /** Full plumbing pass (rows-only): binarize → decode-stub features →
-    * 3-frame sample; N docs in, 3N frame rows out.
+  /** Full plumbing pass: binarize → decode-stub features → 3-frame
+    * sample; N docs in, 3N frame rows out. Oracle-checked since r5:
+    * every output column is portable (the frame key is an md5 hex
+    * string of (payload digest, frame index), never raw bytes), so
+    * DuckDB replays the fan-out with UNNEST(range(0,3)).
     */
   def q63(s: SparkSession, dir: String): DataFrame = {
     val media = binarize(docs(s, dir), col("doc_id"), col("text"))
       .withColumn("features", decodeStub(col("payload")))
     sampleFrames(media, nFrames = 3)
       .select(
-        col("media_id"), col("frame_idx"), col("frame_key"),
-        col("meta.n_bytes").as("n_bytes"))
+        col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_key"), col("meta.n_bytes").as("n_bytes"))
       .orderBy("media_id", "frame_idx")
   }
 
@@ -116,6 +119,15 @@ object Multimodal {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       substring(md5(text), 1, 8) AS content_key
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // q63_multimodal_frames: rows-only (decode stub is engine-local).
+    // The frame fan-out replayed relationally: payload = UTF-8 bytes of
+    // text, frame_key = md5(md5(payload) || frame_idx) — both engines
+    // hash the same bytes, so the keys match exactly.
+    "q63_multimodal_frames" ->
+      """SELECT d.doc_id AS media_id,
+        |       CAST(f.i AS BIGINT) AS frame_idx,
+        |       md5(md5(d.text) || CAST(f.i AS VARCHAR)) AS frame_key,
+        |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+        |FROM documents d, (SELECT UNNEST(range(0, 3)) AS i) f
+        |ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

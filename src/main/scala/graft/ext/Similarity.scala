@@ -13,8 +13,14 @@ import graft.Tables
   * (bucket-local join, never all-pairs).
   *
   * All arithmetic is done in DOUBLE after widening the float32 vectors:
-  * both engines then agree to the last ulp modulo summation order, which
-  * ROUND(·,2) absorbs (verified margins ≫ the cross-engine drift).
+  * both engines then agree to the last ulp modulo summation order.
+  * Every declared output is INTEGER-SCALED (the q117 integer-cents
+  * pattern: `CAST(ROUND(sim * 100) AS BIGINT)`) rather than a ROUND'd
+  * DOUBLE — Spark (BigDecimal HALF_UP) and DuckDB (multiply/round/
+  * divide) can land 1 ulp apart on the same rounded double, which is
+  * equal at 1e-9 but unequal under the driver's strict hash (r4's
+  * q61/q112 reds). Integers have one representation; margins to the
+  * nearest half-boundary are verified ≫ cross-engine drift.
   */
 object Similarity {
 
@@ -65,6 +71,14 @@ object Similarity {
       when(dot(v, typedlit(h.toSeq)) > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Integer-scale a double for oracle-checked output:
+    * `CAST(ROUND(x * scale) AS BIGINT)`. Half-up in both engines
+    * (away-from-zero on negatives in Spark's BigDecimal HALF_UP and
+    * DuckDB's ROUND alike); one representation, hash-stable.
+    */
+  def intScaled(x: Column, scale: Long): Column =
+    round(x * scale, 0).cast("long")
+
   // ---- declared queries ---------------------------------------------------
 
   /** Brute-force cosine top-5 for query vectors vec_id < 50. Output is
@@ -86,7 +100,7 @@ object Similarity {
       .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
-      .select(col("qid"), col("did"), round(col("sim"), 2).as("sim"))
+      .select(col("qid"), col("did"), intScaled(col("sim"), 100).as("sim_c"))
       .orderBy("qid", "did")
   }
 
@@ -113,7 +127,7 @@ object Similarity {
       .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("qid"), col("did"), round(col("sim"), 2).as("sim"))
+      .select(col("qid"), col("did"), intScaled(col("sim"), 100).as("sim_c"))
       .orderBy("qid", "did")
   }
 
@@ -135,7 +149,7 @@ object Similarity {
       .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("qid"), col("did"), round(col("sim"), 2).as("sim"))
+      .select(col("qid"), col("did"), intScaled(col("sim"), 100).as("sim_c"))
       .orderBy("qid", "did")
   }
 
@@ -165,7 +179,7 @@ object Similarity {
       .groupBy(col("label"))
       .agg(
         sum(when(col("sim") >= 0.3, 1L).otherwise(0L)).as("close_pairs"),
-        round(max(col("sim")), 2).as("max_sim"),
+        intScaled(max(col("sim")), 100).as("max_sim_c"),
         count(lit(1)).as("pairs"))
       .orderBy("label")
   }
@@ -184,8 +198,14 @@ object Similarity {
     */
   def quantizeInt8(df: DataFrame, vec: Column): DataFrame =
     df.withColumn("__e", asDouble(vec))
-      .withColumn("__qscale", lit(127.0) / array_max(transform(col("__e"), abs(_))))
-      .withColumn("q8", transform(col("__e"), x => floor(x * col("__qscale"))))
+      // Zero-norm guard: 127/0 would be +Inf and the codes NaN-derived
+      // garbage, silently. An all-zero vector instead gets a NULL scale
+      // and all-zero codes (coalesce below) — dequantization is exact,
+      // and downstream consumers can detect the degenerate scale.
+      .withColumn("__qscale",
+        lit(127.0) / nullif(array_max(transform(col("__e"), abs(_))), lit(0.0)))
+      .withColumn("q8",
+        transform(col("__e"), x => coalesce(floor(x * col("__qscale")), lit(0L))))
       .drop("__e")
 
   /** q100 — int8 quantization with its measured reconstruction error:
@@ -204,9 +224,13 @@ object Similarity {
       emb(s, dir).select(col("vec_id"), col("embedding")), col("embedding"))
       .withColumn("__e", asDouble(col("embedding")))
       .select(
-        col("vec_id"), col("q8"),
-        round(array_max(zip_with(col("__e"), col("q8"),
-          (x, c) => abs(x - c / col("__qscale")))), 4).as("max_err"))
+        col("vec_id"),
+        // '|'-joined string, NOT an array column: the driver's pandas
+        // sorter cannot hash numpy arrays (r4's q100 harness error).
+        // Same sorted-join contract as q48/q109.
+        concat_ws("|", col("q8").cast("array<string>")).as("q8"),
+        intScaled(array_max(zip_with(col("__e"), col("q8"),
+          (x, c) => abs(x - c / col("__qscale")))), 10000).as("max_err_e4"))
       .orderBy("vec_id")
 
   /** One Lloyd iteration of k-means: assign every vector to its nearest
@@ -238,7 +262,8 @@ object Similarity {
     assignToSeeds(unit, seeds)
       .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos").cast("long").as("pos"))
-      .agg(count(lit(1)).as("n_members"), round(avg(col("x")), 4).as("c"))
+      .agg(count(lit(1)).as("n_members"),
+        intScaled(avg(col("x")), 10000).as("c_e4"))
       .orderBy("cid", "pos")
 
   /** Full spherical k-means fit: iterate assign → mean → re-normalize
@@ -346,7 +371,8 @@ object Similarity {
        |  SELECT qid, did, sim,
        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
        |  FROM sims)
-       |SELECT qid, did, ROUND(sim, 2) AS sim FROM ranked WHERE rn <= 3
+       |SELECT qid, did, CAST(ROUND(sim * 100) AS BIGINT) AS sim_c
+       |FROM ranked WHERE rn <= 3
        |ORDER BY qid, did""".stripMargin
   }
 
@@ -368,7 +394,8 @@ object Similarity {
         |x AS (SELECT cid, UNNEST(uv) AS x, UNNEST(range(1, len(uv) + 1)) AS ord
         |      FROM asg WHERE rn = 1)
         |SELECT cid, CAST(ord AS BIGINT) - 1 AS pos,
-        |       CAST(COUNT(*) AS BIGINT) AS n_members, ROUND(AVG(x), 4) AS c
+        |       CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       CAST(ROUND(AVG(x) * 10000) AS BIGINT) AS c_e4
         |FROM x GROUP BY cid, ord ORDER BY cid, pos""".stripMargin,
     "q61_knn_lsh" -> knnLshOracle,
     "q60_knn_brute" ->
@@ -381,7 +408,8 @@ object Similarity {
         |  SELECT qid, did, sim,
         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
         |  FROM sims)
-        |SELECT qid, did, ROUND(sim, 2) AS sim FROM ranked WHERE rn <= 5
+        |SELECT qid, did, CAST(ROUND(sim * 100) AS BIGINT) AS sim_c
+        |FROM ranked WHERE rn <= 5
         |ORDER BY qid, did""".stripMargin,
     "q64_knn_ivf" ->
       """WITH sims AS (
@@ -394,7 +422,8 @@ object Similarity {
         |  SELECT qid, did, sim,
         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
         |  FROM sims)
-        |SELECT qid, did, ROUND(sim, 2) AS sim FROM ranked WHERE rn <= 3
+        |SELECT qid, did, CAST(ROUND(sim * 100) AS BIGINT) AS sim_c
+        |FROM ranked WHERE rn <= 3
         |ORDER BY qid, did""".stripMargin,
     "q66_embedding_neardup" ->
       """WITH sims AS (
@@ -405,17 +434,17 @@ object Similarity {
         |  WHERE a.vec_id < 1000)
         |SELECT label,
         |       CAST(SUM(CASE WHEN sim >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS close_pairs,
-        |       ROUND(MAX(sim), 2) AS max_sim,
+        |       CAST(ROUND(MAX(sim) * 100) AS BIGINT) AS max_sim_c,
         |       COUNT(*) AS pairs
         |FROM sims GROUP BY label ORDER BY label""".stripMargin,
     "q100_embed_quant" ->
       """WITH t AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-        |         127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS s
+        |         127.0 / NULLIF(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 0.0) AS s
         |  FROM embeddings)
         |SELECT vec_id,
-        |  list_transform(e, x -> CAST(FLOOR(x * s) AS BIGINT)) AS q8,
-        |  ROUND(list_max(list_transform(e, x -> abs(x - FLOOR(x * s) / s))), 4) AS max_err
+        |  array_to_string(list_transform(e, x -> CAST(COALESCE(FLOOR(x * s), 0) AS BIGINT)), '|') AS q8,
+        |  CAST(ROUND(list_max(list_transform(e, x -> abs(x - FLOOR(x * s) / s))) * 10000) AS BIGINT) AS max_err_e4
         |FROM t ORDER BY vec_id""".stripMargin,
   )
 }

@@ -140,24 +140,35 @@ object TextAnalysis {
     * 3*n_tokens instead of stop_frac <= 0.3) so the boundary can never
     * drift between engines; the fractional columns are display-only.
     */
-  def q92(s: SparkSession, dir: String): DataFrame = {
-    val ws = tokens(col("text"))
-    val nTokens = size(ws)
-    val stopHits = size(filter(ws, w => w.isin("the", "a")))
-    val nonspace = length(regexp_replace(col("text"), " ", ""))
-    docs(s, dir).select(
-      col("doc_id"),
-      nTokens.cast("long").as("n_tokens"),
-      round(stopHits.cast("double") / nTokens, 4).as("stop_frac"),
-      round(nonspace.cast("double") / nTokens, 4).as("mean_wlen"),
-      when(
-        nTokens >= 20 &&
-          stopHits * 10 <= nTokens * 3 && // stop_frac <= 0.30
-          nonspace >= nTokens * 3 &&      // mean word length in [3, 8]
-          nonspace <= nTokens * 8,
-        1).otherwise(0).cast("long").as("keep"))
+  def q92(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      // `ws` is materialized ONCE in its own projection (the
+      // `shingles3FromTokens` contract, q91's shape): the higher-order
+      // `filter` below is interpreted and falls out of codegen, so an
+      // inlined `tokens(text)` would re-run the split in every
+      // consuming expression. CollapseProject keeps the stage because
+      // `ws` is non-cheap and referenced multiple times. Non-space
+      // chars are derived from the SAME token array — tokens splits on
+      // every single space (limit -1, trailing empties kept), so
+      // spaces = size(ws) - 1 exactly; no second full-text scan.
+      .select(col("doc_id"),
+        length(col("text")).as("len"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        (col("len") - size(col("ws")) + 1).as("nonspace"),
+        size(col("ws")).as("nt"),
+        size(filter(col("ws"), w => w.isin("the", "a"))).as("sh"))
+      .select(
+        col("doc_id"),
+        col("nt").cast("long").as("n_tokens"),
+        round(col("sh").cast("double") / col("nt"), 4).as("stop_frac"),
+        round(col("nonspace").cast("double") / col("nt"), 4).as("mean_wlen"),
+        when(
+          col("nt") >= 20 &&
+            col("sh") * 10 <= col("nt") * 3 && // stop_frac <= 0.30
+            col("nonspace") >= col("nt") * 3 && // mean word length in [3, 8]
+            col("nonspace") <= col("nt") * 8,
+          1).otherwise(0).cast("long").as("keep"))
       .orderBy("doc_id")
-  }
 
   /** q93 — PII scrubbing: redact emails then phone-shaped tokens via
     * sequential regexp_replace (map-side, codegen'd — the 100 TB shape

@@ -30,16 +30,22 @@ object AsofJoin {
     * its JSON serialization. Implemented locally (not via Catalyst's
     * internal `RowOrdering.isOrderable`, which is not a stable public
     * surface): arrays/structs order iff their element/field types do;
-    * maps and variant never order; anything else unknown-exotic also
-    * falls back — the `to_json` fallback is always correct, just a
-    * little slower to compare.
+    * maps and variant never order; KNOWN atomic types order; anything
+    * unknown-exotic (CalendarInterval, UDTs, future types) defaults to
+    * NOT orderable — the `to_json` fallback is always correct, just a
+    * little slower to compare, whereas a wrong `true` surfaces as a
+    * window-ordering analysis error.
     */
   private[graft] def isOrderable(dt: DataType): Boolean = dt match {
     case _: MapType                       => false
     case v if v.typeName == "variant"     => false
     case a: ArrayType                     => isOrderable(a.elementType)
     case s: StructType                    => s.fields.forall(f => isOrderable(f.dataType))
-    case _                                => true
+    case _: NumericType | _: StringType   => true
+    case BinaryType | BooleanType | DateType | TimestampType |
+        TimestampNTZType | NullType       => true
+    case _: DayTimeIntervalType | _: YearMonthIntervalType => true
+    case _                                => false
   }
 
   /** Join direction: Backward attaches the latest right row at or

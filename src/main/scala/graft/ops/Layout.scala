@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators — the write-side half of the X1 story (the
@@ -103,16 +103,22 @@ object Layout {
     * FileSystem listing (no data pass); the rewrite itself is one scan
     * + one round-robin shuffle. At 100 TB this runs per-partition (pass
     * the partition directory), never over the whole table at once.
+    *
+    * Reads the data from `inPath` itself (no DataFrame parameter): the
+    * bin-packing math is sized from `inPath`'s listing, so letting a
+    * caller pass a filtered or unrelated frame would make the file
+    * sizing silently wrong.
     */
   def compact(
-      df: DataFrame, inPath: String, outPath: String, targetBytes: Long): Int = {
+      spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): Int = {
     import org.apache.hadoop.fs.{Path => HPath}
-    val spark = df.sparkSession
     val p = new HPath(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    df.repartition(nFiles).write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(inPath)
+      .repartition(nFiles).write.mode("overwrite").parquet(outPath)
     nFiles
   }
 }

@@ -36,6 +36,16 @@ object Scd {
   def scd2Apply(
       dim: DataFrame, incoming: DataFrame,
       key: Seq[String], attrs: Seq[String], batchDate: Column): DataFrame = {
+    // Fail fast on duplicate snapshot keys: they would produce multiple
+    // 'opened' current rows for one natural key and silently corrupt
+    // the single-current invariant. One key-only agg over the snapshot
+    // — cheap next to the merge itself; callers with intentional dups
+    // must dedup with an explicit policy first.
+    val dupKey = incoming.groupBy(key.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupKey == 0L,
+      s"scd2Apply: incoming snapshot has duplicate natural keys (${key.mkString(",")}) — " +
+        "dedup with an explicit policy before merging")
     val outCols = (key ++ attrs ++ Seq("valid_from", "valid_to", "is_current"))
       .map(col)
     val history = dim.filter(col("is_current") === 0)

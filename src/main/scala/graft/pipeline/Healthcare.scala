@@ -169,6 +169,17 @@ object Healthcare {
         s"sink $path was written under surrogate-key version $found but this build derives " +
           s"version ${surrogateKeyVersion} — appending would duplicate every row. " +
           "Re-run with overwrite to re-key the sink.")
+    } else {
+      // A populated sink with NO marker is exactly the unknown-provenance
+      // case the K1 hazard describes (written before key versioning, or
+      // by another tool) — the version check can't protect it. Warn
+      // loudly rather than silently assuming the current derivation;
+      // the append still runs (the marker is stamped after the write,
+      // so the sink is protected from here on).
+      System.err.println(
+        s"[graft] WARNING: sink $path has no $KeyVersionMarker marker — " +
+          "key provenance unknown; appending assumes the current key " +
+          s"version ${surrogateKeyVersion}. Overwrite to re-key if unsure.")
     }
   }
 

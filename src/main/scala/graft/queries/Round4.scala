@@ -135,12 +135,24 @@ object Round4 {
       .orderBy("o_orderpriority")
 
   // ---- Q114 (ops.Sketches count-min, rows-only like q97): per-source
-  // CMS sketches over document tokens, probed for every vocabulary
-  // term. The frequency counterpart of q97's HLL — heavy-hitter counts
-  // within ε·N overcount from mergeable bytes, no per-term groupBy.
-  // Sketch bytes/estimates are engine-specific → no hash oracle; the
-  // ε-bound vs exact counts is spec-asserted (ExtensionsSpec).
-  def q114(s: SparkSession, dir: String): DataFrame = {
+  // CMS sketches over document tokens, probed for the observed
+  // (source, term) pairs and CAPPED to the top-`vocabCap` estimates
+  // per source. The frequency counterpart of q97's HLL — heavy-hitter
+  // counts within ε·N overcount from mergeable bytes, no per-term
+  // groupBy. Sketch bytes/estimates are engine-specific → no hash
+  // oracle; the ε-bound vs exact counts is spec-asserted
+  // (ExtensionsSpec).
+  //
+  // Vocabulary cap (r4 advice): the previous shape broadcast the FULL
+  // distinct-term set into a cross join — unbounded at web-scale
+  // vocabulary. Now the probe set is the distributed distinct
+  // (source, term) pairs (probed map-side against the k broadcast
+  // sketches — a hash lookup per row), ranked per source, top-N kept.
+  // Output is structurally ≤ k × vocabCap rows regardless of corpus
+  // size; nothing unbounded is ever broadcast.
+  def cmsTopTerms(s: SparkSession, dir: String, vocabCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabCap >= 1)
     val toks = t(s, dir, "documents")
       .select(col("source"), explode_outer(split(col("text"), " ")).as("term"))
       .filter(col("term").isNotNull)
@@ -160,12 +172,18 @@ object Round4 {
     val bc = s.sparkContext.broadcast(sketches)
     val probe = udf((src: String, term: String) =>
       bc.value(src).estimateCount(term))
-    toks.select("source").distinct()
-      .crossJoin(broadcast(toks.select("term").distinct()))
+    val w = Window.partitionBy("source").orderBy(col("est").desc, col("term"))
+    toks.distinct() // observed (source, term) pairs — distributed, never collected
       .select(col("source"), col("term"),
         probe(col("source"), col("term")).as("est"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= vocabCap)
+      .select("source", "term", "est")
       .orderBy("source", "term")
   }
+
+  def q114(s: SparkSession, dir: String): DataFrame =
+    cmsTopTerms(s, dir, vocabCap = 1000)
 
   // ---- Q98 (forward as-of join): for each click, the EARLIEST
   // purchase at or after it per user — q67's mirror, certifying

@@ -53,6 +53,37 @@ class ComponentsSpec extends SparkTestBase {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  private def runStar(
+      verts: Seq[Long], edges: Seq[(Long, Long)],
+      maxIter: Int = 50): Map[Long, Long] =
+    Components.connectedComponentsStar(
+      verts.toDF("id"), edges.toDF("src", "dst"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star-contraction matches min-label on mixed graphs") {
+    val verts = 1L to 7L
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+    assert(runStar(verts, edges) === run(verts, edges))
+    assert(runStar(Seq(2L, 3L), Seq((1L, 2L))) === run(Seq(2L, 3L), Seq((1L, 2L))))
+    assert(runStar(
+      Seq(1L, 2L, 3L), Seq((2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L), (3L, 2L)))
+      === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("star-contraction: deep path graph converges in O(log²N) rounds") {
+    // path of depth 100 ≫ min-label's default 30-round bound: the
+    // long-chain regime the SoCC'14 contraction exists for. maxIter 12
+    // ≈ log²(100) — diameter-independent convergence, checked tightly.
+    val edges = (1L until 100L).map(i => (i, i + 1))
+    val got = runStar(1L to 100L, edges, maxIter = 12)
+    assert(got.keySet === (1L to 100L).toSet)
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("star-contraction: empty edge set labels every vertex itself") {
+    assert(runStar(Seq(3L, 9L), Seq.empty) === Map(3L -> 3L, 9L -> 9L))
+  }
+
   test("q102 labels are a valid clustering of the q65 pair set") {
     val dir = "/root/testdata/sf0.001"
     val labels = Components.q102(spark, dir)

@@ -115,11 +115,11 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r.getDouble(1) === 3.0)
   }
 
-  test("brute-force knn: self is always the top match with sim 1.0") {
+  test("brute-force knn: self is always the top match with sim_c 100") {
     val out = Similarity.q60(spark, sf)
     val selfRows = out.filter($"qid" === $"did").collect()
     assert(selfRows.length === 50)
-    assert(selfRows.forall(_.getDouble(2) === 1.0))
+    assert(selfRows.forall(_.getLong(2) === 100L))
   }
 
   test("LSH knn: self-bucket always found, candidate volume bounded below all-pairs") {
@@ -283,8 +283,9 @@ class ExtensionsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val totals = toks.groupBy($"source").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // every occurring (source, term) pair is probed; the probe set also
-    // covers non-occurring pairs, whose exact count is 0
+    // the probe set is the observed (source, term) pairs, capped at the
+    // top-1000 estimates per source — the fixture vocabulary is far
+    // below the cap, so every occurring pair must be present
     assert(est.nonEmpty && exact.keySet.subsetOf(est.keySet))
     est.foreach { case ((src, term), e) =>
       val x = exact.getOrElse((src, term), 0L)

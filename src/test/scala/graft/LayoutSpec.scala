@@ -66,7 +66,7 @@ class LayoutSpec extends SparkTestBase {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
     }
     val target = bytes / 4 + 1 // aim for ~4 files
-    val n = Layout.compact(spark.read.parquet(frag), frag, s"$work/compacted", target)
+    val n = Layout.compact(spark, frag, s"$work/compacted", target)
     assert(n >= 3 && n <= 5, s"expected ~4 output files, planned $n")
     val out = spark.read.parquet(s"$work/compacted")
     assert(out.inputFiles.length === n)
