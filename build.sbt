@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt behaviors defeat that: forked-process output is
+// logged with an "[info] " prefix, and sbt appends a
+// "[success] Total time: …" line after the main returns. Pass program
+// stdout through verbatim and suppress the success banner so the final
+// line is exactly the compact JSON Bench prints.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,20 +1,26 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.util.Try
 
 /** Benchmark main (driver contract): run every registered query on
-  * `SPARK_GRAFT_SF_DIR`, 3 runs each (first run doubles as warmup),
-  * report the median wall seconds per query and the total. The full
-  * per-query JSON goes to `bench/results-<sf>.json` (and
-  * `SPARK_GRAFT_BENCH_OUT` if set) and is printed once; the LAST
-  * stdout line is a compact summary JSON that survives the driver's
-  * log-tail truncation (the 119-query line did not — r3/r4's
-  * `parsed: null`).
+  * `SPARK_GRAFT_SF_DIR` and report wall seconds per query plus the
+  * total. The LAST stdout line is a compact summary JSON that the
+  * driver parses (build.sbt passes forked stdout through unprefixed
+  * and suppresses sbt's `[success]` banner so the line really is
+  * last).
   *
-  * Results are forced with a `noop`-format write: the full physical plan
-  * executes — including the declared global ORDER BYs, which a
-  * `.count()` would let Catalyst's EliminateSorts drop — with zero sink
-  * cost and no driver-side collect.
+  * Timing discipline (r6 verdict: single queries swung 6× with zero
+  * code change because the JIT-cold first run was included in the
+  * median): each query runs `SPARK_GRAFT_BENCH_RUNS` times (default
+  * 4); the FIRST run is always discarded as warmup and the median is
+  * taken over the remaining runs only. With the default 4 runs that
+  * is a median of 3 warm executions.
+  *
+  * Results are forced with a `noop`-format write: the full physical
+  * plan executes — including the declared global ORDER BYs, which a
+  * `.count()` would let Catalyst's EliminateSorts drop — with zero
+  * sink cost and no driver-side collect.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,7 +29,8 @@ object Bench {
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       appName = "graft-bench")
 
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // >= 2 so at least one warm run survives the warmup discard.
+    val runs = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -34,9 +41,12 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       }
-      // median over SUCCESSFUL runs only: a -1 sentinel sorts to the
-      // front and would skew the median low; all-failed reports -1
-      val ok = times.filter(_ >= 0).sorted
+      // Drop the JIT-cold first run, then take the median over the
+      // SUCCESSFUL warm runs (a -1 sentinel would skew the median
+      // low). If every warm run failed fall back to any successful
+      // run at all; all-failed reports -1.
+      val warm = times.drop(1).filter(_ >= 0).sorted
+      val ok = if (warm.nonEmpty) warm else times.filter(_ >= 0).sorted
       name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -44,22 +54,26 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The full per-query map (119 queries ≈ 4 KB) overflows the
-    // driver's captured log tail, so it goes to a durable artifact
-    // (BASELINE.md's promised bench/results-<sf>.json); stdout gets the
-    // full line FIRST (human-greppable) and then a compact line LAST —
-    // small enough to always survive tail truncation and parse.
     val sfName = Paths.get(sfDir).getFileName.toString
     val resultsFile = Paths.get(s"bench/results-$sfName.json")
-    Files.createDirectories(resultsFile.getParent)
-    Files.writeString(resultsFile, fullLine + "\n")
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
-      Files.writeString(Paths.get(out), fullLine + "\n")
-    }
-    println(fullLine)
-    println(
+    val compactLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-        s""""results_file":"$resultsFile","sf":"$sfDir"}""")
+        s""""results_file":"$resultsFile","sf":"$sfDir"}"""
+    // Print BEFORE any file I/O: a read-only cwd must not eat the
+    // sweep after all queries already ran. The full per-query map
+    // (119 queries ≈ 4 KB) can overflow the driver's captured log
+    // tail, so it goes first; the compact line is printed last so a
+    // tail-truncating, last-line-parsing driver always lands on it.
+    println(compactLine)
+    println(fullLine)
+    Try(Files.createDirectories(resultsFile.getParent))
+    Try(Files.writeString(resultsFile, fullLine + "\n"))
+      .failed.foreach(e => System.err.println(s"[bench] results write failed: $e"))
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      Try(Files.writeString(Paths.get(out), fullLine + "\n"))
+        .failed.foreach(e => System.err.println(s"[bench] BENCH_OUT write failed: $e"))
+    }
     spark.stop()
+    println(compactLine)
   }
 }
