@@ -6,13 +6,18 @@ object DevTime {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1)
     val spark = Engine.session(cores = "32", appName = "graft-devtime")
+    val runs = sys.env.getOrElse("GRAFT_DEVTIME_RUNS", "3").toInt
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      (1 to 3).foreach { i =>
+      val times = (1 to runs).map { i =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        println(f"[devtime] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[devtime] $n run$i $dt%.2f s")
+        dt
       }
+      println(f"[devtime] $n min ${times.min}%.2f s " +
+        f"median ${times.sorted.apply(times.length / 2)}%.2f s")
     }
     spark.stop()
   }

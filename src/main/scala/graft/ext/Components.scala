@@ -34,20 +34,48 @@ object Components {
   /** @param vertices single-column frame `id` (one row per vertex)
     * @param edges two-column frame `src`,`dst` (undirected; either
     *              orientation; self-loops and duplicates tolerated)
+    * @param loopShufflePartitions when set, `spark.sql.shuffle.partitions`
+    *              is scoped DOWN to this value for the duration of the
+    *              label loop (restored after). The label frame is tiny
+    *              relative to the corpus (one row per candidate vertex,
+    *              not per document), so the default session partitioning
+    *              — sized for full-corpus shuffles — makes each round pay
+    *              a fixed scheduling cost per empty partition. At 100 TB
+    *              leave this None (or size it to the candidate-graph
+    *              vertex count / target partition size), never to the
+    *              corpus size.
     * @return (`id`, `comp`) where `comp` = min vertex id reachable
     */
   def connectedComponents(
       vertices: DataFrame,
       edges: DataFrame,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      loopShufflePartitions: Option[Int] = None): DataFrame = {
     // Materialize the (possibly expensive) edge derivation ONCE before
     // symmetrizing — the union references `edges` twice, which would
     // otherwise evaluate the upstream pipeline (e.g. a simhash band
     // join) twice inside one materialization.
     val e1 = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val sym = e1
+    val spark = vertices.sparkSession
+    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    loopShufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    // The symmetrized edge frame is scanned EVERY round. Unioning the
+    // checkpoint with its flip doubles its partition count (2 × the
+    // band-join's shuffle width), so each round would schedule ~2×W map
+    // tasks for a frame of a few thousand rows. In scoped mode, shrink
+    // it to the loop width once and checkpoint — per-round jobs then
+    // touch a handful of cached partitions.
+    val sym0 = e1
       .union(e1.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
+    // Pre-partition by the per-round join key: the checkpoint's
+    // LogicalRDD keeps its HashPartitioning(src), so every round's
+    // sym⋈labels join exchanges ONLY the (small) label side — the edge
+    // frame is never re-shuffled inside the loop.
+    val sym = loopShufflePartitions
+      .map(n => sym0.repartition(n, col("src")).localCheckpoint(true))
+      .getOrElse(sym0)
 
     // Label EVERY node the edges mention, not just declared vertices:
     // an edge endpoint absent from `vertices` would otherwise enter the
@@ -60,30 +88,67 @@ object Components {
       .distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
+    // Adaptive re-planning adds per-shuffle-stage scheduling latency
+    // that dominates when the loop frames are tiny; with the loop width
+    // pinned there is nothing for AQE to decide. Scoped mode turns it
+    // off for the loop and restores it after.
+    val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    loopShufflePartitions.foreach(_ =>
+      spark.conf.set("spark.sql.adaptive.enabled", "false"))
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      // Neighbor labels flow along each (directed) edge: dst receives
-      // src's current label. The label rows carry their OWN comp as
-      // `oc` through the union, so one min-agg both produces the new
-      // labels AND detects change (labels only ever decrease:
-      // min(comp) < max(oc) ⇔ this vertex changed) — no per-round
-      // labels⋈next join. Per round: one join shuffle (on src), one
-      // agg shuffle (on id), then a local scan of the checkpoint for
-      // the convergence count.
-      val viaNbr = sym
-        .join(labels.select(col("id").as("src"), col("comp")), "src")
-        .select(col("dst").as("id"), col("comp"),
-          lit(null).cast("long").as("oc"))
-      val next = labels.select(col("id"), col("comp"), col("comp").as("oc"))
-        .union(viaNbr)
-        .groupBy("id").agg(min("comp").as("comp"), max("oc").as("oc"))
-        .localCheckpoint(true)
-      val changed = next.filter(col("comp") < col("oc")).count()
-      labels = next.select(col("id"), col("comp"))
-      converged = changed == 0
-      iter += 1
+    try {
+      while (!converged && iter < maxIter) {
+        // Neighbor labels flow along each (directed) edge: dst receives
+        // src's current label. The label rows carry their OWN comp as
+        // `oc` through the union, so one min-agg both produces the new
+        // labels AND detects change (labels only ever decrease:
+        // min(comp) < max(oc) ⇔ this vertex changed) — no per-round
+        // labels⋈next join. The checkpoint is LAZY: the convergence
+        // count is the action that materializes (and caches) it, so
+        // each round schedules exactly ONE job instead of an eager
+        // checkpoint job followed by a count job.
+        val viaNbr = sym
+          .join(labels.select(col("id").as("src"), col("comp")), "src")
+          .select(col("dst").as("id"), col("comp"),
+            lit(null).cast("long").as("oc"))
+        // Lazy-persisted: the shortcut below scans `cand` twice with
+        // DIFFERENT projections, which defeats exchange reuse — without
+        // the persist each round would run the join+agg twice.
+        val cand = labels.select(col("id"), col("comp"), col("comp").as("oc"))
+          .union(viaNbr)
+          .groupBy("id").agg(min("comp").as("comp"), max("oc").as("oc"))
+          .persist()
+        // Shortcut (pointer-doubling): compose the round's OWN label map
+        // with itself — `comp` is always a vertex id, so cand(comp)
+        // exists in cand. If one neighbor round extends a vertex's reach
+        // to the min within r hops, the composition reaches 2r+1: a
+        // diameter-d chain converges in O(log d) rounds instead of d,
+        // and every avoided round is an avoided full-frame shuffle (the
+        // lever that matters at corpus scale, where one round = one
+        // corpus-wide shuffle). The double scan of `cand` reuses the
+        // aggregate's exchange (spark.sql.exchange.reuse). `least`
+        // ignores NULLs, so the left join is total. Labels still only
+        // decrease, so the min-label fixed-point argument is unchanged:
+        // no decrease anywhere ⇔ neighbor-stable ⇔ labels constant per
+        // component = component min.
+        val next = cand
+          .join(cand.select(col("id").as("comp"), col("comp").as("c2")),
+            Seq("comp"), "left")
+          .select(col("id"), least(col("comp"), col("c2")).as("comp"), col("oc"))
+          .localCheckpoint(eager = false)
+        val changed = next.filter(col("comp") < col("oc")).count()
+        cand.unpersist(blocking = false) // `next` is cached now
+        labels = next.select(col("id"), col("comp"))
+        converged = changed == 0
+        iter += 1
+      }
+    } finally loopShufflePartitions.foreach { _ =>
+      spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", sessionAqe)
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] min-label rounds=$iter converged=$converged")
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "graph diameter exceeds the bound; raise maxIter or use " +
@@ -118,7 +183,20 @@ object Components {
   def connectedComponentsStar(
       vertices: DataFrame,
       edges: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      loopShufflePartitions: Option[Int] = None): DataFrame = {
+    // Scope the loop width (and AQE, whose per-stage re-planning
+    // latency dominates tiny rounds) BEFORE the initial distinct so
+    // every loop-carried frame is born at the scoped width. Restored in
+    // the finally below. Same caveat as [[connectedComponents]]: size
+    // to the candidate graph, never the corpus.
+    val spark = vertices.sparkSession
+    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    loopShufflePartitions.foreach { n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
     var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
@@ -158,13 +236,26 @@ object Components {
 
     var iter = 0
     var converged = e.isEmpty
-    while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // Exact fixed-point test (both sides are distinct edge sets):
-      // same cardinality + empty one-sided difference ⇔ set equality.
-      converged = next.count() == e.count() && next.except(e).isEmpty
-      e = next
-      iter += 1
+    try {
+      while (!converged && iter < maxIter) {
+        val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+        // Exact fixed-point test in ONE action (both sides are distinct
+        // edge sets): signed-count the symmetric difference — a pair in
+        // both sets sums to 0, a pair in exactly one survives the
+        // filter. Zero survivors ⇔ set equality. The lazy checkpoint of
+        // `next` materializes inside this same job (vs the previous
+        // three actions: eager checkpoint, two counts, an except scan).
+        val diff = next.select(col("src"), col("dst"), lit(1L).as("w"))
+          .union(e.select(col("src"), col("dst"), lit(-1L).as("w")))
+          .groupBy("src", "dst").agg(sum("w").as("w"))
+          .filter(col("w") =!= 0).count()
+        converged = diff == 0
+        e = next
+        iter += 1
+      }
+    } finally loopShufflePartitions.foreach { _ =>
+      spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", sessionAqe)
     }
     require(converged,
       s"connectedComponentsStar did not converge in $maxIter rounds — " +
@@ -185,21 +276,52 @@ object Components {
     * min doc_id of its near-dup group (singletons label themselves).
     * This is the stage that turns near-dup PAIRS into keep/drop GROUPS.
     */
+  /** Scope shuffle width + AQE down for a bounded-probe-set derivation
+    * whose EAGER actions (edge checkpoint, CC loop) run inside `f`, then
+    * restore. The probe set is 1000 docs by construction, so the
+    * session's corpus-sized shuffle width only buys per-stage scheduling
+    * and adaptive-planning latency. Lazy plan tails returned from `f`
+    * execute later under the restored session conf.
+    */
+  private def withSmallScope[A](s: SparkSession, parts: Int)(f: => A): A = {
+    val sp = s.conf.get("spark.sql.shuffle.partitions")
+    val aqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally {
+      s.conf.set("spark.sql.shuffle.partitions", sp)
+      s.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   private def neardupLabels(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      s: SparkSession, dir: String,
+      cc: (DataFrame, DataFrame) => DataFrame =
+        connectedComponents(_, _, loopShufflePartitions = Some(4)))
+      : (DataFrame, DataFrame) = withSmallScope(s, 4) {
     val subset = Tables.table(s, dir, "documents").filter(col("doc_id") < 1000)
     val pairs = Dedup.simhashBandPairs(
       Dedup.simhashN(subset, col("doc_id"), col("text"), bits = 60),
       bits = 60, bands = 4, maxHamming = 2)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val labels = connectedComponents(
-      subset.select(col("doc_id").as("id")), pairs)
+    val labels = cc(subset.select(col("doc_id").as("id")), pairs)
       .select(col("id").as("doc_id"), col("comp").as("component"))
     (subset, labels)
   }
 
   def q102(s: SparkSession, dir: String): DataFrame =
     neardupLabels(s, dir)._2.orderBy("doc_id")
+
+  /** q120 — the SAME near-dup component labeling as q102, computed by
+    * the star-contraction path ([[connectedComponentsStar]]) and
+    * certified against the SAME recursive-CTE oracle. Keeps the two CC
+    * implementations from silently diverging: a refactor that breaks
+    * either path now breaks a hash-checked driver row.
+    */
+  def q120(s: SparkSession, dir: String): DataFrame =
+    neardupLabels(s, dir,
+      cc = connectedComponentsStar(_, _, loopShufflePartitions = Some(4)))
+      ._2.orderBy("doc_id")
 
   /** q119 — quality-aware keep list: per near-dup component, keep the
     * BEST-quality member (ties to the lowest doc_id), not the lowest
@@ -209,12 +331,16 @@ object Components {
     * score; quality is rounded BEFORE ranking (the q106 trick) so a
     * 1-ulp drift cannot flip a winner.
     */
-  def q119(s: SparkSession, dir: String): DataFrame = {
+  def q119(s: SparkSession, dir: String): DataFrame = withSmallScope(s, 4) {
     import org.apache.spark.sql.expressions.Window
     val (subset, labels) = neardupLabels(s, dir)
     val quality = subset.select(col("doc_id"),
       round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
     val w = Window.partitionBy("component")
+    // Checkpointed INSIDE the scope: the rank/window tail runs over the
+    // few-hundred-row component frame, so executing it lazily at the
+    // session's corpus-sized width would buy only scheduling latency.
+    // The checkpoint preserves the declared ordering for the oracle.
     labels.join(quality, "doc_id")
       .withColumn("rn",
         row_number().over(w.orderBy(col("q").desc, col("doc_id"))))
@@ -225,11 +351,13 @@ object Components {
         col("q").as("keep_quality"),
         col("members").cast("long").as("members"))
       .orderBy("component")
+      .localCheckpoint(true)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_neardup_components" -> (q102 _),
     "q119_component_best"     -> (q119 _),
+    "q120_components_star"    -> (q120 _),
   )
 
   /** Oracle CTE chain: transitive closure by recursive CTE over the
@@ -283,5 +411,8 @@ object Components {
   val oracleSql: Map[String, String] = Map(
     "q102_neardup_components" -> componentsOracle,
     "q119_component_best"     -> componentBestOracle,
+    // Same oracle as q102 by design: both CC implementations must
+    // produce the identical labeling.
+    "q120_components_star"    -> componentsOracle,
   )
 }
