@@ -178,7 +178,12 @@ object Similarity {
       .select(col("label"), dot(col("ua"), col("ub")).as("sim"))
       .groupBy(col("label"))
       .agg(
-        sum(when(col("sim") >= 0.3, 1L).otherwise(0L)).as("close_pairs"),
+        // Threshold on the integer-scaled sim, NOT the raw double: a
+        // 1-ulp cross-engine drift at the 0.3 boundary would flip a
+        // pair in one engine only and break the hash row. Both engines
+        // compare the SAME canonical integer (round(sim*100) >= 30).
+        sum(when(intScaled(col("sim"), 100) >= 30, 1L).otherwise(0L))
+          .as("close_pairs"),
         intScaled(max(col("sim")), 100).as("max_sim_c"),
         count(lit(1)).as("pairs"))
       .orderBy("label")
@@ -433,7 +438,8 @@ object Similarity {
         |    ON a.label = b.label AND a.vec_id < b.vec_id
         |  WHERE a.vec_id < 1000)
         |SELECT label,
-        |       CAST(SUM(CASE WHEN sim >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS close_pairs,
+        |       CAST(SUM(CASE WHEN CAST(ROUND(sim * 100) AS BIGINT) >= 30
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS close_pairs,
         |       CAST(ROUND(MAX(sim) * 100) AS BIGINT) AS max_sim_c,
         |       COUNT(*) AS pairs
         |FROM sims GROUP BY label ORDER BY label""".stripMargin,

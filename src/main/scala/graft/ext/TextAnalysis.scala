@@ -348,28 +348,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** q109 — inverted index (term → document-frequency + sorted posting
-    * list): the retrieval-side structure a corpus engine materializes
-    * for BM25/keyword search. Postings are emitted as a '|'-joined
-    * string (the q48 sorted-join contract — parquet list vs DuckDB list
-    * don't hash-compare).
+  /** Inverted index (term → document-frequency + sorted posting list)
+    * with a document-frequency cap on the materialized postings: the
+    * retrieval-side structure a corpus engine materializes for
+    * BM25/keyword search. Postings are emitted as a '|'-joined string
+    * (the q48 sorted-join contract — parquet list vs DuckDB list don't
+    * hash-compare).
     *
-    * Scale shape: one explode of DISTINCT per-doc terms, one term-keyed
-    * agg; collect_list is bounded per term by document frequency — for
-    * web-scale vocabularies the hot stopword postings are the skew case
-    * (cap df or shard hot terms in production; the fixture vocabulary
-    * needs neither).
+    * Scale shape: the df agg ships only partial COUNTS (map-side
+    * combine); terms whose df exceeds `dfCap` — the web-scale stopword
+    * skew case, where one term's posting list is a constant fraction of
+    * the corpus — are anti-joined OUT of the collect stage entirely, so
+    * no executor ever buffers (or receives over the shuffle) a posting
+    * list longer than `dfCap`. The over-cap term SET is what gets
+    * broadcast, and it is small by construction: it is the vocabulary
+    * with df above the cap (hundreds of stopwords, not the long tail).
+    * Capped terms keep their TRUE df (BM25 needs it) with empty
+    * postings.
+    */
+  def invertedIndex(d: DataFrame, dfCap: Long): DataFrame = {
+    val terms = d.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("term"))
+    val dfs = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val hot = dfs.filter(col("df") > dfCap).select("term")
+    val postings = terms
+      .join(broadcast(hot), Seq("term"), "left_anti")
+      .groupBy(col("term"))
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), "|")
+        .as("postings"))
+    dfs.join(postings, Seq("term"), "left")
+      .select(col("term"), col("df"),
+        coalesce(col("postings"), lit("")).as("postings"))
+      .orderBy("term")
+  }
+
+  /** q109 — [[invertedIndex]] over the documents table. The declared
+    * cap (1M) is far above the fixture's max df, so the oracle row is
+    * the uncapped index; the cap BINDING is spec-certified on synthetic
+    * skew (TextAnalysisSpec).
     */
   def q109(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(tokens(col("text")))).as("term"))
-      .groupBy(col("term"))
-      .agg(
-        count(lit(1)).as("df"),
-        array_join(sort_array(collect_list(col("doc_id"))), "|")
-          .as("postings"))
-      .orderBy("term")
+    invertedIndex(docs(s, dir), dfCap = 1000000L)
 
   /** q110 — compression-ratio quality signal ([[graft.ops.DeflateLen]]):
     * deflate_len/byte_len per doc plus the corpus band check. Rows-only
@@ -575,7 +594,9 @@ object TextAnalysis {
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "q109_inverted_index" ->
       """SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-        |  array_to_string(list_sort(list(doc_id)), '|') AS postings
+        |  CASE WHEN COUNT(*) <= 1000000
+        |       THEN array_to_string(list_sort(list(doc_id)), '|')
+        |       ELSE '' END AS postings
         |FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term
         |      FROM documents)
         |GROUP BY term ORDER BY term""".stripMargin,

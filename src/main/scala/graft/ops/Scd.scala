@@ -41,8 +41,11 @@ object Scd {
     // the single-current invariant. One key-only agg over the snapshot
     // — cheap next to the merge itself; callers with intentional dups
     // must dedup with an explicit policy first.
+    // agg alias `__dup_n`, not `.count()`: a natural-key column
+    // literally named `count` would make the filter reference ambiguous
     val dupKey = incoming.groupBy(key.map(col): _*)
-      .count().filter(col("count") > 1).limit(1).count()
+      .agg(count(lit(1)).as("__dup_n"))
+      .filter(col("__dup_n") > 1).limit(1).count()
     require(dupKey == 0L,
       s"scd2Apply: incoming snapshot has duplicate natural keys (${key.mkString(",")}) — " +
         "dedup with an explicit policy before merging")

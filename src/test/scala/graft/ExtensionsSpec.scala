@@ -295,6 +295,27 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("invertedIndex df-cap binds on synthetic skew") {
+    import spark.implicits._
+    // "hot" appears in every doc (df=5 — the stopword skew case);
+    // others are cold. Cap at 3: hot must keep its TRUE df but lose its
+    // postings; cold terms must be byte-identical to the uncapped run.
+    val docs = (0 until 5)
+      .map(i => (i.toLong, s"hot w$i shared${i % 2}"))
+      .toDF("doc_id", "text")
+    val capped = TextAnalysis.invertedIndex(docs, dfCap = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(capped("hot") === (5L, ""), "over-cap term keeps df, drops postings")
+    assert(capped("shared0") === (3L, "0|2|4"))
+    assert(capped("shared1") === (2L, "1|3"))
+    assert(capped("w3") === (1L, "3"))
+    // Cap above every df = uncapped index (the q109 fixture contract).
+    val uncapped = TextAnalysis.invertedIndex(docs, dfCap = 100)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(uncapped("hot") === (5L, "0|1|2|3|4"))
+    assert(uncapped - "hot" === capped - "hot")
+  }
+
   test("q110 ratios are in (0, 2] and non-null for the fixture corpus") {
     val r = TextAnalysis.q110(spark, sf)
     val stats = r.agg(
