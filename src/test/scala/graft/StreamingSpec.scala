@@ -60,6 +60,81 @@ class StreamingSpec extends SparkTestBase {
     assert(deduped.count() === batchDistinct.count())
   }
 
+  test("replay: sessionization equals the batch query exactly after watermark close") {
+    // Deterministic batch≡stream replay: feed the REAL fixture through a
+    // MemoryStream in event-time order as three microbatches, then one
+    // sentinel event far enough in the future that the watermark passes
+    // every real session's close (+gap +delay). Append-mode
+    // session_window then emits EVERY fixture session exactly once, so
+    // the streamed result must equal the batch query — full equality,
+    // not the subset check the file-source test settles for (it cannot
+    // advance the watermark past end-of-input).
+    val fixture = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val maxTs = fixture.map(_._2).max
+    // sentinel: gap(12h) + watermark(10min) + 1h margin past the last event
+    val sentinelTs = maxTs + (12L * 3600 + 600 + 3600) * 1000000000L
+
+    val input = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.sessionCounts(df)
+      .writeStream.format("memory").queryName("sess_replay")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      fixture.grouped((fixture.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      input.addData((-1L, sentinelTs, -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sess_replay").filter(col("user_id") >= 0)
+    val batch = SparkEntry.queries("q45_session_window")(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "sealed streaming sessions must equal the batch sessionization")
+  }
+
+  test("replay: dedup under producer retries equals the batch fixture exactly") {
+    // Each fixture chunk is re-emitted in the NEXT microbatch with a
+    // +1s-drifted timestamp — the producer-retry pattern. Keyed on
+    // event_id alone, dropDuplicatesWithinWatermark must suppress every
+    // retry, leaving output = the original fixture rows exactly.
+    val fixture = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+
+    val input = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.dedupEvents(df)
+      .writeStream.format("memory").queryName("dedup_replay")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val chunks = fixture.grouped((fixture.length + 2) / 3).toSeq
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        val retries = if (i == 0) Seq.empty
+          else chunks(i - 1).map(e => e.copy(_2 = e._2 + 1000000000L)).toSeq
+        input.addData(chunk.toSeq ++ retries)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("dedup_replay")
+      .select("event_id", "user_id", "event_type", "value")
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "user_id", "event_type", "value")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "deduped stream under retries must equal the original fixture rows")
+  }
+
   test("mapGroupsWithState accumulates per-user aggregates across batches") {
     val input = MemoryStream[(Long, Long, String, Double)](spark)
     val df = input.toDF().toDF("event_id", "user_id", "event_type", "value")
