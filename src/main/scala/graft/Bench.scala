@@ -12,10 +12,16 @@ import scala.util.Try
   *
   * Timing discipline (r6 verdict: single queries swung 6× with zero
   * code change because the JIT-cold first run was included in the
-  * median): each query runs `SPARK_GRAFT_BENCH_RUNS` times (default
-  * 4); the FIRST run is always discarded as warmup and the median is
-  * taken over the remaining runs only. With the default 4 runs that
-  * is a median of 3 warm executions.
+  * median): the WHOLE SUITE runs `SPARK_GRAFT_BENCH_RUNS` times
+  * (default 4); the first suite round is discarded as warmup and each
+  * query reports the median of its remaining rounds. Rounds are
+  * suite-level, not per-query-consecutive, because the r7 double-sweep
+  * measured a slow multi-minute host-level drift (burstable-CPU
+  * throttling: sweep 2 ran −20% early, +90% mid-sweep, +10% late with
+  * an identical binary). Consecutive per-query runs all land in the
+  * same drift phase and inherit its full amplitude; spreading each
+  * query's samples across the sweep lets the median average the
+  * phases out.
   *
   * Results are forced with a `noop`-format write: the full physical
   * plan executes — including the declared global ORDER BYs, which a
@@ -29,22 +35,31 @@ object Bench {
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       appName = "graft-bench")
 
-    // >= 2 so at least one warm run survives the warmup discard.
+    // >= 2 so at least one warm round survives the warmup discard.
     val runs = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // times(query) = one sample per suite round, in round order.
+    val samples = queries.map { case (name, _) =>
+      name -> scala.collection.mutable.ArrayBuffer.empty[Double]
+    }.toMap
+    (1 to runs).foreach { round =>
+      queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          samples(name) += (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+          System.err.println(s"[bench] $name failed (round $round): ${e.getMessage}")
+          samples(name) += -1.0
         }
       }
-      // Drop the JIT-cold first run, then take the median over the
-      // SUCCESSFUL warm runs (a -1 sentinel would skew the median
-      // low). If every warm run failed fall back to any successful
-      // run at all; all-failed reports -1.
+    }
+    val results = queries.map { case (name, _) =>
+      // Drop the JIT-cold first round, then take the median over the
+      // SUCCESSFUL warm samples (a -1 sentinel would skew the median
+      // low). If every warm sample failed fall back to any successful
+      // one at all; all-failed reports -1.
+      val times = samples(name).toSeq
       val warm = times.drop(1).filter(_ >= 0).sorted
       val ok = if (warm.nonEmpty) warm else times.filter(_ >= 0).sorted
       name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only 10× spill/robustness audit (not part of the driver
+  * contract): synthesize a 10×-sf0.1 `documents` + `lineitem` under
+  * `dev/sf10x/`, then time the shuffle-heavy operator family
+  * (components / dup-gram / MinHashLSH / salted dedup) at 1× and 10×
+  * on the SAME frame-parameterized operator cores the queries use.
+  * Expectation: roughly linear degradation, no OOM at the default 8 g
+  * driver heap. Results land in SCALE.md.
+  *
+  * Replica construction keeps the audit honest:
+  *  - `documents`: replica i is a per-replica BIJECTIVE character
+  *    substitution over 'etaoin' (translate with a distinct permutation
+  *    per replica). Token equality — and therefore shingle sets, near-dup
+  *    structure, gram counts — is preserved WITHIN a replica, while
+  *    cross-replica token sets are disjoint wherever any of the six
+  *    letters appears (virtually every token). The 10× corpus is thus
+  *    ten structure-identical shards with ~zero cross-shard similarity:
+  *    linear scaling is the correct expectation, and any superlinear
+  *    blowup is the operator's fault, not the data's.
+  *  - `lineitem`: replica i offsets l_orderkey by i×10⁸ — per-key group
+  *    sizes identical to sf0.1, key cardinality ×10.
+  */
+object DevScaleAudit {
+
+  private val perms = Seq(
+    "etaoin", "taoine", "aoinet", "oineta", "inetao", "netaoi",
+    "eatoni", "tenaio", "antoie", "otanei")
+
+  private def synth(s: SparkSession, base: String, out: String): Unit = {
+    val docsOut = Paths.get(out, "documents.parquet")
+    val liOut = Paths.get(out, "lineitem.parquet")
+    if (Files.exists(docsOut) && Files.exists(liOut)) return
+    Files.createDirectories(Paths.get(out))
+    val docs = Tables.table(s, base, "documents")
+    val docs10 = (0 until 10).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+        translate(col("text"), "etaoin", perms(i)).as("text"),
+        col("source"))
+    }.reduce(_ unionAll _)
+    docs10.repartition(32).write.mode("overwrite").parquet(docsOut.toString)
+    val li = Tables.table(s, base, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val li10 = (0 until 10).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+    }.reduce(_ unionAll _)
+    li10.repartition(32).write.mode("overwrite").parquet(liOut.toString)
+  }
+
+  private def time(name: String, runs: Int)(df: => DataFrame): Double = {
+    val ts = (1 to runs).map { i =>
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[audit] $name run$i $dt%.2f s")
+      dt
+    }
+    ts.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "dev/sf10x"
+    val runs = sys.env.getOrElse("GRAFT_AUDIT_RUNS", "2").toInt
+    val spark = Engine.session(cores = "32", appName = "graft-scale-audit")
+    synth(spark, base, out)
+
+    def docsOf(dir: String) =
+      Tables.table(spark, dir, "documents").select("doc_id", "text")
+    def liOf(dir: String) = Tables.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+    // Full-corpus CC (no doc_id<1000 subset): simhash bands over every
+    // doc, min-label components at the session's production shuffle
+    // width (the q102 4-partition scope is a small-subset tuning).
+    def ccFull(dir: String): DataFrame = {
+      val d = docsOf(dir)
+      val pairs = ext.Dedup.simhashBandPairs(
+        ext.Dedup.simhashN(d, col("doc_id"), col("text"), bits = 60),
+        bits = 60, bands = 4, maxHamming = 2)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      ext.Components.connectedComponents(
+        d.select(col("doc_id").as("id")), pairs)
+    }
+
+    val suite: Seq[(String, String => DataFrame)] = Seq(
+      "cc_simhash_full" -> (dir => ccFull(dir)),
+      "dup_ngram_frac" -> (dir => ext.TextAnalysis.dupNgramFraction(docsOf(dir))),
+      "minhash_lsh" -> (dir => ext.Dedup.minhashLshPairs(docsOf(dir))),
+      "salted_dedup" -> (dir => graft.ops.dedupFirstWinsSalted(
+        liOf(dir), Seq("l_orderkey"),
+        Seq(col("l_linenumber"), col("l_quantity"), col("l_extendedprice")),
+        buckets = 8)),
+    )
+
+    val rows = suite.map { case (name, fn) =>
+      val t1 = time(s"$name@1x", runs)(fn(base))
+      val t10 = time(s"$name@10x", runs)(fn(out))
+      (name, t1, t10, t10 / t1)
+    }
+    println("| operator | 1× (s) | 10× (s) | ratio |")
+    println("|---|---|---|---|")
+    rows.foreach { case (n, a, b, r) =>
+      println(f"| $n | $a%.2f | $b%.2f | $r%.1f× |")
+    }
+    spark.stop()
+  }
+}

@@ -178,6 +178,21 @@ object Dedup {
     */
   def minhashBandPairs(
       sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val banded = bandedKeys(sig, numHashes, bands)
+    val a = banded.select(col("__id").as("id_a"), col("band"), col("bkey"))
+    val b = banded.select(col("__id").as("id_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("long").as("shared_bands"))
+  }
+
+  /** (id, band, bkey) banding rows for a [[minhashSignature]] frame —
+    * the shared candidate-keying stage of the self-join
+    * ([[minhashBandPairs]]) and bipartite ([[minhashBandJoin]]) paths.
+    */
+  private def bandedKeys(
+      sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       "numHashes must divide evenly into bands")
     val rows = numHashes / bands
@@ -187,14 +202,31 @@ object Dedup {
         md5(concat_ws("|",
           (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("bkey"))
     }
-    val banded = sig
+    sig
       .select(col("__id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("__id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val a = banded.select(col("__id").as("id_a"), col("band"), col("bkey"))
-    val b = banded.select(col("__id").as("id_b"), col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+  }
+
+  /** Bipartite MinHash band join — near-dup candidates of an INCOMING
+    * batch against an EXISTING reference corpus (no self-pairs, no
+    * incoming×incoming or reference×reference pairs). This is the
+    * production dedup shape at 100 TB: the reference corpus's
+    * signatures are computed once and stored (12 md5 minima/doc — a
+    * few hundred bytes, not the document); each new crawl batch
+    * signatures only ITSELF and band-joins against the stored
+    * signature table. The join is bucket-local on (band, bkey); when
+    * the incoming batch is small AQE broadcasts it, so the 100 TB
+    * reference side never shuffles.
+    */
+  def minhashBandJoin(
+      incoming: DataFrame, reference: DataFrame,
+      numHashes: Int, bands: Int): DataFrame = {
+    val inc = bandedKeys(incoming, numHashes, bands)
+      .select(col("__id").as("inc_id"), col("band"), col("bkey"))
+    val ref = bandedKeys(reference, numHashes, bands)
+      .select(col("__id").as("ref_id"), col("band"), col("bkey"))
+    inc.join(ref, Seq("band", "bkey"))
+      .groupBy(col("inc_id"), col("ref_id"))
       .agg(count(lit(1)).cast("long").as("shared_bands"))
   }
 
@@ -226,8 +258,14 @@ object Dedup {
     * where even one minhash table collides w.p. ≥ 0.92 per pair, so
     * OR-amplification beyond 2 tables buys nothing here.
     */
-  def q57(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
+  def q57(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(docs(s, dir)).orderBy("id_a", "id_b")
+
+  /** Frame-parameterized core of q57 (unordered), reusable over any
+    * (doc_id, text) frame — the 10× scale audit times it directly.
+    */
+  def minhashLshPairs(d: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val base = d
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), shingles3Strided(col("ws"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -249,13 +287,12 @@ object Dedup {
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(2).setSeed(42L)
     val model = lsh.fit(featured)
-    model.approxSimilarityJoin(featured, featured, 0.6, "jaccard_dist")
+    model.approxSimilarityJoin(featured, featured, threshold, "jaccard_dist")
       .select(
         col("datasetA.doc_id").as("id_a"),
         col("datasetB.doc_id").as("id_b"),
         round(col("jaccard_dist"), 4).as("jaccard_dist"))
       .filter(col("id_a") < col("id_b"))
-      .orderBy("id_a", "id_b")
   }
 
   /** Unigram-set and trigram-shingle Jaccard for every consecutive-id
@@ -343,6 +380,30 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** q122 — cross-corpus near-dup: the odd-doc_id half of the corpus
+    * plays the INCOMING crawl batch, the even half the EXISTING
+    * reference corpus (the synthetic corpus plants near-dups at
+    * adjacent ids, so every planted pair spans the even/odd split —
+    * the probe set exercises exactly the cross-corpus path). One
+    * signature pass over the union; the band join is strictly
+    * bipartite via [[minhashBandJoin]].
+    */
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") < 1000)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), shingles3FromTokens(col("ws")).as("sh"))
+    val sig = minhashSignature(base, col("doc_id"), col("sh"), numHashes = 12)
+      // Signature pass runs ONCE for both halves: materialized before
+      // the even/odd split, or each side would re-run the
+      // explode+groupBy over its half of the corpus.
+      .localCheckpoint(true)
+    minhashBandJoin(
+      incoming = sig.filter(col("__id") % 2 === 1),
+      reference = sig.filter(col("__id") % 2 === 0),
+      numHashes = 12, bands = 4)
+      .orderBy("inc_id", "ref_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_exact_dedup"      -> (q55 _),
     "q56_dedup_keep_first" -> (q56 _),
@@ -352,6 +413,7 @@ object Dedup {
     "q65_simhash_neardup"  -> (q65 _),
     "q94_band_rescore"     -> (q94 _),
     "q107_minhash_portable" -> (q107 _),
+    "q122_cross_corpus_neardup" -> (q122 _),
   )
 
   /** Shared CTE prefix for the 60-bit/4-band simhash candidate pairs
@@ -415,34 +477,58 @@ object Dedup {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash$simhashBits FROM b ORDER BY doc_id""".stripMargin
   }
 
-  /** q107 oracle: the same md5-min signature + banding, spelled in
-    * DuckDB (12 min-aggs, 4 UNION ALL band rows, self-join on bucket).
+  /** Shared CTE prefix for the portable-MinHash oracles: trigram
+    * shingles → 12 md5-min components → 4 band keys, as `b(doc_id,
+    * band, bkey)` (12 min-aggs, 4 UNION ALL band rows).
     */
-  private val minhashPortableOracle: String = {
+  private def minhashBandCte: String = {
     val mins = (0 until 12).map(k =>
       s"MIN(md5('$k:' || s)) AS mh$k").mkString(", ")
     val bandRows = (0 until 4).map { b =>
       val key = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM m"
     }.mkString("\n  UNION ALL ")
+    // NOTE: this CTE is interpolated into oracles that call stripMargin
+    // on the COMPOSED string, so no content line may begin (after
+    // whitespace) with '|' — a second strip would eat it. Hence the
+    // trailing-|| line break below.
     s"""WITH t AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    range(1, len(string_split(text,' ')) - 1),
-       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-       |         || ' ' || string_split(text,' ')[i+2])) AS sh
+       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] ||
+       |         ' ' || string_split(text,' ')[i+2])) AS sh
        |  FROM documents
        |  WHERE doc_id < 1000 AND len(string_split(text,' ')) >= 3),
        |g AS (SELECT doc_id, unnest(sh) AS s FROM t),
        |m AS (SELECT doc_id, $mins FROM g GROUP BY doc_id),
        |b AS (
-       |  $bandRows)
+       |  $bandRows)""".stripMargin
+  }
+
+  /** q107 oracle: the same md5-min signature + banding, spelled in
+    * DuckDB, self-joined on (band, bkey).
+    */
+  private val minhashPortableOracle: String =
+    s"""$minhashBandCte
        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
        |  CAST(COUNT(*) AS BIGINT) AS shared_bands
        |FROM b a JOIN b b2
        |  ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
        |GROUP BY a.doc_id, b2.doc_id
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** q122 oracle: same banding CTE, joined strictly bipartite
+    * (odd incoming × even reference).
+    */
+  private val crossCorpusOracle: String =
+    s"""$minhashBandCte
+       |SELECT inc.doc_id AS inc_id, ref.doc_id AS ref_id,
+       |  CAST(COUNT(*) AS BIGINT) AS shared_bands
+       |FROM b inc JOIN b ref
+       |  ON inc.band = ref.band AND inc.bkey = ref.bkey
+       |WHERE inc.doc_id % 2 = 1 AND ref.doc_id % 2 = 0
+       |GROUP BY inc.doc_id, ref.doc_id
+       |ORDER BY inc_id, ref_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q55_exact_dedup" ->
@@ -470,5 +556,6 @@ object Dedup {
     "q65_simhash_neardup" -> simhashNearDupOracle,
     "q94_band_rescore" -> bandRescoreOracle,
     "q107_minhash_portable" -> minhashPortableOracle,
+    "q122_cross_corpus_neardup" -> crossCorpusOracle,
   )
 }

@@ -341,6 +341,40 @@ object Similarity {
     kmeansStep(unit, seeds)
   }
 
+  /** q121 — metadata-filtered top-3 (the RAG retrieval shape: "nearest
+    * neighbors among documents WHERE lang = 'en'"). The predicate is
+    * applied to the CANDIDATE side BEFORE pair generation
+    * (pre-filtering), not to the ranked result (post-filtering):
+    * post-filtering a top-k can return FEWER than k survivors when the
+    * filter is selective — the classic filtered-ANN recall bug — while
+    * pre-filtering ranks inside the eligible set by construction. The
+    * filter lives on the `documents` metadata table and reaches the
+    * embeddings via an equi-join on vec_id = doc_id (at 100 TB the
+    * metadata join is a broadcast or a bucketed co-partitioned join;
+    * the predicate itself pushes to the metadata scan — only eligible
+    * ids ever reach the vector side). Brute-force scoring here is the
+    * certifiable core; the scale path composes the same pre-filter
+    * with q61's LSH buckets or q64's IVF cells.
+    */
+  def q121(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unit = withUnitVec(emb(s, dir), "embedding", "u").select("vec_id", "u")
+    val eligible = Tables.table(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"))
+    val q = broadcast(unit.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("u").as("qu")))
+    val d = unit.join(eligible, unit("vec_id") === eligible("doc_id"))
+      .select(col("vec_id").as("did"), col("u").as("du"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    q.join(d)
+      .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("did"), intScaled(col("sim"), 100).as("sim_c"))
+      .orderBy("qid", "did")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
     "q60_knn_brute" -> (q60 _),
@@ -348,6 +382,7 @@ object Similarity {
     "q64_knn_ivf"   -> (q64 _),
     "q66_embedding_neardup" -> (q66 _),
     "q100_embed_quant" -> (q100 _),
+    "q121_filtered_knn" -> (q121 _),
   )
 
   /** q61 oracle: the md5-derived ±1 planes are query CONSTANTS (like
@@ -452,5 +487,27 @@ object Similarity {
         |  array_to_string(list_transform(e, x -> CAST(COALESCE(FLOOR(x * s), 0) AS BIGINT)), '|') AS q8,
         |  CAST(ROUND(list_max(list_transform(e, x -> abs(x - FLOOR(x * s) / s))) * 10000) AS BIGINT) AS max_err_e4
         |FROM t ORDER BY vec_id""".stripMargin,
+    // Pre-filtered candidate set (documents.lang = 'en' via the
+    // vec_id = doc_id join) ranked brute-force; measured margins:
+    // rank-3/4 gap 4.7e-4, distance to the *100 rounding boundary
+    // 6.4e-3 — both ≫ cross-engine float drift.
+    "q121_filtered_knn" ->
+      """WITH f AS (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |  WHERE d.lang = 'en'),
+        |q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |      FROM embeddings WHERE vec_id < 20),
+        |sims AS (
+        |  SELECT q.vec_id AS qid, f.vec_id AS did,
+        |         list_cosine_similarity(q.ev, f.ev) AS sim
+        |  FROM q, f),
+        |ranked AS (
+        |  SELECT qid, did, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
+        |  FROM sims)
+        |SELECT qid, did, CAST(ROUND(sim * 100) AS BIGINT) AS sim_c
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY qid, did""".stripMargin,
   )
 }

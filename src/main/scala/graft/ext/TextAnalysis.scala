@@ -326,11 +326,17 @@ object TextAnalysis {
     * hash-partition on gram; AQE reuses the exchange), then a doc-keyed
     * agg of two counters. No step holds more than (gram, count) state.
     */
-  def q108(s: SparkSession, dir: String): DataFrame = {
+  def q108(s: SparkSession, dir: String): DataFrame =
+    dupNgramFraction(docs(s, dir)).orderBy("doc_id")
+
+  /** Frame-parameterized core of q108 (unordered), reusable over any
+    * (doc_id, text) frame — the 10× scale audit times it directly.
+    */
+  def dupNgramFraction(d: DataFrame): DataFrame = {
     // explode_outer + isnotnull: see Decontam.contaminationReport — a
     // plain explode's inferred size()>0 filter would inline the 10-gram
     // transform a second time per row.
-    val g = docs(s, dir)
+    val g = d
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"),
         explode_outer(Dedup.shinglesKAll(col("ws"), 10)).as("gram"))
@@ -345,7 +351,6 @@ object TextAnalysis {
         col("doc_id"), col("n_grams"), col("dup_grams"),
         round(col("dup_grams").cast("double") / col("n_grams"), 4)
           .as("dup_frac"))
-      .orderBy("doc_id")
   }
 
   /** Inverted index (term → document-frequency + sorted posting list)

@@ -216,6 +216,44 @@ class ExtensionsSpec extends SparkTestBase {
     assert(pairs === Map((1L, 2L) -> 4L))
   }
 
+  test("minhashBandJoin is strictly bipartite: no within-side pairs") {
+    // All four docs share the same shingle set, so EVERY cross pair
+    // collides on all 4 bands — but incoming×incoming (1,3) and
+    // reference×reference (2,4) must never appear.
+    val sh = Seq("a b c", "b c d", "c d e")
+    val df = Seq((1L, sh), (2L, sh), (3L, sh), (4L, sh)).toDF("doc_id", "sh")
+    val sig = Dedup.minhashSignature(df, $"doc_id", $"sh", numHashes = 12)
+    val out = Dedup.minhashBandJoin(
+      incoming = sig.filter($"__id" % 2 === 1),
+      reference = sig.filter($"__id" % 2 === 0),
+      numHashes = 12, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (1L, 2L) -> 4L, (1L, 4L) -> 4L, (3L, 2L) -> 4L, (3L, 4L) -> 4L))
+  }
+
+  test("q122 cross-corpus candidates are odd-incoming × even-reference") {
+    val out = Dedup.q122(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) % 2 == 1 && r.getLong(1) % 2 == 0))
+  }
+
+  test("q121 filtered knn: every hit is eligible, ranks within the filtered set") {
+    val docs = Tables.table(spark, sf, "documents")
+    val en = docs.filter($"lang" === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val out = Similarity.q121(spark, sf).collect()
+    assert(out.nonEmpty)
+    // pre-filter contract: every returned neighbor is in the eligible set
+    assert(out.forall(r => en.contains(r.getLong(1))))
+    // exactly <= 3 per query, and self-match leads when the query is eligible
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length <= 3))
+    byQ.foreach { case (qid, rows) =>
+      if (en.contains(qid)) assert(rows.exists(r => r.getLong(1) == qid))
+    }
+  }
+
   test("portable minhash signature is deterministic across evaluations") {
     val df = Seq((1L, Seq("a b c", "d e f"))).toDF("doc_id", "sh")
     val s1 = Dedup.minhashSignature(df, $"doc_id", $"sh", 12).collect()
