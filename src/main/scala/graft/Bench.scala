@@ -71,15 +71,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val sfName = Paths.get(sfDir).getFileName.toString
     val resultsFile = Paths.get(s"bench/results-$sfName.json")
-    val compactLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-        s""""results_file":"$resultsFile","sf":"$sfDir"}"""
     // Print BEFORE any file I/O: a read-only cwd must not eat the
-    // sweep after all queries already ran. The full per-query map
-    // (119 queries ≈ 4 KB) can overflow the driver's captured log
-    // tail, so it goes first; the compact line is printed last so a
-    // tail-truncating, last-line-parsing driver always lands on it.
-    println(compactLine)
+    // sweep after all queries already ran. The driver's declared
+    // contract is ONE JSON line carrying the per-query map, so the
+    // full line is also repeated as the very last stdout line (after
+    // spark.stop()) for a last-line-parsing driver.
     println(fullLine)
     Try(Files.createDirectories(resultsFile.getParent))
     Try(Files.writeString(resultsFile, fullLine + "\n"))
@@ -89,6 +85,6 @@ object Bench {
         .failed.foreach(e => System.err.println(s"[bench] BENCH_OUT write failed: $e"))
     }
     spark.stop()
-    println(compactLine)
+    println(fullLine)
   }
 }

@@ -132,12 +132,21 @@ object Components {
         // decrease, so the min-label fixed-point argument is unchanged:
         // no decrease anywhere ⇔ neighbor-stable ⇔ labels constant per
         // component = component min.
+        // A SECOND composition per round (compose∘compose, reach 4r+3)
+        // was measured on the sf0.1 near-dup graph: rounds stayed at 6
+        // while per-round cost rose ~50% — label-pointer chains here
+        // don't shorten under repeated composition the way clean path
+        // graphs do (a synthetic 50-chain drops 6→4 rounds). One
+        // composition is the measured optimum; revisit only with
+        // evidence from a real long-chain corpus.
         val next = cand
           .join(cand.select(col("id").as("comp"), col("comp").as("c2")),
             Seq("comp"), "left")
           .select(col("id"), least(col("comp"), col("c2")).as("comp"), col("oc"))
           .localCheckpoint(eager = false)
         val changed = next.filter(col("comp") < col("oc")).count()
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] round=$iter changed=$changed")
         cand.unpersist(blocking = false) // `next` is cached now
         labels = next.select(col("id"), col("comp"))
         converged = changed == 0

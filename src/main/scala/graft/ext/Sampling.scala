@@ -131,10 +131,51 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Deterministic epoch shuffle + shard assignment: the write-
+    * training-shards shape. Every (epoch, doc) gets an md5 sort key;
+    * the first hex nibble is the shard, and the position within the
+    * shard is a window ORDERED BY that key — a different, reproducible
+    * permutation per epoch, with no RNG and no global ORDER BY.
+    *
+    * Scale shape: the shard nibble is map-side compute; the only
+    * shuffle is the (epoch, shard)-partitioned window, and each window
+    * partition holds corpus/16 docs — in production the nibble widens
+    * (2 hex chars = 256 shards, 4 = 64k) so the per-shard sort stays
+    * executor-sized no matter the corpus. Contrast with the naive
+    * `ORDER BY rand()` epoch shuffle: non-reproducible AND a global
+    * sort whose final range-partition step has no natural shard
+    * boundary alignment.
+    */
+  def epochShard(d: DataFrame, id: Column, epoch: Column): DataFrame = {
+    val key = md5(concat_ws(":", epoch, id.cast("string")))
+    val shard = (instr(lit("0123456789abcdef"), substring(key, 1, 1)) - 1)
+      .cast("long")
+    d.select(epoch.as("epoch"), id.as("doc_id"), key.as("__k"), shard.as("shard"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          // md5 collisions are negligible but the id tie-break keeps
+          // the ordering a total order by construction.
+          .orderBy(col("__k"), col("doc_id"))).cast("long"))
+      .drop("__k")
+  }
+
+  /** q124: two epochs of the deterministic shuffle, full listing —
+    * certifies that the permutation is reproducible AND differs across
+    * epochs (the hashes diverge by construction; the oracle recomputes
+    * both independently).
+    */
+  def q124(s: SparkSession, dir: String): DataFrame = {
+    val epochs = Seq("ep1", "ep2")
+    epochs.map { ep =>
+      epochShard(docs(s, dir), col("doc_id"), lit(ep))
+    }.reduce(_ unionAll _).orderBy("epoch", "shard", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_hash_split"  -> (q76 _),
     "q77_seq_packing" -> (q77 _),
     "q78_corpus_mix"  -> (q78 _),
+    "q124_epoch_shard" -> (q124 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -162,5 +203,17 @@ object Sampling {
         |      < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
         |             THEN 'zz' ELSE '40' END
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q124_epoch_shard" ->
+      """WITH k AS (
+        |  SELECT e.epoch, d.doc_id,
+        |         md5(e.epoch || ':' || CAST(d.doc_id AS VARCHAR)) AS key
+        |  FROM documents d
+        |  CROSS JOIN (SELECT 'ep1' AS epoch UNION ALL SELECT 'ep2') e)
+        |SELECT epoch, doc_id,
+        |  CAST(instr('0123456789abcdef', substr(key, 1, 1)) - 1 AS BIGINT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY epoch, substr(key, 1, 1)
+        |    ORDER BY key, doc_id) AS BIGINT) AS pos
+        |FROM k ORDER BY epoch, shard, pos""".stripMargin,
   )
 }

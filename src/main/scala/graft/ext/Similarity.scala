@@ -375,8 +375,45 @@ object Similarity {
       .orderBy("qid", "did")
   }
 
+  /** q123 — SemDeDup (Abbas et al. 2023): semantic dedup scoped to
+    * k-means clusters. Cluster with [[assignToSeeds]] (the q112
+    * kernel, deterministic seeds = 8 lowest vec_ids), generate pairs
+    * ONLY within a cluster, and greedily drop the higher id of every
+    * pair whose cosine clears the threshold. Output = the drop list
+    * (doc, its cluster, how many near-dups triggered it, max sim).
+    *
+    * The cluster scope is the entire scale story: all-pairs over 100 TB
+    * of embeddings is O(N²); pairs within k balanced clusters are
+    * O(N²/k) — and in production k grows with N (N/k ≈ constant cell
+    * size), making the pair stage linear overall. The pair join is a
+    * cid equi-join (co-partitioned shuffle, never a cross join);
+    * "drop the higher id" is set-based (no iterative greedy sweep), so
+    * one pass certifies membership. Threshold compares the integer-
+    * scaled sim in BOTH engines (q66 discipline); measured margin to
+    * the .5 rounding boundary 8.4e-5 on the ×100 scale ≫ float drift.
+    */
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    val unit = withUnitVec(emb(s, dir), "embedding", "u").select("vec_id", "u")
+    val seeds = unit.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    val assigned = assignToSeeds(unit, seeds)
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("u").as("ua"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("u").as("ub"))
+    a.join(b, "cid").filter(col("id_a") < col("id_b"))
+      .select(col("cid"), col("id_b"), dot(col("ua"), col("ub")).as("sim"))
+      .filter(intScaled(col("sim"), 100) >= 35)
+      .groupBy(col("id_b").as("vec_id"))
+      // cid is constant per id_b (a doc lives in exactly one cluster);
+      // max() is just the associative way to carry it through the agg.
+      .agg(max(col("cid")).as("cid"),
+        count(lit(1)).as("n_dups"),
+        intScaled(max(col("sim")), 100).as("max_sim_c"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
+    "q123_semdedup" -> (q123 _),
     "q60_knn_brute" -> (q60 _),
     "q61_knn_lsh"   -> (q61 _),
     "q64_knn_ivf"   -> (q64 _),
@@ -491,6 +528,32 @@ object Similarity {
     // vec_id = doc_id join) ranked brute-force; measured margins:
     // rank-3/4 gap 4.7e-4, distance to the *100 rounding boundary
     // 6.4e-3 — both ≫ cross-engine float drift.
+    // Same assignment CTE as q112 (ROUND(sim,6) tie-to-lowest-cid),
+    // then intra-cluster pairs thresholded on the integer-scaled sim.
+    "q123_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |u AS (SELECT vec_id,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
+        |      FROM e),
+        |seeds AS (SELECT vec_id AS cid, uv AS cu FROM u WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT u.vec_id, s.cid, u.uv,
+        |         ROUND(list_inner_product(u.uv, s.cu), 6) AS sim
+        |  FROM u CROSS JOIN seeds s),
+        |asg AS (
+        |  SELECT vec_id, cid, uv,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |  FROM sims),
+        |a AS (SELECT vec_id, cid, uv FROM asg WHERE rn = 1),
+        |p AS (
+        |  SELECT x.cid, y.vec_id AS id_b,
+        |         list_inner_product(x.uv, y.uv) AS sim
+        |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+        |SELECT id_b AS vec_id, MAX(cid) AS cid,
+        |       CAST(COUNT(*) AS BIGINT) AS n_dups,
+        |       CAST(ROUND(MAX(sim) * 100) AS BIGINT) AS max_sim_c
+        |FROM p WHERE CAST(ROUND(sim * 100) AS BIGINT) >= 35
+        |GROUP BY id_b ORDER BY vec_id""".stripMargin,
     "q121_filtered_knn" ->
       """WITH f AS (
         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev

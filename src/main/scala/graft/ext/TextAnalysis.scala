@@ -442,6 +442,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q125 — unigram-LM negative-log-likelihood scoring: the CCNet /
+    * perplexity-filter shape. Train add-one-smoothed unigram
+    * probabilities on the corpus itself, then score every document by
+    * its mean token NLL (nats); a pretraining pipeline thresholds this
+    * score to drop gibberish (high NLL) and degenerate repetition (low
+    * NLL). Reported integer-scaled ×10⁴; the measured margin to the
+    * rounding half-boundary is 4.6e-5 on the scaled value — eleven
+    * orders above cross-engine libm/summation drift (~1e-15).
+    *
+    * Scale shape: token occurrences collapse to per-(doc, word) tf
+    * BEFORE the vocabulary join, so a hot stopword costs one row per
+    * document it appears in, not one per occurrence; the vocab join is
+    * then a co-partitioned equi-join on word (AQE skew-split handles
+    * residual head terms). Corpus totals (N, |V|) ride a broadcast
+    * one-row frame — nothing collects to the driver. The LM is
+    * trained on the scored corpus here; scoring against a FROZEN
+    * external LM is the same plan minus the vocab aggregation.
+    */
+  def q125(s: SparkSession, dir: String): DataFrame =
+    unigramNll(docs(s, dir).filter(col("doc_id") < 1000)).orderBy("doc_id")
+
+  /** Frame-parameterized core of q125 (unordered) over any
+    * (doc_id, text) frame.
+    */
+  def unigramNll(d: DataFrame): DataFrame = {
+    val tf = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("n"), count(lit(1)).as("vsz"))
+    tf.join(vocab, "w")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        Similarity.intScaled(
+          sum(col("tf") * -log((col("cnt") + lit(1.0)) / (col("n") + col("vsz"))))
+            / sum(col("tf")),
+          10000L).as("nll_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -458,6 +500,7 @@ object TextAnalysis {
     "q108_dup_ngram_frac" -> (q108 _),
     "q109_inverted_index" -> (q109 _),
     "q110_compress_ratio" -> (q110 _),
+    "q125_unigram_nll"   -> (q125 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -605,5 +648,19 @@ object TextAnalysis {
         |FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term
         |      FROM documents)
         |GROUP BY term ORDER BY term""".stripMargin,
+    // Same weighted formulation as the Spark side (tf-collapsed before
+    // the vocab join) so both engines sum the same terms.
+    "q125_unigram_nll" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id < 1000),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        |v AS (SELECT w, SUM(tf) AS cnt FROM tf GROUP BY w),
+        |tot AS (SELECT SUM(cnt) AS n, COUNT(*) AS vsz FROM v)
+        |SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+        |  CAST(ROUND(SUM(t.tf * -ln((v.cnt + 1.0) / (tot.n + tot.vsz)))
+        |             / SUM(t.tf) * 10000) AS BIGINT) AS nll_e4
+        |FROM tf t JOIN v ON t.w = v.w CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -254,6 +254,23 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("q123 semdedup: drop list is sound and deterministic") {
+    val out = Similarity.q123(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every dropped doc was triggered by >= 1 pair at/above threshold,
+    // and carries a valid cluster id (a seed vec_id < 8)
+    assert(out.forall(r => r.getLong(2) >= 1L && r.getLong(3) >= 35L))
+    assert(out.forall(r => r.getLong(1) >= 0L && r.getLong(1) < 8L))
+    // keep-lowest-id contract: vec_id 0 has no smaller partner in any
+    // cluster, so it can never appear on the drop list
+    val dropped = out.map(_.getLong(0))
+    assert(!dropped.contains(0L))
+    assert(dropped.distinct.length === dropped.length)
+    // reproducible: an independent evaluation is identical
+    val again = Similarity.q123(spark, sf).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("portable minhash signature is deterministic across evaluations") {
     val df = Seq((1L, Seq("a b c", "d e f"))).toDF("doc_id", "sh")
     val s1 = Dedup.minhashSignature(df, $"doc_id", $"sh", 12).collect()
@@ -352,6 +369,24 @@ class ExtensionsSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(uncapped("hot") === (5L, "0|1|2|3|4"))
     assert(uncapped - "hot" === capped - "hot")
+  }
+
+  test("unigramNll scores corpus-common text below rare text") {
+    import spark.implicits._
+    // 'the' dominates the corpus; doc 1 is all-common, doc 2 all-rare.
+    val d = Seq(
+      (1L, "the the the the"),
+      (2L, "zyx wvu tsr qpo"),
+      (3L, "the the zyx the")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1)._1 === 4L && out(2)._1 === 4L)
+    // strictly increasing NLL with rarity: common < mixed < rare
+    assert(out(1)._2 < out(3)._2 && out(3)._2 < out(2)._2)
+    // determinism across evaluations
+    val again = TextAnalysis.unigramNll(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === again)
   }
 
   test("q110 ratios are in (0, 2] and non-null for the fixture corpus") {

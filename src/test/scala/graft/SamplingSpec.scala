@@ -70,6 +70,27 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("epochShard is a reproducible per-epoch permutation with contiguous shard positions") {
+    val a = Sampling.epochShard(docs, col("doc_id"), lit("ep1"))
+    // total: every doc appears exactly once per epoch
+    assert(a.count() === docs.count())
+    assert(a.select("doc_id").distinct().count() === docs.count())
+    // positions are 1..n contiguous within each shard
+    val bad = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L).count()
+    assert(bad === 0, "pos must be 1..n within each shard")
+    // reproducible: an independent evaluation is identical
+    val b = Sampling.epochShard(docs, col("doc_id"), lit("ep1"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // a different epoch is a DIFFERENT permutation (some doc moves)
+    val c = Sampling.epochShard(docs, col("doc_id"), lit("ep2"))
+      .select(col("doc_id"), col("shard").as("shard2"), col("pos").as("pos2"))
+    val moved = a.join(c, "doc_id")
+      .filter(col("shard") =!= col("shard2") || col("pos") =!= col("pos2"))
+    assert(moved.count() > 0, "epochs must not share the permutation")
+  }
+
   test("mixKeep fails the job on a malformed per-row rate") {
     val e = intercept[Exception] {
       Sampling.mixKeep(docs, col("doc_id"), lit("1")).count()
