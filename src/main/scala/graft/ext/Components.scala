@@ -277,6 +277,83 @@ object Components {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** Fixed-iteration PageRank over an undirected graph — the
+    * link-centrality signal a pretraining pipeline uses to weight web
+    * documents by graph authority (the harmonic/PageRank quality
+    * features of public web corpora). Power iteration, expressed as
+    * per-round join + dst-contraction:
+    *
+    *   pr'(v) = (1-d)/N + d * Σ_{u~v} pr(u) / deg(u)
+    *
+    * Scale design (100 TB): the degree is joined into the edge frame
+    * ONCE and the result checkpointed pre-partitioned by `src`, so each
+    * round shuffles only the node-sized pr frame into the join plus the
+    * unavoidable contribution contraction on `dst` — never the edge
+    * frame itself. Rounds are a fixed count (power iteration converges
+    * geometrically at rate d; 5 rounds ≈ rank ordering stability for
+    * quality-weighting use), each round `localCheckpoint`ed so lineage
+    * stays one round deep. Symmetrizing guarantees every node has
+    * out-degree ≥ 1, which removes the dangling-mass correction term —
+    * the variant that needs a per-round global scalar reduction.
+    *
+    * Float discipline: both engines sum per-node contributions in
+    * arbitrary order, so results carry ~1-ulp drift per round; callers
+    * certify through [[Similarity.intScaled]] (q127 uses e6 on values
+    * ~1e-3 — nine orders of margin).
+    *
+    * @param edges two-column frame `src`,`dst` (undirected; either
+    *              orientation; self-loops dropped; duplicates collapsed)
+    * @return (`id`, `pr`) for every node incident to an edge
+    */
+  def pageRank(
+      edges: DataFrame,
+      iterations: Int = 5,
+      damping: Double = 0.85,
+      loopShufflePartitions: Option[Int] = None): DataFrame = {
+    require(iterations >= 1, s"pageRank: iterations must be >= 1, got $iterations")
+    val spark = edges.sparkSession
+    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    loopShufflePartitions.foreach { n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
+    try {
+      val e1 = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      val sym = e1
+        .union(e1.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      // One row per node: (src, degree). Checkpointed — it seeds pr0,
+      // sizes N, and joins into the edge frame; without the checkpoint
+      // the upstream edge derivation would re-run for each use.
+      val deg = sym.groupBy("src")
+        .agg(count(lit(1)).cast("double").as("d"))
+        .localCheckpoint(true)
+      val n = deg.count()
+      require(n > 0, "pageRank: empty edge set after self-loop removal")
+      val symDeg0 = sym.join(deg, "src")
+      val symDeg = loopShufflePartitions
+        .map(w => symDeg0.repartition(w, col("src")).localCheckpoint(true))
+        .getOrElse(symDeg0.localCheckpoint(true))
+      val teleport = (1.0 - damping) / n
+      var pr = deg.select(col("src").as("id"), lit(1.0 / n).as("pr"))
+      (1 to iterations).foreach { _ =>
+        // Symmetric graph ⇒ every node has in-edges ⇒ the contraction
+        // covers every node; no outer-join backfill needed.
+        pr = symDeg
+          .join(pr.select(col("id").as("src"), col("pr")), "src")
+          .groupBy(col("dst"))
+          .agg((lit(teleport) + lit(damping) * sum(col("pr") / col("d"))).as("pr"))
+          .select(col("dst").as("id"), col("pr"))
+          .localCheckpoint(true)
+      }
+      pr
+    } finally loopShufflePartitions.foreach { _ =>
+      spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", sessionAqe)
+    }
+  }
+
   // ---- declared queries ---------------------------------------------------
 
   /** q102 — dedup groups: connected components of the simhash-band
@@ -363,10 +440,27 @@ object Components {
       .localCheckpoint(true)
   }
 
+  /** q127 — PageRank centrality on the customer–supplier co-occurrence
+    * graph (an order links its customer to each line's supplier).
+    * Customers map to even node ids, suppliers to odd, so the two
+    * keyspaces cannot collide. 5 damped iterations, e6-scaled.
+    */
+  def q127(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    pageRank(edges, iterations = 5, loopShufflePartitions = Some(8))
+      .select(col("id"), Similarity.intScaled(col("pr"), 1000000L).as("pr_e6"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_neardup_components" -> (q102 _),
     "q119_component_best"     -> (q119 _),
     "q120_components_star"    -> (q120 _),
+    "q127_pagerank"           -> (q127 _),
   )
 
   /** Oracle CTE chain: transitive closure by recursive CTE over the
@@ -417,11 +511,44 @@ object Components {
        |       CAST(members AS BIGINT) AS members
        |FROM r WHERE rn = 1 ORDER BY component""".stripMargin
 
+  /** Chained-CTE power iteration mirroring [[pageRank]] exactly:
+    * `(1.0 - 0.85)` is spelled as the same subtraction (not a 0.15
+    * literal) so both engines fold the identical double.
+    */
+  private val pageRankOracle: String = {
+    val iters = 5
+    val head =
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM pairs WHERE src <> dst
+        |    UNION ALL
+        |    SELECT dst AS src, src AS dst FROM pairs WHERE src <> dst)),
+        |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+        |pr0 AS (SELECT src AS id, 1.0 / n AS pr FROM deg CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.dst AS id,
+         |         (1.0 - 0.85) / nn.n + 0.85 * SUM(p.pr / deg.d) AS pr
+         |  FROM edges e
+         |  JOIN pr${i - 1} p ON p.id = e.src
+         |  JOIN deg ON deg.src = e.src
+         |  CROSS JOIN nn
+         |  GROUP BY e.dst, nn.n)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT id, CAST(ROUND(pr * 1000000) AS BIGINT) AS pr_e6 FROM pr$iters ORDER BY id"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q102_neardup_components" -> componentsOracle,
     "q119_component_best"     -> componentBestOracle,
     // Same oracle as q102 by design: both CC implementations must
     // produce the identical labeling.
     "q120_components_star"    -> componentsOracle,
+    "q127_pagerank"           -> pageRankOracle,
   )
 }

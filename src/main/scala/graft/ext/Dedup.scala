@@ -404,6 +404,88 @@ object Dedup {
       .orderBy("inc_id", "ref_id")
   }
 
+  /** Length-banded fuzzy (edit-distance) candidate pairs over a string
+    * column. The blocking invariant: `levenshtein(a,b) <= maxDist`
+    * implies `|len(a)-len(b)| <= maxDist`, which with bucket width
+    * `maxDist+1` implies the buckets differ by at most 1 — so probing
+    * each string into its own bucket ± 1 is a LOSSLESS candidate
+    * filter. The probe explode is ×3; the join is an equi-join on the
+    * bucket (never a nested loop), and the quadratic levenshtein DP
+    * runs only inside same-band candidates. At 100 TB you'd compose
+    * this with a content prefilter (band on a cheap signature first) —
+    * the blocking shape is the point, and it survives scale because
+    * candidate volume is Σ per-bucket |A|×|B|, not N².
+    */
+  def fuzzyPairs(d: DataFrame, s: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"fuzzyPairs: maxDist must be >= 1, got $maxDist")
+    val width = maxDist + 1
+    val names = d.select(s.as("name")).distinct()
+      .withColumn("b", floor(length(col("name")) / width))
+    val probes = names
+      .withColumn("pb", explode(array(col("b") - 1, col("b"), col("b") + 1)))
+      .select(col("name").as("name_a"), col("pb"))
+    // A pair matches in exactly one probe bucket (name_b's bucket is a
+    // single value and the three probe buckets are distinct) — no
+    // post-join dedup needed.
+    probes
+      .join(names.select(col("name").as("name_b"), col("b").as("pb")), "pb")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist").between(1, maxDist))
+      .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
+  }
+
+  /** q128 — fuzzy near-dup part names: every distinct `p_name` pair
+    * within edit distance 3, found via length-banded blocking.
+    */
+  def q128(s: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(Tables.table(s, dir, "part"), col("p_name"), maxDist = 3)
+      .orderBy("name_a", "name_b")
+
+  /** Cross-document duplicated-segment removal (the paragraph-dedup
+    * pass of public web-corpus pipelines, run here on fixed 16-token
+    * segments since the synthetic docs have no newlines): a segment is
+    * dropped when its exact hash appears in MORE THAN ONE distinct
+    * document; what remains is reassembled in order and fingerprinted.
+    *
+    * Shape at 100 TB: segment explode (map-side) → one groupBy on the
+    * segment hash (counts distinct docs — the only corpus-wide
+    * shuffle) → hash-join the verdict back → regroup per doc. The
+    * verdict frame is (hash, n_docs) — no text payload.
+    */
+  def segmentDedup(d: DataFrame, id: Column, text: Column, width: Int = 16): DataFrame = {
+    require(width >= 1, s"segmentDedup: width must be >= 1, got $width")
+    val segsCol = {
+      val ws = split(text, " ")
+      transform(
+        sequence(lit(0), floor((size(ws) - 1) / width).cast("int")),
+        i => concat_ws(" ", slice(ws, i * width + 1, lit(width))))
+    }
+    val segs = d
+      .select(id.as("doc_id"), posexplode(segsCol).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val verdict = segs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    segs.join(verdict, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_segs"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("n_docs") <= 1, struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")))).as("clean_fp"))
+  }
+
+  /** q129 — per-doc census of the cross-doc segment dedup: segment
+    * count, duplicated-segment count, and the md5 of the cleaned
+    * (duplicate-segments-removed) text.
+    */
+  def q129(s: SparkSession, dir: String): DataFrame =
+    segmentDedup(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_exact_dedup"      -> (q55 _),
     "q56_dedup_keep_first" -> (q56 _),
@@ -414,6 +496,8 @@ object Dedup {
     "q94_band_rescore"     -> (q94 _),
     "q107_minhash_portable" -> (q107 _),
     "q122_cross_corpus_neardup" -> (q122 _),
+    "q128_fuzzy_pairs"     -> (q128 _),
+    "q129_segment_dedup"   -> (q129 _),
   )
 
   /** Shared CTE prefix for the 60-bit/4-band simhash candidate pairs
@@ -557,5 +641,28 @@ object Dedup {
     "q94_band_rescore" -> bandRescoreOracle,
     "q107_minhash_portable" -> minhashPortableOracle,
     "q122_cross_corpus_neardup" -> crossCorpusOracle,
+    "q128_fuzzy_pairs" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM names a JOIN names b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q129_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 16)) AS st FROM t),
+        |seg AS (
+        |  SELECT doc_id, st,
+        |    array_to_string(list_slice(ws, st, LEAST(st + 15, len(ws))), ' ') AS seg
+        |  FROM s),
+        |d AS (SELECT md5(seg) AS h, COUNT(DISTINCT doc_id) AS n_docs
+        |      FROM seg GROUP BY md5(seg))
+        |SELECT seg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+        |  md5(COALESCE(string_agg(CASE WHEN d.n_docs <= 1 THEN seg.seg END, ' '
+        |                          ORDER BY seg.st), '')) AS clean_fp
+        |FROM seg JOIN d ON md5(seg.seg) = d.h
+        |GROUP BY seg.doc_id
+        |ORDER BY seg.doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,144 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-level relevance ranking and frequency statistics for
+  * LLM-data pipelines (SURVEY §2.4 extension family):
+  *
+  *  - [[bm25Scores]] — Okapi BM25 document scoring for a fixed query
+  *    term set. The retrieval primitive behind quality-targeted corpus
+  *    selection ("rank web pages by closeness to a seed query"). One
+  *    full scan computes per-doc term frequencies map-side; the global
+  *    statistics (N, avgdl, per-term df) reduce to a SINGLE row that
+  *    joins back by broadcast — at 100 TB this is one pass + a
+  *    one-row broadcast, never a self-join.
+  *  - [[zipfSlope]] — log-log slope of the rank/frequency curve over
+  *    the top-k vocabulary (natural text ≈ −1; synthetic or templated
+  *    text departs hard). A corpus-health diagnostic: word counts are
+  *    a map-side partial agg; the ranked frame is vocabulary-sized
+  *    (same bounded-cardinality caveat as the q114 sketch vocab), so
+  *    the single-task rank window is over ~|V| rows, not the corpus.
+  *
+  * Both are oracle-certified (q126/q130): scores integer-scale through
+  * [[Similarity.intScaled]] so a 1-ulp `ln` difference between engines
+  * cannot flip a hash (the q125 discipline).
+  */
+object Ranking {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** Okapi BM25 with the standard k1/b defaults. `terms` must be
+    * distinct literals. Emits (doc_id, dl, score) for every document
+    * (zero-match docs score 0.0 — the caller filters if it wants a
+    * hit list; keeping them certifies the idf/length normalization on
+    * the full range).
+    */
+  def bm25Scores(
+      d: DataFrame, id: Column, text: Column, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct, got $terms")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(split(text, " "), w => w === t)).cast("double").as(s"tf_$i")
+    }
+    val base = d.select(
+      (id.as("doc_id") +: size(split(text, " ")).cast("double").as("dl") +: tfCols): _*)
+    // Global stats: one row. N and df are exact integers, avgdl is an
+    // exact-integer-sum / count — bit-identical in any engine.
+    val statAggs =
+      count(lit(1)).cast("double").as("n") +:
+        avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    // One-row broadcast join (BroadcastNestedLoop over a single row —
+    // the q66 pattern; structurally bounded, never a cartesian blowup).
+    val joined = base.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val idf = log(lit(1.0) + (col("n") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    joined.select(col("doc_id"), col("dl").cast("long").as("dl"), score.as("score"))
+  }
+
+  /** Rank/frequency table of the `topK` most frequent tokens plus the
+    * fitted log-log slope. Returns one row: (n_words, slope). Ties in
+    * frequency break by token text so the rank — and therefore the
+    * regression — is deterministic across engines.
+    */
+  def zipfSlope(d: DataFrame, text: Column, topK: Int = 100): DataFrame = {
+    val cnt = d.select(explode(split(text, " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // Global rank window: the frame is |vocabulary| rows (the corpus
+    // has already been reduced by the count agg), so the single-task
+    // sort is bounded — the same posture as every top-k diagnostic.
+    val ranked = cnt
+      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+      .filter(col("rank") <= topK)
+    ranked.agg(
+      count(lit(1)).as("n_words"),
+      regr_slope(log(col("cnt")), log(col("rank"))).as("slope"))
+  }
+
+  // ---- declared queries ---------------------------------------------------
+
+  /** q126 — BM25 relevance of every document to the fixed query
+    * {spark, join, window}; intScaled to e4 for hash stability.
+    */
+  def q126(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(docs(s, dir), col("doc_id"), col("text"),
+      Seq("spark", "join", "window"))
+      .select(col("doc_id"), col("dl"),
+        Similarity.intScaled(col("score"), 10000L).as("bm25_e4"))
+      .orderBy("doc_id")
+
+  /** q130 — Zipf slope over the top-100 vocabulary. */
+  def q130(s: SparkSession, dir: String): DataFrame =
+    zipfSlope(docs(s, dir), col("text"))
+      .select(col("n_words"),
+        Similarity.intScaled(col("slope"), 10000L).as("zipf_slope_e4"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_bm25"       -> (q126 _),
+    "q130_zipf_slope" -> (q130 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q126_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'spark')) AS DOUBLE) AS tf_0,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'join')) AS DOUBLE) AS tf_1,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'window')) AS DOUBLE) AS tf_2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+        |    SUM(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+        |    SUM(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+        |    SUM(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+        |  FROM base)
+        |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+        |  CAST(ROUND((
+        |      ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  ) * 10000) AS BIGINT) AS bm25_e4
+        |FROM base CROSS JOIN stats ORDER BY doc_id""".stripMargin,
+    "q130_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        |f AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+        |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank FROM f)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(ROUND(regr_slope(ln(cnt), ln(rank)) * 10000) AS BIGINT) AS zipf_slope_e4
+        |FROM r WHERE rank <= 100""".stripMargin,
+  )
+}

@@ -101,4 +101,36 @@ class ComponentsSpec extends SparkTestBase {
       .filter($"component" =!= $"mn")
     assert(badLabel.count() === 0L)
   }
+
+  // ---- pageRank ---------------------------------------------------------
+
+  private def pr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    Components.pageRank(edges.toDF("src", "dst"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("pageRank: star center concentrates mass, leaves split the rest") {
+    // star 1-{2,3}: after one round pr(1) = 0.15/3 + 0.85*(1/3 + 1/3)
+    val one = pr(Seq((1L, 2L), (1L, 3L)), iters = 1)
+    assert(math.abs(one(1L) - (0.15 / 3 + 0.85 * (2.0 / 3))) < 1e-12)
+    assert(math.abs(one(2L) - (0.15 / 3 + 0.85 * (1.0 / 3) / 2)) < 1e-12)
+    assert(one(2L) === one(3L))
+  }
+
+  test("pageRank: mass conserves and the symmetric pair is a fixed point") {
+    // 2-node symmetric graph: pr stays 1/2 forever
+    val p = pr(Seq((7L, 9L)), iters = 5)
+    assert(math.abs(p(7L) - 0.5) < 1e-12 && math.abs(p(9L) - 0.5) < 1e-12)
+    // 4-node path: total mass sums to 1 after any round count
+    val path = pr(Seq((1L, 2L), (2L, 3L), (3L, 4L)), iters = 5)
+    assert(math.abs(path.values.sum - 1.0) < 1e-9)
+    // ends have lower centrality than the middle
+    assert(path(1L) < path(2L) && path(4L) < path(3L))
+  }
+
+  test("pageRank: self-loops and duplicate/reversed edges don't skew degrees") {
+    val base = pr(Seq((1L, 2L), (2L, 3L)), iters = 3)
+    val noisy = pr(
+      Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 1L), (2L, 3L)), iters = 3)
+    base.foreach { case (k, v) => assert(math.abs(noisy(k) - v) < 1e-12) }
+  }
 }

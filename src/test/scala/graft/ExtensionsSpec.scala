@@ -397,4 +397,85 @@ class ExtensionsSpec extends SparkTestBase {
     assert(stats.getDouble(0) > 0.0 && stats.getDouble(1) <= 2.0)
     assert(stats.getLong(2) === 0L)
   }
+
+  // ---- fuzzy dedup / segment dedup / ranking ----------------------------
+
+  test("fuzzyPairs finds exactly the <=maxDist pairs, across length bands") {
+    val d = Seq("abc", "abd", "wxyz", "abcdef").toDF("name")
+    val got = Dedup.fuzzyPairs(d, $"name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // abc~abd dist 1; nothing reaches wxyz (dist 4 from abc/abd, 6 from
+    // abcdef) or abcdef (3 inserts from abc — beyond maxDist 2).
+    assert(got === Set(("abc", "abd", 1L)))
+    // raising the bound to 3 admits the cross-band pair abc~abcdef
+    // (len 3 = bucket 0, len 6 = bucket 1: the ±1 probe must find it)
+    // and the all-substitution abd~abc... set checked exhaustively:
+    val got3 = Dedup.fuzzyPairs(d, $"name", maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got3 === Set(
+      ("abc", "abd", 1L), ("abc", "abcdef", 3L), ("abcdef", "abd", 3L)))
+  }
+
+  test("fuzzyPairs excludes exact duplicates (dist 0) and dedups input names") {
+    val d = Seq("same", "same", "samX").toDF("name")
+    val got = Dedup.fuzzyPairs(d, $"name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("samX", "same", 1L)))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("segmentDedup drops cross-doc duplicated segments, keeps order") {
+    val d = Seq(
+      (1L, "a b c d"),   // segs (w=2): "a b" | "c d"
+      (2L, "a b x y"),   // segs: "a b" | "x y"  — "a b" is cross-doc dup
+      (3L, "q r")        // seg: "q r" — singleton
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(d, $"doc_id", $"text", width = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 1L, md5Hex("c d"))))
+    assert(got(2L) === ((2L, 1L, md5Hex("x y"))))
+    assert(got(3L) === ((1L, 0L, md5Hex("q r"))))
+  }
+
+  test("segmentDedup: within-doc repeats aren't dups; all-dup doc hashes empty") {
+    val d = Seq(
+      (1L, "a b a b"),   // same seg twice WITHIN one doc — not cross-doc
+      (2L, "c d"),
+      (3L, "c d")        // exact dup doc: every segment drops
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(d, $"doc_id", $"text", width = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 0L, md5Hex("a b a b"))))
+    assert(got(2L) === ((1L, 1L, md5Hex(""))))
+    assert(got(3L) === ((1L, 1L, md5Hex(""))))
+  }
+
+  test("bm25: zero-match docs score 0; higher tf outranks at equal dl") {
+    val d = Seq((1L, "a b"), (2L, "b b"), (3L, "c")).toDF("doc_id", "text")
+    val got = graft.ext.Ranking.bm25Scores(d, $"doc_id", $"text", Seq("b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(3L) === 0.0)
+    assert(got(2L) > got(1L) && got(1L) > 0.0)
+    // idf sanity: ln(1 + (N - df + 0.5)/(df + 0.5)) with N=3, df=2
+    val idf = math.log(1.0 + 1.5 / 2.5)
+    val avgdl = 5.0 / 3.0
+    val expected1 = idf * 1.0 * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 2.0 / avgdl))
+    assert(math.abs(got(1L) - expected1) < 1e-12)
+  }
+
+  test("zipfSlope recovers the least-squares slope of a known rank curve") {
+    // freqs: a=4 (rank 1), b=2 (rank 2), c=1 (rank 3)
+    val d = Seq("a a a a b b c").toDF("text")
+    val row = graft.ext.Ranking.zipfSlope(d, $"text").head()
+    assert(row.getLong(0) === 3L)
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val mx = xs.sum / 3; val my = ys.sum / 3
+    val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    assert(math.abs(row.getDouble(1) - slope) < 1e-12)
+  }
 }
