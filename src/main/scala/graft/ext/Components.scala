@@ -312,6 +312,27 @@ object Components {
       loopShufflePartitions: Option[Int] = None): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations must be >= 1, got $iterations")
     val spark = edges.sparkSession
+    // Canonical-orientation dedup: ONE distinct (on src<dst form)
+    // instead of distinct-ing the doubled union — the flip of a
+    // strictly-ordered pair can never collide with another canonical
+    // pair, so the union below is dup-free by construction.
+    //
+    // Edge derivation + dedup run at the SESSION shuffle width: this is
+    // the corpus-sized piece of the work (e.g. a fact-table join), so
+    // narrowing it to the loop width would serialize the heavy scan.
+    // Only the node-sized power-iteration loop below gets the narrow
+    // scope.
+    val canon = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+    // Checkpoint the symmetrized frame BEFORE fanning out: deg and
+    // the deg-join below would otherwise each re-run the (possibly
+    // expensive) upstream edge derivation.
+    val sym = canon
+      .union(canon.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
     loopShufflePartitions.foreach { n =>
@@ -319,13 +340,8 @@ object Components {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
     }
     try {
-      val e1 = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-      val sym = e1
-        .union(e1.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
       // One row per node: (src, degree). Checkpointed — it seeds pr0,
-      // sizes N, and joins into the edge frame; without the checkpoint
-      // the upstream edge derivation would re-run for each use.
+      // sizes N, and joins into the edge frame.
       val deg = sym.groupBy("src")
         .agg(count(lit(1)).cast("double").as("d"))
         .localCheckpoint(true)
@@ -337,6 +353,16 @@ object Components {
         .getOrElse(symDeg0.localCheckpoint(true))
       val teleport = (1.0 - damping) / n
       var pr = deg.select(col("src").as("id"), lit(1.0 / n).as("pr"))
+      // The round chain stays LAZY: unlike the CC loop (data-dependent
+      // round count, needs per-round actions), the iteration count here
+      // is fixed, so the whole power iteration compiles into ONE job of
+      // 2×iterations shuffle stages over the checkpointed edge frame —
+      // measured ~25% faster at sf0.1 than an eager checkpoint per
+      // round (each eager round was its own job + scheduling constant;
+      // the remaining wall time is the intrinsic 5× contraction shuffle
+      // of the ~1.2M-row symmetric edge frame). Lineage depth is
+      // bounded by `iterations`, so no checkpoint is needed for plan
+      // health.
       (1 to iterations).foreach { _ =>
         // Symmetric graph ⇒ every node has in-edges ⇒ the contraction
         // covers every node; no outer-join backfill needed.
@@ -345,9 +371,12 @@ object Components {
           .groupBy(col("dst"))
           .agg((lit(teleport) + lit(damping) * sum(col("pr") / col("d"))).as("pr"))
           .select(col("dst").as("id"), col("pr"))
-          .localCheckpoint(true)
       }
-      pr
+      // Materialized INSIDE the scope (single job): the one place the
+      // whole chain executes, so the scoped shuffle width/AQE setting
+      // actually binds — a lazy return would run under the restored
+      // session conf (the q119 discipline).
+      pr.localCheckpoint(eager = true)
     } finally loopShufflePartitions.foreach { _ =>
       spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
       spark.conf.set("spark.sql.adaptive.enabled", sessionAqe)
@@ -450,7 +479,8 @@ object Components {
     val l = Tables.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val edges = o.join(l, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    // No .distinct() here: pageRank's canonical-orientation dedup
+    // collapses repeats in its single dedup shuffle.
     pageRank(edges, iterations = 5, loopShufflePartitions = Some(8))
       .select(col("id"), Similarity.intScaled(col("pr"), 1000000L).as("pr_e6"))
       .orderBy("id")
