@@ -486,6 +486,35 @@ object Dedup {
     segmentDedup(docs(s, dir), col("doc_id"), col("text"))
       .orderBy("doc_id")
 
+  /** Directional set containment |a∩b| / |a| — the asymmetric near-dup
+    * signal Jaccard misses: a short doc fully quoted inside a long one
+    * has low Jaccard but containment ≈ 1 in the short→long direction.
+    */
+  def containmentSets(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      nullif(size(a).cast("double"), lit(0.0))
+
+  /** q132 — containment scoring over the deterministic adjacent-id
+    * candidate set (q58's contract): both directions, integer-scaled,
+    * plus a `contained` verdict at ≥ 0.9 compared in INTEGER space
+    * (the q66 threshold discipline — a raw-double 0.9 compare could
+    * flip across engines at the boundary).
+    */
+  def q132(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w1"))
+    val a = t.select(col("doc_id").as("id_a"), col("w1").as("a1"))
+    val b = t.select(col("doc_id").as("id_b"), col("w1").as("b1"))
+    val cab = Similarity.intScaled(containmentSets(col("a1"), col("b1")), 10000L)
+    val cba = Similarity.intScaled(containmentSets(col("b1"), col("a1")), 10000L)
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(
+        col("id_a"), col("id_b"),
+        cab.as("cont_ab_e4"), cba.as("cont_ba_e4"),
+        when(greatest(cab, cba) >= 9000L, 1L).otherwise(0L).as("contained"))
+      .orderBy("id_a")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_exact_dedup"      -> (q55 _),
     "q56_dedup_keep_first" -> (q56 _),
@@ -498,6 +527,7 @@ object Dedup {
     "q122_cross_corpus_neardup" -> (q122 _),
     "q128_fuzzy_pairs"     -> (q128 _),
     "q129_segment_dedup"   -> (q129 _),
+    "q132_containment"     -> (q132 _),
   )
 
   /** Shared CTE prefix for the 60-bit/4-band simhash candidate pairs
@@ -664,5 +694,22 @@ object Dedup {
         |FROM seg JOIN d ON md5(seg.seg) = d.h
         |GROUP BY seg.doc_id
         |ORDER BY seg.doc_id""".stripMargin,
+    "q132_containment" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(string_split(text,' ')) AS w1
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(ROUND(CAST(len(list_intersect(a.w1, b.w1)) AS DOUBLE)
+        |        / NULLIF(CAST(len(a.w1) AS DOUBLE), 0.0) * 10000) AS BIGINT) AS cont_ab_e4,
+        |  CAST(ROUND(CAST(len(list_intersect(b.w1, a.w1)) AS DOUBLE)
+        |        / NULLIF(CAST(len(b.w1) AS DOUBLE), 0.0) * 10000) AS BIGINT) AS cont_ba_e4,
+        |  CAST(CASE WHEN GREATEST(
+        |      CAST(ROUND(CAST(len(list_intersect(a.w1, b.w1)) AS DOUBLE)
+        |            / NULLIF(CAST(len(a.w1) AS DOUBLE), 0.0) * 10000) AS BIGINT),
+        |      CAST(ROUND(CAST(len(list_intersect(b.w1, a.w1)) AS DOUBLE)
+        |            / NULLIF(CAST(len(b.w1) AS DOUBLE), 0.0) * 10000) AS BIGINT)) >= 9000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS contained
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
   )
 }

@@ -171,11 +171,50 @@ object Sampling {
     }.reduce(_ unionAll _).orderBy("epoch", "shard", "pos")
   }
 
+  /** Deterministic k-per-stratum sample: within each stratum, keep the
+    * k rows with the smallest md5 sort key — a reproducible "uniform"
+    * sample (the md5 order is uncorrelated with any data attribute)
+    * that never touches an RNG, so reruns and backfills select the
+    * SAME rows (the q76 motivation, applied to fixed-size samples).
+    *
+    * Scale shape: two-phase top-k. Phase 1 takes the per-(stratum,
+    * hash-nibble) top-k inside each of 16 sub-partitions; phase 2 ranks
+    * the ≤ 16k survivors per stratum. A single per-stratum window would
+    * pull an entire (possibly multi-TB) stratum through one task; the
+    * nibble split caps phase-1 partitions at stratum/16 (widen the
+    * nibble at larger scale), and phase 2 is O(k) rows per stratum.
+    * Result is identical to the one-window form — top-k of a union of
+    * covering sub-top-ks.
+    */
+  def stratumSample(d: DataFrame, stratum: Column, id: Column, k: Int): DataFrame = {
+    require(k >= 1, s"stratumSample: k must be >= 1, got $k")
+    val key = md5(id.cast("string"))
+    val nib = substring(key, 1, 1)
+    val phase1 = d
+      .select(stratum.as("stratum"), id.as("doc_id"), key.as("__k"), nib.as("__n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("stratum"), col("__n"))
+          .orderBy(col("__k"), col("doc_id"))))
+      .filter(col("rn") <= k)
+    phase1
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("stratum"))
+          .orderBy(col("__k"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("stratum"), col("doc_id"), col("rk"))
+  }
+
+  /** q131: 3 docs per language, reproducibly. */
+  def q131(s: SparkSession, dir: String): DataFrame =
+    stratumSample(docs(s, dir), col("lang"), col("doc_id"), k = 3)
+      .orderBy("stratum", "rk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_hash_split"  -> (q76 _),
     "q77_seq_packing" -> (q77 _),
     "q78_corpus_mix"  -> (q78 _),
     "q124_epoch_shard" -> (q124 _),
+    "q131_stratum_sample" -> (q131 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -215,5 +254,13 @@ object Sampling {
         |    PARTITION BY epoch, substr(key, 1, 1)
         |    ORDER BY key, doc_id) AS BIGINT) AS pos
         |FROM k ORDER BY epoch, shard, pos""".stripMargin,
+    "q131_stratum_sample" ->
+      """SELECT lang AS stratum, doc_id,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |FROM documents
+        |QUALIFY rk <= 3
+        |ORDER BY stratum, rk""".stripMargin,
   )
 }

@@ -484,6 +484,32 @@ object TextAnalysis {
           10000L).as("nll_e4"))
   }
 
+  /** Per-doc Shannon token entropy (nats) via the algebraic form
+    * H = ln(n) − Σ tf·ln(tf) / n — one pass over per-(doc, word)
+    * counts, no per-token probability materialization. Low entropy
+    * flags degenerate repetition (the q91 signal in information
+    * units); high entropy near ln(n) flags token soup / gibberish.
+    * Scale shape: occurrence explode collapses immediately to
+    * per-(doc, word) tf (one shuffle), then a per-doc agg (second
+    * shuffle on doc_id) — both carry counts, not text.
+    */
+  def tokenEntropy(d: DataFrame): DataFrame = {
+    val tf = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        Similarity.intScaled(
+          log(sum(col("tf"))) - sum(col("tf") * log(col("tf"))) / sum(col("tf")),
+          10000L).as("entropy_e4"))
+  }
+
+  /** q133 — token-entropy quality signal per document. */
+  def q133(s: SparkSession, dir: String): DataFrame =
+    tokenEntropy(docs(s, dir)).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -501,6 +527,7 @@ object TextAnalysis {
     "q109_inverted_index" -> (q109 _),
     "q110_compress_ratio" -> (q110 _),
     "q125_unigram_nll"   -> (q125 _),
+    "q133_token_entropy" -> (q133 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -662,5 +689,16 @@ object TextAnalysis {
         |             / SUM(t.tf) * 10000) AS BIGINT) AS nll_e4
         |FROM tf t JOIN v ON t.w = v.w CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    // Algebraic entropy form mirrored term-for-term with the Spark
+    // side: H = ln(n) − Σ tf·ln(tf)/n over per-(doc, word) counts.
+    "q133_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM tok GROUP BY doc_id, w)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  CAST(ROUND((ln(SUM(tf)) - SUM(tf * ln(tf)) / SUM(tf)) * 10000) AS BIGINT)
+        |    AS entropy_e4
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -466,6 +466,26 @@ class ExtensionsSpec extends SparkTestBase {
     assert(math.abs(got(1L) - expected1) < 1e-12)
   }
 
+  test("containmentSets is directional: quote inside a long doc scores 1 one way") {
+    val d = Seq((Seq("a", "b"), Seq("a", "b", "c", "d"))).toDF("short", "long")
+    val r = d.select(
+      Dedup.containmentSets($"short", $"long"),
+      Dedup.containmentSets($"long", $"short")).head()
+    assert(r.getDouble(0) === 1.0)   // short fully inside long
+    assert(r.getDouble(1) === 0.5)   // long only half-covered
+  }
+
+  test("tokenEntropy: 0 for degenerate repetition, ln(n) for all-distinct") {
+    val d = Seq(
+      (1L, "x x x x"),          // one token type: H = 0
+      (2L, "a b c d")           // uniform over 4: H = ln(4)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((4L, 0L)))
+    assert(got(2L) === ((4L, math.round(math.log(4.0) * 10000))))
+  }
+
   test("zipfSlope recovers the least-squares slope of a known rank curve") {
     // freqs: a=4 (rank 1), b=2 (rank 2), c=1 (rank 3)
     val d = Seq("a a a a b b c").toDF("text")

@@ -99,4 +99,29 @@ class SamplingSpec extends SparkTestBase {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("rateHex")), e.getMessage)
   }
+
+  test("stratumSample: k per stratum, short strata whole, equals one-window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = ((1L to 40L).map(i => (i, "big")) ++ Seq((100L, "tiny"), (101L, "tiny")))
+      .toDF("doc_id", "lang")
+    val got = Sampling.stratumSample(d, $"lang", $"doc_id", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.count(_._1 == "big") === 3)
+    // a stratum smaller than k survives whole, ranked 1..n
+    assert(got.filter(_._1 == "tiny").map(_._3).sorted.toSeq === Seq(1L, 2L))
+    // two-phase result ≡ the naive single-window top-k
+    val naive = d
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang")
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"lang".as("stratum"), $"doc_id", $"rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.toSet === naive)
+    // deterministic across evaluations
+    val again = Sampling.stratumSample(d, $"lang", $"doc_id", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === again.toSeq)
+  }
 }
