@@ -97,6 +97,17 @@ object DevScaleAudit {
         liOf(dir), Seq("l_orderkey"),
         Seq(col("l_linenumber"), col("l_quantity"), col("l_extendedprice")),
         buckets = 8)),
+      // r7 additions: the two new shuffle-heavy cores. Segment dedup
+      // shuffles every segment hash; pagerank contracts a lineitem-
+      // derived bipartite graph (order nodes ×10 at 10×, the popular
+      // side fixed — the skew-growth direction).
+      "segment_dedup" -> (dir => ext.Dedup.segmentDedup(
+        docsOf(dir), col("doc_id"), col("text"))),
+      "pagerank3" -> (dir => ext.Components.pageRank(
+        liOf(dir).select(
+          (col("l_orderkey") * 2).as("src"),
+          ((col("l_quantity").cast("long") * 10 + col("l_linenumber")) * 2 + 1).as("dst")),
+        iterations = 3)),
     )
 
     val rows = suite.map { case (name, fn) =>

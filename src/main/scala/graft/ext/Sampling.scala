@@ -209,12 +209,38 @@ object Sampling {
     stratumSample(docs(s, dir), col("lang"), col("doc_id"), k = 3)
       .orderBy("stratum", "rk")
 
+  /** q134 — temperature-scaled source mixing weights: p_s ∝ c_s^α with
+    * α = 0.7, the standard up-weighting of small sources for
+    * multilingual/multi-domain pretraining mixes (α = 1 is
+    * proportional sampling, α = 0 uniform). Pure aggregate math: one
+    * per-source token-count agg, totals on a one-row broadcast —
+    * nothing here grows with the corpus beyond the first scan.
+    */
+  def q134(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).cast("double").as("toks"))
+    val tot = t.agg(
+      sum(col("toks")).as("n"),
+      sum(pow(col("toks"), lit(0.7))).as("z"))
+    t.crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("toks").cast("long").as("tokens"),
+        graft.ext.Similarity.intScaled(col("toks") / col("n"), 1000000L)
+          .as("share_e6"),
+        graft.ext.Similarity.intScaled(pow(col("toks"), lit(0.7)) / col("z"), 1000000L)
+          .as("alpha_weight_e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_hash_split"  -> (q76 _),
     "q77_seq_packing" -> (q77 _),
     "q78_corpus_mix"  -> (q78 _),
     "q124_epoch_shard" -> (q124 _),
     "q131_stratum_sample" -> (q131 _),
+    "q134_temperature_mix" -> (q134 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -262,5 +288,15 @@ object Sampling {
         |FROM documents
         |QUALIFY rk <= 3
         |ORDER BY stratum, rk""".stripMargin,
+    "q134_temperature_mix" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS toks
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(toks) AS n, SUM(POW(toks, 0.7)) AS z FROM t)
+        |SELECT source, CAST(toks AS BIGINT) AS tokens,
+        |  CAST(ROUND(toks / n * 1000000) AS BIGINT) AS share_e6,
+        |  CAST(ROUND(POW(toks, 0.7) / z * 1000000) AS BIGINT) AS alpha_weight_e6
+        |FROM t CROSS JOIN tot ORDER BY source""".stripMargin,
   )
 }

@@ -510,6 +510,44 @@ object TextAnalysis {
   def q133(s: SparkSession, dir: String): DataFrame =
     tokenEntropy(docs(s, dir)).orderBy("doc_id")
 
+  /** Bigram-LM mean NLL per doc — q125's model order bumped to 2:
+    * P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V) with context counts
+    * c(w1·) = Σ_w2 c(w1,w2) (occurrences AS a context, so the model is
+    * self-consistent without special-casing document-final tokens) and
+    * V = |distinct next-tokens|. Same scale shape as the unigram LM:
+    * bigram occurrences collapse to per-(doc, bigram) tf before the
+    * model join; (V) rides a one-row broadcast. Documents shorter than
+    * 2 tokens have no bigrams and drop out — in both engines alike.
+    */
+  def bigramNll(d: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val bi = d
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1).as("w1"),
+          slice(ws, lit(2), size(ws) - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val cb = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
+    val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val vocab = cb.agg(countDistinct(col("w2")).as("v"))
+    tf.join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        Similarity.intScaled(
+          sum(col("tf") * -log((col("cb") + lit(1.0)) / (col("cu") + col("v"))))
+            / sum(col("tf")),
+          10000L).as("nll2_e4"))
+  }
+
+  /** q135 — bigram-LM NLL scoring over the q125 probe subset. */
+  def q135(s: SparkSession, dir: String): DataFrame =
+    bigramNll(docs(s, dir).filter(col("doc_id") < 1000)).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -528,6 +566,7 @@ object TextAnalysis {
     "q110_compress_ratio" -> (q110 _),
     "q125_unigram_nll"   -> (q125 _),
     "q133_token_entropy" -> (q133 _),
+    "q135_bigram_nll"    -> (q135 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -700,5 +739,28 @@ object TextAnalysis {
         |  CAST(ROUND((ln(SUM(tf)) - SUM(tf * ln(tf)) / SUM(tf)) * 10000) AS BIGINT)
         |    AS entropy_e4
         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Bigram model mirrored term-for-term: contexts counted AS contexts
+    // (sum over next-tokens), V = distinct next-tokens, add-one smoothing.
+    "q135_bigram_nll" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 1000),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS b
+        |  FROM t),
+        |tf AS (SELECT doc_id, b, COUNT(*) AS tf FROM bi GROUP BY doc_id, b),
+        |cb AS (SELECT b, SUM(tf) AS cb FROM tf GROUP BY b),
+        |cu AS (SELECT split_part(b, ' ', 1) AS w1, SUM(cb) AS cu
+        |       FROM cb GROUP BY 1),
+        |vv AS (SELECT COUNT(DISTINCT split_part(b, ' ', 2)) AS v FROM cb)
+        |SELECT t2.doc_id, CAST(SUM(t2.tf) AS BIGINT) AS n_bigrams,
+        |  CAST(ROUND(SUM(t2.tf * -ln((cb.cb + 1.0) / (cu.cu + vv.v)))
+        |             / SUM(t2.tf) * 10000) AS BIGINT) AS nll2_e4
+        |FROM tf t2
+        |JOIN cb ON t2.b = cb.b
+        |JOIN cu ON split_part(t2.b, ' ', 1) = cu.w1
+        |CROSS JOIN vv
+        |GROUP BY t2.doc_id ORDER BY doc_id""".stripMargin,
   )
 }

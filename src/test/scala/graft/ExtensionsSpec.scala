@@ -486,6 +486,36 @@ class ExtensionsSpec extends SparkTestBase {
     assert(got(2L) === ((4L, math.round(math.log(4.0) * 10000))))
   }
 
+  test("bigramNll: common-bigram docs score below rare-bigram docs") {
+    val d = Seq(
+      (1L, "a b a b a b"),  // only the corpus-dominant bigrams
+      (2L, "c d"),          // one rarer bigram
+      (3L, "a b c d")       // mixed
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 === 5L && out(2L)._1 === 1L && out(3L)._1 === 3L)
+    assert(out(1L)._2 < out(3L)._2)
+    val again = TextAnalysis.bigramNll(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === again)
+  }
+
+  test("q134 temperature mix: shares sum to 1, alpha upweights the smallest source") {
+    val rows = graft.ext.Sampling.q134(spark, sf).collect()
+    val shareSum = rows.map(_.getLong(2)).sum
+    assert(math.abs(shareSum - 1000000L) <= rows.length,
+      s"shares must sum to ~1e6, got $shareSum")
+    val wSum = rows.map(_.getLong(3)).sum
+    assert(math.abs(wSum - 1000000L) <= rows.length)
+    // α < 1 compresses the range: smallest source gains weight vs its
+    // proportional share, largest loses
+    val smallest = rows.minBy(_.getLong(1))
+    val largest = rows.maxBy(_.getLong(1))
+    assert(smallest.getLong(3) > smallest.getLong(2))
+    assert(largest.getLong(3) < largest.getLong(2))
+  }
+
   test("zipfSlope recovers the least-squares slope of a known rank curve") {
     // freqs: a=4 (rank 1), b=2 (rank 2), c=1 (rank 3)
     val d = Seq("a a a a b b c").toDF("text")

@@ -342,4 +342,29 @@ class PlanAuditSpec extends SparkTestBase {
         assert(!badFilter, s"$name inlines the shingle transform into a filter:\n$p")
       }
   }
+
+  test("q128 fuzzy blocking is an equi-join on the band, never a nested loop") {
+    val p = finalPlan("q128_fuzzy_pairs")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("q126 bm25 scan prunes to the two columns it uses") {
+    val p = plan("q126_bm25")
+    assert(!p.contains("n_chars") && !p.contains("source"), p)
+  }
+
+  test("q131 two-phase stratum sample: two narrow windows, no global sort of data") {
+    val df = SparkEntry.queries("q131_stratum_sample")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // (stratum, nibble) hash + (stratum) hash + final ORDER BY range —
+    // an accidental extra repartition (or a collapsed single-window
+    // rewrite) changes this count
+    val exchanges = exec.collect { case e: Exchange => e }
+    assert(exchanges.length <= 3, exec.toString)
+  }
 }
