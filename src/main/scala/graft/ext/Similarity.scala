@@ -411,6 +411,40 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q136 — ANN self-evaluation: recall@3 of the LSH-bucketed search
+    * (q61's shape) against the brute-force ground truth (q60's shape),
+    * per query vector. The evaluation harness a pipeline runs before
+    * trusting an approximate index — production tunes planes/probes
+    * until this distribution is acceptable. Queries where a true
+    * neighbor's bucket diverged score < 1; the join is on (qid, did)
+    * pairs, so zero-hit queries still report (left join, not semi).
+    */
+  def q136(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = hyperplanes(8, 64)
+    val unit = withUnitVec(emb(s, dir), "embedding", "u")
+      .select(col("vec_id"), col("u"), signature(col("u"), planes).as("sig"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    val q = unit.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("u").as("qu"), col("sig"))
+    val d = unit
+      .select(col("vec_id").as("did"), col("u").as("du"), col("sig"))
+    val exact = broadcast(q.drop("sig")).join(d.drop("sig"))
+      .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("did"))
+    val ann = q.join(d, "sig")
+      .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("did"), lit(1L).as("m"))
+    exact.join(ann, Seq("qid", "did"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("m")).as("hits"))
+      .select(col("qid"), col("hits"),
+        intScaled(col("hits") / lit(3.0), 10000L).as("recall_e4"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
     "q123_semdedup" -> (q123 _),
@@ -420,6 +454,7 @@ object Similarity {
     "q66_embedding_neardup" -> (q66 _),
     "q100_embed_quant" -> (q100 _),
     "q121_filtered_knn" -> (q121 _),
+    "q136_ann_recall" -> (q136 _),
   )
 
   /** q61 oracle: the md5-derived ±1 planes are query CONSTANTS (like
@@ -429,7 +464,11 @@ object Similarity {
     * taken on the unit vector exactly as the Spark side does, so the
     * two engines evaluate the same sums.
     */
-  private val knnLshOracle: String = {
+  /** Shared CTE prefix (`e`, `u`, `s`) for the signature-bucket
+    * oracles: unit vectors + the md5-derived ±1 plane signature
+    * embedded as literals.
+    */
+  private def lshCtePrefix: String = {
     val planeLits = hyperplanes(8, 64).map(_.mkString("[", ", ", "]"))
     val sigExpr = planeLits.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_inner_product(uv, $p) > 0 THEN ${1L << i} ELSE 0 END)"
@@ -438,7 +477,11 @@ object Similarity {
        |u AS (SELECT vec_id,
        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
        |      FROM e),
-       |s AS (SELECT vec_id, uv, $sigExpr AS sig FROM u),
+       |s AS (SELECT vec_id, uv, $sigExpr AS sig FROM u)""".stripMargin
+  }
+
+  private val knnLshOracle: String =
+    s"""$lshCtePrefix,
        |sims AS (
        |  SELECT q.vec_id AS qid, d.vec_id AS did,
        |         list_inner_product(q.uv, d.uv) AS sim
@@ -451,7 +494,37 @@ object Similarity {
        |SELECT qid, did, CAST(ROUND(sim * 100) AS BIGINT) AS sim_c
        |FROM ranked WHERE rn <= 3
        |ORDER BY qid, did""".stripMargin
-  }
+
+  /** q136 oracle: brute-force top-3 and LSH-bucket top-3 recomputed
+    * independently, recall@3 = overlap/3 per query.
+    */
+  private val annRecallOracle: String =
+    s"""$lshCtePrefix,
+       |bsims AS (
+       |  SELECT q.vec_id AS qid, d.vec_id AS did,
+       |         list_inner_product(q.uv, d.uv) AS sim
+       |  FROM u q CROSS JOIN u d
+       |  WHERE q.vec_id < 50),
+       |be AS (
+       |  SELECT qid, did FROM (
+       |    SELECT qid, did,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
+       |    FROM bsims) WHERE rn <= 3),
+       |lsims AS (
+       |  SELECT q.vec_id AS qid, d.vec_id AS did,
+       |         list_inner_product(q.uv, d.uv) AS sim
+       |  FROM s q JOIN s d ON q.sig = d.sig
+       |  WHERE q.vec_id < 50),
+       |ls AS (
+       |  SELECT qid, did FROM (
+       |    SELECT qid, did,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
+       |    FROM lsims) WHERE rn <= 3)
+       |SELECT be.qid, CAST(COUNT(ls.did) AS BIGINT) AS hits,
+       |       CAST(ROUND(COUNT(ls.did) / 3.0 * 10000) AS BIGINT) AS recall_e4
+       |FROM be LEFT JOIN ls ON be.qid = ls.qid AND be.did = ls.did
+       |GROUP BY be.qid
+       |ORDER BY be.qid""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q112_kmeans_step" ->
@@ -572,5 +645,6 @@ object Similarity {
         |SELECT qid, did, CAST(ROUND(sim * 100) AS BIGINT) AS sim_c
         |FROM ranked WHERE rn <= 3
         |ORDER BY qid, did""".stripMargin,
+    "q136_ann_recall" -> annRecallOracle,
   )
 }

@@ -516,6 +516,18 @@ class ExtensionsSpec extends SparkTestBase {
     assert(largest.getLong(3) < largest.getLong(2))
   }
 
+  test("q136 ann recall: one row per query, hits in [1,3], recall consistent") {
+    val rows = Similarity.q136(spark, sf).collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      val hits = r.getLong(1)
+      // the query vector itself ranks #1 in BOTH searches (sim 1.0,
+      // same bucket), so recall can never be 0
+      assert(hits >= 1L && hits <= 3L, r.toString)
+      assert(r.getLong(2) === math.round(hits / 3.0 * 10000))
+    }
+  }
+
   test("zipfSlope recovers the least-squares slope of a known rank curve") {
     // freqs: a=4 (rank 1), b=2 (rank 2), c=1 (rank 3)
     val d = Seq("a a a a b b c").toDF("text")
