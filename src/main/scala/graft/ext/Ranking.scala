@@ -105,9 +105,31 @@ object Ranking {
       .select(col("n_words"),
         Similarity.intScaled(col("slope"), 10000L).as("zipf_slope_e4"))
 
+  /** q137 — top-3 quality docs per language via the custom
+    * [[graft.ops.TopKByScore]] bounded-heap aggregate: the
+    * per-key-top-k shape that PARTIALLY aggregates map-side (each task
+    * reduces its slice to ≤ k entries per key before the exchange),
+    * where the equivalent window `row_number` sorts every group's full
+    * row set through the shuffle. Score is rounded BEFORE ranking
+    * (q119 discipline) so a 1-ulp drift can't flip a winner.
+    */
+  def q137(s: SparkSession, dir: String): DataFrame = {
+    val q = round(TextAnalysis.qualityScore(col("text")), 6)
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(graft.ops.TopKByScore.topK(q, col("doc_id"), 3).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(
+        col("lang"), (col("i") + 1).cast("long").as("rk"),
+        col("t.id").as("doc_id"),
+        Similarity.intScaled(col("t.score"), 1000000L).as("score_e6"))
+      .orderBy("lang", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_bm25"       -> (q126 _),
     "q130_zipf_slope" -> (q130 _),
+    "q137_topk_agg"   -> (q137 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -140,5 +162,25 @@ object Ranking {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
         |  CAST(ROUND(regr_slope(ln(cnt), ln(rank)) * 10000) AS BIGINT) AS zipf_slope_e4
         |FROM r WHERE rank <= 100""".stripMargin,
+    // The custom bounded-heap aggregate must equal the plain windowed
+    // top-k — the oracle IS the window form (same quality formula as
+    // the q119 oracle, rounded to 6 before ranking).
+    "q137_topk_agg" ->
+      """WITH ql AS (
+        |  SELECT lang, doc_id,
+        |    ROUND((1.0 - CAST(len(list_filter(string_split(text,' '),
+        |                        w -> w IN ('a','the'))) AS DOUBLE)
+        |            / len(string_split(text,' ')))
+        |          * LEAST(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0, 1.0),
+        |          6) AS q
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, q,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rk
+        |  FROM ql)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+        |       CAST(ROUND(q * 1000000) AS BIGINT) AS score_e6
+        |FROM r WHERE rk <= 3
+        |ORDER BY lang, rk""".stripMargin,
   )
 }

@@ -354,6 +354,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("n_chars") && !p.contains("source"), p)
   }
 
+  test("q137 custom top-k aggregate runs as ObjectHashAggregate, no Window sort") {
+    val p = plan("q137_topk_agg")
+    assert(p.contains("ObjectHashAggregate") && p.contains("top_k_by_score"), p)
+    assert(!p.contains("Window "), p)
+    // partial + final: the map-side combine is the whole point
+    val first = p.indexOf("ObjectHashAggregate")
+    assert(p.indexOf("ObjectHashAggregate", first + 1) > first,
+      "expected partial+final ObjectHashAggregate pair:\n" + p)
+  }
+
   test("q131 two-phase stratum sample: two narrow windows, no global sort of data") {
     val df = SparkEntry.queries("q131_stratum_sample")(spark, sf)
     df.write.format("noop").mode("overwrite").save()
