@@ -486,11 +486,24 @@ object Components {
       .orderBy("id")
   }
 
+  /** q138 — dedup-report histogram: distribution of near-dup component
+    * sizes (how many singletons, pairs, triples … — the summary a
+    * dedup pass publishes alongside its drop list). Composition of the
+    * certified q102 labeling with two count aggs; component-count
+    * sized frames throughout.
+    */
+  def q138(s: SparkSession, dir: String): DataFrame =
+    neardupLabels(s, dir)._2
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
+      .orderBy("sz")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_neardup_components" -> (q102 _),
     "q119_component_best"     -> (q119 _),
     "q120_components_star"    -> (q120 _),
     "q127_pagerank"           -> (q127 _),
+    "q138_dup_size_hist"      -> (q138 _),
   )
 
   /** Oracle CTE chain: transitive closure by recursive CTE over the
@@ -580,5 +593,11 @@ object Components {
     // produce the identical labeling.
     "q120_components_star"    -> componentsOracle,
     "q127_pagerank"           -> pageRankOracle,
+    "q138_dup_size_hist" ->
+      s"""$componentsCte
+         |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_components
+         |FROM (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+         |      FROM comp GROUP BY component)
+         |GROUP BY sz ORDER BY sz""".stripMargin,
   )
 }
