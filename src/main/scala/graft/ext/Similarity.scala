@@ -114,20 +114,26 @@ object Similarity {
     * arrays and independently recomputes unit vectors, signatures,
     * bucket joins, and ranks (previously rows-only).
     */
+  /** Top-3 selection runs through [[graft.ops.TopKByScore]] (bounded
+    * heap, map-side partial) rather than a window `row_number`: the
+    * candidate stream never sorts through the shuffle — each map task
+    * ships ≤ 3 entries per query. Same total order (sim DESC, did ASC),
+    * hash-certified by the unchanged window-form oracle.
+    */
   def q61(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val planes = hyperplanes(8, 64)
     val unit = withUnitVec(emb(s, dir), "embedding", "u")
       .select(col("vec_id"), col("u"), signature(col("u"), planes).as("sig"))
     val q = unit.select(col("vec_id").as("qid"), col("u").as("qu"), col("sig"))
       .filter(col("qid") < 50)
     val d = unit.select(col("vec_id").as("did"), col("u").as("du"), col("sig"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
     q.join(d, "sig") // bucket-local equi-join, shuffles on sig only
       .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("qid"), col("did"), intScaled(col("sim"), 100).as("sim_c"))
+      .groupBy(col("qid"))
+      .agg(graft.ops.TopKByScore.topK(col("sim"), col("did"), 3).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("did"),
+        intScaled(col("t.score"), 100).as("sim_c"))
       .orderBy("qid", "did")
   }
 
