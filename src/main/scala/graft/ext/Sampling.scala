@@ -234,6 +234,33 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** q139 — split-leakage audit: near-dup pairs (simhash bands, the
+    * q65 candidate set) whose members land in DIFFERENT train/val/test
+    * splits. The content-hash split (q76) is deterministic but blind to
+    * near-duplication — two near-identical docs hash independently, so
+    * some pairs straddle the boundary and leak train signal into eval.
+    * This census quantifies the leak; the production fix is splitting
+    * by DEDUP GROUP (q102's component label) instead of raw doc id.
+    * Composition of two certified paths; pair-set-sized frames after
+    * the band join.
+    */
+  def q139(s: SparkSession, dir: String): DataFrame = {
+    val subset = docs(s, dir).filter(col("doc_id") < 1000)
+    val pairs = Dedup.simhashBandPairs(
+      Dedup.simhashN(subset, col("doc_id"), col("text"), bits = 60),
+      bits = 60, bands = 4, maxHamming = 2)
+      .select(col("id_a"), col("id_b"))
+    val split = hashSplit(subset, col("doc_id")).select(col("doc_id"), col("split"))
+    pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("pairs"))
+      .select(col("split_a"), col("split_b"), col("pairs"),
+        when(col("split_a") =!= col("split_b"), 1L).otherwise(0L).as("is_leak"))
+      .orderBy("split_a", "split_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_hash_split"  -> (q76 _),
     "q77_seq_packing" -> (q77 _),
@@ -241,6 +268,7 @@ object Sampling {
     "q124_epoch_shard" -> (q124 _),
     "q131_stratum_sample" -> (q131 _),
     "q134_temperature_mix" -> (q134 _),
+    "q139_split_leakage" -> (q139 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -298,5 +326,20 @@ object Sampling {
         |  CAST(ROUND(toks / n * 1000000) AS BIGINT) AS share_e6,
         |  CAST(ROUND(POW(toks, 0.7) / z * 1000000) AS BIGINT) AS alpha_weight_e6
         |FROM t CROSS JOIN tot ORDER BY source""".stripMargin,
+    "q139_split_leakage" ->
+      s"""${Dedup.simhashCandCte()},
+         |p AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 2),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents WHERE doc_id < 1000)
+         |SELECT a.split AS split_a, b.split AS split_b,
+         |  CAST(COUNT(*) AS BIGINT) AS pairs,
+         |  CAST(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END AS BIGINT) AS is_leak
+         |FROM p JOIN sp a ON p.id_a = a.doc_id JOIN sp b ON p.id_b = b.doc_id
+         |GROUP BY a.split, b.split
+         |ORDER BY split_a, split_b""".stripMargin,
   )
 }

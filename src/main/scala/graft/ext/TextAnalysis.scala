@@ -548,6 +548,32 @@ object TextAnalysis {
   def q135(s: SparkSession, dir: String): DataFrame =
     bigramNll(docs(s, dir).filter(col("doc_id") < 1000)).orderBy("doc_id")
 
+  /** q140 — dataset card: the one-row corpus summary a pipeline
+    * publishes with a released dataset (docs, tokens, language/source
+    * cardinalities, exact-dup rate, mean quality). Single scan; the
+    * three exact count-distincts expand the aggregate — at 100 TB swap
+    * lang/source for exact group-bys (tiny domains) and the content
+    * hash for the q97 HLL sketch. Mean quality is computed from
+    * per-doc INTEGER-scaled scores (exact BIGINT sum in both engines,
+    * then one double division) so a float-summation-order half-boundary
+    * landing cannot flip the rounded mean.
+    */
+  def q140(s: SparkSession, dir: String): DataFrame = {
+    val qE6 = Similarity.intScaled(round(qualityScore(col("text")), 6), 1000000L)
+    docs(s, dir)
+      .select(col("text"), col("lang"), col("source"), qE6.as("q_e6"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        Similarity.intScaled(
+          lit(1.0) - countDistinct(md5(col("text"))).cast("double") / count(lit(1)),
+          10000L).as("dup_rate_e4"),
+        round(sum(col("q_e6")).cast("double") / count(lit(1)) / lit(100.0), 0)
+          .cast("long").as("mean_quality_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -567,6 +593,7 @@ object TextAnalysis {
     "q125_unigram_nll"   -> (q125 _),
     "q133_token_entropy" -> (q133 _),
     "q135_bigram_nll"    -> (q135 _),
+    "q140_corpus_card"   -> (q140 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -762,5 +789,24 @@ object TextAnalysis {
         |JOIN cu ON split_part(t2.b, ' ', 1) = cu.w1
         |CROSS JOIN vv
         |GROUP BY t2.doc_id ORDER BY doc_id""".stripMargin,
+    // Mean quality via exact integer-scaled per-doc scores (BIGINT sum)
+    // — same half-boundary discipline as the Spark side.
+    "q140_corpus_card" ->
+      """WITH d AS (
+        |  SELECT text, lang, source,
+        |    CAST(ROUND(ROUND((1.0 - CAST(len(list_filter(string_split(text,' '),
+        |                        w -> w IN ('a','the'))) AS DOUBLE)
+        |            / len(string_split(text,' ')))
+        |          * LEAST(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0, 1.0),
+        |          6) * 1000000) AS BIGINT) AS q_e6
+        |  FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(ROUND((1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*))
+        |             * 10000) AS BIGINT) AS dup_rate_e4,
+        |  CAST(ROUND(SUM(q_e6) / COUNT(*) / 100.0) AS BIGINT) AS mean_quality_e4
+        |FROM d""".stripMargin,
   )
 }

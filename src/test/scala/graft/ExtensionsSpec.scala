@@ -528,6 +528,17 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("q140 corpus card internal consistency on the fixture corpus") {
+    val r = TextAnalysis.q140(spark, sf).head()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(r.getLong(0) === docs.count())
+    assert(r.getLong(2) === docs.select("lang").distinct().count())
+    assert(r.getLong(3) === docs.select("source").distinct().count())
+    // dup rate in [0, 10000]; mean quality in [0, 10000]
+    assert(r.getLong(4) >= 0L && r.getLong(4) <= 10000L)
+    assert(r.getLong(5) >= 0L && r.getLong(5) <= 10000L)
+  }
+
   test("zipfSlope recovers the least-squares slope of a known rank curve") {
     // freqs: a=4 (rank 1), b=2 (rank 2), c=1 (rank 3)
     val d = Seq("a a a a b b c").toDF("text")

@@ -100,6 +100,18 @@ class SamplingSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("rateHex")), e.getMessage)
   }
 
+  test("q139 split-leakage census partitions the full q65 pair set") {
+    val sf = "/root/testdata/sf0.001"
+    val census = graft.ext.Sampling.q139(spark, sf).collect()
+    val totalPairs = census.map(_.getLong(2)).sum
+    val q65Pairs = graft.ext.Dedup.q65(spark, sf).count()
+    assert(totalPairs === q65Pairs, "every candidate pair lands in exactly one cell")
+    // is_leak marks exactly the off-diagonal cells
+    census.foreach { r =>
+      assert((r.getString(0) != r.getString(1)) === (r.getLong(3) == 1L), r.toString)
+    }
+  }
+
   test("stratumSample: k per stratum, short strata whole, equals one-window form") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
