@@ -67,5 +67,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("dot_product", 2, children); DotProduct(children(0), children(1))
       }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by_score"),
+      info("top_k_by_score",
+        "top_k_by_score(score, id, k) - aggregate: bounded-heap top-k (score DESC, ties to lowest id) of (double, bigint) pairs; k must be a literal int."),
+      (children: Seq[Expression]) => {
+        arity("top_k_by_score", 3, children)
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"top_k_by_score: k must be a literal int, got $other")
+        }
+        graft.ops.TopKByScore(children(0), children(1), k)
+      }))
   }
 }

@@ -22,4 +22,24 @@ class SqlFunctionsSpec extends SparkTestBase {
     val desc = spark.sql("DESCRIBE FUNCTION title_case").collect().mkString
     assert(desc.contains("title_case"))
   }
+
+  test("top_k_by_score aggregate is callable from SQL") {
+    val rows = spark.sql(
+      """SELECT g, top_k_by_score(s, i, 2) AS top FROM VALUES
+        |  ('a', 1.0d, 10L), ('a', 3.0d, 11L), ('a', 2.0d, 12L),
+        |  ('b', 5.0d, 20L)
+        |AS t(g, s, i) GROUP BY g ORDER BY g""".stripMargin).collect()
+    val a = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(a.map(r => (r.getDouble(0), r.getLong(1))) === Seq((3.0, 11L), (2.0, 12L)))
+    val b = rows(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(b.map(r => (r.getDouble(0), r.getLong(1))) === Seq((5.0, 20L)))
+  }
+
+  test("top_k_by_score rejects a non-literal k") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT top_k_by_score(1.0d, 1L, 1 + 1) AS t").collect()
+    }
+    assert(e.getMessage.contains("literal") || e.getMessage.toLowerCase.contains("int"),
+      e.getMessage)
+  }
 }
