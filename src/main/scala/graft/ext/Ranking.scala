@@ -126,10 +126,48 @@ object Ranking {
       .orderBy("lang", "rk")
   }
 
+  /** q141 — k-anonymous census: the (lang, source) doc counts with
+    * every group under k = 10 collapsed into an `<other>` bucket — the
+    * suppression rule that keeps a published dataset card from leaking
+    * small-population facts. Two aggs over group-count-sized frames;
+    * the corpus is touched once.
+    */
+  def q141(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    docs(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        when(col("n") >= k, col("lang")).otherwise(lit("<other>")).as("lang"),
+        when(col("n") >= k, col("source")).otherwise(lit("<other>")).as("source"),
+        col("n"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n")).as("docs"))
+      .orderBy("lang", "source")
+  }
+
+  /** q142 — vocabulary table: top-1000 tokens with STABLE ids derived
+    * from the deterministic rank (freq DESC, token) — the id-assignment
+    * step of tokenizer/vocab builds, reproducible across reruns because
+    * nothing depends on partitioning or arrival order. Same
+    * vocabulary-sized rank-window caveat as q130.
+    */
+  def q142(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+      .filter(col("rank") <= 1000)
+      .select((col("rank") - 1).cast("long").as("token_id"), col("w").as("token"),
+        col("cnt"))
+      .orderBy("token_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_bm25"       -> (q126 _),
     "q130_zipf_slope" -> (q130 _),
     "q137_topk_agg"   -> (q137 _),
+    "q141_kanon_census" -> (q141 _),
+    "q142_vocab_table"  -> (q142 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -182,5 +220,25 @@ object Ranking {
         |       CAST(ROUND(q * 1000000) AS BIGINT) AS score_e6
         |FROM r WHERE rk <= 3
         |ORDER BY lang, rk""".stripMargin,
+    "q141_kanon_census" ->
+      """WITH g AS (
+        |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source)
+        |SELECT CASE WHEN n >= 10 THEN lang ELSE '<other>' END AS lang,
+        |       CASE WHEN n >= 10 THEN source ELSE '<other>' END AS source,
+        |       CAST(SUM(n) AS BIGINT) AS docs
+        |FROM g GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    "q142_vocab_table" ->
+      """WITH f AS (
+        |  SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |r AS (
+        |  SELECT w, cnt,
+        |         ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank
+        |  FROM f)
+        |SELECT CAST(rank - 1 AS BIGINT) AS token_id, w AS token,
+        |       CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rank <= 1000
+        |ORDER BY token_id""".stripMargin,
   )
 }

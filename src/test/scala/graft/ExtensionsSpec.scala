@@ -539,6 +539,24 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r.getLong(5) >= 0L && r.getLong(5) <= 10000L)
   }
 
+  test("q141 k-anon census conserves totals and suppresses every small group") {
+    val rows = graft.ext.Ranking.q141(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === spark.read.parquet(s"$sf/documents.parquet").count())
+    // every surviving NAMED group carries >= 10 docs; only the
+    // '<other>' rollups may not
+    rows.filter(r => r.getString(0) != "<other>" && r.getString(1) != "<other>")
+      .foreach(r => assert(r.getLong(2) >= 10L, r.toString))
+  }
+
+  test("q142 vocab ids are contiguous from 0 with non-increasing counts") {
+    val rows = graft.ext.Ranking.q142(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until rows.length).toSeq)
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getString(1)).distinct.length === rows.length)
+  }
+
   test("zipfSlope recovers the least-squares slope of a known rank curve") {
     // freqs: a=4 (rank 1), b=2 (rank 2), c=1 (rank 3)
     val d = Seq("a a a a b b c").toDF("text")
