@@ -162,12 +162,48 @@ object Ranking {
         col("cnt"))
       .orderBy("token_id")
 
+  /** q143 — Jensen-Shannon divergence of each source's unigram
+    * distribution from the corpus distribution: the domain-shift
+    * signal data-mixing uses to pick diverse sources (JS ∈ [0, ln 2],
+    * symmetric, finite even on disjoint support). Computed on the
+    * dense source × vocabulary grid (vocab-sized broadcast — the q114
+    * bounded-vocabulary posture; absent words contribute only the
+    * corpus-side KL term). One corpus scan for counts; everything
+    * after is grid-sized.
+    */
+  def q143(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val csw = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("nsw"))
+    val cs = csw.groupBy(col("source")).agg(sum(col("nsw")).as("ns"))
+    val cw = csw.groupBy(col("w")).agg(sum(col("nsw")).as("nw"))
+    val tot = cw.agg(sum(col("nw")).as("n"))
+    val grid = cs.crossJoin(broadcast(cw)).crossJoin(broadcast(tot))
+      .join(csw, Seq("source", "w"), "left")
+    val p = coalesce(col("nsw").cast("double"), lit(0.0)) / col("ns")
+    val q = col("nw").cast("double") / col("n")
+    val m = (p + q) / lit(2.0)
+    grid
+      .select(col("source"), col("ns"),
+        p.as("p"), q.as("q"), m.as("m"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("ns")).as("n_tokens"),
+        Similarity.intScaled(
+          lit(0.5) * sum(when(col("p") > 0, col("p") * log(col("p") / col("m")))
+            .otherwise(0.0)) +
+            lit(0.5) * sum(col("q") * log(col("q") / col("m"))),
+          1000000L).as("js_e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_bm25"       -> (q126 _),
     "q130_zipf_slope" -> (q130 _),
     "q137_topk_agg"   -> (q137 _),
     "q141_kanon_census" -> (q141 _),
     "q142_vocab_table"  -> (q142 _),
+    "q143_js_divergence" -> (q143 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -240,5 +276,26 @@ object Ranking {
         |       CAST(cnt AS BIGINT) AS cnt
         |FROM r WHERE rank <= 1000
         |ORDER BY token_id""".stripMargin,
+    // JS terms mirrored exactly: p/q/m computed once in a projection,
+    // absent-word rows contribute only the corpus-side KL term.
+    "q143_js_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |csw AS (SELECT source, w, COUNT(*) AS nsw FROM tok GROUP BY source, w),
+        |cs AS (SELECT source, SUM(nsw) AS ns FROM csw GROUP BY source),
+        |cw AS (SELECT w, SUM(nsw) AS nw FROM csw GROUP BY w),
+        |tot AS (SELECT SUM(nw) AS n FROM cw),
+        |grid AS (
+        |  SELECT cs.source, cs.ns,
+        |         COALESCE(CAST(csw.nsw AS DOUBLE), 0.0) / cs.ns AS p,
+        |         CAST(cw.nw AS DOUBLE) / tot.n AS q,
+        |         (COALESCE(CAST(csw.nsw AS DOUBLE), 0.0) / cs.ns
+        |          + CAST(cw.nw AS DOUBLE) / tot.n) / 2.0 AS m
+        |  FROM cs CROSS JOIN cw CROSS JOIN tot
+        |  LEFT JOIN csw ON csw.source = cs.source AND csw.w = cw.w)
+        |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tokens,
+        |  CAST(ROUND((0.5 * SUM(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END)
+        |            + 0.5 * SUM(q * ln(q / m))) * 1000000) AS BIGINT) AS js_e6
+        |FROM grid GROUP BY source ORDER BY source""".stripMargin,
   )
 }

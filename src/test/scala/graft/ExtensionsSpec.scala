@@ -557,6 +557,49 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows.map(_.getString(1)).distinct.length === rows.length)
   }
 
+  test("fuzzyPairs blocking is lossless vs brute-force on a random name pool") {
+    // Deterministic pseudo-random pool: varied lengths 1..12 over a
+    // 3-letter alphabet so edit distances cluster near the threshold —
+    // the regime where a lossy block would actually drop pairs.
+    val rnd = new scala.util.Random(42)
+    val names = (1 to 60).map { _ =>
+      val len = 1 + rnd.nextInt(12)
+      (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }.distinct
+    val df = names.toDF("name")
+    val banded = Dedup.fuzzyPairs(df, $"name", maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- names; b <- names if a < b
+      dist = lev(a, b) if dist >= 1 && dist <= 3
+    } yield (a, b, dist.toLong)).toSet
+    assert(banded === brute)
+  }
+
+  test("segmentDedup on an all-unique corpus reassembles every doc exactly") {
+    // no cross-doc duplicate segments → clean text == original text,
+    // so clean_fp must equal md5(text) for every width
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "f g h"),
+      (3L, "i")).toDF("doc_id", "text")
+    Seq(1, 2, 4, 16).foreach { w =>
+      val got = Dedup.segmentDedup(d, $"doc_id", $"text", width = w)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+      assert(got(1L) === ((0L, md5Hex("a b c d e"))), s"width $w")
+      assert(got(2L) === ((0L, md5Hex("f g h"))), s"width $w")
+      assert(got(3L) === ((0L, md5Hex("i"))), s"width $w")
+    }
+  }
+
   test("zipfSlope recovers the least-squares slope of a known rank curve") {
     // freqs: a=4 (rank 1), b=2 (rank 2), c=1 (rank 3)
     val d = Seq("a a a a b b c").toDF("text")
