@@ -548,6 +548,47 @@ object TextAnalysis {
   def q135(s: SparkSession, dir: String): DataFrame =
     bigramNll(docs(s, dir).filter(col("doc_id") < 1000)).orderBy("doc_id")
 
+  /** Jelinek-Mercer interpolated bigram NLL: P(w2|w1) =
+    * λ·c(w1,w2)/c(w1·) + (1−λ)·c(w2)/N with λ = 0.5 — the smoothing
+    * production LMs actually use between orders (add-one over-smooths
+    * frequent contexts; interpolation backs off gracefully). Observed
+    * bigrams only are scored (tf > 0 ⇒ the ML term > 0), and the
+    * unigram term keeps P > 0 regardless. Same collapse-before-join
+    * scale shape as [[bigramNll]]; the unigram model joins on w2.
+    */
+  def interpolatedNll(d: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val bi = d
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1).as("w1"),
+          slice(ws, lit(2), size(ws) - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val cb = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
+    val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val uni = d.select(explode(tokens(col("text"))).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("nw2"))
+    val tot = uni.agg(sum(col("nw2")).as("n"))
+    val prob = lit(0.5) * col("cb") / col("cu") +
+      lit(0.5) * col("nw2") / col("n")
+    tf.join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .join(uni, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        Similarity.intScaled(
+          sum(col("tf") * -log(prob)) / sum(col("tf")),
+          10000L).as("nll_jm_e4"))
+  }
+
+  /** q144 — interpolated-LM NLL scoring over the q125 probe subset. */
+  def q144(s: SparkSession, dir: String): DataFrame =
+    interpolatedNll(docs(s, dir).filter(col("doc_id") < 1000)).orderBy("doc_id")
+
   /** q140 — dataset card: the one-row corpus summary a pipeline
     * publishes with a released dataset (docs, tokens, language/source
     * cardinalities, exact-dup rate, mean quality). Single scan; the
@@ -594,6 +635,7 @@ object TextAnalysis {
     "q133_token_entropy" -> (q133 _),
     "q135_bigram_nll"    -> (q135 _),
     "q140_corpus_card"   -> (q140 _),
+    "q144_interp_nll"    -> (q144 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -808,5 +850,36 @@ object TextAnalysis {
         |             * 10000) AS BIGINT) AS dup_rate_e4,
         |  CAST(ROUND(SUM(q_e6) / COUNT(*) / 100.0) AS BIGINT) AS mean_quality_e4
         |FROM d""".stripMargin,
+    // Interpolated model mirrored term-for-term: λ·cb/cu + (1−λ)·nw2/N
+    // with every count CAST to DOUBLE before dividing.
+    "q144_interp_nll" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 1000),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS b
+        |  FROM t),
+        |tf AS (SELECT doc_id, b, COUNT(*) AS tf FROM bi GROUP BY doc_id, b),
+        |cb AS (SELECT b, SUM(tf) AS cb FROM tf GROUP BY b),
+        |cu AS (SELECT split_part(b, ' ', 1) AS w1, SUM(cb) AS cu
+        |       FROM cb GROUP BY 1),
+        |uni AS (
+        |  SELECT w2, COUNT(*) AS nw2 FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w2
+        |    FROM documents WHERE doc_id < 1000)
+        |  GROUP BY w2),
+        |tot AS (SELECT SUM(nw2) AS n FROM uni)
+        |SELECT t2.doc_id, CAST(SUM(t2.tf) AS BIGINT) AS n_bigrams,
+        |  CAST(ROUND(SUM(t2.tf * -ln(
+        |        0.5 * CAST(cb.cb AS DOUBLE) / CAST(cu.cu AS DOUBLE)
+        |      + 0.5 * CAST(uni.nw2 AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+        |             / SUM(t2.tf) * 10000) AS BIGINT) AS nll_jm_e4
+        |FROM tf t2
+        |JOIN cb ON t2.b = cb.b
+        |JOIN cu ON split_part(t2.b, ' ', 1) = cu.w1
+        |JOIN uni ON split_part(t2.b, ' ', 2) = uni.w2
+        |CROSS JOIN tot
+        |GROUP BY t2.doc_id ORDER BY doc_id""".stripMargin,
   )
 }

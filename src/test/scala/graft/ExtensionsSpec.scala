@@ -486,6 +486,18 @@ class ExtensionsSpec extends SparkTestBase {
     assert(got(2L) === ((4L, math.round(math.log(4.0) * 10000))))
   }
 
+  test("interpolatedNll: interpolation keeps P>0 and preserves common<rare order") {
+    val d = Seq(
+      (1L, "a b a b a b"),
+      (2L, "c d"),
+      (3L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.interpolatedNll(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 === 5L && out(2L)._1 === 1L && out(3L)._1 === 3L)
+    assert(out(1L)._2 < out(3L)._2) // all-common bigrams score lowest
+    assert(out.values.forall(_._2 > 0L)) // finite, positive NLL everywhere
+  }
+
   test("bigramNll: common-bigram docs score below rare-bigram docs") {
     val d = Seq(
       (1L, "a b a b a b"),  // only the corpus-dominant bigrams
