@@ -14,6 +14,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `AbstractDataType` (the `ExpectsInputTypes.inputTypes` element
+    * type) is `private[sql]` in Spark 4 — aliased here so custom
+    * expressions outside the sql package can still declare typed
+    * input contracts.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   /** Drain the async listener bus so QueryExecutionListener callbacks
     * (graft.Metrics) are visible — `listenerBus` is `private[spark]`,
     * hence bridged here.

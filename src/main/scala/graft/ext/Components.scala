@@ -333,13 +333,12 @@ object Components {
     val sym = canon
       .union(canon.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    loopShufflePartitions.foreach { n =>
-      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-    }
-    try {
+    // Loop scoping delegates to withSmallScope — the single
+    // save/narrow/restore implementation shared with q102/q119 —
+    // Option-aware: None runs the loop at session width untouched.
+    def scoped[A](f: => A): A = loopShufflePartitions
+      .map(p => withSmallScope(spark, p)(f)).getOrElse(f)
+    scoped {
       // One row per node: (src, degree). Checkpointed — it seeds pr0,
       // sizes N, and joins into the edge frame.
       val deg = sym.groupBy("src")
@@ -377,9 +376,6 @@ object Components {
       // actually binds — a lazy return would run under the restored
       // session conf (the q119 discipline).
       pr.localCheckpoint(eager = true)
-    } finally loopShufflePartitions.foreach { _ =>
-      spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
-      spark.conf.set("spark.sql.adaptive.enabled", sessionAqe)
     }
   }
 

@@ -68,24 +68,28 @@ object Ranking {
     joined.select(col("doc_id"), col("dl").cast("long").as("dl"), score.as("score"))
   }
 
-  /** Rank/frequency table of the `topK` most frequent tokens plus the
-    * fitted log-log slope. Returns one row: (n_words, slope). Ties in
-    * frequency break by token text so the rank — and therefore the
-    * regression — is deterministic across engines.
+  /** Ranked vocabulary (`w`, `cnt`, `rank`) of the `topK` most
+    * frequent tokens. Ties in frequency break by token text so the
+    * rank is a deterministic total order across engines. Global rank
+    * window: the frame is |vocabulary| rows (the corpus has already
+    * been reduced by the count agg), so the single-task sort is
+    * bounded — the same posture as every top-k diagnostic. Shared by
+    * q130 (slope fit) and q142 (id assignment) so the tie-break /
+    * tokenizer contract cannot silently diverge between them.
     */
-  def zipfSlope(d: DataFrame, text: Column, topK: Int = 100): DataFrame = {
-    val cnt = d.select(explode(split(text, " ")).as("w"))
+  def rankedVocab(d: DataFrame, text: Column, topK: Int): DataFrame =
+    d.select(explode(split(text, " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    // Global rank window: the frame is |vocabulary| rows (the corpus
-    // has already been reduced by the count agg), so the single-task
-    // sort is bounded — the same posture as every top-k diagnostic.
-    val ranked = cnt
       .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
       .filter(col("rank") <= topK)
-    ranked.agg(
+
+  /** Fitted log-log slope over [[rankedVocab]]. One row:
+    * (n_words, slope).
+    */
+  def zipfSlope(d: DataFrame, text: Column, topK: Int = 100): DataFrame =
+    rankedVocab(d, text, topK).agg(
       count(lit(1)).as("n_words"),
       regr_slope(log(col("cnt")), log(col("rank"))).as("slope"))
-  }
 
   // ---- declared queries ---------------------------------------------------
 
@@ -129,13 +133,15 @@ object Ranking {
   /** q141 — k-anonymous census: the (lang, source) doc counts with
     * every group under k = 10 collapsed into an `<other>` bucket — the
     * suppression rule that keeps a published dataset card from leaking
-    * small-population facts. Two aggs over group-count-sized frames;
-    * the corpus is touched once.
+    * small-population facts. The residual bucket is RE-CHECKED against
+    * k and dropped when it is itself small: publishing
+    * ('<other>', 3) would hand an adversary who can enumerate the
+    * named groups the suppressed count (and by elimination its
+    * identity) — exactly the leak the rule exists to close. Two aggs
+    * over group-count-sized frames; the corpus is touched once.
     */
-  def q141(s: SparkSession, dir: String): DataFrame = {
-    val k = 10
-    docs(s, dir)
-      .groupBy(col("lang"), col("source"))
+  def kanonCensus(d: DataFrame, a: Column, b: Column, k: Int): DataFrame =
+    d.groupBy(a.as("lang"), b.as("source"))
       .agg(count(lit(1)).as("n"))
       .select(
         when(col("n") >= k, col("lang")).otherwise(lit("<other>")).as("lang"),
@@ -143,21 +149,22 @@ object Ranking {
         col("n"))
       .groupBy(col("lang"), col("source"))
       .agg(sum(col("n")).as("docs"))
+      // named groups always pass (each ≥ k by construction); the
+      // filter bites only on an undersized residual bucket
+      .filter(col("docs") >= k)
+
+  def q141(s: SparkSession, dir: String): DataFrame =
+    kanonCensus(docs(s, dir), col("lang"), col("source"), k = 10)
       .orderBy("lang", "source")
-  }
 
   /** q142 — vocabulary table: top-1000 tokens with STABLE ids derived
     * from the deterministic rank (freq DESC, token) — the id-assignment
     * step of tokenizer/vocab builds, reproducible across reruns because
-    * nothing depends on partitioning or arrival order. Same
-    * vocabulary-sized rank-window caveat as q130.
+    * nothing depends on partitioning or arrival order. Shares
+    * [[rankedVocab]] with q130.
     */
   def q142(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
-      .filter(col("rank") <= 1000)
+    rankedVocab(docs(s, dir), col("text"), topK = 1000)
       .select((col("rank") - 1).cast("long").as("token_id"), col("w").as("token"),
         col("cnt"))
       .orderBy("token_id")
@@ -262,7 +269,9 @@ object Ranking {
         |SELECT CASE WHEN n >= 10 THEN lang ELSE '<other>' END AS lang,
         |       CASE WHEN n >= 10 THEN source ELSE '<other>' END AS source,
         |       CAST(SUM(n) AS BIGINT) AS docs
-        |FROM g GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+        |FROM g GROUP BY 1, 2
+        |HAVING SUM(n) >= 10
+        |ORDER BY lang, source""".stripMargin,
     "q142_vocab_table" ->
       """WITH f AS (
         |  SELECT w, COUNT(*) AS cnt FROM (

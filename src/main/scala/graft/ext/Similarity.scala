@@ -428,8 +428,12 @@ object Similarity {
   def q136(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val planes = hyperplanes(8, 64)
+    // Materialized ONCE: both the brute-force and the LSH branch scan
+    // this frame — without the checkpoint each branch re-runs the
+    // parquet scan + normalization + 64-plane signature pipeline.
     val unit = withUnitVec(emb(s, dir), "embedding", "u")
       .select(col("vec_id"), col("u"), signature(col("u"), planes).as("sig"))
+      .localCheckpoint(true)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
     val q = unit.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("u").as("qu"), col("sig"))

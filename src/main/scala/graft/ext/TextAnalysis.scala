@@ -519,7 +519,13 @@ object TextAnalysis {
     * model join; (V) rides a one-row broadcast. Documents shorter than
     * 2 tokens have no bigrams and drop out — in both engines alike.
     */
-  def bigramNll(d: DataFrame): DataFrame = {
+  /** Shared bigram-model scaffolding for [[bigramNll]] and
+    * [[interpolatedNll]]: per-(doc, bigram) tf (occurrences collapsed
+    * BEFORE any model join), bigram counts cb, and context counts cu.
+    * One definition so the windowing/tokenization contract cannot
+    * silently diverge between the two LM queries.
+    */
+  private def bigramCounts(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val ws = tokens(col("text"))
     val bi = d
       .select(col("doc_id"),
@@ -531,6 +537,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val cb = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
     val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    (tf, cb, cu)
+  }
+
+  def bigramNll(d: DataFrame): DataFrame = {
+    val (tf, cb, cu) = bigramCounts(d)
     val vocab = cb.agg(countDistinct(col("w2")).as("v"))
     tf.join(cb, Seq("w1", "w2"))
       .join(cu, Seq("w1"))
@@ -557,17 +568,7 @@ object TextAnalysis {
     * scale shape as [[bigramNll]]; the unigram model joins on w2.
     */
   def interpolatedNll(d: DataFrame): DataFrame = {
-    val ws = tokens(col("text"))
-    val bi = d
-      .select(col("doc_id"),
-        explode(arrays_zip(
-          slice(ws, lit(1), size(ws) - 1).as("w1"),
-          slice(ws, lit(2), size(ws) - 1).as("w2"))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val tf = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("tf"))
-    val cb = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
-    val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val (tf, cb, cu) = bigramCounts(d)
     val uni = d.select(explode(tokens(col("text"))).as("w2"))
       .groupBy(col("w2")).agg(count(lit(1)).as("nw2"))
     val tot = uni.agg(sum(col("nw2")).as("n"))

@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -38,9 +38,16 @@ case class TopKByScore(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+  with ImplicitCastInputTypes {
 
   require(k >= 1, s"top_k_by_score: k must be >= 1, got $k")
+
+  // Analysis-time contract: coercible inputs (int score, int id, …)
+  // get implicit casts; incoercible ones fail analysis with a typed
+  // error instead of a mid-job executor ClassCastException.
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(DoubleType, LongType)
 
   // Worst-first: the queue head is the eviction candidate — lowest
   // score, ties to the HIGHEST id (so ids ascend on equal score).

@@ -526,6 +526,20 @@ class ExtensionsSpec extends SparkTestBase {
     val largest = rows.maxBy(_.getLong(1))
     assert(smallest.getLong(3) > smallest.getLong(2))
     assert(largest.getLong(3) < largest.getLong(2))
+    // Rounding-boundary margin: q134 is the one hash-certified query
+    // whose value passes through pow() (not correctly rounded in
+    // either engine) plus order-dependent double summation, so the
+    // distance of every scaled value to the .5 boundary must dwarf
+    // that drift (~1e-10 scaled units). Measured: 3.7e-2 (share) /
+    // 8.2e-2 (alpha) at sf0.001; 1.6e-2 / 5.0e-2 at sf0.01; 5.6e-3 /
+    // 2.0e-2 at sf0.1 — ≥ 7 orders above drift at every gated SF.
+    val toks = rows.map(_.getLong(1).toDouble)
+    val n = toks.sum
+    val z = toks.map(math.pow(_, 0.7)).sum
+    val margins = toks.flatMap { t =>
+      Seq(t / n * 1e6, math.pow(t, 0.7) / z * 1e6) }
+      .map(v => math.abs((v % 1) - 0.5))
+    assert(margins.min > 1e-4, s"boundary margin collapsed: ${margins.min}")
   }
 
   test("q136 ann recall: one row per query, hits in [1,3], recall consistent") {
@@ -559,6 +573,24 @@ class ExtensionsSpec extends SparkTestBase {
     // '<other>' rollups may not
     rows.filter(r => r.getString(0) != "<other>" && r.getString(1) != "<other>")
       .foreach(r => assert(r.getLong(2) >= 10L, r.toString))
+  }
+
+  test("kanonCensus drops an undersized residual bucket entirely") {
+    // one big group (12 docs) + one small group (3 docs): the 3-doc
+    // residual must NOT surface as ('<other>', 3) — that row would
+    // hand back the suppressed count by elimination
+    val d = ((1 to 12).map(_ => ("en", "s1")) ++ (1 to 3).map(_ => ("xx", "s2")))
+      .toDF("l", "s")
+    val got = graft.ext.Ranking.kanonCensus(d, $"l", $"s", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("en", "s1", 12L)))
+    // two small groups that TOGETHER clear k do publish as one rollup
+    val d2 = ((1 to 12).map(_ => ("en", "s1")) ++
+      (1 to 6).map(_ => ("xx", "s2")) ++ (1 to 6).map(_ => ("yy", "s3")))
+      .toDF("l", "s")
+    val got2 = graft.ext.Ranking.kanonCensus(d2, $"l", $"s", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got2 === Set(("en", "s1", 12L), ("<other>", "<other>", 12L)))
   }
 
   test("q142 vocab ids are contiguous from 0 with non-increasing counts") {

@@ -35,6 +35,14 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(b.map(r => (r.getDouble(0), r.getLong(1))) === Seq((5.0, 20L)))
   }
 
+  test("top_k_by_score coerces int score / int id via implicit casts") {
+    val r = spark.sql(
+      """SELECT top_k_by_score(s, i, 1) AS top FROM VALUES
+        |  (1, 10), (7, 11), (3, 12) AS t(s, i)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(x => (x.getDouble(0), x.getLong(1))) === Seq((7.0, 11L)))
+  }
+
   test("top_k_by_score rejects a non-literal k") {
     val e = intercept[Exception] {
       spark.sql("SELECT top_k_by_score(1.0d, 1L, 1 + 1) AS t").collect()
