@@ -455,6 +455,42 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** q145 — LSH tuning curve: recall@3 vs plane count (4/6/8) against
+    * one shared brute-force ground truth — the parameter sweep a
+    * pipeline runs to SIZE its index before committing to it (more
+    * planes = smaller buckets = cheaper search but lower recall; the
+    * engineer picks the knee). Unit vectors and the exact top-3 are
+    * materialized once; each config re-signatures only.
+    */
+  def q145(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unit = withUnitVec(emb(s, dir), "embedding", "u")
+      .select(col("vec_id"), col("u"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    val q0 = broadcast(unit.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("u").as("qu")))
+    val exact = q0.join(unit.select(col("vec_id").as("did"), col("u").as("du")))
+      .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("did"))
+      .localCheckpoint(true)
+    Seq(4, 6, 8).map { p =>
+      val sig = unit.select(col("vec_id"), col("u"),
+        signature(col("u"), hyperplanes(p, 64)).as("sig"))
+      val ann = sig.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("u").as("qu"), col("sig"))
+        .join(sig.select(col("vec_id").as("did"), col("u").as("du"), col("sig")), "sig")
+        .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("qid"), col("did"), lit(1L).as("m"))
+      exact.join(ann, Seq("qid", "did"), "left")
+        .agg(count(col("m")).as("hits"), count(lit(1)).as("n"))
+        .select(lit(p.toLong).as("planes"), col("hits"),
+          intScaled(col("hits") / col("n"), 10000L).as("recall_e4"))
+    }.reduce(_ unionAll _).orderBy("planes")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
     "q123_semdedup" -> (q123 _),
@@ -465,6 +501,7 @@ object Similarity {
     "q100_embed_quant" -> (q100 _),
     "q121_filtered_knn" -> (q121 _),
     "q136_ann_recall" -> (q136 _),
+    "q145_lsh_tuning" -> (q145 _),
   )
 
   /** q61 oracle: the md5-derived ±1 planes are query CONSTANTS (like
@@ -535,6 +572,54 @@ object Similarity {
        |FROM be LEFT JOIN ls ON be.qid = ls.qid AND be.did = ls.did
        |GROUP BY be.qid
        |ORDER BY be.qid""".stripMargin
+
+  /** q145 oracle: one shared unit-vector + brute-force ground-truth
+    * prefix; per-config signature/rank/join blocks generated with the
+    * SAME md5-derived plane constants the Spark side uses.
+    */
+  private val lshTuningOracle: String = {
+    def sigExpr(p: Int): String =
+      hyperplanes(p, 64).map(_.mkString("[", ", ", "]")).zipWithIndex.map {
+        case (pl, i) =>
+          s"(CASE WHEN list_inner_product(uv, $pl) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    val blocks = Seq(4, 6, 8).map { p =>
+      s"""s$p AS (SELECT vec_id, uv, ${sigExpr(p)} AS sig FROM u),
+         |l$p AS (
+         |  SELECT q.vec_id AS qid, d.vec_id AS did,
+         |         list_inner_product(q.uv, d.uv) AS sim
+         |  FROM s$p q JOIN s$p d ON q.sig = d.sig
+         |  WHERE q.vec_id < 50),
+         |r$p AS (
+         |  SELECT qid, did FROM (
+         |    SELECT qid, did,
+         |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
+         |    FROM l$p) WHERE rn <= 3),
+         |j$p AS (
+         |  SELECT CAST($p AS BIGINT) AS planes,
+         |         CAST(COUNT(r$p.did) AS BIGINT) AS hits,
+         |         CAST(ROUND(CAST(COUNT(r$p.did) AS DOUBLE) / COUNT(*) * 10000)
+         |              AS BIGINT) AS recall_e4
+         |  FROM be LEFT JOIN r$p ON be.qid = r$p.qid AND be.did = r$p.did)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |u AS (SELECT vec_id,
+       |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
+       |      FROM e),
+       |bsims AS (
+       |  SELECT q.vec_id AS qid, d.vec_id AS did,
+       |         list_inner_product(q.uv, d.uv) AS sim
+       |  FROM u q CROSS JOIN u d
+       |  WHERE q.vec_id < 50),
+       |be AS (
+       |  SELECT qid, did FROM (
+       |    SELECT qid, did,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
+       |    FROM bsims) WHERE rn <= 3),
+       |${blocks.mkString(",\n")}
+       |SELECT * FROM j4 UNION ALL SELECT * FROM j6 UNION ALL SELECT * FROM j8
+       |ORDER BY planes""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q112_kmeans_step" ->
@@ -656,5 +741,6 @@ object Similarity {
         |FROM ranked WHERE rn <= 3
         |ORDER BY qid, did""".stripMargin,
     "q136_ann_recall" -> annRecallOracle,
+    "q145_lsh_tuning" -> lshTuningOracle,
   )
 }

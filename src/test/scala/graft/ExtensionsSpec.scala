@@ -644,6 +644,18 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("q145 lsh tuning curve: one row per config, self-match floor, consistent recall") {
+    val rows = Similarity.q145(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(4L, 6L, 8L))
+    rows.foreach { r =>
+      val (hits, recall) = (r.getLong(1), r.getLong(2))
+      // every query matches itself in any config (same bucket, sim 1.0
+      // rank 1), so hits can never drop below the query count
+      assert(hits >= 50L && hits <= 150L, r.toString)
+      assert(recall === math.round(hits / 150.0 * 10000), r.toString)
+    }
+  }
+
   test("zipfSlope recovers the least-squares slope of a known rank curve") {
     // freqs: a=4 (rank 1), b=2 (rank 2), c=1 (rank 3)
     val d = Seq("a a a a b b c").toDF("text")
