@@ -494,12 +494,57 @@ object Components {
       .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
       .orderBy("sz")
 
+  /** q146 — the corpus-cleaning FUNNEL: survivor counts after each
+    * stage of the canonical pretraining clean (raw train docs → exact
+    * content-hash dedup → near-dup group dedup → benchmark
+    * decontamination) — the one-table report every cleaning run
+    * publishes. Each stage composes already-certified machinery (q55's
+    * hash dedup, q102's component labeling restricted to prior
+    * survivors, q104's 5-gram decontamination), so the funnel is a
+    * cross-stage integration check as much as a report. Probe-bounded
+    * like its inputs (doc_id < 1000; eval set = every 7th doc).
+    */
+  def q146(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.table(s, dir, "documents").filter(col("doc_id") < 1000)
+    val train = all.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val labels = neardupLabels(s, dir)._2
+    // stage 2: keep the min doc_id of every exact-content group
+    val s2 = train.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    // stage 3: among stage-2 survivors, keep the min SURVIVING id per
+    // near-dup component (the component min itself may have been an
+    // exact-dup loser or an eval doc — restrict to survivors first)
+    val s3 = s2.join(labels, "doc_id")
+      .groupBy(col("component"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    // stage 4: drop survivors sharing any 5-gram with the eval set
+    val withWs = (d: org.apache.spark.sql.DataFrame) =>
+      d.join(all.select(col("doc_id"), split(col("text"), " ").as("ws")), "doc_id")
+    val contaminated = Decontam.contaminationReport(
+      withWs(s3),
+      all.filter(col("doc_id") % 7 === 0).select(split(col("text"), " ").as("ws")),
+      k = 5).select("doc_id")
+    val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+    def stage(id: Int, name: String, d: org.apache.spark.sql.DataFrame) =
+      d.agg(count(lit(1)).as("docs"))
+        .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"), col("docs"))
+    stage(1, "raw", train)
+      .unionAll(stage(2, "exact_dedup", s2))
+      .unionAll(stage(3, "near_dedup", s3))
+      .unionAll(stage(4, "decontaminated", s4))
+      .orderBy("stage_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_neardup_components" -> (q102 _),
     "q119_component_best"     -> (q119 _),
     "q120_components_star"    -> (q120 _),
     "q127_pagerank"           -> (q127 _),
     "q138_dup_size_hist"      -> (q138 _),
+    "q146_cleaning_funnel"    -> (q146 _),
   )
 
   /** Oracle CTE chain: transitive closure by recursive CTE over the
@@ -595,5 +640,43 @@ object Components {
          |FROM (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
          |      FROM comp GROUP BY component)
          |GROUP BY sz ORDER BY sz""".stripMargin,
+    // Funnel stages mirrored: exact-dedup keeps min id per md5; the
+    // near-dup stage keeps the min SURVIVING id per component; the
+    // decontam stage drops survivors sharing any 5-gram with the eval
+    // docs (same gram construction as the q104 oracle).
+    "q146_cleaning_funnel" ->
+      s"""$componentsCte,
+         |ftr AS (SELECT doc_id, text FROM documents
+         |        WHERE doc_id < 1000 AND doc_id % 7 <> 0),
+         |fs2 AS (SELECT MIN(doc_id) AS doc_id FROM ftr GROUP BY md5(text)),
+         |fs3 AS (SELECT MIN(c.doc_id) AS doc_id
+         |        FROM comp c JOIN fs2 USING (doc_id)
+         |        GROUP BY c.component),
+         |ft AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |       FROM documents WHERE doc_id < 1000),
+         |fg AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 5 THEN
+         |           list_distinct(list_transform(range(1, len(ws) - 3),
+         |             i -> array_to_string(ws[i:i+4], ' ')))
+         |         ELSE CAST([] AS VARCHAR[]) END AS grams
+         |       FROM ft),
+         |fe AS (SELECT DISTINCT unnest(grams) AS gram FROM fg WHERE doc_id % 7 = 0),
+         |fhit AS (
+         |  SELECT DISTINCT x.doc_id
+         |  FROM (SELECT doc_id, unnest(grams) AS gram FROM fg) x
+         |  JOIN fe USING (gram)
+         |  JOIN fs3 ON fs3.doc_id = x.doc_id),
+         |fs4 AS (SELECT doc_id FROM fs3
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM fhit))
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage,
+         |         CAST((SELECT COUNT(*) FROM ftr) AS BIGINT) AS docs
+         |  UNION ALL SELECT CAST(2 AS BIGINT), 'exact_dedup',
+         |         CAST((SELECT COUNT(*) FROM fs2) AS BIGINT)
+         |  UNION ALL SELECT CAST(3 AS BIGINT), 'near_dedup',
+         |         CAST((SELECT COUNT(*) FROM fs3) AS BIGINT)
+         |  UNION ALL SELECT CAST(4 AS BIGINT), 'decontaminated',
+         |         CAST((SELECT COUNT(*) FROM fs4) AS BIGINT))
+         |ORDER BY stage_id""".stripMargin,
   )
 }

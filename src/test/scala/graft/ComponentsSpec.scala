@@ -127,6 +127,17 @@ class ComponentsSpec extends SparkTestBase {
     assert(path(1L) < path(2L) && path(4L) < path(3L))
   }
 
+  test("q146 cleaning funnel: stages monotonically non-increasing, all present") {
+    val rows = Components.q146(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._2).toSeq ===
+      Seq("raw", "exact_dedup", "near_dedup", "decontaminated"))
+    val counts = rows.map(_._3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel must only shrink: ${counts.toSeq}")
+    assert(counts.head > 0L)
+  }
+
   test("pageRank: self-loops and duplicate/reversed edges don't skew degrees") {
     val base = pr(Seq((1L, 2L), (2L, 3L)), iters = 3)
     val noisy = pr(
