@@ -327,11 +327,57 @@ object Components {
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .distinct()
+      // Unit weights: the unweighted walk IS the weighted walk over
+      // w = 1.0 — deg(sum of 1.0s) equals the count exactly, and
+      // (pr·1.0)/d is bit-identical to pr/d in IEEE 754, so sharing
+      // the weighted core changes nothing for existing callers.
+      .withColumn("w", lit(1.0))
+    runPageRank(canon, iterations, damping, loopShufflePartitions)
+  }
+
+  /** Weighted PageRank — the production web-graph form (edge weight =
+    * link multiplicity / trust):
+    *
+    *   pr'(v) = (1-d)/N + d · Σ_{u~v} pr(u) · w(u,v) / W(u)
+    *
+    * where W(u) is u's total incident weight (strength). Duplicate and
+    * reversed input edges COMBINE (weights sum over the canonical
+    * orientation), unlike [[pageRank]] which collapses them; rows with
+    * non-positive or null weight are dropped. Same scale shape and
+    * float discipline as the unweighted form.
+    *
+    * @param edges three-column frame `src`,`dst`,`w` (undirected)
+    */
+  def pageRankWeighted(
+      edges: DataFrame,
+      iterations: Int = 5,
+      damping: Double = 0.85,
+      loopShufflePartitions: Option[Int] = None): DataFrame = {
+    require(iterations >= 1,
+      s"pageRankWeighted: iterations must be >= 1, got $iterations")
+    val canon = edges
+      .select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      .filter(col("src") =!= col("dst") && col("w") > 0)
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    runPageRank(canon, iterations, damping, loopShufflePartitions)
+  }
+
+  /** Shared power-iteration core over a canonicalized weighted edge
+    * frame (`src` < `dst`, one row per pair, `w` > 0).
+    */
+  private def runPageRank(
+      canon: DataFrame,
+      iterations: Int,
+      damping: Double,
+      loopShufflePartitions: Option[Int]): DataFrame = {
+    val spark = canon.sparkSession
     // Checkpoint the symmetrized frame BEFORE fanning out: deg and
     // the deg-join below would otherwise each re-run the (possibly
     // expensive) upstream edge derivation.
     val sym = canon
-      .union(canon.select(col("dst").as("src"), col("src").as("dst")))
+      .union(canon.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .localCheckpoint(true)
     // Loop scoping delegates to withSmallScope — the single
     // save/narrow/restore implementation shared with q102/q119 —
@@ -339,10 +385,11 @@ object Components {
     def scoped[A](f: => A): A = loopShufflePartitions
       .map(p => withSmallScope(spark, p)(f)).getOrElse(f)
     scoped {
-      // One row per node: (src, degree). Checkpointed — it seeds pr0,
-      // sizes N, and joins into the edge frame.
+      // One row per node: (src, strength = Σ incident weight; for unit
+      // weights this is exactly the degree). Checkpointed — it seeds
+      // pr0, sizes N, and joins into the edge frame.
       val deg = sym.groupBy("src")
-        .agg(count(lit(1)).cast("double").as("d"))
+        .agg(sum(col("w")).as("d"))
         .localCheckpoint(true)
       val n = deg.count()
       require(n > 0, "pageRank: empty edge set after self-loop removal")
@@ -368,7 +415,8 @@ object Components {
         pr = symDeg
           .join(pr.select(col("id").as("src"), col("pr")), "src")
           .groupBy(col("dst"))
-          .agg((lit(teleport) + lit(damping) * sum(col("pr") / col("d"))).as("pr"))
+          .agg((lit(teleport) +
+            lit(damping) * sum(col("pr") * col("w") / col("d"))).as("pr"))
           .select(col("dst").as("id"), col("pr"))
       }
       // Materialized INSIDE the scope (single job): the one place the
@@ -538,6 +586,23 @@ object Components {
       .orderBy("stage_id")
   }
 
+  /** q147 — WEIGHTED PageRank on the same customer–supplier graph as
+    * q127, edge weight = lineitem multiplicity (how often the pair
+    * traded): the authority signal production link graphs actually
+    * carry. Certifies [[pageRankWeighted]]'s strength-normalized walk
+    * against an independently weighted oracle.
+    */
+  def q147(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"),
+        lit(1.0).as("w")) // 1.0 per lineitem row ⇒ canonical sum = multiplicity
+    pageRankWeighted(edges, iterations = 5, loopShufflePartitions = Some(8))
+      .select(col("id"), Similarity.intScaled(col("pr"), 1000000L).as("pr_e6"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_neardup_components" -> (q102 _),
     "q119_component_best"     -> (q119 _),
@@ -545,6 +610,7 @@ object Components {
     "q127_pagerank"           -> (q127 _),
     "q138_dup_size_hist"      -> (q138 _),
     "q146_cleaning_funnel"    -> (q146 _),
+    "q147_pagerank_weighted"  -> (q147 _),
   )
 
   /** Oracle CTE chain: transitive closure by recursive CTE over the
@@ -627,6 +693,40 @@ object Components {
       s"\nSELECT id, CAST(ROUND(pr * 1000000) AS BIGINT) AS pr_e6 FROM pr$iters ORDER BY id"
   }
 
+  /** Weighted power-iteration oracle: identical chain to
+    * [[pageRankOracle]] with strength normalization — every count CAST
+    * to DOUBLE, contribution `pr · w / d`.
+    */
+  private val pageRankWeightedOracle: String = {
+    val iters = 5
+    val head =
+      """WITH p0 AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |pairs AS (
+        |  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+        |  FROM p0 WHERE src <> dst GROUP BY src, dst),
+        |edges AS (
+        |  SELECT src, dst, w FROM pairs
+        |  UNION ALL
+        |  SELECT dst AS src, src AS dst, w FROM pairs),
+        |deg AS (SELECT src, SUM(w) AS d FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+        |pr0 AS (SELECT src AS id, 1.0 / n AS pr FROM deg CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.dst AS id,
+         |         (1.0 - 0.85) / nn.n + 0.85 * SUM(p.pr * e.w / deg.d) AS pr
+         |  FROM edges e
+         |  JOIN pr${i - 1} p ON p.id = e.src
+         |  JOIN deg ON deg.src = e.src
+         |  CROSS JOIN nn
+         |  GROUP BY e.dst, nn.n)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT id, CAST(ROUND(pr * 1000000) AS BIGINT) AS pr_e6 FROM pr$iters ORDER BY id"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q102_neardup_components" -> componentsOracle,
     "q119_component_best"     -> componentBestOracle,
@@ -634,6 +734,7 @@ object Components {
     // produce the identical labeling.
     "q120_components_star"    -> componentsOracle,
     "q127_pagerank"           -> pageRankOracle,
+    "q147_pagerank_weighted"  -> pageRankWeightedOracle,
     "q138_dup_size_hist" ->
       s"""$componentsCte
          |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_components

@@ -144,4 +144,30 @@ class ComponentsSpec extends SparkTestBase {
       Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 1L), (2L, 3L)), iters = 3)
     base.foreach { case (k, v) => assert(math.abs(noisy(k) - v) < 1e-12) }
   }
+
+  private def prw(edges: Seq[(Long, Long, Double)], iters: Int): Map[Long, Double] =
+    Components.pageRankWeighted(edges.toDF("src", "dst", "w"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("pageRankWeighted: unit weights reproduce the unweighted walk exactly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val a = pr(edges, iters = 4)
+    val b = prw(edges.map { case (s, d) => (s, d, 1.0) }, iters = 4)
+    a.foreach { case (k, v) => assert(b(k) === v, s"node $k") }
+  }
+
+  test("pageRankWeighted: heavier edges pull rank; mass still conserves") {
+    // path 1-2-3; at unit weights 2's neighbors tie. Weighting 1-2
+    // 9× means node 2 sends 90% of its mass to 1: pr(1) > pr(3).
+    val p = prw(Seq((1L, 2L, 9.0), (2L, 3L, 1.0)), iters = 5)
+    assert(p(1L) > p(3L))
+    assert(math.abs(p.values.sum - 1.0) < 1e-9)
+    // duplicate + reversed edges COMBINE into the same total weight
+    val split = prw(
+      Seq((1L, 2L, 4.0), (2L, 1L, 5.0), (2L, 3L, 1.0)), iters = 5)
+    p.foreach { case (k, v) => assert(math.abs(split(k) - v) < 1e-12) }
+    // non-positive and null-free contract: w <= 0 rows are dropped
+    val dropped = prw(Seq((1L, 2L, 9.0), (2L, 3L, 1.0), (7L, 8L, 0.0)), iters = 5)
+    assert(!dropped.contains(7L) && !dropped.contains(8L))
+  }
 }
