@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -322,17 +322,44 @@ object Components {
     // narrowing it to the loop width would serialize the heavy scan.
     // Only the node-sized power-iteration loop below gets the narrow
     // scope.
-    val canon = edges.select(col("src"), col("dst"))
+    runPageRank(canonUnit(edges), iterations, damping, loopShufflePartitions)
+  }
+
+  /** Canonicalized unit-weight edge frame: the unweighted walk IS the
+    * weighted walk over w = 1.0 — deg(sum of 1.0s) equals the count
+    * exactly, and (pr·1.0)/d is bit-identical to pr/d in IEEE 754, so
+    * the shared core changes nothing for unweighted callers.
+    */
+  private def canonUnit(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .distinct()
-      // Unit weights: the unweighted walk IS the weighted walk over
-      // w = 1.0 — deg(sum of 1.0s) equals the count exactly, and
-      // (pr·1.0)/d is bit-identical to pr/d in IEEE 754, so sharing
-      // the weighted core changes nothing for existing callers.
       .withColumn("w", lit(1.0))
-    runPageRank(canon, iterations, damping, loopShufflePartitions)
+
+  /** Personalized PageRank: teleport mass restarts at a SEED set
+    * instead of uniformly — the seed-and-expand curation walk (rank
+    * the whole graph by proximity to known-good nodes, e.g. trusted
+    * domains seeding a crawl-quality score). pr0 and the per-round
+    * restart both concentrate on seeds:
+    *
+    *   pr'(v) = [v ∈ S]·(1-d)/|S| + d · Σ_{u~v} pr(u)·w(u,v)/W(u)
+    *
+    * Same lazy fixed-iteration core as [[pageRank]]; the seed
+    * predicate is evaluated in-plan on node ids (no collected seed
+    * list — at scale S can be a joined flag column instead).
+    */
+  def pageRankPersonalized(
+      edges: DataFrame,
+      isSeed: Column => Column,
+      iterations: Int = 5,
+      damping: Double = 0.85,
+      loopShufflePartitions: Option[Int] = None): DataFrame = {
+    require(iterations >= 1,
+      s"pageRankPersonalized: iterations must be >= 1, got $iterations")
+    runPageRank(canonUnit(edges), iterations, damping, loopShufflePartitions,
+      personalization = Some(isSeed))
   }
 
   /** Weighted PageRank — the production web-graph form (edge weight =
@@ -371,7 +398,8 @@ object Components {
       canon: DataFrame,
       iterations: Int,
       damping: Double,
-      loopShufflePartitions: Option[Int]): DataFrame = {
+      loopShufflePartitions: Option[Int],
+      personalization: Option[Column => Column] = None): DataFrame = {
     val spark = canon.sparkSession
     // Checkpoint the symmetrized frame BEFORE fanning out: deg and
     // the deg-join below would otherwise each re-run the (possibly
@@ -397,8 +425,20 @@ object Components {
       val symDeg = loopShufflePartitions
         .map(w => symDeg0.repartition(w, col("src")).localCheckpoint(true))
         .getOrElse(symDeg0.localCheckpoint(true))
-      val teleport = (1.0 - damping) / n
-      var pr = deg.select(col("src").as("id"), lit(1.0 / n).as("pr"))
+      // Uniform walk: constant teleport (1-d)/N, uniform pr0.
+      // Personalized: restart mass concentrates on the seed set — the
+      // teleport is an expression over the contraction's group key and
+      // pr0 over the node frame, so neither collects anything.
+      val (teleportExpr, pr0Expr) = personalization match {
+        case None =>
+          (lit((1.0 - damping) / n), lit(1.0 / n))
+        case Some(isSeed) =>
+          val ns = deg.filter(isSeed(col("src"))).count()
+          require(ns > 0, "pageRankPersonalized: no seed node touches an edge")
+          (when(isSeed(col("dst")), lit((1.0 - damping) / ns)).otherwise(lit(0.0)),
+            when(isSeed(col("src")), lit(1.0 / ns)).otherwise(lit(0.0)))
+      }
+      var pr = deg.select(col("src").as("id"), pr0Expr.as("pr"))
       // The round chain stays LAZY: unlike the CC loop (data-dependent
       // round count, needs per-round actions), the iteration count here
       // is fixed, so the whole power iteration compiles into ONE job of
@@ -415,7 +455,7 @@ object Components {
         pr = symDeg
           .join(pr.select(col("id").as("src"), col("pr")), "src")
           .groupBy(col("dst"))
-          .agg((lit(teleport) +
+          .agg((teleportExpr +
             lit(damping) * sum(col("pr") * col("w") / col("d"))).as("pr"))
           .select(col("dst").as("id"), col("pr"))
       }
@@ -603,6 +643,22 @@ object Components {
       .orderBy("id")
   }
 
+  /** q148 — personalized PageRank seeded at the supplier side (odd
+    * node ids): proximity-to-trusted-nodes over the same graph as
+    * q127 — the seed-and-expand signal crawl curation propagates from
+    * a trusted domain list.
+    */
+  def q148(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    pageRankPersonalized(edges, isSeed = id => id % 2 === 1,
+      iterations = 5, loopShufflePartitions = Some(8))
+      .select(col("id"), Similarity.intScaled(col("pr"), 1000000L).as("pr_e6"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_neardup_components" -> (q102 _),
     "q119_component_best"     -> (q119 _),
@@ -611,6 +667,7 @@ object Components {
     "q138_dup_size_hist"      -> (q138 _),
     "q146_cleaning_funnel"    -> (q146 _),
     "q147_pagerank_weighted"  -> (q147 _),
+    "q148_pagerank_personal"  -> (q148 _),
   )
 
   /** Oracle CTE chain: transitive closure by recursive CTE over the
@@ -727,6 +784,42 @@ object Components {
       s"\nSELECT id, CAST(ROUND(pr * 1000000) AS BIGINT) AS pr_e6 FROM pr$iters ORDER BY id"
   }
 
+  /** Personalized oracle: the q127 chain with seed-concentrated pr0
+    * and per-round restart (seeds = odd ids).
+    */
+  private val pageRankPersonalOracle: String = {
+    val iters = 5
+    val head =
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM pairs WHERE src <> dst
+        |    UNION ALL
+        |    SELECT dst AS src, src AS dst FROM pairs WHERE src <> dst)),
+        |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+        |nn AS (SELECT
+        |         CAST(SUM(CASE WHEN src % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS ns
+        |       FROM deg),
+        |pr0 AS (SELECT src AS id,
+        |          CASE WHEN src % 2 = 1 THEN 1.0 / ns ELSE 0.0 END AS pr
+        |        FROM deg CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.dst AS id,
+         |         CASE WHEN e.dst % 2 = 1 THEN (1.0 - 0.85) / nn.ns ELSE 0.0 END
+         |           + 0.85 * SUM(p.pr / deg.d) AS pr
+         |  FROM edges e
+         |  JOIN pr${i - 1} p ON p.id = e.src
+         |  JOIN deg ON deg.src = e.src
+         |  CROSS JOIN nn
+         |  GROUP BY e.dst, nn.ns)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT id, CAST(ROUND(pr * 1000000) AS BIGINT) AS pr_e6 FROM pr$iters ORDER BY id"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q102_neardup_components" -> componentsOracle,
     "q119_component_best"     -> componentBestOracle,
@@ -735,6 +828,7 @@ object Components {
     "q120_components_star"    -> componentsOracle,
     "q127_pagerank"           -> pageRankOracle,
     "q147_pagerank_weighted"  -> pageRankWeightedOracle,
+    "q148_pagerank_personal"  -> pageRankPersonalOracle,
     "q138_dup_size_hist" ->
       s"""$componentsCte
          |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_components

@@ -156,6 +156,28 @@ class ComponentsSpec extends SparkTestBase {
     a.foreach { case (k, v) => assert(b(k) === v, s"node $k") }
   }
 
+  test("pageRankPersonalized: mass concentrates near seeds, conserves, fails loudly on no seeds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val p = Components.pageRankPersonalized(edges, id => id === 1L, iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // seed holds the max, the farthest node the min (strict hop-by-hop
+    // monotonicity does NOT hold at finite iteration counts — path
+    // graphs oscillate with walk parity — so only the endpoints are a
+    // sound invariant)
+    assert(p(1L) === p.values.max, p.toString)
+    assert(p(4L) === p.values.min, p.toString)
+    assert(math.abs(p.values.sum - 1.0) < 1e-9)
+    // uniform seeds == the plain walk
+    val uni = Components.pageRankPersonalized(edges, _ => lit(true), iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = pr(Seq((1L, 2L), (2L, 3L), (3L, 4L)), iters = 4)
+    plain.foreach { case (k, v) => assert(math.abs(uni(k) - v) < 1e-12) }
+    val e = intercept[IllegalArgumentException] {
+      Components.pageRankPersonalized(edges, id => id === 99L, iterations = 2)
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("pageRankWeighted: heavier edges pull rank; mass still conserves") {
     // path 1-2-3; at unit weights 2's neighbors tie. Weighting 1-2
     // 9× means node 2 sends 90% of its mass to 1: pr(1) > pr(3).
