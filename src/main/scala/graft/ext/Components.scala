@@ -482,7 +482,7 @@ object Components {
     * and adaptive-planning latency. Lazy plan tails returned from `f`
     * execute later under the restored session conf.
     */
-  private def withSmallScope[A](s: SparkSession, parts: Int)(f: => A): A = {
+  private[ext] def withSmallScope[A](s: SparkSession, parts: Int)(f: => A): A = {
     val sp = s.conf.get("spark.sql.shuffle.partitions")
     val aqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)

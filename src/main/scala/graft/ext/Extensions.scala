@@ -10,10 +10,10 @@ object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Sampling.queries ++ Components.queries ++
-      Decontam.queries ++ Ranking.queries
+      Decontam.queries ++ Ranking.queries ++ Graph.queries
 
   def oracleSql: Map[String, String] =
     TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       Multimodal.oracleSql ++ Sampling.oracleSql ++ Components.oracleSql ++
-      Decontam.oracleSql ++ Ranking.oracleSql
+      Decontam.oracleSql ++ Ranking.oracleSql ++ Graph.oracleSql
 }

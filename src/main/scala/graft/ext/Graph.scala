@@ -1,0 +1,340 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics beyond the walk family in [[Components]]: HITS
+  * (hubs/authorities), triangle counting, and degree assortativity —
+  * the structural link-graph measures a crawl-curation pipeline
+  * publishes next to PageRank (authority for source ranking, triangle
+  * density / assortativity for spam-farm and scraper-ring detection:
+  * organic link neighborhoods are triangle-rich and weakly
+  * disassortative; generated farms are star-shaped).
+  *
+  * Scale design (100 TB): everything here is join + agg over edge
+  * frames — no adjacency structure ever reaches the driver. HITS is
+  * the same node-sized power iteration as [[Components.pageRank]];
+  * triangle counting uses degree orientation (Suri & Vassilvitskii,
+  * "Counting Triangles and the Curse of the Last Reducer", WWW'11),
+  * which caps every wedge fan-out at O(sqrt(m)) regardless of hub
+  * degree — the canonical MapReduce fix for the power-law hot key.
+  */
+object Graph {
+
+  // ---- HITS ---------------------------------------------------------------
+
+  /** Hubs & authorities by power iteration (Kleinberg's HITS) over a
+    * DIRECTED edge frame: auth'(v) = Σ_{u→v} hub(u), hub'(u) =
+    * Σ_{u→v} auth(v), each half-round L1-normalized (scores sum to 1,
+    * so they read as mass like PageRank and stay in intScaled range).
+    *
+    * Loop discipline: the edge frame is checkpointed once; each
+    * half-round eagerly checkpoints its RAW contraction (it is branched
+    * twice — by the normalizing total and by the next half-round — and
+    * a lazy branch would re-run the contraction per use, doubling work
+    * per round). The normalizing total is a one-row agg crossJoin —
+    * the accepted broadcast global-stats shape. Frames are node-sized
+    * throughout; the corpus-sized piece (the edge derivation) runs
+    * once at session shuffle width before the loop.
+    *
+    * @param edges two-column directed frame `src`,`dst` (duplicates
+    *              collapsed, self-loops dropped)
+    * @return (`id`, `role` ∈ hub|auth, `score`); a node that is both a
+    *         hub and an authority gets two rows
+    */
+  def hits(
+      edges: DataFrame,
+      iterations: Int = 4,
+      loopShufflePartitions: Option[Int] = None): DataFrame = {
+    require(iterations >= 1, s"hits: iterations must be >= 1, got $iterations")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    def scoped[A](f: => A): A = loopShufflePartitions
+      .map(p => Components.withSmallScope(spark, p)(f)).getOrElse(f)
+    scoped {
+      val hubs = e.select(col("src").as("id")).distinct().localCheckpoint(true)
+      val nh = hubs.count()
+      require(nh > 0, "hits: empty edge set after self-loop removal")
+      var hub = hubs.select(col("id"), lit(1.0 / nh).as("h")).localCheckpoint(true)
+      var auth: DataFrame = hub // replaced on the first half-round below
+      (1 to iterations).foreach { _ =>
+        val aRaw = e.join(hub.select(col("id").as("src"), col("h")), "src")
+          .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+          .select(col("dst").as("id"), col("a"))
+          .localCheckpoint(true)
+        auth = aRaw
+          .crossJoin(broadcast(aRaw.agg(sum(col("a")).as("tot"))))
+          .select(col("id"), (col("a") / col("tot")).as("a"))
+        val hRaw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
+          .groupBy(col("src")).agg(sum(col("a")).as("h"))
+          .select(col("src").as("id"), col("h"))
+          .localCheckpoint(true)
+        hub = hRaw
+          .crossJoin(broadcast(hRaw.agg(sum(col("h")).as("tot"))))
+          .select(col("id"), (col("h") / col("tot")).as("h"))
+      }
+      hub.select(col("id"), lit("hub").as("role"), col("h").as("score"))
+        .unionAll(
+          auth.select(col("id"), lit("auth").as("role"), col("a").as("score")))
+        .localCheckpoint(true) // materialize inside the scoped conf (q119 discipline)
+    }
+  }
+
+  // ---- triangle counting --------------------------------------------------
+
+  /** Canonicalized undirected edge frame: one (`a` < `b`) row per pair,
+    * self-loops dropped, duplicates and reversed inputs collapsed.
+    */
+  private def canonEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+  /** Per-node triangle participation counts by degree-oriented wedge
+    * join. Each undirected edge is oriented low→high by (degree, id);
+    * wedges are enumerated only at a triangle's minimum vertex under
+    * that total order, so every triangle is counted exactly once with
+    * no post-dedup. All arithmetic is integer — the result hashes
+    * exactly, no float discipline needed.
+    *
+    * Scale: the orientation bounds every node's wedge fan-out by its
+    * ORIENTED out-degree ≤ O(sqrt(m)) — a power-law hub with 10⁶
+    * neighbors contributes C(out,2) wedges over only its
+    * higher-degree neighbors, not C(10⁶,2). The wedge→closing-edge
+    * probe is an equi-join on the canonical pair, so AQE handles any
+    * residual skew; nothing is ever collected.
+    *
+    * @param edges two-column frame `src`,`dst` (undirected; either
+    *              orientation; self-loops and duplicates tolerated)
+    * @return (`id`, `n_tri`) for every node in ≥ 1 triangle
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = canonEdges(edges).localCheckpoint(true)
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val ed = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    // orient low→high under the (deg, id) total order
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val o = ed.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint(true)
+    val wedges = o.select(col("src").as("u"), col("dst").as("x"))
+      .join(o.select(col("src").as("u"), col("dst").as("y")), "u")
+      .filter(col("x") < col("y")) // one row per unordered wedge leg pair
+    // x < y is enforced above and e is canonical (a < b), so the
+    // closing-edge probe is a plain two-key equi-join.
+    val tri = wedges.join(
+      e, col("x") === col("a") && col("y") === col("b"))
+      .select(col("u"), col("x"), col("y"))
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Canonical-orientation triangle enumeration (a<b<c three-way
+    * self-join) — the textbook form the DuckDB oracle runs. Kept as a
+    * library member so the spec can assert it equals the degree-
+    * oriented path on real data; NOT the scale path (a low-id hub's
+    * canonical out-degree is its full degree — the last-reducer curse).
+    */
+  private[graft] def triangleCountsCanonical(edges: DataFrame): DataFrame = {
+    val e = canonEdges(edges).localCheckpoint(true)
+    val tri = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), "y")
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  // ---- degree assortativity -----------------------------------------------
+
+  /** Degree assortativity: Pearson correlation of endpoint degrees over
+    * the symmetrized edge list (each undirected edge contributes both
+    * orientations, the standard Newman convention). Float discipline:
+    * the five moments are EXACT BIGINT sums — cross-engine identical by
+    * construction — and r is one fixed expression tree over their
+    * doubles, so both engines round the same IEEE values; the moments
+    * ride along in the output as the primary (exactly-hashable) facts.
+    *
+    * @return one row: `n_ends`, `s_x`, `s_xx`, `s_xy` (BIGINT moments;
+    *         symmetric, so Σy ≡ Σx and Σy² ≡ Σx²) and `r_e6`
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = canonEdges(edges).localCheckpoint(true)
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val ends = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(col("da").as("dx"), col("db").as("dy"))
+    val sym = ends.unionAll(ends.select(col("dy").as("dx"), col("dx").as("dy")))
+    sym.agg(
+      count(lit(1)).as("n_ends"),
+      sum(col("dx")).as("s_x"),
+      sum(col("dx") * col("dx")).as("s_xx"),
+      sum(col("dx") * col("dy")).as("s_xy"))
+      .select(col("n_ends"), col("s_x"), col("s_xx"), col("s_xy"),
+        Similarity.intScaled(
+          (col("n_ends") * col("s_xy") - col("s_x") * col("s_x")).cast("double") /
+            (col("n_ends") * col("s_xx") - col("s_x") * col("s_x")).cast("double"),
+          1000000L).as("r_e6"))
+  }
+
+  // ---- declared queries ---------------------------------------------------
+
+  /** Directed customer→supplier edge frame shared by q149 (same graph
+    * as q127's undirected walk; even/odd keyspace split).
+    */
+  private def custSuppEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+  }
+
+  /** Part co-order edge frame shared by q150/q151: two parts are
+    * adjacent when some order contains both. Density FALLS with scale
+    * (parts and orders both grow linearly, so pair probability ~1/N) —
+    * the projection gets sparser, not denser, at 100 TB.
+    */
+  private def partCoOrderEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.select(col("o"), col("p").as("src"))
+      .join(li.select(col("o"), col("p").as("dst")), "o")
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+  }
+
+  /** q149 — HITS on the directed customer→supplier graph: customers
+    * are hubs (they only point), suppliers authorities (they are only
+    * pointed at). 4 L1-normalized iterations; e6-scaled like q127.
+    */
+  def q149(s: SparkSession, dir: String): DataFrame =
+    hits(custSuppEdges(s, dir), iterations = 4, loopShufflePartitions = Some(8))
+      .select(col("id"), col("role"),
+        Similarity.intScaled(col("score"), 1000000L).as("score_e6"))
+      .orderBy("id", "role")
+
+  /** q150 — per-node triangle counts on the part co-order graph (the
+    * clustering signal: organic neighborhoods close triangles, farms
+    * don't). Degree-oriented on the Spark side; the oracle runs the
+    * canonical a<b<c three-way join — same set by construction, and
+    * GraphSpec asserts the two paths agree on this data.
+    */
+  def q150(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(partCoOrderEdges(s, dir)).orderBy("id")
+
+  /** q151 — degree assortativity of the part co-order graph: exact
+    * BIGINT moments + the e6-scaled Pearson r they determine.
+    */
+  def q151(s: SparkSession, dir: String): DataFrame =
+    degreeAssortativity(partCoOrderEdges(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_hits"          -> (q149 _),
+    "q150_triangles"     -> (q150 _),
+    "q151_assortativity" -> (q151 _),
+  )
+
+  /** Chained-CTE HITS oracle: same bipartite edge set, same 4
+    * L1-normalized half-round pairs, totals taken over the raw
+    * contraction (different summation grouping than Spark's — the
+    * e6 grid absorbs the ulp drift; GraphSpec pins the boundary
+    * margin, the q134 pattern).
+    *
+    * Every multiply-referenced CTE is `AS MATERIALIZED`: DuckDB
+    * otherwise INLINES each reference, and this chain branches twice
+    * per half-round (raw → total + normalize), so inlining re-expands
+    * the whole upstream chain 4^iterations times — measured 15+ min
+    * vs 0.6 s at sf0.01. The PageRank oracles don't need the hint
+    * because their per-round CTEs are referenced exactly once.
+    */
+  private val hitsOracle: String = {
+    val iters = 4
+    val head =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |hubs AS (SELECT DISTINCT src AS id FROM e),
+        |nh AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hubs),
+        |h0 AS (SELECT id, 1.0 / n AS h FROM hubs CROSS JOIN nh)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT dst AS id, SUM(h) AS a FROM e
+         |  JOIN h${i - 1} ON h${i - 1}.id = e.src GROUP BY dst),
+         |a$i AS MATERIALIZED (
+         |  SELECT id, a / (SELECT SUM(a) FROM ar$i) AS a FROM ar$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT src AS id, SUM(a) AS h FROM e
+         |  JOIN a$i ON a$i.id = e.dst GROUP BY src),
+         |h$i AS MATERIALIZED (
+         |  SELECT id, h / (SELECT SUM(h) FROM hr$i) AS h FROM hr$i)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"""
+         |SELECT id, 'hub' AS role,
+         |       CAST(ROUND(h * 1000000) AS BIGINT) AS score_e6 FROM h$iters
+         |UNION ALL
+         |SELECT id, 'auth' AS role,
+         |       CAST(ROUND(a * 1000000) AS BIGINT) AS score_e6 FROM a$iters
+         |ORDER BY id, role""".stripMargin
+  }
+
+  /** Part co-order canonical edge CTE shared by the q150/q151 oracles. */
+  private val partEdgeCte: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.p AS a, b.p AS b
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q149_hits" -> hitsOracle,
+    "q150_triangles" ->
+      s"""$partEdgeCte,
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1
+         |  JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |nodes AS (
+         |  SELECT x AS id FROM tri
+         |  UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri)
+         |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
+         |FROM nodes GROUP BY id ORDER BY id""".stripMargin,
+    "q151_assortativity" ->
+      s"""$partEdgeCte,
+         |deg AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY id),
+         |ends AS (
+         |  SELECT da.deg AS dx, db.deg AS dy
+         |  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+         |sym AS (SELECT dx, dy FROM ends UNION ALL SELECT dy, dx FROM ends),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ends,
+         |         CAST(SUM(dx) AS BIGINT) AS s_x,
+         |         CAST(SUM(dx * dx) AS BIGINT) AS s_xx,
+         |         CAST(SUM(dx * dy) AS BIGINT) AS s_xy
+         |  FROM sym)
+         |SELECT n_ends, s_x, s_xx, s_xy,
+         |       CAST(ROUND(
+         |         (CAST(n_ends * s_xy - s_x * s_x AS DOUBLE) /
+         |          CAST(n_ends * s_xx - s_x * s_x AS DOUBLE)) * 1000000)
+         |         AS BIGINT) AS r_e6
+         |FROM m""".stripMargin,
+  )
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Graph
+
+/** HITS / triangle / assortativity semantics on hand-built graphs plus
+  * the sf0.001 testdata fixtures.
+  */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def hitsMap(
+      edges: Seq[(Long, Long)], iters: Int): Map[(Long, String), Double] =
+    Graph.hits(edges.toDF("src", "dst"), iterations = iters)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+
+  test("hits: two-round bipartite fixture matches hand computation") {
+    // 1→2, 1→4, 3→4. h0 = (.5, .5).
+    // round 1: a_raw = (2:.5, 4:1) → a = (1/3, 2/3); h_raw = (1:1, 3:2/3)
+    //          → h = (3/5, 2/5)
+    // round 2: a_raw = (2:.6, 4:1) → a = (.375, .625);
+    //          h_raw = (1:1, 3:.625) → h = (8/13, 5/13)
+    val got = hitsMap(Seq((1L, 2L), (1L, 4L), (3L, 4L)), iters = 2)
+    assert(math.abs(got((1L, "hub")) - 8.0 / 13) < 1e-12)
+    assert(math.abs(got((3L, "hub")) - 5.0 / 13) < 1e-12)
+    assert(math.abs(got((2L, "auth")) - 0.375) < 1e-12)
+    assert(math.abs(got((4L, "auth")) - 0.625) < 1e-12)
+  }
+
+  test("hits: L1 mass conserves per role; complete bipartite is uniform") {
+    val got = hitsMap(Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)), iters = 3)
+    got.foreach { case (_, s) => assert(math.abs(s - 0.5) < 1e-12) }
+    val path = hitsMap(Seq((1L, 2L), (1L, 4L), (3L, 4L), (3L, 6L)), iters = 4)
+    Seq("hub", "auth").foreach { role =>
+      val mass = path.collect { case ((_, r), s) if r == role => s }.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"$role mass drifted: $mass")
+    }
+  }
+
+  test("hits: duplicate and self-loop edges are ignored; empty fails loudly") {
+    val clean = hitsMap(Seq((1L, 2L), (1L, 4L), (3L, 4L)), iters = 2)
+    val dirty = hitsMap(
+      Seq((1L, 2L), (1L, 2L), (1L, 4L), (3L, 4L), (3L, 3L)), iters = 2)
+    assert(clean === dirty)
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hits(Seq((5L, 5L)).toDF("src", "dst"), iterations = 1).collect()
+    }
+    assert(ex.getMessage.contains("empty edge set"))
+  }
+
+  private def triMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangles: K4 puts every node in 3; pendant node sees none") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got = triMap(k4 :+ (1L, 5L))
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: orientation, duplicates, and self-loops don't matter") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 1L))
+    assert(triMap(base) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(triMap(messy) === triMap(base))
+  }
+
+  test("triangles: degree-oriented equals canonical enumeration on real data") {
+    // The q150 graph at sf0.001 — the equivalence the oracle leans on.
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.select(col("o"), col("p").as("src"))
+      .join(li.select(col("o"), col("p").as("dst")), "o")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
+    val fast = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val canon = Graph.triangleCountsCanonical(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast.nonEmpty, "sf0.001 part co-order graph has no triangles")
+    assert(fast === canon)
+  }
+
+  test("assortativity: star is exactly -1; moments are the exact integers") {
+    val row = Graph.degreeAssortativity(
+      Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")).collect().head
+    // symmetrized ends: (3,1)×3 and (1,3)×3
+    assert(row.getLong(0) === 6L)   // n_ends
+    assert(row.getLong(1) === 12L)  // s_x
+    assert(row.getLong(2) === 30L)  // s_xx
+    assert(row.getLong(3) === 18L)  // s_xy
+    assert(row.getLong(4) === -1000000L)
+  }
+
+  test("q149 hits: e6 rounding-boundary margin dwarfs summation drift") {
+    // Same discipline as the q134 margin pin: scores are quotients of
+    // order-dependent double sums (~1e-15 relative drift), so every
+    // scaled score must sit well away from the .5 rounding boundary.
+    val scores = Graph.hits(
+      spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(spark.read.parquet(s"$sf/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")),
+      iterations = 4)
+      .collect().map(_.getDouble(2))
+    val margins = scores.map(s => math.abs((s * 1e6) % 1 - 0.5))
+    assert(margins.min > 1e-4, s"boundary margin collapsed: ${margins.min}")
+  }
+}
