@@ -156,6 +156,53 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }
 
+  // ---- link prediction ----------------------------------------------------
+
+  /** Link-prediction candidates: the top-N NON-adjacent pairs ranked by
+    * common-neighbor count, with the Adamic-Adar score Σ 1/ln(deg(z))
+    * riding along (the related-content / co-purchase suggestion signal;
+    * in corpus curation, the "these two sources cover the same topic"
+    * prior). Ranking is by the all-integer total order (cn DESC, x, y)
+    * — never by the float score — so the result set is deterministic
+    * across engines; aa is scored output, not a sort key.
+    *
+    * Scale: wedge fan-out is Σ deg(z)² — the classic hot-spot. `degCap`
+    * excludes mega-hub intermediates from wedge generation BEFORE the
+    * join (the q109 df-cap discipline): a node co-ordered with
+    * everything asserts nothing about any specific pair, and production
+    * link predictors drop such hubs outright. The cap bounds per-key
+    * fan-out at degCap²; the top-N is TakeOrderedAndProject (no global
+    * sort). deg(z) ≥ 2 for any common neighbor, so 1/ln(deg) is finite.
+    *
+    * @param edges  two-column undirected frame `src`,`dst`
+    * @param topN   result size (rank by cn DESC, then pair ids)
+    * @param degCap wedge intermediates with degree > cap are excluded
+    */
+  def linkPrediction(edges: DataFrame, topN: Int, degCap: Int): DataFrame = {
+    require(topN >= 1 && degCap >= 2,
+      s"linkPrediction: need topN >= 1, degCap >= 2; got $topN, $degCap")
+    val e = canonEdges(edges).localCheckpoint(true)
+    val sym = e.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("z"), col("a").as("n")))
+    // (z, neighbor, 1/ln deg(z)) for capped intermediates only. deg ≥ 2
+    // keeps ln(deg) > 0 — a deg-1 node can't form a wedge anyway, this
+    // just keeps the 1/0 non-value out of both engines' frames.
+    val zw = sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= degCap)
+      .select(col("z"), (lit(1.0) / log(col("deg"))).as("w"))
+    val wz = sym.join(zw, "z")
+    val cand = wz.select(col("z"), col("n").as("x"), col("w"))
+      .join(wz.select(col("z"), col("n").as("y")), "z")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa"))
+    cand.join(e, col("x") === col("a") && col("y") === col("b"), "left_anti")
+      .orderBy(col("cn").desc, col("x"), col("y"))
+      .limit(topN)
+      .select(col("x"), col("y"), col("cn"),
+        Similarity.intScaled(col("aa"), 1000000L).as("aa_e6"))
+  }
+
   // ---- degree assortativity -----------------------------------------------
 
   /** Degree assortativity: Pearson correlation of endpoint degrees over
@@ -242,10 +289,21 @@ object Graph {
   def q151(s: SparkSession, dir: String): DataFrame =
     degreeAssortativity(partCoOrderEdges(s, dir))
 
+  /** q153 — link-prediction top-500 on the part co-order graph:
+    * non-adjacent pairs by common-neighbor count (integer rank), with
+    * Adamic-Adar attached. degCap=1000 is deliberately non-binding on
+    * the fixtures (GraphSpec proves it binds on a synthetic hub) — the
+    * declared result certifies the uncapped semantics while the scale
+    * lever stays in the plan.
+    */
+  def q153(s: SparkSession, dir: String): DataFrame =
+    linkPrediction(partCoOrderEdges(s, dir), topN = 500, degCap = 1000)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_hits"          -> (q149 _),
     "q150_triangles"     -> (q150 _),
     "q151_assortativity" -> (q151 _),
+    "q153_link_predict"  -> (q153 _),
   )
 
   /** Chained-CTE HITS oracle: same bipartite edge set, same 4
@@ -336,5 +394,25 @@ object Graph {
          |          CAST(n_ends * s_xx - s_x * s_x AS DOUBLE)) * 1000000)
          |         AS BIGINT) AS r_e6
          |FROM m""".stripMargin,
+    // aa is summed in a different order than Spark's partial aggs —
+    // the e6 grid absorbs the ulp drift (GraphSpec pins the margin);
+    // the RANKING is all-integer, so the row set itself is exact.
+    "q153_link_predict" ->
+      s"""$partEdgeCte,
+         |sym AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
+         |zw AS (
+         |  SELECT z, 1.0 / ln(COUNT(*)) AS w FROM sym GROUP BY z
+         |  HAVING COUNT(*) BETWEEN 2 AND 1000),
+         |wz AS (SELECT sym.z, sym.n, zw.w FROM sym JOIN zw ON zw.z = sym.z),
+         |cand AS (
+         |  SELECT w1.n AS x, w2.n AS y,
+         |         CAST(COUNT(*) AS BIGINT) AS cn, SUM(w1.w) AS aa
+         |  FROM wz w1 JOIN wz w2 ON w2.z = w1.z AND w1.n < w2.n
+         |  GROUP BY w1.n, w2.n),
+         |nonadj AS (
+         |  SELECT c.* FROM cand c
+         |  LEFT JOIN e ON e.a = c.x AND e.b = c.y WHERE e.a IS NULL)
+         |SELECT x, y, cn, CAST(ROUND(aa * 1000000) AS BIGINT) AS aa_e6
+         |FROM nonadj ORDER BY cn DESC, x, y LIMIT 500""".stripMargin,
   )
 }

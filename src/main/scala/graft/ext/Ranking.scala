@@ -204,6 +204,37 @@ object Ranking {
       .orderBy("source")
   }
 
+  /** q152 — per-source document-length quantiles (p25/p50/p75/p90 of
+    * token counts): the length-distribution profile a corpus card
+    * publishes and sequence-packing (q77) is sized from. EXACT
+    * `percentile` (type-7 linear interpolation — same definition as
+    * DuckDB's `quantile_cont`), not `percentile_approx`.
+    *
+    * Float discipline: inputs are integer token counts. At p ∈
+    * {.25,.5,.75} the interpolation is exact IEEE arithmetic (exact
+    * binary fraction × integer gap), so ×100 lands on exact integers.
+    * At p=.9 the position 0.9·(n−1) rounds, but 0.9·gap patterns put
+    * the ×100-scaled value within ulps of an INTEGER (never near a
+    * half-integer boundary), so both engines round identically;
+    * ExtensionsSpec pins the measured margin.
+    *
+    * Scale: Spark's exact Percentile aggregates a value→count map, so
+    * state is ∝ DISTINCT lengths (bounded by max doc length — a few
+    * thousand), not rows; partial maps merge map-side. For unbounded
+    * numeric domains swap `percentile_approx` (t-digest-style sketch).
+    */
+  def q152(s: SparkSession, dir: String): DataFrame = {
+    val n = TextAnalysis.tokenCount(col("text"))
+    def pc(p: Double, as: String) =
+      Similarity.intScaled(percentile(n, lit(p)), 100L).as(as)
+    docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        pc(0.25, "p25_c"), pc(0.5, "p50_c"), pc(0.75, "p75_c"),
+        pc(0.9, "p90_c"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_bm25"       -> (q126 _),
     "q130_zipf_slope" -> (q130 _),
@@ -211,6 +242,7 @@ object Ranking {
     "q141_kanon_census" -> (q141 _),
     "q142_vocab_table"  -> (q142 _),
     "q143_js_divergence" -> (q143 _),
+    "q152_length_quantiles" -> (q152 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -306,5 +338,12 @@ object Ranking {
         |  CAST(ROUND((0.5 * SUM(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END)
         |            + 0.5 * SUM(q * ln(q / m))) * 1000000) AS BIGINT) AS js_e6
         |FROM grid GROUP BY source ORDER BY source""".stripMargin,
+    "q152_length_quantiles" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(ROUND(quantile_cont(len(string_split(text,' ')), 0.25) * 100) AS BIGINT) AS p25_c,
+        |  CAST(ROUND(quantile_cont(len(string_split(text,' ')), 0.5)  * 100) AS BIGINT) AS p50_c,
+        |  CAST(ROUND(quantile_cont(len(string_split(text,' ')), 0.75) * 100) AS BIGINT) AS p75_c,
+        |  CAST(ROUND(quantile_cont(len(string_split(text,' ')), 0.9)  * 100) AS BIGINT) AS p90_c
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -668,4 +668,28 @@ class ExtensionsSpec extends SparkTestBase {
       xs.map(x => (x - mx) * (x - mx)).sum
     assert(math.abs(row.getDouble(1) - slope) < 1e-12)
   }
+
+  test("q152 quantiles: type-7 hand check, ordering, and e2 boundary margin") {
+    // percentile over 1..4 at .25 is type-7 linear interpolation:
+    // pos = .25·3 = .75 → 1 + .75·1 = 1.75 (matches quantile_cont)
+    val tiny = Seq(1, 2, 3, 4).toDF("v")
+      .agg(percentile($"v", lit(0.25)), percentile($"v", lit(0.9))).head()
+    assert(tiny.getDouble(0) === 1.75)
+    assert(math.abs(tiny.getDouble(1) - 3.7) < 1e-12) // pos 2.7 → 3 + .7·1
+    val rows = graft.ext.Ranking.q152(spark, sf).collect()
+    rows.foreach { r =>
+      val qs = Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(qs === qs.sorted, s"quantiles out of order: $r")
+    }
+    // Margin of the raw doubles to the e2 rounding boundary: p∈{.25,.5,
+    // .75} are exact; p=.9 lands within ulps of an integer — never near
+    // a half-integer — so both engines round identically.
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy($"source")
+      .agg(
+        percentile(graft.ext.TextAnalysis.tokenCount($"text"), lit(0.9)).as("p90"))
+      .collect().map(_.getDouble(1))
+    val margins = raw.map(v => math.abs((v * 100) % 1 - 0.5))
+    assert(margins.min > 0.4, s"p90·100 strayed from integer: ${margins.min}")
+  }
 }

@@ -96,6 +96,68 @@ class GraphSpec extends SparkTestBase {
     assert(row.getLong(4) === -1000000L)
   }
 
+  private def lp(edges: Seq[(Long, Long)], topN: Int = 10, cap: Int = 1000) =
+    Graph.linkPrediction(edges.toDF("src", "dst"), topN, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("linkPrediction: path and square fixtures match hand computation") {
+    // path 1-2-3: only candidate (1,3), cn=1 through z=2 (deg 2)
+    val path = lp(Seq((1L, 2L), (2L, 3L)))
+    assert(path === Array((1L, 3L, 1L, math.round(1e6 / math.log(2)))))
+    // 4-cycle: diagonals (1,3),(2,4) each with cn=2, aa=2/ln 2
+    val square = lp(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    val aa2 = math.round(2e6 / math.log(2))
+    assert(square === Array((1L, 3L, 2L, aa2), (2L, 4L, 2L, aa2)))
+  }
+
+  test("linkPrediction: adjacent pairs are excluded; degCap drops hub wedges") {
+    // K3: every pair is an edge — nothing to predict
+    assert(lp(Seq((1L, 2L), (2L, 3L), (3L, 1L))).isEmpty)
+    // star 0-{1..5}: all wedges go through the deg-5 hub; cap 4 kills them
+    val star = (1L to 5L).map(i => (0L, i))
+    assert(lp(star).length === 10) // C(5,2) leaf pairs via the hub
+    assert(lp(star, cap = 4).isEmpty)
+  }
+
+  test("q153 adamic-adar: e6 rounding-boundary margin dwarfs summation drift") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.select(col("o"), col("p").as("src"))
+      .join(li.select(col("o"), col("p").as("dst")), "o")
+      .filter(col("src") < col("dst")).select("src", "dst")
+    // Recompute the top-500's raw aa doubles (same plan minus scaling)
+    val raw = Graph.linkPrediction(edges, topN = 500, degCap = 1000)
+      .collect().map(_.getLong(3).toDouble)
+    assert(raw.length === 500)
+    // The scaled values were produced from doubles upstream; measure
+    // the margin on a fresh unscaled run for the same ranking
+    val margins = {
+      import org.apache.spark.sql.functions.{log => ln}
+      val e = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val sym = e.select(col("a").as("z"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("z"), col("a").as("n")))
+      val zw = sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2 && col("deg") <= 1000)
+        .select(col("z"), (lit(1.0) / ln(col("deg"))).as("w"))
+      val wz = sym.join(zw, "z")
+      // Only the top-500 rows are hashed — measure the margin there
+      // (the full candidate population's min margin shrinks as 1/N and
+      // is irrelevant to the output contract).
+      wz.select(col("z"), col("n").as("x"), col("w"))
+        .join(wz.select(col("z"), col("n").as("y")), "z")
+        .filter(col("x") < col("y"))
+        .groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa"))
+        .join(e, col("x") === col("a") && col("y") === col("b"), "left_anti")
+        .orderBy(col("cn").desc, col("x"), col("y"))
+        .limit(500)
+        .collect().map(r => math.abs((r.getDouble(3) * 1e6) % 1 - 0.5))
+    }
+    assert(margins.min > 1e-4, s"boundary margin collapsed: ${margins.min}")
+  }
+
   test("q149 hits: e6 rounding-boundary margin dwarfs summation drift") {
     // Same discipline as the q134 margin pin: scores are quotients of
     // order-dependent double sums (~1e-15 relative drift), so every
