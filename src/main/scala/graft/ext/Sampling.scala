@@ -261,6 +261,42 @@ object Sampling {
       .orderBy("split_a", "split_b")
   }
 
+  /** Deterministic WEIGHTED sample without replacement
+    * (Efraimidis–Spirakis, IPL 2006): item i gets key ln(u_i)/w_i with
+    * u_i uniform; the top-k by key IS a weight-proportional sample.
+    * u_i is derived from the md5 prefix — 13 hex chars = 52 bits, so
+    * u = m/2⁵² is EXACT in a double and reruns/backfills draw the SAME
+    * sample (the q76/q131 no-RNG discipline, now weight-aware).
+    *
+    * Cross-engine float discipline: ranking uses the e9-SCALED key
+    * (+ id tie-break), never the raw double — ln() is the only drifting
+    * op (~1 ulp between libms) and the e9 grid dwarfs it; the margin is
+    * spec-pinned. Top-k is TakeOrderedAndProject — no global sort.
+    *
+    * @param weight strictly positive; rows with w ≤ 0 are dropped (a
+    *               zero-weight doc can never be sampled)
+    */
+  def weightedSample(d: DataFrame, id: Column, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    val m = conv(substring(md5(id.cast("string")), 1, 13), 16, 10).cast("long")
+    val u = m.cast("double") / lit(4503599627370496.0) // 2^52 = 16^13, exact
+    // ln(u) is computed in the FIRST projection, while the caller's id
+    // column is still resolvable (it may not be named doc_id).
+    d.select(id.as("doc_id"), weight.cast("double").as("w"), log(u).as("__lnu"))
+      .filter(col("w") > 0)
+      .select(col("doc_id"), col("w").cast("long").as("w"),
+        Similarity.intScaled(col("__lnu") / col("w"), 1000000000L).as("key_e9"))
+      .orderBy(col("key_e9").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** q154 — length-weighted doc sample (w = n_chars): the token-budget
+    * draw a mixing pipeline uses when "sample 1% of the corpus" means
+    * 1% of the TOKENS, not 1% of the documents.
+    */
+  def q154(s: SparkSession, dir: String): DataFrame =
+    weightedSample(docs(s, dir), col("doc_id"), col("n_chars"), k = 200)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_hash_split"  -> (q76 _),
     "q77_seq_packing" -> (q77 _),
@@ -269,6 +305,7 @@ object Sampling {
     "q131_stratum_sample" -> (q131 _),
     "q134_temperature_mix" -> (q134 _),
     "q139_split_leakage" -> (q139 _),
+    "q154_weighted_sample" -> (q154 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -341,5 +378,16 @@ object Sampling {
          |FROM p JOIN sp a ON p.id_a = a.doc_id JOIN sp b ON p.id_b = b.doc_id
          |GROUP BY a.split, b.split
          |ORDER BY split_a, split_b""".stripMargin,
+    // Same 52-bit md5 uniform (exact in a double) and the same spelled
+    // key expression; only ln() drifts between engines and the e9 grid
+    // absorbs it.
+    "q154_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars AS w,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS m
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w,
+        |  CAST(ROUND(ln(m / 4503599627370496.0) / w * 1000000000) AS BIGINT) AS key_e9
+        |FROM b ORDER BY key_e9 DESC, doc_id LIMIT 200""".stripMargin,
   )
 }

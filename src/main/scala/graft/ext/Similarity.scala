@@ -491,6 +491,44 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy("planes")
   }
 
+  /** q155 — one logistic-regression gradient step for a doc-quality
+    * classifier (the fastText-style labeler pipelines train to score
+    * crawl text; q112 is the unsupervised ML step, this is the
+    * supervised one). Features: bias, token-count/100, stopword ratio;
+    * label: lang = 'en'. From fixed w₀ = (0.1, −0.2, 0.3):
+    *
+    *   g_j = Σ_i (σ(w₀·x_i) − y_i)·x_ij,   w'_j = w₀_j − 0.1·(g_j / n)
+    *
+    * One corpus scan, one map-side-partial agg, one-row output —
+    * nothing grows with the corpus. σ's exp() is the only
+    * libm-drifting op (the q125/q135 ln pattern); sums are
+    * order-dependent; both absorbed by the e6 grid (margin
+    * spec-pinned). The division g/n is parenthesized identically in
+    * both engines — `0.1·(g/n)`, not `(0.1·g)/n`.
+    */
+  def q155(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(s, dir, "documents")
+    val nt = TextAnalysis.tokenCount(col("text")).cast("double")
+    val x1 = nt / lit(100.0)
+    val x2 = TextAnalysis.stopwordHits(col("text"), Seq("a", "the"))
+      .cast("double") / nt
+    val y = when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+    val z = lit(0.1) + lit(-0.2) * x1 + lit(0.3) * x2
+    val res = lit(1.0) / (lit(1.0) + exp(-z)) - y
+    def wNew(w0: Double, g: Column) =
+      intScaled(lit(w0) - lit(0.1) * (g / col("n_docs")), 1000000L)
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(res).as("g0"), sum(res * x1).as("g1"), sum(res * x2).as("g2"))
+      .select(col("n_docs"),
+        intScaled(col("g0"), 1000000L).as("g0_e6"),
+        intScaled(col("g1"), 1000000L).as("g1_e6"),
+        intScaled(col("g2"), 1000000L).as("g2_e6"),
+        wNew(0.1, col("g0")).as("w0_new_e6"),
+        wNew(-0.2, col("g1")).as("w1_new_e6"),
+        wNew(0.3, col("g2")).as("w2_new_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
     "q123_semdedup" -> (q123 _),
@@ -502,6 +540,7 @@ object Similarity {
     "q121_filtered_knn" -> (q121 _),
     "q136_ann_recall" -> (q136 _),
     "q145_lsh_tuning" -> (q145 _),
+    "q155_logreg_step" -> (q155 _),
   )
 
   /** q61 oracle: the md5-derived ±1 planes are query CONSTANTS (like
@@ -742,5 +781,31 @@ object Similarity {
         |ORDER BY qid, did""".stripMargin,
     "q136_ann_recall" -> annRecallOracle,
     "q145_lsh_tuning" -> lshTuningOracle,
+    // Sigmoid, residuals, and the update rule spelled term-for-term as
+    // the Spark side, including the 0.1 * (g / n) parenthesization.
+    "q155_logreg_step" ->
+      """WITH b AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                              w -> w IN ('a', 'the'))) AS DOUBLE) AS sw,
+        |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents),
+        |f AS (SELECT nt / 100.0 AS x1, sw / nt AS x2, y FROM b),
+        |r AS (
+        |  SELECT 1.0 / (1.0 + exp(-(0.1 + -0.2 * x1 + 0.3 * x2))) - y AS res,
+        |         x1, x2
+        |  FROM f),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         SUM(res) AS g0, SUM(res * x1) AS g1, SUM(res * x2) AS g2
+        |  FROM r)
+        |SELECT n_docs,
+        |  CAST(ROUND(g0 * 1000000) AS BIGINT) AS g0_e6,
+        |  CAST(ROUND(g1 * 1000000) AS BIGINT) AS g1_e6,
+        |  CAST(ROUND(g2 * 1000000) AS BIGINT) AS g2_e6,
+        |  CAST(ROUND((0.1 - 0.1 * (g0 / n_docs)) * 1000000) AS BIGINT) AS w0_new_e6,
+        |  CAST(ROUND((-0.2 - 0.1 * (g1 / n_docs)) * 1000000) AS BIGINT) AS w1_new_e6,
+        |  CAST(ROUND((0.3 - 0.1 * (g2 / n_docs)) * 1000000) AS BIGINT) AS w2_new_e6
+        |FROM g""".stripMargin,
   )
 }

@@ -692,4 +692,35 @@ class ExtensionsSpec extends SparkTestBase {
     val margins = raw.map(v => math.abs((v * 100) % 1 - 0.5))
     assert(margins.min > 0.4, s"p90·100 strayed from integer: ${margins.min}")
   }
+
+  test("q155 logreg step: matches a driver-side replay; e6 margins hold") {
+    val row = graft.ext.Similarity.q155(spark, sf).head()
+    val n = row.getLong(0)
+    // Replay the gradient in plain Scala from the raw features
+    val feats = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text", $"lang")
+      .collect()
+    var g0 = 0.0; var g1 = 0.0; var g2 = 0.0
+    feats.foreach { r =>
+      val toks = r.getString(0).split(" ", -1)
+      val nt = toks.length.toDouble
+      val sw = toks.count(w => w == "a" || w == "the").toDouble
+      val x1 = nt / 100.0
+      val x2 = sw / nt
+      val y = if (r.getString(1) == "en") 1.0 else 0.0
+      val res = 1.0 / (1.0 + math.exp(-(0.1 + -0.2 * x1 + 0.3 * x2))) - y
+      g0 += res; g1 += res * x1; g2 += res * x2
+    }
+    assert(n === feats.length.toLong)
+    // Sequential vs partial-agg summation differ by ulps only
+    assert(math.abs(row.getLong(1) - g0 * 1e6) < 1.0, s"g0: ${row.getLong(1)} vs ${g0 * 1e6}")
+    assert(math.abs(row.getLong(2) - g1 * 1e6) < 1.0)
+    assert(math.abs(row.getLong(3) - g2 * 1e6) < 1.0)
+    assert(math.abs(row.getLong(4) - (0.1 - 0.1 * (g0 / n)) * 1e6) < 1.0)
+    // Margin: every scaled output sits away from the .5 boundary
+    val margins = Seq(g0, g1, g2,
+      0.1 - 0.1 * (g0 / n), -0.2 - 0.1 * (g1 / n), 0.3 - 0.1 * (g2 / n))
+      .map(v => math.abs((v * 1e6) % 1 - 0.5))
+    assert(margins.min > 1e-4, s"boundary margin collapsed: ${margins.min}")
+  }
 }

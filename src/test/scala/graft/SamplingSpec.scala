@@ -136,4 +136,42 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === again.toSeq)
   }
+
+  test("weightedSample: ES key matches the hand formula; non-positive weights drop") {
+    import spark.implicits._
+    val d = Seq((7L, 100L), (8L, 50L), (9L, 0L), (10L, -3L)).toDF("id", "w")
+    val got = Sampling.weightedSample(d, $"id", $"w", k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === Set(7L, 8L)) // w <= 0 can never be drawn
+    def key(id: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
+      math.round(math.log(u) / w * 1e9)
+    }
+    assert(got(7L) === ((100L, key(7L, 100L))))
+    assert(got(8L) === ((50L, key(8L, 50L))))
+  }
+
+  test("q154 weighted sample: deterministic, length-biased, margin pinned") {
+    val rows = Sampling.q154(spark, dir).collect()
+    assert(rows.length === 200)
+    val again = Sampling.q154(spark, dir).collect()
+    assert(rows.toSeq === again.toSeq)
+    // length-weighting draws longer docs: the sample's mean n_chars
+    // must exceed the corpus mean (deterministic fact on this fixture)
+    val sampleMean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    val corpusMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+    // e9 rounding-boundary margin of the hashed keys: only ln() drifts
+    // (~1 ulp); the margin must dwarf it
+    val m = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0)
+    val margins = docs.filter(col("n_chars") > 0)
+      .select((log(m) / col("n_chars") * 1e9).as("raw"))
+      .collect().map(r => math.abs(r.getDouble(0) % 1 - 0.5))
+    assert(margins.min > 1e-4, s"boundary margin collapsed: ${margins.min}")
+  }
 }
