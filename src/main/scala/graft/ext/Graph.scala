@@ -203,6 +203,62 @@ object Graph {
         Similarity.intScaled(col("aa"), 1000000L).as("aa_e6"))
   }
 
+  // ---- seed distance (multi-source BFS) -----------------------------------
+
+  /** Hop distance from a SEED set, bounded at `maxDepth`: multi-source
+    * BFS by iterated min-relaxation — the "crawl depth from trusted
+    * domains" signal (and the integer cousin of personalized PageRank's
+    * proximity score). Round r computes dist_r(v) = min(dist_{r-1}(v),
+    * 1 + min over neighbors); after `maxDepth` rounds every node within
+    * that many hops carries its exact distance. All-integer — hashes
+    * exactly, no float discipline.
+    *
+    * Scale: each round is one node-sized equi-join + min-agg against
+    * the checkpointed symmetric edge frame (the CC loop's shape with a
+    * FIXED round count — depth bounds are how production BFS runs: a
+    * crawl frontier beyond ~6 hops of every seed is noise). The dist
+    * frame is eagerly checkpointed per round: it is branched twice
+    * (carry-over + propagation), and a lazy chain would double the
+    * plan per round. Nodes unreached within `maxDepth` are absent from
+    * the output (their distance is not yet known — emitting a sentinel
+    * would hash a claim the computation hasn't established).
+    *
+    * @param edges  two-column undirected frame `src`,`dst`
+    * @param isSeed predicate over node ids, evaluated in-plan
+    */
+  def seedDistance(
+      edges: DataFrame,
+      isSeed: Column => Column,
+      maxDepth: Int = 6,
+      loopShufflePartitions: Option[Int] = None): DataFrame = {
+    require(maxDepth >= 1, s"seedDistance: maxDepth must be >= 1, got $maxDepth")
+    val spark = edges.sparkSession
+    val e = canonEdges(edges).localCheckpoint(true)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    def scoped[A](f: => A): A = loopShufflePartitions
+      .map(p => Components.withSmallScope(spark, p)(f)).getOrElse(f)
+    scoped {
+      val symC = loopShufflePartitions
+        .map(w => sym.repartition(w, col("src")).localCheckpoint(true))
+        .getOrElse(sym.localCheckpoint(true))
+      var dist = symC.select(col("src").as("id")).distinct()
+        .filter(isSeed(col("id")))
+        .select(col("id"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      require(dist.head(1).nonEmpty, "seedDistance: no seed node touches an edge")
+      (1 to maxDepth).foreach { _ =>
+        dist = dist
+          .unionAll(symC
+            .join(dist.select(col("id").as("src"), col("dist")), "src")
+            .select(col("dst").as("id"), (col("dist") + 1L).as("dist")))
+          .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+      }
+      dist
+    }
+  }
+
   // ---- degree assortativity -----------------------------------------------
 
   /** Degree assortativity: Pearson correlation of endpoint degrees over
@@ -299,11 +355,21 @@ object Graph {
   def q153(s: SparkSession, dir: String): DataFrame =
     linkPrediction(partCoOrderEdges(s, dir), topN = 500, degCap = 1000)
 
+  /** q156 — BFS hop distance from the id%97=0 seed set on the
+    * customer–supplier graph, depth 6: exact integer distances for
+    * every node within 6 hops of a seed.
+    */
+  def q156(s: SparkSession, dir: String): DataFrame =
+    seedDistance(custSuppEdges(s, dir), isSeed = _ % 97 === 0,
+      maxDepth = 6, loopShufflePartitions = Some(8))
+      .orderBy("id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_hits"          -> (q149 _),
     "q150_triangles"     -> (q150 _),
     "q151_assortativity" -> (q151 _),
     "q153_link_predict"  -> (q153 _),
+    "q156_seed_distance" -> (q156 _),
   )
 
   /** Chained-CTE HITS oracle: same bipartite edge set, same 4
@@ -414,5 +480,34 @@ object Graph {
          |  LEFT JOIN e ON e.a = c.x AND e.b = c.y WHERE e.a IS NULL)
          |SELECT x, y, cn, CAST(ROUND(aa * 1000000) AS BIGINT) AS aa_e6
          |FROM nonadj ORDER BY cn DESC, x, y LIMIT 500""".stripMargin,
+    "q156_seed_distance" -> seedDistanceOracle,
   )
+
+  /** Chained min-relaxation rounds — every d$i is referenced twice
+    * (carry-over + propagation), so each is AS MATERIALIZED (the q149
+    * inlining lesson). All-integer: the hash is exact.
+    */
+  private def seedDistanceOracle: String = {
+    val depth = 6
+    val head =
+      """WITH p AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+        |d0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist
+        |  FROM edges WHERE src % 97 = 0)""".stripMargin
+    val rounds = (1 to depth).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT id, MIN(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, d${i - 1}.dist + 1 AS dist
+         |    FROM d${i - 1} JOIN edges e ON e.src = d${i - 1}.id)
+         |  GROUP BY id)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT id, dist FROM d$depth ORDER BY id"
+  }
 }

@@ -616,6 +616,36 @@ object TextAnalysis {
           .cast("long").as("mean_quality_e4"))
   }
 
+  /** q157 — the BPE pair-count step: the inner loop of tokenizer
+    * training. Words (lowercase-ASCII only — the regex gate keeps
+    * char-splitting semantics engine-portable) collapse to (word,
+    * freq) FIRST — the classic BPE optimization: pair positions are
+    * enumerated once per distinct word, weighted by frequency, never
+    * once per occurrence. Adjacent character pairs are counted at all
+    * positions; the top-20 by (count DESC, pair) is the merge-candidate
+    * list a BPE trainer would take its next merge from. All-integer.
+    *
+    * Scale: the corpus-sized stage is the word-frequency agg (map-side
+    * partial); pair enumeration fans out ≤ len(word)−1 rows per
+    * DISTINCT word — vocabulary-sized, not corpus-sized. The top-20 is
+    * TakeOrderedAndProject.
+    */
+  def q157(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1)," +
+          " i -> struct(substr(word, i, 1) AS sym_a," +
+          "            substr(word, i + 1, 1) AS sym_b))")).as("p"))
+      .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym_a"), col("sym_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -637,9 +667,23 @@ object TextAnalysis {
     "q135_bigram_nll"    -> (q135 _),
     "q140_corpus_card"   -> (q140 _),
     "q144_interp_nll"    -> (q144 _),
+    "q157_bpe_pairs"     -> (q157 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q157_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$')
+        |  GROUP BY word),
+        |p AS (
+        |  SELECT substr(word, CAST(i AS INT), 1) AS sym_a,
+        |         substr(word, CAST(i AS INT) + 1, 1) AS sym_b, freq
+        |  FROM w, UNNEST(range(1, len(word))) AS t(i))
+        |SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY sym_a, sym_b
+        |ORDER BY cnt DESC, sym_a, sym_b LIMIT 20""".stripMargin,
     "q50_text_stats" ->
       """SELECT lang, source, COUNT(*) AS docs,
         |       ROUND(AVG(n_chars), 2) AS avg_chars,

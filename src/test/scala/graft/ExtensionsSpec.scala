@@ -723,4 +723,21 @@ class ExtensionsSpec extends SparkTestBase {
       .map(v => math.abs((v * 1e6) % 1 - 0.5))
     assert(margins.min > 1e-4, s"boundary margin collapsed: ${margins.min}")
   }
+
+  test("q157 bpe pair counting: frequency weighting, all positions, ascii gate") {
+    // Replay the counting on the fixture corpus in plain Scala and
+    // compare the full top-20 (weights, overlap positions, regex gate).
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .filter(_.matches("^[a-z]+$"))
+      .flatMap(w => w.zip(w.tail).map { case (a, b) => (a.toString, b.toString) })
+      .groupBy(identity).map { case (p, occ) => (p._1, p._2, occ.length.toLong) }
+      .toSeq
+      .sortBy { case (a, b, c) => (-c, a, b) }
+      .take(20)
+    val got = graft.ext.TextAnalysis.q157(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
 }

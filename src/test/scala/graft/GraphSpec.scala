@@ -158,6 +158,31 @@ class GraphSpec extends SparkTestBase {
     assert(margins.min > 1e-4, s"boundary margin collapsed: ${margins.min}")
   }
 
+  private def sd(edges: Seq[(Long, Long)], seeds: Set[Long], depth: Int = 6) =
+    Graph.seedDistance(edges.toDF("src", "dst"),
+      id => id.isin(seeds.toSeq: _*), maxDepth = depth)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("seedDistance: path distances, depth bound, and multi-seed min") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(sd(path, Set(1L)) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // depth 2: nodes beyond 2 hops are ABSENT, not sentinel-valued
+    assert(sd(path, Set(1L), depth = 2) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // two seeds: every node takes the nearer one
+    assert(sd(path, Set(1L, 5L)) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("seedDistance: orientation/dup immunity and loud no-seed failure") {
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))
+    assert(sd(messy, Set(1L)) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    val ex = intercept[IllegalArgumentException] {
+      sd(Seq((1L, 2L)), Set(9L))
+    }
+    assert(ex.getMessage.contains("no seed node"))
+  }
+
   test("q149 hits: e6 rounding-boundary margin dwarfs summation drift") {
     // Same discipline as the q134 margin pin: scores are quotients of
     // order-dependent double sums (~1e-15 relative drift), so every
