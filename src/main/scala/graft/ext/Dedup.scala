@@ -528,7 +528,58 @@ object Dedup {
     "q128_fuzzy_pairs"     -> (q128 _),
     "q129_segment_dedup"   -> (q129 _),
     "q132_containment"     -> (q132 _),
+    "q159_minhash_calib"   -> (q159 _),
   )
+
+  /** q159 — MinHash CALIBRATION: for every q107 banded candidate pair,
+    * the signature-match count (the estimator: matches/12 ≈ Jaccard)
+    * next to the EXACT trigram-shingle Jaccard — the estimator-vs-truth
+    * report a pipeline runs before trusting LSH-threshold decisions at
+    * scale (the q136/q145 discipline, applied to the MinHash family).
+    *
+    * Everything is integer except j_e4, which is one division of two
+    * exact integers — both engines compute the identical double, so
+    * rounding agrees bit-for-bit. Exact Jaccard is computed ONLY on
+    * the banded candidates (pair-set-sized, never all-pairs).
+    */
+  def q159(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") < 1000)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), shingles3FromTokens(col("ws")).as("sh"))
+      .localCheckpoint(true)
+    val sig = minhashSignature(base, col("doc_id"), col("sh"), numHashes = 12)
+      .localCheckpoint(true)
+    val cand = minhashBandPairs(sig, numHashes = 12, bands = 4)
+      .localCheckpoint(true)
+    val matchSum = (0 until 12)
+      .map(k => when(col(s"a_mh$k") === col(s"b_mh$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    def sigAs(p: String) = sig.select(
+      col("__id").as(s"id_$p") +: (0 until 12).map(k => col(s"mh$k").as(s"${p}_mh$k")): _*)
+    val withMatches = cand
+      .join(sigAs("a"), "id_a").join(sigAs("b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared_bands"),
+        matchSum.as("matches"))
+    val g = base
+      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .localCheckpoint(true)
+    val sz = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(g.select(col("doc_id").as("id_a"), col("s")), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    withMatches
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("shared_bands"), col("matches"),
+        Similarity.intScaled(
+          coalesce(col("i"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("i"), lit(0L))),
+          10000L).as("j_e4"))
+      .orderBy("id_a", "id_b")
+  }
 
   /** Shared CTE prefix for the 60-bit/4-band simhash candidate pairs
     * (used by the q65/q94 oracles here and the q102 component oracle).
@@ -631,6 +682,44 @@ object Dedup {
        |GROUP BY a.doc_id, b2.doc_id
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q159 oracle: q107's candidate CTE (MATERIALIZED — referenced four
+    * times downstream), then signature-match counting and exact-Jaccard
+    * sizing mirrored clause-for-clause.
+    */
+  private val minhashCalibOracle: String = {
+    val matchExpr = (0 until 12)
+      .map(k => s"(CASE WHEN ma.mh$k = mb.mh$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""$minhashBandCte,
+       |cand AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+       |    CAST(COUNT(*) AS BIGINT) AS shared_bands
+       |  FROM b a JOIN b b2
+       |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+       |  GROUP BY a.doc_id, b2.doc_id),
+       |mm AS (
+       |  SELECT c.id_a, c.id_b, CAST($matchExpr AS BIGINT) AS matches
+       |  FROM cand c
+       |  JOIN m ma ON ma.doc_id = c.id_a
+       |  JOIN m mb ON mb.doc_id = c.id_b),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN g ga ON ga.doc_id = c.id_a
+       |  JOIN g gb ON gb.doc_id = c.id_b AND gb.s = ga.s
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT c.id_a, c.id_b, c.shared_bands, mm.matches,
+       |  CAST(ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |       / (sa.n + sb.n - COALESCE(i.i, 0)) * 10000) AS BIGINT) AS j_e4
+       |FROM cand c
+       |JOIN mm ON mm.id_a = c.id_a AND mm.id_b = c.id_b
+       |JOIN sz sa ON sa.doc_id = c.id_a
+       |JOIN sz sb ON sb.doc_id = c.id_b
+       |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+  }
+
   /** q122 oracle: same banding CTE, joined strictly bipartite
     * (odd incoming × even reference).
     */
@@ -671,6 +760,7 @@ object Dedup {
     "q94_band_rescore" -> bandRescoreOracle,
     "q107_minhash_portable" -> minhashPortableOracle,
     "q122_cross_corpus_neardup" -> crossCorpusOracle,
+    "q159_minhash_calib" -> minhashCalibOracle,
     "q128_fuzzy_pairs" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part)
         |SELECT a.name AS name_a, b.name AS name_b,

@@ -646,6 +646,39 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Per-doc k-gram NOVELTY: the fraction of a doc's distinct k-grams
+    * whose first owner (min doc_id corpus-wide) is the doc itself — the
+    * marginal-contribution signal a curation pass uses to rank
+    * boilerplate-heavy docs BELOW the docs that introduced the content
+    * (complement of q108's duplicate-gram fraction: q108 asks "how much
+    * of this doc is duplicated", novelty asks "who owns the original").
+    *
+    * Scale shape: q108's exact pipeline — explode → gram-keyed min-agg
+    * (map-side combined) → co-partitioned join back on gram → doc-keyed
+    * agg; no state beyond (gram, owner). Docs shorter than k grams are
+    * absent (they contribute no grams) in both engines alike.
+    */
+  def gramNovelty(d: DataFrame, k: Int): DataFrame = {
+    val g = d
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode_outer(array_distinct(Dedup.shinglesKAll(col("ws"), k))).as("gram"))
+      .filter(col("gram").isNotNull)
+    val owner = g.groupBy(col("gram")).agg(min(col("doc_id")).as("owner"))
+    g.join(owner, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+        round(col("novel_grams").cast("double") / col("n_grams"), 4)
+          .as("novelty"))
+  }
+
+  /** q158 — 5-gram novelty over the documents table. */
+  def q158(s: SparkSession, dir: String): DataFrame =
+    gramNovelty(docs(s, dir), 5).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -668,6 +701,7 @@ object TextAnalysis {
     "q140_corpus_card"   -> (q140 _),
     "q144_interp_nll"    -> (q144 _),
     "q157_bpe_pairs"     -> (q157 _),
+    "q158_gram_novelty"  -> (q158 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -684,6 +718,24 @@ object TextAnalysis {
         |SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY sym_a, sym_b
         |ORDER BY cnt DESC, sym_a, sym_b LIMIT 20""".stripMargin,
+    // Same gram construction as the q104 oracle; min-owner mirrored.
+    "q158_gram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g0 AS (SELECT doc_id,
+        |        CASE WHEN len(ws) >= 5 THEN
+        |          list_distinct(list_transform(range(1, len(ws) - 3),
+        |            i -> array_to_string(ws[i:i+4], ' ')))
+        |        ELSE CAST([] AS VARCHAR[]) END AS grams
+        |      FROM t),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+        |o AS (SELECT gram, MIN(doc_id) AS owner FROM g GROUP BY gram)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS novel_grams,
+        |  ROUND(CAST(SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 4) AS novelty
+        |FROM g JOIN o USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "q50_text_stats" ->
       """SELECT lang, source, COUNT(*) AS docs,
         |       ROUND(AVG(n_chars), 2) AS avg_chars,

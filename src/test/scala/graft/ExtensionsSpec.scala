@@ -740,4 +740,43 @@ class ExtensionsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(got === expected)
   }
+
+  test("gramNovelty: first owner wins, duplicates score zero, short docs absent") {
+    val d = Seq(
+      (1L, "a b c d e f"),  // owns both of its 5-grams → novelty 1
+      (2L, "a b c d e f"),  // exact dup of 1 → novelty 0
+      (3L, "b c d e f g"),  // shares "b c d e f" with 1; owns "c d e f g"
+      (4L, "x y")           // < 5 tokens → no grams → absent
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.gramNovelty(d, 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 0L, 0.0)),
+      3L -> ((2L, 1L, 0.5))))
+  }
+
+  test("q159 minhash calibration: ranges, estimator tracks truth on the fixture") {
+    val rows = graft.ext.Dedup.q159(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "no banded candidates at sf0.001")
+    rows.foreach { case (a, b, sb, m, j) =>
+      assert(a < b && sb >= 1 && m >= 0 && m <= 12 && j >= 0 && j <= 10000,
+        s"out of range: ($a,$b,$sb,$m,$j)")
+      // every colliding band means its 3 signature rows agreed
+      assert(m >= 3 * sb, s"matches $m inconsistent with $sb bands")
+    }
+    // calibration direction: perfect-signature pairs must have higher
+    // true Jaccard on average than imperfect ones (when both exist)
+    val (full, partial) = rows.partition(_._4 == 12)
+    if (full.nonEmpty && partial.nonEmpty) {
+      val meanJ = (s: Array[(Long, Long, Long, Long, Long)]) =>
+        s.map(_._5).sum.toDouble / s.length
+      assert(meanJ(full) > meanJ(partial),
+        s"estimator inverted: ${meanJ(full)} vs ${meanJ(partial)}")
+    }
+  }
 }
