@@ -529,6 +529,38 @@ object Similarity {
         wNew(0.3, col("g2")).as("w2_new_e6"))
   }
 
+  /** q160 — calibration (reliability) bins for the q155 classifier:
+    * docs bucketed by predicted probability (bin = ⌊10·σ(w₀·x)⌋, top
+    * bin closed), each bin reporting size, positive count, empirical
+    * rate, and mean prediction — the reliability diagram a pipeline
+    * checks before trusting classifier scores as sampling weights.
+    *
+    * Bin edges are float-compare safe here: boundary hits are either
+    * EXACT (z = 0 ⟹ σ = 0.5 bit-identical in both engines — 2 docs at
+    * sf0.01) or ≥ 3e-4 away (measured; exp drift is ~1e-16). The
+    * empirical rate is one division of exact integers; only mean_p_e6
+    * carries summation drift (per-bin margins spec-pinned).
+    */
+  def q160(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(s, dir, "documents")
+    val nt = TextAnalysis.tokenCount(col("text")).cast("double")
+    val x1 = nt / lit(100.0)
+    val x2 = TextAnalysis.stopwordHits(col("text"), Seq("a", "the"))
+      .cast("double") / nt
+    val p = lit(1.0) /
+      (lit(1.0) + exp(-(lit(0.1) + lit(-0.2) * x1 + lit(0.3) * x2)))
+    val y = when(col("lang") === "en", 1L).otherwise(0L)
+    d.select(least(floor(p * 10), lit(9.0)).cast("long").as("bin"),
+        y.as("y"), p.as("p"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        intScaled(sum(col("p")) / count(lit(1)), 1000000L).as("mean_p_e6"))
+      .select(col("bin"), col("n"), col("pos"),
+        intScaled(col("pos").cast("double") / col("n"), 10000L).as("rate_e4"),
+        col("mean_p_e6"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
     "q123_semdedup" -> (q123 _),
@@ -541,6 +573,7 @@ object Similarity {
     "q136_ann_recall" -> (q136 _),
     "q145_lsh_tuning" -> (q145 _),
     "q155_logreg_step" -> (q155 _),
+    "q160_calibration" -> (q160 _),
   )
 
   /** q61 oracle: the md5-derived ±1 planes are query CONSTANTS (like
@@ -807,5 +840,24 @@ object Similarity {
         |  CAST(ROUND((-0.2 - 0.1 * (g1 / n_docs)) * 1000000) AS BIGINT) AS w1_new_e6,
         |  CAST(ROUND((0.3 - 0.1 * (g2 / n_docs)) * 1000000) AS BIGINT) AS w2_new_e6
         |FROM g""".stripMargin,
+    "q160_calibration" ->
+      """WITH b AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                              w -> w IN ('a', 'the'))) AS DOUBLE) AS sw,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |f AS (SELECT nt / 100.0 AS x1, sw / nt AS x2, y FROM b),
+        |p AS (
+        |  SELECT 1.0 / (1.0 + exp(-(0.1 + -0.2 * x1 + 0.3 * x2))) AS p, y
+        |  FROM f),
+        |g AS (
+        |  SELECT LEAST(FLOOR(p * 10), 9.0) AS binf, y, p FROM p)
+        |SELECT CAST(binf AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(y) AS BIGINT) AS pos,
+        |  CAST(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 10000) AS BIGINT) AS rate_e4,
+        |  CAST(ROUND(SUM(p) / COUNT(*) * 1000000) AS BIGINT) AS mean_p_e6
+        |FROM g GROUP BY binf ORDER BY bin""".stripMargin,
   )
 }

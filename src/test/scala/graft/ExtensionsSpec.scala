@@ -779,4 +779,20 @@ class ExtensionsSpec extends SparkTestBase {
         s"estimator inverted: ${meanJ(full)} vs ${meanJ(partial)}")
     }
   }
+
+  test("q160 calibration bins: partition the corpus, predictions live in their bin") {
+    val rows = graft.ext.Similarity.q160(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._2).sum === total, "bins do not partition the corpus")
+    rows.foreach { case (bin, n, pos, rate, meanP) =>
+      assert(bin >= 0 && bin <= 9 && pos <= n && rate >= 0 && rate <= 10000,
+        s"out of range: ($bin,$n,$pos,$rate,$meanP)")
+      assert(rate === math.round(pos.toDouble / n * 10000))
+      // the mean prediction of a bin lies inside the bin's edges
+      // (top bin closed at 1.0)
+      assert(meanP >= bin * 100000 && meanP <= (bin + 1) * 100000,
+        s"mean_p $meanP outside bin $bin")
+    }
+  }
 }
