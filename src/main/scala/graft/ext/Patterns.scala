@@ -1,0 +1,177 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Pattern mining: frequent itemset pairs (market-basket association
+  * rules), sequential event transitions (first-order Markov counts),
+  * and weighted order statistics — the behavioral-analytics layer next
+  * to the graph family ([[Graph]]) and the text family
+  * ([[TextAnalysis]]).
+  *
+  * Scale design: everything is count aggregation over keyed frames —
+  * baskets never materialize as arrays, user event sequences are
+  * window-local (partitioned by user), and every ranking is an
+  * all-integer total order through TakeOrderedAndProject.
+  */
+object Patterns {
+
+  // ---- association rules --------------------------------------------------
+
+  /** Frequent part pairs with association-rule stats: for the top-N
+    * co-ordered pairs (a < b, ranked by the all-integer (support DESC,
+    * pair) order), support counts plus confidence P(b|a) and lift
+    * P(a,b)/(P(a)P(b)) — the market-basket report, run basket-free
+    * (supports are counts over DISTINCT (order, part); no order's item
+    * list is ever collected into an array).
+    *
+    * Float discipline: conf and lift are single divisions of exact
+    * integers — both engines compute identical doubles, so the e4
+    * rounding agrees bit-for-bit (the q159 pattern).
+    *
+    * Scale: pair generation is the co-order self-join — per-order
+    * fan-out C(items,2) with basket sizes bounded by order size (~7 in
+    * TPC-H; production caps giant baskets the way q153 caps hub
+    * degrees). Supports are map-side-combined counts; the top-N is
+    * TakeOrderedAndProject.
+    */
+  def q161(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true)
+    val n = li.select(col("o")).distinct().count()
+    val sup = li.groupBy(col("p")).agg(count(lit(1)).as("s"))
+    val pairs = li.select(col("o"), col("p").as("a"))
+      .join(li.select(col("o"), col("p").as("b")), "o")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup_ab"))
+    pairs
+      .join(sup.select(col("p").as("a"), col("s").as("sup_a")), "a")
+      .join(sup.select(col("p").as("b"), col("s").as("sup_b")), "b")
+      .orderBy(col("sup_ab").desc, col("a"), col("b"))
+      .limit(50)
+      .select(col("a"), col("b"), col("sup_ab"), col("sup_a"), col("sup_b"),
+        Similarity.intScaled(
+          col("sup_ab").cast("double") / col("sup_a"), 10000L).as("conf_e4"),
+        Similarity.intScaled(
+          (col("sup_ab") * lit(n)).cast("double") / (col("sup_a") * col("sup_b")),
+          10000L).as("lift_e4"))
+  }
+
+  // ---- sequential transitions ---------------------------------------------
+
+  /** First-order event-transition matrix: per user, events ordered by
+    * (ts, event_id) — a TOTAL order, so ties cannot reorder across
+    * engines — each consecutive (type → next type) transition counted
+    * corpus-wide, with P(to|from) as an exact-integer division. The
+    * behavioral Markov chain session analytics starts from.
+    *
+    * Scale: one window (partitioned by user — state is one user's
+    * events), one count agg; nothing crosses users, no sequence is
+    * collected.
+    */
+  def q162(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val t = steps.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = t.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    t.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        Similarity.intScaled(
+          col("n").cast("double") / col("n_from"), 10000L).as("p_e4"))
+      .orderBy("from_type", "to_type")
+  }
+
+  // ---- weighted order statistics ------------------------------------------
+
+  /** Token-weighted median document length per source: the smallest
+    * length L such that docs of length ≤ L hold at least half the
+    * source's tokens (the "half the corpus mass sits in docs this
+    * short" statistic that sizes sequence packing). Selection is the
+    * first row of a cumulative-sum window crossing the half-total —
+    * integer compares only (2·cum ≥ total avoids division entirely).
+    *
+    * Scale: one per-source window ordered by (length, doc_id) — a
+    * total order, deterministic cumsum — plus a one-row-per-source agg.
+    * At extreme scale the window partitions by source; a source's doc
+    * list is the window state, the same bound q77's packing accepts.
+    */
+  def q163(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("len"))
+    val w = Window.partitionBy(col("source")).orderBy(col("len"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = d.groupBy(col("source")).agg(sum(col("len")).as("total_tokens"))
+    d.withColumn("cum", sum(col("len")).over(w))
+      .join(tot, "source")
+      .filter(col("cum") * 2 >= col("total_tokens"))
+      .groupBy(col("source"))
+      .agg(max(col("total_tokens")).as("total_tokens"),
+        min(col("len")).as("wmedian_len"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_assoc_rules"     -> (q161 _),
+    "q162_event_transitions" -> (q162 _),
+    "q163_weighted_median" -> (q163 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q161_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM li),
+        |sup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM li GROUP BY p),
+        |pairs AS (
+        |  SELECT a.p AS a, b.p AS b, CAST(COUNT(*) AS BIGINT) AS sup_ab
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p)
+        |SELECT a, b, sup_ab, sa.s AS sup_a, sb.s AS sup_b,
+        |  CAST(ROUND(CAST(sup_ab AS DOUBLE) / sa.s * 10000) AS BIGINT) AS conf_e4,
+        |  CAST(ROUND(CAST(sup_ab * n.n AS DOUBLE) / (sa.s * sb.s) * 10000) AS BIGINT)
+        |    AS lift_e4
+        |FROM pairs JOIN sup sa ON sa.p = pairs.a JOIN sup sb ON sb.p = pairs.b
+        |CROSS JOIN n
+        |ORDER BY sup_ab DESC, a, b LIMIT 50""".stripMargin,
+    "q162_event_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s WHERE next_type IS NOT NULL
+        |  GROUP BY event_type, next_type),
+        |tot AS (SELECT from_type, SUM(n) AS n_from FROM t GROUP BY from_type)
+        |SELECT t.from_type, t.to_type, t.n, CAST(tot.n_from AS BIGINT) AS n_from,
+        |  CAST(ROUND(CAST(t.n AS DOUBLE) / tot.n_from * 10000) AS BIGINT) AS p_e4
+        |FROM t JOIN tot ON tot.from_type = t.from_type
+        |ORDER BY t.from_type, to_type""".stripMargin,
+    "q163_weighted_median" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, len,
+        |         SUM(len) OVER (PARTITION BY source ORDER BY len, doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(len) OVER (PARTITION BY source) AS total_tokens
+        |  FROM d)
+        |SELECT source, CAST(MAX(total_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(MIN(len) AS BIGINT) AS wmedian_len
+        |FROM c WHERE cum * 2 >= total_tokens
+        |GROUP BY source ORDER BY source""".stripMargin,
+  )
+}
