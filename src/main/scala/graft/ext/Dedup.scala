@@ -529,7 +529,77 @@ object Dedup {
     "q129_segment_dedup"   -> (q129 _),
     "q132_containment"     -> (q132 _),
     "q159_minhash_calib"   -> (q159 _),
+    "q164_dedup_census"    -> (q164 _),
+    "q165_copy_flow"       -> (q165 _),
   )
+
+  /** q164 — per-source dedup census: docs, distinct contents, exact-dup
+    * rate, and how many of a source's docs lose first-wins (their
+    * content's min doc_id lives elsewhere) — the per-source dedup
+    * dashboard row. Two content-hash aggs; the rate is one division of
+    * exact integers.
+    */
+  def dedupCensus(in: DataFrame): DataFrame = {
+    val d = in.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val keep = d.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    d.join(keep, "h")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        countDistinct(col("h")).as("distinct_contents"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+          .as("dropped"))
+      .select(col("source"), col("docs"), col("distinct_contents"),
+        col("dropped"),
+        Similarity.intScaled(
+          col("dropped").cast("double") / col("docs"), 10000L).as("drop_e4"))
+      .orderBy("source")
+  }
+
+  def q164(s: SparkSession, dir: String): DataFrame =
+    dedupCensus(docs(s, dir))
+
+  /** q165 — cross-source SEGMENT copy flow: q129's 16-token segments,
+    * but attributed — for every duplicated segment VALUE, the earliest
+    * occurrence (min doc_id, then min position) is the ORIGIN; every
+    * other occurrence records an (origin source → copy source) edge.
+    * The syndication/provenance matrix curation uses to decide which
+    * sources mirror which (exact whole-doc copies don't exist in this
+    * corpus — q164 shows the zero rate — but segment-level copying
+    * does, and at the 16-token grain the matrix is non-trivial).
+    *
+    * Scale: segment hashes shuffle as (hash, doc, pos) triples — never
+    * text — and the origin is one min-struct agg per hash; the flow
+    * matrix is at most source² rows.
+    */
+  def segmentCopyFlow(in: DataFrame): DataFrame = {
+    val segsCol = {
+      val ws = split(col("text"), " ")
+      transform(
+        sequence(lit(0), floor((size(ws) - 1) / 16).cast("int")),
+        i => concat_ws(" ", slice(ws, i * 16 + 1, lit(16))))
+    }
+    val segs = in
+      .select(col("doc_id"), col("source"), posexplode(segsCol).as(Seq("pos", "seg")))
+      .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
+        md5(col("seg")).as("h"))
+      .localCheckpoint(true)
+    val origin = segs.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("o"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select(col("h"), col("o.doc_id").as("origin_id"), col("o.pos").as("origin_pos"))
+    segs.join(origin, "h")
+      .filter(!(col("doc_id") === col("origin_id") && col("pos") === col("origin_pos")))
+      .join(segs.select(col("doc_id").as("origin_id"), col("pos").as("origin_pos"),
+        col("source").as("origin_source")), Seq("origin_id", "origin_pos"))
+      .groupBy(col("origin_source"), col("source").as("copy_source"))
+      .agg(count(lit(1)).as("copies"))
+      .orderBy("origin_source", "copy_source")
+  }
+
+  def q165(s: SparkSession, dir: String): DataFrame =
+    segmentCopyFlow(docs(s, dir))
 
   /** q159 — MinHash CALIBRATION: for every q107 banded candidate pair,
     * the signature-match count (the estimator: matches/12 ≈ Jaccard)
@@ -761,6 +831,40 @@ object Dedup {
     "q107_minhash_portable" -> minhashPortableOracle,
     "q122_cross_corpus_neardup" -> crossCorpusOracle,
     "q159_minhash_calib" -> minhashCalibOracle,
+    "q164_dedup_census" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(COUNT(DISTINCT d.h) AS BIGINT) AS distinct_contents,
+        |  CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dropped,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+        |                   AS DOUBLE) / COUNT(*) * 10000) AS BIGINT) AS drop_e4
+        |FROM d JOIN k USING (h)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // q129's segmentation, attributed: origin = (min doc_id, then min
+    // pos) per duplicated segment hash, mirrored as a two-step min.
+    "q165_copy_flow" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, source, unnest(range(1, len(ws) + 1, 16)) AS st, ws FROM t),
+        |seg AS (SELECT doc_id, source, CAST((st - 1) / 16 AS BIGINT) AS pos,
+        |               md5(array_to_string(ws[st:st+15], ' ')) AS h
+        |        FROM s),
+        |o1 AS (SELECT h, MIN(doc_id) AS origin_id FROM seg
+        |       GROUP BY h HAVING COUNT(*) > 1),
+        |o2 AS (SELECT o1.h, o1.origin_id, MIN(seg.pos) AS origin_pos
+        |       FROM seg JOIN o1 ON seg.h = o1.h AND seg.doc_id = o1.origin_id
+        |       GROUP BY o1.h, o1.origin_id),
+        |os AS (SELECT o2.h, o2.origin_id, o2.origin_pos,
+        |              seg.source AS origin_source
+        |       FROM o2 JOIN seg ON seg.h = o2.h AND seg.doc_id = o2.origin_id
+        |                        AND seg.pos = o2.origin_pos)
+        |SELECT os.origin_source, seg.source AS copy_source,
+        |  CAST(COUNT(*) AS BIGINT) AS copies
+        |FROM seg JOIN os ON seg.h = os.h
+        |WHERE NOT (seg.doc_id = os.origin_id AND seg.pos = os.origin_pos)
+        |GROUP BY os.origin_source, seg.source
+        |ORDER BY origin_source, copy_source""".stripMargin,
     "q128_fuzzy_pairs" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part)
         |SELECT a.name AS name_a, b.name AS name_b,

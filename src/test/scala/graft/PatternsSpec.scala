@@ -76,4 +76,36 @@ class PatternsSpec extends SparkTestBase {
       assert(below * 2 >= total, s"$src: $below of $total below $wm")
     }
   }
+
+  test("dedupCensus: first-wins attribution by source; fixture corpus has no exact dups") {
+    val d = Seq(
+      (1L, "sA", "x y z"), (2L, "sB", "x y z"), (3L, "sB", "x y z"),
+      (4L, "sB", "unique")).toDF("doc_id", "source", "text")
+    val got = graft.ext.Dedup.dedupCensus(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("sA", 1L, 1L, 0L, 0L),        // owns the content
+      ("sB", 3L, 2L, 2L, 6667L)))    // two copies lose first-wins
+    // the synthetic corpus genuinely has zero exact-content duplicates
+    // (q146's funnel shows 428->428) -- q164's all-zero drop column IS
+    // the true answer; segment-level copying is covered by q165
+    val fixture = graft.ext.Dedup.q164(spark, sf).collect()
+    assert(fixture.map(_.getLong(3)).sum === 0L)
+    assert(fixture.map(_.getLong(1)).sum ===
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("segmentCopyFlow: origin attribution on hand-built copies") {
+    val seg = (0 until 16).map(i => s"w$i").mkString(" ") // one full segment
+    val other = (0 until 16).map(i => s"v$i").mkString(" ")
+    val d = Seq(
+      (1L, "sA", seg),                       // origin of seg
+      (2L, "sB", s"$other $seg"),            // copies seg at pos 1
+      (3L, "sB", seg),                       // copies seg at pos 0
+      (4L, "sC", other)                      // copies other (origin is doc 2 pos 0)
+    ).toDF("doc_id", "source", "text")
+    val got = graft.ext.Dedup.segmentCopyFlow(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("sA", "sB", 2L), ("sB", "sC", 1L)))
+  }
 }
