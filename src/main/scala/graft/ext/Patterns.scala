@@ -120,10 +120,50 @@ object Patterns {
       .orderBy("source")
   }
 
+  /** Largest-remainder (Hamilton) apportionment of an integer token
+    * budget across sources, proportional to token counts: quota_s =
+    * ⌊c_s·B/T⌋ plus one extra token for the sources with the largest
+    * remainders until the budget is exact. The data-mixing quota step
+    * (turn q134-style proportions into per-source integer budgets that
+    * SUM EXACTLY to B) — and entirely integer arithmetic: `DIV`/`%` on
+    * longs, remainder ranked by the (rem DESC, source) total order. No
+    * float exists anywhere, so the result is bit-exact cross-engine by
+    * construction.
+    *
+    * Scale: one corpus agg to (source, count); everything after is
+    * source-cardinality-sized (the window ranks tens of rows).
+    */
+  def apportion(counts: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"apportion: budget must be >= 0, got $budget")
+    val tot = counts.agg(sum(col("tokens")).as("total"))
+    val based = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        expr(s"tokens * ${budget}L DIV total").as("base"),
+        expr(s"tokens * ${budget}L % total").as("rem"))
+      .localCheckpoint(true) // branched by leftover + ranking below
+    val leftover = based.agg((lit(budget) - sum(col("base"))).as("leftover"))
+    val w = Window.orderBy(col("rem").desc, col("source"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("extra",
+        when(row_number().over(w) <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("tokens"), col("base"), col("extra"),
+        (col("base") + col("extra")).as("quota"))
+      .orderBy("source")
+  }
+
+  /** q166 — 1M-token budget apportioned across sources by token count. */
+  def q166(s: SparkSession, dir: String): DataFrame =
+    apportion(
+      Tables.table(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens")),
+      budget = 1000000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_assoc_rules"     -> (q161 _),
     "q162_event_transitions" -> (q162 _),
     "q163_weighted_median" -> (q163 _),
+    "q166_token_apportion" -> (q166 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -173,5 +213,27 @@ object Patterns {
         |       CAST(MIN(len) AS BIGINT) AS wmedian_len
         |FROM c WHERE cum * 2 >= total_tokens
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q166_token_apportion" ->
+      """WITH c AS (
+        |  SELECT source,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT SUM(tokens) AS total FROM c),
+        |b AS (
+        |  SELECT source, tokens,
+        |         tokens * 1000000 // total AS base,
+        |         tokens * 1000000 % total AS rem
+        |  FROM c CROSS JOIN t),
+        |l AS (SELECT 1000000 - SUM(base) AS leftover FROM b),
+        |r AS (
+        |  SELECT source, tokens, base,
+        |         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM b)
+        |SELECT source, tokens, CAST(base AS BIGINT) AS base,
+        |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
+        |FROM r CROSS JOIN l
+        |ORDER BY source""".stripMargin,
   )
 }

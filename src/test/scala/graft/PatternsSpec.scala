@@ -108,4 +108,22 @@ class PatternsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(got === Set(("sA", "sB", 2L), ("sB", "sC", 1L)))
   }
+
+  test("apportion: Hamilton quotas hand-checked; budget lands exactly") {
+    // counts 3/3/4 of 10, budget 7: bases 2/2/2 (floor 2.1, 2.1, 2.8),
+    // leftover 1 goes to the largest remainder (c: rem 8)
+    val d = Seq(("a", 3L), ("b", 3L), ("c", 4L)).toDF("source", "tokens")
+    val got = Patterns.apportion(d, budget = 7L).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(("a", 2L, 0L, 2L), ("b", 2L, 0L, 2L), ("c", 2L, 1L, 3L)))
+    // remainder tie: equal counts, extra goes to the earlier source name
+    val tie = Patterns.apportion(
+      Seq(("x", 1L), ("y", 1L)).toDF("source", "tokens"), budget = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(4)))
+    assert(tie.toSeq === Seq(("x", 2L), ("y", 1L)))
+    // fixture: quotas sum exactly to the budget, all non-negative
+    val fix = Patterns.q166(spark, sf).collect()
+    assert(fix.map(_.getLong(4)).sum === 1000000L)
+    assert(fix.forall(r => r.getLong(4) >= 0L && r.getLong(3) <= 1L))
+  }
 }
