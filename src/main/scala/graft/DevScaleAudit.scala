@@ -108,6 +108,24 @@ object DevScaleAudit {
           (col("l_orderkey") * 2).as("src"),
           ((col("l_quantity").cast("long") * 10 + col("l_linenumber")) * 2 + 1).as("dst")),
         iterations = 3)),
+      // r7 continuation: the graph-analytics cores. HITS shares the
+      // bipartite frame above (node count ×10 on the order side, the
+      // popular item side fixed); triangles run over the simhash
+      // candidate pair graph — shard-disjoint replicas, so candidate
+      // volume (and wedge volume) scales linearly by construction.
+      "hits2" -> (dir => ext.Graph.hits(
+        liOf(dir).select(
+          (col("l_orderkey") * 2).as("src"),
+          ((col("l_quantity").cast("long") * 10 + col("l_linenumber")) * 2 + 1).as("dst")),
+        iterations = 2)),
+      "tri_simhash" -> { dir =>
+        val d = docsOf(dir)
+        ext.Graph.triangleCounts(
+          ext.Dedup.simhashBandPairs(
+            ext.Dedup.simhashN(d, col("doc_id"), col("text"), bits = 60),
+            bits = 60, bands = 4, maxHamming = 2)
+            .select(col("id_a").as("src"), col("id_b").as("dst")))
+      },
     )
 
     val rows = suite.map { case (name, fn) =>
