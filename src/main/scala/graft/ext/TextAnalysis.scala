@@ -679,6 +679,43 @@ object TextAnalysis {
   def q158(s: SparkSession, dir: String): DataFrame =
     gramNovelty(docs(s, dir), 5).orderBy("doc_id")
 
+  /** q167 — cross-source perplexity matrix: train q125's add-one
+    * unigram LM on EACH source, evaluate mean NLL on EVERY source —
+    * the asymmetric domain-distance matrix (q143's JS divergence is
+    * the symmetric cousin; asymmetry is the point here: legalese
+    * predicts chat worse than chat predicts legalese). The diagonal
+    * is each source's self-perplexity — the baseline the off-diagonal
+    * is read against.
+    *
+    * Scale shape: token counts collapse to (source, word) ONCE and
+    * serve as both the eval side and the model side; the cross of
+    * eval pairs × model totals is (distinct pairs) × sources —
+    * vocabulary-sized × source count, not corpus-sized. Model word
+    * probabilities join word-keyed (broadcast-able: models are
+    * vocab-sized).
+    */
+  def q167(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // one count pass serves eval AND model sides
+    val tf = tok.select(col("source").as("e"), col("w"), col("cnt").as("tf"))
+    val m = tok.select(col("source").as("t"), col("w"), col("cnt"))
+    val mt = m.groupBy(col("t"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("vsz"))
+    tf.crossJoin(broadcast(mt))
+      .join(m, Seq("t", "w"), "left")
+      .groupBy(col("t").as("train_source"), col("e").as("eval_source"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        Similarity.intScaled(
+          sum(col("tf") *
+            -log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
+              (col("n") + col("vsz")))) / sum(col("tf")),
+          10000L).as("nll_e4"))
+      .orderBy("train_source", "eval_source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -702,6 +739,7 @@ object TextAnalysis {
     "q144_interp_nll"    -> (q144 _),
     "q157_bpe_pairs"     -> (q157 _),
     "q158_gram_novelty"  -> (q158 _),
+    "q167_cross_perplexity" -> (q167 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -718,6 +756,25 @@ object TextAnalysis {
         |SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY sym_a, sym_b
         |ORDER BY cnt DESC, sym_a, sym_b LIMIT 20""".stripMargin,
+    // Add-one probabilities and the NLL term mirrored exactly from the
+    // Spark side; the shared (source, word) count CTE serves both the
+    // eval and model roles like the checkpointed frame does.
+    "q167_cross_perplexity" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM tok GROUP BY source, w),
+        |mt AS (SELECT source AS t, SUM(cnt) AS n, COUNT(*) AS vsz
+        |       FROM c GROUP BY source),
+        |grid AS (
+        |  SELECT mt.t, tf.source AS e, tf.w, tf.cnt AS tf, mt.n, mt.vsz, m.cnt
+        |  FROM c tf CROSS JOIN mt
+        |  LEFT JOIN c m ON m.source = mt.t AND m.w = tf.w)
+        |SELECT t AS train_source, e AS eval_source,
+        |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  CAST(ROUND(SUM(tf * -ln((COALESCE(cnt, 0) + 1.0) / (n + vsz)))
+        |             / SUM(tf) * 10000) AS BIGINT) AS nll_e4
+        |FROM grid GROUP BY t, e ORDER BY train_source, eval_source""".stripMargin,
     // Same gram construction as the q104 oracle; min-owner mirrored.
     "q158_gram_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

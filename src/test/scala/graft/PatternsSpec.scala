@@ -126,4 +126,39 @@ class PatternsSpec extends SparkTestBase {
     assert(fix.map(_.getLong(4)).sum === 1000000L)
     assert(fix.forall(r => r.getLong(4) >= 0L && r.getLong(3) <= 1L))
   }
+
+  test("q167 cross-perplexity: full replay; self-model is never beaten by transfer") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(w => (r.getString(0), w)))
+    val counts = toks.groupBy(identity).map { case ((s, w), xs) => (s, w) -> xs.length.toLong }
+    val bySource = counts.groupBy(_._1._1)
+    val expected = (for {
+      (t, tm) <- bySource
+      model = tm.map { case ((_, w), c) => w -> c }
+      n = model.values.sum.toDouble
+      vsz = model.size.toDouble
+      (e, em) <- bySource
+    } yield {
+      val nTok = em.values.sum
+      val nll = em.map { case ((_, w), tf) =>
+        tf * -math.log((model.getOrElse(w, 0L) + 1.0) / (n + vsz))
+      }.sum / nTok
+      (t, e, nTok, math.round(nll * 10000))
+    }).toSeq.sortBy(x => (x._1, x._2))
+    val got = graft.ext.TextAnalysis.q167(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.map(x => (x._1, x._2, x._3)) === expected.map(x => (x._1, x._2, x._3)))
+    got.zip(expected).foreach { case (g, x) =>
+      assert(math.abs(g._4 - x._4) <= 1L, s"nll drift beyond 1 unit: $g vs $x")
+    }
+    // the asymmetric-distance sanity: every eval source is predicted
+    // best by ITS OWN model (true on this fixture; the matrix's point)
+    val byEval = got.groupBy(_._2)
+    byEval.foreach { case (e, rows) =>
+      val self = rows.find(_._1 == e).get._4
+      assert(rows.forall(r => r._1 == e || r._4 >= self),
+        s"$e predicted better by a foreign model")
+    }
+  }
 }
