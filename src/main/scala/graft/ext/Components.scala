@@ -182,9 +182,11 @@ object Components {
     * Scale shape per round: two symmetric/directed edge projections,
     * two grouped min-aggs, two equi-joins — all distributed, nothing
     * driver-side; the edge frame is `localCheckpoint`ed per round so
-    * lineage stays flat. Edge counts never grow: each round's output
-    * is ≤ the input edge count (contraction), so the shuffles shrink
-    * as the forest flattens.
+    * lineage stays flat. The round's DISTINCT edge set never grows
+    * (contraction): the per-round checkpoint is deduped by small-star's
+    * terminal distinct, so the shuffles shrink as the forest flattens
+    * (large-star's intermediate stream may carry transient duplicates —
+    * bounded by the join fan-out it already pays — see its comment).
     *
     * @return (`id`, `comp`) — identical contract to
     *         [[connectedComponents]]
@@ -217,6 +219,11 @@ object Components {
       .localCheckpoint(true)
 
     // For each u: attach every neighbor v > u to m = min(N(u) ∪ {u}).
+    // NOT distinct-ed: small-star's min-agg is duplicate-insensitive and
+    // its terminal distinct collapses the join fan-out, so large-star's
+    // own dedup shuffle (one per round, half the round's aggregations)
+    // bought nothing. Duplicate multiplicity entering small-star is
+    // bounded by deg(v) — the same bound the join fan-out already has.
     def largeStar(cur: DataFrame): DataFrame = {
       val nbrs = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
       val mins = nbrs.groupBy("src")
@@ -226,7 +233,6 @@ object Components {
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
     }
 
     // Orient each edge large→small; for each u attach its smaller
@@ -258,6 +264,8 @@ object Components {
           .union(e.select(col("src"), col("dst"), lit(-1L).as("w")))
           .groupBy("src", "dst").agg(sum("w").as("w"))
           .filter(col("w") =!= 0).count()
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc-star] round=$iter diff=$diff")
         converged = diff == 0
         e = next
         iter += 1
