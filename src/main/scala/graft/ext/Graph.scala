@@ -372,12 +372,44 @@ object Graph {
       maxDepth = 6, loopShufflePartitions = Some(8))
       .orderBy("id")
 
+  /** q171 — per-node local clustering coefficient on the part
+    * co-order graph: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how
+    * close each node's neighborhood is to a clique (the organic-vs-
+    * farm signal q150's raw triangle counts feed; normalizing by the
+    * wedge count makes hubs and leaves comparable). deg < 2 has no
+    * wedge and yields NULL.
+    *
+    * Scale: composes the degree-oriented [[triangleCounts]] (the
+    * scale path — no canonical-orientation hub blowup) with the
+    * degree agg; the division is exact-integer in, deterministic
+    * double out (the q161 pattern — no margin measurement needed).
+    * Every node incident to an edge appears, triangle-free nodes
+    * included (left join, count coalesced to 0).
+    */
+  def q171(s: SparkSession, dir: String): DataFrame = {
+    val e = canonEdges(partCoOrderEdges(s, dir)).localCheckpoint(true)
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(e.select(col("a").as("src"), col("b").as("dst"))),
+        Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          Similarity.intScaled(
+            (coalesce(col("n_tri"), lit(0L)) * lit(2)).cast("double") /
+              (col("deg") * (col("deg") - lit(1))),
+            10000L)).as("cc_e4"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_hits"          -> (q149 _),
     "q150_triangles"     -> (q150 _),
     "q151_assortativity" -> (q151 _),
     "q153_link_predict"  -> (q153 _),
     "q156_seed_distance" -> (q156 _),
+    "q171_clustering_coeff" -> (q171 _),
   )
 
   /** Chained-CTE HITS oracle: same bipartite edge set, same 4
@@ -446,6 +478,32 @@ object Graph {
          |  UNION ALL SELECT z FROM tri)
          |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
          |FROM nodes GROUP BY id ORDER BY id""".stripMargin,
+    // q150's canonical triangle CTE + the degree CTE; the coefficient
+    // is the identical exact-integer division both sides.
+    "q171_clustering_coeff" ->
+      s"""$partEdgeCte,
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1
+         |  JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |nodes AS (
+         |  SELECT x AS id FROM tri
+         |  UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri),
+         |tc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
+         |       FROM nodes GROUP BY id),
+         |deg AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY id)
+         |SELECT d.id, d.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+         |  CASE WHEN d.deg >= 2 THEN
+         |    CAST(ROUND(CAST(COALESCE(tc.n_tri, 0) * 2 AS DOUBLE)
+         |               / (d.deg * (d.deg - 1)) * 10000) AS BIGINT)
+         |  END AS cc_e4
+         |FROM deg d LEFT JOIN tc USING (id)
+         |ORDER BY id""".stripMargin,
     "q151_assortativity" ->
       s"""$partEdgeCte,
          |deg AS (

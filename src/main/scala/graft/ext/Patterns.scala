@@ -159,11 +159,51 @@ object Patterns {
         .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens")),
       budget = 1000000L)
 
+  /** q170 — daily event-volume anomaly: each observed day's total
+    * event count z-scored against its TRAILING 7 observed days (rows,
+    * not calendar days — calendar gaps contribute no phantom zeros;
+    * both engines window the same ordered day frame). The volume
+    * alarm every ingestion pipeline runs: |z| spikes flag a broken
+    * producer or a drop before the data reaches training.
+    *
+    * Float discipline: the window sums s1 = Σn and s2 = Σn² are EXACT
+    * BIGINTs, and z = (n − s1/7) / √((7·s2 − s1²)/49) is the identical
+    * expression shape in both engines — deterministic doubles from
+    * exact integers (the q161 pattern), no margin measurement needed.
+    * A zero-variance window (7 identical counts) yields NULL, not a
+    * division blow-up.
+    *
+    * Scale: the heavy stage is the map-side-combined date agg; the
+    * window runs over the calendar-sized daily frame (one row per
+    * day — at 100 TB this is thousands of rows, driver-safe by
+    * construction, same bound as q113's spine).
+    */
+  def q170(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(Tables.eventTs(col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    val s1 = col("s1").cast("double")
+    val varTerm = (lit(7) * col("s2") - col("s1") * col("s1")).cast("double") / lit(49.0)
+    daily
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("k") === 7)
+      .select(col("day"), col("n"),
+        when(lit(7) * col("s2") > col("s1") * col("s1"),
+          Similarity.intScaled(
+            (col("n").cast("double") - s1 / lit(7.0)) / sqrt(varTerm),
+            10000L)).as("z_e4"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_assoc_rules"     -> (q161 _),
     "q162_event_transitions" -> (q162 _),
     "q163_weighted_median" -> (q163 _),
     "q166_token_apportion" -> (q166 _),
+    "q170_event_anomaly"   -> (q170 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -213,6 +253,26 @@ object Patterns {
         |       CAST(MIN(len) AS BIGINT) AS wmedian_len
         |FROM c WHERE cum * 2 >= total_tokens
         |GROUP BY source ORDER BY source""".stripMargin,
+    // Identical z expression over exact BIGINT window sums; trailing
+    // 7 ROWS (observed days), full-history rows only.
+    "q170_event_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |win AS (
+        |  SELECT day, n,
+        |    COUNT(*)      OVER w AS k,
+        |    SUM(n)        OVER w AS s1,
+        |    SUM(n * n)    OVER w AS s2
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, n,
+        |  CASE WHEN 7 * s2 > s1 * s1 THEN
+        |    CAST(ROUND((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0)
+        |               / SQRT(CAST(7 * s2 - s1 * s1 AS DOUBLE) / 49.0)
+        |               * 10000) AS BIGINT)
+        |  END AS z_e4
+        |FROM win WHERE k = 7 ORDER BY day""".stripMargin,
     "q166_token_apportion" ->
       """WITH c AS (
         |  SELECT source,

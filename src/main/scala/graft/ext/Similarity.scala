@@ -561,6 +561,41 @@ object Similarity {
       .orderBy("bin")
   }
 
+  /** q169 — label-centroid cosine matrix: per-label mean embedding
+    * (the q44 centroids, unrounded), pairwise cosine between every
+    * label pair — the embedding-space source-distance matrix (q167's
+    * lexical cross-perplexity is the asymmetric cousin; this is the
+    * symmetric geometric view a curation pipeline reads to see which
+    * classes/domains collapse together before mixing).
+    *
+    * Scale shape: the corpus-sized stage is ONE (label, pos) hash agg
+    * (never collects vectors); everything after is classifier-sized —
+    * labels × dims centroids, labels² × dims pair terms. The pair join
+    * keys on `pos` alone, which is fine precisely because the frame is
+    * label-cardinality, not corpus-cardinality.
+    *
+    * Float discipline: centroid coords carry summation-order drift
+    * (~1e-13), absorbed by the e4 grid; the spec measures every
+    * value's distance to its rounding half-boundary (q134 pattern).
+    */
+  def q169(s: SparkSession, dir: String): DataFrame = {
+    val cent = emb(s, dir)
+      .select(col("label").cast("long").as("lbl"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("lbl"), col("pos").cast("long").as("pos"))
+      .agg(avg(col("v")).as("c"))
+      .localCheckpoint(true) // tiny (labels × dims); branched twice below
+    val a = cent.select(col("lbl").as("la"), col("pos"), col("c").as("ca"))
+    val b = cent.select(col("lbl").as("lb"), col("pos"), col("c").as("cb"))
+    a.join(b, "pos").filter(col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(intScaled(
+        sum(col("ca") * col("cb")) /
+          (sqrt(sum(col("ca") * col("ca"))) * sqrt(sum(col("cb") * col("cb")))),
+        10000L).as("cos_e4"))
+      .orderBy("la", "lb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
     "q123_semdedup" -> (q123 _),
@@ -574,6 +609,7 @@ object Similarity {
     "q145_lsh_tuning" -> (q145 _),
     "q155_logreg_step" -> (q155 _),
     "q160_calibration" -> (q160 _),
+    "q169_centroid_matrix" -> (q169 _),
   )
 
   /** q61 oracle: the md5-derived ±1 planes are query CONSTANTS (like
@@ -694,6 +730,24 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same per-dim centroid derivation as the q44 oracle (unrounded);
+    // the cosine is spelled in the identical arithmetic shape as the
+    // Spark agg so the only cross-engine delta is summation order,
+    // absorbed by the e4 grid (margin spec-pinned).
+    "q169_centroid_matrix" ->
+      """WITH cent AS (
+        |  SELECT CAST(label AS BIGINT) AS lbl, CAST(ord AS BIGINT) - 1 AS pos,
+        |         AVG(v) AS c
+        |  FROM (SELECT label, UNNEST(embedding) AS v,
+        |               UNNEST(range(1, len(embedding) + 1)) AS ord
+        |        FROM embeddings)
+        |  GROUP BY label, ord)
+        |SELECT a.lbl AS la, b.lbl AS lb,
+        |  CAST(ROUND(SUM(a.c * b.c) /
+        |             (SQRT(SUM(a.c * a.c)) * SQRT(SUM(b.c * b.c))) * 10000)
+        |       AS BIGINT) AS cos_e4
+        |FROM cent a JOIN cent b ON a.pos = b.pos AND a.lbl < b.lbl
+        |GROUP BY a.lbl, b.lbl ORDER BY la, lb""".stripMargin,
     "q112_kmeans_step" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
         |u AS (SELECT vec_id,

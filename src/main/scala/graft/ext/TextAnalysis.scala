@@ -716,6 +716,48 @@ object TextAnalysis {
       .orderBy("train_source", "eval_source")
   }
 
+  /** q168 — PMI collocations over the q125 probe subset: adjacent-word
+    * bigrams with count ≥ 5, scored by pointwise mutual information
+    * ln(P(ab) / (P(a)·P(b))) — the classic collocation signal ("new
+    * york" scores high because its parts rarely appear apart; "of the"
+    * scores low despite its raw count). Complements q135/q144 (which
+    * model P(w2|w1) for scoring docs) with the association view over
+    * the vocabulary itself.
+    *
+    * Float discipline: every input to the PMI expression is an EXACT
+    * integer count (bigram count, unigram counts, both totals), and
+    * both engines spell the identical arithmetic shape, so the doubles
+    * are bit-identical BY CONSTRUCTION — the e4 rounding cannot
+    * diverge (the q159/q161 pattern; no boundary-margin measurement
+    * needed, unlike the float-summation families).
+    *
+    * Scale: two count aggregations (map-side combined) + vocab-sized
+    * joins; the min-count filter drops the singleton tail BEFORE the
+    * unigram joins. Output is the full surviving set ordered by words
+    * — no float-ranked LIMIT, so near-tie PMI values cannot reorder
+    * membership across engines.
+    */
+  def q168(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 1000)
+    val (_, cb, _) = bigramCounts(d)
+    val uni = d.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // branched: joined twice + totalled once
+    val n1 = uni.agg(sum(col("c")).as("n1"))
+    val n2 = cb.agg(sum(col("cb")).as("n2"))
+    cb.filter(col("cb") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("cb").as("n_ab"),
+        Similarity.intScaled(
+          log((col("cb").cast("double") / col("n2")) /
+            ((col("c1").cast("double") / col("n1")) *
+              (col("c2").cast("double") / col("n1")))),
+          10000L).as("pmi_e4"))
+      .orderBy("w1", "w2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -740,6 +782,7 @@ object TextAnalysis {
     "q157_bpe_pairs"     -> (q157 _),
     "q158_gram_novelty"  -> (q158 _),
     "q167_cross_perplexity" -> (q167 _),
+    "q168_pmi_bigrams"   -> (q168 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -775,6 +818,35 @@ object TextAnalysis {
         |  CAST(ROUND(SUM(tf * -ln((COALESCE(cnt, 0) + 1.0) / (n + vsz)))
         |             / SUM(tf) * 10000) AS BIGINT) AS nll_e4
         |FROM grid GROUP BY t, e ORDER BY train_source, eval_source""".stripMargin,
+    // Bigram construction mirrored from the q135 oracle; the PMI
+    // expression is the identical arithmetic shape over exact integer
+    // counts, so both engines compute the same double bit-for-bit.
+    "q168_pmi_bigrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 1000),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS b
+        |  FROM t),
+        |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cb FROM bi GROUP BY b),
+        |uni AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+        |n1 AS (SELECT SUM(c) AS n1 FROM uni),
+        |n2 AS (SELECT SUM(cb) AS n2 FROM cb)
+        |SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+        |  cb AS n_ab,
+        |  CAST(ROUND(ln((CAST(cb AS DOUBLE) / n2) /
+        |                ((CAST(c1.c AS DOUBLE) / n1) *
+        |                 (CAST(c2.c AS DOUBLE) / n1))) * 10000) AS BIGINT)
+        |    AS pmi_e4
+        |FROM cb
+        |JOIN uni c1 ON c1.w = split_part(b, ' ', 1)
+        |JOIN uni c2 ON c2.w = split_part(b, ' ', 2)
+        |CROSS JOIN n1 CROSS JOIN n2
+        |WHERE cb >= 5
+        |ORDER BY w1, w2""".stripMargin,
     // Same gram construction as the q104 oracle; min-owner mirrored.
     "q158_gram_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -795,4 +795,60 @@ class ExtensionsSpec extends SparkTestBase {
         s"mean_p $meanP outside bin $bin")
     }
   }
+
+  test("q168 pmi: full driver replay is EXACT (integer-derived doubles)") {
+    // Every PMI input is an exact integer, so the identically-shaped
+    // replay must match bit-for-bit — no tolerance.
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" < 1000).select($"text").collect()
+      .map(_.getString(0).split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val bi = toks.flatMap(ws => ws.init.zip(ws.tail))
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val n1 = uni.values.sum.toDouble
+    val n2 = bi.values.sum.toDouble
+    val expected = bi.filter(_._2 >= 5).map { case ((w1, w2), c12) =>
+      val pmi = math.log((c12 / n2) / ((uni(w1) / n1) * (uni(w2) / n1)))
+      (w1, w2, c12,
+        BigDecimal(pmi * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = TextAnalysis.q168(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("q169 centroid matrix: pair coverage, range, and boundary margin") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"label".cast("long"), $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val byLbl = emb.groupBy(_._1)
+    val cents = byLbl.map { case (l, vs) =>
+      val dim = vs.head._2.length
+      l -> Array.tabulate(dim)(i => vs.map(_._2(i)).sum / vs.length)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val num = a.zip(b).map { case (x, y) => x * y }.sum
+      num / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val labels = cents.keys.toSeq.sorted
+    val got = Similarity.q169(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size === labels.size * (labels.size - 1) / 2,
+      "one row per unordered label pair")
+    val margins = for {
+      (la, i) <- labels.zipWithIndex; lb <- labels.drop(i + 1)
+    } yield {
+      val c = cos(cents(la), cents(lb))
+      val g = got((la, lb))
+      assert(g >= -10000 && g <= 10000, s"cosine out of range: $g")
+      assert(math.abs(g - c * 10000) <= 1.0,
+        s"replay drift beyond 1 scaled unit: ($la,$lb) $g vs ${c * 10000}")
+      // distance to the HALF_UP boundary (on |v| so negatives measure
+      // against their own -x.5 boundary)
+      math.abs(math.abs(c * 10000) % 1 - 0.5)
+    }
+    // summation-order drift is ~1e-13 relative; the e4 grid margin
+    // must dwarf it (the q134 discipline)
+    assert(margins.min > 1e-6, s"boundary margin collapsed: ${margins.min}")
+  }
 }

@@ -200,4 +200,24 @@ class GraphSpec extends SparkTestBase {
     val margins = scores.map(s => math.abs((s * 1e6) % 1 - 0.5))
     assert(margins.min > 1e-4, s"boundary margin collapsed: ${margins.min}")
   }
+
+  test("q171 clustering coefficient: consistent with its own tri/deg columns") {
+    // The coefficient column must be the exact-integer division of the
+    // n_tri/deg columns it rides with (validates the scale+round path),
+    // with NULL exactly on wedge-free nodes.
+    val rows = Graph.q171(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (deg, tri) = (r.getLong(1), r.getLong(2))
+      if (deg < 2) assert(r.isNullAt(3), s"deg<2 must be NULL: $r")
+      else {
+        val cc = r.getLong(3)
+        assert(cc >= 0 && cc <= 10000, s"coefficient out of range: $r")
+        assert(cc === BigDecimal(2.0 * tri / (deg * (deg - 1)) * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, s"mismatch: $r")
+        // a triangle needs two wedge legs at each corner
+        assert(tri <= deg * (deg - 1) / 2, s"tri exceeds wedge bound: $r")
+      }
+    }
+  }
 }

@@ -161,4 +161,31 @@ class PatternsSpec extends SparkTestBase {
         s"$e predicted better by a foreign model")
     }
   }
+
+  test("q170 event anomaly: full driver replay is EXACT; window discipline") {
+    // Exact-integer window sums through the identical z expression —
+    // bit-identical doubles, so the replay carries no tolerance.
+    val days = spark.read.parquet(s"$sf/events.parquet")
+      .select(to_date(graft.Tables.eventTs($"ts")).as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val expected = days.indices.drop(7).map { i =>
+      val w = days.slice(i - 7, i).map(_._2)
+      val (s1, s2) = (w.sum, w.map(x => x * x).sum)
+      val n = days(i)._2
+      val z =
+        if (7 * s2 > s1 * s1)
+          Some((n.toDouble - s1.toDouble / 7.0) /
+            math.sqrt((7 * s2 - s1 * s1).toDouble / 49.0))
+        else None
+      (days(i)._1, n, z.map(v =>
+        BigDecimal(v * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    }
+    val got = graft.ext.Patterns.q170(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(got === expected)
+    assert(got.size === days.size - 7, "first 7 observed days have no full window")
+  }
 }
