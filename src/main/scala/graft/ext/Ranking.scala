@@ -235,6 +235,54 @@ object Ranking {
       .orderBy("source")
   }
 
+  /** q173 — Heaps'-law vocabulary growth: cumulative distinct-word
+    * count V against cumulative token count N at 100-doc anchors (in
+    * doc_id order), plus the fitted log-log slope β of V ≈ K·N^β —
+    * the "how fast does new vocabulary stop arriving" curve that
+    * predicts tokenizer OOV rates and vocab-table sizing as a corpus
+    * grows (q130's Zipf slope is the static-frequency cousin).
+    *
+    * The curve is computed WITHOUT any corpus-sized window: each
+    * word contributes one row at its FIRST doc (min doc_id), new-word
+    * and token counts collapse to per-anchor buckets, and the cumsum
+    * runs over the anchor frame (corpus/100 rows). At 100 TB the
+    * anchor width widens; the shape is unchanged.
+    *
+    * Float discipline: V and N are exact integers; β passes through
+    * ln + regr_slope (summation-order drift), absorbed by the e4 grid
+    * with the margin spec-pinned (the q130 pattern).
+    */
+  def heapsFit(d: DataFrame, anchorWidth: Int): DataFrame = {
+    def anchorOf(c: Column): Column =
+      (c - (c % anchorWidth) + lit(anchorWidth - 1)).cast("long")
+    val nv = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(anchorOf(col("fd")).as("anchor")).agg(count(lit(1)).as("nv"))
+    val tok = d.groupBy(anchorOf(col("doc_id")).as("anchor"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("nt"))
+    val w = Window.orderBy(col("anchor"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok.join(nv, Seq("anchor"), "left")
+      .select(col("anchor"), coalesce(col("nv"), lit(0L)).as("nv"), col("nt"))
+      .withColumn("v", sum(col("nv")).over(w))
+      .withColumn("n", sum(col("nt")).over(w))
+      .agg(
+        count(lit(1)).as("n_anchors"),
+        max(col("v")).as("vocab_total"),
+        max(col("n")).as("tokens_total"),
+        Similarity.intScaled(
+          regr_slope(log(col("v")), log(col("n"))), 10000L).as("heaps_beta_e4"))
+  }
+
+  /** On this corpus the synthetic vocabulary is CLOSED (31 words,
+    * saturated before the first anchor), so the flat curve's β = 0
+    * exactly IS the true answer — certified as such; the spec proves
+    * the fit recovers a growing-vocabulary exponent on a synthetic
+    * corpus (the q164 discipline).
+    */
+  def q173(s: SparkSession, dir: String): DataFrame =
+    heapsFit(docs(s, dir), 100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_bm25"       -> (q126 _),
     "q130_zipf_slope" -> (q130 _),
@@ -243,9 +291,36 @@ object Ranking {
     "q142_vocab_table"  -> (q142 _),
     "q143_js_divergence" -> (q143 _),
     "q152_length_quantiles" -> (q152 _),
+    "q173_heaps_law"        -> (q173 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same anchor bucketing, first-doc vocab attribution, and
+    // anchor-frame cumsum; regr_slope over the identical ln pairs.
+    "q173_heaps_law" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |nv AS (
+        |  SELECT fd - fd % 100 + 99 AS anchor, CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM (SELECT w, MIN(doc_id) AS fd
+        |        FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY w)
+        |  GROUP BY 1),
+        |tok AS (
+        |  SELECT doc_id - doc_id % 100 + 99 AS anchor,
+        |         CAST(SUM(len(ws)) AS BIGINT) AS nt
+        |  FROM d GROUP BY 1),
+        |curve AS (
+        |  SELECT t.anchor,
+        |    SUM(COALESCE(nv.nv, 0)) OVER (ORDER BY t.anchor
+        |                                  ROWS UNBOUNDED PRECEDING) AS v,
+        |    SUM(t.nt) OVER (ORDER BY t.anchor ROWS UNBOUNDED PRECEDING) AS n
+        |  FROM tok t LEFT JOIN nv ON nv.anchor = t.anchor)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_anchors,
+        |  CAST(MAX(v) AS BIGINT) AS vocab_total,
+        |  CAST(MAX(n) AS BIGINT) AS tokens_total,
+        |  CAST(ROUND(regr_slope(ln(v), ln(n)) * 10000) AS BIGINT)
+        |    AS heaps_beta_e4
+        |FROM curve""".stripMargin,
     "q126_bm25" ->
       """WITH base AS (
         |  SELECT doc_id,

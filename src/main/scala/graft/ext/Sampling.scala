@@ -297,6 +297,41 @@ object Sampling {
   def q154(s: SparkSession, dir: String): DataFrame =
     weightedSample(docs(s, dir), col("doc_id"), col("n_chars"), k = 200)
 
+  /** q174 — split-balance χ² audit: the (split × source) contingency
+    * grid of the q76 hash split, each cell carrying its observed
+    * count, independence-expected count, and χ² contribution
+    * (O−E)²/E — the "did the hash split accidentally correlate with a
+    * covariate" check run before trusting a train/val/test cut
+    * (q139's leakage audit is the content-level cousin; this is the
+    * distributional one).
+    *
+    * Per-cell values only, deliberately no χ² total: each cell is a
+    * pure function of four exact integers through one identical
+    * expression shape — bit-exact cross-engine (the q161 pattern) —
+    * whereas a cross-cell sum would reintroduce summation-order
+    * drift for nothing (the reader's threshold test sums a dozen
+    * exact e4 integers instead).
+    *
+    * Scale: one corpus-sized count agg; marginals and the grid are
+    * (splits × sources)-sized.
+    */
+  def q174(s: SparkSession, dir: String): DataFrame = {
+    val cell = hashSplit(docs(s, dir), col("doc_id"))
+      .groupBy(col("split"), col("source")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // tiny grid; branched into 3 marginals
+    val rowt = cell.groupBy(col("split")).agg(sum(col("n")).as("n_split"))
+    val colt = cell.groupBy(col("source")).agg(sum(col("n")).as("n_source"))
+    val tot = cell.agg(sum(col("n")).as("n_total"))
+    val e = (col("n_split") * col("n_source")).cast("double") / col("n_total")
+    cell.join(rowt, "split").join(colt, "source")
+      .crossJoin(broadcast(tot))
+      .select(col("split"), col("source"), col("n"),
+        Similarity.intScaled(e, 10000L).as("expected_e4"),
+        Similarity.intScaled(
+          (col("n") - e) * (col("n") - e) / e, 10000L).as("chi2_e4"))
+      .orderBy("split", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_hash_split"  -> (q76 _),
     "q77_seq_packing" -> (q77 _),
@@ -306,9 +341,37 @@ object Sampling {
     "q134_temperature_mix" -> (q134 _),
     "q139_split_leakage" -> (q139 _),
     "q154_weighted_sample" -> (q154 _),
+    "q174_split_balance" -> (q174 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same md5 split rule as q76; expected and the χ² contribution are
+    // the identical expression shape over exact integer counts.
+    "q174_split_balance" ->
+      """WITH cell AS (
+        |  SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT source,
+        |      CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |           ELSE 'test' END AS split
+        |    FROM documents) t
+        |  GROUP BY split, source),
+        |rowt AS (SELECT split, SUM(n) AS n_split FROM cell GROUP BY split),
+        |colt AS (SELECT source, SUM(n) AS n_source FROM cell GROUP BY source),
+        |tot AS (SELECT SUM(n) AS n_total FROM cell)
+        |SELECT c.split, c.source, c.n,
+        |  CAST(ROUND(CAST(r.n_split * s.n_source AS DOUBLE) / t.n_total
+        |             * 10000) AS BIGINT) AS expected_e4,
+        |  CAST(ROUND(
+        |    (c.n - CAST(r.n_split * s.n_source AS DOUBLE) / t.n_total)
+        |    * (c.n - CAST(r.n_split * s.n_source AS DOUBLE) / t.n_total)
+        |    / (CAST(r.n_split * s.n_source AS DOUBLE) / t.n_total)
+        |    * 10000) AS BIGINT) AS chi2_e4
+        |FROM cell c
+        |JOIN rowt r ON r.split = c.split
+        |JOIN colt s ON s.source = c.source
+        |CROSS JOIN tot t
+        |ORDER BY c.split, c.source""".stripMargin,
     "q76_hash_split" ->
       """SELECT split, lang, COUNT(*) AS n FROM (
         |  SELECT lang,

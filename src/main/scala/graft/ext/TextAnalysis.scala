@@ -758,6 +758,65 @@ object TextAnalysis {
       .orderBy("w1", "w2")
   }
 
+  /** q172 — term burstiness: for every word with document frequency
+    * ≥ 20, the mean occurrences PER CONTAINING DOC (cnt/df). Uniform
+    * content words score ≈ 1; boilerplate/template tokens burst (a
+    * word appearing 40× across 2 docs is structure, not language) —
+    * the signal that separates topical vocabulary from markup residue
+    * when building stopword/boilerplate lists.
+    *
+    * Float discipline: one division of exact integers (the q161
+    * pattern) — bit-exact cross-engine. The df floor bounds output by
+    * the head vocabulary and keeps membership count-decided (no
+    * float-ranked cut).
+    *
+    * Scale: the per-(doc, word) collapse is the same map-side-combined
+    * shape as q125's tf stage; the word-level agg is vocab-sized.
+    */
+  def burstiness(d: DataFrame, minDf: Int): DataFrame =
+    d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("w"))
+      .agg(sum(col("tf")).as("cnt"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("w"), col("cnt"), col("df"),
+        Similarity.intScaled(
+          col("cnt").cast("double") / col("df"), 10000L).as("burst_e4"))
+
+  /** On this corpus the 20-doc floor is NON-binding (the synthetic
+    * vocabulary is closed — every word clears it), which is the true
+    * answer here; the spec certifies a binding floor on a synthetic
+    * fixture (the q164 discipline).
+    */
+  def q172(s: SparkSession, dir: String): DataFrame =
+    burstiness(docs(s, dir), 20).orderBy("w")
+
+  /** q175 — within-source quality percentile: every doc's
+    * `percent_rank` among its source under the (quality, doc_id)
+    * total order — the rank-normalization that makes a single quality
+    * threshold fair across sources whose raw score distributions
+    * differ (filter "bottom 10% of EACH source", not "score < c").
+    *
+    * Quality is rounded to 6 decimals BEFORE ranking (the q119/q137
+    * discipline) so a 1-ulp drift cannot flip rank order; the
+    * percentile itself is (rank−1)/(n−1) — exact integers, bit-exact
+    * cross-engine.
+    *
+    * Scale: one window partitioned by source — window state is one
+    * source's docs (the q77 packing bound); no global sort.
+    */
+  def q175(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        round(qualityScore(col("text")), 6).as("q"))
+      .select(col("doc_id"), col("source"),
+        Similarity.intScaled(col("q"), 1000000L).as("q_e6"),
+        Similarity.intScaled(percent_rank().over(w), 10000L).as("pctl_e4"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -783,6 +842,8 @@ object TextAnalysis {
     "q158_gram_novelty"  -> (q158 _),
     "q167_cross_perplexity" -> (q167 _),
     "q168_pmi_bigrams"   -> (q168 _),
+    "q172_burstiness"    -> (q172 _),
+    "q175_quality_pctl"  -> (q175 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -818,6 +879,36 @@ object TextAnalysis {
         |  CAST(ROUND(SUM(tf * -ln((COALESCE(cnt, 0) + 1.0) / (n + vsz)))
         |             / SUM(tf) * 10000) AS BIGINT) AS nll_e4
         |FROM grid GROUP BY t, e ORDER BY train_source, eval_source""".stripMargin,
+    "q172_burstiness" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w),
+        |agg AS (
+        |  SELECT w, CAST(SUM(tf) AS BIGINT) AS cnt,
+        |         CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY w)
+        |SELECT w, cnt, df,
+        |  CAST(ROUND(CAST(cnt AS DOUBLE) / df * 10000) AS BIGINT) AS burst_e4
+        |FROM agg WHERE df >= 20 ORDER BY w""".stripMargin,
+    // Same quality formula as the q119/q137 oracles (rounded to 6
+    // before ranking); PERCENT_RANK is (rank-1)/(n-1) in both engines.
+    "q175_quality_pctl" ->
+      """WITH ql AS (
+        |  SELECT doc_id, source,
+        |    ROUND((1.0 - CAST(len(list_filter(string_split(text,' '),
+        |                        w -> w IN ('a','the'))) AS DOUBLE)
+        |            / len(string_split(text,' ')))
+        |          * LEAST(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0, 1.0),
+        |          6) AS q
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(ROUND(q * 1000000) AS BIGINT) AS q_e6,
+        |  CAST(ROUND(PERCENT_RANK() OVER (PARTITION BY source
+        |                                  ORDER BY q, doc_id) * 10000)
+        |       AS BIGINT) AS pctl_e4
+        |FROM ql ORDER BY doc_id""".stripMargin,
     // Bigram construction mirrored from the q135 oracle; the PMI
     // expression is the identical arithmetic shape over exact integer
     // counts, so both engines compute the same double bit-for-bit.

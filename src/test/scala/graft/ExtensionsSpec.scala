@@ -851,4 +851,77 @@ class ExtensionsSpec extends SparkTestBase {
     // must dwarf it (the q134 discipline)
     assert(margins.min > 1e-6, s"boundary margin collapsed: ${margins.min}")
   }
+
+  test("q172 burstiness: full driver replay is EXACT; df floor binds") {
+    val perDoc = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").collect()
+      .flatMap(_.getString(0).split(" ", -1)
+        .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) })
+    val agg = perDoc.groupBy(_._1)
+      .map { case (w, xs) => (w, xs.map(_._2).sum, xs.size.toLong) }
+    val expected = agg.filter(_._3 >= 20).map { case (w, cnt, df) =>
+      (w, cnt, df,
+        BigDecimal(cnt.toDouble / df * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.q172(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // fixture truth: the synthetic vocabulary is CLOSED — every word
+    // clears the 20-doc floor, so the non-binding filter is correct
+    assert(expected.size === agg.size, "fixture vocab expected to clear the floor")
+    // the floor itself certified where it binds: a synthetic corpus
+    val syn = Seq(
+      (0L, "common rare common"), (1L, "common x"), (2L, "common y"))
+      .toDF("doc_id", "text")
+    val bound = TextAnalysis.burstiness(syn, 2).collect()
+    assert(bound.map(_.getString(0)).toSet === Set("common"),
+      "df floor must drop the df=1 tail")
+    assert(bound.head.getLong(3) === BigDecimal(4.0 / 3 * 10000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+  }
+
+  test("q173 heaps law: fixture truth (saturated vocab, beta = 0 exactly); " +
+      "synthetic growth recovers beta ≈ 1") {
+    val docsArr = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1))).sortBy(_._1)
+    val r = graft.ext.Ranking.q173(spark, sf).head()
+    assert(r.getLong(1) === docsArr.flatMap(_._2).distinct.length.toLong)
+    assert(r.getLong(2) === docsArr.map(_._2.length.toLong).sum)
+    // the 31-word synthetic vocabulary saturates before the first
+    // 100-doc anchor: V is constant, ln V is constant, the regression
+    // slope is EXACTLY zero — the curve's true answer on this corpus
+    assert(r.getLong(3) === 0L, s"saturated vocab must fit beta=0: $r")
+    // growing-vocabulary case: each doc introduces one new word next
+    // to four repeats — V(d) = d + 4 and N(d) = 5d, so the log-log
+    // slope approaches 1 (with a small-intercept bend at the head)
+    val syn = (0L until 200L)
+      .map(i => (i, s"a b c d w$i")).toDF("doc_id", "text")
+    val sr = graft.ext.Ranking.heapsFit(syn, 10).head()
+    assert(sr.getLong(0) === 20L)
+    assert(sr.getLong(1) === 204L && sr.getLong(2) === 1000L)
+    val beta = sr.getLong(3) / 10000.0
+    assert(beta > 0.9 && beta <= 1.0, s"linear-growth exponent off: $beta")
+  }
+
+  test("q175 quality percentile: full driver replay is EXACT; per-source span") {
+    val q175 = TextAnalysis.q175(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySource = q175.groupBy(_._2)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_._4).min === 0L, s"$src: lowest doc must rank 0")
+      if (rows.size > 1)
+        assert(rows.map(_._4).max === 10000L, s"$src: highest doc must rank 1")
+      // percent_rank is (rank-1)/(n-1) under the (q, doc_id) total order
+      val sorted = rows.sortBy(r => (r._3, r._1)).zipWithIndex
+      sorted.foreach { case (r, i) =>
+        val exp =
+          if (rows.size == 1) 0L // percent_rank of a singleton partition
+          else BigDecimal(i.toDouble / (rows.size - 1) * 10000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        assert(r._4 === exp, s"$src rank $i: ${r._4} vs $exp")
+      }
+    }
+  }
 }

@@ -174,4 +174,22 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(r => math.abs(r.getDouble(0) % 1 - 0.5))
     assert(margins.min > 1e-4, s"boundary margin collapsed: ${margins.min}")
   }
+
+  test("q174 split balance: grid partitions the corpus; replay is EXACT") {
+    val rows = Sampling.q174(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val total = docs.count()
+    assert(rows.map(_._3).sum === total, "cells do not partition the corpus")
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val bySource = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    rows.foreach { case (sp, src, n, expE4, chiE4) =>
+      val e = (bySplit(sp) * bySource(src)).toDouble / total
+      def half(v: Double) =
+        BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(expE4 === half(e * 10000), s"expected mismatch at ($sp,$src)")
+      assert(chiE4 === half((n - e) * (n - e) / e * 10000),
+        s"chi2 mismatch at ($sp,$src)")
+    }
+  }
 }
