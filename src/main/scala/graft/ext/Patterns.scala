@@ -198,12 +198,50 @@ object Patterns {
       .orderBy("day")
   }
 
+  /** q179 — inter-event gap order statistics: per event type, the
+    * median and p90 of the microsecond gap between a user's
+    * consecutive events of that type — the cadence profile that sizes
+    * session-gap thresholds (q37/q45) and streaming watermarks from
+    * the data instead of folklore.
+    *
+    * Quantiles are EXACT ORDER STATISTICS via the q163 cumulative-
+    * count trick (smallest gap with rank·k ≥ quota), NOT interpolated
+    * `percentile`: gaps are ~1e10 µs, where a 1-ulp interpolation
+    * difference between engines lands within the rounding grid —
+    * integer compares cannot drift. Timestamps go through the exact
+    * decimal ns→µs conversion ([[graft.Tables.eventTs]] discipline).
+    *
+    * Scale: the gap window is (user, type)-partitioned — one user's
+    * events of one type per state; the rank window partitions by type
+    * over the gap frame (the q163 accepted bound).
+    */
+  def q179(s: SparkSession, dir: String): DataFrame = {
+    val wLag = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(wLag))
+      .filter(col("gap_us").isNotNull)
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap_us"), col("event_id"))
+    gaps
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("ng")).as("n_gaps"),
+        min(when(col("rn") * 2 >= col("ng"), col("gap_us"))).as("p50_us"),
+        min(when(col("rn") * 10 >= col("ng") * 9, col("gap_us"))).as("p90_us"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_assoc_rules"     -> (q161 _),
     "q162_event_transitions" -> (q162 _),
     "q163_weighted_median" -> (q163 _),
     "q166_token_apportion" -> (q166 _),
     "q170_event_anomaly"   -> (q170 _),
+    "q179_event_gaps"      -> (q179 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -253,6 +291,28 @@ object Patterns {
         |       CAST(MIN(len) AS BIGINT) AS wmedian_len
         |FROM c WHERE cum * 2 >= total_tokens
         |GROUP BY source ORDER BY source""".stripMargin,
+    // µs via the same TIMESTAMP truncation as the q45 oracle; exact
+    // order statistics via the identical rank/quota integer compares.
+    "q179_event_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, event_id,
+        |         us - LAG(us) OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY us, event_id) AS gap_us
+        |  FROM e),
+        |r AS (
+        |  SELECT event_type, gap_us,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY gap_us, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS ng
+        |  FROM g WHERE gap_us IS NOT NULL)
+        |SELECT event_type, CAST(MAX(ng) AS BIGINT) AS n_gaps,
+        |  CAST(MIN(CASE WHEN rn * 2 >= ng THEN gap_us END) AS BIGINT) AS p50_us,
+        |  CAST(MIN(CASE WHEN rn * 10 >= ng * 9 THEN gap_us END) AS BIGINT) AS p90_us
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Identical z expression over exact BIGINT window sums; trailing
     // 7 ROWS (observed days), full-history rows only.
     "q170_event_anomaly" ->

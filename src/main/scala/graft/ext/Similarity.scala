@@ -596,6 +596,34 @@ object Similarity {
       .orderBy("la", "lb")
   }
 
+  /** q176 — per-dimension embedding health report: mean, population
+    * std, min, max for every vector position — the "dead dimension /
+    * scale drift" check run before trusting embeddings for ANN or
+    * clustering (a dimension with σ ≈ 0 carries no signal; one with a
+    * wild range dominates unnormalized distances).
+    *
+    * Float discipline: min/max touch no summation (exact float →
+    * double, bit-exact); mean and σ = √(E[v²] − E[v]²) are spelled as
+    * the same explicit-moment expression in both engines (never the
+    * engine's own stddev implementation — Welford vs naive would
+    * diverge beyond summation order), drift absorbed by the e4 grid.
+    *
+    * Scale: one (pos)-keyed agg over the exploded corpus — map-side
+    * combined, dims × 5 output rows.
+    */
+  def q176(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("pos").cast("long").as("pos"), col("vf").cast("double").as("v"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        intScaled(avg(col("v")), 10000L).as("mean_e4"),
+        intScaled(sqrt(avg(col("v") * col("v")) - avg(col("v")) * avg(col("v"))),
+          10000L).as("std_e4"),
+        intScaled(min(col("v")), 10000L).as("min_e4"),
+        intScaled(max(col("v")), 10000L).as("max_e4"))
+      .orderBy("pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
     "q123_semdedup" -> (q123 _),
@@ -610,6 +638,7 @@ object Similarity {
     "q155_logreg_step" -> (q155 _),
     "q160_calibration" -> (q160 _),
     "q169_centroid_matrix" -> (q169 _),
+    "q176_embed_dim_stats" -> (q176 _),
   )
 
   /** q61 oracle: the md5-derived ±1 planes are query CONSTANTS (like
@@ -730,6 +759,22 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same unnest-with-ordinal as the q44 oracle; the float is cast to
+    // DOUBLE BEFORE any arithmetic (FLOAT*FLOAT would square in
+    // 32-bit), and σ uses the same explicit-moment expression.
+    "q176_embed_dim_stats" ->
+      """WITH x AS (
+        |  SELECT CAST(ord AS BIGINT) - 1 AS pos, CAST(vf AS DOUBLE) AS v
+        |  FROM (SELECT UNNEST(embedding) AS vf,
+        |               UNNEST(range(1, len(embedding) + 1)) AS ord
+        |        FROM embeddings))
+        |SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(AVG(v) * 10000) AS BIGINT) AS mean_e4,
+        |  CAST(ROUND(SQRT(AVG(v * v) - AVG(v) * AVG(v)) * 10000) AS BIGINT)
+        |    AS std_e4,
+        |  CAST(ROUND(MIN(v) * 10000) AS BIGINT) AS min_e4,
+        |  CAST(ROUND(MAX(v) * 10000) AS BIGINT) AS max_e4
+        |FROM x GROUP BY pos ORDER BY pos""".stripMargin,
     // Same per-dim centroid derivation as the q44 oracle (unrounded);
     // the cosine is spelled in the identical arithmetic shape as the
     // Spark agg so the only cross-engine delta is summation order,

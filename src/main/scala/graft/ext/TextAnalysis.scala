@@ -817,6 +817,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q178 — language-label confusion matrix: DECLARED `lang` column ×
+    * q51's stopword-argmax prediction, with each declared language's
+    * row share — the label-noise estimate a pipeline publishes before
+    * trusting upstream language tags for filtering or mixing (the
+    * diagonal share is effective tag precision under the heuristic).
+    *
+    * Share is one division of exact integers (bit-exact); the matrix
+    * is (langs+1)² rows at most.
+    */
+  def q178(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .select(col("lang"), guessLang(col("text")).as("guess"))
+      .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // tiny matrix; branched into the row totals
+    val tot = g.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    g.join(tot, "lang")
+      .select(col("lang"), col("guess"), col("n"), col("n_lang"),
+        Similarity.intScaled(
+          col("n").cast("double") / col("n_lang"), 10000L).as("share_e4"))
+      .orderBy("lang", "guess")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -844,6 +866,7 @@ object TextAnalysis {
     "q168_pmi_bigrams"   -> (q168 _),
     "q172_burstiness"    -> (q172 _),
     "q175_quality_pctl"  -> (q175 _),
+    "q178_lang_confusion" -> (q178 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -879,6 +902,31 @@ object TextAnalysis {
         |  CAST(ROUND(SUM(tf * -ln((COALESCE(cnt, 0) + 1.0) / (n + vsz)))
         |             / SUM(tf) * 10000) AS BIGINT) AS nll_e4
         |FROM grid GROUP BY t, e ORDER BY train_source, eval_source""".stripMargin,
+    // q51's scored CTE + the same ordered argmax; share is an exact
+    // integer division.
+    "q178_lang_confusion" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','das'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('el','los','y','que'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les'))) AS s_fr
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |         WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+        |         WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |         WHEN s_fr > 0 THEN 'fr'
+        |         ELSE 'unknown' END AS guess,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM scored GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(n) AS n_lang FROM g GROUP BY lang)
+        |SELECT g.lang, g.guess, g.n, CAST(t.n_lang AS BIGINT) AS n_lang,
+        |  CAST(ROUND(CAST(g.n AS DOUBLE) / t.n_lang * 10000) AS BIGINT)
+        |    AS share_e4
+        |FROM g JOIN tot t ON t.lang = g.lang
+        |ORDER BY g.lang, g.guess""".stripMargin,
     "q172_burstiness" ->
       """WITH tf AS (
         |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf

@@ -225,6 +225,46 @@ object Round4 {
       .orderBy("o_orderkey", "c_custkey")
   }
 
+  /** q177 — TPC-H Q5 shape (local supplier volume): the six-table
+    * regional revenue rollup — region filter pruning nation pruning
+    * customer/supplier, the c_nationkey = s_nationkey co-locality
+    * predicate riding the lineitem join, decimal-exact revenue. The
+    * classic join-ORDERING stress: Catalyst must start from the
+    * selective region side and broadcast the two dim tables (the
+    * plan the 100 TB cluster needs — region/nation are KB-sized
+    * forever, so they are declared `broadcast`).
+    *
+    * Deviation from the TPC text: output ordered by n_name, not by
+    * the float revenue — the q60 discipline (float-ranked row order
+    * is a cross-engine hash hazard; the values themselves are
+    * decimal-exact).
+    */
+  def q177(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .select("r_regionkey")
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .select("o_orderkey", "o_custkey")
+    val l = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val revenue = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount").cast("decimal(18,2)"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(revenue), 2).cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_salted_join"  -> (q88 _),
     "q89_salted_dedup" -> (q89 _),
@@ -235,9 +275,28 @@ object Round4 {
     "q114_cms_counts"  -> (q114 _),
     "q98_asof_forward" -> (q98 _),
     "q99_interval_overlap" -> (q99 _),
+    "q177_tpch_q5" -> (q177 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Decimal-exact revenue like q90; ordered by n_name (the q60
+    // discipline), values identical by exact decimal arithmetic.
+    "q177_tpch_q5" ->
+      """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |                 (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+        |       AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |               AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= DATE '1996-01-01'
+        |  AND o.o_orderdate < DATE '1997-01-01'
+        |GROUP BY n.n_name ORDER BY n_name""".stripMargin,
     "q88_salted_join" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n,
         |       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total

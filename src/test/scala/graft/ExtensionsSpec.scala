@@ -905,6 +905,49 @@ class ExtensionsSpec extends SparkTestBase {
     assert(beta > 0.9 && beta <= 1.0, s"linear-growth exponent off: $beta")
   }
 
+  test("q176 embed dim stats: exact min/max, moment replay, margins hold") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dims = vecs.head.length
+    val rows = Similarity.q176(spark, sf).collect()
+    assert(rows.length === dims)
+    def half(v: Double) =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    rows.foreach { r =>
+      val p = r.getLong(0).toInt
+      val col = vecs.map(_(p))
+      assert(r.getLong(1) === vecs.length.toLong)
+      // min/max touch no summation — exact
+      assert(r.getLong(4) === half(col.min * 10000))
+      assert(r.getLong(5) === half(col.max * 10000))
+      val mean = col.sum / col.length
+      val std = math.sqrt(col.map(v => v * v).sum / col.length - mean * mean)
+      assert(math.abs(r.getLong(2) - mean * 10000) <= 1.0, s"mean drift at $p")
+      assert(math.abs(r.getLong(3) - std * 10000) <= 1.0, s"std drift at $p")
+      // rounding-boundary margins for the two summation-drifting stats
+      assert(math.abs(math.abs(mean * 10000) % 1 - 0.5) > 1e-6, s"mean margin at $p")
+      assert(math.abs(math.abs(std * 10000) % 1 - 0.5) > 1e-6, s"std margin at $p")
+    }
+  }
+
+  test("q178 lang confusion: cells partition the corpus; shares are row-exact") {
+    val rows = TextAnalysis.q178(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._3).sum === total)
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      val nLang = cells.head._4
+      assert(cells.forall(_._4 == nLang))
+      assert(cells.map(_._3).sum === nLang, s"$lang row does not sum")
+      cells.foreach { c =>
+        assert(c._5 === BigDecimal(c._3.toDouble / nLang * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+    }
+  }
+
   test("q175 quality percentile: full driver replay is EXACT; per-source span") {
     val q175 = TextAnalysis.q175(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -188,4 +188,25 @@ class PatternsSpec extends SparkTestBase {
     assert(got === expected)
     assert(got.size === days.size - 7, "first 7 observed days have no full window")
   }
+
+  test("q179 event gaps: full driver replay is EXACT (integer order statistics)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id", $"event_type", $"event_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3) / 1000L)) // exact ns→µs truncation (positive values)
+    val gaps = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((_, t), es) =>
+      val o = es.sortBy(e => (e._4, e._3))
+      o.zip(o.tail).map { case (a, b) => (t, b._3, b._4 - a._4) }
+    }
+    val expected = gaps.groupBy(_._1).map { case (t, gs) =>
+      val sorted = gs.sortBy(g => (g._3, g._2)).map(_._3)
+      val n = sorted.size
+      def q(num: Int, den: Int) = // smallest gap with rank*den >= n*num
+        sorted(((n * num + den - 1) / den) - 1)
+      (t, n.toLong, q(1, 2), q(9, 10))
+    }.toSeq.sortBy(_._1)
+    val got = graft.ext.Patterns.q179(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
 }

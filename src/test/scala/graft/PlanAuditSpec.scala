@@ -377,4 +377,11 @@ class PlanAuditSpec extends SparkTestBase {
     val exchanges = exec.collect { case e: Exchange => e }
     assert(exchanges.length <= 3, exec.toString)
   }
+
+  test("q177 tpch q5: dim tables broadcast, date filter pushed to the scan") {
+    val p = plan("q177_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+  }
 }
