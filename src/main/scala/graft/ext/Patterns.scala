@@ -235,6 +235,44 @@ object Patterns {
       .orderBy("event_type")
   }
 
+  /** q182 — per-type activity concentration (Gini coefficient of
+    * events per user): the "is one power user generating this
+    * traffic" audit — G ≈ 0 means uniform activity, G → 1 means a
+    * handful of users dominate; run before trusting per-user caps or
+    * engagement mixes sized on averages.
+    *
+    * Rank formula G = (2·Σ rn·x − (n+1)·Σx) / (n·Σx) over counts
+    * ranked ascending. Everything up to the final division is exact
+    * BIGINT (Σ rn·x is invariant under tie permutations — tied x
+    * contribute a constant regardless of rank order — and the
+    * (x, user_id) order pins it outright); the division is ONE IEEE
+    * op on two exact integers, so the rounded e4 value is bit-exact
+    * cross-engine by construction — no drift margin exists.
+    *
+    * Scale: one (type, user) count agg (map-side combined), then a
+    * per-type rank window over the USER frame (users-per-type sized,
+    * not event-sized).
+    */
+  def q182(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("x"), col("user_id"))
+    cnt
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"),
+        sum(col("rn") * col("x")).as("rx"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        Similarity.intScaled(
+          (lit(2) * col("rx") - (col("n_users") + 1) * col("n_events"))
+            .cast("double") /
+            (col("n_users") * col("n_events")).cast("double"),
+          10000L).as("gini_e4"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_assoc_rules"     -> (q161 _),
     "q162_event_transitions" -> (q162 _),
@@ -242,6 +280,7 @@ object Patterns {
     "q166_token_apportion" -> (q166 _),
     "q170_event_anomaly"   -> (q170 _),
     "q179_event_gaps"      -> (q179 _),
+    "q182_activity_gini"   -> (q182 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -291,6 +330,23 @@ object Patterns {
         |       CAST(MIN(len) AS BIGINT) AS wmedian_len
         |FROM c WHERE cum * 2 >= total_tokens
         |GROUP BY source ORDER BY source""".stripMargin,
+    // Same rank formula over exact BIGINTs; the single division of
+    // two exact integers is bit-exact cross-engine.
+    "q182_activity_gini" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, x,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY x, user_id) AS rn
+        |  FROM c)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(x) AS BIGINT) AS n_events,
+        |  CAST(ROUND(CAST(2 * SUM(rn * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+        |             / CAST(COUNT(*) * SUM(x) AS DOUBLE) * 10000) AS BIGINT)
+        |    AS gini_e4
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     // µs via the same TIMESTAMP truncation as the q45 oracle; exact
     // order statistics via the identical rank/quota integer compares.
     "q179_event_gaps" ->

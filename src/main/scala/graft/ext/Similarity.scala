@@ -3,6 +3,7 @@ package graft.ext
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -624,6 +625,49 @@ object Similarity {
         intScaled(max(col("v")), 10000L).as("max_e4"))
       .orderBy("pos")
 
+  /** q181 — per-dimension median + MAD (median absolute deviation):
+    * the ROBUST counterpart of q176's moment report — outlier vectors
+    * move a mean/σ arbitrarily far but barely touch the median/MAD,
+    * so this is the pair a pipeline trusts when embeddings may carry
+    * corrupt rows.
+    *
+    * Both statistics are EXACT ORDER STATISTICS (q163/q179 rank-quota
+    * discipline — smallest value with 2·rank ≥ n), never interpolated.
+    * That makes them bit-exact cross-engine: the median is an actual
+    * data value (float→double, exact), each |v − med| is ONE IEEE
+    * subtraction of two exact doubles, and the MAD is again a value
+    * picked from that set — no summation anywhere, so nothing drifts.
+    *
+    * Scale: the two rank windows partition by pos (corpus-sized
+    * partitions — the accepted exact-order-stat bound, q152/q163; the
+    * production path at 100 TB swaps in approx_percentile and keeps
+    * the same report shape).
+    */
+  def q181(s: SparkSession, dir: String): DataFrame = {
+    val x = emb(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("vf").cast("double").as("v"))
+    val wV = Window.partitionBy(col("pos")).orderBy(col("v"), col("vec_id"))
+    val nW = Window.partitionBy(col("pos"))
+    val med = x
+      .withColumn("rn", row_number().over(wV))
+      .withColumn("n", count(lit(1)).over(nW))
+      .filter(col("rn") * 2 >= col("n"))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("med"), max(col("n")).as("n"))
+    val wD = Window.partitionBy(col("pos")).orderBy(col("d"), col("vec_id"))
+    x.join(med, "pos")
+      .withColumn("d", abs(col("v") - col("med")))
+      .withColumn("rn", row_number().over(wD))
+      .filter(col("rn") * 2 >= col("n"))
+      .groupBy(col("pos"))
+      .agg(max(col("n")).as("n"),
+        intScaled(min(col("med")), 10000L).as("med_e4"),
+        intScaled(min(col("d")), 10000L).as("mad_e4"))
+      .orderBy("pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
     "q123_semdedup" -> (q123 _),
@@ -639,6 +683,7 @@ object Similarity {
     "q160_calibration" -> (q160 _),
     "q169_centroid_matrix" -> (q169 _),
     "q176_embed_dim_stats" -> (q176 _),
+    "q181_embed_dim_mad" -> (q181 _),
   )
 
   /** q61 oracle: the md5-derived ±1 planes are query CONSTANTS (like
@@ -759,6 +804,31 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Identical rank-quota order statistics (2·rn ≥ n picks the same
+    // data value both engines); |v − med| is one exact subtraction.
+    "q181_embed_dim_mad" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(ord AS BIGINT) - 1 AS pos, CAST(vf AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, UNNEST(embedding) AS vf,
+        |               UNNEST(range(1, len(embedding) + 1)) AS ord
+        |        FROM embeddings)),
+        |rv AS (
+        |  SELECT pos, v,
+        |         ROW_NUMBER() OVER (PARTITION BY pos ORDER BY v, vec_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY pos) AS n
+        |  FROM x),
+        |med AS (
+        |  SELECT pos, MIN(v) AS med, MAX(n) AS n
+        |  FROM rv WHERE rn * 2 >= n GROUP BY pos),
+        |d AS (
+        |  SELECT x.pos, ABS(x.v - m.med) AS d, m.med, m.n,
+        |         ROW_NUMBER() OVER (PARTITION BY x.pos
+        |                            ORDER BY ABS(x.v - m.med), x.vec_id) AS rn
+        |  FROM x JOIN med m ON m.pos = x.pos)
+        |SELECT pos, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(ROUND(MIN(med) * 10000) AS BIGINT) AS med_e4,
+        |  CAST(ROUND(MIN(d) * 10000) AS BIGINT) AS mad_e4
+        |FROM d WHERE rn * 2 >= n GROUP BY pos ORDER BY pos""".stripMargin,
     // Same unnest-with-ordinal as the q44 oracle; the float is cast to
     // DOUBLE BEFORE any arithmetic (FLOAT*FLOAT would square in
     // 32-bit), and σ uses the same explicit-moment expression.

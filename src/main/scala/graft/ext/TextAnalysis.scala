@@ -839,6 +839,42 @@ object TextAnalysis {
       .orderBy("lang", "guess")
   }
 
+  /** q183 — pairwise source-vocabulary Jaccard overlap: |V_a ∩ V_b| /
+    * |V_a ∪ V_b| for every source pair — the SET-overlap member of
+    * the source-distance family (q143 JS = distributional, q167
+    * perplexity = asymmetric LM, q169 centroid cosine = embedding;
+    * this one ignores frequency entirely and asks only "do they share
+    * words"). Pairs with an empty intersection are absent by contract
+    * (inner join on the shared-word frame).
+    *
+    * All counts are exact integers; the single division goes through
+    * the e4 grid. Scale: the corpus is touched ONCE for the distinct
+    * (source, word) frame (vocab-sized); the pair stage is a
+    * vocab-keyed self-join emitting at most sources²/2 rows per
+    * shared word — source cardinality is small and fixed, the corpus
+    * never re-enters.
+    */
+  def q183(s: SparkSession, dir: String): DataFrame = {
+    val v = docs(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .distinct()
+      .localCheckpoint(true) // vocab-sized; branched into sizes + pairs
+    val sz = v.groupBy(col("source")).agg(count(lit(1)).as("vsz"))
+    v.as("a")
+      .join(v.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sz.select(col("source").as("sa"), col("vsz").as("na")), "sa")
+      .join(sz.select(col("source").as("sb"), col("vsz").as("nb")), "sb")
+      .select(col("sa"), col("sb"), col("na"), col("nb"), col("n_common"),
+        Similarity.intScaled(
+          col("n_common").cast("double") /
+            (col("na") + col("nb") - col("n_common")).cast("double"),
+          10000L).as("jaccard_e4"))
+      .orderBy("sa", "sb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -867,6 +903,7 @@ object TextAnalysis {
     "q172_burstiness"    -> (q172 _),
     "q175_quality_pctl"  -> (q175 _),
     "q178_lang_confusion" -> (q178 _),
+    "q183_vocab_jaccard" -> (q183 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -902,6 +939,26 @@ object TextAnalysis {
         |  CAST(ROUND(SUM(tf * -ln((COALESCE(cnt, 0) + 1.0) / (n + vsz)))
         |             / SUM(tf) * 10000) AS BIGINT) AS nll_e4
         |FROM grid GROUP BY t, e ORDER BY train_source, eval_source""".stripMargin,
+    // Same distinct (source, word) frame + self-join; all-integer
+    // counts, one exact division.
+    "q183_vocab_jaccard" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source, w
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vsz FROM v GROUP BY 1),
+        |i AS (
+        |  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.sa, i.sb, x.vsz AS na, y.vsz AS nb, i.n_common,
+        |  CAST(ROUND(CAST(i.n_common AS DOUBLE)
+        |             / CAST(x.vsz + y.vsz - i.n_common AS DOUBLE) * 10000)
+        |       AS BIGINT) AS jaccard_e4
+        |FROM i
+        |JOIN sz x ON x.source = i.sa
+        |JOIN sz y ON y.source = i.sb
+        |ORDER BY sa, sb""".stripMargin,
     // q51's scored CTE + the same ordered argmax; share is an exact
     // integer division.
     "q178_lang_confusion" ->

@@ -265,6 +265,35 @@ object Round4 {
       .orderBy("n_name")
   }
 
+  /** q180 — TPC-H Q18 shape (large-volume customer): orders whose
+    * line quantities sum past a threshold, resolved back to their
+    * customers. The classic HAVING-driven semi-reduction: the
+    * lineitem agg runs FIRST and kills ~99% of orders before any
+    * join touches the wide tables — at 100 TB the join inputs are
+    * the filtered 1%, not the raw fact table (AQE sizes the
+    * post-filter side at runtime; no forced broadcast, since the
+    * survivor set scales with the data).
+    *
+    * l_quantity is whole-number-valued; cast to BIGINT before the
+    * sum so the HAVING compare and the output are exact integers
+    * (no float sum near the threshold). Output ordered by the key,
+    * never by a measure (q60 float-rank discipline).
+    */
+  def q180(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_lines"))
+      .filter(col("sum_qty") > 250)
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"),
+        col("sum_qty"), col("n_lines"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_salted_join"  -> (q88 _),
     "q89_salted_dedup" -> (q89 _),
@@ -276,9 +305,24 @@ object Round4 {
     "q98_asof_forward" -> (q98 _),
     "q99_interval_overlap" -> (q99 _),
     "q177_tpch_q5" -> (q177 _),
+    "q180_tpch_q18" -> (q180 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Exact BIGINT quantity sums on both sides of the HAVING; ordered
+    // by the order key.
+    "q180_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |         CAST(COUNT(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, b.sum_qty, b.n_lines
+        |FROM big b
+        |JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
     // Decimal-exact revenue like q90; ordered by n_name (the q60
     // discipline), values identical by exact decimal arithmetic.
     "q177_tpch_q5" ->

@@ -948,6 +948,52 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("q181 embed dim MAD: full driver replay is EXACT (order statistics)") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    def half(v: Double) =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def rankQuota(sorted: Array[Double]) = // smallest v with 2·rank ≥ n
+      sorted(((n + 1) / 2) - 1)
+    val rows = graft.ext.Similarity.q181(spark, sf).collect()
+    assert(rows.length === vecs.head.length)
+    rows.foreach { r =>
+      val p = r.getLong(0).toInt
+      val col = vecs.map(_(p))
+      val med = rankQuota(col.sorted)
+      val mad = rankQuota(col.map(v => math.abs(v - med)).sorted)
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getLong(2) === half(med * 10000), s"median at $p")
+      assert(r.getLong(3) === half(mad * 10000), s"mad at $p")
+    }
+  }
+
+  test("q183 vocab jaccard: full driver replay is EXACT; all 190 pairs present") {
+    val vocab = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, ds) =>
+        (s, ds.flatMap(_._2.split(" ")).toSet)
+      }
+    val expected = (for {
+      (sa, va) <- vocab; (sb, vb) <- vocab if sa < sb
+      common = (va & vb).size.toLong if common > 0
+    } yield {
+      val union = va.size.toLong + vb.size.toLong - common
+      (sa, sb, va.size.toLong, vb.size.toLong, common,
+        BigDecimal(common.toDouble / union * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }).toSeq.sortBy(p => (p._1, p._2))
+    val got = graft.ext.TextAnalysis.q183(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    assert(got.size === vocab.size * (vocab.size - 1) / 2,
+      "a source pair shares no word — q183's inner-join contract now binds")
+  }
+
   test("q175 quality percentile: full driver replay is EXACT; per-source span") {
     val q175 = TextAnalysis.q175(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -209,4 +209,24 @@ class PatternsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got === expected)
   }
+
+  test("q182 activity gini: full driver replay is EXACT; G in [0, 1)") {
+    val counts = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", $"user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, u), es) => (t, u, es.length.toLong) }
+    val expected = counts.groupBy(_._1).map { case (t, us) =>
+      val xs = us.toSeq.sortBy(u => (u._3, u._2)).map(_._3)
+      val n = xs.size.toLong
+      val sx = xs.sum
+      val rx = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val g = (2 * rx - (n + 1) * sx).toDouble / (n * sx).toDouble
+      (t, n, sx, BigDecimal(g * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = graft.ext.Patterns.q182(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    got.foreach(r => assert(r._4 >= 0 && r._4 < 10000, s"gini out of range: $r"))
+  }
 }

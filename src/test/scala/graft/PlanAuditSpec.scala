@@ -384,4 +384,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
   }
+
+  test("q180 tpch q18: HAVING reduction before the joins, 2-column lineitem scan") {
+    val p = plan("q180_tpch_q18")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the post-agg threshold filter exists (the 99% kill happens pre-join)
+    assert(p.contains("sum_qty"), p)
+    // lineitem scan reads only the key + quantity, never the wide columns
+    assert(!p.contains("l_extendedprice") && !p.contains("l_comment"), p)
+  }
 }
