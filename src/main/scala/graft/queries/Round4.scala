@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -294,6 +295,131 @@ object Round4 {
       .orderBy("o_orderkey")
   }
 
+  /** One FK relationship's referential-integrity + fan-out audit row.
+    * Orphans are counted from the child side (anti-join semantics via
+    * left join + null test on a projected key frame); fan-out stats
+    * come from the HISTOGRAM of per-parent child counts — the median
+    * is the q163 cumsum rank-quota over the histogram frame (distinct
+    * fan values, NOT parents), so no parent-sized sort exists at any
+    * scale. Every number is an exact integer.
+    */
+  private def fkAuditRow(rel: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val ckeys = child.select(col(ck).as("__ck"))
+    val pkeys = parent.select(col(pk).as("__pk"))
+    val orphans = ckeys.join(pkeys, col("__ck") === col("__pk"), "left")
+      .agg(sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("orphan_rows"))
+    val fan = pkeys
+      .join(ckeys.groupBy(col("__ck")).agg(count(lit(1)).as("f")),
+        col("__pk") === col("__ck"), "left")
+      .select(coalesce(col("f"), lit(0L)).as("f"))
+    val hist = fan.groupBy(col("f")).agg(count(lit(1)).as("np"))
+    val wCum = Window.orderBy(col("f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = hist
+      .withColumn("cum", sum(col("np")).over(wCum))
+      .crossJoin(broadcast(
+        hist.agg(sum(col("np")).as("n_parents"),
+          sum(col("f") * col("np")).as("matched_rows"),
+          max(col("f")).as("fan_max"),
+          sum(when(col("f") === 0, col("np")).otherwise(0L)).as("childless"))))
+      .filter(col("cum") * 2 >= col("n_parents"))
+      .agg(max(col("n_parents")).as("n_parents"),
+        max(col("matched_rows")).as("matched_rows"),
+        min(col("f")).as("fan_p50"),
+        max(col("fan_max")).as("fan_max"),
+        max(col("childless")).as("childless_parents"))
+    stats.crossJoin(broadcast(orphans))
+      .select(lit(rel).as("rel"), col("n_parents"),
+        (col("matched_rows") + col("orphan_rows")).as("n_children"),
+        col("orphan_rows"), col("childless_parents"),
+        col("fan_p50"), col("fan_max"))
+  }
+
+  /** q184 — referential-integrity / fan-out audit over the two core
+    * FK relationships (orders→customer, lineitem→orders): orphan
+    * child rows, childless parents, and the min/median/max fan-out a
+    * join planner actually cares about ("is this FK clean, and how
+    * skewed is the fan?"). The pipeline pre-flight before trusting an
+    * FK join or sizing a salt factor.
+    *
+    * Scale: per relationship, one child-side count agg + two
+    * key-projected joins; the median rides the fan HISTOGRAM (q163
+    * rank-quota over distinct fan values — never a parent-sized
+    * window). The histogram cumsum window is single-partition but
+    * histogram-sized (distinct fan counts, dozens of rows at any
+    * scale). All outputs exact integers — bit-exact cross-engine.
+    */
+  def q184(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    fkAuditRow("orders->customer", orders, "o_custkey",
+        t(s, dir, "customer"), "c_custkey")
+      .unionByName(fkAuditRow("lineitem->orders",
+        t(s, dir, "lineitem"), "l_orderkey", orders, "o_orderkey"))
+      .orderBy("rel")
+  }
+
+  /** q185 — join-key skew report ("should I salt this join?"): the
+    * top-10 heaviest values of a candidate join key with each key's
+    * row share and its ratio to the MEDIAN key weight — the two
+    * numbers that decide between a plain shuffle join, AQE skew
+    * handling, and an explicit salt (`saltedResolveFk`, q88).
+    *
+    * Scale: one map-side-combined key count agg; the median again
+    * rides the count HISTOGRAM (q184 discipline), and the top-10 is
+    * a (cnt DESC, key) total order through TakeOrderedAndProject —
+    * no full sort. Share and ratio are single divisions of exact
+    * integers through the e4 grid.
+    */
+  def q185(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+    val hist = cnt.groupBy(col("cnt").as("c")).agg(count(lit(1)).as("nk"))
+    val wCum = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist
+      .withColumn("cum", sum(col("nk")).over(wCum))
+      .crossJoin(broadcast(hist.agg(sum(col("nk")).as("n_keys"),
+        sum(col("c") * col("nk")).as("n_rows"))))
+      .filter(col("cum") * 2 >= col("n_keys"))
+      .agg(min(col("c")).as("med_cnt"), max(col("n_rows")).as("n_rows"))
+    cnt.crossJoin(broadcast(med))
+      .orderBy(col("cnt").desc, col("l_suppkey"))
+      .limit(10)
+      .select(col("l_suppkey"), col("cnt"),
+        graft.ext.Similarity.intScaled(
+          col("cnt").cast("double") / col("n_rows").cast("double"),
+          1000000L).as("share_e6"),
+        graft.ext.Similarity.intScaled(
+          col("cnt").cast("double") / col("med_cnt").cast("double"),
+          10000L).as("x_median_e4"))
+      .orderBy(col("cnt").desc, col("l_suppkey"))
+  }
+
+  /** q186 — monthly order revenue with month-over-month and
+    * year-over-year deltas: the reporting rollup every warehouse
+    * publishes, expressed drift-free — revenue is summed as
+    * decimal(18,2) and OUTPUT AS EXACT CENTS (BIGINT), so the lag
+    * deltas are integer subtractions with nothing to round anywhere.
+    *
+    * Scale: one map-side date-trunc agg collapses orders to the
+    * calendar-month frame; both lags ride ONE single-partition window
+    * over that frame (months, not orders — the q170 calendar bound).
+    */
+  def q186(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "orders")
+      .select(trunc(col("o_orderdate").cast("date"), "month").as("month"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("p")) * 100).cast("long").as("rev_cents"))
+    val w = Window.orderBy(col("month"))
+    m.select(col("month"), col("n_orders"), col("rev_cents"),
+        (col("rev_cents") - lag(col("rev_cents"), 1).over(w)).as("mom_cents"),
+        (col("rev_cents") - lag(col("rev_cents"), 12).over(w)).as("yoy_cents"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_salted_join"  -> (q88 _),
     "q89_salted_dedup" -> (q89 _),
@@ -306,9 +432,95 @@ object Round4 {
     "q99_interval_overlap" -> (q99 _),
     "q177_tpch_q5" -> (q177 _),
     "q180_tpch_q18" -> (q180 _),
+    "q184_fk_audit" -> (q184 _),
+    "q185_key_skew" -> (q185 _),
+    "q186_monthly_rev" -> (q186 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same per-relationship shape: orphan count from a left join,
+    // fan stats from the per-parent count histogram, median via the
+    // identical 2·cum ≥ n rank-quota. All exact integers.
+    "q184_fk_audit" ->
+      """WITH rel AS (
+        |  SELECT 'orders->customer' AS rel, o_custkey AS ck FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem->orders', l_orderkey FROM lineitem),
+        |par AS (
+        |  SELECT 'orders->customer' AS rel, c_custkey AS pk FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem->orders', o_orderkey FROM orders),
+        |orph AS (
+        |  SELECT r.rel,
+        |         CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS orphan_rows
+        |  FROM rel r LEFT JOIN par p ON p.rel = r.rel AND p.pk = r.ck
+        |  GROUP BY r.rel),
+        |fan AS (
+        |  SELECT p.rel, p.pk, CAST(COUNT(r.ck) AS BIGINT) AS f
+        |  FROM par p LEFT JOIN rel r ON r.rel = p.rel AND r.ck = p.pk
+        |  GROUP BY p.rel, p.pk),
+        |hist AS (
+        |  SELECT rel, f, CAST(COUNT(*) AS BIGINT) AS np
+        |  FROM fan GROUP BY rel, f),
+        |cum AS (
+        |  SELECT rel, f, np,
+        |         SUM(np) OVER (PARTITION BY rel ORDER BY f
+        |                       ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(np) OVER (PARTITION BY rel) AS n_parents,
+        |         SUM(f * np) OVER (PARTITION BY rel) AS matched_rows,
+        |         MAX(f) OVER (PARTITION BY rel) AS fan_max,
+        |         SUM(CASE WHEN f = 0 THEN np ELSE 0 END)
+        |           OVER (PARTITION BY rel) AS childless
+        |  FROM hist),
+        |stats AS (
+        |  SELECT rel, CAST(MAX(n_parents) AS BIGINT) AS n_parents,
+        |         CAST(MAX(matched_rows) AS BIGINT) AS matched_rows,
+        |         CAST(MIN(f) AS BIGINT) AS fan_p50,
+        |         CAST(MAX(fan_max) AS BIGINT) AS fan_max,
+        |         CAST(MAX(childless) AS BIGINT) AS childless_parents
+        |  FROM cum WHERE cum * 2 >= n_parents GROUP BY rel)
+        |SELECT s.rel, s.n_parents,
+        |  CAST(s.matched_rows + o.orphan_rows AS BIGINT) AS n_children,
+        |  o.orphan_rows, s.childless_parents, s.fan_p50, s.fan_max
+        |FROM stats s JOIN orph o ON o.rel = s.rel
+        |ORDER BY s.rel""".stripMargin,
+    // Same histogram-median + (cnt DESC, key) total order; share and
+    // ratio are single exact-integer divisions.
+    "q185_key_skew" ->
+      """WITH cnt AS (
+        |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |hist AS (SELECT cnt AS c, CAST(COUNT(*) AS BIGINT) AS nk
+        |         FROM cnt GROUP BY 1),
+        |cum AS (
+        |  SELECT c, SUM(nk) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(nk) OVER () AS n_keys, SUM(c * nk) OVER () AS n_rows
+        |  FROM hist),
+        |med AS (
+        |  SELECT CAST(MIN(c) AS BIGINT) AS med_cnt,
+        |         CAST(MAX(n_rows) AS BIGINT) AS n_rows
+        |  FROM cum WHERE cum * 2 >= n_keys)
+        |SELECT l_suppkey, cnt,
+        |  CAST(ROUND(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) * 1000000)
+        |       AS BIGINT) AS share_e6,
+        |  CAST(ROUND(CAST(cnt AS DOUBLE) / CAST(med_cnt AS DOUBLE) * 10000)
+        |       AS BIGINT) AS x_median_e4
+        |FROM cnt, med
+        |ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin,
+    // Exact cents (decimal sum × 100 → BIGINT); lag deltas are
+    // integer subtractions over the same month order.
+    "q186_monthly_rev" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |           AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n_orders, rev_cents,
+        |  rev_cents - LAG(rev_cents, 1) OVER (ORDER BY month) AS mom_cents,
+        |  rev_cents - LAG(rev_cents, 12) OVER (ORDER BY month) AS yoy_cents
+        |FROM m ORDER BY month""".stripMargin,
     // Exact BIGINT quantity sums on both sides of the HAVING; ordered
     // by the order key.
     "q180_tpch_q18" ->

@@ -122,4 +122,68 @@ class CapabilitySpec extends SparkTestBase {
     val total = q("q85_recursive_cte").agg(sum("n")).head().getLong(0)
     assert(total == customer.count())
   }
+
+  test("q184 fk audit: full driver replay is EXACT on both relationships") {
+    def replay(rel: String, ck: Array[Long], pk: Array[Long]) = {
+      val pset = pk.toSet
+      val fanMap = ck.filter(pset).groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      val fans = pk.map(k => fanMap.getOrElse(k, 0L)).sorted
+      val n = fans.length
+      (rel, n.toLong, ck.length.toLong, ck.count(!pset(_)).toLong,
+        fans.count(_ == 0L).toLong, fans(((n + 1) / 2) - 1), fans.last)
+    }
+    val cust = Tables.table(spark, sf, "customer").select("c_custkey")
+      .collect().map(_.getLong(0))
+    val okeys = Tables.table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lkeys = Tables.table(spark, sf, "lineitem").select("l_orderkey")
+      .collect().map(_.getLong(0))
+    val expected = Seq(
+      replay("lineitem->orders", lkeys, okeys.map(_._1)),
+      replay("orders->customer", okeys.map(_._2), cust)).sortBy(_._1)
+    val got = q("q184_fk_audit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+  }
+
+  test("q185 key skew: replay EXACT; top-10 truly heaviest; median from histogram") {
+    val counts = Tables.table(spark, sf, "lineitem").select("l_suppkey")
+      .collect().map(_.getLong(0))
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }.toSeq
+    val nRows = counts.map(_._2).sum
+    val sortedCnt = counts.map(_._2).sorted
+    val med = sortedCnt(((sortedCnt.size + 1) / 2) - 1)
+    def half(v: Double) =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = counts.sortBy(c => (-c._2, c._1)).take(10).map { case (k, c) =>
+      (k, c, half(c.toDouble / nRows * 1000000), half(c.toDouble / med * 10000))
+    }
+    val got = q("q185_key_skew").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("q186 monthly revenue: cents replay EXACT; lag deltas reconcile") {
+    val rows = q("q186_monthly_rev").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val byMonth = Tables.table(spark, sf, "orders")
+      .select(col("o_orderdate").cast("date"), col("o_totalprice")).collect()
+      .map(r => (r.getDate(0).toString.substring(0, 7), r.getDouble(1)))
+      .groupBy(_._1).map { case (m, os) =>
+        (m + "-01", os.length.toLong,
+          os.map(o => BigDecimal(o._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+            .sum.*(100).toLongExact)
+      }.toSeq.sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq === byMonth)
+    // lag deltas: reconcile against the month sequence itself
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val mom = if (i >= 1) Some(r._3 - rows(i - 1)._3) else None
+      val yoy = if (i >= 12) Some(r._3 - rows(i - 12)._3) else None
+      assert(r._4 === mom, s"mom at ${r._1}")
+      assert(r._5 === yoy, s"yoy at ${r._1}")
+    }
+  }
 }
