@@ -273,6 +273,47 @@ object Patterns {
       .orderBy("event_type")
   }
 
+  /** q190 — last-touch purchase attribution: per purchase day, how
+    * many purchases had a `click` by the same user within the 7 days
+    * before (the conversion-attribution report; the complement count
+    * is "organic" purchases). The lookback is a CARRY-FORWARD window
+    * — max(click time so far) over the user's (time, event_id) order
+    * — one linear-state window, NOT a per-purchase range self-join.
+    *
+    * Times ride the exact ns→µs integer grid (q179 discipline); the
+    * day bucket is integer division of µs (no timezone arithmetic);
+    * attribution is an integer compare; the share is one division of
+    * exact integers.
+    *
+    * Scale: the window is user-partitioned (one user's events per
+    * state); the day agg is map-side combined over purchase rows only.
+    */
+  def q190(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        date_add(lit("1970-01-01").cast("date"),
+          (col("us") / dayUs).cast("int")).as("day"),
+        when(col("last_click_us").isNotNull &&
+          col("us") - col("last_click_us") <= lit(7L) * dayUs, 1L)
+          .otherwise(0L).as("attr"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("attr")).as("n_attributed"))
+      .select(col("day"), col("n_purchases"), col("n_attributed"),
+        Similarity.intScaled(
+          col("n_attributed").cast("double") / col("n_purchases").cast("double"),
+          10000L).as("attr_share_e4"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_assoc_rules"     -> (q161 _),
     "q162_event_transitions" -> (q162 _),
@@ -281,6 +322,7 @@ object Patterns {
     "q170_event_anomaly"   -> (q170 _),
     "q179_event_gaps"      -> (q179 _),
     "q182_activity_gini"   -> (q182 _),
+    "q190_attribution"     -> (q190 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -330,6 +372,31 @@ object Patterns {
         |       CAST(MIN(len) AS BIGINT) AS wmedian_len
         |FROM c WHERE cum * 2 >= total_tokens
         |GROUP BY source ORDER BY source""".stripMargin,
+    // Same carry-forward MAX window under the identical (us, event_id)
+    // order; day = integer µs division; share an exact division.
+    "q190_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, us,
+        |         MAX(CASE WHEN event_type = 'click' THEN us END)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS last_click_us
+        |  FROM e),
+        |p AS (
+        |  SELECT DATE '1970-01-01'
+        |           + CAST(us // 86400000000 AS INT) AS day,
+        |         CASE WHEN last_click_us IS NOT NULL
+        |                   AND us - last_click_us <= 7 * 86400000000
+        |              THEN 1 ELSE 0 END AS attr
+        |  FROM m WHERE event_type = 'purchase')
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(attr) AS BIGINT) AS n_attributed,
+        |  CAST(ROUND(CAST(SUM(attr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |             * 10000) AS BIGINT) AS attr_share_e4
+        |FROM p GROUP BY day ORDER BY day""".stripMargin,
     // Same rank formula over exact BIGINTs; the single division of
     // two exact integers is bit-exact cross-engine.
     "q182_activity_gini" ->

@@ -875,6 +875,53 @@ object TextAnalysis {
       .orderBy("sa", "sb")
   }
 
+  /** q187 — boilerplate prefix detector: documents sharing their
+    * first-8-token prefix, with how many sources the prefix spans —
+    * the positional cousin of q129's segment dedup (headers/footers
+    * repeat at the START of documents; a prefix spanning multiple
+    * sources is template boilerplate, not syndicated content). The
+    * CommonCrawl-style "strip repeated headers" candidate list.
+    *
+    * Scale: one map-side prefix projection (first 8 tokens only — the
+    * document body is never carried), one count agg; the n ≥ 2 filter
+    * cuts the unique tail before output.
+    */
+  def q187(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        array_join(slice(tokens(col("text")), 1, 8), " ").as("pre"))
+      .groupBy(col("pre"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("pre"))
+
+  /** q188 — per-source lexical diversity: type-token ratio (distinct
+    * words / tokens) and hapax fraction (words occurring once /
+    * vocabulary) — the two classic "is this source templated or
+    * natural" dials (templated text: low TTR, low hapax; natural
+    * prose: high hapax). Published next to q130's Zipf slope on every
+    * dataset card.
+    *
+    * One (source, word) count agg feeds both numerators; ratios are
+    * single divisions of exact integers through the e4 grid.
+    */
+  def q188(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        Similarity.intScaled(
+          col("vocab").cast("double") / col("n_tokens").cast("double"),
+          10000L).as("ttr_e4"),
+        Similarity.intScaled(
+          col("hapax").cast("double") / col("vocab").cast("double"),
+          10000L).as("hapax_e4"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -904,6 +951,8 @@ object TextAnalysis {
     "q175_quality_pctl"  -> (q175 _),
     "q178_lang_confusion" -> (q178 _),
     "q183_vocab_jaccard" -> (q183 _),
+    "q187_boiler_prefix" -> (q187 _),
+    "q188_lexical_diversity" -> (q188 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -939,6 +988,35 @@ object TextAnalysis {
         |  CAST(ROUND(SUM(tf * -ln((COALESCE(cnt, 0) + 1.0) / (n + vsz)))
         |             / SUM(tf) * 10000) AS BIGINT) AS nll_e4
         |FROM grid GROUP BY t, e ORDER BY train_source, eval_source""".stripMargin,
+    // Same first-8-token slice; (n DESC, prefix) total order.
+    "q187_boiler_prefix" ->
+      """SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+        |         AS pre,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents
+        |GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY n_docs DESC, pre""".stripMargin,
+    // One (source, word) count frame feeds both ratios; exact-integer
+    // divisions through the e4 grid.
+    "q188_lexical_diversity" ->
+      """WITH c AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |         CAST(COUNT(*) AS BIGINT) AS vocab,
+        |         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS hapax
+        |  FROM c GROUP BY source)
+        |SELECT source, n_tokens, vocab, hapax,
+        |  CAST(ROUND(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 10000)
+        |       AS BIGINT) AS ttr_e4,
+        |  CAST(ROUND(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) * 10000)
+        |       AS BIGINT) AS hapax_e4
+        |FROM a ORDER BY source""".stripMargin,
     // Same distinct (source, word) frame + self-join; all-integer
     // counts, one exact division.
     "q183_vocab_jaccard" ->

@@ -420,6 +420,29 @@ object Round4 {
       .orderBy("month")
   }
 
+  /** q189 — cheapest supplier per part (TPC-H Q2's argmin-per-group
+    * core over the lineitem price observations): for every part, the
+    * supplier offering the minimum observed price, tie-broken by
+    * supplier key. The argmin is ONE min-struct aggregation —
+    * lexicographic struct ordering on (cents, suppkey) — so it
+    * map-side combines and never sorts a partition (the window-rank
+    * formulation would); prices ride as exact cents (decimal(18,2)
+    * × 100 → BIGINT), so the min compare is integer-exact.
+    */
+  def q189(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        min(struct(col("cents"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey"), col("n_lines"), col("n_suppliers"),
+        col("m.l_suppkey").as("best_suppkey"),
+        col("m.cents").as("best_price_cents"))
+      .orderBy("l_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_salted_join"  -> (q88 _),
     "q89_salted_dedup" -> (q89 _),
@@ -435,9 +458,30 @@ object Round4 {
     "q184_fk_audit" -> (q184 _),
     "q185_key_skew" -> (q185 _),
     "q186_monthly_rev" -> (q186 _),
+    "q189_argmin_supplier" -> (q189 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The argmin as a rank-1 window (equivalent to the min-struct agg
+    // under the same (cents, suppkey) total order); exact cents.
+    "q189_argmin_supplier" ->
+      """WITH l AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_partkey, l_suppkey, cents,
+        |         ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |                            ORDER BY cents, l_suppkey) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l_partkey) AS n_lines,
+        |         COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_partkey)
+        |           AS n_suppliers
+        |  FROM l)
+        |SELECT l_partkey, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_suppliers AS BIGINT) AS n_suppliers,
+        |  l_suppkey AS best_suppkey, cents AS best_price_cents
+        |FROM r WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
     // Same per-relationship shape: orphan count from a left join,
     // fan stats from the per-parent count histogram, median via the
     // identical 2·cum ≥ n rank-quota. All exact integers.

@@ -164,6 +164,24 @@ class CapabilitySpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("q189 argmin supplier: full driver replay is EXACT; min-struct = sort-first") {
+    val lines = Tables.table(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+    val expected = lines.groupBy(_._1).toSeq.map { case (part, ls) =>
+      val best = ls.map(l => (l._3, l._2)).min
+      (part, ls.length.toLong, ls.map(_._2).distinct.length.toLong,
+        best._2, best._1)
+    }.sortBy(_._1)
+    val got = q("q189_argmin_supplier").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
   test("q186 monthly revenue: cents replay EXACT; lag deltas reconcile") {
     val rows = q("q186_monthly_rev").collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),

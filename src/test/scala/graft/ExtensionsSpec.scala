@@ -994,6 +994,46 @@ class ExtensionsSpec extends SparkTestBase {
       "a source pair shares no word — q183's inner-join contract now binds")
   }
 
+  test("q187 boilerplate prefixes: full driver replay is EXACT; threshold binds") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").take(8).mkString(" ")))
+    val expected = docs.groupBy(_._2).toSeq
+      .map { case (pre, ds) =>
+        (pre, ds.length.toLong, ds.map(_._1).distinct.length.toLong)
+      }
+      .filter(_._2 >= 2)
+      .sortBy(p => (-p._2, p._1))
+    val got = graft.ext.TextAnalysis.q187(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(docs.length > expected.map(_._2).sum,
+      "threshold must cut the unique-prefix tail")
+  }
+
+  test("q188 lexical diversity: full driver replay is EXACT; TTR/hapax in (0,1]") {
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").collect()
+      .flatMap(r => r.getString(1).split(" ").map((r.getString(0), _)))
+    def half(v: Double) =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = words.groupBy(_._1).toSeq.map { case (src, ws) =>
+      val counts = ws.groupBy(_._2).map(_._2.length.toLong)
+      val (nTok, vocab) = (counts.sum, counts.size.toLong)
+      val hapax = counts.count(_ == 1L).toLong
+      (src, nTok, vocab, hapax, half(vocab.toDouble / nTok * 10000),
+        half(hapax.toDouble / vocab * 10000))
+    }.sortBy(_._1)
+    val got = graft.ext.TextAnalysis.q188(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // hapax may be 0: the fixture's closed vocabulary repeats every word
+    got.foreach { r =>
+      assert(r._5 > 0 && r._5 <= 10000 && r._6 >= 0 && r._6 <= 10000, r)
+    }
+  }
+
   test("q175 quality percentile: full driver replay is EXACT; per-source span") {
     val q175 = TextAnalysis.q175(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -210,6 +210,36 @@ class PatternsSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("q190 attribution: full driver replay is EXACT (carry-forward lookback)") {
+    val dayUs = 86400000000L
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id", $"event_type", $"event_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3) / 1000L))
+    val purchases = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val o = es.sortBy(e => (e._4, e._3))
+      var lastClick = Option.empty[Long]
+      o.flatMap { e =>
+        if (e._2 == "click") { lastClick = Some(e._4); None }
+        else if (e._2 == "purchase")
+          Some((e._4 / dayUs,
+            lastClick.exists(c => e._4 - c <= 7 * dayUs)))
+        else None
+      }
+    }
+    def half(v: Double) =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = purchases.groupBy(_._1).toSeq.map { case (d, ps) =>
+      val n = ps.length.toLong
+      val a = ps.count(_._2).toLong
+      (java.time.LocalDate.ofEpochDay(d).toString, n, a,
+        half(a.toDouble / n * 10000))
+    }.sortBy(_._1)
+    val got = graft.ext.Patterns.q190(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
   test("q182 activity gini: full driver replay is EXACT; G in [0, 1)") {
     val counts = spark.read.parquet(s"$sf/events.parquet")
       .select($"event_type", $"user_id").collect()
