@@ -668,6 +668,54 @@ object Similarity {
       .orderBy("pos")
   }
 
+  /** q192 — label separability audit: per label, the MEAN PAIRWISE
+    * cosine within the label vs the mean cosine to every other
+    * label's vectors, and the margin between them — the "are these
+    * labels actually separated in embedding space" check run before
+    * trusting labels for stratified training or classifier targets.
+    *
+    * THE SCALE TRICK: no pair is ever materialized. On unit vectors,
+    * mean intra dot = (|S_l|² − n_l) / (n_l·(n_l−1)) and mean inter
+    * dot = (S_l·G − |S_l|²) / (n_l·(N − n_l)), where S_l is the
+    * label's SUM VECTOR and G = Σ S_l — the O(n²) pair sums collapse
+    * to sum-vector algebra, so the corpus is touched ONCE for the
+    * (label, pos) sums and everything after is labels × dims.
+    *
+    * Float discipline: the same algebraic expression is spelled in
+    * both engines (q169 pattern) — the only cross-engine delta is
+    * summation order inside the (label, pos) sums, absorbed by the e4
+    * grid; the spec pins rounding-boundary margins.
+    */
+  def q192(s: SparkSession, dir: String): DataFrame = {
+    val sums = withUnitVec(emb(s, dir), "embedding", "u")
+      .select(col("label").cast("long").as("lbl"),
+        posexplode(col("u")).as(Seq("pos", "v")))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(sum(col("v")).as("sv"))
+      .localCheckpoint(true) // labels × dims; branched into G below
+    val g = sums.groupBy(col("pos")).agg(sum(col("sv")).as("gv"))
+    val perLabel = sums.join(g, "pos")
+      .groupBy(col("lbl"))
+      .agg(sum(col("sv") * col("sv")).as("s2"),
+        sum(col("sv") * col("gv")).as("sg"))
+    val counts = emb(s, dir).groupBy(col("label").cast("long").as("lbl"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("ntot"))
+    perLabel.join(counts, "lbl").crossJoin(broadcast(totals))
+      .select(col("lbl"), col("n"),
+        intScaled((col("s2") - col("n")) /
+          (col("n") * (col("n") - 1)).cast("double"), 10000L).as("intra_e4"),
+        intScaled((col("sg") - col("s2")) /
+          (col("n") * (col("ntot") - col("n"))).cast("double"), 10000L)
+          .as("inter_e4"),
+        intScaled((col("s2") - col("n")) /
+          (col("n") * (col("n") - 1)).cast("double") -
+          (col("sg") - col("s2")) /
+          (col("n") * (col("ntot") - col("n"))).cast("double"), 10000L)
+          .as("margin_e4"))
+      .orderBy("lbl")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
     "q123_semdedup" -> (q123 _),
@@ -684,6 +732,7 @@ object Similarity {
     "q169_centroid_matrix" -> (q169 _),
     "q176_embed_dim_stats" -> (q176 _),
     "q181_embed_dim_mad" -> (q181 _),
+    "q192_label_separability" -> (q192 _),
   )
 
   /** q61 oracle: the md5-derived ±1 planes are query CONSTANTS (like
@@ -804,6 +853,41 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same sum-vector algebra over the same unit vectors (q123's
+    // list_transform normalization); only summation order differs,
+    // absorbed by the e4 grid.
+    "q192_label_separability" ->
+      """WITH e AS (
+        |  SELECT CAST(label AS BIGINT) AS lbl,
+        |         CAST(embedding AS DOUBLE[]) AS ev
+        |  FROM embeddings),
+        |u AS (SELECT lbl,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev)))
+        |          AS uv
+        |      FROM e),
+        |x AS (
+        |  SELECT lbl, CAST(ord AS BIGINT) - 1 AS pos, v
+        |  FROM (SELECT lbl, UNNEST(uv) AS v,
+        |               UNNEST(range(1, len(uv) + 1)) AS ord
+        |        FROM u)),
+        |sv AS (SELECT lbl, pos, SUM(v) AS sv FROM x GROUP BY 1, 2),
+        |g AS (SELECT pos, SUM(sv) AS gv FROM sv GROUP BY 1),
+        |pl AS (
+        |  SELECT s.lbl, SUM(s.sv * s.sv) AS s2, SUM(s.sv * g.gv) AS sg
+        |  FROM sv s JOIN g ON g.pos = s.pos GROUP BY 1),
+        |c AS (SELECT CAST(label AS BIGINT) AS lbl, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM embeddings GROUP BY 1),
+        |t AS (SELECT SUM(n) AS ntot FROM c)
+        |SELECT pl.lbl, c.n,
+        |  CAST(ROUND((s2 - c.n) / CAST(c.n * (c.n - 1) AS DOUBLE) * 10000)
+        |       AS BIGINT) AS intra_e4,
+        |  CAST(ROUND((sg - s2) / CAST(c.n * (t.ntot - c.n) AS DOUBLE) * 10000)
+        |       AS BIGINT) AS inter_e4,
+        |  CAST(ROUND(((s2 - c.n) / CAST(c.n * (c.n - 1) AS DOUBLE)
+        |              - (sg - s2) / CAST(c.n * (t.ntot - c.n) AS DOUBLE))
+        |             * 10000) AS BIGINT) AS margin_e4
+        |FROM pl JOIN c ON c.lbl = pl.lbl, t
+        |ORDER BY pl.lbl""".stripMargin,
     // Identical rank-quota order statistics (2·rn ≥ n picks the same
     // data value both engines); |v − med| is one exact subtraction.
     "q181_embed_dim_mad" ->

@@ -443,6 +443,47 @@ object Round4 {
         col("m.cents").as("best_price_cents"))
       .orderBy("l_partkey")
 
+  /** q191 — RFM customer segmentation: recency (days since last
+    * order, vs the corpus max date), frequency (order count), and
+    * monetary (exact cents) per customer, each scored into quintiles,
+    * then rolled up per 3-digit RFM segment — the classic CRM cut.
+    *
+    * Determinism: every ntile runs under a (metric, custkey) TOTAL
+    * order (ties pinned), and NTILE's equal-buckets-remainder-first
+    * semantics are the SQL standard on both engines; recency is an
+    * integer day diff, monetary exact cents — nothing floats until
+    * the per-segment average, which is one division of exact
+    * integers.
+    *
+    * Scale: customer-sized frame; the three ntile windows are
+    * single-partition over that frame — the q175 accepted rank bound
+    * (production swaps percentile buckets from approx quantiles).
+    * The corpus max date is a broadcast one-row crossJoin.
+    */
+  def q191(s: SparkSession, dir: String): DataFrame = {
+    val byCust = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("cents"))
+    val maxD = byCust.agg(max(col("last_d")).as("max_d"))
+    val scored = byCust.crossJoin(broadcast(maxD))
+      .withColumn("rec_days", datediff(col("max_d"), col("last_d")))
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("rec_days"), col("o_custkey"))))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy(col("freq"), col("o_custkey"))))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("cents"), col("o_custkey"))))
+    scored
+      .groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_salted_join"  -> (q88 _),
     "q89_salted_dedup" -> (q89 _),
@@ -459,9 +500,33 @@ object Round4 {
     "q185_key_skew" -> (q185 _),
     "q186_monthly_rev" -> (q186 _),
     "q189_argmin_supplier" -> (q189 _),
+    "q191_rfm_segments" -> (q191 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Identical (metric, custkey) total orders under standard NTILE;
+    // integer day diff, exact cents.
+    "q191_rfm_segments" ->
+      """WITH c AS (
+        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+        |         CAST(COUNT(*) AS BIGINT) AS freq,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders GROUP BY 1),
+        |x AS (
+        |  SELECT *, date_diff('day', last_d, (SELECT MAX(last_d) FROM c))
+        |           AS rec_days
+        |  FROM c),
+        |sc AS (
+        |  SELECT cents,
+        |    NTILE(5) OVER (ORDER BY rec_days, o_custkey) AS r,
+        |    NTILE(5) OVER (ORDER BY freq, o_custkey) AS f,
+        |    NTILE(5) OVER (ORDER BY cents, o_custkey) AS m
+        |  FROM x)
+        |SELECT CAST(r * 100 + f * 10 + m AS INT) AS segment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin,
     // The argmin as a rank-1 window (equivalent to the min-struct agg
     // under the same (cents, suppkey) total order); exact cents.
     "q189_argmin_supplier" ->

@@ -182,6 +182,42 @@ class CapabilitySpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("q191 rfm segments: full driver replay is EXACT (standard NTILE semantics)") {
+    val orders = Tables.table(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+    val byCust = orders.groupBy(_._1).toSeq.map { case (c, os) =>
+      (c, os.map(_._2).max, os.length.toLong, os.map(_._3).sum)
+    }
+    val maxD = byCust.map(_._2).max
+    // standard NTILE: base n/k per bucket, first n%k buckets get one extra
+    def ntile5[A](sorted: Seq[A]): Map[A, Int] = {
+      val n = sorted.size; val base = n / 5; val rem = n % 5
+      val bounds = (1 to 5).scanLeft(0) { (acc, b) =>
+        acc + base + (if (b <= rem) 1 else 0)
+      }
+      sorted.zipWithIndex.map { case (a, i) =>
+        (a, bounds.indexWhere(_ > i))
+      }.toMap
+    }
+    val rec = ntile5(byCust.sortBy { c =>
+      (java.time.temporal.ChronoUnit.DAYS.between(c._2, maxD), c._1)
+    }.map(_._1))
+    val fr = ntile5(byCust.sortBy(c => (c._3, c._1)).map(_._1))
+    val mo = ntile5(byCust.sortBy(c => (c._4, c._1)).map(_._1))
+    val expected = byCust
+      .map(c => (rec(c._1) * 100 + fr(c._1) * 10 + mo(c._1), c._4))
+      .groupBy(_._1).toSeq
+      .map { case (seg, cs) => (seg, cs.length.toLong, cs.map(_._2).sum) }
+      .sortBy(_._1)
+    val got = q("q191_rfm_segments").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
   test("q186 monthly revenue: cents replay EXACT; lag deltas reconcile") {
     val rows = q("q186_monthly_rev").collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),

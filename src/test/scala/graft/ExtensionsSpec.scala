@@ -994,6 +994,39 @@ class ExtensionsSpec extends SparkTestBase {
       "a source pair shares no word — q183's inner-join contract now binds")
   }
 
+  test("q192 label separability: sum-vector algebra replays; margins hold") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"label".cast("long"), $"embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        (r.getLong(0), v.map(_ / norm))
+      }
+    val ntot = rows.length.toLong
+    val got = graft.ext.Similarity.q192(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(_._2).sum === ntot)
+    got.foreach { r =>
+      val (lbl, n) = (r._1, r._2)
+      val vs = rows.filter(_._1 == lbl).map(_._2)
+      val dims = vs.head.length
+      val sv = Array.tabulate(dims)(p => vs.map(_(p)).sum)
+      val gv = Array.tabulate(dims)(p => rows.map(_._2(p)).sum)
+      val s2 = sv.map(x => x * x).sum
+      val sg = sv.zip(gv).map { case (a, b) => a * b }.sum
+      val intra = (s2 - n) / (n * (n - 1)).toDouble
+      val inter = (sg - s2) / (n * (ntot - n)).toDouble
+      assert(math.abs(r._3 - intra * 10000) <= 1.0, s"intra drift at $lbl")
+      assert(math.abs(r._4 - inter * 10000) <= 1.0, s"inter drift at $lbl")
+      assert(math.abs(r._5 - (intra - inter) * 10000) <= 1.0, s"margin at $lbl")
+      // rounding-boundary margins (q169 pattern): far from the .5 grid line
+      for (v <- Seq(intra, inter, intra - inter))
+        assert(math.abs(math.abs(v * 10000) % 1 - 0.5) > 1e-6,
+          s"boundary margin at $lbl")
+    }
+  }
+
   test("q187 boilerplate prefixes: full driver replay is EXACT; threshold binds") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select($"source", $"text").collect()
