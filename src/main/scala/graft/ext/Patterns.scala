@@ -314,6 +314,86 @@ object Patterns {
       .orderBy("day")
   }
 
+  /** q193 — daily error-rate monitor with a Wilson lower bound
+    * (z = 1.96): the alerting statistic that stays honest on
+    * low-volume days — a raw 2/10 error share alarms at 20% while
+    * its Wilson LB (~5.7%) correctly says "not enough evidence"; an
+    * SLO burn alert pages on the LB, not the point estimate.
+    *
+    * Float discipline: n and errors are exact integers, so p̂ is the
+    * identical double in both engines; the Wilson expression is
+    * spelled in the SAME operation order both sides (one sqrt), so
+    * the result is bit-exact cross-engine (the spec still pins
+    * rounding-boundary margins, q134 pattern).
+    *
+    * Scale: one map-side (day)-keyed count agg; days-sized output.
+    */
+  def q193(s: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.96)
+    Tables.events(s, dir)
+      .select(
+        date_add(lit("1970-01-01").cast("date"),
+          (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long")
+            ./(lit(86400000000L)).cast("int")).as("day"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("err")).as("errors"))
+      .select({
+        val p = col("errors").cast("double") / col("n").cast("double")
+        val nn = col("n").cast("double")
+        Seq(col("day"), col("n"), col("errors"),
+          Similarity.intScaled(p, 10000L).as("rate_e4"),
+          Similarity.intScaled(
+            (p + z * z / (lit(2) * nn) -
+              z * sqrt(p * (lit(1) - p) / nn + z * z / (lit(4) * nn * nn))) /
+              (lit(1) + z * z / nn),
+            10000L).as("wilson_lb_e4"))
+      }: _*)
+      .orderBy("day")
+  }
+
+  /** q194 — activity concentration at fixed cutoffs (Lorenz-curve
+    * points): per event type, the share of all events generated by
+    * the top 1% / 5% / 10% of users — the operational companion to
+    * q182's Gini (one number says "skewed"; these three say "how few
+    * users to rate-limit").
+    *
+    * Cutoff k = ⌈n·frac⌉ in pure integer arithmetic ((n + 99) div
+    * 100 etc.); ranks ride the (cnt DESC, user_id) total order;
+    * shares are single divisions of exact integers.
+    *
+    * Scale: the q182 shape — events collapse map-side to the user
+    * frame; the rank window is users-per-type sized.
+    */
+  def q194(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("x").desc, col("user_id"))
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nu", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("nu")).as("n_users"), sum(col("x")).as("n_events"),
+        sum(when(col("rn") <= expr("(nu + 99) div 100"), col("x"))
+          .otherwise(0L)).as("top1"),
+        sum(when(col("rn") <= expr("(nu + 19) div 20"), col("x"))
+          .otherwise(0L)).as("top5"),
+        sum(when(col("rn") <= expr("(nu + 9) div 10"), col("x"))
+          .otherwise(0L)).as("top10"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        Similarity.intScaled(
+          col("top1").cast("double") / col("n_events").cast("double"),
+          10000L).as("top1_share_e4"),
+        Similarity.intScaled(
+          col("top5").cast("double") / col("n_events").cast("double"),
+          10000L).as("top5_share_e4"),
+        Similarity.intScaled(
+          col("top10").cast("double") / col("n_events").cast("double"),
+          10000L).as("top10_share_e4"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_assoc_rules"     -> (q161 _),
     "q162_event_transitions" -> (q162 _),
@@ -323,6 +403,8 @@ object Patterns {
     "q179_event_gaps"      -> (q179 _),
     "q182_activity_gini"   -> (q182 _),
     "q190_attribution"     -> (q190 _),
+    "q193_error_monitor"   -> (q193 _),
+    "q194_concentration"   -> (q194 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -372,6 +454,57 @@ object Patterns {
         |       CAST(MIN(len) AS BIGINT) AS wmedian_len
         |FROM c WHERE cum * 2 >= total_tokens
         |GROUP BY source ORDER BY source""".stripMargin,
+    // Identical Wilson expression (same operation order, one sqrt)
+    // over exact-integer day counts; same integer day bucket.
+    "q193_error_monitor" ->
+      """WITH d AS (
+        |  SELECT DATE '1970-01-01'
+        |           + CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS INT)
+        |           AS day,
+        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+        |  FROM events),
+        |a AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(err) AS BIGINT) AS errors
+        |  FROM d GROUP BY day)
+        |SELECT day, n, errors,
+        |  CAST(ROUND(CAST(errors AS DOUBLE) / CAST(n AS DOUBLE) * 10000)
+        |       AS BIGINT) AS rate_e4,
+        |  CAST(ROUND(
+        |    (CAST(errors AS DOUBLE) / CAST(n AS DOUBLE)
+        |       + 1.96 * 1.96 / (2 * CAST(n AS DOUBLE))
+        |       - 1.96 * SQRT(CAST(errors AS DOUBLE) / CAST(n AS DOUBLE)
+        |                       * (1 - CAST(errors AS DOUBLE) / CAST(n AS DOUBLE))
+        |                       / CAST(n AS DOUBLE)
+        |                     + 1.96 * 1.96
+        |                       / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |    / (1 + 1.96 * 1.96 / CAST(n AS DOUBLE)) * 10000) AS BIGINT)
+        |    AS wilson_lb_e4
+        |FROM a ORDER BY day""".stripMargin,
+    // Same (cnt DESC, user_id) rank order and integer ⌈n·frac⌉
+    // cutoffs; shares are exact-integer divisions.
+    "q194_concentration" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, x,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY x DESC, user_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS nu
+        |  FROM c)
+        |SELECT event_type, CAST(MAX(nu) AS BIGINT) AS n_users,
+        |  CAST(SUM(x) AS BIGINT) AS n_events,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN rn <= (nu + 99) // 100 THEN x ELSE 0 END)
+        |                  AS DOUBLE) / CAST(SUM(x) AS DOUBLE) * 10000) AS BIGINT)
+        |    AS top1_share_e4,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN rn <= (nu + 19) // 20 THEN x ELSE 0 END)
+        |                  AS DOUBLE) / CAST(SUM(x) AS DOUBLE) * 10000) AS BIGINT)
+        |    AS top5_share_e4,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN rn <= (nu + 9) // 10 THEN x ELSE 0 END)
+        |                  AS DOUBLE) / CAST(SUM(x) AS DOUBLE) * 10000) AS BIGINT)
+        |    AS top10_share_e4
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same carry-forward MAX window under the identical (us, event_id)
     // order; day = integer µs division; share an exact division.
     "q190_attribution" ->

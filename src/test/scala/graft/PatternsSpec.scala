@@ -240,6 +240,60 @@ class PatternsSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("q193 error monitor: replay within 1 unit; LB < rate; boundary margins hold") {
+    val dayUs = 86400000000L
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", $"ts").collect()
+      .map(r => ((r.getLong(1) / 1000L) / dayUs, r.getString(0) == "error"))
+    val byDay = ev.groupBy(_._1).map { case (d, es) =>
+      (d, es.length.toLong, es.count(_._2).toLong)
+    }
+    val got = graft.ext.Patterns.q193(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got.size === byDay.size)
+    val z = 1.96
+    got.foreach { r =>
+      val d = java.time.LocalDate.parse(r._1).toEpochDay
+      val (_, n, errors) = byDay.find(_._1 == d).get
+      assert(r._2 === n && r._3 === errors)
+      val p = errors.toDouble / n
+      val lb = (p + z * z / (2.0 * n) -
+        z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))) /
+        (1 + z * z / n)
+      assert(math.abs(r._4 - p * 10000) <= 1.0, s"rate at ${r._1}")
+      assert(math.abs(r._5 - lb * 10000) <= 1.0, s"wilson at ${r._1}")
+      assert(r._5 <= r._4, "LB must not exceed the point estimate")
+      // margin pin only for the sqrt-bearing LB: the rate is one exact
+      // integer division — bit-exact cross-engine even ON the .5 line
+      assert(math.abs(math.abs(lb * 10000) % 1 - 0.5) > 1e-6,
+        s"boundary margin at ${r._1}")
+    }
+  }
+
+  test("q194 concentration: full driver replay is EXACT; shares are monotone") {
+    val counts = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", $"user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, u), es) => (t, u, es.length.toLong) }
+    def half(v: Double) =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = counts.groupBy(_._1).map { case (t, us) =>
+      val xs = us.toSeq.sortBy(u => (-u._3, u._2)).map(_._3)
+      val n = xs.size.toLong
+      val tot = xs.sum
+      def share(num: Long, den: Long) = // top ⌈n·num/den⌉ users' event share
+        half(xs.take(((n * num + den - 1) / den).toInt).sum.toDouble / tot * 10000)
+      (t, n, tot, share(1, 100), share(1, 20), share(1, 10))
+    }.toSeq.sortBy(_._1)
+    val got = graft.ext.Patterns.q194(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    got.foreach(r => assert(r._4 <= r._5 && r._5 <= r._6,
+      s"shares must be monotone in the cutoff: $r"))
+  }
+
   test("q182 activity gini: full driver replay is EXACT; G in [0, 1)") {
     val counts = spark.read.parquet(s"$sf/events.parquet")
       .select($"event_type", $"user_id").collect()
