@@ -423,11 +423,18 @@ object Round4 {
   /** q189 — cheapest supplier per part (TPC-H Q2's argmin-per-group
     * core over the lineitem price observations): for every part, the
     * supplier offering the minimum observed price, tie-broken by
-    * supplier key. The argmin is ONE min-struct aggregation —
-    * lexicographic struct ordering on (cents, suppkey) — so it
-    * map-side combines and never sorts a partition (the window-rank
-    * formulation would); prices ride as exact cents (decimal(18,2)
-    * × 100 → BIGINT), so the min compare is integer-exact.
+    * supplier key.
+    *
+    * The argmin is ONE PLAIN LONG `min`: (cents, suppkey) is
+    * bit-packed as `cents << 24 | suppkey`, whose numeric order IS
+    * the lexicographic order — a `min(struct(...))` spells the same
+    * thing but falls out of hash aggregation into SortAggregate
+    * (struct mins aren't hash-agg-able), re-sorting every partition;
+    * the packed long stays in HashAggregate with full map-side
+    * combine (PlanAuditSpec pins this). Bounds: suppkey < 2²⁴ (16M
+    * suppliers) and cents < 2³⁹ ($5.5B/line) — spec-asserted, far
+    * above TPC-H's domain at any SF. Prices ride as exact cents, so
+    * the compare is integer-exact.
     */
   def q189(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -437,10 +444,10 @@ object Round4 {
       .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_lines"),
         countDistinct(col("l_suppkey")).as("n_suppliers"),
-        min(struct(col("cents"), col("l_suppkey"))).as("m"))
+        min(shiftleft(col("cents"), 24) + col("l_suppkey")).as("packed"))
       .select(col("l_partkey"), col("n_lines"), col("n_suppliers"),
-        col("m.l_suppkey").as("best_suppkey"),
-        col("m.cents").as("best_price_cents"))
+        (col("packed") % lit(1L << 24)).as("best_suppkey"),
+        shiftright(col("packed"), 24).as("best_price_cents"))
       .orderBy("l_partkey")
 
   /** q191 — RFM customer segmentation: recency (days since last

@@ -171,6 +171,11 @@ class CapabilitySpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1),
         BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
           .*(100).toLongExact))
+    // bit-pack bounds the query relies on (cents << 24 | suppkey)
+    lines.foreach { l =>
+      assert(l._2 >= 0 && l._2 < (1L << 24), s"suppkey out of pack range: $l")
+      assert(l._3 >= 0 && l._3 < (1L << 39), s"cents out of pack range: $l")
+    }
     val expected = lines.groupBy(_._1).toSeq.map { case (part, ls) =>
       val best = ls.map(l => (l._3, l._2)).min
       (part, ls.length.toLong, ls.map(_._2).distinct.length.toLong,

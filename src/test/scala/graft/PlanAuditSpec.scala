@@ -385,6 +385,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
   }
 
+  test("q189 argmin: packed-long min stays in hash aggregation (no SortAggregate)") {
+    val p = plan("q189_argmin_supplier")
+    assert(!p.contains("SortAggregate"),
+      "min(struct) regression: the packed-long argmin must hash-aggregate\n" + p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q180 tpch q18: HAVING reduction before the joins, 2-column lineitem scan") {
     val p = plan("q180_tpch_q18")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
