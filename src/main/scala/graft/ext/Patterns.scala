@@ -394,6 +394,81 @@ object Patterns {
       .orderBy("event_type")
   }
 
+  /** q195 — view→purchase conversion lag: of the users who ever
+    * `view`, how many later `purchase`, and the p50/p90 of the lag
+    * from FIRST view to FIRST subsequent purchase — the funnel-
+    * latency statistic that sizes attribution windows (q190's 7-day
+    * lookback) from data.
+    *
+    * Lags are exact µs integers; the quantiles are rank-quota order
+    * statistics (q179 discipline) over the CONVERTED-user frame; the
+    * conversion share is one exact division.
+    *
+    * Scale: two user-keyed aggs + one user-keyed join; the rank
+    * window runs over converted users (users-sized, the q163 bound);
+    * the totals row is a broadcast one-row crossJoin.
+    */
+  def q195(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+    val viewers = ev
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("us"))).as("fv"))
+      .filter(col("fv").isNotNull)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(viewers, "user_id")
+      .filter(col("us") >= col("fv"))
+      .groupBy(col("user_id"))
+      .agg((min(col("us")) - min(col("fv"))).as("lag_us"))
+    val wR = Window.orderBy(col("lag_us"), col("user_id"))
+    val stats = conv
+      .withColumn("rn", row_number().over(wR))
+      .crossJoin(broadcast(conv.agg(count(lit(1)).as("n_conv"))))
+      .filter(col("rn") * 2 >= col("n_conv"))
+      .agg(max(col("n_conv")).as("n_converted"),
+        min(col("lag_us")).as("lag_p50_us"),
+        min(when(col("rn") * 10 >= col("n_conv") * 9, col("lag_us")))
+          .as("lag_p90_us"))
+    stats.crossJoin(broadcast(viewers.agg(count(lit(1)).as("n_viewers"))))
+      .select(col("n_viewers"), col("n_converted"),
+        Similarity.intScaled(
+          col("n_converted").cast("double") / col("n_viewers").cast("double"),
+          10000L).as("conv_e4"),
+        col("lag_p50_us"), col("lag_p90_us"))
+  }
+
+  /** q197 — second-order event transitions: counts and conditional
+    * probability P(next | prev2, prev1) for every consecutive
+    * event-type trigram — q162's first-order Markov view extended one
+    * step (does knowing TWO steps of history change the prediction?).
+    * Denominator = trigram-mass of the (prev2, prev1) context, so the
+    * conditionals sum to 1 per context by construction.
+    *
+    * One user-partitioned lead window; exact-integer counts and one
+    * exact division per row; (types+1)³-bounded output.
+    */
+  def q197(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val tri = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type").as("t0"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .withColumn("t1", lead(col("t0"), 1).over(w))
+      .withColumn("t2", lead(col("t0"), 2).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .groupBy(col("t0"), col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n3"))
+      .localCheckpoint(true) // ≤ types³ rows; branched into the context mass
+    val ctx = tri.groupBy(col("t0"), col("t1")).agg(sum(col("n3")).as("n2"))
+    tri.join(ctx, Seq("t0", "t1"))
+      .select(col("t0"), col("t1"), col("t2"), col("n3"), col("n2"),
+        Similarity.intScaled(
+          col("n3").cast("double") / col("n2").cast("double"),
+          10000L).as("cond_e4"))
+      .orderBy("t0", "t1", "t2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_assoc_rules"     -> (q161 _),
     "q162_event_transitions" -> (q162 _),
@@ -405,6 +480,8 @@ object Patterns {
     "q190_attribution"     -> (q190 _),
     "q193_error_monitor"   -> (q193 _),
     "q194_concentration"   -> (q194 _),
+    "q195_conversion_lag"  -> (q195 _),
+    "q197_trigram_paths"   -> (q197 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -454,6 +531,64 @@ object Patterns {
         |       CAST(MIN(len) AS BIGINT) AS wmedian_len
         |FROM c WHERE cum * 2 >= total_tokens
         |GROUP BY source ORDER BY source""".stripMargin,
+    // Same first-view / first-subsequent-purchase derivation and the
+    // identical rank-quota quantiles over exact µs lags.
+    "q195_conversion_lag" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'view' THEN us END) AS fv
+        |  FROM e GROUP BY user_id HAVING fv IS NOT NULL),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.us) - MIN(v.fv) AS lag_us
+        |  FROM e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= v.fv
+        |  GROUP BY e.user_id),
+        |r AS (
+        |  SELECT user_id, lag_us,
+        |         ROW_NUMBER() OVER (ORDER BY lag_us, user_id) AS rn,
+        |         COUNT(*) OVER () AS n_conv
+        |  FROM c),
+        |s AS (
+        |  SELECT CAST(MAX(n_conv) AS BIGINT) AS n_converted,
+        |         CAST(MIN(lag_us) AS BIGINT) AS lag_p50_us,
+        |         CAST(MIN(CASE WHEN rn * 10 >= n_conv * 9 THEN lag_us END)
+        |              AS BIGINT) AS lag_p90_us
+        |  FROM r WHERE rn * 2 >= n_conv)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewers,
+        |  s.n_converted,
+        |  CAST(ROUND(CAST(s.n_converted AS DOUBLE)
+        |             / (SELECT COUNT(*) FROM v) * 10000) AS BIGINT) AS conv_e4,
+        |  s.lag_p50_us, s.lag_p90_us
+        |FROM s""".stripMargin,
+    // Same lead-window trigrams under the identical (us, event_id)
+    // order; conditionals are exact divisions of trigram masses.
+    "q197_trigram_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type AS t0,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |l AS (
+        |  SELECT t0,
+        |         LEAD(t0, 1) OVER (PARTITION BY user_id
+        |                           ORDER BY us, event_id) AS t1,
+        |         LEAD(t0, 2) OVER (PARTITION BY user_id
+        |                           ORDER BY us, event_id) AS t2
+        |  FROM e),
+        |tri AS (
+        |  SELECT t0, t1, t2, CAST(COUNT(*) AS BIGINT) AS n3
+        |  FROM l WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |ctx AS (SELECT t0, t1, CAST(SUM(n3) AS BIGINT) AS n2
+        |        FROM tri GROUP BY 1, 2)
+        |SELECT tri.t0, tri.t1, tri.t2, tri.n3, ctx.n2,
+        |  CAST(ROUND(CAST(tri.n3 AS DOUBLE) / CAST(ctx.n2 AS DOUBLE) * 10000)
+        |       AS BIGINT) AS cond_e4
+        |FROM tri JOIN ctx ON ctx.t0 = tri.t0 AND ctx.t1 = tri.t1
+        |ORDER BY tri.t0, tri.t1, tri.t2""".stripMargin,
     // Identical Wilson expression (same operation order, one sqrt)
     // over exact-integer day counts; same integer day bucket.
     "q193_error_monitor" ->

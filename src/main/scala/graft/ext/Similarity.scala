@@ -716,6 +716,34 @@ object Similarity {
       .orderBy("lbl")
   }
 
+  /** q196 — embedding coverage audit: per source, how many documents
+    * actually HAVE an embedding row (doc_id = vec_id), plus the
+    * dimension range among the matched — the join-coverage pre-flight
+    * before any ANN/clustering stage (q60/q64/q123 silently shrink
+    * their universe when coverage < 100%; this makes the shrinkage a
+    * published number). The embedding-side sibling of q184's FK audit.
+    *
+    * Scale: key-projected left join (doc_id, source) ⋈ (vec_id, dims)
+    * — payloads never move; per-source output. Exact integers + one
+    * exact division; dims range is min/max (no summation).
+    */
+  def q196(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(s, dir, "documents").select(col("doc_id"), col("source"))
+    val e = emb(s, dir).select(col("vec_id"), size(col("embedding")).as("dims"))
+    d.join(e, col("doc_id") === col("vec_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).as("n_embedded"),
+        min(col("dims")).as("min_dims"), max(col("dims")).as("max_dims"))
+      .select(col("source"), col("n_docs"), col("n_embedded"),
+        intScaled(
+          col("n_embedded").cast("double") / col("n_docs").cast("double"),
+          10000L).as("coverage_e4"),
+        col("min_dims").cast("long").as("min_dims"),
+        col("max_dims").cast("long").as("max_dims"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
     "q123_semdedup" -> (q123 _),
@@ -733,6 +761,7 @@ object Similarity {
     "q176_embed_dim_stats" -> (q176 _),
     "q181_embed_dim_mad" -> (q181 _),
     "q192_label_separability" -> (q192 _),
+    "q196_embed_coverage" -> (q196 _),
   )
 
   /** q61 oracle: the md5-derived ±1 planes are query CONSTANTS (like
@@ -853,6 +882,20 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same key-projected left join; NULL dims range when a source has
+    // no embeddings (both engines).
+    "q196_embed_coverage" ->
+      """SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_embedded,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 10000)
+        |       AS BIGINT) AS coverage_e4,
+        |  CAST(MIN(len(e.embedding)) AS BIGINT) AS min_dims,
+        |  CAST(MAX(len(e.embedding)) AS BIGINT) AS max_dims
+        |FROM documents d
+        |LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // Same sum-vector algebra over the same unit vectors (q123's
     // list_transform normalization); only summation order differs,
     // absorbed by the e4 grid.

@@ -994,6 +994,29 @@ class ExtensionsSpec extends SparkTestBase {
       "a source pair shares no word — q183's inner-join contract now binds")
   }
 
+  test("q196 embed coverage: replay EXACT; full-coverage fixture is the true answer") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).size.toLong)).toMap
+    def half(v: Double) =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = docs.groupBy(_._2).toSeq.map { case (src, ds) =>
+      val dims = ds.flatMap(d => embs.get(d._1))
+      (src, ds.length.toLong, dims.length.toLong,
+        half(dims.length.toDouble / ds.length * 10000),
+        if (dims.isEmpty) None else Some(dims.min),
+        if (dims.isEmpty) None else Some(dims.max))
+    }.sortBy(_._1)
+    val got = graft.ext.Similarity.q196(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(got === expected)
+  }
+
   test("q192 label separability: sum-vector algebra replays; margins hold") {
     val rows = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"label".cast("long"), $"embedding").collect()

@@ -294,6 +294,57 @@ class PatternsSpec extends SparkTestBase {
       s"shares must be monotone in the cutoff: $r"))
   }
 
+  test("q195 conversion lag: full driver replay is EXACT") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id", $"event_type", $"ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2) / 1000L))
+    val byUser = ev.groupBy(_._1)
+    val viewers = byUser.flatMap { case (u, es) =>
+      val vs = es.filter(_._2 == "view")
+      if (vs.isEmpty) None else Some((u, vs.map(_._3).min))
+    }
+    val lags = viewers.toSeq.flatMap { case (u, fv) =>
+      val ps = byUser(u).filter(e => e._2 == "purchase" && e._3 >= fv)
+      if (ps.isEmpty) None else Some((u, ps.map(_._3).min - fv))
+    }
+    val sorted = lags.sortBy(l => (l._2, l._1)).map(_._2)
+    val n = sorted.size
+    def q(num: Int, den: Int) = sorted(((n * num + den - 1) / den) - 1)
+    def half(v: Double) =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val row = graft.ext.Patterns.q195(spark, sf).collect().head
+    assert(row.getLong(0) === viewers.size.toLong)
+    assert(row.getLong(1) === n.toLong)
+    assert(row.getLong(2) === half(n.toDouble / viewers.size * 10000))
+    assert(row.getLong(3) === q(1, 2))
+    assert(row.getLong(4) === q(9, 10))
+  }
+
+  test("q197 trigram paths: replay EXACT; conditionals sum to 1 per context") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id", $"event_type", $"event_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3) / 1000L))
+    val tris = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val o = es.sortBy(e => (e._4, e._3)).map(_._2)
+      o.sliding(3).filter(_.size == 3).map(t => (t(0), t(1), t(2)))
+    }
+    def half(v: Double) =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val n3 = tris.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    val n2 = tris.groupBy(t => (t._1, t._2)).map { case (c, xs) => (c, xs.length.toLong) }
+    val expected = n3.toSeq.map { case ((a, b, c), m) =>
+      val ctx = n2((a, b))
+      (a, b, c, m, ctx, half(m.toDouble / ctx * 10000))
+    }.sortBy(t => (t._1, t._2, t._3))
+    val got = graft.ext.Patterns.q197(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    got.groupBy(t => (t._1, t._2)).foreach { case (ctx, rows) =>
+      assert(rows.map(_._4).sum === rows.head._5, s"context mass at $ctx")
+    }
+  }
+
   test("q182 activity gini: full driver replay is EXACT; G in [0, 1)") {
     val counts = spark.read.parquet(s"$sf/events.parquet")
       .select($"event_type", $"user_id").collect()
