@@ -259,6 +259,65 @@ object Graph {
     }
   }
 
+  // ---- k-core -------------------------------------------------------------
+
+  /** k-core of an undirected graph by iterative peeling: repeatedly
+    * delete nodes of degree < k (with their edges) until none remain —
+    * the standard "dense backbone" extraction (Seidman 1983); in a
+    * crawl graph the k-core is where organic community structure
+    * lives, and the peeled fringe is the long tail of weakly-attached
+    * pages.
+    *
+    * Loop discipline (the [[Components.connectedComponents]] family):
+    * per round one degree agg + two anti-joins + an eager
+    * `localCheckpoint` (bounded lineage); convergence is detected by
+    * the emptiness of the low-degree frame — `head(1)`, one action
+    * per round. Peeling can cascade (removing a leaf re-exposes its
+    * neighbor), so the round count is data-dependent; a path graph is
+    * the O(n)-rounds worst case — `maxIter` bounds it and
+    * NON-CONVERGENCE THROWS rather than returning a not-yet-fixed
+    * frame.
+    *
+    * @return one row per surviving node: `id`, `core_deg` (its degree
+    *         WITHIN the core — ≥ k for every row by the fixpoint)
+    */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      maxIter: Int = 30,
+      loopShufflePartitions: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val spark = edges.sparkSession
+    val e0 = canonEdges(edges)
+    def scoped[A](f: => A): A = loopShufflePartitions
+      .map(p => Components.withSmallScope(spark, p)(f)).getOrElse(f)
+    scoped {
+      var cur = loopShufflePartitions
+        .map(w => e0.repartition(w, col("a")).localCheckpoint(true))
+        .getOrElse(e0.localCheckpoint(true))
+      var converged = false
+      var round = 0
+      while (round < maxIter && !converged) {
+        val low = cur.select(col("a").as("id"))
+          .unionAll(cur.select(col("b").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") < k).select(col("id"))
+          .localCheckpoint(true)
+        if (low.head(1).isEmpty) converged = true
+        else {
+          cur = cur
+            .join(low.select(col("id").as("a")), Seq("a"), "left_anti")
+            .join(low.select(col("id").as("b")), Seq("b"), "left_anti")
+            .localCheckpoint(true)
+          round += 1
+        }
+      }
+      require(converged, s"kCore: no fixpoint after $maxIter peel rounds")
+      cur.select(col("a").as("id")).unionAll(cur.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
+    }
+  }
+
   // ---- degree assortativity -----------------------------------------------
 
   /** Degree assortativity: Pearson correlation of endpoint degrees over
@@ -403,6 +462,15 @@ object Graph {
       .orderBy("id")
   }
 
+  /** q198 — 5-core of the customer↔supplier graph (k high enough to
+    * actually peel this data: the 2-core is the whole graph, the
+    * 5-core drops a cascade — binding, spec-asserted).
+    */
+  def q198(s: SparkSession, dir: String): DataFrame =
+    kCore(custSuppEdges(s, dir), k = 5, maxIter = 30,
+      loopShufflePartitions = Some(8))
+      .orderBy("id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_hits"          -> (q149 _),
     "q150_triangles"     -> (q150 _),
@@ -410,6 +478,7 @@ object Graph {
     "q153_link_predict"  -> (q153 _),
     "q156_seed_distance" -> (q156 _),
     "q171_clustering_coeff" -> (q171 _),
+    "q198_kcore"         -> (q198 _),
   )
 
   /** Chained-CTE HITS oracle: same bipartite edge set, same 4
@@ -463,8 +532,40 @@ object Graph {
       |  SELECT DISTINCT a.p AS a, b.p AS b
       |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)""".stripMargin
 
+  /** q198 oracle: the peel unrolled to a FIXED 6 stages — the data
+    * converges in 2 (spec-asserted headroom); converged stages are
+    * no-ops, and if real data ever needed more, the query itself
+    * throws (maxIter) rather than silently disagreeing.
+    */
+  private val kcoreOracle: String = {
+    val stages = 6
+    val head =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT LEAST(o_custkey * 2, l_suppkey * 2 + 1) AS a,
+        |         GREATEST(o_custkey * 2, l_suppkey * 2 + 1) AS b
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""".stripMargin
+    val rounds = (1 to stages).map { i =>
+      s"""low$i AS MATERIALIZED (
+         |  SELECT id FROM (
+         |    SELECT id, COUNT(*) AS d FROM (
+         |      SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |    GROUP BY id)
+         |  WHERE d < 5),
+         |e$i AS MATERIALIZED (
+         |  SELECT * FROM e${i - 1}
+         |  WHERE a NOT IN (SELECT id FROM low$i)
+         |    AND b NOT IN (SELECT id FROM low$i))""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"""
+         |SELECT id, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+         |  SELECT a AS id FROM e$stages UNION ALL SELECT b FROM e$stages)
+         |GROUP BY id ORDER BY id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q149_hits" -> hitsOracle,
+    "q198_kcore" -> kcoreOracle,
     "q150_triangles" ->
       s"""$partEdgeCte,
          |tri AS (

@@ -922,6 +922,43 @@ object TextAnalysis {
           10000L).as("hapax_e4"))
       .orderBy("source")
 
+  /** q199 — quality survival curve: for each quality DECILE (bucketed
+    * on the q175 e6 grid), how many docs and tokens sit there, and the
+    * cumulative doc/token counts FROM THE TOP — i.e. "if the corpus
+    * keeps only quality ≥ x, how much training data survives?", read
+    * directly off the curve. The corpus-planning companion to q175's
+    * per-doc percentile.
+    *
+    * Bucketing happens on the ALREADY-INTEGER q_e6 value (`div` 1e5 →
+    * 0..10), so the bucket edge is an integer compare — no float ever
+    * meets a boundary; the cumulative share is one exact division.
+    *
+    * Scale: one map-side (doc → bucket, tokens) projection + a
+    * buckets-sized agg; the cumulative window runs over ≤ 11 rows.
+    */
+  def q199(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = docs(s, dir)
+      .select(
+        Similarity.intScaled(round(qualityScore(col("text")), 6), 1000000L)
+          .as("q_e6"),
+        tokenCount(col("text")).cast("long").as("toks"))
+      .select(expr("q_e6 div 100000").as("bucket"), col("toks"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(b.agg(sum(col("n_tokens")).as("tot_tokens"))))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("cum_docs"), col("cum_tokens"),
+        Similarity.intScaled(
+          col("cum_tokens").cast("double") / col("tot_tokens").cast("double"),
+          10000L).as("cum_token_share_e4"))
+      .orderBy(col("bucket").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -953,6 +990,7 @@ object TextAnalysis {
     "q183_vocab_jaccard" -> (q183 _),
     "q187_boiler_prefix" -> (q187 _),
     "q188_lexical_diversity" -> (q188 _),
+    "q199_quality_survival" -> (q199 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -988,6 +1026,35 @@ object TextAnalysis {
         |  CAST(ROUND(SUM(tf * -ln((COALESCE(cnt, 0) + 1.0) / (n + vsz)))
         |             / SUM(tf) * 10000) AS BIGINT) AS nll_e4
         |FROM grid GROUP BY t, e ORDER BY train_source, eval_source""".stripMargin,
+    // q175's quality expression → the same e6 grid → integer decile
+    // buckets; cumulative sums over the ≤11-row bucket frame.
+    "q199_quality_survival" ->
+      """WITH ql AS (
+        |  SELECT CAST(ROUND(ROUND((1.0 - CAST(len(list_filter(string_split(text,' '),
+        |                             w -> w IN ('a','the'))) AS DOUBLE)
+        |                 / len(string_split(text,' ')))
+        |               * LEAST(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0,
+        |                       1.0), 6) * 1000000) AS BIGINT) AS q_e6,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT q_e6 // 100000 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(toks) AS BIGINT) AS n_tokens
+        |  FROM ql GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, n_docs, n_tokens,
+        |         CAST(SUM(n_docs) OVER (ORDER BY bucket DESC
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS cum_docs,
+        |         CAST(SUM(n_tokens) OVER (ORDER BY bucket DESC
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS cum_tokens,
+        |         SUM(n_tokens) OVER () AS tot
+        |  FROM b)
+        |SELECT bucket, n_docs, n_tokens, cum_docs, cum_tokens,
+        |  CAST(ROUND(CAST(cum_tokens AS DOUBLE) / CAST(tot AS DOUBLE) * 10000)
+        |       AS BIGINT) AS cum_token_share_e4
+        |FROM c ORDER BY bucket DESC""".stripMargin,
     // Same first-8-token slice; (n DESC, prefix) total order.
     "q187_boiler_prefix" ->
       """SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')

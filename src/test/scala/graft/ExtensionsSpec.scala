@@ -994,6 +994,35 @@ class ExtensionsSpec extends SparkTestBase {
       "a source pair shares no word — q183's inner-join contract now binds")
   }
 
+  test("q199 quality survival: full driver replay is EXACT; curve is monotone") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").collect().map(_.getString(0))
+    def half(v: Double) =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rows = docs.map { t =>
+      val ws = t.split(" ", -1)
+      val stop = ws.count(w => w == "a" || w == "the")
+      val q = BigDecimal((1.0 - stop.toDouble / ws.length) *
+        math.min(ws.length / 50.0, 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (half(q * 1000000) / 100000, ws.length.toLong)
+    }
+    val byBucket = rows.groupBy(_._1).toSeq.map { case (b, ds) =>
+      (b, ds.length.toLong, ds.map(_._2).sum)
+    }.sortBy(-_._1)
+    val tot = byBucket.map(_._3).sum
+    var (cd, ct) = (0L, 0L)
+    val expected = byBucket.map { case (b, nd, nt) =>
+      cd += nd; ct += nt
+      (b, nd, nt, cd, ct, half(ct.toDouble / tot * 10000))
+    }
+    val got = TextAnalysis.q199(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    assert(got.last._6 === 10000L, "curve must end at full mass")
+  }
+
   test("q196 embed coverage: replay EXACT; full-coverage fixture is the true answer") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"source").collect()

@@ -220,4 +220,51 @@ class GraphSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q198 kcore: full driver peel replay is EXACT and the peel binds") {
+    val edges = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct
+    var cur = edges
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val deg = (cur.map(_._1) ++ cur.map(_._2))
+        .groupBy(identity).map { case (n, xs) => (n, xs.length) }
+      val low = deg.filter(_._2 < 5).keySet
+      if (low.isEmpty) done = true
+      else { cur = cur.filter(e => !low(e._1) && !low(e._2)); rounds += 1 }
+    }
+    assert(rounds >= 1, "5-core peel must bind on this data")
+    assert(rounds <= 4, s"oracle unroll headroom exceeded: $rounds rounds")
+    val expected = (cur.map(_._1) ++ cur.map(_._2))
+      .groupBy(identity).map { case (n, xs) => (n, xs.length.toLong) }
+      .toSeq.sorted
+    val got = SparkEntry.queries("q198_kcore")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    got.foreach(r => assert(r._2 >= 5, s"fixpoint violated: $r"))
+  }
+
+  test("kCore: path graph peels to empty at k=2; clique survives intact; cascade") {
+    // path 1-2-3-4-5: endpoints peel first, cascade empties the graph
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    assert(Graph.kCore(path, k = 2, maxIter = 10).count() === 0L)
+    // K4 plus a pendant: pendant peels, the clique survives with deg 3
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+    val g = (k4 :+ (4L, 9L)).toDF("src", "dst")
+    val core = Graph.kCore(g, k = 3, maxIter = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(core.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // non-convergence throws loudly
+    val long = (1L to 40L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.kCore(long, k = 2, maxIter = 3).count()
+    }
+  }
 }
