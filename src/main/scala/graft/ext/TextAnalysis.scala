@@ -959,6 +959,34 @@ object TextAnalysis {
       .orderBy(col("bucket").desc)
   }
 
+  /** q202 — per-source CHARACTER-level Shannon entropy (nats) over the
+    * character distribution, with the distinct-character alphabet
+    * size — q133's token entropy at the layer below: encoding
+    * corruption, wrong-charset ingestion, and base64/hex blobs all
+    * move CHAR entropy long before token statistics notice.
+    *
+    * Float discipline: char probabilities are exact integer ratios, so
+    * both engines feed IDENTICAL doubles through the same −Σ p·ln p
+    * shape; ln is the only drift source (the q125 pattern), absorbed
+    * by the e4 grid, margins spec-pinned.
+    *
+    * Scale: the per-char explode collapses map-side to the (source,
+    * char) frame (alphabet-sized per source) before anything shuffles.
+    */
+  def q202(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("source"), col("ch")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_chars"), count(lit(1)).as("alphabet"),
+        // H = ln N − (Σ cnt·ln cnt)/N — same expression shape in SQL
+        Similarity.intScaled(
+          log(sum(col("cnt")).cast("double")) -
+            sum(col("cnt").cast("double") * log(col("cnt").cast("double"))) /
+              sum(col("cnt")).cast("double"),
+          10000L).as("entropy_e4"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -991,6 +1019,7 @@ object TextAnalysis {
     "q187_boiler_prefix" -> (q187 _),
     "q188_lexical_diversity" -> (q188 _),
     "q199_quality_survival" -> (q199 _),
+    "q202_char_entropy" -> (q202 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1026,6 +1055,21 @@ object TextAnalysis {
         |  CAST(ROUND(SUM(tf * -ln((COALESCE(cnt, 0) + 1.0) / (n + vsz)))
         |             / SUM(tf) * 10000) AS BIGINT) AS nll_e4
         |FROM grid GROUP BY t, e ORDER BY train_source, eval_source""".stripMargin,
+    // Same per-char counts; H spelled as the identical ln N − Σc·ln c/N
+    // expression (exact-integer inputs, ln the only drift source).
+    "q202_char_entropy" ->
+      """WITH c AS (
+        |  SELECT source, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT source, unnest(string_split(text, '')) AS ch
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+        |  CAST(COUNT(*) AS BIGINT) AS alphabet,
+        |  CAST(ROUND((LN(CAST(SUM(cnt) AS DOUBLE))
+        |              - SUM(CAST(cnt AS DOUBLE) * LN(CAST(cnt AS DOUBLE)))
+        |                / CAST(SUM(cnt) AS DOUBLE)) * 10000) AS BIGINT)
+        |    AS entropy_e4
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // q175's quality expression → the same e6 grid → integer decile
     // buckets; cumulative sums over the ≤11-row bucket frame.
     "q199_quality_survival" ->

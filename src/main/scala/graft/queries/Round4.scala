@@ -491,6 +491,84 @@ object Round4 {
       .orderBy("segment")
   }
 
+  /** q200 — revenue reconciliation: per order month, the header total
+    * (orders.o_totalprice) vs the sum of its line items, as EXACT
+    * CENTS, with the count of orders whose two sides disagree by more
+    * than a cent — the warehouse's books-balance audit (a delta that
+    * GROWS month-over-month is a pipeline bug, not a rounding story).
+    * On this synthetic data every order mismatches (headers are
+    * generated independently of lines) — that IS the true answer,
+    * spec-asserted, exactly the q164-zeros pattern in reverse.
+    *
+    * Scale: lineitem collapses to per-order cents map-side FIRST
+    * (key+cents shuffle only), then a key-projected join and a
+    * months-sized agg. Everything is integer cents — nothing rounds.
+    */
+  def q200(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("l_orderkey")).agg(sum(col("cents")).as("li_cents"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        trunc(col("o_orderdate").cast("date"), "month").as("month"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("hdr_cents"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("hdr_cents")).as("header_cents"),
+        sum(col("li_cents")).as("lineitem_cents"),
+        sum(when(abs(col("hdr_cents") - col("li_cents")) > 1, 1L)
+          .otherwise(0L)).as("n_mismatched"))
+      .select(col("month"), col("n_orders"), col("header_cents"),
+        col("lineitem_cents"),
+        (col("lineitem_cents") - col("header_cents")).as("delta_cents"),
+        col("n_mismatched"))
+      .orderBy("month")
+  }
+
+  /** q201 — per-segment revenue trend: ordinary-least-squares slope of
+    * monthly revenue (cents) against the month index, one row per
+    * market segment — "is this segment growing and how fast", the
+    * regression the dashboard fits by eye.
+    *
+    * The q151 float discipline: all four OLS moments (Σx, Σy, Σxy,
+    * Σx², n over month indices x = 12·year + month) are EXACT BIGINTs
+    * carried in the output, and the slope is ONE fixed expression
+    * over their doubles — bit-exact cross-engine by construction.
+    *
+    * Scale: orders ⋈ customer key-projected (AQE picks the join);
+    * the moment agg runs over the (segment × month) frame.
+    */
+  def q201(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate").cast("date")) * 12 +
+          month(col("o_orderdate").cast("date"))).cast("long").as("x"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("x"))
+      .agg(sum(col("cents")).as("y"))
+    m.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("x")).as("s_x"), sum(col("y")).as("s_y"),
+        sum(col("x") * col("x")).as("s_xx"),
+        sum(col("x") * col("y")).as("s_xy"))
+      .select(col("c_mktsegment"), col("n_months"), col("s_x"), col("s_y"),
+        col("s_xx"), col("s_xy"),
+        graft.ext.Similarity.intScaled(
+          (col("n_months") * col("s_xy") - col("s_x") * col("s_y"))
+            .cast("double") /
+            (col("n_months") * col("s_xx") - col("s_x") * col("s_x"))
+              .cast("double"),
+          100L).as("slope_cents_c2"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_salted_join"  -> (q88 _),
     "q89_salted_dedup" -> (q89 _),
@@ -508,9 +586,49 @@ object Round4 {
     "q186_monthly_rev" -> (q186 _),
     "q189_argmin_supplier" -> (q189 _),
     "q191_rfm_segments" -> (q191 _),
+    "q200_revenue_reconcile" -> (q200 _),
+    "q201_revenue_trend" -> (q201 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Integer cents on both sides; same >1-cent mismatch compare.
+    "q200_revenue_reconcile" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS li_cents
+        |  FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS hdr_cents,
+        |         li.li_cents
+        |  FROM orders JOIN li ON li.l_orderkey = orders.o_orderkey)
+        |SELECT month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(hdr_cents) AS BIGINT) AS header_cents,
+        |  CAST(SUM(li_cents) AS BIGINT) AS lineitem_cents,
+        |  CAST(SUM(li_cents) - SUM(hdr_cents) AS BIGINT) AS delta_cents,
+        |  CAST(SUM(CASE WHEN ABS(hdr_cents - li_cents) > 1 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_mismatched
+        |FROM o GROUP BY month ORDER BY month""".stripMargin,
+    // Same exact BIGINT moments; the slope is the identical single
+    // expression over their doubles (q151 discipline).
+    "q201_revenue_trend" ->
+      """WITH m AS (
+        |  SELECT c.c_mktsegment,
+        |         CAST(12 * EXTRACT(YEAR FROM o.o_orderdate)
+        |              + EXTRACT(MONTH FROM o.o_orderdate) AS BIGINT) AS x,
+        |         CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_months,
+        |  CAST(SUM(x) AS BIGINT) AS s_x, CAST(SUM(y) AS BIGINT) AS s_y,
+        |  CAST(SUM(x * x) AS BIGINT) AS s_xx, CAST(SUM(x * y) AS BIGINT) AS s_xy,
+        |  CAST(ROUND(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+        |             / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+        |             * 100) AS BIGINT) AS slope_cents_c2
+        |FROM m GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // Identical (metric, custkey) total orders under standard NTILE;
     // integer day diff, exact cents.
     "q191_rfm_segments" ->

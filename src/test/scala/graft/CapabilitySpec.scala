@@ -223,6 +223,47 @@ class CapabilitySpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("q200 reconciliation: cents replay EXACT; all-mismatch is the true answer") {
+    def cents(d: Double) =
+      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact
+    val li = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice")).collect()
+      .map(r => (r.getLong(0), cents(r.getDouble(1))))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }
+    val orders = Tables.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString.substring(0, 7) + "-01",
+        cents(r.getDouble(2))))
+      .filter(o => li.contains(o._1)) // inner join: childless orders drop out
+    val expected = orders.groupBy(_._2).toSeq.map { case (m, os) =>
+      val hdr = os.map(_._3).sum
+      val lis = os.map(o => li(o._1)).sum
+      (m, os.length.toLong, hdr, lis, lis - hdr,
+        os.count(o => math.abs(o._3 - li(o._1)) > 1).toLong)
+    }.sortBy(_._1)
+    val got = q("q200_revenue_reconcile").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // this synthetic data generates headers independently of lines —
+    // every order mismatches; the audit must SEE that, not smooth it
+    assert(got.map(_._6).sum === orders.length.toLong)
+  }
+
+  test("q201 revenue trend: moments replay EXACT; slope matches driver OLS") {
+    val rows = q("q201_revenue_trend").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (n, sx, sy, sxx, sxy) = (r._2, r._3, r._4, r._5, r._6)
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      assert(r._7 === BigDecimal(slope * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, s"slope at ${r._1}")
+    }
+  }
+
   test("q186 monthly revenue: cents replay EXACT; lag deltas reconcile") {
     val rows = q("q186_monthly_rev").collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),

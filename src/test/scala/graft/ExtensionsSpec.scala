@@ -994,6 +994,26 @@ class ExtensionsSpec extends SparkTestBase {
       "a source pair shares no word — q183's inner-join contract now binds")
   }
 
+  test("q202 char entropy: replay within 1 unit; margins hold; alphabet exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = TextAnalysis.q202(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === docs.map(_._1).distinct.sorted.toSeq)
+    got.foreach { r =>
+      val chars = docs.filter(_._1 == r._1).flatMap(_._2.toCharArray)
+      val counts = chars.groupBy(identity).map(_._2.length.toLong)
+      assert(r._2 === chars.length.toLong)
+      assert(r._3 === counts.size.toLong)
+      val n = chars.length.toDouble
+      val h = math.log(n) - counts.map(c => c * math.log(c.toDouble)).sum / n
+      assert(math.abs(r._4 - h * 10000) <= 1.0, s"entropy drift at ${r._1}")
+      assert(math.abs(math.abs(h * 10000) % 1 - 0.5) > 1e-6,
+        s"boundary margin at ${r._1}")
+    }
+  }
+
   test("q199 quality survival: full driver replay is EXACT; curve is monotone") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select($"text").collect().map(_.getString(0))
