@@ -347,10 +347,16 @@ object Graph {
       sum(col("dx") * col("dx")).as("s_xx"),
       sum(col("dx") * col("dy")).as("s_xy"))
       .select(col("n_ends"), col("s_x"), col("s_xx"), col("s_xy"),
-        Similarity.intScaled(
-          (col("n_ends") * col("s_xy") - col("s_x") * col("s_x")).cast("double") /
-            (col("n_ends") * col("s_xx") - col("s_x") * col("s_x")).cast("double"),
-          1000000L).as("r_e6"))
+        // Zero-variance guard: a regular graph (all degrees equal) has
+        // n·s_xx − s_x² = 0; Pearson r is undefined there. Unguarded,
+        // Spark's 0/0 yields NaN → intScaled → null while DuckDB
+        // errors on CAST(NaN AS BIGINT) — a cross-engine divergence.
+        // The integer denominator makes the == 0 test exact.
+        when(col("n_ends") * col("s_xx") - col("s_x") * col("s_x") > 0,
+          Similarity.intScaled(
+            (col("n_ends") * col("s_xy") - col("s_x") * col("s_x")).cast("double") /
+              (col("n_ends") * col("s_xx") - col("s_x") * col("s_x")).cast("double"),
+            1000000L)).as("r_e6"))
   }
 
   // ---- declared queries ---------------------------------------------------
@@ -462,12 +468,21 @@ object Graph {
       .orderBy("id")
   }
 
+  /** Single source of truth for the q198 peel bound: the engine's
+    * `maxIter` and the oracle's unrolled stage count MUST agree —
+    * data needing more rounds than the oracle models has to surface
+    * as the engine's loud non-convergence `require`, never as a
+    * confusing hash mismatch at the gate (the data converges in 2;
+    * spec-asserted headroom).
+    */
+  private[graft] val KcoreStages = 6
+
   /** q198 — 5-core of the customer↔supplier graph (k high enough to
     * actually peel this data: the 2-core is the whole graph, the
     * 5-core drops a cascade — binding, spec-asserted).
     */
   def q198(s: SparkSession, dir: String): DataFrame =
-    kCore(custSuppEdges(s, dir), k = 5, maxIter = 30,
+    kCore(custSuppEdges(s, dir), k = 5, maxIter = KcoreStages,
       loopShufflePartitions = Some(8))
       .orderBy("id")
 
@@ -532,13 +547,14 @@ object Graph {
       |  SELECT DISTINCT a.p AS a, b.p AS b
       |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)""".stripMargin
 
-  /** q198 oracle: the peel unrolled to a FIXED 6 stages — the data
-    * converges in 2 (spec-asserted headroom); converged stages are
-    * no-ops, and if real data ever needed more, the query itself
-    * throws (maxIter) rather than silently disagreeing.
+  /** q198 oracle: the peel unrolled to a FIXED `KcoreStages` stages
+    * (same constant as the engine's maxIter) — the data converges in
+    * 2 (spec-asserted headroom); converged stages are no-ops, and if
+    * real data ever needed more, the query itself throws (maxIter)
+    * rather than silently disagreeing.
     */
   private val kcoreOracle: String = {
-    val stages = 6
+    val stages = KcoreStages
     val head =
       """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT LEAST(o_custkey * 2, l_suppkey * 2 + 1) AS a,
@@ -622,10 +638,12 @@ object Graph {
          |         CAST(SUM(dx * dy) AS BIGINT) AS s_xy
          |  FROM sym)
          |SELECT n_ends, s_x, s_xx, s_xy,
-         |       CAST(ROUND(
-         |         (CAST(n_ends * s_xy - s_x * s_x AS DOUBLE) /
-         |          CAST(n_ends * s_xx - s_x * s_x AS DOUBLE)) * 1000000)
-         |         AS BIGINT) AS r_e6
+         |       CASE WHEN n_ends * s_xx - s_x * s_x > 0 THEN
+         |         CAST(ROUND(
+         |           (CAST(n_ends * s_xy - s_x * s_x AS DOUBLE) /
+         |            CAST(n_ends * s_xx - s_x * s_x AS DOUBLE)) * 1000000)
+         |           AS BIGINT)
+         |       END AS r_e6
          |FROM m""".stripMargin,
     // aa is summed in a different order than Spark's partial aggs —
     // the e6 grid absorbs the ulp drift (GraphSpec pins the margin);

@@ -301,7 +301,7 @@ object Patterns {
       .filter(col("event_type") === "purchase")
       .select(
         date_add(lit("1970-01-01").cast("date"),
-          (col("us") / dayUs).cast("int")).as("day"),
+          expr(s"CAST(us DIV $dayUs AS INT)")).as("day"),
         when(col("last_click_us").isNotNull &&
           col("us") - col("last_click_us") <= lit(7L) * dayUs, 1L)
           .otherwise(0L).as("attr"))
@@ -332,10 +332,12 @@ object Patterns {
     val z = lit(1.96)
     Tables.events(s, dir)
       .select(
-        date_add(lit("1970-01-01").cast("date"),
-          (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long")
-            ./(lit(86400000000L)).cast("int")).as("day"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"),
         when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+      .select(
+        date_add(lit("1970-01-01").cast("date"),
+          expr("CAST(us DIV 86400000000 AS INT)")).as("day"),
+        col("err"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n"), sum(col("err")).as("errors"))
       .select({

@@ -444,7 +444,19 @@ object Round4 {
       .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_lines"),
         countDistinct(col("l_suppkey")).as("n_suppliers"),
-        min(shiftleft(col("cents"), 24) + col("l_suppkey")).as("packed"))
+        // In-plan domain guard: the packing is only an argmin while
+        // 0 <= cents < 2^39 and 0 <= suppkey < 2^24; out-of-range data
+        // at another SF must fail LOUDLY, not corrupt the winner. The
+        // guard feeds the agg input, so Catalyst cannot prune it.
+        min(coalesce(
+          when(col("cents") < 0 || col("cents") >= lit(1L << 39) ||
+            col("l_suppkey") < 0 || col("l_suppkey") >= lit(1L << 24),
+            raise_error(concat(
+              lit("q189 packed-argmin domain violated: cents="),
+              col("cents").cast("string"),
+              lit(" suppkey="), col("l_suppkey").cast("string")))
+              .cast("long")),
+          shiftleft(col("cents"), 24) + col("l_suppkey"))).as("packed"))
       .select(col("l_partkey"), col("n_lines"), col("n_suppliers"),
         (col("packed") % lit(1L << 24)).as("best_suppkey"),
         shiftright(col("packed"), 24).as("best_price_cents"))
