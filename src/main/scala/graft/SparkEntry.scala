@@ -20,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Declared.queries ++ graft.queries.Capability.queries ++
-      graft.queries.Round4.queries ++ graft.ext.Extensions.queries
+      graft.queries.Round4.queries ++ graft.queries.Round8.queries ++
+      graft.ext.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Declared.oracleSql ++ graft.queries.Capability.oracleSql ++
-      graft.queries.Round4.oracleSql ++ graft.ext.Extensions.oracleSql
+      graft.queries.Round4.oracleSql ++ graft.queries.Round8.oracleSql ++
+      graft.ext.Extensions.oracleSql
 }

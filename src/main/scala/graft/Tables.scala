@@ -15,15 +15,33 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4.x refuses to
-    * read unless `spark.sql.legacy.parquet.nanosAsLong=true`; with the
-    * flag the column surfaces as `bigint` nanoseconds (SURVEY §2.5).
-    * Ordering/equality on the long equals ordering on the timestamp, so
-    * dedup/window semantics are unaffected; convert explicitly via
-    * [[eventTs]] where real timestamp semantics are needed.
+  /** The whole engine's `ts` contract is BIGINT EPOCH NANOSECONDS —
+    * established when the driver testdata carried parquet
+    * TIMESTAMP(NANOS) (readable in Spark 4.x only as a nanos long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`). The round-8 testdata
+    * regeneration changed the physical type to TIMESTAMP(MICROS), which
+    * surfaces as a real timestamp instead; this reader dispatches on
+    * the arriving type and restores the nanos-long contract, so every
+    * downstream window/dedup/bucketing expression (and its paired
+    * DuckDB oracle, which always goes through
+    * `epoch_us(CAST(ts AS TIMESTAMP))`) is unchanged. `unix_micros` is
+    * exact integer math; ×1000 cannot overflow until year ~2262.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events") // nanosAsLong is set at session build (Engine)
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw // legacy TIMESTAMP(NANOS) via nanosAsLong
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        // Session timezone is pinned UTC (Engine), so NTZ→LTZ is identity.
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+  }
 
   /** Nanosecond-long `ts` -> TimestampType (microsecond precision,
     * truncating sub-microsecond deliberately — SURVEY §7.4 item 7).

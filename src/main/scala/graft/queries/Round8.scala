@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Similarity
+
+/** Round-8 certification queries: the remaining classic warehouse
+  * shapes (TPC-H Q7 volume shipping, a Q9-style profit rollup) plus
+  * three statistical data-quality audits a 100 TB ingest pipeline
+  * runs continuously — Benford first-digit drift, a chi-square
+  * independence screen, and lag-1 autocorrelation of the daily
+  * revenue series with exact-decimal moment accumulation.
+  */
+object Round8 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Exact epoch-microseconds from the nanos-long events `ts`
+    * (decimal division — the Tables.eventTs discipline, minus the
+    * timestamp re-wrap we don't need for integer day math).
+    */
+  private def eventUs: Column =
+    (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long")
+
+  /** q203 — TPC-H Q7 shape (volume shipping): revenue moved between
+    * two trading nations in either direction, by supplier nation ×
+    * customer nation × ship year.
+    *
+    * Scale: the two broadcast nation dims cut supplier/customer to
+    * the two trading nations BEFORE either touches the fact join, so
+    * the big shuffles (lineitem⋈orders, ⋈customer, ⋈supplier) carry
+    * only the ~2/25 nation slice. No forced broadcast on any
+    * fact-side table — AQE sizes the filtered survivors at runtime.
+    * Revenue is decimal(18,2)·decimal(18,2) (scale 4, exact) summed
+    * exactly and emitted as e4 fixed-point — no float anywhere.
+    */
+  def q203(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate").cast("date")).cast("long").as("l_year"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+    l.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("rev")) * 10000).cast("long").as("rev_e4"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q204 — Benford first-digit audit of `l_extendedprice`: the
+    * classic fraud/corruption screen over a multiplicative price
+    * population. The first SIGNIFICANT digit is read from the exact
+    * cents integer's decimal string (shifting ×100 never changes the
+    * leading digit), so digit extraction involves zero float math —
+    * no `log10` bucketing near power-of-ten boundaries.
+    *
+    * Float discipline: observed shares are exact-integer ratios
+    * (identical doubles both engines); the expected Benford share
+    * `log10(1+1/d)` is the only library-function drift source, and
+    * every digit's e6 rounding margin is ≥ 0.0094 (digit 9, spec-
+    * pinned) — 5e-9 absolute vs ~1e-16 one-ulp libm drift, 7 orders
+    * of headroom.
+    *
+    * Scale: one map-side substring + 9-group agg — fully partial-
+    * aggregated; the output frame is 9 rows regardless of SF.
+    */
+  def q204(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val d = t(s, dir, "lineitem")
+      .filter(col("l_extendedprice") > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    d.crossJoin(broadcast(d.agg(sum(col("n")).as("total"))))
+      .select(col("digit"), col("n"),
+        Similarity.intScaled(
+          col("n").cast("double") / col("total").cast("double"),
+          1000000L).as("obs_e6"),
+        Similarity.intScaled(
+          log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+            log(lit(10.0)),
+          1000000L).as("exp_e6"))
+      .withColumn("dev_e6", col("obs_e6") - col("exp_e6"))
+      .orderBy("digit")
+  }
+
+  /** q205 — chi-square independence screen: is event type independent
+    * of day-of-week? The contingency table (5 types × 7 days), each
+    * cell with its expected count under independence and its χ²
+    * contribution. Day-of-week is PORTABLE integer arithmetic —
+    * `(epoch_day + 4) mod 7` (1970-01-01 was a Thursday; 0=Sunday) —
+    * never an engine `dayofweek()` whose origin convention differs.
+    *
+    * Float discipline: O, row/col totals, N are exact integers;
+    * E = row·col/N and (O−E)²/E are the same arithmetic shape on
+    * identical doubles — deterministic with no library calls at all.
+    *
+    * Scale: one map-side (type, dow) agg collapses events to ≤35
+    * cells; the windows ride that constant-size frame.
+    */
+  def q205(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        ((eventUs / lit(86400000000L)).cast("long") + 4) % 7 as "dow")
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val byType = Window.partitionBy(col("event_type"))
+    val byDow = Window.partitionBy(col("dow"))
+    val all = Window.partitionBy()
+    val e = (sum(col("o")).over(byType) * sum(col("o")).over(byDow))
+      .cast("double") / sum(col("o")).over(all).cast("double")
+    cells
+      .select(col("event_type"), col("dow"), col("o"),
+        Similarity.intScaled(e, 10000L).as("exp_e4"),
+        Similarity.intScaled(
+          (col("o").cast("double") - e) * (col("o").cast("double") - e) / e,
+          10000L).as("chi2_e4"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** q206 — lag-1 autocorrelation of the daily order-revenue series:
+    * the "is today predicted by yesterday" seasonality screen. All
+    * five Pearson moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    * EXACT decimals over exact whole-dollar daily revenue, so the
+    * only doubles are the final six casts — identical in both
+    * engines — and the closed-form r is the same expression shape on
+    * identical inputs. `sqrt` is IEEE-exact (not libm), so the e6
+    * value needs no drift margin at all.
+    *
+    * Scale: orders collapse map-side to the calendar-day frame
+    * (~2.4k rows for 7 years); ONE single-partition window pairs
+    * each day with the next (the q186/q170 calendar bound: windows
+    * ride days, never orders). Decimal(38) moments survive any SF —
+    * dollar sums-of-squares overflow BIGINT at sf≥1 but fit decimal
+    * with 20 digits to spare.
+    */
+  def q206(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(col("o_orderdate").cast("date").as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("day"))
+      // Whole dollars, truncated from exact cents: integer-exact and
+      // 100× more headroom in the squared sums than cents.
+      .agg(expr("CAST((CAST(SUM(p) * 100 AS BIGINT) DIV 100) AS DECIMAL(18,0))")
+        .as("x"))
+    val w = Window.orderBy(col("day"))
+    val pairs = daily
+      .select(col("x"), lead(col("x"), 1).over(w).as("y"))
+      .filter(col("y").isNotNull)
+    pairs
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("y")).cast("decimal(38,0)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+        sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"))
+      .select(col("n_pairs"),
+        Similarity.intScaled(
+          (col("n_pairs").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n_pairs").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n_pairs").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))),
+          1000000L).as("r1_e6"))
+  }
+
+  /** q207 — TPC-H Q9-style profit rollup: per supplier-nation × ship
+    * year, gross margin = Σ(extprice·(1−disc) − retailprice·qty)
+    * (retail price standing in for supply cost — the testdata has no
+    * partsupp). Everything rides exact decimal (scales 4 and 2,
+    * aligned at 4) and lands as e4 fixed-point.
+    *
+    * Scale: part⋈lineitem and supplier⋈lineitem are fact-sized
+    * shuffle joins (no forced broadcast — part grows with SF); only
+    * the 25-row nation dim broadcasts. Group-by collapses to
+    * nations × years ≤ a few hundred rows.
+    */
+  def q207(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").select(
+      col("l_partkey"), col("l_suppkey"),
+      year(col("l_shipdate").cast("date")).cast("long").as("l_year"),
+      (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("gross"),
+      col("l_quantity").cast("decimal(18,0)").as("qty"))
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice").cast("decimal(18,2)").as("cost"))
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("gross") - col("cost") * col("qty")) * 10000)
+          .cast("long").as("profit_e4"))
+      .orderBy("n_name", "l_year")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_tpch_q7" -> (q203 _),
+    "q204_benford" -> (q204 _),
+    "q205_chi2_dow" -> (q205 _),
+    "q206_autocorr_daily" -> (q206 _),
+    "q207_profit_rollup" -> (q207 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Same dual-nation slice; decimal revenue summed exactly, e4 out.
+    "q203_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000
+        |            AS BIGINT) AS rev_e4
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1','NATION_2')
+        |  AND n2.n_name IN ('NATION_1','NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= DATE '1996-01-01'
+        |  AND l_shipdate <  DATE '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // First digit from the exact cents string; LN(1+1/d)/LN(10) is
+    // the identical expression shape to Spark's log/log.
+    "q204_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(SUBSTR(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                               * 100 AS BIGINT) AS VARCHAR), 1, 1)
+        |              AS INT) AS digit,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1)
+        |SELECT digit, n,
+        |  CAST(ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+        |             * 1000000) AS BIGINT) AS obs_e6,
+        |  CAST(ROUND(LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0)
+        |             * 1000000) AS BIGINT) AS exp_e6,
+        |  CAST(ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+        |             * 1000000) AS BIGINT)
+        |    - CAST(ROUND(LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0)
+        |                 * 1000000) AS BIGINT) AS dev_e6
+        |FROM d ORDER BY digit""".stripMargin,
+    // Portable (epoch_day+4) mod 7 on both sides; E and χ² from the
+    // same integer-fed double arithmetic.
+    "q205_chi2_dow" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |         (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7
+        |           AS dow,
+        |         CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type, dow, o,
+        |         CAST(SUM(o) OVER (PARTITION BY event_type) *
+        |              SUM(o) OVER (PARTITION BY dow) AS DOUBLE) /
+        |           CAST(SUM(o) OVER () AS DOUBLE) AS e
+        |  FROM cells)
+        |SELECT event_type, dow, o,
+        |       CAST(ROUND(e * 10000) AS BIGINT) AS exp_e4,
+        |       CAST(ROUND((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+        |                  / e * 10000) AS BIGINT) AS chi2_e4
+        |FROM x ORDER BY event_type, dow""".stripMargin,
+    // Exact-decimal moments over whole-dollar daily revenue; the six
+    // casts to DOUBLE are the only float steps (sqrt is IEEE-exact).
+    "q206_autocorr_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |                   AS BIGINT) // 100 AS DECIMAL(18,0)) AS x
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT x, LEAD(x) OVER (ORDER BY day) AS y FROM daily),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+        |         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+        |         CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+        |         CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+        |         CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+        |  FROM pairs WHERE y IS NOT NULL)
+        |SELECT n_pairs,
+        |  CAST(ROUND(
+        |    (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS r1_e6
+        |FROM m""".stripMargin,
+    // Decimal-exact margin; retail price as the cost stand-in.
+    "q207_profit_rollup" ->
+      """SELECT n_name,
+        |       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |              - CAST(p_retailprice AS DECIMAL(18,2)) *
+        |                CAST(l_quantity AS DECIMAL(18,0))) * 10000
+        |            AS BIGINT) AS profit_e4
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -29,8 +29,21 @@ object EventStream {
       // directory basePath and discovers matching files beneath it
       .parquet(s"$dir/events.*")
 
-  def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_ts", graft.Tables.eventTs(col("ts")))
+  def withEventTime(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Same type dispatch as Tables.events: the file schema changed from
+    // TIMESTAMP(NANOS)-as-long to TIMESTAMP(MICROS) in the round-8
+    // testdata; streaming reads the schema straight off the files, so
+    // normalize here too (UTC session ⇒ the NTZ cast is identity).
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("event_ts", graft.Tables.eventTs(col("ts")))
+      case TimestampType => df.withColumn("event_ts", col("ts"))
+      case TimestampNTZType =>
+        df.withColumn("event_ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+  }
 
   /** Tumbling-window counts by event type (A1 re-expressed): watermark
     * bounds both late data and aggregation state.

@@ -38,7 +38,7 @@ class PatternsSpec extends SparkTestBase {
   }
 
   test("q162 transitions: full replay; per-source rows partition the steps") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.events(spark, sf)
       .select($"user_id", $"ts".cast("long"), $"event_id", $"event_type")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
@@ -165,7 +165,7 @@ class PatternsSpec extends SparkTestBase {
   test("q170 event anomaly: full driver replay is EXACT; window discipline") {
     // Exact-integer window sums through the identical z expression —
     // bit-identical doubles, so the replay carries no tolerance.
-    val days = spark.read.parquet(s"$sf/events.parquet")
+    val days = graft.Tables.events(spark, sf)
       .select(to_date(graft.Tables.eventTs($"ts")).as("day"))
       .groupBy($"day").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
@@ -190,7 +190,7 @@ class PatternsSpec extends SparkTestBase {
   }
 
   test("q179 event gaps: full driver replay is EXACT (integer order statistics)") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.events(spark, sf)
       .select($"user_id", $"event_type", $"event_id", $"ts").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getLong(3) / 1000L)) // exact ns→µs truncation (positive values)
@@ -212,7 +212,7 @@ class PatternsSpec extends SparkTestBase {
 
   test("q190 attribution: full driver replay is EXACT (carry-forward lookback)") {
     val dayUs = 86400000000L
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.events(spark, sf)
       .select($"user_id", $"event_type", $"event_id", $"ts").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3) / 1000L))
     val purchases = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
@@ -242,7 +242,7 @@ class PatternsSpec extends SparkTestBase {
 
   test("q193 error monitor: replay within 1 unit; LB < rate; boundary margins hold") {
     val dayUs = 86400000000L
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.events(spark, sf)
       .select($"event_type", $"ts").collect()
       .map(r => ((r.getLong(1) / 1000L) / dayUs, r.getString(0) == "error"))
     val byDay = ev.groupBy(_._1).map { case (d, es) =>
@@ -272,7 +272,7 @@ class PatternsSpec extends SparkTestBase {
   }
 
   test("q194 concentration: full driver replay is EXACT; shares are monotone") {
-    val counts = spark.read.parquet(s"$sf/events.parquet")
+    val counts = graft.Tables.events(spark, sf)
       .select($"event_type", $"user_id").collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .groupBy(identity).map { case ((t, u), es) => (t, u, es.length.toLong) }
@@ -295,7 +295,7 @@ class PatternsSpec extends SparkTestBase {
   }
 
   test("q195 conversion lag: full driver replay is EXACT") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.events(spark, sf)
       .select($"user_id", $"event_type", $"ts").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2) / 1000L))
     val byUser = ev.groupBy(_._1)
@@ -321,7 +321,7 @@ class PatternsSpec extends SparkTestBase {
   }
 
   test("q197 trigram paths: replay EXACT; conditionals sum to 1 per context") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.events(spark, sf)
       .select($"user_id", $"event_type", $"event_id", $"ts").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3) / 1000L))
     val tris = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
@@ -346,7 +346,7 @@ class PatternsSpec extends SparkTestBase {
   }
 
   test("q182 activity gini: full driver replay is EXACT; G in [0, 1)") {
-    val counts = spark.read.parquet(s"$sf/events.parquet")
+    val counts = graft.Tables.events(spark, sf)
       .select($"event_type", $"user_id").collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .groupBy(identity).map { case ((t, u), es) => (t, u, es.length.toLong) }

@@ -1,0 +1,150 @@
+package graft
+
+import java.math.{BigDecimal => JBig, RoundingMode}
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Round8
+
+/** Round-8 family: full driver-side replays on the sf0.001 fixtures
+  * plus the rounding-boundary margin pins the float discipline
+  * requires (CLAUDE.md: never hash-compare doubles near a threshold
+  * without measuring the margin).
+  */
+class Round8Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Spark's decimal(18,2) cast semantics on a double: HALF_UP at 2. */
+  private def cents(x: Double): Long =
+    new JBig(x).setScale(2, RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
+  test("q204 benford: every digit's expected-share e6 margin is >= 0.005") {
+    // The only library-drift source is log10; pin each digit's distance
+    // from the e6 rounding boundary so a libm difference can never flip
+    // exp_e6. Digit 9 is the minimum: log10(10/9)·1e6 = 45757.4906,
+    // margin 0.0094 in e6 units = 9.4e-9 absolute — vs one-ulp drift
+    // ~1e-16 at this magnitude, seven orders of headroom.
+    val margins = (1 to 9).map { d =>
+      val frac = math.log10(1.0 + 1.0 / d) * 1e6 % 1.0
+      d -> math.abs(frac - 0.5)
+    }.toMap
+    assert(margins.values.min > 0.005, s"margins: $margins")
+    assert(margins.minBy(_._2)._1 === 9)
+  }
+
+  test("q204 benford: full replay from raw lineitem (exact cents digits)") {
+    val prices = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_extendedprice").as[Double].collect().filter(_ > 0)
+    val counts = prices.map(p => cents(p).toString.head.asDigit)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = counts.values.sum
+    val expected = counts.toSeq.sorted.map { case (d, n) =>
+      val obs = math.round(n.toDouble / total * 1e6)
+      val exp = math.round(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6)
+      (d, n, obs, exp, obs - exp)
+    }
+    val got = Round8.q204(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.map(_._2).sum === prices.length.toLong)
+  }
+
+  test("q205 chi2: full replay; portable dow; contributions nonnegative") {
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", $"ts").as[(String, Long)].collect()
+    val cells = ev.map { case (t, ns) =>
+      val day = Math.floorDiv(ns / 1000L, 86400000000L)
+      (t, (day + 4) % 7)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowTot = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colTot = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cells.values.sum
+    val expected = cells.toSeq.sortBy(_._1).map { case ((t, dow), o) =>
+      val e = (rowTot(t) * colTot(dow)).toDouble / n.toDouble
+      (t, dow, o, math.round(e * 10000),
+        math.round((o.toDouble - e) * (o.toDouble - e) / e * 10000))
+    }
+    val got = Round8.q205(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.forall(_._5 >= 0))
+    assert(got.map(_._3).sum === ev.length.toLong)
+  }
+
+  test("q206 autocorr: full replay with exact BigInt moments") {
+    val daily = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderdate".cast("date").cast("string"), $"o_totalprice")
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(xs => BigInt(xs.map(x => cents(x._2)).sum) / 100) // whole $
+      .toSeq.sortBy(_._1).map(_._2)
+    val pairs = daily.zip(daily.tail)
+    val np = pairs.length.toLong
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val r = (np.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      math.sqrt((np.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+        (np.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    val row = Round8.q206(spark, sf).collect().head
+    assert(row.getLong(0) === np)
+    assert(row.getLong(1) === math.round(r * 1e6))
+    assert(math.abs(row.getLong(1)) <= 1000000L)
+  }
+
+  test("q203/q207: grouped fixed-point totals equal a direct ungrouped sum") {
+    // Different plan shape (no grouping, no join order reuse) must land
+    // on the identical exact-decimal total — decimal summation is
+    // order-independent, unlike doubles. Runs at sf0.01: the sf0.001
+    // supplier sample has no NATION_1/2 trade lines at all (checked),
+    // which would make the Q7 half vacuous.
+    val sf01 = "/root/testdata/sf0.01"
+    val q7 = Round8.q203(spark, sf01)
+    assert(q7.count() > 0)
+    val q7total =
+      q7.agg(coalesce(sum($"rev_e4"), lit(0L))).as[Long].collect().head
+    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+    val direct = li
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("date") &&
+        $"l_shipdate" < lit("1998-01-01").cast("date"))
+      .join(spark.read.parquet(s"$sf01/orders.parquet"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(spark.read.parquet(s"$sf01/customer.parquet"),
+        $"o_custkey" === $"c_custkey")
+      .join(spark.read.parquet(s"$sf01/supplier.parquet"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(spark.read.parquet(s"$sf01/nation.parquet")
+        .select($"n_nationkey".as("snk"), $"n_name".as("sn")),
+        $"s_nationkey" === $"snk")
+      .join(spark.read.parquet(s"$sf01/nation.parquet")
+        .select($"n_nationkey".as("cnk"), $"n_name".as("cn")),
+        $"c_nationkey" === $"cnk")
+      .filter($"sn".isin("NATION_1", "NATION_2") &&
+        $"cn".isin("NATION_1", "NATION_2") && $"sn" =!= $"cn")
+      .agg(coalesce((sum($"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1) - $"l_discount".cast("decimal(18,2)"))) * 10000).cast("long"),
+        lit(0L)))
+      .as[Long].collect().head
+    assert(q7total === direct)
+
+    val q9 = Round8.q207(spark, sf01)
+    val q9total = q9.agg(sum($"profit_e4")).as[Long].collect().head
+    val directProfit = li
+      .join(spark.read.parquet(s"$sf01/part.parquet"),
+        $"l_partkey" === $"p_partkey")
+      .agg((sum($"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1) - $"l_discount".cast("decimal(18,2)")) -
+        $"p_retailprice".cast("decimal(18,2)") *
+          $"l_quantity".cast("decimal(18,0)")) * 10000).cast("long"))
+      .as[Long].collect().head
+    assert(q9total === directProfit)
+    // every lineitem lands in exactly one (nation, year) group
+    assert(q9.agg(sum($"n_lines")).as[Long].collect().head === li.count())
+  }
+}

@@ -20,7 +20,7 @@ class StreamingSpec extends SparkTestBase {
       EventStream.windowedCounts(EventStream.readEvents(spark, sf)),
       "win_counts", OutputMode.Complete())
 
-    val batch = EventStream.withEventTime(spark.read.parquet(s"$sf/events.parquet"))
+    val batch = EventStream.withEventTime(graft.Tables.events(spark, sf))
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("events"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").as("win_start"),
@@ -55,7 +55,7 @@ class StreamingSpec extends SparkTestBase {
     val dupKeys = deduped.groupBy("event_id").count().filter(col("count") > 1)
     assert(dupKeys.isEmpty)
     // matches batch distinct on event_id (the dedup key)
-    val batchDistinct = spark.read.parquet(s"$sf/events.parquet")
+    val batchDistinct = graft.Tables.events(spark, sf)
       .dropDuplicates("event_id")
     assert(deduped.count() === batchDistinct.count())
   }
@@ -69,7 +69,7 @@ class StreamingSpec extends SparkTestBase {
     // the streamed result must equal the batch query — full equality,
     // not the subset check the file-source test settles for (it cannot
     // advance the watermark past end-of-input).
-    val fixture = spark.read.parquet(s"$sf/events.parquet")
+    val fixture = graft.Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("ts", "event_id")
       .collect()
@@ -105,7 +105,7 @@ class StreamingSpec extends SparkTestBase {
     // +1s-drifted timestamp — the producer-retry pattern. Keyed on
     // event_id alone, dropDuplicatesWithinWatermark must suppress every
     // retry, leaving output = the original fixture rows exactly.
-    val fixture = spark.read.parquet(s"$sf/events.parquet")
+    val fixture = graft.Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("ts", "event_id")
       .collect()
@@ -129,7 +129,7 @@ class StreamingSpec extends SparkTestBase {
 
     val streamed = spark.table("dedup_replay")
       .select("event_id", "user_id", "event_type", "value")
-    val batch = spark.read.parquet(s"$sf/events.parquet")
+    val batch = graft.Tables.events(spark, sf)
       .select("event_id", "user_id", "event_type", "value")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "deduped stream under retries must equal the original fixture rows")
