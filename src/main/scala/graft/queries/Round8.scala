@@ -218,12 +218,160 @@ object Round8 {
       .orderBy("n_name", "l_year")
   }
 
+  /** q208 — TPC-H Q8 shape (national market share): per order year,
+    * NATION_2 suppliers' share of all supplier revenue flowing to
+    * ASIA-region customers.
+    *
+    * Float discipline: both revenue sums are exact decimal → exact e4
+    * longs; the share is ONE division of the two identical exact
+    * doubles — deterministic, no margin needed.
+    *
+    * Scale: the region filter rides a two-step broadcast (region →
+    * nation → customer) so the customer slice shrinks before the fact
+    * joins; the conditional nation sum avoids a second pass.
+    */
+  def q208(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey")
+    val suppNation = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name"))),
+        col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("n_name"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate").cast("date")).cast("long").as("o_year"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        (sum(col("rev")) * 10000).cast("long").as("rev_total_e4"),
+        (sum(when(col("n_name") === "NATION_2", col("rev"))
+          .otherwise(lit(0).cast("decimal(18,2)"))) * 10000)
+          .cast("long").as("rev_nation_e4"))
+      .select(col("o_year"), col("rev_total_e4"), col("rev_nation_e4"),
+        Similarity.intScaled(
+          col("rev_nation_e4").cast("double") / col("rev_total_e4").cast("double"),
+          1000000L).as("share_e6"))
+      .orderBy("o_year")
+  }
+
+  /** q209 — TPC-H Q10 shape (returned-item reporting): the 100
+    * customers losing the most revenue to returns (l_returnflag='R').
+    * Revenue is an exact e4 long, so the top-100 ORDER is integer-
+    * deterministic (custkey tie-break) — no float-rank hazard.
+    *
+    * Scale: the returnflag filter (≈1/3 selectivity) is pushed to the
+    * scan; the per-customer agg collapses lineitem BEFORE the
+    * customer join; the final top-100 is TakeOrderedAndProject
+    * (never a global sort of the data).
+    */
+  def q209(s: SparkSession, dir: String): DataFrame = {
+    val lost = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("rev")) * 10000).cast("long").as("lost_e4"))
+    lost
+      .join(t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_lines"),
+        col("lost_e4"))
+      .orderBy(col("lost_e4").desc, col("c_custkey"))
+      .limit(100)
+  }
+
+  /** q210 — TPC-H Q14 shape (promotion effect): per ship month, promo
+    * parts' share of revenue. Same exact-e4 + one-division discipline
+    * as q208; the lineitem⋈part join is fact-sized on both sides
+    * (shuffle join, no forced broadcast — part grows with SF).
+    */
+  def q210(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        trunc(col("l_shipdate").cast("date"), "month").as("month"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      .join(t(s, dir, "part").select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("month"))
+      .agg(
+        (sum(col("rev")) * 10000).cast("long").as("rev_total_e4"),
+        (sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast("decimal(18,2)"))) * 10000)
+          .cast("long").as("rev_promo_e4"))
+      .select(col("month"), col("rev_total_e4"), col("rev_promo_e4"),
+        Similarity.intScaled(
+          col("rev_promo_e4").cast("double") / col("rev_total_e4").cast("double"),
+          1000000L).as("promo_share_e6"))
+      .orderBy("month")
+
+  /** q211 — brand mix-shift audit: each brand's within-year revenue
+    * share in its first vs last observed year, and the shift between
+    * them — the category-drift screen a retail warehouse runs on
+    * every dimension. Shares are identical-double divisions of exact
+    * e4 revenue (q208 discipline); the shift is an integer e6
+    * subtraction.
+    *
+    * Scale: lineitem⋈part collapses to the brand × year frame
+    * map-side-combined; the year-total window and the first/last
+    * windows ride that ≤(brands·years) frame, never the data.
+    */
+  def q211(s: SparkSession, dir: String): DataFrame = {
+    val by = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        year(col("l_shipdate").cast("date")).cast("long").as("yr"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("yr"))
+      .agg((sum(col("rev")) * 10000).cast("long").as("rev_e4"))
+    val share = by
+      .withColumn("share_e6", Similarity.intScaled(
+        col("rev_e4").cast("double") /
+          sum(col("rev_e4")).over(Window.partitionBy(col("yr"))).cast("double"),
+        1000000L))
+    val wAsc = Window.partitionBy(col("p_brand")).orderBy(col("yr"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    share
+      .select(col("p_brand"), col("yr"), col("share_e6"),
+        first(col("share_e6")).over(wAsc).as("share_first_e6"),
+        last(col("share_e6")).over(wAsc).as("share_last_e6"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_years"),
+        max(col("share_first_e6")).as("share_first_e6"),
+        max(col("share_last_e6")).as("share_last_e6"))
+      .select(col("p_brand"), col("n_years"), col("share_first_e6"),
+        col("share_last_e6"),
+        (col("share_last_e6") - col("share_first_e6")).as("shift_e6"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_tpch_q7" -> (q203 _),
     "q204_benford" -> (q204 _),
     "q205_chi2_dow" -> (q205 _),
     "q206_autocorr_daily" -> (q206 _),
     "q207_profit_rollup" -> (q207 _),
+    "q208_tpch_q8" -> (q208 _),
+    "q209_tpch_q10" -> (q209 _),
+    "q210_promo_share" -> (q210 _),
+    "q211_brand_shift" -> (q211 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -314,6 +462,97 @@ object Round8 {
         |          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    * 1000000) AS BIGINT) AS r1_e6
         |FROM m""".stripMargin,
+    // Exact e4 revenue both sums; the share is one division of the
+    // identical exact doubles.
+    "q208_tpch_q8" ->
+      """WITH base AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                  (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000
+        |              AS BIGINT) AS rev_total_e4,
+        |         CAST(SUM(CASE WHEN ns.n_name = 'NATION_2'
+        |                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                            (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |                       ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000
+        |              AS BIGINT) AS rev_nation_e4
+        |  FROM lineitem
+        |  JOIN orders    ON l_orderkey = o_orderkey
+        |  JOIN customer  ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region    ON nc.n_regionkey = r_regionkey
+        |  JOIN supplier  ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY 1)
+        |SELECT o_year, rev_total_e4, rev_nation_e4,
+        |  CAST(ROUND(CAST(rev_nation_e4 AS DOUBLE) /
+        |             CAST(rev_total_e4 AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS share_e6
+        |FROM base ORDER BY o_year""".stripMargin,
+    // Exact e4 ordering + custkey tie-break: integer-deterministic top-100.
+    "q209_tpch_q10" ->
+      """WITH lost AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                  (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000
+        |              AS BIGINT) AS lost_e4
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_mktsegment, n_lines, lost_e4
+        |FROM lost JOIN customer ON o_custkey = c_custkey
+        |ORDER BY lost_e4 DESC, c_custkey LIMIT 100""".stripMargin,
+    // Same conditional-decimal sums per ship month.
+    "q210_promo_share" ->
+      """WITH m AS (
+        |  SELECT CAST(DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS DATE)
+        |           AS month,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                  (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000
+        |              AS BIGINT) AS rev_total_e4,
+        |         CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                            (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |                       ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000
+        |              AS BIGINT) AS rev_promo_e4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT month, rev_total_e4, rev_promo_e4,
+        |  CAST(ROUND(CAST(rev_promo_e4 AS DOUBLE) /
+        |             CAST(rev_total_e4 AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS promo_share_e6
+        |FROM m ORDER BY month""".stripMargin,
+    // Shares on the brand×year frame; first/last over the full frame.
+    "q211_brand_shift" ->
+      """WITH by_y AS (
+        |  SELECT p_brand, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                  (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000
+        |              AS BIGINT) AS rev_e4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT p_brand, yr,
+        |         CAST(ROUND(CAST(rev_e4 AS DOUBLE) /
+        |                    CAST(SUM(rev_e4) OVER (PARTITION BY yr) AS DOUBLE)
+        |                    * 1000000) AS BIGINT) AS share_e6
+        |  FROM by_y),
+        |fl AS (
+        |  SELECT p_brand, yr, share_e6,
+        |         FIRST_VALUE(share_e6) OVER
+        |           (PARTITION BY p_brand ORDER BY yr
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |           AS share_first_e6,
+        |         LAST_VALUE(share_e6) OVER
+        |           (PARTITION BY p_brand ORDER BY yr
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |           AS share_last_e6
+        |  FROM sh)
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_years,
+        |       MAX(share_first_e6) AS share_first_e6,
+        |       MAX(share_last_e6) AS share_last_e6,
+        |       MAX(share_last_e6) - MAX(share_first_e6) AS shift_e6
+        |FROM fl GROUP BY 1 ORDER BY p_brand""".stripMargin,
     // Decimal-exact margin; retail price as the cost stand-in.
     "q207_profit_rollup" ->
       """SELECT n_name,

@@ -400,4 +400,17 @@ class PlanAuditSpec extends SparkTestBase {
     // lineitem scan reads only the key + quantity, never the wide columns
     assert(!p.contains("l_extendedprice") && !p.contains("l_comment"), p)
   }
+
+  test("q203 tpch q7: ship-year filter pushes to the scan, nations broadcast") {
+    val p = plan("q203_tpch_q7")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q209 tpch q10: returnflag pushed, top-100 is TakeOrderedAndProject") {
+    val p = plan("q209_tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"), p)
+  }
 }
