@@ -362,6 +362,105 @@ object Round8 {
       .orderBy("p_brand")
   }
 
+  /** q212 — reserved-token incidence audit: per (source, token), how
+    * many documents contain each watched literal and how many total
+    * occurrences — the "did special/control tokens leak into training
+    * text" screen every corpus ingest runs. The probe list mixes a
+    * token present in this corpus ("spark") with control-token
+    * sentinels expected absent, so zeros are demonstrated, not
+    * assumed.
+    *
+    * Occurrence counting is PORTABLE integer arithmetic —
+    * (len(text) − len(replace(text, tok))) / len(tok) — no regex
+    * engine semantics on either side.
+    *
+    * Scale: one map-side pass per token over documents (the token
+    * list is a literal crossJoin'd constant frame, broadcast by
+    * construction); output is sources × tokens.
+    */
+  def q212(s: SparkSession, dir: String): DataFrame = {
+    val toks = Seq("spark", "merge", "<|endoftext|>", "[PAD]")
+    val tokDf = s.createDataFrame(toks.map(Tuple1(_))).toDF("token")
+    Tables.table(s, dir, "documents")
+      .select(col("source"), col("text"))
+      .crossJoin(broadcast(tokDf))
+      .select(col("source"), col("token"),
+        when(col("text").contains(col("token")), 1L).otherwise(0L).as("has"),
+        ((length(col("text")) - length(replace(col("text"), col("token"), lit("")))) /
+          length(col("token"))).cast("long").as("occ"))
+      .groupBy(col("source"), col("token"))
+      .agg(sum(col("has")).as("docs_with"), sum(col("occ")).as("occurrences"))
+      .orderBy("source", "token")
+  }
+
+  /** q213 — EXACT covariance matrix of the embedding space, the
+    * PCA/whitening-prep step of an embedding pipeline, made
+    * hash-certifiable by quantizing each coordinate to an e3 integer
+    * FIRST: all three moments (Σqᵢ, Σqⱼ, Σqᵢqⱼ) are then exact
+    * integer sums — order-independent, unlike a float covariance —
+    * and cov = (n·Sᵢⱼ − Sᵢ·Sⱼ)/n² is one fixed expression over the
+    * identical exact doubles (q206 discipline).
+    *
+    * Scale: the per-row outer-product explode emits d²/2 terms per
+    * vector but partial aggregation collapses every partition to the
+    * d²/2-cell frame before the single shuffle; for large d, block
+    * the (i,j) grid (band the explode) — the quantized-moments trick
+    * is unchanged.
+    */
+  def q213(s: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val q = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => Similarity.intScaled(x.cast("double"), 1000L)).as("qv"))
+    q.select(posexplode(col("qv")).as(Seq("i", "qi")), col("qv"))
+      .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qi")).as("si"), sum(col("qj")).as("sj"),
+        sum(col("qi") * col("qj")).as("sij"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        Similarity.intScaled(
+          (col("n").cast("double") * col("sij").cast("double") -
+            col("si").cast("double") * col("sj").cast("double")) /
+            (col("n").cast("double") * col("n").cast("double")),
+          1000000L).as("cov_q_e6"))
+      .orderBy("i", "j")
+  }
+
+  /** q214 — day-of-week revenue seasonality index: mean daily revenue
+    * per dow as a ratio to the overall daily mean (e6) — the
+    * revenue-weighted complement of q205's count-based screen. Daily
+    * cents are exact; each index is one division of identical exact
+    * doubles; dow is the same portable (epoch_day+4) mod 7.
+    *
+    * Scale: orders collapse map-side to calendar days, then to the
+    * 7-row dow frame; the global mean rides a broadcast one-row
+    * crossJoin (the accepted global-stats shape).
+    */
+  def q214(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("day"))
+      .agg((sum(col("p")) * 100).cast("long").as("cents"))
+    val byDow = daily
+      .select(((col("day") + 4) % 7).as("dow"), col("cents"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("cents"))
+    byDow
+      .crossJoin(broadcast(byDow.agg(
+        sum(col("n_days")).as("tot_days"), sum(col("cents")).as("tot_cents"))))
+      .select(col("dow"), col("n_days"), col("cents"),
+        Similarity.intScaled(
+          (col("cents").cast("double") / col("n_days").cast("double")) /
+            (col("tot_cents").cast("double") / col("tot_days").cast("double")),
+          1000000L).as("index_e6"))
+      .orderBy("dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_tpch_q7" -> (q203 _),
     "q204_benford" -> (q204 _),
@@ -372,6 +471,9 @@ object Round8 {
     "q209_tpch_q10" -> (q209 _),
     "q210_promo_share" -> (q210 _),
     "q211_brand_shift" -> (q211 _),
+    "q212_special_tokens" -> (q212 _),
+    "q213_embed_covariance" -> (q213 _),
+    "q214_dow_revenue_index" -> (q214 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -553,6 +655,59 @@ object Round8 {
         |       MAX(share_last_e6) AS share_last_e6,
         |       MAX(share_last_e6) - MAX(share_first_e6) AS shift_e6
         |FROM fl GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    // Identical substring-count arithmetic; contains() is a literal
+    // match on both sides (no regex).
+    "q212_special_tokens" ->
+      """WITH toks AS (
+        |  SELECT * FROM (VALUES ('spark'), ('merge'),
+        |                        ('<|endoftext|>'), ('[PAD]')) t(token))
+        |SELECT source, token,
+        |  CAST(SUM(CASE WHEN contains(text, token) THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS docs_with,
+        |  CAST(SUM((len(text) - len(replace(text, token, ''))) // len(token))
+        |       AS BIGINT) AS occurrences
+        |FROM documents CROSS JOIN toks
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same e3 quantization (float→double→round half-away both sides),
+    // exact integer moments, one fixed double expression.
+    "q213_embed_covariance" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT i.i AS i, j.j AS j, qv[i.i + 1] AS qi, qv[j.j + 1] AS qj
+        |  FROM q CROSS JOIN range(64) i(i) CROSS JOIN range(64) j(j)
+        |  WHERE i.i <= j.j)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  CAST(ROUND(
+        |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(qi * qj) AS DOUBLE) -
+        |     CAST(SUM(qi) AS DOUBLE) * CAST(SUM(qj) AS DOUBLE)) /
+        |    (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+        |    * 1000000) AS BIGINT) AS cov_q_e6
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Exact daily cents; the index is one division chain on identical
+    // exact doubles; same portable dow as q205.
+    "q214_dow_revenue_index" ->
+      """WITH daily AS (
+        |  SELECT CAST(DATE_DIFF('day', DATE '1970-01-01',
+        |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |bd AS (
+        |  SELECT (day + 4) % 7 AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM daily GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(n_days) AS BIGINT) AS tot_days,
+        |         CAST(SUM(cents) AS BIGINT) AS tot_cents
+        |  FROM bd)
+        |SELECT dow, n_days, cents,
+        |  CAST(ROUND((CAST(cents AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+        |             (CAST(tot_cents AS DOUBLE) / CAST(tot_days AS DOUBLE))
+        |             * 1000000) AS BIGINT) AS index_e6
+        |FROM bd, t ORDER BY dow""".stripMargin,
     // Decimal-exact margin; retail price as the cost stand-in.
     "q207_profit_rollup" ->
       """SELECT n_name,
