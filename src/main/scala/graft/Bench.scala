@@ -69,25 +69,28 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver captures only a ~4 KB stdout TAIL; with 200+ queries
-    // the full-name map alone is ~7 KB, so a full line can never parse
-    // (r4–r7: "parsed": null every round). The stdout line therefore
-    // uses the contract's short ids ("q35" for "q35_array_hof" —
-    // numeric prefixes are unique by construction) at ms precision;
-    // the full-name full-precision map lives in bench/results-<sf>.json.
+    // The driver captures only a ~4 KB stdout TAIL and parses the LAST
+    // line. With 200+ queries even a short-id map is ~3 KB and its
+    // head gets clipped by the window (r4–r8: "parsed": null every
+    // round). So the FINAL line is map-free — total seconds, query
+    // count, sf — and is guaranteed to fit any tail window. The
+    // short-id map ("q35" for "q35_array_hof" — numeric prefixes are
+    // unique by construction, ms precision) prints on an EARLIER line
+    // for humans reading full logs; the full-name full-precision map
+    // lives in bench/results-<sf>.json.
     val shortQs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 1000) / 1000)
     }.mkString("{", ",", "}")
     val shortLine =
       s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}"""
+    val summaryLine =
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.length},"sf":"$sfDir"}"""
     val sfName = Paths.get(sfDir).getFileName.toString
     val resultsFile = Paths.get(s"bench/results-$sfName.json")
     // Print BEFORE any file I/O: a read-only cwd must not eat the
-    // sweep after all queries already ran. The driver's declared
-    // contract is ONE JSON line carrying the per-query map, so the
-    // compact line is also repeated as the very last stdout line
-    // (after spark.stop()) for a last-line-parsing driver.
+    // sweep after all queries already ran.
     println(shortLine)
+    println(summaryLine)
     Try(Files.createDirectories(resultsFile.getParent))
     Try(Files.writeString(resultsFile, fullLine + "\n"))
       .failed.foreach(e => System.err.println(s"[bench] results write failed: $e"))
@@ -96,6 +99,8 @@ object Bench {
         .failed.foreach(e => System.err.println(s"[bench] BENCH_OUT write failed: $e"))
     }
     spark.stop()
-    println(shortLine)
+    // Repeated after spark.stop() so no Spark shutdown chatter can
+    // land below it: this map-free line IS the driver's parse target.
+    println(summaryLine)
   }
 }

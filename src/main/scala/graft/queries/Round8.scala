@@ -112,24 +112,33 @@ object Round8 {
     * `(epoch_day + 4) mod 7` (1970-01-01 was a Thursday; 0=Sunday) —
     * never an engine `dayofweek()` whose origin convention differs.
     *
-    * Float discipline: O, row/col totals, N are exact integers;
-    * E = row·col/N and (O−E)²/E are the same arithmetic shape on
-    * identical doubles — deterministic with no library calls at all.
+    * Float discipline: O, row/col totals, N are exact integers; each
+    * window sum casts to double BEFORE the row·col multiply (a Long×
+    * Long product would silently wrap past 2⁶³ with ANSI off, while
+    * DuckDB's HUGEINT sums multiply exactly — the engines would
+    * diverge at extreme counts), and the oracle mirrors the same
+    * cast-then-multiply shape so both engines compute identical
+    * doubles. (O−E)²/E is the same arithmetic shape on those doubles —
+    * deterministic with no library calls at all.
     *
     * Scale: one map-side (type, dow) agg collapses events to ≤35
     * cells; the windows ride that constant-size frame.
     */
   def q205(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(s, dir)
+      // Day bucket is integer floor division BY CONSTRUCTION (q190
+      // discipline: `DIV`, not double-divide-then-truncate).
+      .select(col("event_type"), eventUs.as("us"))
       .select(col("event_type"),
-        ((eventUs / lit(86400000000L)).cast("long") + 4) % 7 as "dow")
+        ((expr("us DIV 86400000000") + 4) % 7).as("dow"))
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("o"))
     val byType = Window.partitionBy(col("event_type"))
     val byDow = Window.partitionBy(col("dow"))
     val all = Window.partitionBy()
-    val e = (sum(col("o")).over(byType) * sum(col("o")).over(byDow))
-      .cast("double") / sum(col("o")).over(all).cast("double")
+    val e = sum(col("o")).over(byType).cast("double") *
+      sum(col("o")).over(byDow).cast("double") /
+      sum(col("o")).over(all).cast("double")
     cells
       .select(col("event_type"), col("dow"), col("o"),
         Similarity.intScaled(e, 10000L).as("exp_e4"),
@@ -386,8 +395,12 @@ object Round8 {
       .crossJoin(broadcast(tokDf))
       .select(col("source"), col("token"),
         when(col("text").contains(col("token")), 1L).otherwise(0L).as("has"),
-        ((length(col("text")) - length(replace(col("text"), col("token"), lit("")))) /
-          length(col("token"))).cast("long").as("occ"))
+        // Integer floor division by construction (`DIV`, matching the
+        // oracle's `//`) — the numerator is always an exact multiple
+        // of len(token), but the discipline is integer arithmetic,
+        // not a double-division margin argument (q190 pattern).
+        expr("(length(text) - length(replace(text, token, ''))) DIV length(token)")
+          .cast("long").as("occ"))
       .groupBy(col("source"), col("token"))
       .agg(sum(col("has")).as("docs_with"), sum(col("occ")).as("occurrences"))
       .orderBy("source", "token")
@@ -408,7 +421,10 @@ object Round8 {
     * is unchanged.
     */
   def q213(s: SparkSession, dir: String): DataFrame = {
-    val d = 64
+    // The Spark side follows the actual array length via posexplode;
+    // the oracle hard-codes range(64). EmbeddingDimSpec pins dim=64 so
+    // a driver-side embeddings regeneration fails loudly there, not as
+    // a confusing oracle NULL-cell mismatch.
     val q = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -527,8 +543,8 @@ object Round8 {
         |  FROM events GROUP BY 1, 2),
         |x AS (
         |  SELECT event_type, dow, o,
-        |         CAST(SUM(o) OVER (PARTITION BY event_type) *
-        |              SUM(o) OVER (PARTITION BY dow) AS DOUBLE) /
+        |         CAST(SUM(o) OVER (PARTITION BY event_type) AS DOUBLE) *
+        |         CAST(SUM(o) OVER (PARTITION BY dow) AS DOUBLE) /
         |           CAST(SUM(o) OVER () AS DOUBLE) AS e
         |  FROM cells)
         |SELECT event_type, dow, o,

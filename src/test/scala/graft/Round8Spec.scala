@@ -209,4 +209,19 @@ class Round8Spec extends SparkTestBase {
       assert(math.abs(shareSum - 1000000L) <= rows.length / 2 + 1)
     }
   }
+
+  test("q213 embedding dimension is pinned to 64 (oracle range(64) contract)") {
+    // The q213 oracle hard-codes range(64) while the Spark side follows
+    // the actual array length. The driver has regenerated testdata
+    // between rounds before (events.ts, r8); if an embeddings regen
+    // changes the dimension, fail HERE with a clear message instead of
+    // as a confusing oracle NULL-cell hash mismatch in the gate.
+    Seq(sf, "/root/testdata/sf0.01").foreach { d =>
+      val dims = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(size($"embedding").as("d")).distinct().as[Int].collect().toSeq
+      assert(dims === Seq(64),
+        s"embedding dim changed in $d (got $dims): update the q213 oracle's " +
+          "range(64) and this pin together")
+    }
+  }
 }
