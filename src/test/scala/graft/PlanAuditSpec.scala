@@ -413,4 +413,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("PushedFilters") && p.contains("l_returnflag"), p)
   }
+
+  test("q215 tpch q21: EXISTS/NOT EXISTS decorrelate to semi+anti joins") {
+    val p = plan("q215_waiting_suppliers")
+    // Catalyst must lower both correlated subqueries to joins on
+    // l_orderkey — never a per-order probe loop or a cartesian.
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q216 tpch q22: anti join on date-pruned orders, one-row threshold") {
+    val p = plan("q216_global_customers")
+    assert(p.contains("LeftAnti"), p)
+    // The date predicate must reach the orders scan feeding the anti
+    // join — at 100 TB the anti-join build side is the pruned slice.
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
