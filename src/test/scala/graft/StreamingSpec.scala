@@ -100,6 +100,72 @@ class StreamingSpec extends SparkTestBase {
       "sealed streaming sessions must equal the batch sessionization")
   }
 
+  test("checkpoint recovery: a killed session-window query resumes to the exact uninterrupted result") {
+    // The production exactly-once property: kill a STATEFUL query
+    // between microbatches, let data arrive while it is down, restart
+    // from the SAME checkpoint, and the final file-sink output must
+    // equal the uninterrupted batch computation — sessions whose state
+    // straddled the kill included. The parquet sink's _spark_metadata
+    // commit log is the read path, so any replayed-but-uncommitted
+    // files would be invisible (exactly-once at the sink) and any lost
+    // state would surface as a wrong n_events/first_event.
+    val fixture = graft.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val maxTs = fixture.map(_._2).max
+    val sentinelTs = maxTs + (12L * 3600 + 600 + 3600) * 1000000000L
+    val chunks = fixture.grouped((fixture.length + 2) / 3).toSeq
+
+    val input = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
+    def start() = EventStream.sessionCounts(df)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    try {
+      input.addData(chunks(0).toSeq)
+      q1.processAllAvailable()
+    } finally q1.stop() // the kill: open sessions live only in state
+
+    val run1Rows = spark.read.parquet(outDir).filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // data keeps arriving while the query is down
+    input.addData(chunks(1).toSeq)
+
+    val q2 = start() // resume from the SAME checkpoint
+    try {
+      q2.processAllAvailable()
+      input.addData(chunks(2).toSeq)
+      q2.processAllAvailable()
+      input.addData((-1L, sentinelTs, -1L, "sentinel", 0.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = spark.read.parquet(outDir).filter(col("user_id") >= 0)
+    val batch = SparkEntry.queries("q45_session_window")(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "post-recovery streamed sessions must equal the batch sessionization")
+
+    // Prove the test exercised state recovery, not just output append:
+    // at least one session EMITTED AFTER the kill must begin at a
+    // chunk-0 event — its state was built before the kill, restored
+    // from the checkpoint, and completed afterwards.
+    val chunk0Ids = chunks(0).map(_._1).toSet
+    val run2Only = streamed
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet -- run1Rows
+    assert(run2Only.exists(r => chunk0Ids.contains(r._3)),
+      "no post-kill session started before the kill — recovery not exercised")
+  }
+
   test("replay: dedup under producer retries equals the batch fixture exactly") {
     // Each fixture chunk is re-emitted in the NEXT microbatch with a
     // +1s-drifted timestamp — the producer-retry pattern. Keyed on
