@@ -416,22 +416,52 @@ object Round8 {
     *
     * Scale: the per-row outer-product explode emits d²/2 terms per
     * vector but partial aggregation collapses every partition to the
-    * d²/2-cell frame before the single shuffle; for large d, block
-    * the (i,j) grid (band the explode) — the quantized-moments trick
-    * is unchanged.
+    * d²/2-cell frame before the single shuffle. For large d the
+    * (i,j) grid is BANDED ([[q213Banded]]): with `bands` = B, each of
+    * the B(B+1)/2 block passes double-explodes only a d/B-wide slice
+    * pair, so the peak per-row fan-out and per-explode row width drop
+    * from d to d/B while the emitted cell total (and the quantized
+    * moments — the certified numbers) are identical by construction.
+    * At d=64 one pass is optimal (bands=1 — this declared query); at
+    * d=1024 point B so d/B ≈ 64. Round8Spec proves band-equivalence
+    * at B ∈ {1, 3, 4}, including non-dividing widths.
     */
-  def q213(s: SparkSession, dir: String): DataFrame = {
+  def q213(s: SparkSession, dir: String): DataFrame =
+    q213Banded(s, dir, bands = 1)
+
+  /** [[q213]] with the (i,j) grid blocked into `bands`² slice-pair
+    * passes (upper triangle only). Band width w = ⌈d/B⌉ is derived
+    * from the data per-row (`size(qv)`), tail slices fall short
+    * naturally, and a short/empty slice explodes to nothing — so
+    * non-dividing B and even ragged vectors stay correct.
+    */
+  private[graft] def q213Banded(s: SparkSession, dir: String, bands: Int): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     // The Spark side follows the actual array length via posexplode;
-    // the oracle hard-codes range(64). EmbeddingDimSpec pins dim=64 so
-    // a driver-side embeddings regeneration fails loudly there, not as
+    // the oracle hard-codes range(64). Round8Spec pins dim=64 so a
+    // driver-side embeddings regeneration fails loudly there, not as
     // a confusing oracle NULL-cell mismatch.
     val q = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"),
           x => Similarity.intScaled(x.cast("double"), 1000L)).as("qv"))
-    q.select(posexplode(col("qv")).as(Seq("i", "qi")), col("qv"))
-      .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
-      .filter(col("i") <= col("j"))
+      .select(col("qv"),
+        expr(s"CAST((size(qv) + ${bands - 1}) DIV $bands AS INT)").as("w"))
+    val blocks = for { bi <- 0 until bands; bj <- bi until bands } yield
+      q.select(
+          expr(s"slice(qv, $bi * w + 1, w)").as("si"),
+          expr(s"slice(qv, $bj * w + 1, w)").as("sj"),
+          (col("w") * bi).as("offi"), (col("w") * bj).as("offj"))
+        .select(posexplode(col("si")).as(Seq("pi", "qi")),
+          col("sj"), col("offi"), col("offj"))
+        .select((col("pi") + col("offi")).as("i"), col("qi"),
+          posexplode(col("sj")).as(Seq("pj", "qj")), col("offj"))
+        .select(col("i"), col("qi"),
+          (col("pj") + col("offj")).as("j"), col("qj"))
+        // binds only on diagonal blocks (bi == bj); off-diagonal blocks
+        // satisfy i < j by construction and Catalyst folds the filter
+        .filter(col("i") <= col("j"))
+    blocks.reduce(_ unionAll _)
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"),
         sum(col("qi")).as("si"), sum(col("qj")).as("sj"),

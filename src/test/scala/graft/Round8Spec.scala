@@ -210,6 +210,21 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("q213 banded outer-product equals the unbanded result (B in {3, 4})") {
+    // Band-equivalence: the moments are integer sums over the same cell
+    // set regardless of blocking, so every banding must reproduce the
+    // unbanded frame EXACTLY — including B=3, whose ceil-width 22 does
+    // not divide 64 (tail slices fall short; last band starts at 44).
+    val base = Round8.q213Banded(spark, sf, bands = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(base.nonEmpty)
+    Seq(3, 4).foreach { b =>
+      val banded = Round8.q213Banded(spark, sf, bands = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(banded === base, s"bands=$b diverged from unbanded")
+    }
+  }
+
   test("q213 embedding dimension is pinned to 64 (oracle range(64) contract)") {
     // The q213 oracle hard-codes range(64) while the Spark side follows
     // the actual array length. The driver has regenerated testdata
