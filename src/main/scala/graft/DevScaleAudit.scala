@@ -35,22 +35,41 @@ object DevScaleAudit {
   private def synth(s: SparkSession, base: String, out: String): Unit = {
     val docsOut = Paths.get(out, "documents.parquet")
     val liOut = Paths.get(out, "lineitem.parquet")
-    if (Files.exists(docsOut) && Files.exists(liOut)) return
-    Files.createDirectories(Paths.get(out))
-    val docs = Tables.table(s, base, "documents")
-    val docs10 = (0 until 10).map { i =>
-      docs.select(
-        (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
-        translate(col("text"), "etaoin", perms(i)).as("text"),
-        col("source"))
-    }.reduce(_ unionAll _)
-    docs10.repartition(32).write.mode("overwrite").parquet(docsOut.toString)
-    val li = Tables.table(s, base, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-    val li10 = (0 until 10).map { i =>
-      li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
-    }.reduce(_ unionAll _)
-    li10.repartition(32).write.mode("overwrite").parquet(liOut.toString)
+    val evOut = Paths.get(out, "events.parquet")
+    if (!(Files.exists(docsOut) && Files.exists(liOut))) {
+      Files.createDirectories(Paths.get(out))
+      val docs = Tables.table(s, base, "documents")
+      val docs10 = (0 until 10).map { i =>
+        docs.select(
+          (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          translate(col("text"), "etaoin", perms(i)).as("text"),
+          col("source"))
+      }.reduce(_ unionAll _)
+      docs10.repartition(32).write.mode("overwrite").parquet(docsOut.toString)
+      val li = Tables.table(s, base, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      val li10 = (0 until 10).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+      }.reduce(_ unionAll _)
+      li10.repartition(32).write.mode("overwrite").parquet(liOut.toString)
+    }
+    if (!Files.exists(evOut)) {
+      Files.createDirectories(Paths.get(out))
+      // r9 addition — `events` replicas for the window/funnel/retention
+      // family: replica i offsets user_id and event_id; ts and
+      // event_type stay put. User cardinality ×10 with per-user
+      // journeys identical over the SAME calendar span — at 100 TB an
+      // event log grows in users, not in years, so day/cohort frames
+      // stay constant while every user-keyed shuffle carries 10×.
+      // Written via the raw file (not Tables.events) so the synthetic
+      // file keeps the CURRENT driver schema for ts verbatim.
+      val ev = s.read.parquet(s"$base/events.parquet")
+      val ev10 = (0 until 10).map { i =>
+        ev.withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+      }.reduce(_ unionAll _)
+      ev10.repartition(32).write.mode("overwrite").parquet(evOut.toString)
+    }
   }
 
   private def time(name: String, runs: Int)(df: => DataFrame): Double = {
@@ -126,9 +145,22 @@ object DevScaleAudit {
             bits = 60, bands = 4, maxHamming = 2)
             .select(col("id_a").as("src"), col("id_b").as("dst")))
       },
+      // r9 additions: the event-window family, straight through the
+      // declared registry entries (they take a dir). User-keyed
+      // windows/sessionization shuffle 10× users; the day/cohort/step
+      // frames the windows ride are calendar-sized and stay constant.
+      "ev_rolling_wau" -> (dir => SparkEntry.queries("q113_rolling_wau")(spark, dir)),
+      "ev_funnel" -> (dir => SparkEntry.queries("q115_funnel")(spark, dir)),
+      "ev_retention" -> (dir => SparkEntry.queries("q116_retention")(spark, dir)),
+      "ev_attribution" -> (dir => SparkEntry.queries("q190_attribution")(spark, dir)),
     )
 
-    val rows = suite.map { case (name, fn) =>
+    // optional 3rd arg: comma-separated name-prefix subset (fast iteration)
+    val only = if (args.length > 2) Some(args(2).split(",").toSeq) else None
+    val picked = suite.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    val rows = picked.map { case (name, fn) =>
       val t1 = time(s"$name@1x", runs)(fn(base))
       val t10 = time(s"$name@10x", runs)(fn(out))
       (name, t1, t10, t10 / t1)
