@@ -111,9 +111,318 @@ object Round9 {
         |ORDER BY code""".stripMargin)
   }
 
+  /** q217 — TPC-H Q2 shape (min-cost supplier): the fixture has no
+    * `partsupp`, so the part↔supplier cost relation is derived from
+    * observed trade — per (part, supplier) the MIN line price in exact
+    * cents. For size-15 ECONOMY parts, report the EUROPE suppliers
+    * whose cost equals the part's EUROPE-wide minimum (correlated
+    * scalar-subquery recorrelation through supplier→nation→region,
+    * the shape Q2 exists to exercise; reference capability: the J1
+    * dim-resolution joins of `/root/reference/migration.py:115-158`
+    * composed with an argmin, like q189's packed-long variant but
+    * expressed as Catalyst decorrelation rather than a manual agg).
+    *
+    * Scale: `cost` is one (part,supp) hash agg over lineitem; the
+    * correlated MIN decorrelates to a per-part agg joined back —
+    * two shuffles on partkey, no per-row probe. The size/type filter
+    * prunes part BEFORE the join (7 parts at sf0.01); region/nation
+    * are broadcast dims. Exact cents only — no double crosses the
+    * engine boundary. Deterministic total order (part,supplier is
+    * unique per row) so LIMIT is stable at any SF.
+    */
+  def q217(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("mc_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("mc_part")
+    t(s, dir, "supplier").createOrReplaceTempView("mc_supplier")
+    t(s, dir, "nation").createOrReplaceTempView("mc_nation")
+    t(s, dir, "region").createOrReplaceTempView("mc_region")
+    s.sql(
+      """WITH cost AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |         MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT)) AS cost_cents
+        |  FROM mc_lineitem GROUP BY 1, 2)
+        |SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         AS bal_cents,
+        |       s_name, n_name, p_partkey, cost_cents
+        |FROM mc_part, cost, mc_supplier, mc_nation, mc_region
+        |WHERE p_partkey = cost.partkey AND s_suppkey = cost.suppkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND p_size = 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+        |  AND cost_cents =
+        |      (SELECT MIN(c2.cost_cents)
+        |       FROM cost c2, mc_supplier s2, mc_nation n2, mc_region r2
+        |       WHERE c2.partkey = p_partkey AND s2.s_suppkey = c2.suppkey
+        |         AND s2.s_nationkey = n2.n_nationkey
+        |         AND n2.n_regionkey = r2.r_regionkey
+        |         AND r2.r_name = 'EUROPE')
+        |ORDER BY bal_cents DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  /** q218 — TPC-H Q4 shape (order-priority checking): orders placed in
+    * 1996-Q3 counted per priority, kept only if at least one of their
+    * lines was returned ('R' — the fixture's late/failed flag; the
+    * schema carries no commit/receipt dates). EXISTS lowers to a
+    * left-semi join on a two-column lineitem projection; the quarter
+    * filter is a pushed parquet predicate that prunes orders BEFORE
+    * the semi join. Exact integer counts; 5-row output.
+    */
+  def q218(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("op_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("op_lineitem")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM op_orders
+        |WHERE o_orderdate >= DATE '1996-07-01'
+        |  AND o_orderdate <  DATE '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM op_lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** q219 — TPC-H Q6 shape (forecast-revenue change): the pure
+    * scan-filter-agg report. Revenue is Σ price·discount computed in
+    * exact integer units — cents × basis points (the fixture's
+    * discounts are exact hundredths, so DECIMAL(4,2)·100 is lossless)
+    * — one BIGINT row, no double anywhere. All three predicates and
+    * the two used columns reach the parquet scan (pushed filters +
+    * pruned ReadSchema); the agg is a map-side partial. Headroom:
+    * cents·bp ≤ ~7·10⁷ per line → Σ fits BIGINT beyond 10¹⁰ lines.
+    */
+  def q219(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("fr_lineitem")
+    s.sql(
+      """SELECT SUM(cents * bp) AS revenue_cent_bp
+        |FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT) AS cents,
+        |             CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+        |                  AS BIGINT) AS bp
+        |      FROM fr_lineitem
+        |      WHERE l_shipdate >= DATE '1997-01-01'
+        |        AND l_shipdate <  DATE '1998-01-01'
+        |        AND l_quantity < 24) t
+        |WHERE bp BETWEEN 5 AND 7""".stripMargin)
+  }
+
+  /** q220 — TPC-H Q11 shape (important stock): no `partsupp`, so a
+    * part's "held value" for NATION_7 suppliers is the exact-cents sum
+    * of their lines for that part; report parts holding more than
+    * 0.1% of the nation's total. The fraction predicate is the exact
+    * integer cross-multiplication `cents·1000 > total` — no division,
+    * no double. Scale: one (partkey) hash agg after a broadcast-dim
+    * prune (supplier⋈nation filters 1/25 of suppliers before the fact
+    * join); the total is a ONE-row frame riding the accepted one-row
+    * broadcast crossJoin shape.
+    */
+  def q220(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("iv_lineitem")
+    t(s, dir, "supplier").createOrReplaceTempView("iv_supplier")
+    t(s, dir, "nation").createOrReplaceTempView("iv_nation")
+    s.sql(
+      """WITH val AS (
+        |  SELECT l_partkey AS partkey,
+        |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT)) AS cents
+        |  FROM iv_lineitem
+        |  JOIN iv_supplier ON l_suppkey = s_suppkey
+        |  JOIN iv_nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(cents) AS t FROM val)
+        |SELECT partkey, cents FROM val CROSS JOIN tot
+        |WHERE cents * 1000 > t
+        |ORDER BY cents DESC, partkey""".stripMargin)
+  }
+
+  /** q221 — TPC-H Q12 shape (shipping-latency priority audit): the
+    * fixture has no ship modes, so lines are classed by realized
+    * latency — SLOW if shipped more than 60 days after the order date
+    * (`datediff` on midnight-aligned timestamps is exact integer days
+    * in both engines), FAST otherwise — and each class counts
+    * high-priority vs other orders, Q12's two conditional sums.
+    * Scale: the year filter prunes lineitem at the scan; the join
+    * shuffles on orderkey; output is 2 rows.
+    */
+  def q221(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("sl_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("sl_lineitem")
+    s.sql(
+      """SELECT CASE WHEN datediff(l_shipdate, o_orderdate) > 60
+        |            THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+        |       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS high_line_count,
+        |       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS low_line_count
+        |FROM sl_orders JOIN sl_lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= DATE '1997-01-01'
+        |  AND l_shipdate <  DATE '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** q222 — TPC-H Q13 shape (customer order-count distribution): LEFT
+    * join customers to their non-'5-LOW' orders (the join-side filter
+    * stands in for Q13's comment NOT LIKE), count per customer, then
+    * histogram the counts — the classic double aggregation whose
+    * outer key (c_count) is system-generated. Zero-order customers
+    * survive via the left join exactly as in Q13. Scale: shuffle on
+    * custkey then on c_count (a ≤ hundreds-cardinality key); both
+    * aggs are partial-combine friendly. Deterministic order: c_count
+    * is unique per output row.
+    */
+  def q222(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("cd_customer")
+    t(s, dir, "orders").createOrReplaceTempView("cd_orders")
+    s.sql(
+      """WITH c_orders AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM cd_customer
+        |  LEFT JOIN cd_orders ON c_custkey = o_custkey
+        |                      AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  /** q223 — TPC-H Q15 shape (top supplier): revenue per supplier over
+    * 1997-Q1 in exact cent·pct units (cents × (100−bp), summed as
+    * DECIMAL(38,0) — the q206 overflow discipline: BIGINT headroom
+    * ends near 10¹⁴ lines, decimal does not), then keep the
+    * supplier(s) equal to the MAX — Q15's view + scalar-subquery
+    * equality, exact because the units are integers (double revenue
+    * would make `= MAX` a coin flip). The rev frame is computed twice
+    * (once for MAX — a one-row broadcast — once for the join); both
+    * are one (suppkey) agg over the quarter-pruned scan.
+    */
+  def q223(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("ts_lineitem")
+    t(s, dir, "supplier").createOrReplaceTempView("ts_supplier")
+    s.sql(
+      """WITH rev AS (
+        |  SELECT l_suppkey AS suppkey,
+        |         SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)
+        |                  * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+        |                             AS BIGINT))
+        |                  AS DECIMAL(38,0))) AS rev
+        |  FROM ts_lineitem
+        |  WHERE l_shipdate >= DATE '1997-01-01'
+        |    AND l_shipdate <  DATE '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev AS BIGINT) AS total_rev_centpct
+        |FROM ts_supplier JOIN rev ON s_suppkey = suppkey
+        |WHERE rev = (SELECT MAX(rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** q224 — TPC-H Q16 shape (supplier-part offering counts): per
+    * (brand, type, size) over Q16's canonical size list, the count of
+    * distinct suppliers observed shipping that part, excluding one
+    * brand and — Q16's NOT IN twist — suppliers on a denylist (the
+    * fixture's negative-balance suppliers standing in for "customer
+    * complaints"). The NOT IN compiles to Spark's null-aware anti
+    * join against a ~6-row broadcast. Scale: distinct-count shuffles
+    * (brand,type,size,suppkey) pairs — supplier-bounded, not
+    * line-bounded; part prunes at the scan on the size list.
+    */
+  def q224(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("sc_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("sc_part")
+    t(s, dir, "supplier").createOrReplaceTempView("sc_supplier")
+    s.sql(
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM sc_lineitem JOIN sc_part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 9, 15, 22, 30, 44, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM sc_supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** q225 — TPC-H Q19 shape (discounted revenue, disjunctive
+    * predicate): three brand×quantity×size bands OR'd together across
+    * the part join — the query optimizers exist to get wrong (the
+    * join key must stay an equi-join with the disjunction as a
+    * residual filter, not explode into a union or a nested loop).
+    * Revenue in exact cent·pct (decimal-summed, q206 discipline),
+    * one BIGINT row. Catalyst extracts the common `p_brand IN (...)`
+    * / quantity bounds into pushable conjuncts; PlanAuditSpec pins
+    * the no-cartesian property globally.
+    */
+  def q225(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("dr_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("dr_part")
+    s.sql(
+      """SELECT CAST(SUM(CAST(cents * (100 - bp) AS DECIMAL(38,0)))
+        |            AS BIGINT) AS revenue_centpct
+        |FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT) AS cents,
+        |             CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+        |                  AS BIGINT) AS bp,
+        |             l_quantity, p_brand, p_size
+        |      FROM dr_lineitem JOIN dr_part ON p_partkey = l_partkey) t
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+        |       AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+        |       AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+        |       AND p_size BETWEEN 1 AND 15)""".stripMargin)
+  }
+
+  /** q226 — TPC-H Q20 shape (dominant suppliers of small parts): no
+    * `partsupp.availqty`, so Q20's "excess stock" predicate becomes
+    * its trade-side mirror — suppliers who shipped MORE THAN HALF of
+    * a 'small%' part's total 1997 volume (`qty·2 > part_total`, exact
+    * integers; quantities are integral by fixture construction),
+    * surfaced through Q20's nested IN chain and nation-scoped. The
+    * per-part share predicate is SF-stable (per-part supplier counts
+    * don't grow with corpus size), unlike a global-fraction cut.
+    * Scale: `shipped` is one (supp,part) agg over the name+year-
+    * pruned join; `ptot` re-aggregates it per part (tiny); the IN
+    * lowers to a semi join on suppkey.
+    */
+  def q226(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("ds_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("ds_part")
+    t(s, dir, "supplier").createOrReplaceTempView("ds_supplier")
+    t(s, dir, "nation").createOrReplaceTempView("ds_nation")
+    s.sql(
+      """WITH shipped AS (
+        |  SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+        |         SUM(CAST(l_quantity AS BIGINT)) AS qty
+        |  FROM ds_lineitem JOIN ds_part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= DATE '1997-01-01'
+        |    AND l_shipdate <  DATE '1998-01-01'
+        |  GROUP BY 1, 2),
+        |ptot AS (SELECT partkey, SUM(qty) AS t FROM shipped GROUP BY 1)
+        |SELECT s_name, n_name
+        |FROM ds_supplier JOIN ds_nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |  AND s_suppkey IN (SELECT suppkey
+        |                    FROM shipped JOIN ptot USING (partkey)
+        |                    WHERE qty * 2 > t)
+        |ORDER BY s_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_waiting_suppliers" -> (q215 _),
-    "q216_global_customers"  -> (q216 _))
+    "q216_global_customers"  -> (q216 _),
+    "q217_min_cost_supplier" -> (q217 _),
+    "q218_priority_check"    -> (q218 _),
+    "q219_forecast_revenue"  -> (q219 _),
+    "q220_important_parts"   -> (q220 _),
+    "q221_latency_priority"  -> (q221 _),
+    "q222_custdist"          -> (q222 _),
+    "q223_top_supplier"      -> (q223 _),
+    "q224_offer_counts"      -> (q224 _),
+    "q225_banded_revenue"    -> (q225 _),
+    "q226_dominant_supplier" -> (q226 _))
 
   val oracleSql: Map[String, String] = Map(
     // Same SQL modulo view names; COUNT cast to BIGINT for the hash.
@@ -155,5 +464,148 @@ object Round9 {
         |                  WHERE o_custkey = pos.c_custkey
         |                    AND o_orderdate >= DATE '2001-01-01')
         |GROUP BY code
-        |ORDER BY code""".stripMargin)
+        |ORDER BY code""".stripMargin,
+    // Same SQL modulo view names; COUNT/SUM(BIGINT) cast to BIGINT for
+    // the hash (DuckDB widens both to HUGEINT, which renders as float).
+    "q217_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |         MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT)) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         AS bal_cents,
+        |       s_name, n_name, p_partkey, cost_cents
+        |FROM part, cost, supplier, nation, region
+        |WHERE p_partkey = cost.partkey AND s_suppkey = cost.suppkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND p_size = 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+        |  AND cost_cents =
+        |      (SELECT MIN(c2.cost_cents)
+        |       FROM cost c2, supplier s2, nation n2, region r2
+        |       WHERE c2.partkey = p_partkey AND s2.s_suppkey = c2.suppkey
+        |         AND s2.s_nationkey = n2.n_nationkey
+        |         AND n2.n_regionkey = r2.r_regionkey
+        |         AND r2.r_name = 'EUROPE')
+        |ORDER BY bal_cents DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q218_priority_check" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-07-01'
+        |  AND o_orderdate <  DATE '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q219_forecast_revenue" ->
+      """SELECT CAST(SUM(cents * bp) AS BIGINT) AS revenue_cent_bp
+        |FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT) AS cents,
+        |             CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+        |                  AS BIGINT) AS bp
+        |      FROM lineitem
+        |      WHERE l_shipdate >= DATE '1997-01-01'
+        |        AND l_shipdate <  DATE '1998-01-01'
+        |        AND l_quantity < 24) t
+        |WHERE bp BETWEEN 5 AND 7""".stripMargin,
+    "q220_important_parts" ->
+      """WITH val AS (
+        |  SELECT l_partkey AS partkey,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM val)
+        |SELECT partkey, cents FROM val CROSS JOIN tot
+        |WHERE cents * 1000 > t
+        |ORDER BY cents DESC, partkey""".stripMargin,
+    "q221_latency_priority" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+        |            THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN
+        |                          ('1-URGENT','2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= DATE '1997-01-01'
+        |  AND l_shipdate <  DATE '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q222_custdist" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |                   AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT CAST(c_count AS BIGINT) AS c_count,
+        |       CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q223_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS suppkey,
+        |         SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)
+        |                  * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+        |                             AS BIGINT))
+        |                  AS DECIMAL(38,0))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1997-01-01'
+        |    AND l_shipdate <  DATE '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev AS BIGINT) AS total_rev_centpct
+        |FROM supplier JOIN rev ON s_suppkey = suppkey
+        |WHERE rev = (SELECT MAX(rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q224_offer_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 9, 15, 22, 30, 44, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q225_banded_revenue" ->
+      """SELECT CAST(SUM(CAST(cents * (100 - bp) AS DECIMAL(38,0)))
+        |            AS BIGINT) AS revenue_centpct
+        |FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT) AS cents,
+        |             CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+        |                  AS BIGINT) AS bp,
+        |             l_quantity, p_brand, p_size
+        |      FROM lineitem JOIN part ON p_partkey = l_partkey) t
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+        |       AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+        |       AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+        |       AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q226_dominant_supplier" ->
+      """WITH shipped AS (
+        |  SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= DATE '1997-01-01'
+        |    AND l_shipdate <  DATE '1998-01-01'
+        |  GROUP BY 1, 2),
+        |ptot AS (SELECT partkey, CAST(SUM(qty) AS BIGINT) AS t
+        |         FROM shipped GROUP BY 1)
+        |SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |  AND s_suppkey IN (SELECT suppkey
+        |                    FROM shipped JOIN ptot USING (partkey)
+        |                    WHERE qty * 2 > t)
+        |ORDER BY s_name""".stripMargin)
 }

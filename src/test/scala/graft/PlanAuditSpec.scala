@@ -432,4 +432,48 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q217 tpch q2: correlated MIN decorrelates; part filter pushed") {
+    val p = plan("q217_min_cost_supplier")
+    // The correlated scalar subquery must become a per-part aggregate
+    // joined back on partkey — a plain join tree, no per-row probe.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("PushedFilters") && p.contains("p_size"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q218 tpch q4: EXISTS lowers to a semi join on date-pruned orders") {
+    val p = plan("q218_priority_check")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+  }
+
+  test("q219 tpch q6: all three predicates reach the lineitem scan") {
+    val p = plan("q219_forecast_revenue")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("l_shipdate") && p.contains("l_quantity"), p)
+    // Two-column read: the scan must not drag unused wide columns.
+    assert(!p.contains("l_partkey") && !p.contains("l_orderkey"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q221 tpch q12: year filter pushed; equi-join on orderkey only") {
+    val p = plan("q221_latency_priority")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q224 tpch q16: NOT IN is a null-aware anti join, size list pushed") {
+    val p = plan("q224_offer_counts")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("PushedFilters") && p.contains("p_size"), p)
+  }
+
+  test("q225 tpch q19: disjunction stays a residual on an equi-join") {
+    val p = plan("q225_banded_revenue")
+    // The OR-of-bands must NOT break the p_partkey equi-join into a
+    // nested loop — Q19's classic optimizer trap.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
