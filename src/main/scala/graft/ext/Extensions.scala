@@ -10,11 +10,12 @@ object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Sampling.queries ++ Components.queries ++
-      Decontam.queries ++ Ranking.queries ++ Graph.queries ++ Patterns.queries
+      Decontam.queries ++ Ranking.queries ++ Graph.queries ++
+      Patterns.queries ++ Selection.queries
 
   def oracleSql: Map[String, String] =
     TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       Multimodal.oracleSql ++ Sampling.oracleSql ++ Components.oracleSql ++
       Decontam.oracleSql ++ Ranking.oracleSql ++ Graph.oracleSql ++
-      Patterns.oracleSql
+      Patterns.oracleSql ++ Selection.oracleSql
 }

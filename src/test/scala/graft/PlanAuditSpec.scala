@@ -469,6 +469,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("PushedFilters") && p.contains("p_size"), p)
   }
 
+  test("q228 dsir select: weight table broadcasts; top-50 is TakeOrdered") {
+    val p = plan("q228_dsir_select")
+    // The ≤512-row weight table must broadcast into the scorer (never
+    // shuffle the per-doc tf side against it), and selection must be
+    // TakeOrderedAndProject, not a global sort.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q225 tpch q19: disjunction stays a residual on an equi-join") {
     val p = plan("q225_banded_revenue")
     // The OR-of-bands must NOT break the p_partkey equi-join into a
