@@ -153,6 +153,15 @@ object DevScaleAudit {
       "ev_funnel" -> (dir => SparkEntry.queries("q115_funnel")(spark, dir)),
       "ev_retention" -> (dir => SparkEntry.queries("q116_retention")(spark, dir)),
       "ev_attribution" -> (dir => SparkEntry.queries("q190_attribution")(spark, dir)),
+      // r9 continuation: the text-ranking/selection family through the
+      // declared registry entries. The translated replicas grow the
+      // vocabulary ~10× along with docs ×10 (the corpus-growth
+      // direction): tf/df shuffles carry 10× (doc,term) pairs, while
+      // the DSIR weight frame stays B-bounded by construction.
+      "txt_tfidf" -> (dir => SparkEntry.queries("q106_tfidf")(spark, dir)),
+      "txt_bm25" -> (dir => SparkEntry.queries("q126_bm25")(spark, dir)),
+      "sel_dsir_weights" -> (dir => SparkEntry.queries("q227_dsir_weights")(spark, dir)),
+      "sel_dsir_select" -> (dir => SparkEntry.queries("q228_dsir_select")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)
