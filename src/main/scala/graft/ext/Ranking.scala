@@ -283,6 +283,63 @@ object Ranking {
   def q173(s: SparkSession, dir: String): DataFrame =
     heapsFit(docs(s, dir), 100)
 
+  /** q229 — two-sample Kolmogorov–Smirnov length-drift monitor: for
+    * each source, the KS statistic D between ITS doc-length (n_chars)
+    * distribution and the REST of the corpus — the distribution-shift
+    * alarm a corpus card publishes per ingest feed (the q143 JS signal
+    * for an ORDERED variable, where binned divergences go blind to
+    * shape shifts that preserve mass).
+    *
+    * Exactness: both ECDFs are rationals, so D's numerator is compared
+    * as the EXACT cross-multiplied integer |C_s·(n−n_s) − C_r·n_s|
+    * (decimal(38) products — the q206 overflow discipline; BIGINT dies
+    * near 10⁹ docs) and the max + argmax are integer decisions. The
+    * only double is the final e6-scaled D = num/(n_s·(n−n_s)), ONE
+    * division of identical exact values on both engines.
+    *
+    * Scale: one corpus scan collapses to the (source × distinct-length)
+    * grid — sources are feed-bounded, lengths value-bounded (the q143
+    * dense-grid posture; the broadcast side is the length frame). The
+    * per-source cumulative window rides that grid, never rows. D is
+    * evaluated at every length present in the corpus, which contains
+    * every step point of both ECDFs — the supremum is exact, not
+    * sampled. Argmax tiebreak: smallest length (integer-deterministic).
+    */
+  def q229(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val lx = docs(s, dir).groupBy(col("source"), col("n_chars").as("x"))
+      .agg(count(lit(1)).as("nsx"))
+    val xs = lx.groupBy(col("x")).agg(sum(col("nsx")).as("nx"))
+    val cs = lx.groupBy(col("source")).agg(sum(col("nsx")).as("ns"))
+    val tot = xs.agg(sum(col("nx")).as("n"))
+    val wcum = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = cs.crossJoin(broadcast(xs)).crossJoin(broadcast(tot))
+      .join(lx, Seq("source", "x"), "left")
+      .select(col("source"), col("x"), col("ns"), col("n"),
+        coalesce(col("nsx"), lit(0L)).as("nsx"),
+        (col("nx") - coalesce(col("nsx"), lit(0L))).as("nrx"))
+      .select(col("source"), col("x"), col("ns"), col("n"),
+        sum(col("nsx")).over(wcum).as("cum_s"),
+        sum(col("nrx")).over(wcum).as("cum_r"))
+      .select(col("source"), col("x"), col("ns"), col("n"),
+        abs(col("cum_s").cast(d38) * (col("n") - col("ns"))
+          - col("cum_r").cast(d38) * col("ns")).as("num"))
+    val wmax = Window.partitionBy(col("source"))
+    grid.withColumn("dmax", max(col("num")).over(wmax))
+      .filter(col("num") === col("dmax"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_docs"), min(col("x")).as("x_at_max"),
+        // double division of identically-derived exact values (never
+        // decimal division — engine-dependent result scales)
+        Similarity.intScaled(
+          max(col("dmax")).cast("double")
+            / (max(col("ns")).cast("double")
+              * (max(col("n")) - max(col("ns"))).cast("double")),
+          1000000L).as("ks_e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_bm25"       -> (q126 _),
     "q130_zipf_slope" -> (q130 _),
@@ -292,9 +349,51 @@ object Ranking {
     "q143_js_divergence" -> (q143 _),
     "q152_length_quantiles" -> (q152 _),
     "q173_heaps_law"        -> (q173 _),
+    "q229_ks_drift"         -> (q229 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same dense grid, exact cross-multiplied ECDF numerators
+    // (HUGEINT stands in for decimal(38) — both exact), one mirrored
+    // double division at the end.
+    "q229_ks_drift" ->
+      """WITH lx AS (
+        |  SELECT source, n_chars AS x, CAST(COUNT(*) AS BIGINT) AS nsx
+        |  FROM documents GROUP BY source, n_chars),
+        |xs AS (SELECT x, CAST(SUM(nsx) AS BIGINT) AS nx FROM lx GROUP BY x),
+        |cs AS (SELECT source, CAST(SUM(nsx) AS BIGINT) AS ns
+        |       FROM lx GROUP BY source),
+        |tot AS (SELECT CAST(SUM(nx) AS BIGINT) AS n FROM xs),
+        |grid AS (
+        |  SELECT cs.source, xs.x, cs.ns, tot.n,
+        |         COALESCE(lx.nsx, 0) AS nsx,
+        |         xs.nx - COALESCE(lx.nsx, 0) AS nrx
+        |  FROM cs CROSS JOIN xs CROSS JOIN tot
+        |  LEFT JOIN lx ON lx.source = cs.source AND lx.x = xs.x),
+        |cum AS (
+        |  SELECT source, x, ns, n,
+        |         SUM(nsx) OVER (PARTITION BY source ORDER BY x
+        |                        ROWS UNBOUNDED PRECEDING) AS cum_s,
+        |         SUM(nrx) OVER (PARTITION BY source ORDER BY x
+        |                        ROWS UNBOUNDED PRECEDING) AS cum_r
+        |  FROM grid),
+        |nums AS (
+        |  SELECT source, x, ns, n,
+        |         ABS(cum_s * (n - ns) - cum_r * ns) AS num
+        |  FROM cum),
+        |mx AS (
+        |  SELECT source, x, ns, n, num,
+        |         MAX(num) OVER (PARTITION BY source) AS dmax
+        |  FROM nums)
+        |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_docs,
+        |       CAST(MIN(x) AS BIGINT) AS x_at_max,
+        |       CAST(ROUND(CAST(MAX(dmax) AS DOUBLE)
+        |                  / (CAST(MAX(ns) AS DOUBLE)
+        |                     * CAST(MAX(n) - MAX(ns) AS DOUBLE))
+        |                  * 1000000) AS BIGINT) AS ks_e6
+        |FROM mx WHERE num = dmax
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     // Same anchor bucketing, first-doc vocab attribution, and
     // anchor-frame cumsum; regr_slope over the identical ln pairs.
     "q173_heaps_law" ->

@@ -1158,4 +1158,40 @@ class ExtensionsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q229 ks drift: exact replay + e6 margins at sf0.001 and sf0.01") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"source", $"n_chars").as[(String, Long)].collect().toSeq
+      val n = rows.size.toLong
+      val xsAll = rows.map(_._2).distinct.sorted
+      val expected = rows.groupBy(_._1).toSeq.map { case (src, g) =>
+        val ns = g.size.toLong
+        val byX = g.groupBy(_._2).view.mapValues(_.size.toLong)
+        val restByX = rows.filter(_._1 != src).groupBy(_._2).view
+          .mapValues(_.size.toLong)
+        var (cs, cr) = (0L, 0L)
+        val nums = xsAll.map { x =>
+          cs += byX.getOrElse(x, 0L); cr += restByX.getOrElse(x, 0L)
+          // exact integers (magnitudes ≤ ns·n ≈ 2.5e5 at these SFs)
+          (x, math.abs(cs * (n - ns) - cr * ns))
+        }
+        val dmax = nums.map(_._2).max
+        val xAt = nums.filter(_._2 == dmax).map(_._1).min
+        val ks = dmax.toDouble / (ns.toDouble * (n - ns).toDouble)
+        (src, ns, xAt, math.round(ks * 1e6), ks)
+      }.sortBy(_._1)
+      val got = graft.ext.Ranking.q229(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got === expected.map(e => (e._1, e._2, e._3, e._4)), s"at $dir")
+      // e6 rounding margins: the division is ONE mirrored double over
+      // exact integers — drift is ≤ a few ulps; require 1e-6 headroom.
+      val minMargin = expected.map { e =>
+        val frac = math.abs(e._5 * 1e6) % 1.0
+        math.abs(frac - 0.5)
+      }.min
+      assert(minMargin > 1e-6, s"min e6 margin $minMargin at $dir")
+    }
+  }
 }
