@@ -393,4 +393,51 @@ class StreamingSpec extends SparkTestBase {
     assert(out.toSeq === Seq((1L, "a", 1), (2L, "b", 2), (3L, "c", 3)))
     assert(!fs.exists(new HPath(snap + "__old")), "aside copy cleaned up")
   }
+
+  test("streaming DSIR scoring: incoming docs scored against the static " +
+      "weight table equal the batch scores exactly") {
+    // The ingest-time shape of q228: the B-bounded weight table is a
+    // STATIC broadcast side; each arriving microbatch is scored
+    // without touching the corpus again (the q122 batch-vs-corpus
+    // posture, in structured streaming). Integer scores ⇒ the
+    // streamed result must equal the batch scorer bit-for-bit.
+    import graft.ext.Selection
+    val weights = Selection.q227(spark, sf)
+      .select(col("b"), col("ratio_e4"))
+      .as[(Long, Long)].collect().toSeq
+    val wStatic = weights.toDF("b", "ratio_e4")
+    val batchDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(!col("source").isin(Selection.targetSources: _*))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+
+    val input = MemoryStream[(Long, String)](spark)
+    // ONE stateful aggregation (streaming's multiple-stateful-operator
+    // check): per-token weights join first, score = Σ ratio_e4 — the
+    // (doc,bucket) tf collapse is an optimization, not semantics, so
+    // the result is identical.
+    val scored = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), Selection.bucket(col("w")).as("b"))
+      .join(broadcast(wStatic), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ratio_e4")).as("score_e4"))
+    val q = scored.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val (h, t) = batchDocs.splitAt(batchDocs.size / 2)
+      input.addData(h); q.processAllAvailable()
+      input.addData(t); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("dsir_stream")
+      .select(col("doc_id"), col("score_e4")).as[(Long, Long)]
+      .collect().toMap
+    val batch = Selection.importanceScores(
+      spark.read.parquet(s"$sf/documents.parquet"))
+      .select(col("doc_id"), col("score_e4")).as[(Long, Long)]
+      .collect().toMap
+    assert(streamed.size === batchDocs.size)
+    assert(streamed === batch)
+  }
 }
