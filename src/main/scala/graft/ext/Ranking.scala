@@ -288,7 +288,10 @@ object Ranking {
     * distribution and the REST of the corpus — the distribution-shift
     * alarm a corpus card publishes per ingest feed (the q143 JS signal
     * for an ORDERED variable, where binned divergences go blind to
-    * shape shifts that preserve mass).
+    * shape shifts that preserve mass). Reference capability anchor:
+    * the per-column profile report of `/root/reference/migration.py:
+    * 60-86` generalized from point statistics to a whole-distribution
+    * comparison.
     *
     * Exactness: both ECDFs are rationals, so D's numerator is compared
     * as the EXACT cross-multiplied integer |C_s·(n−n_s) − C_r·n_s|
