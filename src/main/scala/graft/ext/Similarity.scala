@@ -744,9 +744,43 @@ object Similarity {
       .orderBy("source")
   }
 
+  /** q230 — SEMANTIC decontamination: the embedding-space complement
+    * of q104's n-gram screen (a paraphrased eval item shares no
+    * 5-gram but sits next to its source in embedding space). Eval set
+    * = vec_id % 7 == 0 (the q146 funnel's split), corpus = the rest;
+    * per corpus vector: the max eval cosine on the e2 grid, how many
+    * eval items sit at/above the 0.40 threshold, and the contamination
+    * flag — all integer decisions on ALREADY-GRIDDED values (the q66
+    * counting discipline; boundary margins spec-pinned at both gate
+    * SFs).
+    *
+    * Scale: the probe side is the bounded eval set (broadcast by
+    * construction — the q60 discipline); the corpus streams through
+    * one fused dot-product loop per pair, collapsing immediately to
+    * the per-vector (max, count) agg — no pair frame materializes.
+    * At real scale the LSH/IVF paths (q61/q64) pre-bucket the same
+    * scoring; the brute pass stays the recall oracle (q136 pattern).
+    */
+  def q230(s: SparkSession, dir: String): DataFrame = {
+    val unit = withUnitVec(emb(s, dir), "embedding", "u")
+    val ev = broadcast(unit.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("eid"), col("u").as("eu")))
+    val d = unit.filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id").as("did"), col("u").as("du"))
+    d.join(ev)
+      .select(col("did"), intScaled(dot(col("du"), col("eu")), 100).as("sim_c"))
+      .groupBy(col("did"))
+      .agg(max(col("sim_c")).as("max_sim_c"),
+        sum(when(col("sim_c") >= 40, 1L).otherwise(0L)).as("n_close"))
+      .select(col("did"), col("max_sim_c"), col("n_close"),
+        when(col("max_sim_c") >= 40, 1L).otherwise(0L).as("contaminated"))
+      .orderBy("did")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
     "q123_semdedup" -> (q123 _),
+    "q230_semantic_decontam" -> (q230 _),
     "q60_knn_brute" -> (q60 _),
     "q61_knn_lsh"   -> (q61 _),
     "q64_knn_ivf"   -> (q64 _),
@@ -1011,6 +1045,22 @@ object Similarity {
         |       CAST(ROUND(AVG(x) * 10000) AS BIGINT) AS c_e4
         |FROM x GROUP BY cid, ord ORDER BY cid, pos""".stripMargin,
     "q61_knn_lsh" -> knnLshOracle,
+    "q230_semantic_decontam" ->
+      """WITH sims AS (
+        |  SELECT d.vec_id AS did,
+        |         CAST(ROUND(list_cosine_similarity(
+        |                CAST(e.embedding AS DOUBLE[]),
+        |                CAST(d.embedding AS DOUBLE[])) * 100) AS BIGINT)
+        |           AS sim_c
+        |  FROM embeddings e, embeddings d
+        |  WHERE e.vec_id % 7 = 0 AND d.vec_id % 7 <> 0)
+        |SELECT did, MAX(sim_c) AS max_sim_c,
+        |       CAST(SUM(CASE WHEN sim_c >= 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_close,
+        |       CAST(CASE WHEN MAX(sim_c) >= 40 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS contaminated
+        |FROM sims GROUP BY did
+        |ORDER BY did""".stripMargin,
     "q60_knn_brute" ->
       """WITH sims AS (
         |  SELECT q.vec_id AS qid, d.vec_id AS did,

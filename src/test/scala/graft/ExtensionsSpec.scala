@@ -1194,4 +1194,40 @@ class ExtensionsSpec extends SparkTestBase {
       assert(minMargin > 1e-6, s"min e6 margin $minMargin at $dir")
     }
   }
+
+  test("q230 semantic decontam: exact replay + e2 margins at sf0.001 and sf0.01") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+        .map { case (id, e) =>
+          val d = e.map(_.toDouble).toArray
+          val n = math.sqrt(d.map(x => x * x).sum)
+          (id, d.map(_ / n))
+        }
+      val (ev, corpus) = vecs.partition(_._1 % 7 == 0)
+      val sims = corpus.map { case (did, du) =>
+        did -> ev.map { case (_, eu) =>
+          var s = 0.0; var i = 0
+          while (i < du.length) { s += du(i) * eu(i); i += 1 }
+          s
+        }
+      }
+      val expected = sims.map { case (did, ss) =>
+        val grid = ss.map(s => math.round(s * 100))
+        val mx = grid.max
+        (did, mx, grid.count(_ >= 40).toLong, if (mx >= 40) 1L else 0L)
+      }.sortBy(_._1)
+      val got = graft.ext.Similarity.q230(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got === expected, s"at $dir")
+      assert(got.exists(_._4 == 1L) && got.exists(_._4 == 0L),
+        s"threshold must bind at $dir")
+      // e2 rounding margins over EVERY pair (the count discipline):
+      // drift between engines is ~1e-15; require 1e-6 headroom.
+      val minMargin = sims.flatMap(_._2)
+        .map(s => math.abs(math.abs(s * 100) % 1.0 - 0.5)).min
+      assert(minMargin > 1e-6, s"min e2 margin $minMargin at $dir")
+    }
+  }
 }
