@@ -133,22 +133,66 @@ object Patterns {
     * Scale: one corpus agg to (source, count); everything after is
     * source-cardinality-sized (the window ranks tens of rows).
     */
-  def apportion(counts: DataFrame, budget: Long): DataFrame = {
+  def apportion(counts: DataFrame, budget: Long,
+      key: String = "source"): DataFrame = {
     require(budget >= 0, s"apportion: budget must be >= 0, got $budget")
     val tot = counts.agg(sum(col("tokens")).as("total"))
     val based = counts.crossJoin(broadcast(tot))
-      .select(col("source"), col("tokens"),
+      .select(col(key), col("tokens"),
         expr(s"tokens * ${budget}L DIV total").as("base"),
         expr(s"tokens * ${budget}L % total").as("rem"))
       .localCheckpoint(true) // branched by leftover + ranking below
     val leftover = based.agg((lit(budget) - sum(col("base"))).as("leftover"))
-    val w = Window.orderBy(col("rem").desc, col("source"))
+    val w = Window.orderBy(col("rem").desc, col(key))
     based.crossJoin(broadcast(leftover))
       .withColumn("extra",
         when(row_number().over(w) <= col("leftover"), 1L).otherwise(0L))
-      .select(col("source"), col("tokens"), col("base"), col("extra"),
+      .select(col(key), col("tokens"), col("base"), col("extra"),
         (col("base") + col("extra")).as("quota"))
-      .orderBy("source")
+      .orderBy(key)
+  }
+
+  /** q231 — quota-matched shape resampling: reshape the RAW pool's
+    * doc-length histogram to the TARGET domain's shape (q229's KS
+    * drift detector finds the mismatch; this op is the fix). A
+    * 300-doc keep budget is Hamilton-apportioned across length
+    * buckets (n_chars DIV 100) proportional to the TARGET histogram —
+    * the certified [[apportion]] core with a cross-distribution
+    * proportionality source — then each bucket keeps its
+    * lowest-doc_id raw docs up to quota (a total order: selection is
+    * reproducible run-to-run and engine-to-engine). Buckets the
+    * target wants but the raw pool can't fill surface as
+    * n_kept < quota (shortfall), never as silent re-allocation.
+    * Entirely integer arithmetic — no float exists in the query.
+    *
+    * Scale: two corpus scans collapse to bucket-sized frames; the
+    * only per-doc state is the rank window within (bucket) — keyed,
+    * bounded by bucket populations (the q131 stratum-sample bound).
+    */
+  def q231(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(s, dir, "documents")
+    val bucket = expr("n_chars DIV 100")
+    val tgtSrcs = Selection.targetSources
+    val tgt = d.filter(col("source").isin(tgtSrcs: _*))
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("tokens"))
+    val raw = d.filter(!col("source").isin(tgtSrcs: _*))
+      .select(col("doc_id"), bucket.as("bucket"))
+    val quotas = apportion(tgt, budget = 300L, key = "bucket")
+      .select(col("bucket"), col("tokens").as("n_target"), col("quota"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val kept = raw.join(quotas.select(col("bucket"), col("quota")), Seq("bucket"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("quota"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_kept"))
+    raw.groupBy(col("bucket")).agg(count(lit(1)).as("n_raw"))
+      .join(quotas, Seq("bucket"), "full")
+      .join(kept, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_target"), lit(0L)).as("n_target"),
+        coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+        coalesce(col("quota"), lit(0L)).as("quota"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("bucket")
   }
 
   /** q166 — 1M-token budget apportioned across sources by token count. */
@@ -476,6 +520,7 @@ object Patterns {
     "q162_event_transitions" -> (q162 _),
     "q163_weighted_median" -> (q163 _),
     "q166_token_apportion" -> (q166 _),
+    "q231_quota_resample"  -> (q231 _),
     "q170_event_anomaly"   -> (q170 _),
     "q179_event_gaps"      -> (q179 _),
     "q182_activity_gini"   -> (q182 _),
@@ -748,5 +793,46 @@ object Patterns {
         |    AS quota
         |FROM r CROSS JOIN l
         |ORDER BY source""".stripMargin,
+    // Same Hamilton core keyed by length bucket, target histogram as
+    // the proportionality source, rank-within-bucket doc selection.
+    "q231_quota_resample" -> {
+      val tl = Selection.targetSources.map(s => s"'$s'").mkString(", ")
+      s"""WITH tgt AS (
+         |  SELECT n_chars // 100 AS bucket, CAST(COUNT(*) AS BIGINT) AS tokens
+         |  FROM documents WHERE source IN ($tl) GROUP BY 1),
+         |t AS (SELECT SUM(tokens) AS total FROM tgt),
+         |b AS (
+         |  SELECT bucket, tokens,
+         |         tokens * 300 // total AS base,
+         |         tokens * 300 % total AS rem
+         |  FROM tgt CROSS JOIN t),
+         |l AS (SELECT 300 - SUM(base) AS leftover FROM b),
+         |q AS (
+         |  SELECT bucket, tokens AS n_target,
+         |         CAST(base + CASE WHEN ROW_NUMBER()
+         |                 OVER (ORDER BY rem DESC, bucket) <= leftover
+         |               THEN 1 ELSE 0 END AS BIGINT) AS quota
+         |  FROM b CROSS JOIN l),
+         |raw AS (
+         |  SELECT doc_id, n_chars // 100 AS bucket
+         |  FROM documents WHERE source NOT IN ($tl)),
+         |rb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_raw
+         |       FROM raw GROUP BY 1),
+         |kept AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_kept
+         |  FROM (SELECT r.bucket,
+         |               ROW_NUMBER() OVER (PARTITION BY r.bucket
+         |                                  ORDER BY r.doc_id) AS rk,
+         |               q.quota
+         |        FROM raw r JOIN q USING (bucket)) s
+         |  WHERE rk <= quota GROUP BY bucket)
+         |SELECT bucket,
+         |       COALESCE(n_target, 0) AS n_target,
+         |       COALESCE(n_raw, 0) AS n_raw,
+         |       COALESCE(quota, 0) AS quota,
+         |       COALESCE(n_kept, 0) AS n_kept
+         |FROM rb FULL JOIN q USING (bucket) LEFT JOIN kept USING (bucket)
+         |ORDER BY bucket""".stripMargin
+    },
   )
 }

@@ -364,4 +364,46 @@ class PatternsSpec extends SparkTestBase {
     assert(got === expected)
     got.foreach(r => assert(r._4 >= 0 && r._4 < 10000, s"gini out of range: $r"))
   }
+
+  test("q231 quota resample: full integer replay; budget, shortfall, and " +
+      "doc-selection determinism") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val tgtSet = graft.ext.Selection.targetSources.toSet
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"source", $"n_chars")
+        .as[(Long, String, Long)].collect().toSeq
+      val budget = 300L
+      val tgtHist = docs.filter(d => tgtSet(d._2))
+        .groupBy(_._3 / 100).view.mapValues(_.size.toLong).toMap
+      val total = tgtHist.values.sum
+      val base = tgtHist.view.mapValues(c => c * budget / total).toMap
+      val leftover = budget - base.values.sum
+      val extras = tgtHist.toSeq
+        .map { case (b, c) => (b, c * budget % total) }
+        .sortBy { case (b, r) => (-r, b) }.take(leftover.toInt)
+        .map(_._1).toSet
+      val quota = base.map { case (b, q) =>
+        b -> (q + (if (extras(b)) 1L else 0L))
+      }
+      assert(quota.values.sum === budget, s"quotas must land exactly at $dir")
+      val rawByB = docs.filterNot(d => tgtSet(d._2)).groupBy(_._3 / 100)
+      val buckets = (quota.keySet ++ rawByB.keySet).toSeq.sorted
+      val expected = buckets.map { b =>
+        val nRaw = rawByB.get(b).map(_.size.toLong).getOrElse(0L)
+        val q = quota.getOrElse(b, 0L)
+        (b, tgtHist.getOrElse(b, 0L), nRaw, q, math.min(q, nRaw))
+      }
+      val got = Patterns.q231(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(got === expected, s"at $dir")
+      // quota-bound buckets (kept == quota < raw) exist at every SF;
+      // the supply-bound regime (kept == raw < quota, the shortfall
+      // path) binds on the sf0.01 gate fixture — assert it there.
+      assert(got.exists(r => r._5 == r._4 && r._4 < r._3), s"quota-bound at $dir")
+      if (dir.endsWith("sf0.01"))
+        assert(got.exists(r => r._5 == r._3 && r._3 < r._4),
+          s"supply-bound at $dir")
+    }
+  }
 }
