@@ -189,13 +189,16 @@ object Round9 {
     * discounts are exact hundredths, so DECIMAL(4,2)·100 is lossless)
     * — one BIGINT row, no double anywhere. All three predicates and
     * the two used columns reach the parquet scan (pushed filters +
-    * pruned ReadSchema); the agg is a map-side partial. Headroom:
-    * cents·bp ≤ ~7·10⁷ per line → Σ fits BIGINT beyond 10¹⁰ lines.
+    * pruned ReadSchema); the agg is a map-side partial. Overflow
+    * discipline (q206): cents·bp ≤ ~7·10⁷ per line, so a BIGINT Σ
+    * dies near 10¹¹ lines — plausible at 100 TB — hence the
+    * decimal(38) accumulator; only the final cast is BIGINT.
     */
   def q219(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("fr_lineitem")
     s.sql(
-      """SELECT SUM(cents * bp) AS revenue_cent_bp
+      """SELECT CAST(SUM(CAST(cents * bp AS DECIMAL(38,0))) AS BIGINT)
+        |         AS revenue_cent_bp
         |FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
         |                  AS BIGINT) AS cents,
         |             CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
@@ -215,7 +218,10 @@ object Round9 {
     * no double. Scale: one (partkey) hash agg after a broadcast-dim
     * prune (supplier⋈nation filters 1/25 of suppliers before the fact
     * join); the total is a ONE-row frame riding the accepted one-row
-    * broadcast crossJoin shape.
+    * broadcast crossJoin shape. Overflow headroom: lines-per-part is
+    * SF-invariant (~30-60), so per-part cents stay ~10⁹ and
+    * cents·1000 ~10¹²; the national total approaches BIGINT limits
+    * only past ~300 TB — the decimal(38) swap point (q206).
     */
   def q220(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("iv_lineitem")
@@ -500,7 +506,8 @@ object Round9 {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q219_forecast_revenue" ->
-      """SELECT CAST(SUM(cents * bp) AS BIGINT) AS revenue_cent_bp
+      """SELECT CAST(SUM(CAST(cents * bp AS DECIMAL(38,0))) AS BIGINT)
+        |         AS revenue_cent_bp
         |FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
         |                  AS BIGINT) AS cents,
         |             CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
