@@ -561,6 +561,27 @@ object Components {
       .localCheckpoint(true)
   }
 
+  /** q235 — cluster-disjoint train/val/test split: the production fix
+    * q139's leakage audit points at — assign splits by hashing the
+    * near-dup COMPONENT label (q102's certified labeling), not the raw
+    * doc id, so a near-dup group can never straddle a split boundary
+    * and leak train signal into eval. Census per split: docs and
+    * whole components assigned. Composes two certified paths
+    * (Components labeling × Sampling.hashSplit's md5 bucketing) —
+    * leak-freedom holds by construction (every member of a component
+    * shares the hash key), and `ComponentsSpec` asserts it anyway.
+    *
+    * Scale: the split column is pure map-side compute over the labels
+    * frame; the census agg is splits-sized. The labeling itself is the
+    * q102 probe-bounded CC (banded candidates, per-round join+agg).
+    */
+  def q235(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(neardupLabels(s, dir)._2, col("component"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_components"))
+      .orderBy("split")
+
   /** q127 — PageRank centrality on the customer–supplier co-occurrence
     * graph (an order links its customer to each line's supplier).
     * Customers map to even node ids, suppliers to odd, so the two
@@ -676,6 +697,7 @@ object Components {
     "q146_cleaning_funnel"    -> (q146 _),
     "q147_pagerank_weighted"  -> (q147 _),
     "q148_pagerank_personal"  -> (q148 _),
+    "q235_cluster_split"      -> (q235 _),
   )
 
   /** Oracle CTE chain: transitive closure by recursive CTE over the
@@ -843,6 +865,22 @@ object Components {
          |FROM (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
          |      FROM comp GROUP BY component)
          |GROUP BY sz ORDER BY sz""".stripMargin,
+    // Same md5-prefix bucketing as Sampling.hashSplit ('cd'/'e6'
+    // thresholds), keyed on the component label.
+    "q235_cluster_split" ->
+      s"""$componentsCte,
+         |sp AS (
+         |  SELECT doc_id, component,
+         |         CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) < 'cd'
+         |                THEN 'train'
+         |              WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) < 'e6'
+         |                THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM comp)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components
+         |FROM sp GROUP BY split
+         |ORDER BY split""".stripMargin,
     // Funnel stages mirrored: exact-dedup keeps min id per md5; the
     // near-dup stage keeps the min SURVIVING id per component; the
     // decontam stage drops survivors sharing any 5-gram with the eval

@@ -1,0 +1,332 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation monitoring & planning operators — the "keep the
+  * ingest honest" family that runs beside the selection/dedup stages
+  * of a pretraining pipeline (SURVEY §2.4 extension family):
+  *
+  *  - [[q232]] PSI length-drift: the binned, per-feed population-
+  *    stability alarm (the industry-standard drift score; q229's KS is
+  *    the exact-ECDF cousin for ordered variables).
+  *  - [[q233]] arrival overdispersion: variance-to-mean ratio of daily
+  *    event counts per type — the Poisson-burstiness monitor that
+  *    separates steady feeds (VMR ≈ 1) from batchy/scripted ones.
+  *  - [[q234]] mixture-epoch planner: turns q134's temperature weights
+  *    into an executable per-source token plan under a global budget
+  *    with an epoch cap, surfacing deficits instead of silently
+  *    over-epoching small sources.
+  *  - [[q236]] OOV-rate audit: per-source out-of-vocabulary token mass
+  *    against the corpus top-K vocabulary (q142) — the tokenizer-fit
+  *    signal that flags feeds whose text the vocab under-serves.
+  *
+  * Reference capability anchor: the per-column profile/quality gates of
+  * `/root/reference/migration.py:60-113`, generalized from static
+  * point thresholds to distribution-level monitors and an actionable
+  * sampling plan.
+  *
+  * Float discipline (CLAUDE.md): every score that passes through
+  * ln/pow is rounded ONCE onto an integer grid with the identical
+  * operation order on both engines, per-cell BEFORE any sum (so
+  * summation-order drift cannot exist), and `CurationSpec` pins the
+  * rounding-boundary margins at both gate SFs.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** q232 — PSI (population stability index) length-drift per source:
+    * for each source, PSI between ITS doc-length histogram (buckets of
+    * 100 chars: `n_chars DIV 100`) and the REST of the corpus, with
+    * add-one smoothing over the corpus-wide bucket grid. The classic
+    * score card: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    * q229's KS answers "did the distribution move at all" exactly;
+    * PSI answers "by how much, in the binned units monitoring dashboards
+    * alert on".
+    *
+    * Exactness: all counts are integers; each bucket's term
+    * (p−q)·ln(p/q) is ONE identical double expression on both engines,
+    * rounded per-bucket onto the e9 grid, and PSI is the exact BIGINT
+    * sum of those per-bucket integers — no float accumulation anywhere
+    * (the q228 Σ-of-gridded-terms discipline).
+    *
+    * Scale: one corpus scan collapses to the (source × bucket) grid —
+    * sources are feed-bounded, buckets are value-bounded (lengths DIV
+    * 100), the q229/q143 dense-grid posture. The bucket frame and the
+    * one-row total broadcast; nothing after the first agg is
+    * corpus-sized.
+    */
+  def q232(s: SparkSession, dir: String): DataFrame = {
+    val lx = docs(s, dir)
+      .groupBy(col("source"), expr("n_chars DIV 100").as("b"))
+      .agg(count(lit(1)).as("nsx"))
+    val xs = lx.groupBy(col("b")).agg(sum(col("nsx")).as("nx"))
+    val cs = lx.groupBy(col("source")).agg(sum(col("nsx")).as("ns"))
+    val tot = xs.agg(sum(col("nx")).as("n"), count(lit(1)).as("k"))
+    val p = (col("nsx") + lit(1.0)) / (col("ns") + col("k")).cast("double")
+    val q = (col("nrx") + lit(1.0)) /
+      (col("n") - col("ns") + col("k")).cast("double")
+    cs.crossJoin(broadcast(xs)).crossJoin(broadcast(tot))
+      .join(lx, Seq("source", "b"), "left")
+      .select(col("source"), col("ns"), col("n"), col("k"),
+        coalesce(col("nsx"), lit(0L)).as("nsx"),
+        (col("nx") - coalesce(col("nsx"), lit(0L))).as("nrx"))
+      .select(col("source"), col("ns"), col("k"),
+        Similarity.intScaled((p - q) * log(p / q), 1000000000L).as("term_e9"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_docs"), max(col("k")).as("n_buckets"),
+        sum(col("term_e9")).as("psi_e9"))
+      .orderBy("source")
+  }
+
+  /** q233 — arrival overdispersion per event type: the variance-to-mean
+    * ratio (index of dispersion) of DAILY event counts. A Poisson feed
+    * sits at VMR ≈ 1; VMR ≫ 1 marks bursty/scripted arrivals (the
+    * feed-health companion to q193's error monitor and q214's
+    * seasonality audit).
+    *
+    * Exactness: day buckets are integer division of epoch-µs (q190
+    * discipline); n, Σx, Σx² are exact integers with the Σx² and the
+    * n·Σx² − (Σx)² products in decimal(38) (the q206/q229 overflow
+    * discipline — BIGINT dies once daily counts reach ~10⁹ at 100 TB);
+    * VMR = (n·Σx² − (Σx)²) / ((n−1)·Σx) is ONE double division of
+    * identically-derived exact values, e4-gridded.
+    *
+    * Scale: events collapse map-side to the (type × day) frame
+    * (calendar-bounded); everything after is per-type arithmetic.
+    */
+  def q233(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .groupBy(col("event_type"), expr("us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("n_events"),
+        sum(col("x").cast(d38) * col("x")).as("s2"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        Similarity.intScaled(
+          (col("n_days").cast(d38) * col("s2") -
+            col("n_events").cast(d38) * col("n_events")).cast("double") /
+            ((col("n_days") - 1) * col("n_events")).cast("double"),
+          10000L).as("vmr_e4"))
+      .orderBy("event_type")
+  }
+
+  /** Global token budget the q234 plan allocates (a spec constant, not
+    * data-derived — the plan is a function of (corpus, budget)).
+    */
+  val MixBudget = 1000000L
+
+  /** Epoch cap ×10⁴: no source may be repeated more than 4 epochs
+    * (the standard small-source up-sampling limit — beyond ~4 epochs
+    * repetition stops helping and starts overfitting).
+    */
+  val MaxEpochsE4 = 40000L
+
+  /** q234 — mixture-epoch planner: q134's temperature weights
+    * (p_s ∝ tokens^0.7) turned into an executable sampling plan under
+    * [[MixBudget]] total tokens: per source the desired allocation
+    * budget·w, the planned allocation min(desired, 4 epochs·tokens),
+    * the resulting epoch count, and the DEFICIT the epoch cap leaves
+    * unfilled (surfaced, never silently reallocated — the q231
+    * shortfall discipline).
+    *
+    * Exactness: the ONLY float is the e6-gridded weight (pow(·,0.7)/Z,
+    * the q134-certified expression); everything downstream is integer
+    * arithmetic — desired = budget·w_e6 DIV 10⁶, planned = min(desired,
+    * 4·tokens), epochs_e4 = planned·10⁴ DIV tokens.
+    *
+    * Scale: one corpus scan to per-source token counts; totals on a
+    * one-row broadcast; output is sources-sized.
+    */
+  def q234(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).cast("double").as("toks"))
+    val tot = t.agg(sum(pow(col("toks"), lit(0.7))).as("z"))
+    t.crossJoin(broadcast(tot))
+      .select(col("source"), col("toks").cast("long").as("tokens"),
+        Similarity.intScaled(
+          pow(col("toks"), lit(0.7)) / col("z"), 1000000L).as("weight_e6"))
+      .select(col("source"), col("tokens"), col("weight_e6"),
+        expr(s"$MixBudget * weight_e6 DIV 1000000").as("desired_tokens"))
+      .select(col("source"), col("tokens"), col("weight_e6"),
+        col("desired_tokens"),
+        least(col("desired_tokens"), lit(4L) * col("tokens"))
+          .as("planned_tokens"))
+      .select(col("source"), col("tokens"), col("weight_e6"),
+        col("desired_tokens"), col("planned_tokens"),
+        expr("planned_tokens * 10000 DIV tokens").as("epochs_e4"),
+        (col("desired_tokens") - col("planned_tokens")).as("deficit"))
+      .orderBy("source")
+  }
+
+  /** Vocabulary size the q236 audit measures against (top-K corpus
+    * words by (freq DESC, word) — q142's deterministic rank order).
+    */
+  val OovVocabK = 100
+
+  /** q236 — out-of-vocabulary token mass per source against the
+    * corpus top-[[OovVocabK]] vocabulary: token-level OOV rate and the
+    * distinct OOV word-type count. The tokenizer-fit audit: a source
+    * whose OOV mass is far above the corpus norm is the one whose text
+    * a vocab of this size splinters into fallback bytes (q173's Heaps
+    * slope predicts this corpus-wide; this query localizes it per
+    * feed).
+    *
+    * Exactness: the vocabulary cutoff rides the (freq DESC, word)
+    * total order (integer freqs — cross-engine identical membership);
+    * counts are exact integers; the rate is one e4-gridded division.
+    *
+    * Scale: tokens collapse map-side to the (source × word) frame
+    * before any join; the vocab is a top-K agg broadcast to it (the
+    * q114 bounded-vocabulary posture). Nothing after the first agg is
+    * token-sized.
+    */
+  def q236(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = Ranking.rankedVocab(docs(s, dir), col("text"), OovVocabK)
+      .select(col("w"), lit(1).as("in_vocab"))
+    tf.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L))
+          .as("n_oov"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .as("n_oov_types"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        col("n_oov_types"),
+        Similarity.intScaled(
+          col("n_oov").cast("double") / col("n_tokens").cast("double"),
+          10000L).as("oov_e4"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_psi_drift"      -> (q232 _),
+    "q233_overdispersion" -> (q233 _),
+    "q234_mixture_plan"   -> (q234 _),
+    "q236_oov_rate"       -> (q236 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Same dense (source × bucket) grid, identical smoothed p/q
+    // doubles, per-bucket e9 rounding BEFORE the integer sum.
+    "q232_psi_drift" ->
+      """WITH lx AS (
+        |  SELECT source, n_chars // 100 AS b, CAST(COUNT(*) AS BIGINT) AS nsx
+        |  FROM documents GROUP BY 1, 2),
+        |xs AS (SELECT b, CAST(SUM(nsx) AS BIGINT) AS nx FROM lx GROUP BY b),
+        |cs AS (SELECT source, CAST(SUM(nsx) AS BIGINT) AS ns
+        |       FROM lx GROUP BY source),
+        |tot AS (SELECT CAST(SUM(nx) AS BIGINT) AS n,
+        |               CAST(COUNT(*) AS BIGINT) AS k FROM xs),
+        |grid AS (
+        |  SELECT cs.source, cs.ns, tot.n, tot.k,
+        |         COALESCE(lx.nsx, 0) AS nsx,
+        |         xs.nx - COALESCE(lx.nsx, 0) AS nrx
+        |  FROM cs CROSS JOIN xs CROSS JOIN tot
+        |  LEFT JOIN lx ON lx.source = cs.source AND lx.b = xs.b),
+        |terms AS (
+        |  SELECT source, ns, k,
+        |         CAST(ROUND(
+        |           ((nsx + 1.0) / CAST(ns + k AS DOUBLE)
+        |              - (nrx + 1.0) / CAST(n - ns + k AS DOUBLE))
+        |           * ln(((nsx + 1.0) / CAST(ns + k AS DOUBLE))
+        |                / ((nrx + 1.0) / CAST(n - ns + k AS DOUBLE)))
+        |           * 1000000000) AS BIGINT) AS term_e9
+        |  FROM grid)
+        |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_docs,
+        |       CAST(MAX(k) AS BIGINT) AS n_buckets,
+        |       CAST(SUM(term_e9) AS BIGINT) AS psi_e9
+        |FROM terms GROUP BY source
+        |ORDER BY source""".stripMargin,
+    // Same integer day buckets; HUGEINT stands in for decimal(38);
+    // one mirrored double division at the end.
+    "q233_overdispersion" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM d GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(x) AS BIGINT) AS n_events,
+        |         SUM(CAST(x AS HUGEINT) * x) AS s2
+        |  FROM c GROUP BY event_type)
+        |SELECT event_type, n_days, n_events,
+        |  CAST(ROUND(
+        |    CAST(CAST(n_days AS HUGEINT) * s2
+        |           - CAST(n_events AS HUGEINT) * n_events AS DOUBLE)
+        |      / CAST((n_days - 1) * n_events AS DOUBLE) * 10000) AS BIGINT)
+        |    AS vmr_e4
+        |FROM a ORDER BY event_type""".stripMargin,
+    // The q134 weight expression verbatim; all-integer plan math after
+    // the single e6 rounding.
+    "q234_mixture_plan" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS toks
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(pow(toks, 0.7)) AS z FROM t),
+        |w AS (
+        |  SELECT source, CAST(toks AS BIGINT) AS tokens,
+        |         CAST(ROUND(pow(toks, 0.7) / z * 1000000) AS BIGINT)
+        |           AS weight_e6
+        |  FROM t CROSS JOIN tot),
+        |p AS (
+        |  SELECT source, tokens, weight_e6,
+        |         1000000 * weight_e6 // 1000000 AS desired_tokens
+        |  FROM w),
+        |pl AS (
+        |  SELECT source, tokens, weight_e6, desired_tokens,
+        |         LEAST(desired_tokens, 4 * tokens) AS planned_tokens
+        |  FROM p)
+        |SELECT source, tokens, weight_e6, desired_tokens, planned_tokens,
+        |       planned_tokens * 10000 // tokens AS epochs_e4,
+        |       desired_tokens - planned_tokens AS deficit
+        |FROM pl ORDER BY source""".stripMargin,
+    // Same (freq DESC, word) vocab cutoff; token mass collapsed to the
+    // (source, word) frame before the vocab anti-membership test.
+    "q236_oov_rate" ->
+      """WITH tf AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY source, w),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank
+        |    FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |          FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                FROM documents)
+        |          GROUP BY w))
+        |  WHERE rank <= 100),
+        |j AS (
+        |  SELECT tf.source, tf.tf,
+        |         CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tf LEFT JOIN vocab ON vocab.w = tf.w)
+        |SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN oov = 1 THEN tf ELSE 0 END) AS BIGINT)
+        |         AS n_oov,
+        |       CAST(SUM(oov) AS BIGINT) AS n_oov_types,
+        |       CAST(ROUND(CAST(SUM(CASE WHEN oov = 1 THEN tf ELSE 0 END)
+        |                       AS DOUBLE)
+        |                  / CAST(SUM(tf) AS DOUBLE) * 10000) AS BIGINT)
+        |         AS oov_e4
+        |FROM j GROUP BY source
+        |ORDER BY source""".stripMargin,
+  )
+}

@@ -11,11 +11,11 @@ object Extensions {
     TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Sampling.queries ++ Components.queries ++
       Decontam.queries ++ Ranking.queries ++ Graph.queries ++
-      Patterns.queries ++ Selection.queries
+      Patterns.queries ++ Selection.queries ++ Curation.queries
 
   def oracleSql: Map[String, String] =
     TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       Multimodal.oracleSql ++ Sampling.oracleSql ++ Components.oracleSql ++
       Decontam.oracleSql ++ Ranking.oracleSql ++ Graph.oracleSql ++
-      Patterns.oracleSql ++ Selection.oracleSql
+      Patterns.oracleSql ++ Selection.oracleSql ++ Curation.oracleSql
 }
