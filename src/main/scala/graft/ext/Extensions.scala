@@ -11,11 +11,13 @@ object Extensions {
     TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Sampling.queries ++ Components.queries ++
       Decontam.queries ++ Ranking.queries ++ Graph.queries ++
-      Patterns.queries ++ Selection.queries ++ Curation.queries
+      Patterns.queries ++ Selection.queries ++ Curation.queries ++
+      Robust.queries
 
   def oracleSql: Map[String, String] =
     TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       Multimodal.oracleSql ++ Sampling.oracleSql ++ Components.oracleSql ++
       Decontam.oracleSql ++ Ranking.oracleSql ++ Graph.oracleSql ++
-      Patterns.oracleSql ++ Selection.oracleSql ++ Curation.oracleSql
+      Patterns.oracleSql ++ Selection.oracleSql ++ Curation.oracleSql ++
+      Robust.oracleSql
 }

@@ -1,0 +1,377 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Robust statistics & mergeable-state operators — the "trust your
+  * summary numbers" family (SURVEY §2.4 extension family):
+  *
+  *  - [[q238]] winsorized / trimmed means: outlier-robust central
+  *    tendency of billing-grade amounts, computed from VALUE-COLLAPSED
+  *    frequency tables (no per-row global sort — the rank arithmetic
+  *    rides cumulative counts, so it distributes).
+  *  - [[q239]] incremental state merge: the partial-aggregate contract
+  *    (sum/count/min/max states from two partition eras merged into the
+  *    exact full-recompute answer) that incremental rollup pipelines
+  *    rely on — demonstrated, and oracle-proven equal to a one-shot agg.
+  *  - [[q242]] histogram quantile sketch: equi-width bins as a
+  *    MERGEABLE quantile summary (each bin count is a partial agg),
+  *    with interpolated p50/p90/p99 — the scale path that replaces
+  *    q238's exact ranks when values are unbounded-cardinality.
+  *  - [[q243]] EWMA spike monitor over daily event arrivals with an
+  *    EXACT RATIONAL decay (a = 9/10 spelled as integer coefficients
+  *    9^k·10^(13−k)), so the whole smoother is integer/decimal
+  *    arithmetic — no pow(), no libm drift anywhere.
+  *
+  * Reference capability anchor: the before/after quality statistics of
+  * `/root/reference/migration.py:60-113` (mean-level profiling),
+  * generalized to outlier-robust and incremental/mergeable forms.
+  *
+  * Float discipline (CLAUDE.md): q238/q239 are all-integer (floor
+  * means via DIV); q242's interpolation and q243's ewma_e4 are single
+  * divisions of exactly-computed integers — IEEE division is correctly
+  * rounded, so both engines produce bit-identical doubles (no libm op
+  * is involved; the q134 margin machinery is not needed).
+  */
+object Robust {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Exact cents from a dollars double — the q204 discipline: the
+    * double is data-exact at 2 decimals, so decimal(18,2) re-quantizes
+    * it losslessly before the ×100.
+    */
+  private def cents(dollars: Column): Column =
+    (dollars.cast("decimal(18,2)") * 100).cast("long")
+
+  /** q238 — winsorized and trimmed means of l_extendedprice per
+    * l_returnflag, against the raw mean. Winsorizing clamps to the
+    * nearest-rank [p10, p90] values; trimming drops `n DIV 10` rows
+    * from each end. Robust location estimates are how a billing
+    * pipeline reports "typical amount" without a single corrupt
+    * 1e9-cent row moving the dashboard.
+    *
+    * The percentile machinery is rank arithmetic over the
+    * VALUE-COLLAPSED (flag, cents, count) frequency table:
+    * cumulative counts give each value row its exact global rank span
+    * [prev+1, cum], the nearest-rank percentile is the row whose span
+    * covers ceil(q·n), and the trimmed sum is Σ value·|span ∩ (g, n−g]|
+    * — integer overlap arithmetic, no per-row tie-break needed (equal
+    * values are interchangeable, so the span IS the resolution).
+    *
+    * Exactness: every output is integer (floor means via DIV); no
+    * doubles at all.
+    *
+    * Scale: the shuffle carries (flag, cents) pairs pre-collapsed by a
+    * combiner groupBy — cardinality is DISTINCT VALUES, not rows. The
+    * window runs per flag over that collapsed frame (price-grid-
+    * bounded, ~1.1M possible cent values for TPC-H prices — constant
+    * in SF, same posture as the day-frame windows in SCALE.md). The
+    * 3-row limits frame broadcast-joins back. For genuinely unbounded
+    * value domains, q242's histogram sketch is the scale path.
+    */
+  def q238(s: SparkSession, dir: String): DataFrame = {
+    val vals = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        cents(col("l_extendedprice")).as("c"))
+      .groupBy(col("flag"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("flag").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = vals
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val grp = spans.groupBy(col("flag"))
+      .agg(sum(col("cnt")).as("n"), sum(col("c") * col("cnt")).as("s"))
+    val sp = spans.join(broadcast(grp), "flag")
+      .withColumn("lo_rank", expr("(n + 9) DIV 10"))
+      .withColumn("hi_rank", expr("(9 * n + 9) DIV 10"))
+      .withColumn("g", expr("n DIV 10"))
+    val limits = sp
+      .filter((col("cum") >= col("lo_rank") && col("prev") < col("lo_rank")) ||
+        (col("cum") >= col("hi_rank") && col("prev") < col("hi_rank")))
+      .groupBy(col("flag"))
+      .agg(
+        min(when(col("cum") >= col("lo_rank") && col("prev") < col("lo_rank"),
+          col("c"))).as("lo_c"),
+        min(when(col("cum") >= col("hi_rank") && col("prev") < col("hi_rank"),
+          col("c"))).as("hi_c"))
+    sp.join(broadcast(limits), "flag")
+      .groupBy(col("flag"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("s")).as("s"),
+        max(col("lo_c")).as("lo_c"),
+        max(col("hi_c")).as("hi_c"),
+        sum(greatest(least(col("c"), col("hi_c")), col("lo_c")) * col("cnt"))
+          .as("wsum"),
+        // trimmed-span overlap |[prev+1, cum] ∩ (g, n−g]|, clamped ≥ 0
+        sum(col("c") *
+          greatest(least(col("cum"), col("n") - col("g")) -
+            greatest(col("prev"), col("g")), lit(0L))).as("tsum"),
+        max(col("n") - col("g") * 2).as("tn"))
+      .select(col("flag"), col("n"), col("lo_c"), col("hi_c"),
+        expr("s DIV n").as("mean_fc"),
+        expr("wsum DIV n").as("wins_mean_fc"),
+        expr("tsum DIV tn").as("trim_mean_fc"))
+      .orderBy("flag")
+  }
+
+  /** q239 — incremental partial-state merge: per-month order revenue
+    * states (n, sum_cents, min_c, max_c) aggregated SEPARATELY for the
+    * era before 1997-06-15 and the era after, then merged by the
+    * algebraic state-merge rules (Σn, Σsum, min-of-mins,
+    * max-of-maxes). This is the contract every incremental rollup
+    * pipeline depends on: append a new partition's partial state,
+    * never re-scan history. The era cut is deliberately MID-month so
+    * June 1997 holds a partial state from BOTH eras — the merge is
+    * exercised, not vacuous. The oracle computes the same months in
+    * ONE pass — merge must equal full recompute, and `n_parts`
+    * certifies how many eras contributed per month.
+    *
+    * Exactness: all integer. Scale: each era's agg is a combiner
+    * groupBy to a calendar-bounded (month) frame; the merge is an agg
+    * over ≤ 2·months rows.
+    */
+  def q239(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        cents(col("o_totalprice")).as("c"),
+        (col("o_orderdate") < lit("1997-06-15").cast("timestamp")).as("isBase"))
+    def era(base: Boolean): DataFrame = o.filter(col("isBase") === lit(base))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("pn"), sum(col("c")).as("ps"),
+        min(col("c")).as("pmn"), max(col("c")).as("pmx"))
+    era(true).unionAll(era(false))
+      .groupBy(col("month"))
+      .agg(sum(col("pn")).as("n"), sum(col("ps")).as("sum_cents"),
+        min(col("pmn")).as("min_c"), max(col("pmx")).as("max_c"),
+        count(lit(1)).as("n_parts"))
+      .orderBy("month")
+  }
+
+  /** q242 — mergeable histogram quantile sketch: equi-width 100-char
+    * bins of document length per source (capped at bin 99), with
+    * p50/p90/p99 estimated by linear interpolation inside the covering
+    * bin. The bins are plain partial-aggregable counts — two corpus
+    * shards' histograms MERGE by addition, which is exactly why
+    * production profilers ship histograms, not sorted samples. q238
+    * gives exact ranks when the value domain is bounded; this is the
+    * unbounded-domain scale path.
+    *
+    * The estimate for percentile p with target rank t = ceil(p·n/100):
+    * find the first bin with cum ≥ t, then
+    * `est = 100·bin + 100·(t − cum_prev)/cnt` — lower bin edge plus
+    * the within-bin linear fraction. Integer inputs, ONE correctly-
+    * rounded IEEE division, identical on both engines; e2 grid.
+    *
+    * Scale: one corpus scan collapses to (source × ≤100 bins); the
+    * quantile extraction runs on that bounded grid.
+    */
+  def q242(s: SparkSession, dir: String): DataFrame = {
+    val h = t(s, dir, "documents")
+      .select(col("source"), expr("least(n_chars DIV 100, 99)").as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = h
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val grp = spans.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    val sp = spans.join(broadcast(grp), "source")
+    val ps = Seq(50, 90, 99).map { p =>
+      val target = expr(s"($p * n + 99) DIV 100")
+      sp.withColumn("t", target)
+        .filter(col("cum") >= col("t") && col("prev") < col("t"))
+        .select(col("source"), lit(p.toLong).as("p"), col("n"),
+          round((col("bin") * 100 +
+            (col("t") - col("prev")) * lit(100.0) / col("cnt")) * 100, 0)
+            .cast("long").as("est_e2"))
+    }
+    ps.reduce(_ unionAll _).orderBy("source", "p")
+  }
+
+  /** Exact decay coefficients 9^k · 10^(13−k) for k = 0..13 — the
+    * rational EWMA weights a^k with a = 9/10, cleared of denominators
+    * by the common factor 10^13. Max is 10^13; all fit a long.
+    */
+  private val ewmaCoefs: Seq[Long] =
+    (0 to 13).map(k => BigInt(9).pow(k) * BigInt(10).pow(13 - k)).map(_.toLong)
+
+  /** q243 — EWMA spike monitor over daily event arrivals per type:
+    * 14-day exponentially-weighted moving average with decay a = 9/10,
+    * computed over a DENSE per-type day grid (missing days count 0),
+    * truncated-and-renormalized at the series head. A day spikes when
+    * its count exceeds 2× its own EWMA — the arrival-burst alarm that
+    * pairs with q233's overdispersion score (VMR says "this feed is
+    * bursty", this says "TODAY is the burst").
+    *
+    * Exactness: a^k is spelled as INTEGER coefficients 9^k·10^(13−k)
+    * (denominators cleared), so S = Σ x·coef and N = Σ coef are exact
+    * decimal(38,0) sums — no pow(), no libm. `ewma_e4` is one
+    * correctly-rounded IEEE division of those exact integers (the
+    * decimal→double cast is round-to-nearest in both engines), and the
+    * spike predicate `x·N > 2·S` never leaves decimal.
+    *
+    * Scale: events collapse to the (type × day) grid in one combiner
+    * agg; the dense grid, the 14-wide lag fan-out, and the final agg
+    * are all calendar-bounded (types × days × 14), independent of SF —
+    * the q232/q205 dense-grid posture.
+    */
+  def q243(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("(CAST(ts AS DECIMAL(20,0)) / 1000) DIV 86400000000")
+          .cast("long").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val coefArr = array(ewmaCoefs.map(lit): _*)
+    val lagged = grid
+      .select(col("event_type"), col("day"), col("x"),
+        explode(sequence(lit(0), lit(13))).as("k"))
+      .select(col("event_type"), col("day"), col("x"), col("k"),
+        (col("day") - col("k")).as("src_day"),
+        element_at(coefArr, col("k") + 1).cast("decimal(38,0)").as("coef"))
+    val src = grid.select(col("event_type"),
+      col("day").as("src_day"), col("x").as("xs"))
+    // inner join = head truncation: days before the series start
+    // contribute neither mass nor normalization.
+    lagged.join(src, Seq("event_type", "src_day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("x")).as("n"),
+        sum(col("xs").cast("decimal(38,0)") * col("coef")).as("ss"),
+        sum(col("coef")).as("nn"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("ss").cast("double") / col("nn").cast("double") * 10000, 0)
+          .cast("long").as("ewma_e4"),
+        (col("n").cast("decimal(38,0)") * col("nn") > col("ss") * 2)
+          .cast("int").as("spike"))
+      .orderBy("event_type", "day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_winsorized"   -> (q238 _),
+    "q239_state_merge"  -> (q239 _),
+    "q242_hist_quantiles" -> (q242 _),
+    "q243_ewma_spike"   -> (q243 _))
+
+  private val ewmaCoefSqlValues: String =
+    ewmaCoefs.zipWithIndex.map { case (c, k) => s"($k, $c)" }.mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    // Same value-collapsed rank-span arithmetic; all-integer output.
+    "q238_winsorized" ->
+      """WITH vals AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |         COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT flag, c, cnt,
+        |         SUM(cnt) OVER (PARTITION BY flag ORDER BY c
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM vals),
+        |sp AS (
+        |  SELECT flag, c, cnt, cum, cum - cnt AS prev,
+        |         SUM(cnt) OVER (PARTITION BY flag) AS n,
+        |         SUM(c * cnt) OVER (PARTITION BY flag) AS s
+        |  FROM spans),
+        |sp2 AS (
+        |  SELECT *, (n + 9) // 10 AS lo_rank, (9 * n + 9) // 10 AS hi_rank,
+        |         n // 10 AS g
+        |  FROM sp),
+        |limits AS (
+        |  SELECT flag,
+        |         MIN(CASE WHEN cum >= lo_rank AND prev < lo_rank THEN c END) AS lo_c,
+        |         MIN(CASE WHEN cum >= hi_rank AND prev < hi_rank THEN c END) AS hi_c
+        |  FROM sp2 GROUP BY flag)
+        |SELECT sp2.flag, CAST(MAX(n) AS BIGINT) AS n,
+        |       CAST(MAX(lo_c) AS BIGINT) AS lo_c, CAST(MAX(hi_c) AS BIGINT) AS hi_c,
+        |       CAST(MAX(s) // MAX(n) AS BIGINT) AS mean_fc,
+        |       CAST(SUM(GREATEST(LEAST(c, hi_c), lo_c) * cnt) // MAX(n) AS BIGINT)
+        |         AS wins_mean_fc,
+        |       CAST(SUM(c * GREATEST(LEAST(cum, n - g) - GREATEST(prev, g), 0))
+        |              // MAX(n - 2 * g) AS BIGINT) AS trim_mean_fc
+        |FROM sp2 JOIN limits ON sp2.flag = limits.flag
+        |GROUP BY sp2.flag ORDER BY sp2.flag""".stripMargin,
+    // Two-era partial states merged must equal this one-pass recompute;
+    // n_parts recomputed as the count of eras present per month.
+    "q239_state_merge" ->
+      """SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE)
+        |         AS month,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |            AS BIGINT) AS min_c,
+        |       CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |            AS BIGINT) AS max_c,
+        |       CAST(COUNT(DISTINCT CASE WHEN o_orderdate <
+        |                                     TIMESTAMP '1997-06-15 00:00:00'
+        |                                THEN 0 ELSE 1 END) AS BIGINT) AS n_parts
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same bin/cum/target arithmetic; one IEEE division per estimate.
+    "q242_hist_quantiles" ->
+      """WITH h AS (
+        |  SELECT source, LEAST(n_chars // 100, 99) AS bin, COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT source, bin, cnt,
+        |         SUM(cnt) OVER (PARTITION BY source ORDER BY bin
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM h),
+        |sp AS (SELECT *, cum - cnt AS prev FROM spans),
+        |est AS (
+        |  SELECT source, p, n,
+        |         CAST(ROUND((bin * 100 +
+        |             ((p * n + 99) // 100 - prev) * 100.0 / cnt) * 100)
+        |           AS BIGINT) AS est_e2
+        |  FROM sp CROSS JOIN (VALUES (50), (90), (99)) AS pp(p)
+        |  WHERE cum >= (p * n + 99) // 100 AND prev < (p * n + 99) // 100)
+        |SELECT source, CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n, est_e2
+        |FROM est ORDER BY source, p""".stripMargin,
+    // Same integer coefficients, HUGEINT sums, one IEEE division.
+    "q243_ewma_spike" ->
+      s"""WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |griddays AS (
+        |  SELECT event_type, UNNEST(generate_series(d0, d1)) AS day FROM span),
+        |grid AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x
+        |  FROM griddays g
+        |  LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = g.day),
+        |coefs AS (SELECT * FROM (VALUES $ewmaCoefSqlValues) AS c(k, coef)),
+        |lagged AS (
+        |  SELECT g.event_type, g.day, g.x,
+        |         CAST(src.x AS HUGEINT) * c.coef AS term,
+        |         CAST(c.coef AS HUGEINT) AS coef
+        |  FROM grid g CROSS JOIN coefs c
+        |  JOIN grid src ON src.event_type = g.event_type
+        |               AND src.day = g.day - c.k)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, CAST(MAX(x) AS BIGINT) AS n,
+        |       CAST(ROUND(CAST(SUM(term) AS DOUBLE) /
+        |                  CAST(SUM(coef) AS DOUBLE) * 10000) AS BIGINT) AS ewma_e4,
+        |       CAST(CASE WHEN CAST(MAX(x) AS HUGEINT) * SUM(coef) > 2 * SUM(term)
+        |                 THEN 1 ELSE 0 END AS INT) AS spike
+        |FROM lagged GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin)
+}
