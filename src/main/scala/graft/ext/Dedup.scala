@@ -515,8 +515,57 @@ object Dedup {
       .orderBy("id_a")
   }
 
+  /** q240 — winnowing-style robust fingerprints (Schleimer et al.
+    * 2003, the MOSS local-minimum selection): per document, hash each
+    * ordered 3-token shingle portably (md5 prefix → 40-bit int) and
+    * select the positions whose hash is the minimum of the ±3-shingle
+    * centered window, tie-broken by position via a single packed
+    * `h40·2²³ + pos` comparison. The selected set is the document's
+    * FINGERPRINT: any shared substring of ≥ window+k tokens is
+    * guaranteed to share a fingerprint, so fingerprint collisions are
+    * the candidate generator for plagiarism/near-dup at a fraction of
+    * full-shingle cost. Output: per-doc shingle/fingerprint census
+    * (centered-window density ≈ 1/(2w+1) = 1/7 on hash-random input).
+    *
+    * Portable by construction (md5, not engine murmur — the q107
+    * discipline); all-integer. The in-plan guard raises on pos ≥ 2²³
+    * (the packing domain), the q189 loud-failure pattern.
+    *
+    * Scale: shingling is row-local fan-out; the window is keyed by
+    * doc ordered by position — per-doc work, embarrassingly parallel.
+    * The census agg is a combiner groupBy on doc_id.
+    */
+  def q240(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(col("text"), " ")
+    val sh3 = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val g = docs(s, dir)
+      .select(col("doc_id"), posexplode(sh3).as(Seq("pos", "sh")))
+    val h40 = conv(substring(md5(col("sh")), 1, 10), 16, 10).cast("long")
+    val packed = coalesce(
+      when(col("pos") >= lit(1 << 23),
+        raise_error(concat(lit("q240 packing domain violated: pos="),
+          col("pos").cast("string"))).cast("long")),
+      col("h40") * lit(1L << 23) + col("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 3)
+    g.select(col("doc_id"), col("pos"), h40.as("h40"))
+      .select(col("doc_id"), col("pos"), col("h40"), packed.as("packed"))
+      .withColumn("wmin", min(col("packed")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("packed") === col("wmin"), 1L).otherwise(0L)).as("n_fp"),
+        countDistinct(when(col("packed") === col("wmin"), col("h40")))
+          .as("n_fp_distinct"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_exact_dedup"      -> (q55 _),
+    "q240_winnowing"       -> (q240 _),
     "q56_dedup_keep_first" -> (q56 _),
     "q57_minhash_neardup"  -> (q57 _),
     "q58_ngram_jaccard"    -> (q58 _),
@@ -807,6 +856,33 @@ object Dedup {
     "q55_exact_dedup" ->
       """SELECT source, COUNT(*) AS docs, COUNT(DISTINCT md5(text)) AS distinct_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Same md5-prefix 40-bit hashes, same packed (hash, pos) window
+    // minimum; zipped UNNESTs align shingle and 0-based position.
+    "q240_winnowing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_transform(range(1, len(ws) - 1), i ->
+        |      concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh,
+        |    UNNEST(range(0, len(ws) - 2)) AS pos
+        |  FROM toks WHERE len(ws) >= 3),
+        |p AS (
+        |  SELECT doc_id, pos,
+        |    CAST(('0x' || substr(md5(sh), 1, 10)) AS BIGINT) AS h40,
+        |    CAST(('0x' || substr(md5(sh), 1, 10)) AS BIGINT) * 8388608 + pos
+        |      AS packed
+        |  FROM sh),
+        |wm AS (
+        |  SELECT doc_id, pos, h40, packed,
+        |    MIN(packed) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wmin
+        |  FROM p)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN packed = wmin THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+        |  CAST(COUNT(DISTINCT CASE WHEN packed = wmin THEN h40 END) AS BIGINT)
+        |    AS n_fp_distinct
+        |FROM wm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q56_dedup_keep_first" ->
       """SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)
         |ORDER BY keep_id""".stripMargin,

@@ -332,8 +332,39 @@ object Sampling {
       .orderBy("split", "source")
   }
 
+  /** q241 — k-fold cross-validation audit: deterministic md5 fold
+    * assignment (k=5, the q76/q227 bucket rule) with per-fold vs
+    * out-of-fold mean document length. The sanity table an evaluation
+    * harness prints before trusting CV numbers: if any fold's
+    * in/out-of-fold delta is large, the folds are not exchangeable
+    * and the CV variance estimate is junk. All-integer (floor means
+    * via DIV; totals ride the one-row broadcast crossJoin shape).
+    *
+    * Scale: one corpus scan → 5-row fold frame; the totals join is a
+    * broadcast of one row. Fold assignment is pure map-side hashing —
+    * no RNG, reproducible on any engine (q76 discipline).
+    */
+  def q241(s: SparkSession, dir: String): DataFrame = {
+    val fold = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(5L))
+    val folds = docs(s, dir)
+      .select(fold.as("fold"), col("n_chars"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    folds
+      .crossJoin(broadcast(folds.agg(sum(col("n_docs")).as("tn"),
+        sum(col("sum_chars")).as("ts"))))
+      .select(col("fold"), col("n_docs"), col("sum_chars"),
+        expr("sum_chars DIV n_docs").as("mean_fc"),
+        expr("(ts - sum_chars) DIV (tn - n_docs)").as("oof_mean_fc"))
+      .withColumn("delta_fc", col("mean_fc") - col("oof_mean_fc"))
+      .orderBy("fold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_hash_split"  -> (q76 _),
+    "q241_kfold_audit" -> (q241 _),
     "q77_seq_packing" -> (q77 _),
     "q78_corpus_mix"  -> (q78 _),
     "q124_epoch_shard" -> (q124 _),
@@ -345,6 +376,24 @@ object Sampling {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same md5 fold rule (hex-prefix → BIGINT, mod 5); all-integer
+    // floor means.
+    "q241_kfold_audit" ->
+      """WITH f AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) % 5 AS fold,
+        |         n_chars
+        |  FROM documents),
+        |g AS (SELECT fold, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        |      FROM f GROUP BY 1),
+        |t AS (SELECT SUM(n_docs) AS tn, SUM(sum_chars) AS ts FROM g)
+        |SELECT fold, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(sum_chars AS BIGINT) AS sum_chars,
+        |       CAST(sum_chars // n_docs AS BIGINT) AS mean_fc,
+        |       CAST((ts - sum_chars) // (tn - n_docs) AS BIGINT) AS oof_mean_fc,
+        |       CAST(sum_chars // n_docs - (ts - sum_chars) // (tn - n_docs)
+        |            AS BIGINT) AS delta_fc
+        |FROM g CROSS JOIN t ORDER BY fold""".stripMargin,
     // Same md5 split rule as q76; expected and the χ² contribution are
     // the identical expression shape over exact integer counts.
     "q174_split_balance" ->

@@ -777,8 +777,68 @@ object Similarity {
       .orderBy("did")
   }
 
+  /** q237 — graded retrieval quality of the LSH index: MRR and NDCG@3
+    * per query against the brute-force ground truth. q136's recall@3
+    * says "did the true neighbors appear"; this says "in the right
+    * ORDER" — gain 4−rank from the brute top-3, DCG discounted by
+    * log2(position+1), normalized by the (constant-grade) ideal DCG.
+    * The metric pair every retrieval stack reports before shipping an
+    * approximate index.
+    *
+    * Float discipline: log2 is the only libm op. Each DCG term
+    * gain/log2(arn+1) is rounded PER-TERM onto the e9 grid (9 possible
+    * term values — margins spec-pinned), the IDCG is the same constant
+    * expression e9-gridded on both engines, so dcg_e9/idcg_e9 are
+    * exact integers and ndcg_e6 is ONE correctly-rounded IEEE division
+    * of exact values (the q228 Σ-of-gridded-terms discipline). MRR is
+    * an exact rational 1e6/arn.
+    *
+    * Scale: identical posture to q136 — brute pass is the 50-query
+    * broadcast probe (the evaluation harness, not the serving path),
+    * the ANN pass is bucket-local.
+    */
+  def q237(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = hyperplanes(8, 64)
+    val unit = withUnitVec(emb(s, dir), "embedding", "u")
+      .select(col("vec_id"), col("u"), signature(col("u"), planes).as("sig"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    val q = unit.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("u").as("qu"), col("sig"))
+    val d = unit
+      .select(col("vec_id").as("did"), col("u").as("du"), col("sig"))
+    val exact = broadcast(q.drop("sig")).join(d.drop("sig"))
+      .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("did"), (lit(4) - col("rn")).cast("long").as("rel"))
+    val ann = q.join(d, "sig")
+      .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+      .withColumn("arn", row_number().over(w)).filter(col("arn") <= 3)
+      .select(col("qid"), col("did"), col("arn"))
+    val idcgE9 = round((lit(3.0) / log2(lit(2.0)) + lit(2.0) / log2(lit(3.0)) +
+      lit(1.0) / log2(lit(4.0))) * 1e9, 0).cast("long")
+    ann.join(exact, Seq("qid", "did"), "left")
+      .select(col("qid"), col("arn"), coalesce(col("rel"), lit(0L)).as("gain"))
+      .withColumn("term_e9",
+        when(col("gain") > 0,
+          round(col("gain") / log2(col("arn") + 1) * 1e9, 0).cast("long"))
+          .otherwise(lit(0L)))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("gain") > 0, 1L).otherwise(0L)).as("hits"),
+        min(when(col("gain") > 0, col("arn"))).as("minarn"),
+        sum(col("term_e9")).as("dcg_e9"))
+      .select(col("qid"), col("hits"),
+        coalesce(round(lit(1000000.0) / col("minarn"), 0).cast("long"), lit(0L))
+          .as("rr_e6"),
+        round(col("dcg_e9") * lit(1000000.0) / idcgE9, 0).cast("long")
+          .as("ndcg_e6"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
+    "q237_retrieval_metrics" -> (q237 _),
     "q123_semdedup" -> (q123 _),
     "q230_semantic_decontam" -> (q230 _),
     "q60_knn_brute" -> (q60 _),
@@ -915,7 +975,56 @@ object Similarity {
        |ORDER BY planes""".stripMargin
   }
 
+  /** q237 oracle: same brute-grade / ANN-rank frames as the q136
+    * oracle, per-term e9 grid, integer-fed final divisions.
+    */
+  private val retrievalMetricsOracle: String =
+    s"""$lshCtePrefix,
+       |bsims AS (
+       |  SELECT q.vec_id AS qid, d.vec_id AS did,
+       |         list_inner_product(q.uv, d.uv) AS sim
+       |  FROM u q CROSS JOIN u d
+       |  WHERE q.vec_id < 50),
+       |be AS (
+       |  SELECT qid, did, CAST(4 - rn AS BIGINT) AS rel FROM (
+       |    SELECT qid, did,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
+       |    FROM bsims) WHERE rn <= 3),
+       |lsims AS (
+       |  SELECT q.vec_id AS qid, d.vec_id AS did,
+       |         list_inner_product(q.uv, d.uv) AS sim
+       |  FROM s q JOIN s d ON q.sig = d.sig
+       |  WHERE q.vec_id < 50),
+       |la AS (
+       |  SELECT qid, did, rn AS arn FROM (
+       |    SELECT qid, did,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
+       |    FROM lsims) WHERE rn <= 3),
+       |j AS (
+       |  SELECT la.qid, la.arn, COALESCE(be.rel, 0) AS gain
+       |  FROM la LEFT JOIN be ON be.qid = la.qid AND be.did = la.did),
+       |t AS (
+       |  SELECT qid, arn, gain,
+       |         CASE WHEN gain > 0
+       |              THEN CAST(ROUND(gain / log2(arn + 1) * 1e9) AS BIGINT)
+       |              ELSE 0 END AS term_e9
+       |  FROM j),
+       |g AS (
+       |  SELECT qid,
+       |         CAST(SUM(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |         MIN(CASE WHEN gain > 0 THEN arn END) AS minarn,
+       |         CAST(SUM(term_e9) AS BIGINT) AS dcg_e9
+       |  FROM t GROUP BY qid)
+       |SELECT qid, hits,
+       |       COALESCE(CAST(ROUND(1000000.0 / minarn) AS BIGINT), 0) AS rr_e6,
+       |       CAST(ROUND(CAST(dcg_e9 AS DOUBLE) * 1000000.0 /
+       |            CAST(ROUND((3.0 / log2(2.0) + 2.0 / log2(3.0) +
+       |                        1.0 / log2(4.0)) * 1e9) AS BIGINT)) AS BIGINT)
+       |         AS ndcg_e6
+       |FROM g ORDER BY qid""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q237_retrieval_metrics" -> retrievalMetricsOracle,
     // Same key-projected left join; NULL dims range when a source has
     // no embeddings (both engines).
     "q196_embed_coverage" ->
