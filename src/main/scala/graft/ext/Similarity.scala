@@ -836,9 +836,54 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** q244 — hard-negative mining for contrastive retrieval training:
+    * for each eval probe (the q230 split, vec_id % 7 == 0), the top-5
+    * SEMI-HARD negatives from the corpus — a different `label` than the
+    * probe (a true negative), gridded cosine in [15, 40) (close enough
+    * to be informative, below q230's 0.40 contamination gate so never a
+    * disguised positive). The standard mining step between "random
+    * negatives" (too easy, no gradient) and "hardest negatives" (often
+    * false negatives) when building training pairs for a retriever.
+    *
+    * Integer decisions only: the band filter and the ranking both read
+    * the e2-gridded sim (q230's margin spec covers every pair at both
+    * gate SFs — identical pair universe), ties broken by did, so
+    * membership AND order are exact cross-engine.
+    *
+    * Scale: the probe side is the bounded eval set (broadcast by
+    * construction — q230's shape); the corpus streams through the fused
+    * dot, the band filter drops most pairs BEFORE any state builds, and
+    * top-5 rides [[graft.ops.TopKByScore]]'s k-bounded map-side heap —
+    * the shuffle carries ≤ 5 entries per (probe, map task), never the
+    * banded pair stream.
+    */
+  def q244(s: SparkSession, dir: String): DataFrame = {
+    val unit = withUnitVec(emb(s, dir), "embedding", "u")
+      .select(col("vec_id"), col("u"), col("label"))
+    val ev = broadcast(unit.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("qid"), col("u").as("qu"),
+        col("label").as("qlab")))
+    val d = unit.filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id").as("did"), col("u").as("du"),
+        col("label").as("dlab"))
+    d.join(ev)
+      .filter(col("qlab") =!= col("dlab"))
+      .select(col("qid"), col("did"),
+        intScaled(dot(col("qu"), col("du")), 100).as("sim_c"))
+      .filter(col("sim_c") >= 15 && col("sim_c") < 40)
+      .groupBy(col("qid"))
+      .agg(graft.ops.TopKByScore.topK(col("sim_c").cast("double"), col("did"), 5)
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("did"), col("col.score").cast("long").as("sim_c"))
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
     "q237_retrieval_metrics" -> (q237 _),
+    "q244_hard_negatives" -> (q244 _),
     "q123_semdedup" -> (q123 _),
     "q230_semantic_decontam" -> (q230 _),
     "q60_knn_brute" -> (q60 _),
@@ -1025,6 +1070,30 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "q237_retrieval_metrics" -> retrievalMetricsOracle,
+    // Independent recompute: unit vectors, cross-label probe pairs,
+    // identical e2 grid for BOTH the band filter and the rank order
+    // (window row_number ≡ the Spark side's bounded-heap total order:
+    // sim_c DESC, did ASC).
+    "q244_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label
+        |           FROM embeddings),
+        |u AS (SELECT vec_id, label,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
+        |      FROM e),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS did,
+        |         CAST(ROUND(list_inner_product(q.uv, d.uv) * 100) AS BIGINT)
+        |           AS sim_c
+        |  FROM u q JOIN u d ON q.label <> d.label
+        |  WHERE q.vec_id % 7 = 0 AND d.vec_id % 7 <> 0),
+        |ranked AS (
+        |  SELECT qid, did, sim_c,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY sim_c DESC, did) AS rnk
+        |  FROM pairs WHERE sim_c >= 15 AND sim_c < 40)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, did, sim_c
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     // Same key-projected left join; NULL dims range when a source has
     // no embeddings (both engines).
     "q196_embed_coverage" ->

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 
@@ -416,8 +417,49 @@ object Round9 {
         |ORDER BY s_name""".stripMargin)
   }
 
+  /** q245 — per-brand SKYLINE (Pareto frontier) of parts on
+    * (price ↓, size ↑): the parts no same-brand part strictly
+    * dominates (cheaper-or-equal AND bigger-or-equal with one strict).
+    * The classic multi-criteria shortlist operator (Börzsönyi et al.,
+    * ICDE 2001 "The Skyline Operator") — "show me the offers where
+    * nothing is both cheaper and bigger".
+    *
+    * NOT the O(n²) NOT-EXISTS self-join: points collapse to the
+    * distinct (brand, price, size) grid first, then ONE per-brand
+    * window pass ordered (price ASC, size DESC) marks a point
+    * dominated iff the running max size over STRICTLY-PRECEDING rows
+    * reaches its size — sound because every preceding row is either
+    * strictly cheaper (dominates iff its size ≥ this size) or
+    * equal-priced with strictly larger size (dominates outright); the
+    * oracle proves the equivalence by running the quadratic definition
+    * independently. All-integer (exact cents, integer sizes).
+    *
+    * Scale: the window runs per brand over the VALUE-COLLAPSED grid —
+    * bounded by distinct (price, size) combinations (price-grid ×
+    * size-domain, constant in SF — the q238 posture), never row count;
+    * the frontier emerges in one pass with no pairwise anything.
+    */
+  def q245(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = t(s, dir, "part")
+      .select(col("p_brand").as("brand"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_c"),
+        col("p_size").cast("long").as("sz"))
+      .groupBy(col("brand"), col("price_c"), col("sz"))
+      .agg(count(lit(1)).as("n_parts"))
+    val w = Window.partitionBy("brand")
+      .orderBy(col("price_c").asc, col("sz").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("prevmax", max(col("sz")).over(w))
+      .filter(col("prevmax").isNull || col("prevmax") < col("sz"))
+      .select(col("brand"), col("price_c"), col("sz"), col("n_parts"))
+      .orderBy("brand", "price_c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_waiting_suppliers" -> (q215 _),
+    "q245_skyline"           -> (q245 _),
     "q216_global_customers"  -> (q216 _),
     "q217_min_cost_supplier" -> (q217 _),
     "q218_priority_check"    -> (q218 _),
@@ -614,5 +656,24 @@ object Round9 {
         |  AND s_suppkey IN (SELECT suppkey
         |                    FROM shipped JOIN ptot USING (partkey)
         |                    WHERE qty * 2 > t)
-        |ORDER BY s_name""".stripMargin)
+        |ORDER BY s_name""".stripMargin,
+    // Deliberately the QUADRATIC textbook definition (NOT EXISTS
+    // dominance) — an independent formulation proving the window
+    // pass computes the same frontier.
+    "q245_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_brand AS brand,
+        |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS price_c,
+        |         CAST(p_size AS BIGINT) AS sz,
+        |         CAST(COUNT(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1, 2, 3)
+        |SELECT brand, price_c, sz, n_parts
+        |FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.brand = a.brand
+        |    AND b.price_c <= a.price_c AND b.sz >= a.sz
+        |    AND (b.price_c < a.price_c OR b.sz > a.sz))
+        |ORDER BY brand, price_c""".stripMargin)
 }

@@ -1230,4 +1230,46 @@ class ExtensionsSpec extends SparkTestBase {
       assert(minMargin > 1e-6, s"min e2 margin $minMargin at $dir")
     }
   }
+
+  test("q244 hard negatives: exact replay + binding band at both gate SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding", $"label")
+        .as[(Long, Seq[Float], Int)].collect().toSeq
+        .map { case (id, e, lab) =>
+          val d = e.map(_.toDouble).toArray
+          val n = math.sqrt(d.map(x => x * x).sum)
+          (id, d.map(_ / n), lab)
+        }
+      val (ev, corpus) = vecs.partition(_._1 % 7 == 0)
+      val pairs = for {
+        (qid, qu, qlab) <- ev
+        (did, du, dlab) <- corpus if dlab != qlab
+      } yield {
+        var s = 0.0; var i = 0
+        while (i < du.length) { s += du(i) * qu(i); i += 1 }
+        (qid, did, math.round(s * 100), s * 100)
+      }
+      // The band must BIND on both sides (too-easy and too-hard pairs
+      // both exist) or the query certifies nothing.
+      assert(pairs.exists(_._3 < 15) && pairs.exists(_._3 >= 40),
+        s"band does not bind at $dir")
+      // e2 rounding margins over every cross-label pair (the q230
+      // discipline): band membership AND rank order read the grid, so
+      // every pair needs headroom to its nearest half-boundary.
+      val minMargin = pairs
+        .map(p => math.abs(math.abs(p._4) % 1.0 - 0.5)).min
+      assert(minMargin > 1e-6, s"min e2 margin $minMargin at $dir")
+      val expected = pairs.filter(p => p._3 >= 15 && p._3 < 40)
+        .groupBy(_._1).toSeq.flatMap { case (qid, ps) =>
+          ps.sortBy(p => (-p._3, p._2)).take(5).zipWithIndex
+            .map { case ((_, did, sc, _), i) => (qid, i + 1L, did, sc) }
+        }.sortBy(t => (t._1, t._2))
+      val got = graft.ext.Similarity.q244(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got === expected, s"at $dir")
+      assert(got.nonEmpty, s"empty mining output at $dir")
+    }
+  }
 }

@@ -301,4 +301,25 @@ class Round9Spec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1))).toSeq
     assert(got === expected)
   }
+
+  test("q245 skyline: window pass equals the quadratic dominance replay") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val pts = spark.read.parquet(s"$dir/part.parquet")
+        .select($"p_brand", $"p_retailprice", $"p_size").collect().toSeq
+        .map(r => (r.getString(0), cents(r.getDouble(1)), r.getInt(2).toLong))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .map { case ((b, c, z), n) => (b, c, z, n) }
+      val expected = pts.filter { case (b, c, z, _) =>
+        !pts.exists { case (b2, c2, z2, _) =>
+          b2 == b && c2 <= c && z2 >= z && (c2 < c || z2 > z)
+        }
+      }.sortBy(t => (t._1, t._2))
+      // Dominated points must exist or the frontier is the whole set.
+      assert(expected.size < pts.size, s"nothing dominated at $dir")
+      val got = Round9.q245(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got === expected, s"at $dir")
+    }
+  }
 }
