@@ -582,6 +582,39 @@ object Components {
         countDistinct(col("component")).as("n_components"))
       .orderBy("split")
 
+  /** q249 — golden-record survivorship: collapse each near-dup
+    * component (q102's certified labeling) to ONE canonical row plus
+    * provenance stats — canonical = longest text, ties to the lowest
+    * doc_id (a deterministic total order, the survivorship rule
+    * entity-resolution pipelines call "most complete wins"). Output
+    * per component: the canonical doc, member count, total chars
+    * absorbed, distinct sources merged. The stage after q102's
+    * grouping and q119's scoring: what the dedup'd corpus actually
+    * SHIPS.
+    *
+    * Scale: one join of labels (bounded probe set here; (id, comp)
+    * pairs generally) with the doc projection, then ONE partial-agg
+    * groupBy on component — the canonical pick is a max of a
+    * (n_chars, −doc_id) struct, so it combines map-side; no window,
+    * no per-component sort. All-integer.
+    */
+  def q249(s: SparkSession, dir: String): DataFrame = {
+    val (subset, labels) = neardupLabels(s, dir)
+    labels.join(subset.select(col("doc_id"), col("n_chars"), col("source")),
+        "doc_id")
+      .groupBy(col("component"))
+      .agg(
+        max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid")))
+          .as("best"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .select(col("component"), (-col("best.nid")).as("canonical_id"),
+        col("best.nc").as("canonical_chars"), col("n_members"),
+        col("total_chars"), col("n_sources"))
+      .orderBy("component")
+  }
+
   /** q127 — PageRank centrality on the customer–supplier co-occurrence
     * graph (an order links its customer to each line's supplier).
     * Customers map to even node ids, suppliers to odd, so the two
@@ -698,6 +731,7 @@ object Components {
     "q147_pagerank_weighted"  -> (q147 _),
     "q148_pagerank_personal"  -> (q148 _),
     "q235_cluster_split"      -> (q235 _),
+    "q249_golden_record"      -> (q249 _),
   )
 
   /** Oracle CTE chain: transitive closure by recursive CTE over the
@@ -881,6 +915,29 @@ object Components {
          |       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components
          |FROM sp GROUP BY split
          |ORDER BY split""".stripMargin,
+    // Same labeling CTE; the canonical pick is an independent window
+    // formulation (n_chars DESC, doc_id) of the engine's struct-max.
+    "q249_golden_record" ->
+      s"""$componentsCte,
+         |g AS (
+         |  SELECT c.component, d.doc_id, d.n_chars, d.source
+         |  FROM comp c JOIN documents d USING (doc_id)),
+         |ranked AS (
+         |  SELECT component, doc_id, n_chars,
+         |         ROW_NUMBER() OVER (PARTITION BY component
+         |                            ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM g),
+         |stats AS (
+         |  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+         |  FROM g GROUP BY component)
+         |SELECT stats.component, r.doc_id AS canonical_id,
+         |       CAST(r.n_chars AS BIGINT) AS canonical_chars,
+         |       n_members, total_chars, n_sources
+         |FROM stats JOIN ranked r
+         |  ON r.component = stats.component AND r.rn = 1
+         |ORDER BY stats.component""".stripMargin,
     // Funnel stages mirrored: exact-dedup keeps min id per md5; the
     // near-dup stage keeps the min SURVIVING id per component; the
     // decontam stage drops survivors sharing any 5-gram with the eval

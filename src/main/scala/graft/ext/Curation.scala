@@ -119,6 +119,50 @@ object Curation {
       .orderBy("event_type")
   }
 
+  /** q247 — mutual information between event type and day-of-week:
+    * the effect-SIZE companion to q205's chi-square (χ² says "is the
+    * dependence statistically surprising"; MI says "how many nats of
+    * event-type information the weekday actually carries"). Reported
+    * per type as its contribution Σ_j (n_ij/N)·ln(n_ij·N/(r_i·c_j)) —
+    * the decomposition monitoring uses to find WHICH feed is
+    * dow-coupled. Zero cells contribute 0 (x·ln x → 0), so only
+    * observed cells participate — identical cell sets in both engines.
+    *
+    * Float discipline: counts are exact integers cast to double
+    * INDIVIDUALLY before any product (the q205-ADVICE overflow rule —
+    * integer products of row×col totals can wrap BIGINT at 100 TB,
+    * doubles cannot); each cell's term is ONE identical expression
+    * rounded per-cell onto the e9 grid, and the per-type MI is the
+    * exact BIGINT sum of gridded terms (q228 discipline; margins
+    * pinned in CurationSpec).
+    *
+    * Scale: events collapse map-side to the ≤(types × 7) cell frame;
+    * every window below rides that bounded frame, never events.
+    */
+  def q247(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .select(col("event_type"),
+        ((expr("us DIV 86400000000") + 4) % 7).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val r = sum(col("o")).over(Window.partitionBy("event_type"))
+    val c = sum(col("o")).over(Window.partitionBy("dow"))
+    val n = sum(col("o")).over(Window.partitionBy())
+    val term = (col("o").cast("double") / n.cast("double")) *
+      log((col("o").cast("double") * n.cast("double")) /
+        (r.cast("double") * c.cast("double")))
+    cells
+      .select(col("event_type"), r.as("n_type"),
+        Similarity.intScaled(term, 1000000000L).as("term_e9"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_type")).as("n_events"),
+        count(lit(1)).as("n_cells"),
+        sum(col("term_e9")).as("mi_part_e9"))
+      .orderBy("event_type")
+  }
+
   /** Global token budget the q234 plan allocates (a spec constant, not
     * data-derived — the plan is a function of (corpus, budget)).
     */
@@ -215,6 +259,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q232_psi_drift"      -> (q232 _),
     "q233_overdispersion" -> (q233 _),
+    "q247_mutual_info"    -> (q247 _),
     "q234_mixture_plan"   -> (q234 _),
     "q236_oov_rate"       -> (q236 _),
   )
@@ -253,6 +298,36 @@ object Curation {
         |ORDER BY source""".stripMargin,
     // Same integer day buckets; HUGEINT stands in for decimal(38);
     // one mirrored double division at the end.
+    // Same observed-cell frame, each count cast to double BEFORE the
+    // products, identical per-cell e9 rounding, exact integer sum.
+    "q247_mutual_info" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7
+        |           AS dow
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM d GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, dow, o,
+        |         SUM(o) OVER (PARTITION BY event_type) AS r,
+        |         SUM(o) OVER (PARTITION BY dow) AS c,
+        |         SUM(o) OVER () AS n
+        |  FROM cells),
+        |terms AS (
+        |  SELECT event_type, r,
+        |         CAST(ROUND(
+        |           (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+        |                / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+        |           * 1000000000) AS BIGINT) AS term_e9
+        |  FROM w)
+        |SELECT event_type, CAST(MAX(r) AS BIGINT) AS n_events,
+        |       CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |       CAST(SUM(term_e9) AS BIGINT) AS mi_part_e9
+        |FROM terms GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q233_overdispersion" ->
       """WITH d AS (
         |  SELECT event_type,

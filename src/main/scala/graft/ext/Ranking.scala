@@ -343,7 +343,84 @@ object Ranking {
       .orderBy("source")
   }
 
+  /** q248 — reciprocal-rank fusion of lexical and semantic retrieval:
+    * for each probe document (doc_id < 5; doc_id ≡ vec_id by fixture
+    * construction), fuse (a) the LEXICAL top-20 by distinct-unigram
+    * Jaccard against the probe's token set and (b) the SEMANTIC top-20
+    * by embedding cosine, with the standard RRF score
+    * Σ 1/(60 + rank) (Cormack et al. 2009), keeping the fused top-10.
+    * The hybrid-retrieval shape every RAG/search stack ships: lexical
+    * recall catches exact phrasing, dense recall catches paraphrase,
+    * RRF needs no score calibration between the two.
+    *
+    * Float discipline: Jaccard is ONE mirrored double expression of
+    * exact integers onto the e6 grid (i·10⁶ / (|A|+|B|−i); no libm —
+    * the q242 "correctly-rounded IEEE, no margin machinery" class);
+    * lexical rank reads that grid (did tiebreak). Semantic rank orders
+    * by the raw IEEE dot of identically-derived unit vectors with did
+    * tiebreak (the q237 posture). Each RRF term is an exact-rational
+    * round(10⁹/(60+r)) over r ∈ 1..20 — a 20-value table, margins
+    * trivially wide — and the fused order reads the integer sum.
+    *
+    * Scale: probe token sets and probe vectors are bounded (5 docs) —
+    * broadcast by construction. The lexical side joins the corpus
+    * token table on `w` (inverted-index shape: only overlapping docs
+    * surface); the semantic side is the q60 probe stream. Both rank
+    * stages are per-probe top-k; the fusion joins two ≤(5×20)-row
+    * frames. Nothing pairwise-corpus materializes.
+    */
+  def q248(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val qtoks = broadcast(toks.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("w")))
+    val qsizes = broadcast(sizes.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("na").as("qa")))
+    val wLex = Window.partitionBy("qid").orderBy(col("jac_e6").desc, col("did"))
+    val lex = qtoks
+      .join(toks.select(col("doc_id").as("did"), col("w")), "w")
+      .filter(col("did") =!= col("qid"))
+      .groupBy(col("qid"), col("did")).agg(count(lit(1)).as("i"))
+      .join(qsizes, "qid")
+      .join(sizes.select(col("doc_id").as("did"), col("na").as("da")), "did")
+      .select(col("qid"), col("did"),
+        round(col("i").cast("double") * 1000000.0 /
+          (col("qa") + col("da") - col("i")).cast("double"), 0).cast("long")
+          .as("jac_e6"))
+      .withColumn("r_lex", row_number().over(wLex).cast("long"))
+      .filter(col("r_lex") <= 20)
+      .select(col("qid"), col("did"), col("r_lex"))
+    val unit = Similarity.withUnitVec(
+      Tables.table(s, dir, "embeddings"), "embedding", "u")
+      .select(col("vec_id"), col("u"))
+    val qv = broadcast(unit.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("u").as("qu")))
+    val wSem = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    val sem = unit.select(col("vec_id").as("did"), col("u").as("du"))
+      .join(qv)
+      .filter(col("did") =!= col("qid"))
+      .select(col("qid"), col("did"),
+        Similarity.dot(col("qu"), col("du")).as("sim"))
+      .withColumn("r_sem", row_number().over(wSem).cast("long"))
+      .filter(col("r_sem") <= 20)
+      .select(col("qid"), col("did"), col("r_sem"))
+    val rrfTerm = (r: Column) =>
+      coalesce(round(lit(1000000000.0) / (lit(60) + r), 0).cast("long"), lit(0L))
+    val wFuse = Window.partitionBy("qid").orderBy(col("rrf_e9").desc, col("did"))
+    sem.join(lex, Seq("qid", "did"), "full_outer")
+      .select(col("qid"), col("did"), col("r_sem"), col("r_lex"),
+        (rrfTerm(col("r_sem")) + rrfTerm(col("r_lex"))).as("rrf_e9"))
+      .withColumn("frank", row_number().over(wFuse).cast("long"))
+      .filter(col("frank") <= 10)
+      .select(col("qid"), col("frank"), col("did"), col("rrf_e9"),
+        col("r_sem"), col("r_lex"))
+      .orderBy("qid", "frank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_rrf_fusion" -> (q248 _),
     "q126_bm25"       -> (q126 _),
     "q130_zipf_slope" -> (q130 _),
     "q137_topk_agg"   -> (q137 _),
@@ -356,6 +433,63 @@ object Ranking {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Independent recompute of both retrieval lists and the fusion:
+    // same tokenizer (split on ' ', distinct), same mirrored Jaccard
+    // e6 expression, same raw-dot semantic order, same RRF table.
+    "q248_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS na FROM toks GROUP BY 1),
+        |inter AS (
+        |  SELECT q.doc_id AS qid, d.doc_id AS did, COUNT(*) AS i
+        |  FROM toks q JOIN toks d USING (w)
+        |  WHERE q.doc_id < 5 AND d.doc_id <> q.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT qid, did,
+        |         CAST(ROUND(CAST(i AS DOUBLE) * 1000000.0 /
+        |              CAST(qa.na + da.na - i AS DOUBLE)) AS BIGINT) AS jac_e6
+        |  FROM inter
+        |  JOIN sizes qa ON qa.doc_id = inter.qid
+        |  JOIN sizes da ON da.doc_id = inter.did),
+        |lex AS (
+        |  SELECT qid, did,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY jac_e6 DESC, did) AS r_lex
+        |  FROM jac QUALIFY r_lex <= 20),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |      FROM embeddings),
+        |u AS (SELECT vec_id,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev)))
+        |          AS uv
+        |      FROM e),
+        |sem AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS did,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY list_inner_product(q.uv, d.uv)
+        |                                       DESC, d.vec_id) AS r_sem
+        |  FROM u q JOIN u d ON d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5
+        |  QUALIFY r_sem <= 20),
+        |f AS (
+        |  SELECT COALESCE(sem.qid, lex.qid) AS qid,
+        |         COALESCE(sem.did, lex.did) AS did,
+        |         sem.r_sem, lex.r_lex,
+        |         COALESCE(CAST(ROUND(1000000000.0 / (60 + sem.r_sem))
+        |                       AS BIGINT), 0)
+        |         + COALESCE(CAST(ROUND(1000000000.0 / (60 + lex.r_lex))
+        |                         AS BIGINT), 0) AS rrf_e9
+        |  FROM sem FULL JOIN lex
+        |    ON sem.qid = lex.qid AND sem.did = lex.did)
+        |SELECT qid,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |                               ORDER BY rrf_e9 DESC, did) AS BIGINT)
+        |         AS frank,
+        |       did, rrf_e9,
+        |       CAST(r_sem AS BIGINT) AS r_sem, CAST(r_lex AS BIGINT) AS r_lex
+        |FROM f QUALIFY frank <= 10
+        |ORDER BY qid, frank""".stripMargin,
     // Same dense grid, exact cross-multiplied ECDF numerators
     // (HUGEINT stands in for decimal(38) — both exact), one mirrored
     // double division at the end.

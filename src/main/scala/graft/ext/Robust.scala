@@ -261,7 +261,105 @@ object Robust {
       .orderBy("event_type", "day")
   }
 
+  /** q246 — seasonal-naive forecast-error monitor (MASE-style) on
+    * daily order revenue: per month, the mean absolute error of the
+    * one-day-naive forecast (r[d−1]) vs the WEEKLY seasonal naive
+    * (r[d−7]), and their e4 ratio. The standard "is there weekly
+    * seasonality worth modeling" screen: ratio ≪ 1e4 says the
+    * seasonal lag explains the series better than persistence.
+    *
+    * Exactness: day buckets and the dense calendar grid are integer;
+    * revenue is exact cents; both error sums are exact BIGINT (bound:
+    * Σ|Δdaily-cents| per month < 31 × max daily revenue — the q238
+    * cents-sum bound; past ~2⁶³ swap the decimal(38) accumulator,
+    * q219 pattern); MAEs are floor DIV; the ratio is ONE mirrored
+    * double expression (s7·10⁴/s1) of exact integers on the e4 grid,
+    * NULL when a month has zero naive error (both engines).
+    *
+    * Scale: orders collapse map-side to the calendar-bounded daily
+    * frame; the lag window and the dense grid ride day rows (the
+    * q243 posture — SCALE.md day-frame note), never orders.
+    */
+  def q246(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+        .cast("long").as("day"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("r"))
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("r"), lit(0L)).as("r"))
+    val w = Window.orderBy("day")
+    grid
+      .withColumn("l1", lag(col("r"), 1).over(w))
+      .withColumn("l7", lag(col("r"), 7).over(w))
+      .filter(col("l7").isNotNull)
+      .select(
+        date_format(date_add(to_date(lit("1970-01-01")),
+          col("day").cast("int")), "yyyy-MM").as("month"),
+        abs(col("r") - col("l1")).as("e1"),
+        abs(col("r") - col("l7")).as("e7"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("e1")).as("s1"), sum(col("e7")).as("s7"))
+      .select(col("month"), col("n_days"),
+        expr("s1 DIV n_days").as("mae1_c"),
+        expr("s7 DIV n_days").as("mae7_c"),
+        when(col("s1") > 0,
+          round(col("s7").cast("double") * 10000.0 /
+            col("s1").cast("double"), 0).cast("long")).as("mase_e4"))
+      .orderBy("month")
+  }
+
+  /** q250 — Tukey IQR-fence outlier census of document lengths per
+    * source: nearest-rank Q1/Q3 from the value-collapsed
+    * (source, n_chars, count) frequency table (the q238 rank-span
+    * machinery), fences at 1.5·IQR spelled in HALF-UNITS so the whole
+    * test is integer (low: 2c < 2·Q1 − 3·IQR; high: 2c > 2·Q3 +
+    * 3·IQR). The box-plot outlier rule every profiling dashboard
+    * draws — here as exact counts a filter stage can act on.
+    *
+    * Scale: identical posture to q238 — the shuffle carries distinct
+    * (source, length) values, the rank window rides the value-bounded
+    * collapsed frame, the 2-row limits broadcast back. No doubles
+    * anywhere.
+    */
+  def q250(s: SparkSession, dir: String): DataFrame = {
+    val vals = t(s, dir, "documents")
+      .select(col("source"), col("n_chars").as("c"))
+      .groupBy(col("source"), col("c")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = vals.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val grp = spans.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    val sp = spans.join(broadcast(grp), "source")
+      .withColumn("q1r", expr("(n + 3) DIV 4"))
+      .withColumn("q3r", expr("(3 * n + 3) DIV 4"))
+    val limits = sp
+      .filter((col("cum") >= col("q1r") && col("prev") < col("q1r")) ||
+        (col("cum") >= col("q3r") && col("prev") < col("q3r")))
+      .groupBy(col("source"))
+      .agg(
+        min(when(col("cum") >= col("q1r") && col("prev") < col("q1r"),
+          col("c"))).as("q1c"),
+        min(when(col("cum") >= col("q3r") && col("prev") < col("q3r"),
+          col("c"))).as("q3c"))
+    sp.join(broadcast(limits), "source")
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        max(col("q1c")).as("q1_chars"), max(col("q3c")).as("q3_chars"),
+        sum(when(col("c") * 2 < col("q1c") * 2 - (col("q3c") - col("q1c")) * 3,
+          col("cnt")).otherwise(0L)).as("n_lo"),
+        sum(when(col("c") * 2 > col("q3c") * 2 + (col("q3c") - col("q1c")) * 3,
+          col("cnt")).otherwise(0L)).as("n_hi"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_seasonal_error" -> (q246 _),
+    "q250_iqr_outliers"   -> (q250 _),
     "q238_winsorized"   -> (q238 _),
     "q239_state_merge"  -> (q239 _),
     "q242_hist_quantiles" -> (q242 _),
@@ -271,6 +369,69 @@ object Robust {
     ewmaCoefs.zipWithIndex.map { case (c, k) => s"($k, $c)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // Same rank-span arithmetic and half-unit integer fences.
+    "q250_iqr_outliers" ->
+      """WITH vals AS (
+        |  SELECT source, n_chars AS c, COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT source, c, cnt,
+        |         SUM(cnt) OVER (PARTITION BY source ORDER BY c
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM vals),
+        |sp AS (
+        |  SELECT source, c, cnt, cum, cum - cnt AS prev,
+        |         SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM spans),
+        |sp2 AS (
+        |  SELECT *, (n + 3) // 4 AS q1r, (3 * n + 3) // 4 AS q3r FROM sp),
+        |limits AS (
+        |  SELECT source,
+        |         MIN(CASE WHEN cum >= q1r AND prev < q1r THEN c END) AS q1c,
+        |         MIN(CASE WHEN cum >= q3r AND prev < q3r THEN c END) AS q3c
+        |  FROM sp2 GROUP BY source)
+        |SELECT sp2.source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |       CAST(MAX(q1c) AS BIGINT) AS q1_chars,
+        |       CAST(MAX(q3c) AS BIGINT) AS q3_chars,
+        |       CAST(SUM(CASE WHEN c * 2 < q1c * 2 - (q3c - q1c) * 3
+        |                     THEN cnt ELSE 0 END) AS BIGINT) AS n_lo,
+        |       CAST(SUM(CASE WHEN c * 2 > q3c * 2 + (q3c - q1c) * 3
+        |                     THEN cnt ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM sp2 JOIN limits ON sp2.source = limits.source
+        |GROUP BY sp2.source ORDER BY sp2.source""".stripMargin,
+    // Same dense day grid, same lag frame, same mirrored s7*1e4/s1
+    // double expression; NULL mase where a month's naive error is 0.
+    "q246_seasonal_error" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT)) AS r
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |grid AS (
+        |  SELECT gs.day, COALESCE(daily.r, 0) AS r
+        |  FROM (SELECT UNNEST(generate_series(d0, d1)) AS day FROM b) gs
+        |  LEFT JOIN daily USING (day)),
+        |lagged AS (
+        |  SELECT day, r,
+        |         LAG(r, 1) OVER (ORDER BY day) AS l1,
+        |         LAG(r, 7) OVER (ORDER BY day) AS l7
+        |  FROM grid),
+        |m AS (
+        |  SELECT strftime(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m')
+        |           AS month,
+        |         ABS(r - l1) AS e1, ABS(r - l7) AS e7
+        |  FROM lagged WHERE l7 IS NOT NULL)
+        |SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       CAST(SUM(e1) // COUNT(*) AS BIGINT) AS mae1_c,
+        |       CAST(SUM(e7) // COUNT(*) AS BIGINT) AS mae7_c,
+        |       CASE WHEN SUM(e1) > 0
+        |            THEN CAST(ROUND(CAST(SUM(e7) AS DOUBLE) * 10000.0 /
+        |                            CAST(SUM(e1) AS DOUBLE)) AS BIGINT)
+        |       END AS mase_e4
+        |FROM m GROUP BY month
+        |ORDER BY month""".stripMargin,
     // Same value-collapsed rank-span arithmetic; all-integer output.
     "q238_winsorized" ->
       """WITH vals AS (

@@ -102,6 +102,31 @@ class ComponentsSpec extends SparkTestBase {
     assert(badLabel.count() === 0L)
   }
 
+  test("q249 golden record replays from the certified q102 labels") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = Components.q102(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"n_chars", $"source")
+      .filter($"doc_id" < 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val expected = docs.groupBy(d => labels(d._1)).toSeq.sortBy(_._1)
+      .map { case (comp, ds) =>
+        val canon = ds.minBy(d => (-d._2, d._1))
+        (comp, canon._1, canon._2, ds.size.toLong,
+          ds.map(_._2).sum, ds.map(_._3).distinct.size.toLong)
+      }
+    val got = Components.q249(spark, dir).collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got === expected)
+    // survivorship must be non-trivial: multi-member components exist,
+    // and at least one canonical is NOT the min-id member (the label),
+    // proving the longest-text rule actually decides.
+    assert(got.exists(_._4 > 1L))
+    assert(got.exists(g => g._4 > 1L && g._2 != g._1))
+  }
+
   // ---- pageRank ---------------------------------------------------------
 
   private def pr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =

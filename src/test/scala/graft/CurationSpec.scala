@@ -128,6 +128,30 @@ class CurationSpec extends SparkTestBase {
     (table, raw.toSeq)
   }
 
+  /** Per-type (n_events, n_cells, mi_part_e9) plus raw per-cell terms
+    * for margin measurement (q247).
+    */
+  private def replayMi(events: Seq[(String, Long)])
+      : (Map[String, (Long, Long, Long)], Seq[Double]) = {
+    val cells = events
+      .groupBy { case (t, us) => (t, ((us / 86400000000L) + 4) % 7) }
+      .view.mapValues(_.size.toLong).toMap
+    val r = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val c = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = events.size.toLong
+    val raw = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val table = r.map { case (t, rt) =>
+      val mi = cells.collect { case ((tt, dow), o) if tt == t =>
+        val term = (o.toDouble / n.toDouble) *
+          math.log((o.toDouble * n.toDouble) / (rt.toDouble * c(dow).toDouble))
+        raw += term
+        math.round(term * 1000000000L)
+      }.sum
+      t -> (rt, cells.count(_._1._1 == t).toLong, mi)
+    }
+    (table, raw.toSeq)
+  }
+
   for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
     val tag = sf.split("/").last
 
@@ -194,6 +218,24 @@ class CurationSpec extends SparkTestBase {
     test(s"q236 OOV: e4 rounding margins are wide at $tag") {
       val (_, raw) = replayOov(docsOf(sf))
       val m = margin(raw, 1e4)
+      assert(m > 1e-6, s"min margin $m")
+    }
+
+    test(s"q247 mutual information: exact replay at $tag") {
+      val (expected, _) = replayMi(eventsOf(sf))
+      val got = Curation.q247(spark, sf).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got === expected)
+      // MI decomposition sanity: the total over types is ≥ 0 up to
+      // per-cell grid error (each cell rounds within ±0.5e-9).
+      val nCells = expected.values.map(_._2).sum
+      assert(expected.values.map(_._3).sum >= -nCells)
+    }
+
+    test(s"q247 MI: per-cell e9 rounding margins are wide at $tag") {
+      val (_, raw) = replayMi(eventsOf(sf))
+      val m = margin(raw, 1e9)
       assert(m > 1e-6, s"min margin $m")
     }
   }

@@ -71,6 +71,72 @@ class RetrievalSpec extends SparkTestBase {
 
   // ---- q240 ---------------------------------------------------------------
 
+  test("q248 RRF fusion: exact replay; both lists contribute; " +
+    "semantic rank margins wide") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).distinct.toSet))
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect().toSeq
+      .map { r =>
+        val e = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(e.map(x => x * x).sum)
+        (r.getLong(0), e.map(_ / n))
+      }
+    val probes = (0L until 5L).toSeq
+    val docMap = docs.toMap
+    val lex = probes.flatMap { q =>
+      val qs = docMap(q)
+      docs.filter(_._1 != q)
+        .map { case (d, ds) =>
+          val i = (qs & ds).size
+          (d, i, qs.size + ds.size - i)
+        }
+        .filter(_._2 > 0)
+        .map { case (d, i, u) =>
+          (d, math.round(i.toDouble * 1000000.0 / u.toDouble))
+        }
+        .sortBy { case (d, j) => (-j, d) }.take(20).zipWithIndex
+        .map { case ((d, _), r) => (q, d) -> (r + 1L) }
+    }.toMap
+    val vecMap = vecs.toMap
+    val semSims = probes.map { q =>
+      val qu = vecMap(q)
+      q -> vecs.filter(_._1 != q).map { case (d, du) =>
+        var s = 0.0; var i = 0
+        while (i < du.length) { s += du(i) * qu(i); i += 1 }
+        (d, s)
+      }.sortBy { case (d, s) => (-s, d) }
+    }.toMap
+    // Adjacent raw-sim gaps through rank 21 must dwarf cross-engine
+    // IEEE drift (~1e-15): a gap flip would renumber r_sem.
+    val minGap = semSims.values.flatMap { ss =>
+      ss.take(21).sliding(2).collect { case Seq(a, b) => a._2 - b._2 }
+    }.min
+    assert(minGap > 1e-9, s"semantic rank gap $minGap")
+    val sem = semSims.flatMap { case (q, ss) =>
+      ss.take(20).zipWithIndex.map { case ((d, _), r) => (q, d) -> (r + 1L) }
+    }
+    val expected = (sem.keySet ++ lex.keySet).toSeq.map { k =>
+      val rrf = sem.get(k).map(r => math.round(1e9 / (60 + r))).getOrElse(0L) +
+        lex.get(k).map(r => math.round(1e9 / (60 + r))).getOrElse(0L)
+      (k._1, k._2, rrf, sem.get(k), lex.get(k))
+    }.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(t => (-t._3, t._2)).take(10).zipWithIndex
+        .map { case ((_, d, rrf, rs, rl), i) => (q, i + 1L, d, rrf, rs, rl) }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.ext.Ranking.q248(spark, sf).collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(got === expected)
+    // Fusion must be non-trivial: rows from each list alone AND rows
+    // where both lists agree.
+    assert(got.exists(r => r._5.isDefined && r._6.isEmpty))
+    assert(got.exists(r => r._5.isEmpty && r._6.isDefined))
+    assert(got.exists(r => r._5.isDefined && r._6.isDefined))
+  }
+
   test("q240 winnowing replays exactly") {
     val rows = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect().toSeq

@@ -122,4 +122,71 @@ class RobustSpec extends SparkTestBase {
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
     assert(got === expect)
   }
+
+  test("q250 IQR outliers: replay at both gate SFs; fences bind") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"source", $"n_chars").collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1)))
+      val expected = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (src, ds) =>
+          val v = ds.map(_._2).sorted
+          val n = v.length.toLong
+          val q1 = v(((n + 3) / 4 - 1).toInt)
+          val q3 = v(((3 * n + 3) / 4 - 1).toInt)
+          val iqr = q3 - q1
+          (src, n, q1, q3,
+            v.count(c => 2 * c < 2 * q1 - 3 * iqr).toLong,
+            v.count(c => 2 * c > 2 * q3 + 3 * iqr).toLong)
+        }
+      val got = Robust.q250(spark, dir).collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      assert(got === expected, s"at $dir")
+      // The fence binds at the driver-gate fixture (sf0.001's 500-doc
+      // sample happens to be fence-clean — measured, not assumed) and
+      // never swallows a whole source.
+      if (dir.endsWith("sf0.01"))
+        assert(got.exists(g => g._5 + g._6 > 0L), s"no outliers at $dir")
+      assert(got.forall(g => g._5 + g._6 < g._2), s"all outliers at $dir")
+    }
+  }
+
+  test("q246 seasonal error: replay at both gate SFs; seasonal lag binds") {
+    def epochDay(v: Any): Long = v match {
+      case t: java.sql.Timestamp      => Math.floorDiv(t.getTime, 86400000L)
+      case d: java.time.LocalDateTime => d.toLocalDate.toEpochDay
+      case i: java.time.Instant       => Math.floorDiv(i.toEpochMilli, 86400000L)
+      case other => fail(s"unexpected timestamp class: ${other.getClass}")
+    }
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val byDay = spark.read.parquet(s"$dir/orders.parquet")
+        .select($"o_orderdate", $"o_totalprice").collect().toSeq
+        .map(r => (epochDay(r.get(0)), cents(r.getDouble(1))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val d0 = byDay.keys.min
+      val d1 = byDay.keys.max
+      val r = (d0 to d1).map(d => d -> byDay.getOrElse(d, 0L)).toMap
+      val expect = (d0 + 7 to d1).map { d =>
+        val month = java.time.LocalDate.ofEpochDay(d)
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM"))
+        (month, math.abs(r(d) - r(d - 1)), math.abs(r(d) - r(d - 7)))
+      }.groupBy(_._1).toSeq.sortBy(_._1).map { case (m, es) =>
+        val n = es.size.toLong
+        val s1 = es.map(e => BigInt(e._2)).sum
+        val s7 = es.map(e => BigInt(e._3)).sum
+        val mase = if (s1 > 0)
+          Some(Math.round(s7.toDouble * 10000.0 / s1.toDouble))
+        else None
+        (m, n, (s1 / n).toLong, (s7 / n).toLong, mase)
+      }
+      val got = Robust.q246(spark, dir).collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      assert(got === expect, s"at $dir")
+      // The monitor must DETECT something: at least one month where
+      // the weekly lag beats persistence or vice versa (ratio ≠ 1e4).
+      assert(got.flatMap(_._5).exists(_ != 10000L), s"flat ratio at $dir")
+    }
+  }
 }
