@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.ops.{DeflateLen, DotProduct, NfcNormalize, StripAccents, TitleCase}
+import graft.ops.{DeflateLen, DotProduct, JaroWinkler, NfcNormalize, StripAccents, TitleCase}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions in the SQL function registry, so `spark.sql`
@@ -66,6 +66,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "dot_product(a, b) - fused-loop dot product of two array<double> columns."),
       (children: Seq[Expression]) => {
         arity("dot_product", 2, children); DotProduct(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]: Jaro with the 0.1-scaled common-prefix boost (cap 4) above 0.7."),
+      (children: Seq[Expression]) => {
+        arity("jaro_winkler", 2, children)
+        JaroWinkler(children(0), children(1))
       }))
 
     ext.injectFunction((

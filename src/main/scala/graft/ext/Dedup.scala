@@ -442,6 +442,40 @@ object Dedup {
     fuzzyPairs(Tables.table(s, dir, "part"), col("p_name"), maxDist = 3)
       .orderBy("name_a", "name_b")
 
+  /** q252 — Jaro–Winkler fuzzy matches among distinct part names,
+    * blocked on the leading token (the record-linkage "blocking key"):
+    * pairs scoring ≥ 0.88 on the native [[graft.ops.JaroWinkler]]
+    * expression (DuckDB-verified semantics). The prefix-weighted
+    * complement to q128's edit distance: Levenshtein counts operations
+    * anywhere, JW rewards the shared stem — the metric name/title
+    * matchers actually rank by.
+    *
+    * Float discipline: jw is e6-gridded ([[Similarity.intScaled]]) and
+    * the keep decision reads the GRID (jw_e6 ≥ 880000) — both engines
+    * decide identically; spec measures every candidate pair's margin
+    * to its half-boundary at both gate SFs (the q134 pattern — JW is
+    * a division chain, so 1-ulp cross-engine drift is assumed).
+    *
+    * Scale: names collapse to the distinct set first (value-bounded);
+    * the equi-join on the blocking key bounds candidates to in-block
+    * pairs (O(Σ block²) — the standard linkage trade: recall is
+    * forfeited across blocks BY DESIGN, unlike q128's lossless band).
+    */
+  def q252(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.table(s, dir, "part")
+      .select(col("p_name").as("name")).distinct()
+      .withColumn("w", split(col("name"), " ").getItem(0))
+    names.select(col("w"), col("name").as("name_a"))
+      .join(names.select(col("w"), col("name").as("name_b")), "w")
+      .filter(col("name_a") < col("name_b"))
+      .select(col("w"), col("name_a"), col("name_b"),
+        Similarity.intScaled(
+          graft.ops.JaroWinkler(col("name_a"), col("name_b")), 1000000L)
+          .as("jw_e6"))
+      .filter(col("jw_e6") >= 880000L)
+      .orderBy("w", "name_a", "name_b")
+  }
+
   /** Cross-document duplicated-segment removal (the paragraph-dedup
     * pass of public web-corpus pipelines, run here on fixed 16-token
     * segments since the synthetic docs have no newlines): a segment is
@@ -575,6 +609,7 @@ object Dedup {
     "q107_minhash_portable" -> (q107 _),
     "q122_cross_corpus_neardup" -> (q122 _),
     "q128_fuzzy_pairs"     -> (q128 _),
+    "q252_jw_match"        -> (q252 _),
     "q129_segment_dedup"   -> (q129 _),
     "q132_containment"     -> (q132 _),
     "q159_minhash_calib"   -> (q159 _),
@@ -948,6 +983,19 @@ object Dedup {
         |FROM names a JOIN names b ON a.name < b.name
         |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
         |ORDER BY name_a, name_b""".stripMargin,
+    // DuckDB's jaro_winkler_similarity verified against the expression
+    // on the classic vectors; both sides grid to e6 BEFORE the keep
+    // decision.
+    "q252_jw_match" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |t AS (SELECT name, string_split(name, ' ')[1] AS w FROM names)
+        |SELECT a.w, a.name AS name_a, b.name AS name_b,
+        |       CAST(ROUND(jaro_winkler_similarity(a.name, b.name) * 1000000)
+        |            AS BIGINT) AS jw_e6
+        |FROM t a JOIN t b ON a.w = b.w AND a.name < b.name
+        |WHERE CAST(ROUND(jaro_winkler_similarity(a.name, b.name) * 1000000)
+        |           AS BIGINT) >= 880000
+        |ORDER BY a.w, name_a, name_b""".stripMargin,
     "q129_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |s AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 16)) AS st FROM t),

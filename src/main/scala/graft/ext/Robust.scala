@@ -357,9 +357,71 @@ object Robust {
       .orderBy("source")
   }
 
+  /** q251 — CUSUM level-shift monitor on daily event arrivals per
+    * type: the classic upper CUSUM S_d = max(0, S_{d−1} + (x_d − k))
+    * against the per-type reference level k = mean daily count, in
+    * CLOSED FORM so it distributes — S_d = P_d − min_{0≤j≤d} P_j with
+    * P the prefix sum of increments and P_0 = 0 (the running-minimum
+    * identity; the empty prefix is load-bearing — without it the
+    * leading rows could never accumulate). No sequential recurrence,
+    * just two keyed windows. The
+    * change-point cousin of q243's EWMA: EWMA tracks the level, CUSUM
+    * accumulates evidence of a SUSTAINED shift and is the standard
+    * "did the feed change regime" alarm.
+    *
+    * Exactness: the rational mean is cleared — increments are
+    * x_d·n − Σx (exact BIGINT in 1/n-day units), so P, the running
+    * min, and S are ALL integers. The alarm is the 4σ Poisson rule
+    * (S/n > 4·√(Σx/n)) cross-multiplied into the exact integer
+    * predicate S² > 16·Σx·n — no sqrt, no doubles; the S² and Σx·n
+    * products ride decimal(38) (q206 discipline — S reaches n·Σx, so
+    * S² wraps BIGINT long before 100 TB). Peak pick is a struct-max
+    * (ties → earliest day).
+    *
+    * Scale: events collapse map-side to the dense calendar-bounded
+    * (type × day) grid (q243 posture); both windows are keyed by type
+    * and ride day rows. Increment magnitude is daily-count × n-days —
+    * ~10¹² at 10⁹ events/day over decades, 2⁶³ has headroom ×10⁶.
+    */
+  def q251(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .groupBy(col("event_type"), expr("us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val tot = grid.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("nd"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(tot), "event_type")
+      .withColumn("p", sum(col("x") * col("nd") - col("sx")).over(w))
+      // min over prefixes INCLUDING the empty one (P_0 = 0): without
+      // the least(0, ·) the first rows could never accumulate.
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .groupBy(col("event_type"))
+      .agg(max(col("nd")).as("n_days"), max(col("sx")).as("n_events"),
+        max(struct(col("s").as("s"), (-col("day")).as("nd_"))).as("peak"),
+        sum(when(
+          col("s").cast("decimal(38,0)") * col("s") >
+            col("sx").cast("decimal(38,0)") * col("nd") * 16,
+          1L).otherwise(0L)).as("n_alarm_days"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("peak.s").as("max_s"), (-col("peak.nd_")).as("peak_day"),
+        col("n_alarm_days"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q246_seasonal_error" -> (q246 _),
     "q250_iqr_outliers"   -> (q250 _),
+    "q251_cusum_shift"    -> (q251 _),
     "q238_winsorized"   -> (q238 _),
     "q239_state_merge"  -> (q239 _),
     "q242_hist_quantiles" -> (q242 _),
@@ -369,6 +431,51 @@ object Robust {
     ewmaCoefs.zipWithIndex.map { case (c, k) => s"($k, $c)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // Same dense grid, same cleared-denominator increments, same
+    // running-minimum closed form; all integer.
+    "q251_cusum_shift" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |griddays AS (
+        |  SELECT event_type, UNNEST(generate_series(d0, d1)) AS day FROM span),
+        |grid AS (
+        |  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x
+        |  FROM griddays g
+        |  LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = g.day),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS sx,
+        |         CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM grid GROUP BY 1),
+        |pr AS (
+        |  SELECT g.event_type, g.day, t.sx, t.nd,
+        |         SUM(g.x * t.nd - t.sx)
+        |           OVER (PARTITION BY g.event_type ORDER BY g.day
+        |                 ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM grid g JOIN tot t USING (event_type)),
+        |s AS (
+        |  SELECT event_type, day, sx, nd,
+        |         p - LEAST(0, MIN(p) OVER (PARTITION BY event_type
+        |                                   ORDER BY day
+        |                                   ROWS UNBOUNDED PRECEDING)) AS s
+        |  FROM pr),
+        |s2 AS (
+        |  SELECT *, MAX(s) OVER (PARTITION BY event_type) AS ms FROM s)
+        |SELECT event_type, CAST(MAX(nd) AS BIGINT) AS n_days,
+        |       CAST(MAX(sx) AS BIGINT) AS n_events,
+        |       CAST(MAX(ms) AS BIGINT) AS max_s,
+        |       CAST(MIN(CASE WHEN s = ms THEN day END) AS BIGINT) AS peak_day,
+        |       CAST(SUM(CASE WHEN CAST(s AS HUGEINT) * s >
+        |                          CAST(sx AS HUGEINT) * nd * 16
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_alarm_days
+        |FROM s2 GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // Same rank-span arithmetic and half-unit integer fences.
     "q250_iqr_outliers" ->
       """WITH vals AS (

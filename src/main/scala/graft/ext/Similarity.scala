@@ -880,10 +880,56 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** q253 — k-NN classifier evaluation: predict each eval vector's
+    * label (the q230/q244 split: vec_id % 7 == 0) by majority vote of
+    * its 5 nearest corpus neighbors (cosine), against the true label.
+    * The standard "are these embeddings linearly useful" probe — the
+    * evaluation harness run before anyone trains a head on top. The
+    * companion to q192's separability statistic: q192 measures
+    * geometry, this measures realized top-k label agreement.
+    *
+    * Determinism: neighbor rank orders by the raw IEEE dot of
+    * identically-derived unit vectors with did tiebreak (q237
+    * posture; rank-5/6 gap spec-measured), and the vote picks
+    * (votes DESC, label ASC) — a total order.
+    *
+    * Scale: eval probes broadcast (bounded split); candidate scoring
+    * is the q60 probe stream — at real scale the LSH/IVF bucket paths
+    * (q61/q64) feed the same vote; top-5 and the ≤5-row vote frame
+    * per probe are constant-size.
+    */
+  def q253(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unit = withUnitVec(emb(s, dir), "embedding", "u")
+      .select(col("vec_id"), col("u"), col("label"))
+    val ev = broadcast(unit.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("qid"), col("u").as("qu"),
+        col("label").as("tl")))
+    val d = unit.filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id").as("did"), col("u").as("du"),
+        col("label").as("dl"))
+    val wSim = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    val wVote = Window.partitionBy("qid")
+      .orderBy(col("votes").desc, col("dl"))
+    d.join(ev)
+      .select(col("qid"), col("tl"), col("did"), col("dl"),
+        dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(wSim)).filter(col("rn") <= 5)
+      .groupBy(col("qid"), col("tl"), col("dl"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
+      .select(col("qid"), col("tl").cast("long").as("true_label"),
+        col("dl").cast("long").as("pred_label"),
+        col("votes"),
+        (col("dl") === col("tl")).cast("long").as("correct"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
     "q237_retrieval_metrics" -> (q237 _),
     "q244_hard_negatives" -> (q244 _),
+    "q253_knn_classify" -> (q253 _),
     "q123_semdedup" -> (q123 _),
     "q230_semantic_decontam" -> (q230 _),
     "q60_knn_brute" -> (q60 _),
@@ -1070,6 +1116,38 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "q237_retrieval_metrics" -> retrievalMetricsOracle,
+    // Independent recompute: same raw-dot neighbor order, same
+    // (votes DESC, label) vote pick.
+    "q253_knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label
+        |           FROM embeddings),
+        |u AS (SELECT vec_id, label,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
+        |      FROM e),
+        |sims AS (
+        |  SELECT q.vec_id AS qid, q.label AS tl, d.vec_id AS did,
+        |         d.label AS dl, list_inner_product(q.uv, d.uv) AS sim
+        |  FROM u q JOIN u d ON d.vec_id % 7 <> 0
+        |  WHERE q.vec_id % 7 = 0),
+        |nn AS (
+        |  SELECT qid, tl, dl,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, did) AS rn
+        |  FROM sims QUALIFY rn <= 5),
+        |votes AS (
+        |  SELECT qid, tl, dl, COUNT(*) AS votes
+        |  FROM nn GROUP BY 1, 2, 3),
+        |pick AS (
+        |  SELECT qid, tl, dl, votes,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY votes DESC, dl) AS vr
+        |  FROM votes QUALIFY vr = 1)
+        |SELECT qid, CAST(tl AS BIGINT) AS true_label,
+        |       CAST(dl AS BIGINT) AS pred_label,
+        |       CAST(votes AS BIGINT) AS votes,
+        |       CAST(CASE WHEN dl = tl THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM pick
+        |ORDER BY qid""".stripMargin,
     // Independent recompute: unit vectors, cross-label probe pairs,
     // identical e2 grid for BOTH the band filter and the rank order
     // (window row_number ≡ the Spark side's bounded-heap total order:

@@ -1231,6 +1231,75 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("q252 JW match: exact replay + binding threshold + e6 margins " +
+    "at both gate SFs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.ops.JaroWinklerUtil.jw(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val names = spark.read.parquet(s"$dir/part.parquet")
+        .select($"p_name").distinct().as[String].collect().toSeq
+      val pairs = for {
+        a <- names; b <- names
+        if a < b && a.split(" ")(0) == b.split(" ")(0)
+      } yield (a.split(" ")(0), a, b, jw(a, b))
+      val scored = pairs.map { case (w, a, b, s) =>
+        (w, a, b, math.round(s * 1000000), s)
+      }
+      // threshold binds on both sides
+      assert(scored.exists(_._4 >= 880000L) && scored.exists(_._4 < 880000L),
+        s"threshold does not bind at $dir")
+      // e6 margins over EVERY candidate pair: the keep decision and
+      // the hash both read the grid.
+      val minMargin = scored
+        .map(p => math.abs(math.abs(p._5 * 1e6) % 1.0 - 0.5)).min
+      assert(minMargin > 1e-6, s"min e6 margin $minMargin at $dir")
+      val expected = scored.filter(_._4 >= 880000L)
+        .map(p => (p._1, p._2, p._3, p._4))
+        .sortBy(p => (p._1, p._2, p._3))
+      val got = Dedup.q252(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      assert(got === expected, s"at $dir")
+    }
+  }
+
+  test("q253 kNN classify: exact replay + rank-5/6 margins at both " +
+    "gate SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding", $"label")
+        .as[(Long, Seq[Float], Int)].collect().toSeq
+        .map { case (id, e, lab) =>
+          val d = e.map(_.toDouble).toArray
+          val n = math.sqrt(d.map(x => x * x).sum)
+          (id, d.map(_ / n), lab)
+        }
+      val (ev, corpus) = vecs.partition(_._1 % 7 == 0)
+      var minGap = Double.MaxValue
+      val expected = ev.sortBy(_._1).map { case (qid, qu, tl) =>
+        val sims = corpus.map { case (did, du, dl) =>
+          var s = 0.0; var i = 0
+          while (i < du.length) { s += du(i) * qu(i); i += 1 }
+          (did, dl, s)
+        }.sortBy(t => (-t._3, t._1))
+        minGap = math.min(minGap, sims(4)._3 - sims(5)._3)
+        val votes = sims.take(5).groupBy(_._2).view.mapValues(_.size).toSeq
+          .sortBy { case (dl, v) => (-v, dl) }
+        val (pred, v) = votes.head
+        (qid, tl.toLong, pred.toLong, v.toLong,
+          if (pred == tl) 1L else 0L)
+      }
+      // the rank-5/6 raw-sim gap must dwarf cross-engine drift
+      assert(minGap > 1e-9, s"rank-5/6 gap $minGap at $dir")
+      val got = graft.ext.Similarity.q253(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(got === expected, s"at $dir")
+    }
+  }
+
   test("q244 hard negatives: exact replay + binding band at both gate SFs") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val vecs = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -152,6 +152,46 @@ class RobustSpec extends SparkTestBase {
     }
   }
 
+  test("q251 CUSUM: closed form equals the sequential recurrence at " +
+    "both gate SFs; alarms bind") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val byTypeDay = Tables.events(spark, dir)
+        .selectExpr("event_type", "ts").collect().toSeq
+        .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), 1000L)))
+        .map { case (t, us) => (t, us / 86400000000L) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = byTypeDay.keys.map(_._1).toSeq.distinct.sorted.map { t =>
+        val days = byTypeDay.keys.filter(_._1 == t).map(_._2)
+        val d0 = days.min
+        val d1 = days.max
+        val xs = (d0 to d1).map(d => byTypeDay.getOrElse((t, d), 0L))
+        val nd = xs.length.toLong
+        val sx = xs.sum
+        // THE SEQUENTIAL DEFINITION, not the engine's closed form:
+        // S_d = max(0, S_{d-1} + (x_d*nd - sx)) — equality with the
+        // running-minimum identity is what this test proves.
+        var s = 0L
+        var maxS = 0L
+        var peakOff = 0
+        var alarms = 0L
+        xs.zipWithIndex.foreach { case (x, i) =>
+          s = math.max(0L, s + x * nd - sx)
+          if (s > maxS) { maxS = s; peakOff = i }
+          if (BigInt(s) * s > BigInt(sx) * nd * 16) alarms += 1
+        }
+        // peak_day ties to the EARLIEST day at max (the engine's
+        // struct-max rule); the strict `>` above does exactly that.
+        (t, nd, sx, maxS, d0 + peakOff, alarms)
+      }
+      val got = Robust.q251(spark, dir).collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      assert(got === expected, s"at $dir")
+      assert(got.exists(_._6 > 0L), s"no alarms anywhere at $dir")
+      assert(got.forall(g => g._6 < g._2), s"always-alarming type at $dir")
+    }
+  }
+
   test("q246 seasonal error: replay at both gate SFs; seasonal lag binds") {
     def epochDay(v: Any): Long = v match {
       case t: java.sql.Timestamp      => Math.floorDiv(t.getTime, 86400000L)
