@@ -501,10 +501,9 @@ object Components {
     }
   }
 
-  private def neardupLabels(
+  private def neardupLabelsWith(
       s: SparkSession, dir: String,
-      cc: (DataFrame, DataFrame) => DataFrame =
-        connectedComponents(_, _, loopShufflePartitions = Some(4)))
+      cc: (DataFrame, DataFrame) => DataFrame)
       : (DataFrame, DataFrame) = withSmallScope(s, 4) {
     val subset = Tables.table(s, dir, "documents").filter(col("doc_id") < 1000)
     val pairs = Dedup.simhashBandPairs(
@@ -516,6 +515,27 @@ object Components {
     (subset, labels)
   }
 
+  private val neardupCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Memoized per-(session, dir) near-dup labeling on the DEFAULT CC
+    * path (the coOrderGraph pattern, Graph.scala): SIX consumers
+    * (q102/q119/q138/q146/q235/q249) fan out from ONE simhash-band +
+    * connected-components run — exactly what a production dedup
+    * pipeline does with its labeling stage. Keyed on the session
+    * OBJECT so a fresh JVM recomputes; the label frame is
+    * `localCheckpoint`'d (probe-set-bounded rows). q120's
+    * star-contraction variant stays UNCACHED and separate — its whole
+    * point is an independent second implementation of the labeling.
+    */
+  private def neardupLabels(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    neardupCache.computeIfAbsent((s, dir), { _ =>
+      val (subset, labels) = neardupLabelsWith(s, dir,
+        connectedComponents(_, _, loopShufflePartitions = Some(4)))
+      (subset, labels.localCheckpoint(true))
+    })
+
   def q102(s: SparkSession, dir: String): DataFrame =
     neardupLabels(s, dir)._2.orderBy("doc_id")
 
@@ -526,7 +546,7 @@ object Components {
     * either path now breaks a hash-checked driver row.
     */
   def q120(s: SparkSession, dir: String): DataFrame =
-    neardupLabels(s, dir,
+    neardupLabelsWith(s, dir,
       cc = connectedComponentsStar(_, _, loopShufflePartitions = Some(4)))
       ._2.orderBy("doc_id")
 
