@@ -163,6 +163,34 @@ object Curation {
       .orderBy("event_type")
   }
 
+  /** q255 — k-anonymity audit (k = 5) of the customer quasi-identifier
+    * (nation, market segment, $5000 balance bucket): per nation, how
+    * many QI equivalence classes exist, how many are RISKY (fewer than
+    * k members — those customers are re-identifiable by the QI alone),
+    * how many rows sit in risky classes, and the worst class size.
+    * The privacy gate a curation pipeline runs before shipping any
+    * user-derived table; generalize/suppress until n_risky = 0.
+    *
+    * All-integer (exact cents DIV for the bucket, counts everywhere).
+    * Scale: ONE groupBy to the QI-class frame (class-cardinality, not
+    * rows), then a nation rollup of that already-collapsed frame —
+    * the q232 two-level-census posture.
+    */
+  def q255(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("seg"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " DIV 500000").as("bb"))
+      .groupBy(col("nation"), col("seg"), col("bb"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_risky"),
+        sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_exposed"),
+        min(col("n")).as("min_class"))
+      .orderBy("nation")
+
   /** Global token budget the q234 plan allocates (a spec constant, not
     * data-derived — the plan is a function of (corpus, budget)).
     */
@@ -260,6 +288,7 @@ object Curation {
     "q232_psi_drift"      -> (q232 _),
     "q233_overdispersion" -> (q233 _),
     "q247_mutual_info"    -> (q247 _),
+    "q255_kanon_audit"    -> (q255 _),
     "q234_mixture_plan"   -> (q234 _),
     "q236_oov_rate"       -> (q236 _),
   )
@@ -298,6 +327,22 @@ object Curation {
         |ORDER BY source""".stripMargin,
     // Same integer day buckets; HUGEINT stands in for decimal(38);
     // one mirrored double division at the end.
+    // Same QI bucketing, same two-level census.
+    "q255_kanon_audit" ->
+      """WITH q AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS seg,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           // 500000 AS bb,
+        |         COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_risky,
+        |       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |         AS n_exposed,
+        |       CAST(MIN(n) AS BIGINT) AS min_class
+        |FROM q GROUP BY nation
+        |ORDER BY nation""".stripMargin,
     // Same observed-cell frame, each count cast to double BEFORE the
     // products, identical per-cell e9 rounding, exact integer sum.
     "q247_mutual_info" ->

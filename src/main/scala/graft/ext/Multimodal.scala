@@ -109,9 +109,44 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** q254 — vision-preprocessing PATCH GRID: tile each media's (stub)
+    * W×H canvas into 224×224 patches — the ViT/CLIP input-prep fan-out
+    * every image-training pipeline runs before the encoder. Stub dims
+    * derive from the payload md5 (PORTABLE, unlike decodeBatch's Scala
+    * crc — both engines parse the same hex), the tiling arithmetic is
+    * the real thing: nx·ny = ceil(W/224)·ceil(H/224) patch rows per
+    * media with edge patches clamped to the canvas.
+    *
+    * All-integer: hex-parsed dims, ceil via (w+223) DIV 224, clamp via
+    * least(). Scale: row-local fan-out (the q63 posture) — ~12 patch
+    * rows per media, no shuffle at all until a consumer aggregates.
+    */
+  def q254(s: SparkSession, dir: String): DataFrame = {
+    val media = docs(s, dir).select(
+      col("doc_id").as("media_id"),
+      (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 1920
+        + 1).as("w"),
+      (conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long") % 1080
+        + 1).as("h"))
+    media
+      .withColumn("nx", expr("(w + 223) DIV 224"))
+      .withColumn("ny", expr("(h + 223) DIV 224"))
+      .select(col("media_id"), col("w"), col("h"), col("nx"), col("ny"),
+        explode(sequence(lit(0L), col("ny") - 1)).as("py"))
+      .select(col("media_id"), col("w"), col("h"), col("nx"), col("ny"),
+        col("py"), explode(sequence(lit(0L), col("nx") - 1)).as("px"))
+      .select(col("media_id"), (col("nx") * col("ny")).as("n_patches"),
+        col("py"), col("px"),
+        (col("px") * 224).as("x0"), (col("py") * 224).as("y0"),
+        least(col("px") * 224 + 224, col("w")).as("x1"),
+        least(col("py") * 224 + 224, col("h")).as("y1"))
+      .orderBy("media_id", "py", "px")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_multimodal_meta"   -> (q62 _),
     "q63_multimodal_frames" -> (q63 _),
+    "q254_patch_grid"       -> (q254 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -119,6 +154,34 @@ object Multimodal {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       substring(md5(text), 1, 8) AS content_key
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same hex-derived stub dims, same ceil/clamp tiling arithmetic.
+    "q254_patch_grid" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1920 + 1
+        |           AS w,
+        |         CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1080 + 1
+        |           AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT media_id, w, h,
+        |         (w + 223) // 224 AS nx, (h + 223) // 224 AS ny
+        |  FROM m),
+        |p AS (
+        |  SELECT media_id, w, h, nx, ny,
+        |         UNNEST(range(0, ny)) AS py
+        |  FROM g),
+        |pp AS (
+        |  SELECT media_id, w, h, nx, ny, py,
+        |         UNNEST(range(0, nx)) AS px
+        |  FROM p)
+        |SELECT media_id, CAST(nx * ny AS BIGINT) AS n_patches,
+        |       CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px,
+        |       CAST(px * 224 AS BIGINT) AS x0, CAST(py * 224 AS BIGINT) AS y0,
+        |       CAST(LEAST(px * 224 + 224, w) AS BIGINT) AS x1,
+        |       CAST(LEAST(py * 224 + 224, h) AS BIGINT) AS y1
+        |FROM pp
+        |ORDER BY media_id, py, px""".stripMargin,
     // The frame fan-out replayed relationally: payload = UTF-8 bytes of
     // text, frame_key = md5(md5(payload) || frame_idx) — both engines
     // hash the same bytes, so the keys match exactly.

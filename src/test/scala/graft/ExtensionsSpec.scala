@@ -1231,6 +1231,71 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("q254 patch grid: exact replay; edge patches clamp; " +
+    "full-cover invariant") {
+    val dir = "/root/testdata/sf0.001"
+    def hex4(s: String, from: Int): Long =
+      java.lang.Long.parseLong(s.substring(from, from + 4), 16)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val expected = docs.sortBy(_._1).flatMap { case (id, text) =>
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val w = hex4(m, 0) % 1920 + 1
+      val h = hex4(m, 4) % 1080 + 1
+      val nx = (w + 223) / 224
+      val ny = (h + 223) / 224
+      for (py <- 0L until ny; px <- 0L until nx) yield
+        (id, nx * ny, py, px, px * 224, py * 224,
+          math.min(px * 224 + 224, w), math.min(py * 224 + 224, h))
+    }
+    val got = Multimodal.q254(spark, dir).collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got === expected)
+    // clamping must bind (some edge patch narrower than 224) and every
+    // canvas must be exactly covered: Σ patch areas = W·H per media.
+    assert(got.exists(p => p._7 - p._5 < 224))
+    val areas = got.groupBy(_._1).view
+      .mapValues(_.map(p => (p._7 - p._5) * (p._8 - p._6)).sum).toMap
+    docs.foreach { case (id, text) =>
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val w = hex4(m, 0) % 1920 + 1
+      val h = hex4(m, 4) % 1080 + 1
+      assert(areas(id) === w * h, s"coverage hole for media $id")
+    }
+  }
+
+  test("q255 k-anonymity: exact replay; risky classes bind both ways " +
+    "at both gate SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = spark.read.parquet(s"$dir/customer.parquet")
+        .select($"c_nationkey", $"c_mktsegment", $"c_acctbal")
+        .collect().toSeq.map { r =>
+        val cents = new java.math.BigDecimal(r.getDouble(2))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+        (r.getInt(0).toLong, r.getString(1), cents / 500000)
+      }
+      val classes = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      val expected = classes.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1)
+        .map { case (nation, cs) =>
+          val ns = cs.map(_._2)
+          (nation, ns.size.toLong,
+            ns.count(_ < 5).toLong, ns.filter(_ < 5).sum, ns.min)
+        }
+      val got = graft.ext.Curation.q255(spark, dir).collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      assert(got === expected, s"at $dir")
+      // k = 5 must separate: some risky classes, some safe ones.
+      val risky: Long = got.map(_._3).sum
+      val total: Long = got.map(_._2).sum
+      assert(risky > 0L && risky < total, s"k does not bind at $dir")
+    }
+  }
+
   test("q252 JW match: exact replay + binding threshold + e6 margins " +
     "at both gate SFs") {
     import org.apache.spark.unsafe.types.UTF8String
