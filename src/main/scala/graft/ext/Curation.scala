@@ -163,6 +163,82 @@ object Curation {
       .orderBy("event_type")
   }
 
+  /** Benjamini-Hochberg FDR step-up over a (event_type, dow, o) cell
+    * frame — the core of [[q258]], frame-parameterized so the
+    * binding-kmax spec can inject a cell frame with a real signal
+    * (the fixture's events are dow-independent, so every conservative
+    * bound correctly rejects nothing there).
+    *
+    * Per-cell p-values are the one-sided CANTELLI bound
+    * p = E/(E + (O−E)²) for O > E, else 1 (P(X−E ≥ t) ≤
+    * Var/(Var+t²) ≤ E/(E+t²) for count-sum variance ≤ mean —
+    * distribution-free and an EXACT RATIONAL, unlike a χ²-tail which
+    * needs an incomplete-gamma neither engine evaluates portably).
+    * With E = rc/n it clears to rc·n / (rc·n + (n·O − rc)²).
+    *
+    * Float discipline: the ACCEPT/REJECT decision is pure integer —
+    * 4·pnum·m ≤ k·pden cross-multiplied in decimal(38) (rc·n and the
+    * squared deviation wrap BIGINT long before 100 TB; decimal(38)
+    * holds to ~10¹² events/margin) — and the rank order is by the
+    * IEEE quotient of the SAME exact integers (identical doubles both
+    * engines; a double-grid collision across distinct rationals still
+    * yields the same groups on both sides, and the (type, dow)
+    * tie-break makes the order total). p_e9 is reporting only, never
+    * compared.
+    *
+    * Scale: the rank window and the kmax one-row broadcast ride the
+    * bounded cell frame — the q247 posture.
+    */
+  def bhFdr(cells: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val r = sum(col("o")).over(Window.partitionBy("event_type"))
+    val c = sum(col("o")).over(Window.partitionBy("dow"))
+    val n = sum(col("o")).over(Window.partitionBy())
+    val m = count(lit(1)).over(Window.partitionBy())
+    val framed = cells.select(col("event_type"), col("dow"), col("o"),
+      (r.cast(d38) * c).as("rc"), (n.cast(d38) * col("o")).as("no"),
+      n.as("n"), m.as("m"))
+      .withColumn("rcn", col("rc") * col("n"))
+      .withColumn("dev", col("no") - col("rc"))
+      .withColumn("pnum",
+        when(col("no") > col("rc"), col("rcn")).otherwise(lit(1).cast(d38)))
+      .withColumn("pden",
+        when(col("no") > col("rc"), col("rcn") + col("dev") * col("dev"))
+          .otherwise(lit(1).cast(d38)))
+      .withColumn("p_dbl",
+        col("pnum").cast("double") / col("pden").cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("p_dbl"), col("event_type"), col("dow"))))
+    val kmax = framed
+      .agg(coalesce(max(when(
+        lit(4).cast(d38) * col("pnum") * col("m") <=
+          col("pden") * col("rank"), col("rank"))), lit(0L)).as("kmax"))
+    framed.crossJoin(broadcast(kmax))
+      .select(col("event_type"), col("dow"), col("o"),
+        col("rank").cast("long").as("rank"),
+        round(col("p_dbl") * 1000000000d, 0).cast("long").as("p_e9"),
+        (col("rank") <= col("kmax")).cast("long").as("rejected"))
+      .orderBy("rank")
+  }
+
+  /** q258 — BH-FDR control over the (type × weekday) enrichment grid:
+    * the multiple-testing step a monitoring stack runs AFTER q205's
+    * chi-square says "something is dependent" — at types×7
+    * simultaneous cells, per-cell α would false-alarm weekly, so BH
+    * (1995) bounds the expected fraction of false discoveries
+    * instead: sort p-values ascending, find the largest k with
+    * p_(k) ≤ k·α/m, reject ranks 1..k (α = 1/4). Events collapse
+    * map-side to the ≤(types × 7) cell frame first.
+    */
+  def q258(s: SparkSession, dir: String): DataFrame =
+    bhFdr(Tables.events(s, dir)
+      .select(col("event_type"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .select(col("event_type"),
+        ((expr("us DIV 86400000000") + 4) % 7).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o")))
+
   /** q255 — k-anonymity audit (k = 5) of the customer quasi-identifier
     * (nation, market segment, $5000 balance bucket): per nation, how
     * many QI equivalence classes exist, how many are RISKY (fewer than
@@ -291,6 +367,7 @@ object Curation {
     "q255_kanon_audit"    -> (q255 _),
     "q234_mixture_plan"   -> (q234 _),
     "q236_oov_rate"       -> (q236 _),
+    "q258_bh_fdr"         -> (q258 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -345,6 +422,49 @@ object Curation {
         |ORDER BY nation""".stripMargin,
     // Same observed-cell frame, each count cast to double BEFORE the
     // products, identical per-cell e9 rounding, exact integer sum.
+    // BH mirrored: HUGEINT Cantelli rationals rc·n/(rc·n+(nO−rc)²),
+    // the SAME IEEE quotient as the rank key, the integer
+    // cross-multiplied accept predicate.
+    "q258_bh_fdr" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7
+        |           AS dow
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM d GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, dow, o,
+        |         CAST(SUM(o) OVER (PARTITION BY event_type) AS HUGEINT) AS r,
+        |         CAST(SUM(o) OVER (PARTITION BY dow) AS HUGEINT) AS c,
+        |         CAST(SUM(o) OVER () AS HUGEINT) AS n,
+        |         CAST(COUNT(*) OVER () AS HUGEINT) AS m
+        |  FROM cells),
+        |f AS (
+        |  SELECT event_type, dow, o, m,
+        |         CASE WHEN n * o > r * c THEN r * c * n
+        |              ELSE CAST(1 AS HUGEINT) END AS pnum,
+        |         CASE WHEN n * o > r * c
+        |              THEN r * c * n + (n * o - r * c) * (n * o - r * c)
+        |              ELSE CAST(1 AS HUGEINT) END AS pden
+        |  FROM w),
+        |ranked AS (
+        |  SELECT *, CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE) AS p_dbl,
+        |         ROW_NUMBER() OVER (
+        |           ORDER BY CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE),
+        |                    event_type, dow) AS rank
+        |  FROM f),
+        |km AS (
+        |  SELECT COALESCE(MAX(CASE WHEN 4 * pnum * m <= pden * rank
+        |                            THEN rank END), 0) AS kmax
+        |  FROM ranked)
+        |SELECT event_type, dow, o, CAST(rank AS BIGINT) AS rank,
+        |       CAST(ROUND(p_dbl * 1000000000) AS BIGINT) AS p_e9,
+        |       CAST(CASE WHEN rank <= kmax THEN 1 ELSE 0 END AS BIGINT)
+        |         AS rejected
+        |FROM ranked CROSS JOIN km
+        |ORDER BY rank""".stripMargin,
     "q247_mutual_info" ->
       """WITH d AS (
         |  SELECT event_type,

@@ -476,6 +476,127 @@ object Dedup {
       .orderBy("w", "name_a", "name_b")
   }
 
+  /** q261 — blocking-quality audit: pair completeness (recall of the
+    * blocking scheme against exact ground truth) and reduction ratio
+    * (fraction of the quadratic pair space the blocks prune) — the
+    * two numbers (Christen 2012) every record-linkage/dedup pipeline
+    * publishes before trusting a blocking key. Audited here: the
+    * 100-char length-band equi-join blocking (the lossy same-band
+    * variant) against exact unigram-Jaccard ≥ 1/2 truth on the
+    * bounded probe subset (doc_id < 300 — the q136/q159 audit-harness
+    * posture).
+    *
+    * All-integer: the truth decision is 2·|A∩B| ≥ |A∪B| (exact set
+    * cardinalities — no Jaccard double ever materializes), candidate
+    * and total pair counts are c·(c−1)/2 sums, and PC/RR are each ONE
+    * mirrored division e4-gridded.
+    *
+    * Scale: ground truth rides an INVERTED-INDEX join (distinct
+    * tokens equi-join on the word — only overlapping pairs surface;
+    * J ≥ 1/2 needs overlap ≥ 1, so zero-overlap pairs are provably
+    * absent from truth), never a cartesian; candidate counts come
+    * from per-band cardinalities, never materialized pairs. Hot-token
+    * fan-out at corpus scale gets the q109 df-cap; the probe bound
+    * keeps the audit itself SF-stable.
+    */
+  def q261(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"),
+        expr("n_chars DIV 100").as("band"))
+    val sizes = d.select(col("doc_id"), size(col("toks")).cast("long").as("sz"),
+      col("band"))
+    val inv = d.select(col("doc_id"), explode(col("toks")).as("w"))
+    val inter = inv.select(col("w"), col("doc_id").as("id_a"))
+      .join(inv.select(col("w"), col("doc_id").as("id_b")), "w")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sa"),
+        col("band").as("ba")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sb"),
+        col("band").as("bb")), "id_b")
+      .filter(lit(2L) * col("inter") >= col("sa") + col("sb") - col("inter"))
+      .agg(count(lit(1)).as("truth_pairs"),
+        coalesce(sum((col("ba") === col("bb")).cast("long")), lit(0L))
+          .as("caught_pairs"))
+    val totals = d.agg(count(lit(1)).as("n_docs"))
+      .select(col("n_docs"),
+        expr("n_docs * (n_docs - 1) DIV 2").as("total_pairs"))
+    val cand = d.groupBy(col("band")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
+        .as("cand_pairs"))
+    totals.crossJoin(broadcast(truth)).crossJoin(broadcast(cand))
+      .select(col("n_docs"), col("total_pairs"), col("truth_pairs"),
+        col("cand_pairs"), col("caught_pairs"),
+        when(col("truth_pairs") > 0,
+          round(col("caught_pairs").cast("double") /
+            col("truth_pairs").cast("double") * 10000d, 0).cast("long"))
+          .as("pc_e4"),
+        round((lit(1d) - col("cand_pairs").cast("double") /
+          col("total_pairs").cast("double")) * 10000d, 0).cast("long")
+          .as("rr_e4"))
+  }
+
+  /** q257 — Fellegi-Sunter record-linkage scoring (the 1969 model
+    * every probabilistic matcher — Splink, dedupe.io — still runs):
+    * candidate record pairs get a log-likelihood weight
+    * Σ_field ln(m/u) (agree) / ln((1−m)/(1−u)) (disagree) and a
+    * three-way match/possible/nonmatch decision between two
+    * thresholds. Four comparison fields over `part`: name JW ≥ 0.88
+    * (the q252 gridded decision), brand equality, type equality,
+    * |size diff| ≤ 2. The m/u parameters are fixed literals (EM
+    * fitting is the offline step); their ln-ratios are embedded as
+    * IDENTICAL e6 integers in both engines, so the weight is pure
+    * integer arithmetic — the only float is the q252-certified JW
+    * expression, gridded before the agree/disagree decision.
+    *
+    * Scale: records collapse to DISTINCT attribute profiles first
+    * (name × brand × type × size — a value-bounded domain that
+    * saturates with SF, the q238/q245 value-collapse posture) with
+    * multiplicities; pairing blocks on the name's noun token and
+    * compares profile PAIRS once, weighting the census by n_a·n_b
+    * record pairs. Same-profile pairs are exact duplicates — q04/q55
+    * territory, excluded here by the strict key order.
+    */
+  def q257(s: SparkSession, dir: String): DataFrame = {
+    val prof = Tables.table(s, dir, "part")
+      .groupBy(col("p_name").as("name"), col("p_brand").as("brand"),
+        col("p_type").as("ptype"), col("p_size").as("size"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w", split(col("name"), " ").getItem(1))
+      .withColumn("k", concat_ws("|", col("name"), col("brand"),
+        col("ptype"), col("size")))
+    val a = prof.select(col("w"), col("k").as("ka"), col("name").as("na"),
+      col("brand").as("ba"), col("ptype").as("ta"), col("size").as("sa"),
+      col("cnt").as("ca"))
+    val b = prof.select(col("w"), col("k").as("kb"), col("name").as("nb"),
+      col("brand").as("bb"), col("ptype").as("tb"), col("size").as("sb"),
+      col("cnt").as("cb"))
+    val jwE6 = Similarity.intScaled(
+      graft.ops.JaroWinkler(col("na"), col("nb")), 1000000L)
+    val weight =
+      when(jwE6 >= 880000L, 2890372L).otherwise(-2251292L) +
+        when(col("ba") === col("bb"), 3167583L).otherwise(-2954910L) +
+        when(col("ta") === col("tb"), 1386294L).otherwise(-1386294L) +
+        when(abs(col("sa") - col("sb")) <= 2, 2140066L).otherwise(-1791759L)
+    a.join(b, "w")
+      .filter(col("ka") < col("kb"))
+      .select(col("w"), weight.as("wt"),
+        (col("ca") * col("cb")).as("rec_pairs"))
+      .withColumn("decision",
+        when(col("wt") >= 5000000L, "match")
+          .when(col("wt") >= 0L, "possible")
+          .otherwise("nonmatch"))
+      .groupBy(col("w"), col("decision"))
+      .agg(count(lit(1)).as("n_profile_pairs"),
+        sum(col("rec_pairs")).as("n_record_pairs"),
+        min(col("wt")).as("min_wt"),
+        max(col("wt")).as("max_wt"))
+      .orderBy("w", "decision")
+  }
+
   /** Cross-document duplicated-segment removal (the paragraph-dedup
     * pass of public web-corpus pipelines, run here on fixed 16-token
     * segments since the synthetic docs have no newlines): a segment is
@@ -610,6 +731,8 @@ object Dedup {
     "q122_cross_corpus_neardup" -> (q122 _),
     "q128_fuzzy_pairs"     -> (q128 _),
     "q252_jw_match"        -> (q252 _),
+    "q257_fellegi_sunter"  -> (q257 _),
+    "q261_blocking_quality" -> (q261 _),
     "q129_segment_dedup"   -> (q129 _),
     "q132_containment"     -> (q132 _),
     "q159_minhash_calib"   -> (q159 _),
@@ -986,6 +1109,78 @@ object Dedup {
     // DuckDB's jaro_winkler_similarity verified against the expression
     // on the classic vectors; both sides grid to e6 BEFORE the keep
     // decision.
+    // Blocking audit mirrored: inverted-index truth join, the exact
+    // integer 2·inter ≥ union decision, per-band pair arithmetic.
+    "q261_blocking_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+        |         n_chars // 100 AS band
+        |  FROM documents WHERE doc_id < 300),
+        |sizes AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS sz, band FROM d),
+        |inv AS (SELECT doc_id, unnest(toks) AS w FROM d),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM inv a JOIN inv b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS truth_pairs,
+        |         CAST(COALESCE(SUM(CASE WHEN sa.band = sb.band
+        |                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |           AS caught_pairs
+        |  FROM inter
+        |  JOIN sizes sa ON inter.id_a = sa.doc_id
+        |  JOIN sizes sb ON inter.id_b = sb.doc_id
+        |  WHERE 2 * inter >= sa.sz + sb.sz - inter),
+        |totals AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS total_pairs
+        |  FROM d),
+        |cand AS (
+        |  SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+        |           AS cand_pairs
+        |  FROM (SELECT COUNT(*) AS c FROM d GROUP BY band))
+        |SELECT n_docs, total_pairs, truth_pairs, cand_pairs, caught_pairs,
+        |       CASE WHEN truth_pairs > 0
+        |            THEN CAST(ROUND(CAST(caught_pairs AS DOUBLE)
+        |                            / CAST(truth_pairs AS DOUBLE) * 10000)
+        |                      AS BIGINT) END AS pc_e4,
+        |       CAST(ROUND((1.0 - CAST(cand_pairs AS DOUBLE)
+        |                   / CAST(total_pairs AS DOUBLE)) * 10000) AS BIGINT)
+        |         AS rr_e4
+        |FROM totals CROSS JOIN truth CROSS JOIN cand""".stripMargin,
+    // Fellegi-Sunter mirrored with the SAME e6 ln-ratio literals; the
+    // only float is DuckDB's own jaro_winkler_similarity, gridded
+    // before the agree decision exactly like the Spark side.
+    "q257_fellegi_sunter" ->
+      """WITH prof AS (
+        |  SELECT p_name AS name, p_brand AS brand, p_type AS ptype,
+        |         p_size AS size, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |         string_split(p_name, ' ')[2] AS w,
+        |         p_name || '|' || p_brand || '|' || p_type || '|' ||
+        |           CAST(p_size AS VARCHAR) AS k
+        |  FROM part GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT a.w,
+        |    (CASE WHEN CAST(ROUND(jaro_winkler_similarity(a.name, b.name)
+        |                          * 1000000) AS BIGINT) >= 880000
+        |          THEN 2890372 ELSE -2251292 END
+        |     + CASE WHEN a.brand = b.brand THEN 3167583 ELSE -2954910 END
+        |     + CASE WHEN a.ptype = b.ptype THEN 1386294 ELSE -1386294 END
+        |     + CASE WHEN ABS(a.size - b.size) <= 2 THEN 2140066
+        |            ELSE -1791759 END) AS wt,
+        |    a.cnt * b.cnt AS rec_pairs
+        |  FROM prof a JOIN prof b ON a.w = b.w AND a.k < b.k)
+        |SELECT w,
+        |       CASE WHEN wt >= 5000000 THEN 'match'
+        |            WHEN wt >= 0 THEN 'possible'
+        |            ELSE 'nonmatch' END AS decision,
+        |       CAST(COUNT(*) AS BIGINT) AS n_profile_pairs,
+        |       CAST(SUM(rec_pairs) AS BIGINT) AS n_record_pairs,
+        |       CAST(MIN(wt) AS BIGINT) AS min_wt,
+        |       CAST(MAX(wt) AS BIGINT) AS max_wt
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY w, decision""".stripMargin,
     "q252_jw_match" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
         |t AS (SELECT name, string_split(name, ' ')[1] AS w FROM names)

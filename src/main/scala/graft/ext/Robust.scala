@@ -312,6 +312,60 @@ object Robust {
       .orderBy("month")
   }
 
+  /** q262 — classical additive seasonal decomposition (the moving-
+    * average core of STL / X-11): daily revenue = trend + seasonal +
+    * residual, with trend the CENTERED 7-day moving average and the
+    * weekday seasonal profile the mean of the detrended series per
+    * dow. q214 indexes RAW dow revenue — a trending series biases
+    * that (later weekdays inherit the growth); detrending first is
+    * what isolates the true weekly shape. Reported per dow: the
+    * detrended census (n, sum, positive days, extremes) and the
+    * seasonal mean.
+    *
+    * Float discipline: the /7 of the centered MA is CLEARED — the
+    * whole decomposition runs in SEVENTHS of a cent (detr7 = 7·r −
+    * Σ±3 window), so sums/extremes/sign tests are exact BIGINTs and
+    * the only double is the final seasonal mean, ONE mirrored
+    * division e2-gridded. Sign-sensitive integer division is never
+    * used on the (negative-capable) detrended values — that's the
+    * q190 DIV discipline's negative-value corollary.
+    *
+    * Scale: the q246 posture — orders collapse map-side to the
+    * calendar-bounded daily grid; the ±3 window and dow rollup ride
+    * day rows. The 7-day sum needs the full window (count = 7), so
+    * the 3 edge days on each side drop — in both engines alike.
+    */
+  def q262(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+        .cast("long").as("day"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("r"))
+    val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("r"), lit(0L)).as("r"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    grid
+      .withColumn("s7", sum(col("r")).over(w))
+      .withColumn("nw", count(lit(1)).over(w))
+      .filter(col("nw") === 7)
+      .select(((col("day") + 4) % 7).as("dow"),
+        (lit(7L) * col("r") - col("s7")).as("detr7"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("detr7")).as("sum_detr7"),
+        sum(when(col("detr7") > 0, 1L).otherwise(0L)).as("pos_days"),
+        min(col("detr7")).as("min_detr7"),
+        max(col("detr7")).as("max_detr7"))
+      .select(col("dow"), col("n_days"), col("sum_detr7"), col("pos_days"),
+        col("min_detr7"), col("max_detr7"),
+        round(col("sum_detr7").cast("double") /
+          (lit(7d) * col("n_days").cast("double")) * 100d, 0)
+          .cast("long").as("seasonal_e2"))
+      .orderBy("dow")
+  }
+
   /** q250 — Tukey IQR-fence outlier census of document lengths per
     * source: nearest-rank Q1/Q3 from the value-collapsed
     * (source, n_chars, count) frequency table (the q238 rank-span
@@ -425,7 +479,8 @@ object Robust {
     "q238_winsorized"   -> (q238 _),
     "q239_state_merge"  -> (q239 _),
     "q242_hist_quantiles" -> (q242 _),
-    "q243_ewma_spike"   -> (q243 _))
+    "q243_ewma_spike"   -> (q243 _),
+    "q262_stl_seasonal" -> (q262 _))
 
   private val ewmaCoefSqlValues: String =
     ewmaCoefs.zipWithIndex.map { case (c, k) => s"($k, $c)" }.mkString(", ")
@@ -508,6 +563,40 @@ object Robust {
         |GROUP BY sp2.source ORDER BY sp2.source""".stripMargin,
     // Same dense day grid, same lag frame, same mirrored s7*1e4/s1
     // double expression; NULL mase where a month's naive error is 0.
+    // Same dense grid; the ±3 centered window with the /7 cleared to
+    // sevenths-of-a-cent; one mirrored double division at the end.
+    "q262_stl_seasonal" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT)) AS r
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |grid AS (
+        |  SELECT gs.day, COALESCE(daily.r, 0) AS r
+        |  FROM (SELECT UNNEST(generate_series(d0, d1)) AS day FROM b) gs
+        |  LEFT JOIN daily USING (day)),
+        |ma AS (
+        |  SELECT day, r,
+        |         SUM(r) OVER (ORDER BY day
+        |                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+        |         COUNT(*) OVER (ORDER BY day
+        |                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+        |  FROM grid),
+        |d AS (
+        |  SELECT (day + 4) % 7 AS dow, 7 * r - s7 AS detr7
+        |  FROM ma WHERE nw = 7)
+        |SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       CAST(SUM(detr7) AS BIGINT) AS sum_detr7,
+        |       CAST(SUM(CASE WHEN detr7 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS pos_days,
+        |       CAST(MIN(detr7) AS BIGINT) AS min_detr7,
+        |       CAST(MAX(detr7) AS BIGINT) AS max_detr7,
+        |       CAST(ROUND(CAST(SUM(detr7) AS DOUBLE)
+        |                  / (7.0 * COUNT(*)) * 100) AS BIGINT) AS seasonal_e2
+        |FROM d GROUP BY dow
+        |ORDER BY dow""".stripMargin,
     "q246_seasonal_error" ->
       """WITH daily AS (
         |  SELECT CAST(date_diff('day', DATE '1970-01-01',

@@ -925,6 +925,101 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** q259 — mutual-kNN pair mining: the paraphrase/translation-pair
+    * harvester (LASER/CCMatrix-style margin mining's first stage) —
+    * keep (a, b) only when b is in a's top-5 AND a is in b's top-5.
+    * The mutuality constraint is what kills hub vectors: a hub lands
+    * in everyone's top-k, but its OWN top-k has room for only 5, so
+    * its spurious pairs drop out.
+    *
+    * Candidates come from the q61 LSH buckets (never all-pairs); each
+    * side's top-5 rides the bounded-heap [[graft.ops.TopKByScore]]
+    * (score DESC, ties to the LOWEST id — a total order, so ranks are
+    * deterministic), and the mutual filter is a self-equi-join of the
+    * two ≤5-per-vector top frames on the REVERSED pair. The reported
+    * sim is symmetric by construction — the fused dot loops the same
+    * index order both directions, so dot(a,b) ≡ dot(b,a) bit-exact.
+    *
+    * Scale: the bucket self-join shuffles on sig only; the partial
+    * TopK heaps cap shuffle payload at 5 entries per (vector, map
+    * task); the mutual join carries ≤ 5·N rows. Rank-5/6 boundary
+    * margins are spec-pinned ≫ float drift (Round9bSpec).
+    */
+  def q259(s: SparkSession, dir: String): DataFrame = {
+    val planes = hyperplanes(8, 64)
+    val unit = withUnitVec(emb(s, dir), "embedding", "u")
+      .select(col("vec_id"), col("u"), signature(col("u"), planes).as("sig"))
+    val a = unit.select(col("sig"), col("vec_id").as("aid"), col("u").as("au"))
+    val b = unit.select(col("sig"), col("vec_id").as("bid"), col("u").as("bu"))
+    val tops = a.join(b, "sig")
+      .filter(col("aid") =!= col("bid"))
+      .select(col("aid"), col("bid"), dot(col("au"), col("bu")).as("sim"))
+      .groupBy(col("aid"))
+      .agg(graft.ops.TopKByScore.topK(col("sim"), col("bid"), 5).as("top"))
+      .select(col("aid"), explode(col("top")).as("t"))
+      .select(col("aid"), col("t.id").as("bid"),
+        intScaled(col("t.score"), 100).as("sim_c"))
+    tops.as("x")
+      .join(tops.as("y"),
+        col("x.aid") === col("y.bid") && col("x.bid") === col("y.aid"))
+      .filter(col("x.aid") < col("x.bid"))
+      .select(col("x.aid").as("vec_a"), col("x.bid").as("vec_b"),
+        col("x.sim_c").as("sim_c"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** q260 — diagonal-covariance Mahalanobis outlier census: the
+    * multivariate complement of q176's per-dim report. Each vector's
+    * squared Mahalanobis distance under the corpus's per-dimension
+    * mean/variance, Σ_d (x_d − μ_d)²/σ_d², flags embeddings that are
+    * jointly extreme even when no single coordinate is (the classic
+    * batch-effect / corrupt-encoder detector; full-covariance needs a
+    * d×d solve — the diagonal form is what pipelines run at scale).
+    *
+    * Float discipline: components are e6-gridded INTEGERS first
+    * (xi = round(x·10⁶) — exact per value, no summation-order hazard),
+    * so S_d = Σ xi and Q_d = Σ xi² are exact BIGINTs and the z² term
+    * is the exact rational (n·xi − S_d)² / (n·Q_d − S_d²); each term
+    * is ONE IEEE division e9-gridded (margins spec-pinned), the
+    * per-vector sum of 64 gridded terms is an exact BIGINT (the q228
+    * Σ-of-gridded-terms discipline), and the outlier flag is the
+    * integer predicate maha2_e9 > 2·d·10⁹. Zero-variance dims would
+    * divide by zero identically in both engines (none exist — the
+    * data is continuous; a real pipeline drops constant dims first).
+    *
+    * Scale: ONE posexplode pass → per-dim (n, S, Q) aggs (64 rows —
+    * broadcast back), then a second map-side pass computes per-vector
+    * sums; nothing all-pairs, nothing collected. Overflow: n·Q_d with
+    * xi ~ 10⁶·|x| and n rows is ≤ n²·10¹²·max x² — decimal(38)
+    * products (q206 discipline) keep it exact far past 2⁶³.
+    */
+  def q260(s: SparkSession, dir: String): DataFrame = {
+    val comp = emb(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        round(col("vf").cast("double") * 1000000d, 0).cast("long").as("xi"))
+    val stats = comp.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi")).as("s"),
+        sum(col("xi").cast("decimal(38,0)") * col("xi")).as("q"))
+    val dev = col("n").cast("decimal(38,0)") * col("xi") - col("s")
+    val varNum = col("n").cast("decimal(38,0)") * col("q") -
+      col("s").cast("decimal(38,0)") * col("s")
+    val termE9 = round(
+      (dev * dev).cast("double") / varNum.cast("double") * 1000000000d,
+      0).cast("long")
+    comp.join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), col("label"), termE9.as("t"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("t")).as("maha2_e9"), count(lit(1)).as("d"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("maha2_e9"),
+        (col("maha2_e9") > lit(2L) * col("d") * 1000000000L)
+          .cast("long").as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_kmeans_step" -> (q112 _),
     "q237_retrieval_metrics" -> (q237 _),
@@ -947,6 +1042,8 @@ object Similarity {
     "q181_embed_dim_mad" -> (q181 _),
     "q192_label_separability" -> (q192 _),
     "q196_embed_coverage" -> (q196 _),
+    "q259_mutual_knn" -> (q259 _),
+    "q260_mahalanobis" -> (q260 _),
   )
 
   /** q61 oracle: the md5-derived ±1 planes are query CONSTANTS (like
@@ -1301,6 +1398,52 @@ object Similarity {
         |       CAST(ROUND(AVG(x) * 10000) AS BIGINT) AS c_e4
         |FROM x GROUP BY cid, ord ORDER BY cid, pos""".stripMargin,
     "q61_knn_lsh" -> knnLshOracle,
+    // Mutual-kNN mirrored on the same LSH CTEs: per-side top-5 with
+    // the identical (sim DESC, id) total order, reversed-pair join.
+    "q259_mutual_knn" ->
+      s"""$lshCtePrefix,
+         |sims AS (
+         |  SELECT a.vec_id AS aid, b.vec_id AS bid,
+         |         list_inner_product(a.uv, b.uv) AS sim
+         |  FROM s a JOIN s b ON a.sig = b.sig
+         |  WHERE a.vec_id <> b.vec_id),
+         |tops AS (
+         |  SELECT aid, bid, sim FROM (
+         |    SELECT aid, bid, sim,
+         |           ROW_NUMBER() OVER (PARTITION BY aid
+         |                              ORDER BY sim DESC, bid) AS rn
+         |    FROM sims) WHERE rn <= 5)
+         |SELECT x.aid AS vec_a, x.bid AS vec_b,
+         |       CAST(ROUND(x.sim * 100) AS BIGINT) AS sim_c
+         |FROM tops x JOIN tops y ON x.aid = y.bid AND x.bid = y.aid
+         |WHERE x.aid < x.bid
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Mahalanobis mirrored on the e6 component grid: HUGEINT per-dim
+    // (n, S, Q), exact rational z² terms e9-gridded per (vector, dim),
+    // BIGINT sum — the same single IEEE division per term.
+    "q260_mahalanobis" ->
+      """WITH comp AS (
+        |  SELECT vec_id, label, i.i AS pos,
+        |         CAST(ROUND(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000)
+        |              AS BIGINT) AS xi
+        |  FROM embeddings CROSS JOIN range(64) i(i)),
+        |st AS (
+        |  SELECT pos, CAST(COUNT(*) AS HUGEINT) AS n,
+        |         CAST(SUM(xi) AS HUGEINT) AS s,
+        |         CAST(SUM(CAST(xi AS HUGEINT) * xi) AS HUGEINT) AS q
+        |  FROM comp GROUP BY pos),
+        |terms AS (
+        |  SELECT vec_id, label,
+        |         CAST(ROUND(CAST((n * xi - s) * (n * xi - s) AS DOUBLE)
+        |                    / CAST(n * q - s * s AS DOUBLE)
+        |                    * 1000000000) AS BIGINT) AS t
+        |  FROM comp JOIN st USING (pos))
+        |SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |       CAST(SUM(t) AS BIGINT) AS maha2_e9,
+        |       CAST(CASE WHEN SUM(t) > 2 * COUNT(*) * 1000000000
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM terms GROUP BY vec_id, label
+        |ORDER BY vec_id""".stripMargin,
     "q230_semantic_decontam" ->
       """WITH sims AS (
         |  SELECT d.vec_id AS did,

@@ -590,6 +590,64 @@ object TextAnalysis {
   def q144(s: SparkSession, dir: String): DataFrame =
     interpolatedNll(docs(s, dir).filter(col("doc_id") < 1000)).orderBy("doc_id")
 
+  /** Kneser-Ney smoothed bigram NLL — the state-of-the-art n-gram
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1998) and the third
+    * member of the LM family after add-one (q135) and Jelinek-Mercer
+    * (q144). Absolute discounting with D = 3/4 plus the CONTINUATION
+    * back-off that distinguishes KN: the lower-order weight of w2 is
+    * not its frequency but the number of DISTINCT contexts it follows
+    * ("Francisco" is frequent but only ever follows "San", so its
+    * continuation probability is tiny):
+    *
+    *   P(w2|w1) = (c(w1,w2) − D)/c(w1·)
+    *            + (D·N1+(w1·)/c(w1·)) · N1+(·w2)/B
+    *
+    * with N1+(w1·) = |{w2 : c(w1,w2) > 0}|, N1+(·w2) = |{w1}|, and
+    * B = |distinct bigram types|. Observed bigrams only are scored
+    * (c ≥ 1 ⇒ the discounted term ≥ 1/4·1/c(w1·) > 0).
+    *
+    * Float discipline: D = 3/4 clears exactly — the probability is the
+    * EXACT RATIONAL ((4c−3)·B + 3·N1f·N1b) / (4·c(w1·)·B), both sides
+    * computed as BIGINT numerator/denominator before the only libm op
+    * (ln of each, e4-gridded mean — the q125 margin discipline). An
+    * in-plan guard raises if either integer nears 2⁵³ (doubles would
+    * silently round; at the gate SFs the products are < 2⁴² — at
+    * 100 TB split ln(a·b) = ln a + ln b instead of widening).
+    *
+    * Scale: identical posture to [[bigramNll]] — occurrences collapse
+    * to per-(doc, bigram) tf before any model join; N1f/N1b/B are
+    * vocabulary-sized aggregates of the cb frame (not corpus-sized);
+    * B rides a one-row broadcast.
+    */
+  def knNll(d: DataFrame): DataFrame = {
+    val (tf, cb, cu) = bigramCounts(d)
+    val n1f = cb.groupBy(col("w1")).agg(count(lit(1)).as("n1f"))
+    val n1b = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val btot = cb.agg(count(lit(1)).as("b"))
+    val num = (lit(4L) * col("cb") - lit(3L)) * col("b") +
+      lit(3L) * col("n1f") * col("n1b")
+    val den = lit(4L) * col("cu") * col("b")
+    val guarded = when(den >= lit(1L << 52),
+      raise_error(lit("q256 domain violated: 4*cu*B >= 2^52 — split the ln")))
+      .otherwise(den)
+    tf.join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .join(n1f, Seq("w1"))
+      .join(n1b, Seq("w2"))
+      .crossJoin(broadcast(btot))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        Similarity.intScaled(
+          sum(col("tf") * (log(guarded.cast("double")) - log(num.cast("double"))))
+            / sum(col("tf")),
+          10000L).as("nll_kn_e4"))
+  }
+
+  /** q256 — Kneser-Ney bigram NLL scoring over the q125 probe subset. */
+  def q256(s: SparkSession, dir: String): DataFrame =
+    knNll(docs(s, dir).filter(col("doc_id") < 1000)).orderBy("doc_id")
+
   /** q140 — dataset card: the one-row corpus summary a pipeline
     * publishes with a released dataset (docs, tokens, language/source
     * cardinalities, exact-dup rate, mean quality). Single scan; the
@@ -1020,6 +1078,7 @@ object TextAnalysis {
     "q188_lexical_diversity" -> (q188 _),
     "q199_quality_survival" -> (q199 _),
     "q202_char_entropy" -> (q202 _),
+    "q256_kneser_ney" -> (q256 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1461,6 +1520,38 @@ object TextAnalysis {
         |             * 10000) AS BIGINT) AS dup_rate_e4,
         |  CAST(ROUND(SUM(q_e6) / COUNT(*) / 100.0) AS BIGINT) AS mean_quality_e4
         |FROM d""".stripMargin,
+    // Kneser-Ney mirrored as the exact rational: BIGINT numerator
+    // ((4c−3)·B + 3·N1f·N1b) and denominator (4·cu·B) computed first,
+    // then ln of each — the same two libm calls as the Spark side.
+    "q256_kneser_ney" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 1000),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS b
+        |  FROM t),
+        |tf AS (SELECT doc_id, b, COUNT(*) AS tf FROM bi GROUP BY doc_id, b),
+        |cb AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS cb FROM tf GROUP BY b),
+        |cu AS (SELECT split_part(b, ' ', 1) AS w1, CAST(SUM(cb) AS BIGINT) AS cu
+        |       FROM cb GROUP BY 1),
+        |n1f AS (SELECT split_part(b, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS n1f
+        |        FROM cb GROUP BY 1),
+        |n1b AS (SELECT split_part(b, ' ', 2) AS w2, CAST(COUNT(*) AS BIGINT) AS n1b
+        |        FROM cb GROUP BY 1),
+        |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bb FROM cb)
+        |SELECT t2.doc_id, CAST(SUM(t2.tf) AS BIGINT) AS n_bigrams,
+        |  CAST(ROUND(SUM(t2.tf * (ln(CAST(4 * cu.cu * bt.bb AS DOUBLE))
+        |                        - ln(CAST((4 * cb.cb - 3) * bt.bb
+        |                                  + 3 * n1f.n1f * n1b.n1b AS DOUBLE))))
+        |             / SUM(t2.tf) * 10000) AS BIGINT) AS nll_kn_e4
+        |FROM tf t2
+        |JOIN cb ON t2.b = cb.b
+        |JOIN cu ON split_part(t2.b, ' ', 1) = cu.w1
+        |JOIN n1f ON split_part(t2.b, ' ', 1) = n1f.w1
+        |JOIN n1b ON split_part(t2.b, ' ', 2) = n1b.w2
+        |CROSS JOIN bt
+        |GROUP BY t2.doc_id ORDER BY doc_id""".stripMargin,
     // Interpolated model mirrored term-for-term: λ·cb/cu + (1−λ)·nw2/N
     // with every count CAST to DOUBLE before dividing.
     "q144_interp_nll" ->
