@@ -62,6 +62,68 @@ object Decontam {
           .as("hit_ratio"))
   }
 
+  /** q263 — Bloom-filter pruning audit: build a deterministic Bloom
+    * filter (m = 2¹⁷ bits, k = 3 md5-derived hash functions) over the
+    * BOUNDED eval set's 5-grams, probe every corpus 5-gram, and
+    * compare the filter's verdicts against exact membership — the
+    * measured false-positive rate a pipeline checks before trusting
+    * bloom pruning in its decontamination/join stages (the same
+    * structure PlanAuditSpec audits inside Spark's runtime bloom
+    * joins, here as a first-class data operator).
+    *
+    * The filter is represented RELATIONALLY as the set of set-bit
+    * positions (≤ m rows, broadcast) — "test k bits" becomes "count
+    * matched positions = k" over an equi-join, which is both
+    * engine-portable and exactly how a distributed probe pushes a
+    * bloom test into a shuffle-free semi-join. Hash h_i(g) =
+    * md5-prefix-40bit(i:g) mod m — the q240/q254 hex-portable
+    * discipline, no RNG. A gram whose k probes collide still counts
+    * k row-hits iff all its positions are set, so the = k test is
+    * exact Bloom semantics. No false negative is possible by
+    * construction (spec-asserted: true members are all
+    * bloom-positive).
+    *
+    * Float discipline: all counts integer; fpr_e6 is ONE mirrored
+    * division. Scale: eval side is the bounded probe set (doc_id <
+    * 500 ∧ %7 — SF-stable, so the filter's load factor and the
+    * audit's meaning don't drift with corpus size); the corpus side
+    * collapses to distinct grams map-side; the bit table broadcasts.
+    */
+  def q263(s: SparkSession, dir: String): DataFrame = {
+    val m = 131072L
+    val d = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    def grams(f: DataFrame): DataFrame = f
+      .select(explode_outer(Dedup.shinglesK(col("ws"), 5)).as("gram"))
+      .filter(col("gram").isNotNull).distinct()
+    val ev = grams(d.filter(col("doc_id") % 7 === 0 && col("doc_id") < 500))
+    val corpus = grams(d.filter(col("doc_id") % 7 =!= 0))
+    def positions: Column = array((0 until 3).map(i =>
+      pmod(conv(substring(md5(
+        concat(lit(s"$i:"), col("gram"))), 1, 10), 16, 10).cast("long"),
+        lit(m))): _*)
+    val bits = ev.select(explode(positions).as("b")).distinct()
+    val probeHits = corpus.select(col("gram"), explode(positions).as("b"))
+      .join(broadcast(bits), "b")
+      .groupBy(col("gram")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === 3)
+      .agg(count(lit(1)).as("n_bloom_pos"))
+    val truePos = corpus.join(ev, Seq("gram"), "left_semi")
+      .agg(count(lit(1)).as("n_true_pos"))
+    val evStats = ev.agg(count(lit(1)).as("n_eval_grams"))
+    val bitStats = bits.agg(count(lit(1)).as("n_bits_set"))
+    val probed = corpus.agg(count(lit(1)).as("n_probed"))
+    evStats.crossJoin(broadcast(bitStats)).crossJoin(broadcast(probed))
+      .crossJoin(broadcast(probeHits)).crossJoin(broadcast(truePos))
+      .select(col("n_eval_grams"), col("n_bits_set"), col("n_probed"),
+        col("n_bloom_pos"), col("n_true_pos"),
+        (col("n_bloom_pos") - col("n_true_pos")).as("n_false_pos"),
+        when(col("n_probed") > col("n_true_pos"),
+          round((col("n_bloom_pos") - col("n_true_pos")).cast("double") /
+            (col("n_probed") - col("n_true_pos")).cast("double") * 1000000d,
+            0).cast("long")).as("fpr_e6"))
+  }
+
   // ---- declared queries ---------------------------------------------------
 
   /** q104 — decontamination over the fixture corpus: every 7th doc
@@ -80,6 +142,7 @@ object Decontam {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_decontaminate" -> (q104 _),
+    "q263_bloom_audit"   -> (q263 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -101,5 +164,44 @@ object Decontam {
         |    AS hit_ratio
         |FROM tr JOIN e USING (gram)
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // Bloom audit mirrored: the same md5-prefix-40bit(i:gram) mod m
+    // positions, the set-bit table as a relation, count-of-matches = 3
+    // as the bit test; one mirrored division for fpr.
+    "q263_bloom_audit" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(ws) >= 5 THEN
+        |          list_distinct(list_transform(range(1, len(ws) - 3),
+        |            i -> array_to_string(ws[i:i+4], ' ')))
+        |        ELSE CAST([] AS VARCHAR[]) END AS grams
+        |      FROM t),
+        |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+        |      WHERE doc_id % 7 = 0 AND doc_id < 500),
+        |c AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+        |      WHERE doc_id % 7 <> 0),
+        |eb AS (SELECT DISTINCT
+        |         CAST(('0x' || substr(md5(i.i || ':' || gram), 1, 10))
+        |              AS BIGINT) % 131072 AS b
+        |       FROM e CROSS JOIN range(3) i(i)),
+        |pr AS (SELECT gram,
+        |         CAST(('0x' || substr(md5(i.i || ':' || gram), 1, 10))
+        |              AS BIGINT) % 131072 AS b
+        |       FROM c CROSS JOIN range(3) i(i)),
+        |bp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bloom_pos FROM (
+        |         SELECT gram FROM pr JOIN eb USING (b)
+        |         GROUP BY gram HAVING COUNT(*) = 3)),
+        |tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pos
+        |       FROM c SEMI JOIN e USING (gram)),
+        |es AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_grams FROM e),
+        |bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM eb),
+        |ps AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probed FROM c)
+        |SELECT n_eval_grams, n_bits_set, n_probed, n_bloom_pos, n_true_pos,
+        |       n_bloom_pos - n_true_pos AS n_false_pos,
+        |       CASE WHEN n_probed > n_true_pos THEN
+        |         CAST(ROUND(CAST(n_bloom_pos - n_true_pos AS DOUBLE)
+        |                    / CAST(n_probed - n_true_pos AS DOUBLE)
+        |                    * 1000000) AS BIGINT) END AS fpr_e6
+        |FROM es CROSS JOIN bs CROSS JOIN ps CROSS JOIN bp
+        |CROSS JOIN tp""".stripMargin,
   )
 }

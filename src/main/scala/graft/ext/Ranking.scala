@@ -369,7 +369,10 @@ object Ranking {
     * stages are per-probe top-k; the fusion joins two ≤(5×20)-row
     * frames. Nothing pairwise-corpus materializes.
     */
-  def q248(s: SparkSession, dir: String): DataFrame = {
+  /** q248/q266 shared lexical top-20: distinct-unigram Jaccard
+    * (mirrored e6) per probe, (jac DESC, did) order.
+    */
+  private def lexTop20(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val toks = d.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
@@ -379,7 +382,7 @@ object Ranking {
     val qsizes = broadcast(sizes.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("na").as("qa")))
     val wLex = Window.partitionBy("qid").orderBy(col("jac_e6").desc, col("did"))
-    val lex = qtoks
+    qtoks
       .join(toks.select(col("doc_id").as("did"), col("w")), "w")
       .filter(col("did") =!= col("qid"))
       .groupBy(col("qid"), col("did")).agg(count(lit(1)).as("i"))
@@ -392,13 +395,19 @@ object Ranking {
       .withColumn("r_lex", row_number().over(wLex).cast("long"))
       .filter(col("r_lex") <= 20)
       .select(col("qid"), col("did"), col("r_lex"))
+  }
+
+  /** q248/q266 shared semantic top-20: unit-vector cosine per probe,
+    * (sim DESC, did) order — the q237 posture.
+    */
+  private def semTop20(s: SparkSession, dir: String): DataFrame = {
     val unit = Similarity.withUnitVec(
       Tables.table(s, dir, "embeddings"), "embedding", "u")
       .select(col("vec_id"), col("u"))
     val qv = broadcast(unit.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("u").as("qu")))
     val wSem = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
-    val sem = unit.select(col("vec_id").as("did"), col("u").as("du"))
+    unit.select(col("vec_id").as("did"), col("u").as("du"))
       .join(qv)
       .filter(col("did") =!= col("qid"))
       .select(col("qid"), col("did"),
@@ -406,6 +415,11 @@ object Ranking {
       .withColumn("r_sem", row_number().over(wSem).cast("long"))
       .filter(col("r_sem") <= 20)
       .select(col("qid"), col("did"), col("r_sem"))
+  }
+
+  def q248(s: SparkSession, dir: String): DataFrame = {
+    val lex = lexTop20(s, dir)
+    val sem = semTop20(s, dir)
     val rrfTerm = (r: Column) =>
       coalesce(round(lit(1000000000.0) / (lit(60) + r), 0).cast("long"), lit(0L))
     val wFuse = Window.partitionBy("qid").orderBy(col("rrf_e9").desc, col("did"))
@@ -419,8 +433,50 @@ object Ranking {
       .orderBy("qid", "frank")
   }
 
+  /** q266 — Kendall tau between the lexical and semantic rankings
+    * (q248's two retrieval lists, q237's ordering lens turned
+    * cross-modal): per probe, over the docs BOTH lists retrieve,
+    * count concordant/discordant rank pairs and report
+    * tau_a = (C − D)/(k·(k−1)/2). The modality-agreement monitor a
+    * hybrid-retrieval stack watches: tau near 1 means the RRF fusion
+    * is redundant, near 0 means the modalities genuinely complement,
+    * negative means one of them is broken.
+    *
+    * All-integer core: ranks are row_numbers (no ties possible), a
+    * pair is concordant iff (r_lex_a − r_lex_b)·(r_sem_a − r_sem_b)
+    * > 0 — exact products; tau is ONE mirrored division e6-gridded.
+    *
+    * Scale: the common frame is ≤ 20 rows/probe by construction, so
+    * the pair self-join is ≤ 190 pairs/probe — probe-bounded like
+    * q237/q248, independent of corpus size.
+    */
+  def q266(s: SparkSession, dir: String): DataFrame = {
+    val common = semTop20(s, dir)
+      .join(lexTop20(s, dir), Seq("qid", "did"))
+    val a = common.select(col("qid"), col("did").as("da"),
+      col("r_lex").as("la"), col("r_sem").as("sa"))
+    val b = common.select(col("qid"), col("did").as("db"),
+      col("r_lex").as("lb"), col("r_sem").as("sb"))
+    val k = common.groupBy(col("qid")).agg(count(lit(1)).as("k_common"))
+    a.join(b, "qid")
+      .filter(col("da") < col("db"))
+      .select(col("qid"),
+        (((col("la") - col("lb")) * (col("sa") - col("sb"))) > 0)
+          .cast("long").as("conc"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("concordant"))
+      .join(broadcast(k), "qid")
+      .select(col("qid"), col("k_common"), col("n_pairs"), col("concordant"),
+        (col("n_pairs") - col("concordant")).as("discordant"),
+        round((lit(2L) * col("concordant") - col("n_pairs")).cast("double") /
+          col("n_pairs").cast("double") * 1000000d, 0).cast("long")
+          .as("tau_e6"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q248_rrf_fusion" -> (q248 _),
+    "q266_kendall_tau" -> (q266 _),
     "q126_bm25"       -> (q126 _),
     "q130_zipf_slope" -> (q130 _),
     "q137_topk_agg"   -> (q137 _),
@@ -436,6 +492,67 @@ object Ranking {
     // Independent recompute of both retrieval lists and the fusion:
     // same tokenizer (split on ' ', distinct), same mirrored Jaccard
     // e6 expression, same raw-dot semantic order, same RRF table.
+    // Kendall mirrored on q248's list CTEs: integer concordance
+    // products over the ≤20-row common frame, one mirrored division.
+    "q266_kendall_tau" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS na FROM toks GROUP BY 1),
+        |inter AS (
+        |  SELECT q.doc_id AS qid, d.doc_id AS did, COUNT(*) AS i
+        |  FROM toks q JOIN toks d USING (w)
+        |  WHERE q.doc_id < 5 AND d.doc_id <> q.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT qid, did,
+        |         CAST(ROUND(CAST(i AS DOUBLE) * 1000000.0 /
+        |              CAST(qa.na + da.na - i AS DOUBLE)) AS BIGINT) AS jac_e6
+        |  FROM inter
+        |  JOIN sizes qa ON qa.doc_id = inter.qid
+        |  JOIN sizes da ON da.doc_id = inter.did),
+        |lex AS (
+        |  SELECT qid, did,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY jac_e6 DESC, did) AS r_lex
+        |  FROM jac QUALIFY r_lex <= 20),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |      FROM embeddings),
+        |u AS (SELECT vec_id,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev)))
+        |          AS uv
+        |      FROM e),
+        |sem AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS did,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY list_inner_product(q.uv, d.uv)
+        |                                       DESC, d.vec_id) AS r_sem
+        |  FROM u q JOIN u d ON d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5
+        |  QUALIFY r_sem <= 20),
+        |common AS (
+        |  SELECT sem.qid, sem.did, CAST(r_lex AS BIGINT) AS r_lex,
+        |         CAST(r_sem AS BIGINT) AS r_sem
+        |  FROM sem JOIN lex ON sem.qid = lex.qid AND sem.did = lex.did),
+        |k AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS k_common
+        |      FROM common GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.qid,
+        |         CASE WHEN (a.r_lex - b.r_lex) * (a.r_sem - b.r_sem) > 0
+        |              THEN 1 ELSE 0 END AS conc
+        |  FROM common a JOIN common b
+        |    ON a.qid = b.qid AND a.did < b.did),
+        |agg AS (
+        |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |         CAST(SUM(conc) AS BIGINT) AS concordant
+        |  FROM pairs GROUP BY 1)
+        |SELECT agg.qid, k_common, n_pairs, concordant,
+        |       n_pairs - concordant AS discordant,
+        |       CAST(ROUND(CAST(2 * concordant - n_pairs AS DOUBLE)
+        |                  / CAST(n_pairs AS DOUBLE) * 1000000) AS BIGINT)
+        |         AS tau_e6
+        |FROM agg JOIN k ON agg.qid = k.qid
+        |ORDER BY agg.qid""".stripMargin,
     "q248_rrf_fusion" ->
       """WITH toks AS (
         |  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS w

@@ -366,6 +366,112 @@ object Robust {
       .orderBy("dow")
   }
 
+  /** q264 — per-source Spearman rank correlation between document
+    * length and distinct-token count (lexical density): the robust
+    * monotone-association monitor — Pearson on raw values chases
+    * outliers (q201's OLS territory), Spearman on ranks survives
+    * them. The signal a curation stack watches per feed: a source
+    * whose length–vocabulary association collapses is emitting
+    * repetitive filler.
+    *
+    * Tie discipline: average ranks are computed as DOUBLED integers
+    * R2 = 2·rank + |ties| − 1 (rank() counts strict predecessors + 1,
+    * the tie-count window completes the midpoint — both engines
+    * agree exactly), and Pearson is scale/shift-invariant, so rho on
+    * R2 equals rho on the true average ranks with ZERO float until
+    * the final expression. Moments ride decimal(38) (Σ R2·R2 ~ 4n³
+    * wraps BIGINT near 10⁶ rows/source); rho is ONE mirrored
+    * sqrt+division over exact integers, e6-gridded, NULL-guarded by
+    * the exact integer zero-variance test (q151 discipline).
+    *
+    * Scale: both rank windows are source-keyed (the q175 posture);
+    * the moment agg collapses per source. At 100 TB the exact ranks
+    * swap for the q242 binned midpoints, same report shape.
+    */
+  def q264(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val d = t(s, dir, "documents")
+      .select(col("source"), col("n_chars").as("x"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("y"))
+    def r2(v: String): Column =
+      (lit(2L) * rank().over(Window.partitionBy("source").orderBy(v)) +
+        count(lit(1)).over(Window.partitionBy("source", v)) - 1L)
+    val ranked = d.select(col("source"),
+      r2("x").as("rx"), r2("y").as("ry"))
+    val mom = ranked.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx").cast(d38) * col("rx")).as("sxx"),
+      sum(col("ry").cast(d38) * col("ry")).as("syy"),
+      sum(col("rx").cast(d38) * col("ry")).as("sxy"))
+    val vx = col("n").cast(d38) * col("sxx") -
+      col("sx").cast(d38) * col("sx")
+    val vy = col("n").cast(d38) * col("syy") -
+      col("sy").cast(d38) * col("sy")
+    val cov = col("n").cast(d38) * col("sxy") -
+      col("sx").cast(d38) * col("sy")
+    mom.select(col("source"), col("n").as("n_docs"),
+      when(vx > 0 && vy > 0,
+        Similarity.intScaled(
+          cov.cast("double") /
+            sqrt(vx.cast("double") * vy.cast("double")),
+          1000000L)).as("rho_e6"))
+      .orderBy("source")
+  }
+
+  /** q265 — Mann-Whitney U (Wilcoxon rank-sum) test: are src0 and
+    * src1 document lengths drawn from the same distribution? The
+    * nonparametric two-sample gate a pipeline runs before pooling
+    * feeds — no normality assumption, exactly what q229's KS statistic
+    * answers with a different lens (KS sees shape, U sees stochastic
+    * dominance).
+    *
+    * All-integer core: doubled combined ranks (the q264 R2 trick)
+    * make the rank sum exact, U2 = 2U = ΣR2₁ − n1(n1+1), the mean
+    * shift dev2 = U2 − n1·n2, and the tie-corrected z² is the exact
+    * rational 3·dev2²·N(N−1) / (n1·n2·(N³−N−T)) with T = Σ(t³−t)
+    * over tie groups — decimal(38) products, ONE mirrored sqrt at
+    * the end (z_e4, sign from dev2).
+    *
+    * Scale: ranks ride the value-collapsed length domain (the q238
+    * posture via the tie windows); every aggregate is a one-row
+    * frame.
+    */
+  def q265(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val d = t(s, dir, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), col("n_chars").as("x"))
+    val r2 = lit(2L) * rank().over(Window.orderBy("x")) +
+      count(lit(1)).over(Window.partitionBy("x")) - 1L
+    val ranked = d.select(col("source"), col("x"), r2.as("rx"))
+    val ties = ranked.groupBy(col("x")).agg(count(lit(1)).as("tc"))
+      .agg(coalesce(sum(col("tc").cast(d38) * col("tc") * col("tc") -
+        col("tc")), lit(0).cast(d38)).as("t"))
+    val base = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("rx")).as("sr"))
+    val wide = base.filter(col("source") === "src0")
+      .select(col("n").as("n1"), col("sr").as("sr1"))
+      .crossJoin(broadcast(base.filter(col("source") === "src1")
+        .select(col("n").as("n2"))))
+      .crossJoin(broadcast(ties))
+    wide
+      .select(col("n1"), col("n2"), col("t").cast("long").as("t_ties"),
+        (col("sr1") - col("n1") * (col("n1") + 1)).as("u2"))
+      .select(col("n1"), col("n2"), col("t_ties"), col("u2"),
+        (col("u2") - col("n1") * col("n2")).as("dev2"))
+      .withColumn("nn", col("n1") + col("n2"))
+      .select(col("n1"), col("n2"), col("u2"), col("dev2"), col("t_ties"),
+        Similarity.intScaled(
+          signum(col("dev2").cast("double")) * sqrt(
+            (lit(3).cast(d38) * col("dev2") * col("dev2") *
+              col("nn") * (col("nn") - 1)).cast("double") /
+            (col("n1").cast(d38) * col("n2") *
+              (col("nn").cast(d38) * col("nn") * col("nn") - col("nn") -
+                col("t_ties"))).cast("double")),
+          10000L).as("z_e4"))
+  }
+
   /** q250 — Tukey IQR-fence outlier census of document lengths per
     * source: nearest-rank Q1/Q3 from the value-collapsed
     * (source, n_chars, count) frequency table (the q238 rank-span
@@ -480,7 +586,9 @@ object Robust {
     "q239_state_merge"  -> (q239 _),
     "q242_hist_quantiles" -> (q242 _),
     "q243_ewma_spike"   -> (q243 _),
-    "q262_stl_seasonal" -> (q262 _))
+    "q262_stl_seasonal" -> (q262 _),
+    "q264_spearman"     -> (q264 _),
+    "q265_mann_whitney" -> (q265 _))
 
   private val ewmaCoefSqlValues: String =
     ewmaCoefs.zipWithIndex.map { case (c, k) => s"($k, $c)" }.mkString(", ")
@@ -563,6 +671,72 @@ object Robust {
         |GROUP BY sp2.source ORDER BY sp2.source""".stripMargin,
     // Same dense day grid, same lag frame, same mirrored s7*1e4/s1
     // double expression; NULL mase where a month's naive error is 0.
+    // Spearman mirrored: identical doubled-rank integers (rank() +
+    // tie-count windows), HUGEINT moments, ONE sqrt+division e6.
+    "q264_spearman" ->
+      """WITH d AS (
+        |  SELECT source, n_chars AS x,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |           AS y
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |    2 * RANK() OVER (PARTITION BY source ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY source, x) - 1 AS rx,
+        |    2 * RANK() OVER (PARTITION BY source ORDER BY y)
+        |      + COUNT(*) OVER (PARTITION BY source, y) - 1 AS ry
+        |  FROM d),
+        |m AS (
+        |  SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+        |         CAST(SUM(rx) AS HUGEINT) AS sx,
+        |         CAST(SUM(ry) AS HUGEINT) AS sy,
+        |         CAST(SUM(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+        |         CAST(SUM(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy,
+        |         CAST(SUM(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy
+        |  FROM r GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |                      * CAST(n * syy - sy * sy AS DOUBLE))
+        |               * 1000000) AS BIGINT) END AS rho_e6
+        |FROM m ORDER BY source""".stripMargin,
+    // Mann-Whitney mirrored: doubled combined ranks, exact U2/dev2,
+    // the tie-corrected z as one sqrt of a HUGEINT rational.
+    "q265_mann_whitney" ->
+      """WITH d AS (
+        |  SELECT source, n_chars AS x FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |r AS (
+        |  SELECT source, x,
+        |    2 * RANK() OVER (ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY x) - 1 AS rx
+        |  FROM d),
+        |ties AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(tc AS HUGEINT) * tc * tc - tc), 0)
+        |              AS HUGEINT) AS t
+        |  FROM (SELECT COUNT(*) AS tc FROM r GROUP BY x)),
+        |base AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(rx) AS BIGINT) AS sr
+        |  FROM r GROUP BY source),
+        |wide AS (
+        |  SELECT a.n AS n1, a.sr AS sr1, b.n AS n2, t.t
+        |  FROM base a, base b, ties t
+        |  WHERE a.source = 'src0' AND b.source = 'src1'),
+        |f AS (
+        |  SELECT n1, n2, CAST(t AS BIGINT) AS t_ties,
+        |         sr1 - n1 * (n1 + 1) AS u2,
+        |         sr1 - n1 * (n1 + 1) - n1 * n2 AS dev2,
+        |         n1 + n2 AS nn
+        |  FROM wide)
+        |SELECT n1, n2, u2, dev2, t_ties,
+        |  CAST(ROUND(SIGN(CAST(dev2 AS DOUBLE)) * sqrt(
+        |    CAST(3 * CAST(dev2 AS HUGEINT) * dev2 * nn * (nn - 1) AS DOUBLE)
+        |    / CAST(CAST(n1 AS HUGEINT) * n2
+        |           * (CAST(nn AS HUGEINT) * nn * nn - nn - t_ties)
+        |           AS DOUBLE)) * 10000) AS BIGINT) AS z_e4
+        |FROM f""".stripMargin,
     // Same dense grid; the ±3 centered window with the /7 cleared to
     // sevenths-of-a-cent; one mirrored double division at the end.
     "q262_stl_seasonal" ->
