@@ -641,13 +641,12 @@ object Components {
     * keyspaces cannot collide. 5 damped iterations, e6-scaled.
     */
   def q127(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val l = Tables.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val edges = o.join(l, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    // Shared memoized fact-join edge frame (Graph.custSuppEdgesShared)
+    // — five queries walk this graph; the join runs once per session.
     // No .distinct() here: pageRank's canonical-orientation dedup
     // collapses repeats in its single dedup shuffle.
-    pageRank(edges, iterations = 5, loopShufflePartitions = Some(8))
+    pageRank(Graph.custSuppEdgesShared(s, dir),
+      iterations = 5, loopShufflePartitions = Some(8))
       .select(col("id"), Similarity.intScaled(col("pr"), 1000000L).as("pr_e6"))
       .orderBy("id")
   }
@@ -715,12 +714,11 @@ object Components {
     * against an independently weighted oracle.
     */
   def q147(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val l = Tables.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val edges = o.join(l, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"),
-        lit(1.0).as("w")) // 1.0 per lineitem row ⇒ canonical sum = multiplicity
-    pageRankWeighted(edges, iterations = 5, loopShufflePartitions = Some(8))
+    // 1.0 per lineitem row ⇒ canonical sum = multiplicity; the shared
+    // frame preserves multiplicity exactly for this reason.
+    pageRankWeighted(
+      Graph.custSuppEdgesShared(s, dir).withColumn("w", lit(1.0)),
+      iterations = 5, loopShufflePartitions = Some(8))
       .select(col("id"), Similarity.intScaled(col("pr"), 1000000L).as("pr_e6"))
       .orderBy("id")
   }
@@ -731,11 +729,8 @@ object Components {
     * a trusted domain list.
     */
   def q148(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val l = Tables.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val edges = o.join(l, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-    pageRankPersonalized(edges, isSeed = id => id % 2 === 1,
+    pageRankPersonalized(Graph.custSuppEdgesShared(s, dir),
+      isSeed = id => id % 2 === 1,
       iterations = 5, loopShufflePartitions = Some(8))
       .select(col("id"), Similarity.intScaled(col("pr"), 1000000L).as("pr_e6"))
       .orderBy("id")
