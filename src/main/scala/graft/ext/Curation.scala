@@ -239,6 +239,48 @@ object Curation {
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("o")))
 
+  /** q268 — differential-privacy sensitivity audit of the per-nation
+    * revenue aggregate: for each nation, the maximum single CUSTOMER
+    * contribution to the revenue sum — the user-level L1 sensitivity
+    * that calibrates DP noise (σ ∝ Δ/ε for the Laplace/Gaussian
+    * mechanisms under add/remove-one-user). The privacy-engineering
+    * companion to q255's k-anonymity and q141's census: before a
+    * noised release, you must know Δ, and whales (max share near the
+    * total) mean contribution CLIPPING, not more noise. All-integer
+    * cents; the share is ONE mirrored division e6.
+    *
+    * Scale: orders collapse map-side to per-customer sums (the only
+    * corpus-sized shuffle, partial-agg combined), the customer→nation
+    * resolve is a dim join, and the nation rollup with an integer
+    * max-struct pick is bounded by the nation domain.
+    */
+  def q268(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.table(s, dir, "orders")
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("cust_cents"))
+    val cust = Tables.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.table(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    perCust
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cust_cents")).as("total_cents"),
+        max(struct(col("cust_cents").as("cc"), (-col("o_custkey")).as("nk")))
+          .as("best"))
+      .select(col("n_name"), col("n_customers"), col("total_cents"),
+        col("best.cc").as("sensitivity_cents"),
+        (-col("best.nk")).as("worst_custkey"),
+        round(col("best.cc").cast("double") /
+          col("total_cents").cast("double") * 1000000d, 0).cast("long")
+          .as("share_e6"))
+      .orderBy("n_name")
+  }
+
   /** q255 — k-anonymity audit (k = 5) of the customer quasi-identifier
     * (nation, market segment, $5000 balance bucket): per nation, how
     * many QI equivalence classes exist, how many are RISKY (fewer than
@@ -368,6 +410,7 @@ object Curation {
     "q234_mixture_plan"   -> (q234 _),
     "q236_oov_rate"       -> (q236 _),
     "q258_bh_fdr"         -> (q258 _),
+    "q268_sensitivity_audit" -> (q268 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -422,6 +465,37 @@ object Curation {
         |ORDER BY nation""".stripMargin,
     // Same observed-cell frame, each count cast to double BEFORE the
     // products, identical per-cell e9 rounding, exact integer sum.
+    // Sensitivity audit mirrored: exact cents, (cents, -custkey)
+    // max-struct pick as ORDER BY ... LIMIT per group via window.
+    "q268_sensitivity_audit" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS cust_cents
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT n_name, o_custkey, cust_cents
+        |  FROM pc
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |best AS (
+        |  SELECT n_name, o_custkey, cust_cents,
+        |         ROW_NUMBER() OVER (PARTITION BY n_name
+        |                            ORDER BY cust_cents DESC, o_custkey)
+        |           AS rn
+        |  FROM j),
+        |tot AS (
+        |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |         CAST(SUM(cust_cents) AS BIGINT) AS total_cents
+        |  FROM j GROUP BY 1)
+        |SELECT tot.n_name, n_customers, total_cents,
+        |       b.cust_cents AS sensitivity_cents,
+        |       b.o_custkey AS worst_custkey,
+        |       CAST(ROUND(CAST(b.cust_cents AS DOUBLE)
+        |                  / CAST(total_cents AS DOUBLE) * 1000000) AS BIGINT)
+        |         AS share_e6
+        |FROM tot JOIN best b ON tot.n_name = b.n_name AND b.rn = 1
+        |ORDER BY tot.n_name""".stripMargin,
     // BH mirrored: HUGEINT Cantelli rationals rc·n/(rc·n+(nO−rc)²),
     // the SAME IEEE quotient as the rank key, the integer
     // cross-multiplied accept predicate.

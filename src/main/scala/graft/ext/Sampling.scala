@@ -171,6 +171,42 @@ object Sampling {
     }.reduce(_ unionAll _).orderBy("epoch", "shard", "pos")
   }
 
+  /** q267 — training-shard MANIFEST: the artifact a training job
+    * checks before consuming an epoch's shards — per shard, the doc
+    * census (count, tokens, chars), an ORDER-INSENSITIVE content sum
+    * (Σ md5-prefix-40bit(text) — additive, so two manifests diff by
+    * subtraction and shard unions sum), and the ORDER-SENSITIVE chain
+    * fingerprint md5(concat of per-doc md5s in pos order) — the
+    * reproducibility contract: same corpus + same epoch key ⇒
+    * byte-identical training stream per shard. Built on q124's
+    * certified epochShard permutation.
+    *
+    * Float-free. Scale: the shard assignment is map-side md5; the
+    * chain fingerprint needs the per-shard pos order — the q124 window
+    * (shard-keyed); the content sum is a plain partial agg (40-bit
+    * prefixes × shard cardinality stay < 2⁵³ far past bench scale;
+    * decimal(38) is the swap beyond). The manifest frame is
+    * shard-cardinality, not corpus-cardinality.
+    */
+  def q267(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    epochShard(d, col("doc_id"), lit("ep1"))
+      .join(d.select(col("doc_id"), col("text"), col("n_chars")), "doc_id")
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(conv(substring(md5(col("text")), 1, 10), 16, 10).cast("long"))
+          .as("content_sum"),
+        md5(concat_ws("",
+          transform(
+            array_sort(collect_list(
+              struct(col("pos"), md5(col("text")).as("h")))),
+            x => x.getField("h")))).as("chain_fp"))
+      .orderBy("shard")
+  }
+
   /** Deterministic k-per-stratum sample: within each stratum, keep the
     * k rows with the smallest md5 sort key — a reproducible "uniform"
     * sample (the md5 order is uncorrelated with any data attribute)
@@ -373,6 +409,7 @@ object Sampling {
     "q139_split_leakage" -> (q139 _),
     "q154_weighted_sample" -> (q154 _),
     "q174_split_balance" -> (q174 _),
+    "q267_shard_manifest" -> (q267 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -457,6 +494,29 @@ object Sampling {
         |    PARTITION BY epoch, substr(key, 1, 1)
         |    ORDER BY key, doc_id) AS BIGINT) AS pos
         |FROM k ORDER BY epoch, shard, pos""".stripMargin,
+    // Manifest mirrored on the q124 shard CTE: additive 40-bit content
+    // sum, position-ordered md5 chain via string_agg ORDER BY.
+    "q267_shard_manifest" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(instr('0123456789abcdef', substr(key, 1, 1)) - 1 AS BIGINT)
+        |      AS shard,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY substr(key, 1, 1)
+        |      ORDER BY key, doc_id) AS BIGINT) AS pos
+        |  FROM k)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(CAST(('0x' || substr(md5(d.text), 1, 10)) AS BIGINT))
+        |       AS BIGINT) AS content_sum,
+        |  md5(string_agg(md5(d.text), '' ORDER BY pos)) AS chain_fp
+        |FROM sh JOIN documents d USING (doc_id)
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
     "q131_stratum_sample" ->
       """SELECT lang AS stratum, doc_id,
         |  CAST(ROW_NUMBER() OVER (

@@ -155,6 +155,78 @@ class Round9cSpec extends SparkTestBase {
     info(f"q265: U2=$u2 dev2=$dev2 T=$t z=${z}%.4f margin=$margin%.3e")
   }
 
+  // --------------------------------------------------------------- q267
+
+  test("q267 shard manifest: exact replay + additivity of the content sum") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val hexIdx = "0123456789abcdef"
+    val byShard = docs.map { case (id, text, nc) =>
+      val key = md5hex(s"ep1:$id")
+      (hexIdx.indexOf(key.head).toLong, key, id, text, nc)
+    }.groupBy(_._1)
+    val expect = byShard.map { case (shard, g) =>
+      val ordered = g.sortBy { case (_, key, id, _, _) => (key, id) }
+      val chain = md5hex(ordered.map(t => md5hex(t._4)).mkString)
+      shard -> (g.length.toLong,
+        g.map(_._4.split(" ", -1).length.toLong).sum,
+        g.map(_._5).sum,
+        g.map(t => java.lang.Long.parseLong(md5hex(t._4).take(10), 16)).sum,
+        chain)
+    }
+    val got = graft.ext.Sampling.q267(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (sh, v) => assert(got(sh) == v, s"shard $sh") }
+    // Additivity: the content sums across shards reconstruct the
+    // whole-corpus sum — the property that lets manifests diff/merge.
+    assert(got.values.map(_._4).sum ==
+      docs.map(d => java.lang.Long.parseLong(md5hex(d._2).take(10), 16)).sum)
+    // Chain fingerprints are genuinely order-sensitive state: distinct
+    // across shards (distinct doc sets and orders).
+    assert(got.values.map(_._5).toSet.size == got.size)
+  }
+
+  // --------------------------------------------------------------- q268
+
+  test("q268 sensitivity audit: exact replay + whale share binds") {
+    val cents = (x: Double) =>
+      new JBig(x).setScale(2, RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_custkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), cents(r.getDouble(1))))
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select($"n_nationkey", $"n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val custNat = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey", $"c_nationkey").collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        nation(r.getAs[Number](1).longValue)).toMap
+    val perCust = orders.groupBy(_._1)
+      .map { case (ck, g) => (ck, g.map(_._2).sum) }
+    val expect = perCust.toSeq.groupBy { case (ck, _) => custNat(ck) }
+      .map { case (nat, g) =>
+        val total = g.map(_._2).sum
+        val best = g.minBy { case (ck, c) => (-c, ck) }
+        nat -> (g.size.toLong, total, best._2, best._1,
+          halfUp(best._2.toDouble / total * 1e6))
+      }
+    val got = graft.ext.Curation.q268(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (nat, v) => assert(got(nat) == v, s"nation $nat") }
+    // The audit must detect real concentration: in every nation the
+    // max contributor exceeds the uniform share (strictly, unless all
+    // customers are identical), and never exceeds the total.
+    got.foreach { case (nat, (n, total, sens, _, _)) =>
+      assert(sens <= total && sens * n >= total, s"nation $nat")
+    }
+  }
+
   // --------------------------------------------------------------- q266
 
   test("q266 Kendall tau: independent replay + rank-20/21 margins") {
