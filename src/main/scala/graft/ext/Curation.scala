@@ -402,8 +402,156 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q272 — Cohen's kappa between the declared `lang` label and q51's
+    * stopword-argmax prediction: the chance-corrected agreement scalar
+    * that q178's confusion matrix is usually summarized into —
+    *   κ = (pₒ − pₑ)/(1 − pₑ) = (n·agree − Σ row_c·col_c) /
+    *       (n² − Σ row_c·col_c)
+    * with the marginal product summed over the union of label classes.
+    * The label-noise headline a pipeline publishes before trusting
+    * upstream language tags (κ near 0 = the tags are no better than the
+    * marginals; the raw-accuracy trap κ exists to correct).
+    *
+    * Exactness: confusion cells and marginals are exact integers; the
+    * rational's products ride decimal(38) (BIGINT n² dies at ~3×10⁹
+    * docs — the q233 discipline) and κ is ONE double division of
+    * identically-derived integers, e9-gridded, NULL when the
+    * denominator is zero (single-class degenerate case) on both
+    * engines.
+    *
+    * Scale: one corpus scan collapses to the (lang × guess) confusion
+    * frame (classes², tiny); marginals, products, and κ are all
+    * class-bounded arithmetic. Output is ONE row.
+    */
+  def q272(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = docs(s, dir)
+      .select(col("lang"), TextAnalysis.guessLang(col("text")).as("guess"))
+      .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy(col("lang").as("c")).agg(sum("n").as("row_n"))
+    val cols = cells.groupBy(col("guess").as("c")).agg(sum("n").as("col_n"))
+    val marg = rows.join(cols, Seq("c"), "full")
+      .agg(sum(coalesce(col("row_n"), lit(0L)).cast(d38) *
+        coalesce(col("col_n"), lit(0L)).cast(d38)).as("rc"))
+    val num = col("n_docs").cast(d38) * col("n_agree").cast(d38) - col("rc")
+    val den = col("n_docs").cast(d38) * col("n_docs").cast(d38) - col("rc")
+    cells
+      .agg(sum("n").as("n_docs"),
+        sum(when(col("lang") === col("guess"), col("n")).otherwise(0L))
+          .as("n_agree"))
+      .crossJoin(broadcast(marg))
+      .select(col("n_docs"), col("n_agree"), col("rc").cast("long").as("sum_rc"),
+        Similarity.intScaled(
+          when(den =!= 0, num.cast("double") / den.cast("double")),
+          1000000000L).as("kappa_e9"))
+  }
+
+  /** q273 — lang-ID confidence calibration (the reliability diagram of
+    * q51's classifier): per document, confidence = best-language
+    * stopword hits over LAPLACE-SHRUNK total hits, best/(total+1) —
+    * the +1 prior makes confidence grow with evidence MASS (1 hit →
+    * 0.5, 20 hits → ~0.95) instead of saturating at 1.0 for every
+    * single-language doc — bucketed by the INTEGER rational
+    * (10·best) DIV (total+1) (no double ever touches a bucket
+    * boundary — the q134 lesson); per bucket, accuracy against the
+    * declared label and the Brier-score mass. A calibrated classifier
+    * shows accuracy tracking confidence bucket-for-bucket; q51's
+    * 4-stopword heuristic visibly won't — which is exactly what this
+    * audit is for before anyone filters a corpus on its confidence.
+    *
+    * Exactness: buckets and counts are exact integers; accuracy is one
+    * integer division e6-gridded; each document's Brier term
+    * (conf − correct)² is ONE identical double expression rounded onto
+    * the e9 grid BEFORE the sum (the q232 Σ-of-gridded-terms
+    * discipline — no float accumulation).
+    *
+    * Scale: map-side scoring projection, one groupBy on the ≤ 11
+    * buckets with partial aggs. Zero-hit documents (no confidence
+    * defined) are excluded identically on both engines.
+    */
+  def q273(s: SparkSession, dir: String): DataFrame = {
+    val sw = TextAnalysis.langStopwords
+    val scoreCols = Seq(
+      col("lang"),
+      TextAnalysis.guessLang(col("text")).as("guess")) ++
+      sw.map { case (l, w) =>
+        TextAnalysis.stopwordHits(col("text"), w).cast("long").as(s"s_$l")
+      }
+    val scored = docs(s, dir).select(scoreCols: _*)
+    val best = greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
+    val total = col("s_en") + col("s_de") + col("s_es") + col("s_fr")
+    scored
+      .withColumn("best", best).withColumn("total", total)
+      .filter(col("total") > 0)
+      .select(
+        expr("(10 * best) DIV (total + 1)").as("bucket"),
+        when(col("guess") === col("lang"), 1L).otherwise(0L).as("ok"),
+        Similarity.intScaled(
+          (col("best").cast("double") / (col("total") + 1L).cast("double") -
+            when(col("guess") === col("lang"), lit(1.0)).otherwise(lit(0.0)))
+            * (col("best").cast("double") / (col("total") + 1L).cast("double") -
+              when(col("guess") === col("lang"), lit(1.0)).otherwise(lit(0.0))),
+          1000000000L).as("term_e9"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_correct"),
+        sum(col("term_e9")).as("brier_e9"))
+      .select(col("bucket"), col("n"), col("n_correct"),
+        Similarity.intScaled(
+          col("n_correct").cast("double") / col("n").cast("double"),
+          1000000L).as("acc_e6"),
+        col("brier_e9"))
+      .orderBy("bucket")
+  }
+
+  /** q274 — Wilson 95% confidence interval on per-funnel-stage user
+    * conversion: for each event type, the share of its distinct users
+    * who also purchased, with the Wilson score interval (the
+    * small-n-safe CI the normal approximation gets wrong at extreme
+    * p̂ — the one to publish on funnel dashboards where some stage has
+    * 40 users, not 40 million). Rates without uncertainty invite
+    * false reallocations; the CI width IS the decision signal.
+    *
+    * Float discipline: k and n are exact distinct-user integers; the
+    * Wilson center/halfwidth is ONE textually-mirrored double
+    * expression (z spelled 1.96 with the SQL side cast to DOUBLE
+    * before any arithmetic so both engines multiply the same rounded
+    * double), each bound e6-gridded once. `Round9eSpec` measures the
+    * rounding-boundary margins.
+    *
+    * Scale: one distinct (user, type) collapse (user-keyed shuffle),
+    * a user-keyed left join against the purchase flag, then a
+    * type-bounded agg. No window, no collect; purchasers are a
+    * user-keyed frame, never broadcast by assumption.
+    */
+  def q274(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val buyers = pairs.filter(col("event_type") === "purchase")
+      .select(col("user_id"), lit(1L).as("conv"))
+    val n = col("n_users").cast("double")
+    val k = col("n_conv").cast("double")
+    val z = lit(1.96)
+    val z2 = z * z
+    val ph = k / n
+    val den = lit(1.0) + z2 / n
+    val center = (ph + z2 / (lit(2.0) * n)) / den
+    val hw = (z * sqrt(ph * (lit(1.0) - ph) / n + z2 / (lit(4.0) * n * n))) / den
+    pairs.join(buyers, Seq("user_id"), "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("conv"), lit(0L))).as("n_conv"))
+      .select(col("event_type"), col("n_users"), col("n_conv"),
+        Similarity.intScaled(ph, 1000000L).as("phat_e6"),
+        Similarity.intScaled(center - hw, 1000000L).as("lo_e6"),
+        Similarity.intScaled(center + hw, 1000000L).as("hi_e6"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q232_psi_drift"      -> (q232 _),
+    "q272_lang_kappa"     -> (q272 _),
+    "q273_conf_calibration" -> (q273 _),
+    "q274_wilson_ci"      -> (q274 _),
     "q233_overdispersion" -> (q233 _),
     "q247_mutual_info"    -> (q247 _),
     "q255_kanon_audit"    -> (q255 _),
@@ -414,6 +562,117 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same distinct (user, type) frame and purchase flag; the Wilson
+    // expression textually mirrored with every 1.96 cast to DOUBLE
+    // before arithmetic (a bare DuckDB decimal literal would multiply
+    // exactly, diverging a ulp from double·double).
+    "q274_wilson_ci" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |buyers AS (
+        |  SELECT user_id, 1 AS conv FROM pairs WHERE event_type = 'purchase'),
+        |a AS (
+        |  SELECT p.event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |         CAST(SUM(COALESCE(b.conv, 0)) AS BIGINT) AS n_conv
+        |  FROM pairs p LEFT JOIN buyers b ON p.user_id = b.user_id
+        |  GROUP BY p.event_type),
+        |d AS (
+        |  SELECT event_type, n_users, n_conv,
+        |         CAST(n_users AS DOUBLE) AS n, CAST(n_conv AS DOUBLE) AS k,
+        |         CAST(1.96 AS DOUBLE) AS z
+        |  FROM a),
+        |e AS (
+        |  SELECT event_type, n_users, n_conv, n, k, z,
+        |         k / n AS ph, 1.0 + z * z / n AS den
+        |  FROM d)
+        |SELECT event_type, n_users, n_conv,
+        |  CAST(ROUND(ph * 1000000) AS BIGINT) AS phat_e6,
+        |  CAST(ROUND(((ph + z * z / (2.0 * n)) / den
+        |    - (z * sqrt(ph * (1.0 - ph) / n + z * z / (4.0 * n * n))) / den)
+        |    * 1000000) AS BIGINT) AS lo_e6,
+        |  CAST(ROUND(((ph + z * z / (2.0 * n)) / den
+        |    + (z * sqrt(ph * (1.0 - ph) / n + z * z / (4.0 * n * n))) / den)
+        |    * 1000000) AS BIGINT) AS hi_e6
+        |FROM e
+        |ORDER BY event_type""".stripMargin,
+    // Same confusion cells (q178's guessLang SQL mirror), HUGEINT
+    // marginal products over the full-outer class union, one double
+    // division e9-gridded, NULL on a zero denominator.
+    "q272_lang_kappa" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','das'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('el','los','y','que'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les'))) AS s_fr
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |         WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+        |         WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |         WHEN s_fr > 0 THEN 'fr'
+        |         ELSE 'unknown' END AS guess
+        |  FROM scored),
+        |cells AS (
+        |  SELECT lang, guess, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pred GROUP BY 1, 2),
+        |r AS (SELECT lang AS c, CAST(SUM(n) AS HUGEINT) AS row_n
+        |      FROM cells GROUP BY 1),
+        |cl AS (SELECT guess AS c, CAST(SUM(n) AS HUGEINT) AS col_n
+        |       FROM cells GROUP BY 1),
+        |m AS (SELECT CAST(SUM(COALESCE(row_n, 0) * COALESCE(col_n, 0))
+        |             AS HUGEINT) AS rc
+        |      FROM r FULL JOIN cl USING (c)),
+        |t AS (SELECT CAST(SUM(n) AS HUGEINT) AS n_docs,
+        |             CAST(SUM(CASE WHEN lang = guess THEN n ELSE 0 END)
+        |                  AS HUGEINT) AS n_agree
+        |      FROM cells)
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_agree AS BIGINT) AS n_agree,
+        |       CAST(rc AS BIGINT) AS sum_rc,
+        |       CASE WHEN n_docs * n_docs - rc = 0 THEN NULL
+        |            ELSE CAST(ROUND(CAST(n_docs * n_agree - rc AS DOUBLE)
+        |                            / CAST(n_docs * n_docs - rc AS DOUBLE)
+        |                            * 1000000000) AS BIGINT) END AS kappa_e9
+        |FROM t CROSS JOIN m""".stripMargin,
+    // Same stopword scores, integer (10·best)//total buckets, identical
+    // per-doc Brier double e9-gridded BEFORE the sum.
+    "q273_conf_calibration" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','das'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('el','los','y','que'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les'))) AS s_fr
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |         WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+        |         WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |         WHEN s_fr > 0 THEN 'fr'
+        |         ELSE 'unknown' END AS guess,
+        |    GREATEST(s_en, s_de, s_es, s_fr) AS best,
+        |    s_en + s_de + s_es + s_fr AS total
+        |  FROM scored),
+        |d AS (
+        |  SELECT (10 * best) // (total + 1) AS bucket,
+        |         CASE WHEN guess = lang THEN 1 ELSE 0 END AS ok,
+        |         CAST(ROUND(
+        |           (CAST(best AS DOUBLE) / CAST(total + 1 AS DOUBLE)
+        |              - CASE WHEN guess = lang THEN 1.0 ELSE 0.0 END)
+        |           * (CAST(best AS DOUBLE) / CAST(total + 1 AS DOUBLE)
+        |              - CASE WHEN guess = lang THEN 1.0 ELSE 0.0 END)
+        |           * 1000000000) AS BIGINT) AS term_e9
+        |  FROM g WHERE total > 0)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(ok) AS BIGINT) AS n_correct,
+        |       CAST(ROUND(CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |                  * 1000000) AS BIGINT) AS acc_e6,
+        |       CAST(SUM(term_e9) AS BIGINT) AS brier_e9
+        |FROM d GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
     // Same dense (source × bucket) grid, identical smoothed p/q
     // doubles, per-bucket e9 rounding BEFORE the integer sum.
     "q232_psi_drift" ->

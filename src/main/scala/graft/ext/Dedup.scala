@@ -661,6 +661,47 @@ object Dedup {
     segmentDedup(docs(s, dir), col("doc_id"), col("text"))
       .orderBy("doc_id")
 
+  /** q269 — per-SOURCE boilerplate segment mass: a 16-token segment is
+    * BOILERPLATE when its exact hash appears in ≥ 3 distinct documents
+    * (the CCNet-style "repeated across the crawl" test — stricter than
+    * q129's any-duplication census, and body-positional unlike q187's
+    * prefix-only detector). Per source: segment instances, boilerplate
+    * instances, distinct boilerplate shapes, and the boilerplate
+    * fraction — the feed-level dashboard that tells an ingest which
+    * sources ship templated chrome rather than content.
+    *
+    * Float discipline: the fraction is one division of exact integer
+    * counts — identical doubles on both engines — e6-gridded once.
+    *
+    * Scale: same shape as [[segmentDedup]] — map-side segment explode,
+    * ONE corpus-wide shuffle on the segment hash (verdict is (hash,
+    * n_docs), no text payload), hash-join back, then a source-bounded
+    * agg. Nothing after the verdict join carries segment text.
+    */
+  def q269(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val segsCol = transform(
+      sequence(lit(0), floor((size(ws) - 1) / 16).cast("int")),
+      i => concat_ws(" ", slice(ws, i * 16 + 1, lit(16))))
+    val segs = docs(s, dir)
+      .select(col("source"), col("doc_id"), explode(segsCol).as("seg"))
+      .select(col("source"), col("doc_id"), md5(col("seg")).as("h"))
+    val verdict = segs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    segs.join(verdict, "h")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("n_docs") >= 3, 1L).otherwise(0L)).as("n_bp_segs"),
+        countDistinct(when(col("n_docs") >= 3, col("h"))).as("n_bp_shapes"))
+      .select(col("source"), col("n_segs"), col("n_bp_segs"),
+        col("n_bp_shapes"),
+        Similarity.intScaled(
+          col("n_bp_segs").cast("double") / col("n_segs").cast("double"),
+          1000000L).as("bp_e6"))
+      .orderBy("source")
+  }
+
   /** Directional set containment |a∩b| / |a| — the asymmetric near-dup
     * signal Jaccard misses: a short doc fully quoted inside a long one
     * has low Jaccard but containment ≈ 1 in the short→long direction.
@@ -754,6 +795,7 @@ object Dedup {
     "q257_fellegi_sunter"  -> (q257 _),
     "q261_blocking_quality" -> (q261 _),
     "q129_segment_dedup"   -> (q129 _),
+    "q269_boilerplate"     -> (q269 _),
     "q132_containment"     -> (q132 _),
     "q159_minhash_calib"   -> (q159 _),
     "q164_dedup_census"    -> (q164 _),
@@ -1211,6 +1253,31 @@ object Dedup {
         |WHERE CAST(ROUND(jaro_winkler_similarity(a.name, b.name) * 1000000)
         |           AS BIGINT) >= 880000
         |ORDER BY a.w, name_a, name_b""".stripMargin,
+    // Same segment frame as q129's oracle; verdict at >= 3 distinct
+    // docs; one integer division e6-gridded.
+    "q269_boilerplate" ->
+      """WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |s AS (SELECT source, doc_id, ws,
+        |             unnest(range(1, len(ws) + 1, 16)) AS st FROM t),
+        |seg AS (
+        |  SELECT source, doc_id,
+        |    md5(array_to_string(
+        |      list_slice(ws, st, LEAST(st + 15, len(ws))), ' ')) AS h
+        |  FROM s),
+        |d AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs
+        |      FROM seg GROUP BY h)
+        |SELECT seg.source, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(SUM(CASE WHEN d.n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bp_segs,
+        |  CAST(COUNT(DISTINCT CASE WHEN d.n_docs >= 3 THEN seg.h END)
+        |       AS BIGINT) AS n_bp_shapes,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN d.n_docs >= 3 THEN 1 ELSE 0 END)
+        |                  AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE) * 1000000) AS BIGINT) AS bp_e6
+        |FROM seg JOIN d ON seg.h = d.h
+        |GROUP BY seg.source
+        |ORDER BY seg.source""".stripMargin,
     "q129_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |s AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 16)) AS st FROM t),

@@ -515,8 +515,111 @@ object Patterns {
       .orderBy("t0", "t1", "t2")
   }
 
+  /** q270 — single-changepoint detection over daily arrival counts per
+    * event type (binary segmentation at depth 1): among all splits of
+    * the day-ordered count series x₁..xₙ after position k, pick the one
+    * maximizing the between-segment variance reduction
+    *   gain(k) = S₁²/n₁ + S₂²/n₂ − S²/n
+    * (the exact SSE drop of a two-mean fit vs one mean — the CUSUM-mean
+    * companion to q251's sequential monitor, answering "WHERE did the
+    * level shift" rather than "has it shifted yet").
+    *
+    * Exactness: day buckets and prefix sums are exact integers; the
+    * gain is formed as ONE rational num/den in decimal(38)
+    * (num = S₁²n₂n + S₂²n₁n − S²n₁n₂, den = n₁n₂n — BIGINT would
+    * overflow at ~10⁹ daily events, the q233 discipline), ranked by the
+    * identical IEEE double quotient with a (gain DESC, day) tie-break
+    * on both engines (the q258 rank-by-same-double pattern), and
+    * e4-gridded once at the end.
+    *
+    * Scale: events collapse map-side to the (type × day) frame
+    * (calendar-bounded); the candidate scan, rank, and argmax are all
+    * per-type windows over ≤ n_days rows. Nothing after the first agg
+    * is event-sized. Types with a single active day have no candidate
+    * split and drop out (same on both engines).
+    */
+  def q270(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .groupBy(col("event_type"), expr("us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val cand = daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("s1", sum(col("x")).over(w).cast(d38))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("stot",
+        sum(col("x")).over(Window.partitionBy("event_type")).cast(d38))
+      .filter(col("k") < col("n"))
+      .withColumn("s2", col("stot") - col("s1"))
+      .withColumn("n1", col("k").cast(d38))
+      .withColumn("n2", (col("n") - col("k")).cast(d38))
+      .withColumn("num",
+        col("s1") * col("s1") * col("n2") * col("n").cast(d38) +
+          col("s2") * col("s2") * col("n1") * col("n").cast(d38) -
+          col("stot") * col("stot") * col("n1") * col("n2"))
+      .withColumn("den", col("n1") * col("n2") * col("n").cast(d38))
+      .withColumn("gain_dbl",
+        col("num").cast("double") / col("den").cast("double"))
+    val rw = Window.partitionBy("event_type")
+      .orderBy(col("gain_dbl").desc, col("day"))
+    cand
+      .withColumn("rn", row_number().over(rw))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("day").as("split_day"),
+        Similarity.intScaled(col("gain_dbl"), 10000L).as("gain_e4"))
+      .orderBy("event_type")
+  }
+
+  /** q275 — hour-of-day load profile per event type: the peak UTC
+    * hour (argmax under the all-integer (count DESC, hour) order),
+    * its share of the type's traffic, and the peak-to-mean flatness
+    * ratio — the diurnal-shape audit that separates human-driven
+    * feeds (strong daily cycle) from scripted/batch ones (flat or
+    * single-spike), complementing q214's day-of-week seasonality and
+    * q233's day-level burstiness at the hour grain.
+    *
+    * Exactness: hour buckets are integer epoch-µs arithmetic (q190
+    * discipline); peak choice is an integer decision; share and
+    * flatness are single mirrored double expressions of exact
+    * integers, e6/e4-gridded once.
+    *
+    * Scale: events collapse map-side to the (type × hour-of-day)
+    * frame (≤ 24 rows per type); every window after rides that frame.
+    */
+  def q275(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .groupBy(col("event_type"), expr("(us DIV 3600000000) % 24").as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type")
+    val rw = Window.partitionBy("event_type").orderBy(col("x").desc, col("hr"))
+    hourly
+      .withColumn("tot", sum(col("x")).over(w))
+      .withColumn("nh", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(rw))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("hr").as("peak_hour"),
+        col("x").as("peak_n"), col("tot").as("n_events"),
+        col("nh").as("n_hours"),
+        Similarity.intScaled(
+          col("x").cast("double") / col("tot").cast("double"),
+          1000000L).as("peak_share_e6"),
+        Similarity.intScaled(
+          col("x").cast("double") * col("nh").cast("double") /
+            col("tot").cast("double"),
+          10000L).as("flatness_e4"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_assoc_rules"     -> (q161 _),
+    "q270_changepoint"     -> (q270 _),
+    "q275_hourly_profile"  -> (q275 _),
     "q162_event_transitions" -> (q162 _),
     "q163_weighted_median" -> (q163 _),
     "q166_token_apportion" -> (q166 _),
@@ -532,6 +635,68 @@ object Patterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same (type × hour) frame, integer argmax, mirrored share and
+    // peak-to-mean doubles gridded once.
+    "q275_hourly_profile" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hr
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM d GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, hr, x,
+        |         CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+        |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nh,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY x DESC, hr) AS rn
+        |  FROM c)
+        |SELECT event_type, hr AS peak_hour, x AS peak_n, tot AS n_events,
+        |       nh AS n_hours,
+        |       CAST(ROUND(CAST(x AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000)
+        |            AS BIGINT) AS peak_share_e6,
+        |       CAST(ROUND(CAST(x AS DOUBLE) * CAST(nh AS DOUBLE)
+        |                  / CAST(tot AS DOUBLE) * 10000) AS BIGINT)
+        |         AS flatness_e4
+        |FROM p WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
+    // Same (type × day) frame and prefix sums; gain formed as the same
+    // HUGEINT rational, ranked by the identical double quotient with the
+    // (gain DESC, day) tie-break, e4-gridded once.
+    "q270_changepoint" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM d GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, day,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                 ORDER BY day) AS HUGEINT) AS k,
+        |         CAST(SUM(x) OVER (PARTITION BY event_type
+        |                           ORDER BY day) AS HUGEINT) AS s1,
+        |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n,
+        |         CAST(SUM(x) OVER (PARTITION BY event_type) AS HUGEINT) AS stot
+        |  FROM c),
+        |g AS (
+        |  SELECT event_type, day, n,
+        |         CAST(s1 * s1 * (n - k) * n
+        |                + (stot - s1) * (stot - s1) * k * n
+        |                - stot * stot * k * (n - k) AS DOUBLE)
+        |           / CAST(k * (n - k) * n AS DOUBLE) AS gain_dbl
+        |  FROM p WHERE k < n),
+        |r AS (
+        |  SELECT event_type, n, day, gain_dbl,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY gain_dbl DESC, day) AS rn
+        |  FROM g)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days, day AS split_day,
+        |       CAST(ROUND(gain_dbl * 10000) AS BIGINT) AS gain_e4
+        |FROM r WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
     "q161_assoc_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM li),

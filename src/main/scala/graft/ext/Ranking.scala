@@ -474,8 +474,75 @@ object Ranking {
       .orderBy("qid")
   }
 
+  /** q271 — vocabulary coverage curve: the share of total token mass
+    * covered by the top-k vocabulary at k ∈ {10, 100, 1000} under the
+    * (freq DESC, word) total order — the tokenizer-sizing signal that
+    * generalizes q236's single-cutoff OOV rate to a curve ("how big
+    * must the vocab be before the long tail stops mattering"), the
+    * empirical counterpart of q130's fitted Zipf slope.
+    *
+    * Exactness: counts and conditional mass sums are exact integers;
+    * each share is one integer division, e6-gridded.
+    *
+    * Scale: one corpus scan collapses to the (word, count) frame with
+    * map-side combine; the rank window runs over the vocabulary-sized
+    * frame (the q130/q142 bounded-cardinality caveat), and the output
+    * is ONE row. If the vocabulary has fewer than k types the k-bucket
+    * simply covers everything — identical on both engines.
+    */
+  def q271(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+    def cov(k: Int): Column =
+      Similarity.intScaled(
+        sum(when(col("rank") <= k, col("cnt")).otherwise(0L))
+          .cast("double") / sum(col("cnt")).cast("double"),
+        1000000L)
+    tf.agg(
+      count(lit(1)).as("n_types"),
+      sum(col("cnt")).as("n_tokens"),
+      cov(10).as("cov10_e6"),
+      cov(100).as("cov100_e6"),
+      cov(1000).as("cov1000_e6"))
+  }
+
+  /** q276 — word2vec-style negative-sampling table over the top-50
+    * vocabulary: each word's unigram count raised to the standard 3/4
+    * damping, and the CUMULATIVE range boundary a sampler would draw
+    * uniform integers against (Mikolov et al. 2013's table, built
+    * relationally). The 0.75 power is the piece that keeps frequent
+    * words from swamping the negatives — publishing the damped table
+    * is how a pipeline makes its sampler reproducible.
+    *
+    * Float discipline: pow(·, 0.75) is ONE mirrored double expression
+    * per word, e6-gridded BEFORE the cumulative sum, so the running
+    * boundary is an exact BIGINT cumsum of gridded weights (the q232
+    * Σ-of-gridded-terms discipline — no float accumulation across the
+    * table).
+    *
+    * Scale: word counts are a map-side partial agg; the rank window
+    * rides the vocabulary-sized frame (q130/q142 caveat) and the
+    * output is top-50.
+    */
+  def q276(s: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedVocab(docs(s, dir), col("text"), 50)
+    val w = Window.orderBy(col("rank"))
+    ranked
+      .withColumn("w_e6",
+        Similarity.intScaled(pow(col("cnt").cast("double"), 0.75), 1000000L))
+      .withColumn("cum_e6", sum(col("w_e6")).over(w))
+      .select(col("rank").cast("long").as("rank"), col("w"), col("cnt"),
+        col("w_e6"), col("cum_e6"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q248_rrf_fusion" -> (q248 _),
+    "q271_vocab_coverage" -> (q271 _),
+    "q276_negsample_table" -> (q276 _),
     "q266_kendall_tau" -> (q266 _),
     "q126_bm25"       -> (q126 _),
     "q130_zipf_slope" -> (q130 _),
@@ -489,6 +556,51 @@ object Ranking {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same (freq DESC, word) top-50, pow(cnt,0.75) mirrored and
+    // e6-gridded per word BEFORE the exact integer cumsum.
+    "q276_negsample_table" ->
+      """WITH tf AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |r AS (
+        |  SELECT w, cnt,
+        |         ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank
+        |  FROM tf),
+        |t AS (
+        |  SELECT CAST(rank AS BIGINT) AS rank, w, cnt,
+        |         CAST(ROUND(pow(CAST(cnt AS DOUBLE), 0.75) * 1000000)
+        |              AS BIGINT) AS w_e6
+        |  FROM r WHERE rank <= 50)
+        |SELECT rank, w, cnt, w_e6,
+        |       CAST(SUM(w_e6) OVER (ORDER BY rank) AS BIGINT) AS cum_e6
+        |FROM t
+        |ORDER BY rank""".stripMargin,
+    // Same (freq DESC, word) rank, integer conditional mass sums, one
+    // e6-gridded division per k-bucket.
+    "q271_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |r AS (
+        |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank
+        |  FROM tf)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN rank <= 10 THEN cnt ELSE 0 END)
+        |                  AS DOUBLE)
+        |             / CAST(SUM(cnt) AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS cov10_e6,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN rank <= 100 THEN cnt ELSE 0 END)
+        |                  AS DOUBLE)
+        |             / CAST(SUM(cnt) AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS cov100_e6,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN rank <= 1000 THEN cnt ELSE 0 END)
+        |                  AS DOUBLE)
+        |             / CAST(SUM(cnt) AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS cov1000_e6
+        |FROM r""".stripMargin,
     // Independent recompute of both retrieval lists and the fusion:
     // same tokenizer (split on ' ', distinct), same mirrored Jaccard
     // e6 expression, same raw-dot semantic order, same RRF table.

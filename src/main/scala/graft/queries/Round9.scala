@@ -457,6 +457,55 @@ object Round9 {
       .orderBy("brand", "price_c")
   }
 
+  /** q277 — revenue Pareto point per nation: the share of order
+    * revenue held by the TOP DECILE of ordering customers (ceil(n/10)
+    * under the (cents DESC, custkey) total order) — the "is this an
+    * 80/20 market" concentration read, the customer-revenue analogue
+    * of the event-side Gini/HHI monitors (q182/q194). Customers
+    * without orders don't rank (inner join by construction).
+    *
+    * Exactness: revenue is exact cents (decimal(18,2)·100 → BIGINT);
+    * the decile cut is the INTEGER (n+9) DIV 10 — no double ever
+    * touches the rank boundary; the share is one division e6-gridded.
+    *
+    * Scale: orders collapse map-side to per-customer cents BEFORE the
+    * customer/nation joins (the q268 shape); the rank window is keyed
+    * by nation over the per-customer frame. Sums ride decimal(38) —
+    * BIGINT total cents wraps near 10¹⁷ cents, live at 100 TB.
+    */
+  def q277(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val pc = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy("o_custkey").agg(sum(col("cents")).as("cust_cents"))
+    val j = pc
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey"), col("cust_cents"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("cust_cents").desc, col("o_custkey"))
+    val wn = Window.partitionBy("n_name")
+    j.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("cut", expr("(n + 9) DIV 10"))
+      .groupBy("n_name")
+      .agg(max(col("n")).as("n_customers"),
+        max(col("cut")).as("top_decile_n"),
+        sum(col("cust_cents").cast(d38)).as("tot"),
+        sum(when(col("rk") <= col("cut"), col("cust_cents").cast(d38))
+          .otherwise(lit(0).cast(d38))).as("top"))
+      .select(col("n_name"), col("n_customers"), col("top_decile_n"),
+        col("tot").cast("long").as("total_cents"),
+        col("top").cast("long").as("top_cents"),
+        graft.ext.Similarity.intScaled(
+          col("top").cast("double") / col("tot").cast("double"),
+          1000000L).as("pareto_e6"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_waiting_suppliers" -> (q215 _),
     "q245_skyline"           -> (q245 _),
@@ -470,9 +519,43 @@ object Round9 {
     "q223_top_supplier"      -> (q223 _),
     "q224_offer_counts"      -> (q224 _),
     "q225_banded_revenue"    -> (q225 _),
-    "q226_dominant_supplier" -> (q226 _))
+    "q226_dominant_supplier" -> (q226 _),
+    "q277_revenue_pareto"    -> (q277 _))
 
   val oracleSql: Map[String, String] = Map(
+    // Same per-customer cents collapse, (cents DESC, custkey) rank,
+    // integer (n+9)//10 decile cut, HUGEINT sums, one e6 division.
+    "q277_revenue_pareto" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS cust_cents
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT n_name, o_custkey, cust_cents
+        |  FROM pc
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (
+        |  SELECT n_name, cust_cents,
+        |         ROW_NUMBER() OVER (PARTITION BY n_name
+        |                            ORDER BY cust_cents DESC, o_custkey)
+        |           AS rk,
+        |         COUNT(*) OVER (PARTITION BY n_name) AS n
+        |  FROM j)
+        |SELECT n_name, CAST(MAX(n) AS BIGINT) AS n_customers,
+        |  CAST(MAX((n + 9) // 10) AS BIGINT) AS top_decile_n,
+        |  CAST(SUM(CAST(cust_cents AS HUGEINT)) AS BIGINT) AS total_cents,
+        |  CAST(SUM(CASE WHEN rk <= (n + 9) // 10
+        |                THEN CAST(cust_cents AS HUGEINT)
+        |                ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS top_cents,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN rk <= (n + 9) // 10
+        |                           THEN CAST(cust_cents AS HUGEINT)
+        |                           ELSE CAST(0 AS HUGEINT) END) AS DOUBLE)
+        |             / CAST(SUM(CAST(cust_cents AS HUGEINT)) AS DOUBLE)
+        |             * 1000000) AS BIGINT) AS pareto_e6
+        |FROM r GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     // Same SQL modulo view names; COUNT cast to BIGINT for the hash.
     "q215_waiting_suppliers" ->
       """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
