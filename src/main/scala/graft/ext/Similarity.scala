@@ -456,6 +456,51 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** q278 — recall@5 of int8-QUANTIZED search against the
+    * full-precision ground truth: the acceptance gate for shipping
+    * [[quantizeInt8]]'s codes as the serving index (4× memory cut,
+    * q100 certifies the codes; THIS certifies what the compression
+    * does to retrieval). The quantized ranking is by the INTEGER dot
+    * of the codes — exact arithmetic (|dot| ≤ 64·127², far below
+    * 2⁵³), so the approximate side's order is engine-proof by
+    * construction; only the ground-truth ranking rides the mirrored
+    * double dot (q60/q136 discipline). At sf0.01 the measured mean
+    * recall is ~0.76 — the audit BINDS; it is not a tautology.
+    *
+    * Scale: the 50-query probe side broadcasts against the corpus
+    * twice (evaluation harness, not the serving path — q136's
+    * posture); the codes frame is materialized once for both passes.
+    */
+  def q278(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quant = quantizeInt8(
+      withUnitVec(emb(s, dir), "embedding", "u")
+        .select(col("vec_id"), col("u")), col("u"))
+      .select(col("vec_id"), col("u"), col("q8"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    val wq = Window.partitionBy("qid").orderBy(col("qsim").desc, col("did"))
+    val q = quant.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("u").as("qu"), col("q8").as("qq"))
+    val d = quant
+      .select(col("vec_id").as("did"), col("u").as("du"), col("q8").as("dq"))
+    val exact = broadcast(q.select("qid", "qu")).join(d.select("did", "du"))
+      .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("did"))
+    val approx = broadcast(q.select("qid", "qq")).join(d.select("did", "dq"))
+      .select(col("qid"), col("did"),
+        dot(asDouble(col("qq")), asDouble(col("dq"))).cast("long").as("qsim"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 5)
+      .select(col("qid"), col("did"), lit(1L).as("m"))
+    exact.join(approx, Seq("qid", "did"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("m")).as("hits"))
+      .select(col("qid"), col("hits"),
+        intScaled(col("hits") / lit(5.0), 10000L).as("recall_e4"))
+      .orderBy("qid")
+  }
+
   /** q145 — LSH tuning curve: recall@3 vs plane count (4/6/8) against
     * one shared brute-force ground truth — the parameter sweep a
     * pipeline runs to SIZE its index before committing to it (more
@@ -1034,6 +1079,7 @@ object Similarity {
     "q100_embed_quant" -> (q100 _),
     "q121_filtered_knn" -> (q121 _),
     "q136_ann_recall" -> (q136 _),
+    "q278_quant_recall" -> (q278 _),
     "q145_lsh_tuning" -> (q145 _),
     "q155_logreg_step" -> (q155 _),
     "q160_calibration" -> (q160 _),
@@ -1213,6 +1259,51 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "q237_retrieval_metrics" -> retrievalMetricsOracle,
+    // Same unit vectors and x·(127/max|x|) floor codes; quantized rank
+    // by the EXACT integer code dot, ground truth by the mirrored
+    // double dot, recall joined on (qid, did).
+    "q278_quant_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |           FROM embeddings),
+        |u AS (SELECT vec_id,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev)))
+        |          AS uv
+        |      FROM e),
+        |c AS (SELECT vec_id, uv,
+        |        list_transform(uv, x -> CAST(floor(x *
+        |          (127.0 / list_max(list_transform(uv, y -> abs(y)))))
+        |          AS BIGINT)) AS q8
+        |      FROM u),
+        |bs AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS did,
+        |         list_inner_product(q.uv, d.uv) AS sim
+        |  FROM u q CROSS JOIN u d
+        |  WHERE q.vec_id < 50),
+        |be AS (
+        |  SELECT qid, did FROM (
+        |    SELECT qid, did,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |                              ORDER BY sim DESC, did) AS rn
+        |    FROM bs) WHERE rn <= 5),
+        |qs AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS did,
+        |         CAST(list_inner_product(CAST(q.q8 AS DOUBLE[]),
+        |                                 CAST(d.q8 AS DOUBLE[])) AS BIGINT)
+        |           AS qsim
+        |  FROM c q CROSS JOIN c d
+        |  WHERE q.vec_id < 50),
+        |qe AS (
+        |  SELECT qid, did FROM (
+        |    SELECT qid, did,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |                              ORDER BY qsim DESC, did) AS rn
+        |    FROM qs) WHERE rn <= 5)
+        |SELECT be.qid, CAST(COUNT(qe.did) AS BIGINT) AS hits,
+        |       CAST(ROUND(COUNT(qe.did) / 5.0 * 10000) AS BIGINT)
+        |         AS recall_e4
+        |FROM be LEFT JOIN qe ON be.qid = qe.qid AND be.did = qe.did
+        |GROUP BY be.qid
+        |ORDER BY be.qid""".stripMargin,
     // Independent recompute: same raw-dot neighbor order, same
     // (votes DESC, label) vote pick.
     "q253_knn_classify" ->

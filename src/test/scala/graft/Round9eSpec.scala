@@ -114,6 +114,48 @@ class Round9eSpec extends SparkTestBase {
     assert(expected.head._4 / totDamped < ranked.head._2 / totRaw)
   }
 
+  // --------------------------------------------------------------- q278
+
+  test("q278 quantized recall: exact replay + quantization loss binds") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val unit = vecs.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (id, v.map(_ / n))
+    }
+    val codes = unit.map { case (id, u) =>
+      val scale = 127.0 / u.map(math.abs).max
+      (id, u.map(x => math.floor(x * scale).toLong))
+    }.toMap
+    def ddot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qs = unit.filter(_._1 < 50)
+    val exact = qs.map { case (qid, qu) =>
+      qid -> unit.map { case (did, du) => (did, ddot(qu, du)) }
+        .sortBy { case (did, s) => (-s, did) }.take(5).map(_._1).toSet
+    }.toMap
+    val approx = qs.map { case (qid, _) =>
+      val qq = codes(qid)
+      qid -> codes.toSeq.map { case (did, dq) =>
+        (did, qq.zip(dq).map { case (x, y) => x * y }.sum)
+      }.sortBy { case (did, s) => (-s, did) }.take(5).map(_._1).toSet
+    }.toMap
+    val expected = exact.map { case (qid, ex) =>
+      val hits = ex.intersect(approx(qid)).size.toLong
+      (qid, hits, halfUp(hits / 5.0 * 10000))
+    }.toSet
+    val got = graft.ext.Similarity.q278(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // The audit must bind: quantization loses SOME neighbor somewhere,
+    // but the index still retrieves most of them.
+    assert(got.exists(_._2 < 5), "int8 recall is perfect — audit vacuous")
+    assert(got.toSeq.map(_._2).sum > got.size * 2L,
+      "recall collapsed below 0.4")
+  }
+
   // --------------------------------------------------------------- q277
 
   test("q277 revenue Pareto: exact cents replay + concentration binds") {
