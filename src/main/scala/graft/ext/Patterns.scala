@@ -616,10 +616,50 @@ object Patterns {
       .orderBy("event_type")
   }
 
+  /** q279 — audience overlap matrix: Jaccard of DISTINCT-user sets for
+    * every event-type pair — "do the people who error also purchase",
+    * the segmentation read that says whether two funnel stages share an
+    * audience or live on disjoint user populations. The user-set
+    * companion to q161's co-order lift (which counts co-occurrence
+    * inside one order) and q162's sequential transitions (which need
+    * temporal adjacency; this ignores time entirely).
+    *
+    * Exactness: set sizes and intersections are exact integers off the
+    * distinct (user, type) frame; Jaccard = |A∩B| / (|A|+|B|−|A∩B|) is
+    * one mirrored double division, e6-gridded.
+    *
+    * Scale: ONE distinct collapse to the (user, type) frame
+    * (user-keyed shuffle); the pair fan-out is per-user C(types,2) —
+    * type cardinality is domain-bounded, so the self-join emits ≤
+    * types²/2 rows per user, and the result frame is types² rows.
+    */
+  def q279(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(true) // three consumers: sizes + both join sides
+    val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val a = ut.select(col("event_type").as("type_a"), col("user_id"))
+    val b = ut.select(col("event_type").as("type_b"), col("user_id"))
+    a.join(b, "user_id").filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        Similarity.intScaled(
+          col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both")).cast("double"),
+          1000000L).as("jaccard_e6"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_assoc_rules"     -> (q161 _),
     "q270_changepoint"     -> (q270 _),
     "q275_hourly_profile"  -> (q275 _),
+    "q279_audience_overlap" -> (q279 _),
     "q162_event_transitions" -> (q162 _),
     "q163_weighted_median" -> (q163 _),
     "q166_token_apportion" -> (q166 _),
@@ -635,6 +675,26 @@ object Patterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same distinct (user, type) frame, exact set arithmetic, one
+    // mirrored Jaccard division e6-gridded.
+    "q279_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM ut GROUP BY event_type),
+        |ab AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        |       CAST(ROUND(CAST(n_both AS DOUBLE)
+        |                  / CAST(sa.n + sb.n - n_both AS DOUBLE) * 1000000)
+        |            AS BIGINT) AS jaccard_e6
+        |FROM ab
+        |JOIN sz sa ON sa.event_type = type_a
+        |JOIN sz sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     // Same (type × hour) frame, integer argmax, mirrored share and
     // peak-to-mean doubles gridded once.
     "q275_hourly_profile" ->

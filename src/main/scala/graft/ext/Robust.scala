@@ -578,8 +578,54 @@ object Robust {
       .orderBy("event_type")
   }
 
+  /** q280 — Hill tail-index estimator over document lengths: the mean
+    * log-excess (1/k)·Σᵢ₌₁..ₖ ln(x₍ᵢ₎/x₍ₖ₊₁₎) of the k=50 largest
+    * `n_chars` over the (k+1)-th order statistic — the standard
+    * heavy-tail diagnostic (its reciprocal estimates the Pareto α). A
+    * pipeline that shards by document size needs to know whether the
+    * length tail is power-law (max-doc skew grows with corpus) or
+    * light (it doesn't) — q242's histogram shows the body; Hill
+    * measures the TAIL.
+    *
+    * Float discipline: the order statistics are exact integers chosen
+    * by the all-integer (n_chars DESC, doc_id) top-(k+1); each log
+    * excess is ONE mirrored ln of an integer ratio, e9-gridded
+    * per-term BEFORE the exact sum (q232 discipline); the mean is one
+    * mirrored double division of the gridded sum.
+    *
+    * Scale: the ONLY corpus-wide step is the top-(k+1), which lowers
+    * to TakeOrderedAndProject (per-partition heaps, no global sort,
+    * no corpus-sized window); everything after rides 51 rows.
+    */
+  def q280(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 50
+    val top = t(s, dir, "documents")
+      .select(col("n_chars"), col("doc_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(k + 1)
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = top.withColumn("rk", row_number().over(w))
+    val xk1 = ranked.filter(col("rk") === k + 1)
+      .select(col("n_chars").as("xk1"))
+    ranked.filter(col("rk") <= k)
+      .crossJoin(broadcast(xk1))
+      .select(col("xk1"),
+        Similarity.intScaled(
+          log(col("n_chars").cast("double") / col("xk1").cast("double")),
+          1000000000L).as("term_e9"))
+      .groupBy("xk1")
+      .agg(count(lit(1)).as("k"), sum(col("term_e9")).as("hill_sum_e9"))
+      .select(col("k"), col("xk1"), col("hill_sum_e9"),
+        Similarity.intScaled(
+          col("hill_sum_e9").cast("double") / lit(1000000000.0) /
+            col("k").cast("double"),
+          1000000L).as("mean_log_excess_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q246_seasonal_error" -> (q246 _),
+    "q280_hill_tail"      -> (q280 _),
     "q250_iqr_outliers"   -> (q250 _),
     "q251_cusum_shift"    -> (q251 _),
     "q238_winsorized"   -> (q238 _),
@@ -594,6 +640,28 @@ object Robust {
     ewmaCoefs.zipWithIndex.map { case (c, k) => s"($k, $c)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // Same all-integer top-51 order statistics, per-term mirrored ln
+    // e9-gridded before the exact sum, one mirrored mean division.
+    "q280_hill_tail" ->
+      """WITH top AS (
+        |  SELECT n_chars, doc_id FROM documents
+        |  ORDER BY n_chars DESC, doc_id LIMIT 51),
+        |r AS (
+        |  SELECT n_chars,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM top),
+        |x AS (SELECT n_chars AS xk1 FROM r WHERE rk = 51),
+        |t AS (
+        |  SELECT xk1,
+        |         CAST(ROUND(ln(CAST(n_chars AS DOUBLE) / CAST(xk1 AS DOUBLE))
+        |                    * 1000000000) AS BIGINT) AS term_e9
+        |  FROM r CROSS JOIN x WHERE rk <= 50)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k, xk1,
+        |       CAST(SUM(term_e9) AS BIGINT) AS hill_sum_e9,
+        |       CAST(ROUND(CAST(SUM(term_e9) AS DOUBLE) / 1000000000.0
+        |                  / CAST(COUNT(*) AS DOUBLE) * 1000000) AS BIGINT)
+        |         AS mean_log_excess_e6
+        |FROM t GROUP BY xk1""".stripMargin,
     // Same dense grid, same cleared-denominator increments, same
     // running-minimum closed form; all integer.
     "q251_cusum_shift" ->

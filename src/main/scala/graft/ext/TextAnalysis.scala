@@ -1079,9 +1079,76 @@ object TextAnalysis {
     "q199_quality_survival" -> (q199 _),
     "q202_char_entropy" -> (q202 _),
     "q256_kneser_ney" -> (q256 _),
+    "q281_source_cosine" -> (q281 _),
   )
 
+  /** q281 — source-pair lexical cosine matrix: cosine similarity of
+    * raw term-frequency vectors between every pair of sources — the
+    * frequency-WEIGHTED domain-similarity read that completes the
+    * trio: q183's vocabulary Jaccard ignores frequency entirely,
+    * q143's JS divergence compares probability shapes, cosine scores
+    * shared MASS. The planner input for merging near-identical feeds
+    * before computing mixture weights (q134/q234).
+    *
+    * Exactness: dot products and squared norms are exact integers in
+    * decimal(38) (tf² sums wrap BIGINT once a source passes ~3×10⁹
+    * occurrences of one word — live at 100 TB); cosine is ONE
+    * mirrored double-sqrt expression, e6-gridded.
+    *
+    * Scale: token mass collapses map-side to the (source, word)
+    * frame; the pair fan-out is a word-keyed join emitting ≤
+    * sources² rows per word (feed count is domain-bounded); norms
+    * broadcast. Nothing after the first agg is corpus-sized.
+    */
+  def q281(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val tf = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // three consumers: norms + both join sides
+    val norms = tf.groupBy("source")
+      .agg(sum(col("tf").cast(d38) * col("tf")).as("ss"))
+    val a = tf.select(col("source").as("src_a"), col("w"), col("tf").as("ta"))
+    val b = tf.select(col("source").as("src_b"), col("w"), col("tf").as("tb"))
+    a.join(b, "w").filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(col("ta").cast(d38) * col("tb")).as("num"))
+      .join(broadcast(norms.select(col("source").as("src_a"),
+        col("ss").as("sa"))), "src_a")
+      .join(broadcast(norms.select(col("source").as("src_b"),
+        col("ss").as("sb"))), "src_b")
+      .select(col("src_a"), col("src_b"),
+        Similarity.intScaled(
+          col("num").cast("double") /
+            sqrt(col("sa").cast("double") * col("sb").cast("double")),
+          1000000L).as("cosine_e6"))
+      .orderBy("src_a", "src_b")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // Same (source, word) collapse, HUGEINT dot/norm integers, one
+    // mirrored double-sqrt cosine e6-gridded.
+    "q281_source_cosine" ->
+      """WITH tf AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY source, w),
+        |n AS (SELECT source, SUM(CAST(tf AS HUGEINT) * tf) AS ss
+        |      FROM tf GROUP BY source),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         SUM(CAST(a.tf AS HUGEINT) * b.tf) AS num
+        |  FROM tf a JOIN tf b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        |       CAST(ROUND(CAST(num AS DOUBLE)
+        |                  / sqrt(CAST(na.ss AS DOUBLE) * CAST(nb.ss AS DOUBLE))
+        |                  * 1000000) AS BIGINT) AS cosine_e6
+        |FROM p
+        |JOIN n na ON na.source = src_a
+        |JOIN n nb ON nb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "q157_bpe_pairs" ->
       """WITH w AS (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
