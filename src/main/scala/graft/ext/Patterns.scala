@@ -655,11 +655,93 @@ object Patterns {
       .orderBy("type_a", "type_b")
   }
 
+  /** q282 — journey-end distribution: for every user, the LAST event
+    * under the (ts DESC, event_id DESC) total order — where user
+    * journeys terminate, with each ending type's user share and the
+    * mean journey length of users who end there. q190 attributes
+    * conversions backward from a purchase; THIS reads the other end of
+    * the funnel ("how many journeys die on an error"), no conversion
+    * required.
+    *
+    * Exactness: the last event is a lexicographic max over the UNIQUE
+    * (ts, event_id) key — an integer decision (max-struct on the
+    * Spark side ≡ the oracle's rank-1 window pick BECAUSE the key is
+    * unique per user); shares and means are single mirrored divisions
+    * of exact integers, e6/e4-gridded.
+    *
+    * Scale: ONE user-keyed combinable agg (max-struct + count — no
+    * window over the event stream), then a type-bounded rollup.
+    */
+  def q282(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("end_type"))
+    val tot = perUser.agg(count(lit(1)).as("n_users_total"))
+    perUser.groupBy("end_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("end_type"), col("n_users"), col("n_events"),
+        Similarity.intScaled(
+          col("n_users").cast("double") / col("n_users_total").cast("double"),
+          1000000L).as("share_e6"),
+        Similarity.intScaled(
+          col("n_events").cast("double") / col("n_users").cast("double"),
+          10000L).as("mean_len_e4"))
+      .orderBy("end_type")
+  }
+
+  /** q283 — Markov entropy rate of the event stream: per state (event
+    * type), the conditional next-event entropy Hᵢ = −Σⱼ p(j|i)·ln p(j|i)
+    * over q162's first-order transition counts, plus each cell's
+    * contribution to the chain's overall entropy rate −Σᵢⱼ (nᵢⱼ/N)·ln
+    * p(j|i) — the sequence-predictability read: a low-entropy state's
+    * next event is scripted, a high-entropy state's is anyone's guess
+    * (q247's MI measures type×time dependence; this measures
+    * type×NEXT-type structure).
+    *
+    * Exactness: transition counts are exact integers; every ln term is
+    * gridded to e9 PER CELL before any sum (q232 discipline), so both
+    * h_e9 and rate_part_e9 are exact BIGINT sums of identically-rounded
+    * terms — no float accumulation, summation order free.
+    *
+    * Scale: the lead window is user-keyed over each user's own events;
+    * transitions collapse to the types² cell frame; the one-row total
+    * broadcasts.
+    */
+  def q283(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("t0"), col("next_type").as("t1"))
+      .agg(count(lit(1)).as("n"))
+    val tot = t.groupBy(col("t0")).agg(sum(col("n")).as("n0"))
+    val all = t.agg(sum(col("n")).as("nn"))
+    val p = col("n").cast("double") / col("n0").cast("double")
+    t.join(tot, "t0").crossJoin(broadcast(all))
+      .select(col("t0"), col("n0"),
+        Similarity.intScaled(-p * log(p), 1000000000L).as("h_term_e9"),
+        Similarity.intScaled(
+          -(col("n").cast("double") / col("nn").cast("double")) * log(p),
+          1000000000L).as("rate_term_e9"))
+      .groupBy("t0")
+      .agg(max(col("n0")).as("n_trans"), count(lit(1)).as("n_next_types"),
+        sum(col("h_term_e9")).as("h_e9"),
+        sum(col("rate_term_e9")).as("rate_part_e9"))
+      .orderBy("t0")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_assoc_rules"     -> (q161 _),
     "q270_changepoint"     -> (q270 _),
     "q275_hourly_profile"  -> (q275 _),
     "q279_audience_overlap" -> (q279 _),
+    "q282_journey_end"     -> (q282 _),
+    "q283_entropy_rate"    -> (q283 _),
     "q162_event_transitions" -> (q162 _),
     "q163_weighted_median" -> (q163 _),
     "q166_token_apportion" -> (q166 _),
@@ -675,6 +757,57 @@ object Patterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Rank-1 window pick ≡ the Spark max-struct (unique (ts, event_id)
+    // key); integer counts, mirrored share/mean divisions.
+    "q282_journey_end" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n_ev
+        |  FROM events),
+        |pu AS (SELECT user_id, event_type AS end_type, n_ev
+        |       FROM r WHERE rn = 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users_total FROM pu)
+        |SELECT end_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |       CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
+        |                  / CAST(n_users_total AS DOUBLE) * 1000000)
+        |            AS BIGINT) AS share_e6,
+        |       CAST(ROUND(CAST(SUM(n_ev) AS DOUBLE)
+        |                  / CAST(COUNT(*) AS DOUBLE) * 10000) AS BIGINT)
+        |         AS mean_len_e4
+        |FROM pu CROSS JOIN tot
+        |GROUP BY end_type, n_users_total
+        |ORDER BY end_type""".stripMargin,
+    // Same user-keyed lead transitions, per-cell e9 ln terms BEFORE
+    // the exact integer sums.
+    "q283_entropy_rate" ->
+      """WITH s AS (
+        |  SELECT event_type AS t0,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS t1
+        |  FROM events),
+        |t AS (
+        |  SELECT t0, t1, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s WHERE t1 IS NOT NULL GROUP BY t0, t1),
+        |tot AS (SELECT t0, CAST(SUM(n) AS BIGINT) AS n0 FROM t GROUP BY t0),
+        |a AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM t),
+        |c AS (
+        |  SELECT t.t0, tot.n0,
+        |         CAST(ROUND(-(CAST(n AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |                    * ln(CAST(n AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |                    * 1000000000) AS BIGINT) AS h_term_e9,
+        |         CAST(ROUND(-(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+        |                    * ln(CAST(n AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |                    * 1000000000) AS BIGINT) AS rate_term_e9
+        |  FROM t JOIN tot ON t.t0 = tot.t0 CROSS JOIN a)
+        |SELECT t0, CAST(MAX(n0) AS BIGINT) AS n_trans,
+        |       CAST(COUNT(*) AS BIGINT) AS n_next_types,
+        |       CAST(SUM(h_term_e9) AS BIGINT) AS h_e9,
+        |       CAST(SUM(rate_term_e9) AS BIGINT) AS rate_part_e9
+        |FROM c GROUP BY t0
+        |ORDER BY t0""".stripMargin,
     // Same distinct (user, type) frame, exact set arithmetic, one
     // mirrored Jaccard division e6-gridded.
     "q279_audience_overlap" ->

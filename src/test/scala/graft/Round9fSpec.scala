@@ -81,6 +81,74 @@ class Round9fSpec extends SparkTestBase {
     assert(r.getLong(2) > 0L)
   }
 
+  // --------------------------------------------------------------- q282
+
+  test("q282 journey end: exact last-event replay + funnel binds") {
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val last = xs.maxBy(x => (x._2, x._3))._4
+      (last, xs.length.toLong)
+    }
+    val nTotal = perUser.size.toLong
+    val expected = perUser.groupBy(_._1).map { case (t, xs) =>
+      val nu = xs.length.toLong
+      val ne = xs.map(_._2).sum
+      (t, nu, ne, halfUp(nu.toDouble / nTotal * 1e6),
+        halfUp(ne.toDouble / nu * 1e4))
+    }.toSet
+    val got = graft.ext.Patterns.q282(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    // The distribution must spread over more than one ending type and
+    // cover every user exactly once.
+    assert(got.size > 1)
+    assert(got.toSeq.map(_._2).sum == nTotal)
+  }
+
+  // --------------------------------------------------------------- q283
+
+  test("q283 entropy rate: per-cell gridded replay + structure binds") {
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val s = xs.sortBy(x => (x._2, x._3)).map(_._4)
+      s.zip(s.drop(1))
+    }
+    val cells = trans.groupBy(identity).map { case ((a, b), xs) =>
+      ((a, b), xs.size.toLong)
+    }
+    val n0 = cells.groupBy(_._1._1).map { case (a, xs) =>
+      a -> xs.values.sum
+    }
+    val nn = cells.values.sum
+    var minMargin = Double.MaxValue
+    val expected = cells.groupBy(_._1._1).map { case (a, xs) =>
+      val terms = xs.toSeq.map { case ((_, _), n) =>
+        val p = n.toDouble / n0(a).toDouble
+        val h = -p * math.log(p) * 1e9
+        val rt = -(n.toDouble / nn.toDouble) * math.log(p) * 1e9
+        minMargin = math.min(minMargin,
+          math.min(boundaryMargin(h), boundaryMargin(rt)))
+        (halfUp(h), halfUp(rt))
+      }
+      (a, n0(a), xs.size.toLong, terms.map(_._1).sum, terms.map(_._2).sum)
+    }.toSet
+    val got = graft.ext.Patterns.q283(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    assert(minMargin > 1e-4, s"e9 term margin razor-thin: $minMargin")
+    // Entropy must bind: every state has multiple next types (h > 0),
+    // and the rate parts sum below ln(types) (uniform upper bound).
+    assert(got.forall(_._4 > 0))
+    val rate = got.toSeq.map(_._5).sum
+    assert(rate > 0 && rate < halfUp(math.log(got.size.toDouble) * 1e9))
+  }
+
   // --------------------------------------------------------------- q281
 
   test("q281 source cosine: BigInt dot/norm replay + e6 margins") {
