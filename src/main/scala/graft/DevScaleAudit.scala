@@ -162,6 +162,16 @@ object DevScaleAudit {
       "txt_bm25" -> (dir => SparkEntry.queries("q126_bm25")(spark, dir)),
       "sel_dsir_weights" -> (dir => SparkEntry.queries("q227_dsir_weights")(spark, dir)),
       "sel_dsir_select" -> (dir => SparkEntry.queries("q228_dsir_select")(spark, dir)),
+      // r9 late additions — the three NEW shuffle shapes of the
+      // q269-q283 batch: the user-keyed set self-join (per-user types²
+      // fan-out; users ×10), the word-keyed source-pair join (vocab
+      // ×10 with the replicas' disjoint alphabets, sources fixed), and
+      // the user-keyed max-struct journey rollup (users ×10, no
+      // window). Everything else in the batch rides already-audited
+      // cores (segment hash shuffle, type×day/hour grids, top-k).
+      "ev_audience" -> (dir => SparkEntry.queries("q279_audience_overlap")(spark, dir)),
+      "txt_source_cosine" -> (dir => SparkEntry.queries("q281_source_cosine")(spark, dir)),
+      "ev_journey_end" -> (dir => SparkEntry.queries("q282_journey_end")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)
