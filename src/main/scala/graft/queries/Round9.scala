@@ -506,8 +506,141 @@ object Round9 {
       .orderBy("n_name")
   }
 
+  /** q284 — brand sourcing-concentration audit: per part brand, the
+    * Herfindahl–Hirschman index of supplier quantity shares — the
+    * continuous single-source-risk score that q226's ">½ dominant
+    * supplier" census thresholds (HHI reads the whole concentration
+    * spectrum: 1/n_suppliers = perfectly spread, 1.0 = sole-sourced).
+    * Procurement dashboards alert on HHI > 0.25.
+    *
+    * Exactness: quantities are exact integers (cast long); HHI =
+    * Σqᵢ²/Q² is ONE mirrored double division of decimal(38) integers
+    * (Σq² wraps BIGINT once a brand passes ~3×10⁹ total quantity),
+    * e6-gridded.
+    *
+    * Scale: lineitem collapses map-side to the (brand, suppkey) frame
+    * after a broadcast part-dim join; everything after is
+    * brand-bounded arithmetic. No windows.
+    */
+  def q284(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val bs = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("brand", "l_suppkey")
+      .agg(sum(col("q")).as("sq"))
+    bs.groupBy("brand")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("sq")).as("total_qty"),
+        sum(col("sq").cast(d38) * col("sq")).as("ss"))
+      .select(col("brand"), col("n_suppliers"), col("total_qty"),
+        graft.ext.Similarity.intScaled(
+          col("ss").cast("double") /
+            (col("total_qty").cast(d38) * col("total_qty")).cast("double"),
+          1000000L).as("hhi_e6"))
+      .orderBy("brand")
+  }
+
+  /** q285 — Cramér's V over the (brand × type) contingency of the
+    * part catalog: the EFFECT-SIZE summary the chi-square family
+    * stops short of (q205 scores cell surprise, q258 gates discovery
+    * rate; V = sqrt(χ²/(n·min(r−1,c−1))) says how STRONG the
+    * association is on a 0–1 scale, comparable across tables of any
+    * size). Near 0 on this catalog = brands carry no type signal —
+    * the null-calibration read.
+    *
+    * Exactness: observed and marginal counts are exact integers; each
+    * cell's χ² term (o−e)²/e is ONE mirrored double expression
+    * e9-gridded BEFORE the sum (q232 discipline); V is one mirrored
+    * sqrt of the gridded sum over n·min(r−1,c−1), NULL-guarded when a
+    * dimension is single-valued (zero degrees of freedom — ANSI
+    * division would otherwise raise).
+    *
+    * Scale: one part-dim scan collapses to the (brand × type) grid
+    * (both value-bounded); marginals ride grid windows; output is ONE
+    * row.
+    */
+  def q285(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = t(s, dir, "part")
+      .select(col("p_brand").as("brand"), col("p_type").as("band"))
+      .groupBy("brand", "band").agg(count(lit(1)).as("o"))
+    val wr = Window.partitionBy("brand")
+    val wc = Window.partitionBy("band")
+    val wa = Window.partitionBy()
+    val e = col("r").cast("double") * col("c").cast("double") /
+      col("n").cast("double")
+    val withM = cells
+      .withColumn("r", sum(col("o")).over(wr))
+      .withColumn("c", sum(col("o")).over(wc))
+      .withColumn("n", sum(col("o")).over(wa))
+      .withColumn("nr", size(collect_set(col("brand")).over(wa)))
+      .withColumn("nc", size(collect_set(col("band")).over(wa)))
+      .select(col("n"), col("nr"), col("nc"),
+        graft.ext.Similarity.intScaled(
+          (col("o").cast("double") - e) * (col("o").cast("double") - e) / e,
+          1000000000L).as("term_e9"))
+    withM.groupBy("n", "nr", "nc")
+      .agg(count(lit(1)).as("n_cells"), sum(col("term_e9")).as("chi2_e9"))
+      .select(col("n").as("n_parts"), col("n_cells"), col("chi2_e9"),
+        graft.ext.Similarity.intScaled(
+          when(least(col("nr") - 1, col("nc") - 1) > 0,
+            sqrt((col("chi2_e9").cast("double") / lit(1000000000.0)) /
+              (col("n").cast("double") *
+                least(col("nr") - 1, col("nc") - 1).cast("double")))),
+          1000000L).as("cramers_v_e6"))
+  }
+
+  /** q286 — discount→volume correlation per brand: Pearson r between
+    * line discount and quantity over each brand's lineitems — the
+    * first-order "does discounting move volume here" elasticity
+    * screen (q201 fits a revenue TREND over time; this reads the
+    * cross-sectional discount response). |r| near 0 on synthetic
+    * uniform data is itself the null-calibration check.
+    *
+    * Exactness: discount is data-exact at 2 decimals → integer
+    * basis points (decimal(4,2)·100), quantity integer; all five
+    * moments are exact decimal(38) sums; r's numerator/denominator
+    * are exact integers into ONE mirrored sqrt+division, e6-gridded,
+    * NULL-guarded on zero variance (exact integer test).
+    *
+    * Scale: one lineitem scan with a broadcast part join, map-side
+    * partial aggs to the brand frame; no windows, no pairs.
+    */
+  def q286(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        (col("l_discount").cast("decimal(4,2)") * 100).cast("long").as("x"),
+        col("l_quantity").cast("long").as("y"))
+    val agg = li.groupBy("brand").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast(d38) * col("x")).as("sxx"),
+      sum(col("y").cast(d38) * col("y")).as("syy"),
+      sum(col("x").cast(d38) * col("y")).as("sxy"))
+    val num = col("n").cast(d38) * col("sxy") -
+      col("sx").cast(d38) * col("sy")
+    val vx = col("n").cast(d38) * col("sxx") -
+      col("sx").cast(d38) * col("sx")
+    val vy = col("n").cast(d38) * col("syy") -
+      col("sy").cast(d38) * col("sy")
+    agg.select(col("brand"), col("n").as("n_lines"),
+      graft.ext.Similarity.intScaled(
+        when(vx =!= 0 && vy =!= 0,
+          num.cast("double") /
+            sqrt(vx.cast("double") * vy.cast("double"))),
+        1000000L).as("pearson_e6"))
+      .orderBy("brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_waiting_suppliers" -> (q215 _),
+    "q284_brand_hhi"         -> (q284 _),
+    "q285_cramers_v"         -> (q285 _),
+    "q286_discount_corr"     -> (q286 _),
     "q245_skyline"           -> (q245 _),
     "q216_global_customers"  -> (q216 _),
     "q217_min_cost_supplier" -> (q217 _),
@@ -523,6 +656,83 @@ object Round9 {
     "q277_revenue_pareto"    -> (q277 _))
 
   val oracleSql: Map[String, String] = Map(
+    // Same (brand, suppkey) quantity collapse, HUGEINT Σq², one
+    // mirrored division e6.
+    "q284_brand_hhi" ->
+      """WITH bs AS (
+        |  SELECT p_brand AS brand, l_suppkey,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |       CAST(SUM(sq) AS BIGINT) AS total_qty,
+        |       CAST(ROUND(CAST(SUM(CAST(sq AS HUGEINT) * sq) AS DOUBLE)
+        |                  / CAST(CAST(SUM(sq) AS HUGEINT) * SUM(sq) AS DOUBLE)
+        |                  * 1000000) AS BIGINT) AS hhi_e6
+        |FROM bs GROUP BY brand
+        |ORDER BY brand""".stripMargin,
+    // Same grid, identical expected-count doubles, per-cell e9 terms
+    // before the exact sum, one mirrored sqrt for V.
+    "q285_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT p_brand AS brand, p_type AS band,
+        |         CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM part GROUP BY 1, 2),
+        |r AS (SELECT brand, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |c AS (SELECT band, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |               CAST(COUNT(DISTINCT brand) AS BIGINT) AS nr,
+        |               CAST(COUNT(DISTINCT band) AS BIGINT) AS nc
+        |        FROM cells),
+        |terms AS (
+        |  SELECT n, nr, nc,
+        |         CAST(ROUND(
+        |           (CAST(o AS DOUBLE) - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+        |              / CAST(n AS DOUBLE))
+        |           * (CAST(o AS DOUBLE) - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+        |              / CAST(n AS DOUBLE))
+        |           / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+        |              / CAST(n AS DOUBLE))
+        |           * 1000000000) AS BIGINT) AS term_e9
+        |  FROM cells
+        |  JOIN r USING (brand) JOIN c USING (band) CROSS JOIN tot)
+        |SELECT n AS n_parts, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |       CAST(SUM(term_e9) AS BIGINT) AS chi2_e9,
+        |       CASE WHEN LEAST(nr - 1, nc - 1) <= 0 THEN NULL
+        |            ELSE CAST(ROUND(
+        |              sqrt((CAST(SUM(term_e9) AS DOUBLE) / 1000000000.0)
+        |                   / (CAST(n AS DOUBLE)
+        |                      * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE)))
+        |              * 1000000) AS BIGINT) END AS cramers_v_e6
+        |FROM terms GROUP BY n, nr, nc""".stripMargin,
+    // Same basis-point/quantity moments in HUGEINT, one mirrored
+    // sqrt+division e6, exact zero-variance guard.
+    "q286_discount_corr" ->
+      """WITH li AS (
+        |  SELECT p_brand AS brand,
+        |         CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x,
+        |         CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (
+        |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |         SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |         SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM li GROUP BY brand),
+        |m AS (
+        |  SELECT brand, n,
+        |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vx,
+        |         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vy
+        |  FROM a)
+        |SELECT brand, n AS n_lines,
+        |       CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |            ELSE CAST(ROUND(CAST(num AS DOUBLE)
+        |                            / sqrt(CAST(vx AS DOUBLE)
+        |                                   * CAST(vy AS DOUBLE))
+        |                            * 1000000) AS BIGINT) END AS pearson_e6
+        |FROM m ORDER BY brand""".stripMargin,
     // Same per-customer cents collapse, (cents DESC, custkey) rank,
     // integer (n+9)//10 decile cut, HUGEINT sums, one e6 division.
     "q277_revenue_pareto" ->
