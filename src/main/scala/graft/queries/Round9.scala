@@ -636,8 +636,93 @@ object Round9 {
       .orderBy("brand")
   }
 
+  /** q287 — ABC inventory classification: parts ranked by revenue
+    * (exact cents DESC, partkey), class A while the cumulative mass
+    * BEFORE the item is under 80% of total, B under 95%, else C — the
+    * classic warehouse stratification (q277 reads ONE Pareto point
+    * per nation; ABC classifies every ITEM by cumulative mass). The
+    * class census per letter is what a stocking policy consumes.
+    *
+    * Exactness: FULLY integer — class boundaries are the exact
+    * cross-multiplied compares 100·(cum−x) < 80·T and < 95·T in
+    * decimal(38) (no double ever touches a boundary; a dollar-share
+    * double could flip the crossing item between engines); only the
+    * reported share is a final e6-gridded division.
+    *
+    * Scale: lineitem collapses map-side to per-part cents; the rank
+    * window rides the part DIMENSION (bounded like the vocab windows
+    * — SCALE.md documents the two-phase split if a catalog outgrows
+    * one task); output is ≤ 3 rows.
+    */
+  def q287(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val pc = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy("l_partkey").agg(sum(col("cents")).as("x"))
+    val w = Window.orderBy(col("x").desc, col("l_partkey"))
+    val wa = Window.partitionBy()
+    val before = (sum(col("x")).over(w) - col("x")).cast(d38) * 100
+    val cls = pc
+      .withColumn("tot", sum(col("x")).over(wa).cast(d38))
+      .withColumn("abc",
+        when(before < col("tot") * 80, "A")
+          .when(before < col("tot") * 95, "B")
+          .otherwise("C"))
+    cls.groupBy("abc")
+      .agg(count(lit(1)).as("n_parts"), sum(col("x")).as("cents"),
+        max(col("tot")).as("t"))
+      .select(col("abc"), col("n_parts"), col("cents"),
+        graft.ext.Similarity.intScaled(
+          col("cents").cast("double") * 100 / col("t").cast("double"),
+          1000000L).as("share_e6"))
+      .orderBy("abc")
+  }
+
+  /** q288 — order→ship fulfillment-lag quantiles per order priority:
+    * exact integer lag days ((ship µs − order µs) DIV 86400000000,
+    * the q190 floor-division discipline), interpolated p50/p90 via
+    * the engines' exact percentile (the q152 contract), min/max/mean
+    * — the SLA distribution a fulfillment dashboard publishes, split
+    * by the priority knob that is supposed to move it.
+    *
+    * Exactness: lags are exact integers; percentile interpolation on
+    * integer frames is identical across engines (q152 precedent);
+    * the mean is one mirrored division of exact sums, e4-gridded.
+    *
+    * Scale: the lineitem→orders join is orderkey-keyed (the audited
+    * fact-join shape); the agg collapses to the 5-row priority frame
+    * with partial map-side aggregation. No windows.
+    */
+  def q288(s: SparkSession, dir: String): DataFrame = {
+    // Dates arrive TIMESTAMP_NTZ; the session timezone is pinned UTC
+    // (Engine), so the NTZ→LTZ cast is identity (Tables.events
+    // precedent).
+    val lag = expr(
+      "(unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
+        " - unix_micros(CAST(o_orderdate AS TIMESTAMP))) DIV 86400000000")
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"), lag.as("lag"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("lag")).as("min_days"), max(col("lag")).as("max_days"),
+        graft.ext.Similarity.intScaled(percentile(col("lag"), lit(0.5)), 100L)
+          .as("p50_c"),
+        graft.ext.Similarity.intScaled(percentile(col("lag"), lit(0.9)), 100L)
+          .as("p90_c"),
+        graft.ext.Similarity.intScaled(
+          sum(col("lag")).cast("double") / count(lit(1)).cast("double"),
+          10000L).as("mean_e4"))
+      .orderBy("priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_waiting_suppliers" -> (q215 _),
+    "q287_abc_class"         -> (q287 _),
+    "q288_ship_lag"          -> (q288 _),
     "q284_brand_hhi"         -> (q284 _),
     "q285_cramers_v"         -> (q285 _),
     "q286_discount_corr"     -> (q286 _),
@@ -656,6 +741,52 @@ object Round9 {
     "q277_revenue_pareto"    -> (q277 _))
 
   val oracleSql: Map[String, String] = Map(
+    // Same all-integer cumulative-mass class boundaries (100·before
+    // vs 80·T / 95·T in HUGEINT), one final e6 share division.
+    "q287_abc_class" ->
+      """WITH pc AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT x,
+        |         CAST(SUM(x) OVER (ORDER BY x DESC, l_partkey) - x
+        |              AS HUGEINT) * 100 AS before,
+        |         CAST(SUM(x) OVER () AS HUGEINT) AS tot
+        |  FROM pc),
+        |c AS (
+        |  SELECT x, tot,
+        |         CASE WHEN before < tot * 80 THEN 'A'
+        |              WHEN before < tot * 95 THEN 'B'
+        |              ELSE 'C' END AS abc
+        |  FROM r)
+        |SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |       CAST(SUM(x) AS BIGINT) AS cents,
+        |       CAST(ROUND(CAST(SUM(x) AS DOUBLE) * 100
+        |                  / CAST(MAX(tot) AS DOUBLE) * 1000000) AS BIGINT)
+        |         AS share_e6
+        |FROM c GROUP BY abc
+        |ORDER BY abc""".stripMargin,
+    // Same floor-division integer lag days, quantile_cont ≡ Spark's
+    // exact interpolated percentile (q152 contract), mirrored mean.
+    "q288_ship_lag" ->
+      """WITH l AS (
+        |  SELECT o_orderpriority AS priority,
+        |         (epoch_us(CAST(l_shipdate AS TIMESTAMP))
+        |            - epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+        |           // 86400000000 AS lag
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(MIN(lag) AS BIGINT) AS min_days,
+        |       CAST(MAX(lag) AS BIGINT) AS max_days,
+        |       CAST(ROUND(quantile_cont(lag, 0.5) * 100) AS BIGINT) AS p50_c,
+        |       CAST(ROUND(quantile_cont(lag, 0.9) * 100) AS BIGINT) AS p90_c,
+        |       CAST(ROUND(CAST(SUM(lag) AS DOUBLE)
+        |                  / CAST(COUNT(*) AS DOUBLE) * 10000) AS BIGINT)
+        |         AS mean_e4
+        |FROM l GROUP BY priority
+        |ORDER BY priority""".stripMargin,
     // Same (brand, suppkey) quantity collapse, HUGEINT Σq², one
     // mirrored division e6.
     "q284_brand_hhi" ->

@@ -89,6 +89,86 @@ class Round9gSpec extends SparkTestBase {
     assert(r.getLong(3) > 0 && r.getLong(3) < 500000L)
   }
 
+  // --------------------------------------------------------------- q287
+
+  test("q287 ABC classes: all-integer boundary replay + Pareto binds") {
+    val pc = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_partkey", $"l_extendedprice").collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact))
+      .groupBy(_._1).toSeq.map { case (pk, xs) => (pk, xs.map(_._2).sum) }
+    val tot = pc.map(x => BigInt(x._2)).sum
+    val ranked = pc.sortBy { case (pk, x) => (-x, pk) }
+    var cum = BigInt(0)
+    val classed = ranked.map { case (_, x) =>
+      val before = cum * 100
+      cum += x
+      val cls = if (before < tot * 80) "A"
+      else if (before < tot * 95) "B" else "C"
+      (cls, x)
+    }
+    val expected = classed.groupBy(_._1).map { case (c, xs) =>
+      val cents = xs.map(x => BigInt(x._2)).sum
+      (c, xs.size.toLong, cents.toLong,
+        halfUp(cents.toDouble * 100 / tot.toDouble * 1e6))
+    }.toSet
+    val got = graft.queries.Round9.q287(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // The stratification must bind: all three classes populated, and
+    // class A holds ~80% of mass with a MINORITY of parts.
+    assert(got.map(_._1) == Set("A", "B", "C"))
+    val a = got.find(_._1 == "A").get
+    val nAll = got.toSeq.map(_._2).sum
+    assert(a._2 < nAll && a._4 >= 800000L)
+  }
+
+  // --------------------------------------------------------------- q288
+
+  test("q288 ship lag: integer-day replay + priority frame complete") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate").collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), r.getAs[java.time.LocalDateTime](2)))).toMap
+    val us = (t: java.time.LocalDateTime) =>
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000L
+    val lags = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_shipdate").collect()
+      .map { r =>
+        val (pri, od) = orders(r.getLong(0))
+        val ship = r.getAs[java.time.LocalDateTime](1)
+        (pri, Math.floorDiv(us(ship) - us(od), 86400000000L))
+      }
+    def pctl(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted
+      val pos = p * (s.length - 1)
+      val lo = pos.toInt
+      if (lo == s.length - 1) s(lo).toDouble
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    val expected = lags.groupBy(_._1).map { case (pri, xs) =>
+      val v = xs.map(_._2).toSeq
+      (pri, v.size.toLong, v.min, v.max,
+        halfUp(pctl(v, 0.5) * 100), halfUp(pctl(v, 0.9) * 100),
+        halfUp(v.sum.toDouble / v.size * 1e4))
+    }.toSet
+    val got = graft.queries.Round9.q288(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected)
+    // The distribution must bind: every priority present, p90 ≥ p50,
+    // and a real spread. (The synthetic generator draws ship and
+    // order dates independently, so NEGATIVE lags exist — the floor
+    // division handles the sign identically on both engines, which is
+    // exactly what this replay certifies.)
+    assert(got.size == 5)
+    assert(got.forall(g => g._6 >= g._5 && g._4 > g._3))
+    assert(got.exists(_._3 < 0), "no negative lag — sign path untested")
+  }
+
   // --------------------------------------------------------------- q286
 
   test("q286 discount corr: BigInt moment replay + null calibration") {
