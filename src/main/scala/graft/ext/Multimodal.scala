@@ -143,13 +143,113 @@ object Multimodal {
       .orderBy("media_id", "py", "px")
   }
 
+  /** q289 — content-defined chunking (CDC) dedup census: split every
+    * payload at CONTENT-defined boundaries (position p is a boundary
+    * when the 8-byte window ending at p hashes into 1/16 of the space
+    * — the FastCDC/Rabin trick, here with a windowed md5 so both
+    * engines compute the identical boundary set), then hash each
+    * variable-length chunk and count the bytes a chunk-store would
+    * save by keeping only each chunk's FIRST occurrence (first-wins
+    * under the deterministic (doc_id, chunk_idx) order). Unlike
+    * q269's fixed 16-token segments, CDC boundaries survive
+    * insertions — shift a byte and only the touched chunk changes —
+    * which is why blob stores dedup with it.
+    *
+    * Exactness: boundaries, chunk indices, chunk hashes, and byte
+    * counts are all integer/hash decisions; savings share is one
+    * mirrored division e6.
+    *
+    * Scale: the position explode is map-side (payload-local); the
+    * only corpus-wide shuffles are the chunk-hash census and the
+    * hash-keyed first-wins rank (the q56 dedup shape). Production
+    * would fold the boundary scan into mapPartitions over raw bytes;
+    * the relational form here is shape-identical and oracle-provable.
+    */
+  def q289(s: SparkSession, dir: String): DataFrame = {
+    val chunks = docs(s, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .select(col("source"), col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), length(col("text")))).as(Seq("i", "p")))
+      .select(col("source"), col("doc_id"), col("p"),
+        expr("substring(text, p, 1)").as("ch"),
+        when(col("p") >= 8 &&
+          expr("substring(md5(substring(text, p - 7, 8)), 1, 1)") === "0",
+          1L).otherwise(0L).as("b"))
+      .withColumn("chunk_idx",
+        sum(col("b")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("p")))
+      .groupBy(col("source"), col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_bytes"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("p"), col("ch")))),
+            x => x.getField("ch")))).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id", "chunk_idx")
+    chunks
+      .withColumn("rk", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("rk") > 1, col("n_bytes")).otherwise(0L))
+          .as("saved_bytes"))
+      .select(col("source"), col("n_chunks"), col("n_bytes"),
+        col("n_dup_chunks"), col("saved_bytes"),
+        graft.ext.Similarity.intScaled(
+          col("saved_bytes").cast("double") / col("n_bytes").cast("double"),
+          1000000L).as("savings_e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_multimodal_meta"   -> (q62 _),
     "q63_multimodal_frames" -> (q63 _),
     "q254_patch_grid"       -> (q254 _),
+    "q289_cdc_chunks"       -> (q289 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same windowed-md5 boundary set, cumulative chunk indices,
+    // ordered chunk reassembly, first-wins rank, one e6 division.
+    "q289_cdc_chunks" ->
+      """WITH pos AS (
+        |  SELECT source, doc_id, text,
+        |         CAST(UNNEST(range(1, len(text) + 1)) AS BIGINT) AS p
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, doc_id, p, substr(text, CAST(p AS INT), 1) AS ch,
+        |         CASE WHEN p >= 8 AND
+        |                   substr(md5(substr(text, CAST(p AS INT) - 7, 8)),
+        |                          1, 1) = '0'
+        |              THEN 1 ELSE 0 END AS bnd
+        |  FROM pos),
+        |cix AS (
+        |  SELECT source, doc_id, p, ch,
+        |         CAST(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY p)
+        |              AS BIGINT) AS chunk_idx
+        |  FROM b),
+        |chunks AS (
+        |  SELECT source, doc_id, chunk_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS n_bytes,
+        |         md5(string_agg(ch, '' ORDER BY p)) AS h
+        |  FROM cix GROUP BY source, doc_id, chunk_idx),
+        |rk AS (
+        |  SELECT source, n_bytes,
+        |         ROW_NUMBER() OVER (PARTITION BY h
+        |                            ORDER BY doc_id, chunk_idx) AS rk
+        |  FROM chunks)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+        |       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_chunks,
+        |       CAST(SUM(CASE WHEN rk > 1 THEN n_bytes ELSE 0 END) AS BIGINT)
+        |         AS saved_bytes,
+        |       CAST(ROUND(CAST(SUM(CASE WHEN rk > 1 THEN n_bytes ELSE 0 END)
+        |                       AS DOUBLE)
+        |                  / CAST(SUM(n_bytes) AS DOUBLE) * 1000000) AS BIGINT)
+        |         AS savings_e6
+        |FROM rk GROUP BY source
+        |ORDER BY source""".stripMargin,
     "q62_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       substring(md5(text), 1, 8) AS content_key

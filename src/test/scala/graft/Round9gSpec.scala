@@ -169,6 +169,60 @@ class Round9gSpec extends SparkTestBase {
     assert(got.exists(_._3 < 0), "no negative lag — sign path untested")
   }
 
+  // --------------------------------------------------------------- q289
+
+  test("q289 CDC chunks: exact boundary/first-wins replay + dedup binds") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"doc_id", $"text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // Per doc: boundary at p (1-based) when the 8-char window ending
+    // at p hashes into the '0' nibble; chunk_idx = cumsum(boundary).
+    val chunks = docs.flatMap { case (src, id, text) =>
+      var idx = 0L
+      val sb = new scala.collection.mutable.ArrayBuffer[(String, Long, Long, String)]()
+      var cur = new StringBuilder
+      var curIdx = 0L
+      for (p <- 1 to text.length) {
+        val bnd = p >= 8 && md5hex(text.substring(p - 8, p)).charAt(0) == '0'
+        if (bnd) idx += 1
+        if (idx != curIdx) {
+          if (cur.nonEmpty) sb += ((src, id, curIdx, cur.toString))
+          cur = new StringBuilder; curIdx = idx
+        }
+        cur.append(text.charAt(p - 1))
+      }
+      if (cur.nonEmpty) sb += ((src, id, curIdx, cur.toString))
+      sb
+    }
+    // First-wins rank per chunk hash under (doc_id, chunk_idx).
+    val ranked = chunks.groupBy(c => md5hex(c._4)).toSeq.flatMap {
+      case (_, xs) =>
+        xs.sortBy(c => (c._2, c._3)).zipWithIndex.map { case (c, i) =>
+          (c._1, c._4.length.toLong, i + 1)
+        }
+    }
+    val expected = ranked.groupBy(_._1).map { case (src, xs) =>
+      val bytes = xs.map(_._2).sum
+      val saved = xs.filter(_._3 > 1).map(_._2).sum
+      (src, xs.size.toLong, bytes, xs.count(_._3 > 1).toLong, saved,
+        halfUp(saved.toDouble / bytes * 1e6))
+    }.toSet
+    val got = graft.ext.Multimodal.q289(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // CDC must bind: boundaries fire (mean chunk well under doc size),
+    // and the 31-word vocabulary makes real cross-doc chunk dedup.
+    val totChunks = got.toSeq.map(_._2).sum
+    val totBytes = got.toSeq.map(_._3).sum
+    assert(totBytes / totChunks < 40, "chunks too large — boundary dead")
+    assert(totBytes / totChunks > 4, "chunks degenerate — boundary fires everywhere")
+    assert(got.exists(_._4 > 0), "no duplicate chunks — census vacuous")
+  }
+
   // --------------------------------------------------------------- q286
 
   test("q286 discount corr: BigInt moment replay + null calibration") {
