@@ -1080,7 +1080,54 @@ object TextAnalysis {
     "q202_char_entropy" -> (q202 _),
     "q256_kneser_ney" -> (q256 _),
     "q281_source_cosine" -> (q281 _),
+    "q290_good_turing" -> (q290 _),
   )
+
+  /** q290 — simple Good-Turing smoothing table over corpus trigrams:
+    * the frequency-of-frequencies N_r for r = 1..5, the adjusted
+    * counts r* = (r+1)·N_{r+1}/N_r, and the unseen-probability mass
+    * P₀ = N₁/N — the OTHER classic LM smoothing family beside q256's
+    * Kneser-Ney (GT discounts by how often counts of each size occur;
+    * KN by continuation diversity). The P₀ row is what an LM
+    * evaluation reserves for never-seen trigrams before computing
+    * perplexity on held-out text.
+    *
+    * Exactness: counts and N_r are exact integers (trigram counts
+    * collapse map-side); each r* is ONE mirrored double expression of
+    * exact integers e6-gridded; P₀ is one mirrored division
+    * e9-gridded. N rides decimal(38) (Σ r·N_r wraps BIGINT at
+    * ~10¹⁹ trigram instances).
+    *
+    * Scale: trigram occurrences collapse map-side to (tri, count);
+    * the frequency-of-frequencies frame is count-bounded (≤ distinct
+    * count values); the r ≤ 5 output joins that tiny frame to itself.
+    */
+  def q290(s: SparkSession, dir: String): DataFrame = {
+    val fof = docs(s, dir)
+      .select(explode(
+        Dedup.shinglesKAll(tokens(col("text")), 3)).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("n_r"))
+    val tot = fof.agg(
+      sum(col("r").cast("decimal(38,0)") * col("n_r")).cast("long")
+        .as("n_total"),
+      sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1"))
+    val nxt = fof.select((col("r") - 1).as("r"), col("n_r").as("nn"))
+    fof.filter(col("r") <= 5).join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        coalesce(col("nn"), lit(0L)).as("n_r_next"),
+        Similarity.intScaled(
+          (col("r") + 1).cast("double") *
+            coalesce(col("nn"), lit(0L)).cast("double") /
+            col("n_r").cast("double"),
+          1000000L).as("rstar_e6"),
+        col("n_total"),
+        Similarity.intScaled(
+          col("n1").cast("double") / col("n_total").cast("double"),
+          1000000000L).as("p0_e9"))
+      .orderBy("r")
+  }
 
   /** q281 — source-pair lexical cosine matrix: cosine similarity of
     * raw term-frequency vectors between every pair of sources — the
@@ -1126,6 +1173,38 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same in-order trigram occurrences, integer freq-of-freqs, the
+    // mirrored (r+1)·N_{r+1}/N_r doubles e6, P0 e9.
+    "q290_good_turing" ->
+      """WITH t AS (
+        |  SELECT row_number() OVER () AS id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |p AS (SELECT id, ws, unnest(range(1, len(ws) - 1)) AS i FROM t),
+        |g AS (
+        |  SELECT ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+        |           || ' ' || ws[CAST(i AS INT) + 2] AS tri
+        |  FROM p),
+        |c AS (SELECT tri, CAST(COUNT(*) AS BIGINT) AS r FROM g GROUP BY tri),
+        |fof AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM c GROUP BY r),
+        |tot AS (
+        |  SELECT CAST(SUM(CAST(r AS HUGEINT) * n_r) AS BIGINT) AS n_total,
+        |         CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT)
+        |           AS n1
+        |  FROM fof)
+        |SELECT f.r, f.n_r,
+        |       CAST(COALESCE(nx.n_r, 0) AS BIGINT) AS n_r_next,
+        |       CAST(ROUND(CAST(f.r + 1 AS DOUBLE)
+        |                  * CAST(COALESCE(nx.n_r, 0) AS DOUBLE)
+        |                  / CAST(f.n_r AS DOUBLE) * 1000000) AS BIGINT)
+        |         AS rstar_e6,
+        |       n_total,
+        |       CAST(ROUND(CAST(n1 AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |                  * 1000000000) AS BIGINT) AS p0_e9
+        |FROM fof f
+        |LEFT JOIN fof nx ON nx.r = f.r + 1
+        |CROSS JOIN tot
+        |WHERE f.r <= 5
+        |ORDER BY f.r""".stripMargin,
     // Same (source, word) collapse, HUGEINT dot/norm integers, one
     // mirrored double-sqrt cosine e6-gridded.
     "q281_source_cosine" ->

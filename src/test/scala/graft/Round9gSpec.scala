@@ -223,6 +223,43 @@ class Round9gSpec extends SparkTestBase {
     assert(got.exists(_._4 > 0), "no duplicate chunks — census vacuous")
   }
 
+  // --------------------------------------------------------------- q290
+
+  test("q290 Good-Turing: exact freq-of-freq replay + smoothing binds") {
+    val tris = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").collect()
+      .flatMap { r =>
+        val ws = r.getString(0).split(" ", -1)
+        if (ws.length < 3) Seq.empty
+        else ws.sliding(3).map(_.mkString(" ")).toSeq
+      }
+    val counts = tris.groupBy(identity).map { case (_, xs) => xs.length.toLong }
+    val fof = counts.groupBy(identity).map { case (r, xs) =>
+      (r, xs.size.toLong)
+    }
+    val nTotal = fof.toSeq.map { case (r, nr) => BigInt(r) * nr }.sum.toLong
+    val n1 = fof.getOrElse(1L, 0L)
+    var minMargin = Double.MaxValue
+    val expected = fof.toSeq.filter(_._1 <= 5).map { case (r, nr) =>
+      val nn = fof.getOrElse(r + 1, 0L)
+      val rstar = (r + 1).toDouble * nn.toDouble / nr.toDouble
+      minMargin = math.min(minMargin, boundaryMargin(rstar * 1e6))
+      (r, nr, nn, halfUp(rstar * 1e6), nTotal,
+        halfUp(n1.toDouble / nTotal * 1e9))
+    }.toSet
+    val got = graft.ext.TextAnalysis.q290(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    assert(minMargin > 1e-4, s"e6 r* margin razor-thin: $minMargin")
+    // GT must bind: a real singleton mass (P0 > 0), and the adjusted
+    // counts DISCOUNT low frequencies (r* < r for r = 1).
+    assert(n1 > 0)
+    val r1 = got.find(_._1 == 1L).get
+    assert(r1._4 < 1000000L, "r*=1 not discounted — smoothing vacuous")
+    assert(got.size == 5)
+  }
+
   // --------------------------------------------------------------- q286
 
   test("q286 discount corr: BigInt moment replay + null calibration") {
