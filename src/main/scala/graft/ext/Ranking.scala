@@ -539,10 +539,66 @@ object Ranking {
       .orderBy("rank")
   }
 
+  /** q291 — within-source ingest-order drift: the exact two-sample
+    * Kolmogorov–Smirnov statistic between each source's EARLY half and
+    * LATE half of documents (first ceil(n/2) under the doc_id ingest
+    * order vs the rest) — "has this feed's length distribution moved
+    * since we started pulling it". q229 compares a source against the
+    * REST of the corpus (cross-feed drift); this compares a source
+    * against its OWN past (temporal drift), the signal that fires when
+    * a crawler's extraction changed mid-ingest.
+    *
+    * Exactness: the half split is the all-integer rank ≤ (n+1) DIV 2;
+    * ECDF numerators are exact decimal(38) cross-multiplications
+    * (q229 discipline — BIGINT wraps near 10⁹ docs per source); max
+    * and argmax are integer decisions with a MIN(x) tie-break; ONE
+    * double division per source at the end, e6-gridded.
+    *
+    * Scale: the rank window is source-keyed; the corpus collapses to
+    * the (source × distinct-length) grid before any cumulative
+    * window, so ECDF windows ride grid rows, never docs.
+    */
+  def q291(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val wr = Window.partitionBy("source").orderBy("doc_id")
+    val wn = Window.partitionBy("source")
+    val halves = docs(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars").as("x"))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .withColumn("ns", count(lit(1)).over(wn))
+      .withColumn("e",
+        when(col("rk") <= expr("(ns + 1) DIV 2"), 1L).otherwise(0L))
+    val cell = halves.groupBy(col("source"), col("x"))
+      .agg(sum(col("e")).as("ne_x"), sum(lit(1L) - col("e")).as("nl_x"))
+    val sizes = cell.groupBy("source")
+      .agg(sum(col("ne_x")).as("ne"), sum(col("nl_x")).as("nl"))
+    val wcum = Window.partitionBy("source").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = cell
+      .withColumn("cum_e", sum(col("ne_x")).over(wcum))
+      .withColumn("cum_l", sum(col("nl_x")).over(wcum))
+      .join(sizes, "source")
+      .select(col("source"), col("x"), col("ne"), col("nl"),
+        abs(col("cum_e").cast(d38) * col("nl") -
+          col("cum_l").cast(d38) * col("ne")).as("num"))
+    val wmax = Window.partitionBy("source")
+    grid.withColumn("dmax", max(col("num")).over(wmax))
+      .filter(col("num") === col("dmax"))
+      .groupBy("source")
+      .agg(max(col("ne")).as("n_early"), max(col("nl")).as("n_late"),
+        min(col("x")).as("x_at_max"),
+        Similarity.intScaled(
+          max(col("dmax")).cast("double") /
+            (max(col("ne")).cast("double") * max(col("nl")).cast("double")),
+          1000000L).as("ks_e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q248_rrf_fusion" -> (q248 _),
     "q271_vocab_coverage" -> (q271 _),
     "q276_negsample_table" -> (q276 _),
+    "q291_ingest_drift"   -> (q291 _),
     "q266_kendall_tau" -> (q266 _),
     "q126_bm25"       -> (q126 _),
     "q130_zipf_slope" -> (q130 _),
@@ -556,6 +612,44 @@ object Ranking {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same integer half split, HUGEINT ECDF cross-multiplications on
+    // the per-source length grid, MIN(x) argmax tie-break, one double
+    // division e6.
+    "q291_ingest_drift" ->
+      """WITH r AS (
+        |  SELECT source, n_chars AS x,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY doc_id) AS rk,
+        |         COUNT(*) OVER (PARTITION BY source) AS ns
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, x,
+        |         CASE WHEN rk <= (ns + 1) // 2 THEN 1 ELSE 0 END AS e
+        |  FROM r),
+        |cell AS (
+        |  SELECT source, x, CAST(SUM(e) AS BIGINT) AS ne_x,
+        |         CAST(SUM(1 - e) AS BIGINT) AS nl_x
+        |  FROM h GROUP BY 1, 2),
+        |sz AS (SELECT source, CAST(SUM(ne_x) AS BIGINT) AS ne,
+        |              CAST(SUM(nl_x) AS BIGINT) AS nl
+        |       FROM cell GROUP BY 1),
+        |g AS (
+        |  SELECT c.source, c.x, sz.ne, sz.nl,
+        |         ABS(CAST(SUM(ne_x) OVER (PARTITION BY c.source ORDER BY x)
+        |                  AS HUGEINT) * sz.nl
+        |             - CAST(SUM(nl_x) OVER (PARTITION BY c.source ORDER BY x)
+        |                    AS HUGEINT) * sz.ne) AS num
+        |  FROM cell c JOIN sz ON sz.source = c.source),
+        |m AS (SELECT source, MAX(num) AS dmax FROM g GROUP BY source)
+        |SELECT g.source, CAST(MAX(ne) AS BIGINT) AS n_early,
+        |       CAST(MAX(nl) AS BIGINT) AS n_late,
+        |       CAST(MIN(x) AS BIGINT) AS x_at_max,
+        |       CAST(ROUND(CAST(MAX(dmax) AS DOUBLE)
+        |                  / (CAST(MAX(ne) AS DOUBLE) * CAST(MAX(nl) AS DOUBLE))
+        |                  * 1000000) AS BIGINT) AS ks_e6
+        |FROM g JOIN m ON m.source = g.source AND g.num = m.dmax
+        |GROUP BY g.source
+        |ORDER BY g.source""".stripMargin,
     // Same (freq DESC, word) top-50, pow(cnt,0.75) mirrored and
     // e6-gridded per word BEFORE the exact integer cumsum.
     "q276_negsample_table" ->

@@ -149,6 +149,43 @@ class Round9fSpec extends SparkTestBase {
     assert(rate > 0 && rate < halfUp(math.log(got.size.toDouble) * 1e9))
   }
 
+  // --------------------------------------------------------------- q291
+
+  test("q291 ingest drift: BigInt ECDF replay + null-calibrated KS") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"doc_id", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    var minMargin = Double.MaxValue
+    val expected = docs.groupBy(_._1).map { case (src, xs) =>
+      val ordered = xs.sortBy(_._2)
+      val ns = ordered.length
+      val cut = (ns + 1) / 2
+      val early = ordered.take(cut).map(_._3)
+      val late = ordered.drop(cut).map(_._3)
+      val (ne, nl) = (BigInt(early.length), BigInt(late.length))
+      val grid = (early ++ late).distinct.sorted
+      var best = BigInt(-1); var xAt = Long.MaxValue
+      grid.foreach { x =>
+        val ce = BigInt(early.count(_ <= x))
+        val cl = BigInt(late.count(_ <= x))
+        val num = (ce * nl - cl * ne).abs
+        if (num > best) { best = num; xAt = x }
+        else if (num == best && x < xAt) () // first hit already minimal
+      }
+      val ks = best.toDouble / (ne.toDouble * nl.toDouble)
+      minMargin = math.min(minMargin, boundaryMargin(ks * 1e6))
+      (src, ne.toLong, nl.toLong, xAt, halfUp(ks * 1e6))
+    }.toSet
+    val got = graft.ext.Ranking.q291(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    assert(minMargin > 1e-6, s"e6 KS margin razor-thin: $minMargin")
+    // Null calibration: halves are drawn from one distribution, so D
+    // stays well under the strong-drift regime — but never zero.
+    assert(got.forall(g => g._5 > 0 && g._5 < 800000L))
+  }
+
   // --------------------------------------------------------------- q281
 
   test("q281 source cosine: BigInt dot/norm replay + e6 margins") {
