@@ -735,6 +735,53 @@ object Patterns {
       .orderBy("t0")
   }
 
+  /** q293 — session conversion by ENTRY event type: sessionize with
+    * q37's 12-hour gap rule (new session when the gap EXCEEDS 12 h of
+    * epoch-nanos — the same integer convention, so the session frames
+    * are bit-identical), take each session's FIRST event under the
+    * unique (ts, event_id) order as its entry point, and report how
+    * often sessions that START each way go on to contain a purchase.
+    * Completes the session triptych: q190 attributes a conversion
+    * BACKWARD (last touch), q282 reads where journeys END, this reads
+    * whether the way a session OPENS predicts conversion.
+    *
+    * Exactness: session ids, entry picks (min-struct on a unique
+    * key ≡ the oracle's rank-1 window), and conversion flags are all
+    * integer decisions; the rate is one mirrored division e6.
+    *
+    * Scale: the session window is user-keyed (q37's audited shape);
+    * sessions collapse to one row each via a combinable min-struct +
+    * max agg; the final rollup is type-bounded.
+    */
+  def q293(s: SparkSession, dir: String): DataFrame = {
+    val gapNs = 12L * 3600 * 1000 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(w)
+    val sessions = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("nf",
+        when(prev.isNull || (col("ts") - prev) > gapNs, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("nf")).over(run))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"),
+        count(lit(1)).as("n_ev"))
+    sessions.groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"),
+        sum(col("n_ev")).as("n_events"))
+      .select(col("entry_type"), col("n_sessions"), col("n_converted"),
+        col("n_events"),
+        Similarity.intScaled(
+          col("n_converted").cast("double") / col("n_sessions").cast("double"),
+          1000000L).as("conv_e6"))
+      .orderBy("entry_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_assoc_rules"     -> (q161 _),
     "q270_changepoint"     -> (q270 _),
@@ -742,6 +789,7 @@ object Patterns {
     "q279_audience_overlap" -> (q279 _),
     "q282_journey_end"     -> (q282 _),
     "q283_entropy_rate"    -> (q283 _),
+    "q293_entry_conversion" -> (q293 _),
     "q162_event_transitions" -> (q162 _),
     "q163_weighted_median" -> (q163 _),
     "q166_token_apportion" -> (q166 _),
@@ -757,6 +805,44 @@ object Patterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same 12h-gap session ids over epoch-µs·1000 (the nanos contract
+    // reconstructed), rank-1 entry pick ≡ the Spark min-struct,
+    // mirrored rate division.
+    "q293_entry_conversion" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS tsn
+        |  FROM events),
+        |nf AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |         CASE WHEN LAG(tsn) OVER w IS NULL
+        |                   OR tsn - LAG(tsn) OVER w > 43200000000000
+        |              THEN 1 ELSE 0 END AS nf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+        |sx AS (
+        |  SELECT user_id, event_id, event_type, tsn,
+        |         SUM(nf) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM nf),
+        |r AS (
+        |  SELECT user_id, sess, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, sess
+        |                            ORDER BY tsn, event_id) AS rn,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id, sess) AS converted,
+        |         COUNT(*) OVER (PARTITION BY user_id, sess) AS n_ev
+        |  FROM sx),
+        |ses AS (
+        |  SELECT event_type AS entry_type, converted, n_ev
+        |  FROM r WHERE rn = 1)
+        |SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |       CAST(ROUND(CAST(SUM(converted) AS DOUBLE)
+        |                  / CAST(COUNT(*) AS DOUBLE) * 1000000) AS BIGINT)
+        |         AS conv_e6
+        |FROM ses GROUP BY entry_type
+        |ORDER BY entry_type""".stripMargin,
     // Rank-1 window pick ≡ the Spark max-struct (unique (ts, event_id)
     // key); integer counts, mirrored share/mean divisions.
     "q282_journey_end" ->

@@ -719,9 +719,51 @@ object Round9 {
       .orderBy("priority")
   }
 
+  /** q292 — hierarchical percent-of-parent revenue rollup: every
+    * nation's share of ITS REGION's order revenue plus the region's
+    * share of the global total — the two-level BI tree (percent-of-
+    * parent, not percent-of-grand-total) that q90's Q5 shape stops
+    * short of. Reading both levels side by side is what catches "the
+    * nation grew but only because its region did".
+    *
+    * Exactness: revenue is exact cents summed in decimal(38); both
+    * shares are single mirrored double divisions of exact integers,
+    * e6-gridded.
+    *
+    * Scale: orders collapse map-side per customer key through
+    * broadcast dim joins (nation/region are domain-bounded); the
+    * rollup frames are nation- and region-sized. No windows.
+    */
+  def q292(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val natC = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("cents").cast(d38)).as("nc"))
+    val regC = natC.groupBy("r_name").agg(sum(col("nc")).as("rc"))
+    val tot = regC.agg(sum(col("rc")).as("gc"))
+    natC.join(broadcast(regC), "r_name").crossJoin(broadcast(tot))
+      .select(col("r_name"), col("n_name"),
+        col("nc").cast("long").as("nation_cents"),
+        col("rc").cast("long").as("region_cents"),
+        graft.ext.Similarity.intScaled(
+          col("nc").cast("double") / col("rc").cast("double"),
+          1000000L).as("share_of_region_e6"),
+        graft.ext.Similarity.intScaled(
+          col("rc").cast("double") / col("gc").cast("double"),
+          1000000L).as("region_share_e6"))
+      .orderBy("r_name", "n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_waiting_suppliers" -> (q215 _),
     "q287_abc_class"         -> (q287 _),
+    "q292_pct_of_parent"     -> (q292 _),
     "q288_ship_lag"          -> (q288 _),
     "q284_brand_hhi"         -> (q284 _),
     "q285_cramers_v"         -> (q285 _),
@@ -741,6 +783,29 @@ object Round9 {
     "q277_revenue_pareto"    -> (q277 _))
 
   val oracleSql: Map[String, String] = Map(
+    // Same exact-cents rollup tree, HUGEINT sums, two mirrored share
+    // divisions e6.
+    "q292_pct_of_parent" ->
+      """WITH nc AS (
+        |  SELECT r_name, n_name,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS HUGEINT) AS nc
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |rc AS (SELECT r_name, CAST(SUM(nc) AS HUGEINT) AS rc
+        |       FROM nc GROUP BY 1),
+        |g AS (SELECT CAST(SUM(rc) AS HUGEINT) AS gc FROM rc)
+        |SELECT nc.r_name, n_name, CAST(nc AS BIGINT) AS nation_cents,
+        |       CAST(rc AS BIGINT) AS region_cents,
+        |       CAST(ROUND(CAST(nc AS DOUBLE) / CAST(rc AS DOUBLE) * 1000000)
+        |            AS BIGINT) AS share_of_region_e6,
+        |       CAST(ROUND(CAST(rc AS DOUBLE) / CAST(gc AS DOUBLE) * 1000000)
+        |            AS BIGINT) AS region_share_e6
+        |FROM nc JOIN rc ON rc.r_name = nc.r_name CROSS JOIN g
+        |ORDER BY nc.r_name, n_name""".stripMargin,
     // Same all-integer cumulative-mass class boundaries (100·before
     // vs 80·T / 95·T in HUGEINT), one final e6 share division.
     "q287_abc_class" ->

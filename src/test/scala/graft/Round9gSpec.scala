@@ -223,6 +223,88 @@ class Round9gSpec extends SparkTestBase {
     assert(got.exists(_._4 > 0), "no duplicate chunks — census vacuous")
   }
 
+  // --------------------------------------------------------------- q292
+
+  test("q292 pct-of-parent: exact cents tree replay + shares close") {
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select($"n_nationkey", $"n_name", $"n_regionkey").collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        (r.getString(1), r.getAs[Number](2).longValue()))).toMap
+    val region = spark.read.parquet(s"$sf/region.parquet")
+      .select($"r_regionkey", $"r_name").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1))).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey", $"c_nationkey").collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getAs[Number](1).longValue())).toMap
+    val natCents = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_custkey", $"o_totalprice").collect()
+      .map { r =>
+        val (nName, rKey) = nation(cust(r.getAs[Number](0).longValue()))
+        ((region(rKey), nName),
+          BigDecimal(r.getDouble(1))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact)
+      }
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(x => BigInt(x._2)).sum) }
+    val regCents = natCents.groupBy(_._1._1).map { case (rn, xs) =>
+      rn -> xs.values.sum
+    }
+    val gc = regCents.values.sum
+    val expected = natCents.map { case ((rn, nn), nc) =>
+      val rc = regCents(rn)
+      (rn, nn, nc.toLong, rc.toLong,
+        halfUp(nc.toDouble / rc.toDouble * 1e6),
+        halfUp(rc.toDouble / gc.toDouble * 1e6))
+    }.toSet
+    val got = graft.queries.Round9.q292(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // The tree must close: each region's nation shares sum to ~1e6
+    // (apportionment rounding only), region shares likewise.
+    got.groupBy(_._1).foreach { case (_, xs) =>
+      val s0 = xs.toSeq.map(_._5).sum
+      assert(math.abs(s0 - 1000000L) <= xs.size, s"region tree open: $s0")
+    }
+    val rs = got.groupBy(_._1).map { case (_, xs) => xs.head._6 }.sum
+    assert(math.abs(rs - 1000000L) <= got.groupBy(_._1).size)
+  }
+
+  // --------------------------------------------------------------- q293
+
+  test("q293 entry conversion: exact session replay + funnel binds") {
+    val gapNs = 12L * 3600 * 1000 * 1000 * 1000
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val s0 = xs.sortBy(x => (x._3, x._2))
+      var sess = 0L
+      var prev = Long.MinValue
+      s0.map { x =>
+        if (prev == Long.MinValue || x._3 - prev > gapNs) sess += 1
+        prev = x._3
+        (sess, x._4)
+      }.groupBy(_._1).toSeq.map { case (_, ys) =>
+        (ys.head._2, if (ys.exists(_._2 == "purchase")) 1L else 0L,
+          ys.size.toLong)
+      }
+    }
+    val expected = sessions.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum,
+        halfUp(xs.map(_._2).sum.toDouble / xs.size * 1e6))
+    }.toSet
+    val got = graft.ext.Patterns.q293(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    // The signal must bind: several entry types, conversion strictly
+    // between 0 and 1 somewhere, purchase-entry sessions convert at 1.
+    assert(got.size > 1)
+    assert(got.find(_._1 == "purchase").get._5 == 1000000L)
+    assert(got.exists(g => g._5 > 0 && g._5 < 1000000L))
+  }
+
   // --------------------------------------------------------------- q290
 
   test("q290 Good-Turing: exact freq-of-freq replay + smoothing binds") {
