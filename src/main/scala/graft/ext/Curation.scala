@@ -547,9 +547,41 @@ object Curation {
       .orderBy("event_type")
   }
 
+  /** q295 — effective source count per language (inverse Simpson
+    * diversity, 1/Σpₛ² = n²/Σnₛ²): how many sources a language's
+    * corpus EFFECTIVELY draws from once imbalance is discounted — 20
+    * nominal feeds that are 95% one crawler is an effective ~1.1, the
+    * monoculture risk a mixture plan (q234) must see before trusting
+    * per-language weights. The diversity-index dual of q284's HHI
+    * (effective count = 1/HHI), applied to the corpus axis.
+    *
+    * Exactness: counts are exact integers; Σnₛ² rides decimal(38)
+    * (wraps BIGINT at ~3×10⁹ docs per source-language); the index is
+    * ONE mirrored double division, e4-gridded.
+    *
+    * Scale: one corpus scan collapses to the (lang × source) grid;
+    * everything after is language-bounded arithmetic.
+    */
+  def q295(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    docs(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("ns"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sources"), sum(col("ns")).as("n_docs"),
+        sum(col("ns").cast(d38) * col("ns")).as("ss"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        Similarity.intScaled(
+          (col("n_docs").cast(d38) * col("n_docs")).cast("double") /
+            col("ss").cast("double"),
+          10000L).as("eff_sources_e4"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q232_psi_drift"      -> (q232 _),
     "q272_lang_kappa"     -> (q272 _),
+    "q295_source_diversity" -> (q295 _),
     "q273_conf_calibration" -> (q273 _),
     "q274_wilson_ci"      -> (q274 _),
     "q233_overdispersion" -> (q233 _),
@@ -562,6 +594,19 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same (lang × source) grid, HUGEINT n² and Σns², one mirrored
+    // division e4.
+    "q295_source_diversity" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS ns
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(ns) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |       CAST(ROUND(CAST(CAST(SUM(ns) AS HUGEINT) * SUM(ns) AS DOUBLE)
+        |                  / CAST(SUM(CAST(ns AS HUGEINT) * ns) AS DOUBLE)
+        |                  * 10000) AS BIGINT) AS eff_sources_e4
+        |FROM g GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     // Same distinct (user, type) frame and purchase flag; the Wilson
     // expression textually mirrored with every 1.96 cast to DOUBLE
     // before arithmetic (a bare DuckDB decimal literal would multiply

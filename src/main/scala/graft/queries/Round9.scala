@@ -760,10 +760,49 @@ object Round9 {
       .orderBy("r_name", "n_name")
   }
 
+  /** q294 — log-normal method-of-moments fit of order values per
+    * market segment: μ̂ and σ̂ of ln(cents) — the standard heavy-tail
+    * revenue model (order values are classically log-normal; the
+    * fitted σ says how fat THIS segment's tail is, feeding the same
+    * dashboards q280's Hill index serves for lengths, but as a
+    * parametric fit with just two moments).
+    *
+    * Float discipline: each row's ln(cents) and ln(cents)² are
+    * mirrored double expressions e9-gridded PER ROW before the exact
+    * BIGINT sums (q232 discipline — summation order free); μ̂ and σ̂
+    * are mirrored arithmetic over those exact sums (σ̂ via the
+    * population-variance identity with one mirrored sqrt), e6.
+    *
+    * Scale: one orders scan with a broadcast customer-dim join for
+    * the segment, map-side partial aggs to the 5-row segment frame.
+    */
+  def q294(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val lx = log(cents.cast("double"))
+    val j = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        graft.ext.Similarity.intScaled(lx, 1000000000L).as("t1"),
+        graft.ext.Similarity.intScaled(lx * lx, 1000000000L).as("t2"))
+    val n = col("n").cast("double")
+    val m = col("s1").cast("double") / lit(1000000000.0) / n
+    val m2 = col("s2").cast("double") / lit(1000000000.0) / n
+    j.groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum(col("t1")).as("s1"),
+        sum(col("t2")).as("s2"))
+      .select(col("segment"), col("n"),
+        graft.ext.Similarity.intScaled(m, 1000000L).as("mu_e6"),
+        graft.ext.Similarity.intScaled(sqrt(m2 - m * m), 1000000L)
+          .as("sigma_e6"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_waiting_suppliers" -> (q215 _),
     "q287_abc_class"         -> (q287 _),
     "q292_pct_of_parent"     -> (q292 _),
+    "q294_lognormal_fit"     -> (q294 _),
     "q288_ship_lag"          -> (q288 _),
     "q284_brand_hhi"         -> (q284 _),
     "q285_cramers_v"         -> (q285 _),
@@ -783,6 +822,36 @@ object Round9 {
     "q277_revenue_pareto"    -> (q277 _))
 
   val oracleSql: Map[String, String] = Map(
+    // Same per-row ln terms e9-gridded before the exact sums; mirrored
+    // moment arithmetic and sqrt.
+    "q294_lognormal_fit" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS segment,
+        |         CAST(ROUND(ln(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |                                 * 100 AS BIGINT) AS DOUBLE))
+        |                    * 1000000000) AS BIGINT) AS t1,
+        |         CAST(ROUND(ln(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |                                 * 100 AS BIGINT) AS DOUBLE))
+        |                    * ln(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |                                   * 100 AS BIGINT) AS DOUBLE))
+        |                    * 1000000000) AS BIGINT) AS t2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |a AS (
+        |  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(t1) AS BIGINT) AS s1,
+        |         CAST(SUM(t2) AS BIGINT) AS s2
+        |  FROM j GROUP BY segment)
+        |SELECT segment, n,
+        |       CAST(ROUND(CAST(s1 AS DOUBLE) / 1000000000.0
+        |                  / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS mu_e6,
+        |       CAST(ROUND(sqrt(CAST(s2 AS DOUBLE) / 1000000000.0
+        |                         / CAST(n AS DOUBLE)
+        |                       - (CAST(s1 AS DOUBLE) / 1000000000.0
+        |                          / CAST(n AS DOUBLE))
+        |                         * (CAST(s1 AS DOUBLE) / 1000000000.0
+        |                            / CAST(n AS DOUBLE)))
+        |                  * 1000000) AS BIGINT) AS sigma_e6
+        |FROM a ORDER BY segment""".stripMargin,
     // Same exact-cents rollup tree, HUGEINT sums, two mirrored share
     // divisions e6.
     "q292_pct_of_parent" ->

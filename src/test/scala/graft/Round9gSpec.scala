@@ -305,6 +305,67 @@ class Round9gSpec extends SparkTestBase {
     assert(got.exists(g => g._5 > 0 && g._5 < 1000000L))
   }
 
+  // --------------------------------------------------------------- q294
+
+  test("q294 lognormal fit: per-row gridded moment replay + tail binds") {
+    val custSeg = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey", $"c_mktsegment").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1))).toMap
+    var minMargin = Double.MaxValue
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_custkey", $"o_totalprice").collect()
+      .map { r =>
+        val cents = BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact
+        val lx = math.log(cents.toDouble)
+        Seq(lx * 1e9, lx * lx * 1e9).foreach(v =>
+          minMargin = math.min(minMargin, boundaryMargin(v)))
+        (custSeg(r.getAs[Number](0).longValue()),
+          halfUp(lx * 1e9), halfUp(lx * lx * 1e9))
+      }
+    val expected = rows.groupBy(_._1).map { case (seg, xs) =>
+      val n = xs.length.toDouble
+      val m = xs.map(_._2).sum.toDouble / 1e9 / n
+      val m2 = xs.map(_._3).sum.toDouble / 1e9 / n
+      (seg, xs.length.toLong, halfUp(m * 1e6),
+        halfUp(math.sqrt(m2 - m * m) * 1e6))
+    }.toSet
+    val got = graft.queries.Round9.q294(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    assert(minMargin > 1e-4, s"e9 term margin razor-thin: $minMargin")
+    // The fit must bind: a real spread (sigma > 0) and mu in the
+    // plausible ln(cents) range for 4-6 digit dollar orders.
+    assert(got.forall(g => g._4 > 0 && g._3 > halfUp(math.log(1e4) * 1e6)))
+  }
+
+  // --------------------------------------------------------------- q295
+
+  test("q295 source diversity: exact inverse-Simpson replay + binds") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"lang", $"source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    var minMargin = Double.MaxValue
+    val expected = docs.groupBy(_._1).map { case (lang, xs) =>
+      val ns = xs.groupBy(_._2).map { case (_, ys) => BigInt(ys.length) }
+      val n = ns.sum
+      val eff = (n * n).toDouble / ns.map(x => x * x).sum.toDouble
+      minMargin = math.min(minMargin, boundaryMargin(eff * 1e4))
+      (lang, n.toLong, ns.size.toLong, halfUp(eff * 1e4))
+    }.toSet
+    val got = graft.ext.Curation.q295(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    assert(minMargin > 1e-6, s"e4 margin razor-thin: $minMargin")
+    // Diversity must bind: effective count strictly between 1 and the
+    // nominal source count (real imbalance, no monoculture).
+    got.foreach { g =>
+      assert(g._4 > 10000L && g._4 < g._3 * 10000L, s"degenerate: $g")
+    }
+  }
+
   // --------------------------------------------------------------- q290
 
   test("q290 Good-Turing: exact freq-of-freq replay + smoothing binds") {
