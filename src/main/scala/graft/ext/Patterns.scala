@@ -782,8 +782,56 @@ object Patterns {
       .orderBy("entry_type")
   }
 
+  /** q296 — time-decayed popularity (trending score) per event type:
+    * each day's count weighted by exp(−age/30) against the corpus's
+    * last active day — the recency-weighted ranking a "trending now"
+    * surface serves, where a type's decayed share diverging from its
+    * raw share IS the trend signal (rising types over-index, fading
+    * ones under-index).
+    *
+    * Float discipline: the decay factor is gridded to e9 PER DAY
+    * (age is an exact integer; exp(−age/30.0) is one mirrored double)
+    * and multiplied by the exact day count — so the decayed mass is
+    * an exact BIGINT sum of per-day products (q232 discipline), and
+    * the shares are single mirrored divisions.
+    *
+    * Scale: events collapse map-side to the (type × day) frame
+    * (calendar-bounded); the decay arithmetic rides that grid; the
+    * one-row max-day broadcasts.
+    */
+  def q296(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .groupBy(col("event_type"), expr("us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val mx = daily.agg(max(col("day")).as("maxday"))
+    val byType = daily.crossJoin(broadcast(mx))
+      .select(col("event_type"), col("x"),
+        Similarity.intScaled(
+          exp(-(col("maxday") - col("day")).cast("double") / lit(30.0)),
+          1000000000L).as("w_e9"))
+      .groupBy("event_type")
+      .agg(sum(col("x")).as("n_events"),
+        sum(col("x").cast(d38) * col("w_e9")).as("decayed"))
+    val tot = byType.agg(
+      sum(col("n_events")).as("tn"), sum(col("decayed")).as("td"))
+    byType.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_events"),
+        col("decayed").cast("long").as("decayed_e9"),
+        Similarity.intScaled(
+          col("n_events").cast("double") / col("tn").cast("double"),
+          1000000L).as("raw_share_e6"),
+        Similarity.intScaled(
+          col("decayed").cast("double") / col("td").cast("double"),
+          1000000L).as("decayed_share_e6"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_assoc_rules"     -> (q161 _),
+    "q296_trending"        -> (q296 _),
     "q270_changepoint"     -> (q270 _),
     "q275_hourly_profile"  -> (q275 _),
     "q279_audience_overlap" -> (q279 _),
@@ -805,6 +853,31 @@ object Patterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same (type × day) frame, per-day e9-gridded decay factors
+    // multiplied by exact counts, HUGEINT sums, mirrored shares.
+    "q296_trending" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT MAX(day) AS maxday FROM c),
+        |t AS (
+        |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS n_events,
+        |         CAST(SUM(CAST(x AS HUGEINT)
+        |                   * CAST(ROUND(exp(-CAST(maxday - day AS DOUBLE)
+        |                                    / 30.0) * 1000000000) AS BIGINT))
+        |              AS HUGEINT) AS decayed
+        |  FROM c CROSS JOIN m GROUP BY event_type),
+        |g AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tn,
+        |             CAST(SUM(decayed) AS HUGEINT) AS td FROM t)
+        |SELECT event_type, n_events, CAST(decayed AS BIGINT) AS decayed_e9,
+        |       CAST(ROUND(CAST(n_events AS DOUBLE) / CAST(tn AS DOUBLE)
+        |                  * 1000000) AS BIGINT) AS raw_share_e6,
+        |       CAST(ROUND(CAST(decayed AS DOUBLE) / CAST(td AS DOUBLE)
+        |                  * 1000000) AS BIGINT) AS decayed_share_e6
+        |FROM t CROSS JOIN g
+        |ORDER BY event_type""".stripMargin,
     // Same 12h-gap session ids over epoch-µs·1000 (the nanos contract
     // reconstructed), rank-1 entry pick ≡ the Spark min-struct,
     // mirrored rate division.

@@ -623,9 +623,73 @@ object Robust {
           1000000L).as("mean_log_excess_e6"))
   }
 
+  /** q297 — Kaplan–Meier survival curve for time-to-first-purchase:
+    * per user, the duration in days from FIRST event to FIRST
+    * purchase (right-censored at the corpus's last day for users who
+    * never purchase), then the product-limit estimator
+    * Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over the event-time grid — the
+    * survival-analysis primitive (churn/conversion curves) none of
+    * the funnel family (q115/q195/q293) computes: KM handles the
+    * censored users a plain quantile of conversion lags silently
+    * drops.
+    *
+    * Float discipline: durations, risk sets, and event counts are
+    * exact integers; each step's ln(1−d/n) is ONE mirrored double
+    * e9-gridded per step BEFORE the exact cumulative sum (the q232
+    * discipline makes the running product order-free), and Ŝ is one
+    * mirrored exp of the gridded sum. The d = n terminal step (ln 0)
+    * is an explicit −10¹¹ sentinel on BOTH engines — exp drives it
+    * to exactly 0 without either engine touching ln(0).
+    *
+    * Scale: events collapse to one row per user (min/min-when agg);
+    * observations value-collapse to the duration grid (calendar-
+    * bounded ≤ days), so the risk-set and product windows ride grid
+    * rows, never users.
+    */
+  def q297(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .select(col("user_id"), col("event_type"),
+        expr("us DIV 86400000000").as("day"))
+    val perUser = ev.groupBy("user_id")
+      .agg(min(col("day")).as("f"),
+        min(when(col("event_type") === "purchase", col("day"))).as("p"))
+    val mx = ev.agg(max(col("day")).as("mxd"))
+    val grid = perUser.crossJoin(broadcast(mx))
+      .select(
+        when(col("p").isNotNull, col("p") - col("f"))
+          .otherwise(col("mxd") - col("f")).as("t"),
+        when(col("p").isNotNull, 1L).otherwise(0L).as("d"))
+      .groupBy("t")
+      .agg(sum(col("d")).as("d_t"), count(lit(1)).as("c_t"))
+    val wrev = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wcum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("n_t", sum(col("c_t")).over(wrev))
+      .filter(col("d_t") > 0)
+      .withColumn("ln_e9",
+        when(col("d_t") === col("n_t"), lit(-100000000000L))
+          .otherwise(Similarity.intScaled(
+            log(lit(1.0) -
+              col("d_t").cast("double") / col("n_t").cast("double")),
+            1000000000L)))
+      .withColumn("cum_e9", sum(col("ln_e9")).over(wcum))
+      .select(col("t").as("t_days"), col("n_t").as("n_risk"),
+        col("d_t").as("d_events"),
+        Similarity.intScaled(
+          exp(col("cum_e9").cast("double") / lit(1000000000.0)),
+          1000000L).as("surv_e6"))
+      .orderBy("t_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q246_seasonal_error" -> (q246 _),
     "q280_hill_tail"      -> (q280 _),
+    "q297_kaplan_meier"   -> (q297 _),
     "q250_iqr_outliers"   -> (q250 _),
     "q251_cusum_shift"    -> (q251 _),
     "q238_winsorized"   -> (q238 _),
@@ -640,6 +704,50 @@ object Robust {
     ewmaCoefs.zipWithIndex.map { case (c, k) => s"($k, $c)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // Same per-user min/min-when collapse, duration grid, reverse-
+    // cumulative risk sets, per-step mirrored ln e9 (d=n → the same
+    // −10¹¹ sentinel), exact cumsum, mirrored exp.
+    "q297_kaplan_meier" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, MIN(day) AS f,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN day END) AS p
+        |  FROM e GROUP BY user_id),
+        |m AS (SELECT MAX(day) AS mxd FROM e),
+        |obs AS (
+        |  SELECT CASE WHEN p IS NOT NULL THEN p - f ELSE mxd - f END AS t,
+        |         CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS d
+        |  FROM u CROSS JOIN m),
+        |g AS (
+        |  SELECT t, CAST(SUM(d) AS BIGINT) AS d_t,
+        |         CAST(COUNT(*) AS BIGINT) AS c_t
+        |  FROM obs GROUP BY t),
+        |r AS (
+        |  SELECT t, d_t, c_t,
+        |         CAST(SUM(c_t) OVER (ORDER BY t DESC
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS n_t
+        |  FROM g),
+        |s AS (
+        |  SELECT t, n_t, d_t,
+        |         CASE WHEN d_t = n_t THEN -100000000000
+        |              ELSE CAST(ROUND(ln(1.0 - CAST(d_t AS DOUBLE)
+        |                                        / CAST(n_t AS DOUBLE))
+        |                              * 1000000000) AS BIGINT) END AS ln_e9
+        |  FROM r WHERE d_t > 0),
+        |c AS (
+        |  SELECT t, n_t, d_t,
+        |         CAST(SUM(ln_e9) OVER (ORDER BY t
+        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS cum_e9
+        |  FROM s)
+        |SELECT t AS t_days, n_t AS n_risk, d_t AS d_events,
+        |       CAST(ROUND(exp(CAST(cum_e9 AS DOUBLE) / 1000000000.0)
+        |                  * 1000000) AS BIGINT) AS surv_e6
+        |FROM c ORDER BY t_days""".stripMargin,
     // Same all-integer top-51 order statistics, per-term mirrored ln
     // e9-gridded before the exact sum, one mirrored mean division.
     "q280_hill_tail" ->

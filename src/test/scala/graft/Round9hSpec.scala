@@ -1,0 +1,109 @@
+package graft
+
+import java.math.{BigDecimal => JBig, RoundingMode}
+
+/** Round-9 eighth batch: time-decayed trending shares (q296) and the
+  * Kaplan–Meier time-to-purchase survival curve (q297). Driver-side
+  * exact replays on sf0.001 plus rounding-boundary margins.
+  */
+class Round9hSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def halfUp(x: Double): Long =
+    new JBig(x).setScale(0, RoundingMode.HALF_UP).longValueExact()
+
+  private def boundaryMargin(x: Double): Double = {
+    val f = math.abs(x - math.floor(x))
+    math.abs(f - 0.5)
+  }
+
+  private lazy val evRows: Array[(Long, Long, String)] =
+    Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000 / 86400000000L,
+        r.getString(2)))
+
+  // --------------------------------------------------------------- q296
+
+  test("q296 trending: per-day gridded decay replay + recency binds") {
+    val daily = evRows.groupBy(x => (x._3, x._2)).map { case ((t, d), xs) =>
+      (t, d, xs.length.toLong)
+    }.toSeq
+    val maxDay = daily.map(_._2).max
+    var minMargin = Double.MaxValue
+    val byType = daily.groupBy(_._1).map { case (t, xs) =>
+      val decayed = xs.map { case (_, d, x) =>
+        val w = math.exp(-(maxDay - d).toDouble / 30.0) * 1e9
+        minMargin = math.min(minMargin, boundaryMargin(w))
+        BigInt(x) * halfUp(w)
+      }.sum
+      t -> ((xs.map(_._3).sum, decayed))
+    }
+    val tn = byType.values.map(_._1).sum
+    val td = byType.values.map(_._2).sum
+    val expected = byType.map { case (t, (n, dec)) =>
+      (t, n, dec.toLong, halfUp(n.toDouble / tn * 1e6),
+        halfUp(dec.toDouble / td.toDouble * 1e6))
+    }.toSet
+    val got = graft.ext.Patterns.q296(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    assert(minMargin > 1e-4, s"e9 decay margin razor-thin: $minMargin")
+    // Recency weighting must bind: decayed shares differ from raw
+    // shares somewhere (the trend signal is alive).
+    assert(got.exists(g => g._4 != g._5))
+  }
+
+  // --------------------------------------------------------------- q297
+
+  test("q297 Kaplan-Meier: exact product-limit replay + curve sane") {
+    val perUser = evRows.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val f = xs.map(_._2).min
+      val p = xs.filter(_._3 == "purchase").map(_._2)
+        .reduceOption(_ min _)
+      (f, p)
+    }
+    val maxDay = evRows.map(_._2).max
+    val obs = perUser.map { case (f, p) =>
+      (p.map(_ - f).getOrElse(maxDay - f), if (p.isDefined) 1L else 0L)
+    }
+    val grid = obs.groupBy(_._1).toSeq.map { case (t, xs) =>
+      (t, xs.map(_._2).sum, xs.length.toLong)
+    }.sortBy(_._1)
+    var minMargin = Double.MaxValue
+    var cum = 0L
+    val expected = grid.zipWithIndex.flatMap { case ((t, dT, _), i) =>
+      val nT = grid.drop(i).map(_._3).sum
+      if (dT == 0) None
+      else {
+        val ln = if (dT == nT) -100000000000L
+        else {
+          val v = math.log(1.0 - dT.toDouble / nT.toDouble) * 1e9
+          minMargin = math.min(minMargin, boundaryMargin(v))
+          halfUp(v)
+        }
+        cum += ln
+        Some((t, nT, dT, halfUp(math.exp(cum.toDouble / 1e9) * 1e6)))
+      }
+    }.toSet
+    val got = graft.ext.Robust.q297(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    assert(minMargin > 1e-4, s"e9 ln margin razor-thin: $minMargin")
+    // The curve must be a survival curve: monotone non-increasing in
+    // t, starting below 1e6 (a step at t=0 exists on this data) and
+    // ending at exactly 0 via the d=n sentinel (every user converts,
+    // so the last at-risk set purchases out).
+    val sorted = got.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 >= b._4, s"curve rises: $a -> $b")
+      case _ =>
+    }
+    assert(sorted.last._4 == 0L, "terminal sentinel never fired")
+    assert(sorted.head._4 < 1000000L)
+  }
+}
