@@ -686,10 +686,84 @@ object Robust {
       .orderBy("t_days")
   }
 
+  /** q298 — log-rank test between two time-to-purchase cohorts (the
+    * deterministic user_id % 2 A/B split — balanced at every SF, and
+    * NULL-TRUE by construction, so the test's calibration itself is
+    * what gets certified), on the same censored durations as [[q297]].
+    * Per pooled event time: observed-minus-expected group-1 purchases
+    * d₁ − n₁·d/n and the hypergeometric variance n₁n₂d(n−d)/(n²(n−1));
+    * the statistic (ΣO−E)²/ΣV is the standard "are these two survival
+    * curves the same" test — the inference step q297's descriptive
+    * curve feeds, and exactly what an experimentation platform runs
+    * over a real treatment flag instead of the hash split.
+    *
+    * Float discipline: risk sets and event counts are exact integers;
+    * each step's O−E and V are ONE mirrored double expression each,
+    * e9-gridded PER STEP before the exact sums (q232), and the
+    * statistic is one mirrored arithmetic over the two gridded sums,
+    * e6. Steps with n = 1 contribute zero variance via the same
+    * integer guard on both engines.
+    *
+    * Scale: identical posture to q297 — per-user collapse, duration-
+    * grid windows; the cohort flag adds one combinable min-struct.
+    */
+  def q298(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .withColumn("day", expr("us DIV 86400000000"))
+    val perUser = ev.groupBy("user_id")
+      .agg(min(col("day")).as("f"),
+        min(when(col("event_type") === "purchase", col("day"))).as("p"))
+      .withColumn("g1", expr("user_id % 2"))
+    val mx = ev.agg(max(col("day")).as("mxd"))
+    val grid = perUser.crossJoin(broadcast(mx))
+      .select(
+        when(col("p").isNotNull, col("p") - col("f"))
+          .otherwise(col("mxd") - col("f")).as("t"),
+        when(col("p").isNotNull, 1L).otherwise(0L).as("d"),
+        col("g1"))
+      .groupBy("t")
+      .agg(sum(col("d")).as("d_t"), count(lit(1)).as("c_t"),
+        sum(col("g1") * col("d")).as("d1_t"), sum(col("g1")).as("c1_t"))
+    val wrev = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = col("n_t").cast("double")
+    val n1 = col("n1_t").cast("double")
+    val d = col("d_t").cast("double")
+    val steps = grid
+      .withColumn("n_t", sum(col("c_t")).over(wrev))
+      .withColumn("n1_t", sum(col("c1_t")).over(wrev))
+      .filter(col("d_t") > 0)
+      .select(
+        Similarity.intScaled(
+          col("d1_t").cast("double") - n1 * d / n, 1000000000L).as("oe_e9"),
+        when(col("n_t") > 1,
+          Similarity.intScaled(
+            n1 * (n - n1) * d * (n - d) / (n * n * (n - lit(1.0))),
+            1000000000L)).otherwise(0L).as("v_e9"))
+    val users = perUser
+      .agg(sum(col("g1")).as("n_g1"), count(lit(1)).as("n_users"))
+    steps
+      .agg(count(lit(1)).as("n_steps"), sum(col("oe_e9")).as("oe_sum_e9"),
+        sum(col("v_e9")).as("v_sum_e9"))
+      .crossJoin(broadcast(users))
+      .select(col("n_users"), col("n_g1"), col("n_steps"),
+        col("oe_sum_e9"), col("v_sum_e9"),
+        Similarity.intScaled(
+          when(col("v_sum_e9") > 0,
+            (col("oe_sum_e9").cast("double") / lit(1000000000.0)) *
+              (col("oe_sum_e9").cast("double") / lit(1000000000.0)) /
+              (col("v_sum_e9").cast("double") / lit(1000000000.0))),
+          1000000L).as("logrank_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q246_seasonal_error" -> (q246 _),
     "q280_hill_tail"      -> (q280 _),
     "q297_kaplan_meier"   -> (q297 _),
+    "q298_logrank"        -> (q298 _),
     "q250_iqr_outliers"   -> (q250 _),
     "q251_cusum_shift"    -> (q251 _),
     "q238_winsorized"   -> (q238 _),
@@ -704,6 +778,71 @@ object Robust {
     ewmaCoefs.zipWithIndex.map { case (c, k) => s"($k, $c)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // Same deterministic user_id % 2 cohorts, duration grid, per-step
+    // mirrored O−E and V doubles e9-gridded before exact sums,
+    // mirrored statistic, NULL on zero variance.
+    "q298_logrank" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, MIN(day) AS f,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN day END) AS p,
+        |         user_id % 2 AS g1
+        |  FROM e GROUP BY user_id),
+        |m AS (SELECT MAX(day) AS mxd FROM e),
+        |obs AS (
+        |  SELECT CASE WHEN p IS NOT NULL THEN p - f ELSE mxd - f END AS t,
+        |         CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS d,
+        |         g1
+        |  FROM u CROSS JOIN m),
+        |g AS (
+        |  SELECT t, CAST(SUM(d) AS BIGINT) AS d_t,
+        |         CAST(COUNT(*) AS BIGINT) AS c_t,
+        |         CAST(SUM(g1 * d) AS BIGINT) AS d1_t,
+        |         CAST(SUM(g1) AS BIGINT) AS c1_t
+        |  FROM obs GROUP BY t),
+        |r AS (
+        |  SELECT t, d_t, d1_t,
+        |         CAST(SUM(c_t) OVER (ORDER BY t DESC
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS n_t,
+        |         CAST(SUM(c1_t) OVER (ORDER BY t DESC
+        |                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS n1_t
+        |  FROM g),
+        |s AS (
+        |  SELECT CAST(ROUND((CAST(d1_t AS DOUBLE)
+        |                     - CAST(n1_t AS DOUBLE) * CAST(d_t AS DOUBLE)
+        |                       / CAST(n_t AS DOUBLE)) * 1000000000)
+        |              AS BIGINT) AS oe_e9,
+        |         CASE WHEN n_t > 1 THEN
+        |           CAST(ROUND(CAST(n1_t AS DOUBLE)
+        |                      * (CAST(n_t AS DOUBLE) - CAST(n1_t AS DOUBLE))
+        |                      * CAST(d_t AS DOUBLE)
+        |                      * (CAST(n_t AS DOUBLE) - CAST(d_t AS DOUBLE))
+        |                      / (CAST(n_t AS DOUBLE) * CAST(n_t AS DOUBLE)
+        |                         * (CAST(n_t AS DOUBLE) - 1.0))
+        |                      * 1000000000) AS BIGINT)
+        |           ELSE 0 END AS v_e9
+        |  FROM r WHERE d_t > 0),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_steps,
+        |         CAST(SUM(oe_e9) AS BIGINT) AS oe_sum_e9,
+        |         CAST(SUM(v_e9) AS BIGINT) AS v_sum_e9
+        |  FROM s),
+        |users AS (
+        |  SELECT CAST(SUM(g1) AS BIGINT) AS n_g1,
+        |         CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM u)
+        |SELECT n_users, n_g1, n_steps, oe_sum_e9, v_sum_e9,
+        |       CASE WHEN v_sum_e9 <= 0 THEN NULL
+        |            ELSE CAST(ROUND((CAST(oe_sum_e9 AS DOUBLE) / 1000000000.0)
+        |                  * (CAST(oe_sum_e9 AS DOUBLE) / 1000000000.0)
+        |                  / (CAST(v_sum_e9 AS DOUBLE) / 1000000000.0)
+        |                  * 1000000) AS BIGINT) END AS logrank_e6
+        |FROM agg CROSS JOIN users""".stripMargin,
     // Same per-user min/min-when collapse, duration grid, reverse-
     // cumulative risk sets, per-step mirrored ln e9 (d=n → the same
     // −10¹¹ sentinel), exact cumsum, mirrored exp.

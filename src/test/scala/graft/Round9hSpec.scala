@@ -57,6 +57,63 @@ class Round9hSpec extends SparkTestBase {
     assert(got.exists(g => g._4 != g._5))
   }
 
+  // --------------------------------------------------------------- q298
+
+  test("q298 log-rank: per-step gridded O-E/V replay + null-calibrated") {
+    val full = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1000,
+        r.getString(3)))
+    val perUser = full.groupBy(_._1).toSeq.map { case (uid, xs) =>
+      val f = xs.map(_._3 / 86400000000L).min
+      val p = xs.filter(_._4 == "purchase").map(_._3 / 86400000000L)
+        .reduceOption(_ min _)
+      (f, p, uid % 2)
+    }
+    val maxDay = full.map(_._3 / 86400000000L).max
+    val obs = perUser.map { case (f, p, g1) =>
+      (p.map(_ - f).getOrElse(maxDay - f), if (p.isDefined) 1L else 0L, g1)
+    }
+    val grid = obs.groupBy(_._1).toSeq.map { case (t, xs) =>
+      (t, xs.map(_._2).sum, xs.length.toLong,
+        xs.map(x => x._3 * x._2).sum, xs.map(_._3).sum)
+    }.sortBy(_._1)
+    var minMargin = Double.MaxValue
+    var oeSum = 0L; var vSum = 0L; var steps = 0L
+    grid.zipWithIndex.foreach { case ((_, dT, _, d1T, _), i) =>
+      if (dT > 0) {
+        val nT = grid.drop(i).map(_._3).sum.toDouble
+        val n1T = grid.drop(i).map(_._5).sum.toDouble
+        val oe = (d1T.toDouble - n1T * dT.toDouble / nT) * 1e9
+        minMargin = math.min(minMargin, boundaryMargin(oe))
+        oeSum += halfUp(oe)
+        if (nT > 1) {
+          val v = n1T * (nT - n1T) * dT.toDouble * (nT - dT.toDouble) /
+            (nT * nT * (nT - 1.0)) * 1e9
+          minMargin = math.min(minMargin, boundaryMargin(v))
+          vSum += halfUp(v)
+        }
+        steps += 1
+      }
+    }
+    val nG1 = perUser.map(_._3).sum
+    val chi = (oeSum.toDouble / 1e9) * (oeSum.toDouble / 1e9) /
+      (vSum.toDouble / 1e9)
+    val r = graft.ext.Robust.q298(spark, sf).head()
+    assert(r.getLong(0) == perUser.size.toLong)
+    assert(r.getLong(1) == nG1)
+    assert(r.getLong(2) == steps)
+    assert(r.getLong(3) == oeSum)
+    assert(r.getLong(4) == vSum)
+    assert(r.getLong(5) == halfUp(chi * 1e6))
+    assert(minMargin > 1e-4, s"e9 margin razor-thin: $minMargin")
+    // Null calibration: the hash split is independent of conversion
+    // speed by construction, so the chi-square(1) statistic stays in a
+    // sane range (< 15 ≈ p 1e-4) while the variance mass is real.
+    assert(r.getLong(4) > 0 && r.getLong(5) < 15000000L)
+    assert(nG1 > 0 && nG1 < perUser.size)
+  }
+
   // --------------------------------------------------------------- q297
 
   test("q297 Kaplan-Meier: exact product-limit replay + curve sane") {
