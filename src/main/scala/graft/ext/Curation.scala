@@ -578,10 +578,67 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** q300 — per-source corpus-health scorecard: the capstone that
+    * COMPOSES three certified signal families into the one frame a
+    * curation review actually reads — per source: corpus-duplication
+    * mass (share of the source's 10-gram occurrences that are
+    * duplicated corpus-wide, q108's signal aggregated to the feed),
+    * mean quality (q52's score under q140's e6-grid-then-mean
+    * discipline), token share of the corpus, and an ALL-INTEGER
+    * health rank under (dup share ASC, mean quality DESC, source) —
+    * the order a pipeline retires feeds in.
+    *
+    * Exactness: gram and token counts are exact integers; quality is
+    * e6-gridded per doc BEFORE the sum; the three ratios are single
+    * mirrored divisions; the rank compares the already-gridded
+    * integers only (no double ever orders the list).
+    *
+    * Scale: one gram explode with ONE corpus-wide shuffle on the gram
+    * (the q108 audited core), map-side quality/token collapse, then
+    * source-bounded joins and a source-frame rank window.
+    */
+  def q300(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val g = d
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("ws"))
+      .select(col("source"),
+        explode_outer(Dedup.shinglesKAll(col("ws"), 10)).as("gram"))
+      .filter(col("gram").isNotNull)
+    val counts = g.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+    val dup = g.join(counts, "gram")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_grams"))
+    val qual = d.select(col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tk"),
+        Similarity.intScaled(
+          round(TextAnalysis.qualityScore(col("text")), 6), 1000000L)
+          .as("q_e6"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
+        sum(col("q_e6")).as("sq_e6"))
+    val tot = qual.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    val joined = dup.join(qual, "source").crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Similarity.intScaled(
+          col("dup_grams").cast("double") / col("n_grams").cast("double"),
+          1000000L).as("dup_e6"),
+        round(col("sq_e6").cast("double") / col("n_docs").cast("double") /
+          lit(100.0), 0).cast("long").as("mean_q_e4"),
+        Similarity.intScaled(
+          col("n_tokens").cast("double") / col("corpus_tokens").cast("double"),
+          1000000L).as("token_share_e6"))
+    val w = Window.orderBy(col("dup_e6"), col("mean_q_e4").desc, col("source"))
+    joined.withColumn("health_rank", row_number().over(w).cast("long"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q232_psi_drift"      -> (q232 _),
     "q272_lang_kappa"     -> (q272 _),
     "q295_source_diversity" -> (q295 _),
+    "q300_health_scorecard" -> (q300 _),
     "q273_conf_calibration" -> (q273 _),
     "q274_wilson_ci"      -> (q274 _),
     "q233_overdispersion" -> (q233 _),
@@ -594,6 +651,53 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Composes the q108 gram census (per source), the q140 gridded
+    // quality mean, and token shares; the health rank compares only
+    // the already-gridded integers.
+    "q300_health_scorecard" ->
+      """WITH t AS (SELECT source, text, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT source, unnest(list_transform(range(1, len(ws) - 8),
+        |        i -> array_to_string(ws[i:i+9], ' '))) AS gram
+        |      FROM t WHERE len(ws) >= 10),
+        |c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram),
+        |dup AS (
+        |  SELECT g.source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |         CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS dup_grams
+        |  FROM g JOIN c USING (gram) GROUP BY g.source),
+        |q AS (
+        |  SELECT source,
+        |    CAST(len(ws) AS BIGINT) AS tk,
+        |    CAST(ROUND(ROUND((1.0 - CAST(len(list_filter(ws,
+        |                        w -> w IN ('a','the'))) AS DOUBLE)
+        |            / len(ws))
+        |          * LEAST(CAST(len(ws) AS DOUBLE) / 50.0, 1.0),
+        |          6) * 1000000) AS BIGINT) AS q_e6
+        |  FROM t),
+        |qs AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(tk) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(q_e6) AS BIGINT) AS sq_e6
+        |  FROM q GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens
+        |        FROM qs),
+        |j AS (
+        |  SELECT qs.source, n_docs, n_tokens,
+        |         CAST(ROUND(CAST(dup_grams AS DOUBLE)
+        |                    / CAST(n_grams AS DOUBLE) * 1000000) AS BIGINT)
+        |           AS dup_e6,
+        |         CAST(ROUND(CAST(sq_e6 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |                    / 100.0) AS BIGINT) AS mean_q_e4,
+        |         CAST(ROUND(CAST(n_tokens AS DOUBLE)
+        |                    / CAST(corpus_tokens AS DOUBLE) * 1000000)
+        |              AS BIGINT) AS token_share_e6
+        |  FROM dup JOIN qs ON qs.source = dup.source CROSS JOIN tot)
+        |SELECT source, n_docs, n_tokens, dup_e6, mean_q_e4, token_share_e6,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY dup_e6, mean_q_e4 DESC,
+        |                               source) AS BIGINT) AS health_rank
+        |FROM j
+        |ORDER BY source""".stripMargin,
     // Same (lang × source) grid, HUGEINT n² and Σns², one mirrored
     // division e4.
     "q295_source_diversity" ->

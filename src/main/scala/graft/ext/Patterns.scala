@@ -829,9 +829,60 @@ object Patterns {
       .orderBy("event_type")
   }
 
+  /** q299 — Poissonness plot (Hoaglin 1980) of order basket sizes:
+    * for each basket size k, the count metameter
+    * φ(k) = ln(k!·N_k/N) — under a Poisson(λ) the points (k, φ)
+    * fall on the LINE −λ + k·ln λ, so the fitted slope/intercept and
+    * the per-k residual shape diagnose whether order composition is
+    * Poisson (independent item picks) or clumped, and λ̂ = exp(slope)
+    * estimates the basket rate. The distribution-FITTING companion to
+    * q233's dispersion ratio (which only scores the variance).
+    *
+    * Exactness: N_k and k! are exact integers (k ≤ 20 fits BIGINT;
+    * both engines' `factorial`); each φ(k) is ONE mirrored double
+    * ln(k!·N_k/N), e6-gridded PER K (q232 discipline); the OLS
+    * slope over the ≤ k_max gridded points is exact-integer moment
+    * arithmetic into one mirrored division, and λ̂ one mirrored exp.
+    *
+    * Scale: lineitem collapses map-side to per-order counts, then to
+    * the k-bounded frequency-of-frequencies frame; all regression
+    * arithmetic rides ≤ k_max rows.
+    */
+  def q299(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val fof = Tables.table(s, dir, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_k"))
+    val tot = fof.agg(sum(col("n_k")).as("n"))
+    val pts = fof.crossJoin(broadcast(tot))
+      .select(col("k"), col("n_k"), col("n"),
+        Similarity.intScaled(
+          log(factorial(col("k").cast("int")).cast("double") *
+            col("n_k").cast("double") / col("n").cast("double")),
+          1000000L).as("phi_e6"))
+    val reg = pts.agg(
+      count(lit(1)).as("m"),
+      sum(col("k")).as("sk"),
+      sum(col("k").cast(d38) * col("k")).as("skk"),
+      sum(col("phi_e6")).as("sp"),
+      sum(col("k").cast(d38) * col("phi_e6")).as("skp"))
+    val num = col("m").cast(d38) * col("skp") - col("sk").cast(d38) * col("sp")
+    val den = (col("m").cast(d38) * col("skk") -
+      col("sk").cast(d38) * col("sk")) * 1000000
+    pts.crossJoin(broadcast(reg))
+      .select(col("k"), col("n_k"), col("phi_e6"),
+        Similarity.intScaled(
+          num.cast("double") / den.cast("double"), 1000000L).as("slope_e6"),
+        Similarity.intScaled(
+          exp(num.cast("double") / den.cast("double")), 10000L)
+          .as("lambda_e4"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_assoc_rules"     -> (q161 _),
     "q296_trending"        -> (q296 _),
+    "q299_poissonness"     -> (q299 _),
     "q270_changepoint"     -> (q270 _),
     "q275_hourly_profile"  -> (q275 _),
     "q279_audience_overlap" -> (q279 _),
@@ -853,6 +904,36 @@ object Patterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same k-bounded fof frame, mirrored ln(k!·Nk/N) e6 per k,
+    // HUGEINT regression moments, mirrored slope division and exp.
+    "q299_poissonness" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM lineitem GROUP BY 1),
+        |fof AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM b GROUP BY k),
+        |t AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n FROM fof),
+        |pts AS (
+        |  SELECT k, n_k,
+        |         CAST(ROUND(ln(CAST(factorial(CAST(k AS INT)) AS DOUBLE)
+        |                       * CAST(n_k AS DOUBLE) / CAST(n AS DOUBLE))
+        |                    * 1000000) AS BIGINT) AS phi_e6
+        |  FROM fof CROSS JOIN t),
+        |reg AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+        |         CAST(SUM(k) AS HUGEINT) AS sk,
+        |         SUM(CAST(k AS HUGEINT) * k) AS skk,
+        |         CAST(SUM(phi_e6) AS HUGEINT) AS sp,
+        |         SUM(CAST(k AS HUGEINT) * phi_e6) AS skp
+        |  FROM pts)
+        |SELECT k, n_k, phi_e6,
+        |       CAST(ROUND(CAST(m * skp - sk * sp AS DOUBLE)
+        |                  / CAST((m * skk - sk * sk) * 1000000 AS DOUBLE)
+        |                  * 1000000) AS BIGINT) AS slope_e6,
+        |       CAST(ROUND(exp(CAST(m * skp - sk * sp AS DOUBLE)
+        |                      / CAST((m * skk - sk * sk) * 1000000 AS DOUBLE))
+        |                  * 10000) AS BIGINT) AS lambda_e4
+        |FROM pts CROSS JOIN reg
+        |ORDER BY k""".stripMargin,
     // Same (type × day) frame, per-day e9-gridded decay factors
     // multiplied by exact counts, HUGEINT sums, mirrored shares.
     "q296_trending" ->

@@ -114,6 +114,96 @@ class Round9hSpec extends SparkTestBase {
     assert(nG1 > 0 && nG1 < perUser.size)
   }
 
+  // --------------------------------------------------------------- q299
+
+  test("q299 Poissonness: exact metameter replay + fit plausible") {
+    val ks = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey").collect().map(_.getLong(0))
+      .groupBy(identity).map { case (_, xs) => xs.length.toLong }
+    val fof = ks.groupBy(identity).map { case (k, xs) => (k, xs.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val n = fof.map(_._2).sum
+    def fact(k: Long): Double = (1L to k).map(_.toDouble).product
+    var minMargin = Double.MaxValue
+    val pts = fof.map { case (k, nk) =>
+      val phi = math.log(fact(k) * nk.toDouble / n.toDouble) * 1e6
+      minMargin = math.min(minMargin, boundaryMargin(phi))
+      (k, nk, halfUp(phi))
+    }
+    val m = BigInt(pts.size)
+    val sk = pts.map(p => BigInt(p._1)).sum
+    val skk = pts.map(p => BigInt(p._1) * p._1).sum
+    val sp = pts.map(p => BigInt(p._3)).sum
+    val skp = pts.map(p => BigInt(p._1) * p._3).sum
+    val slope = (m * skp - sk * sp).toDouble /
+      ((m * skk - sk * sk) * 1000000).toDouble
+    val expected = pts.map { case (k, nk, phi) =>
+      (k, nk, phi, halfUp(slope * 1e6), halfUp(math.exp(slope) * 1e4))
+    }.toSet
+    val got = graft.ext.Patterns.q299(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    assert(minMargin > 1e-4, s"e6 phi margin razor-thin: $minMargin")
+    // The fit must be plausible: lambda near the observed mean basket
+    // size (Poisson-generated data), slope positive.
+    val meanK = ks.sum.toDouble / ks.size
+    val lambda = got.head._5.toDouble / 1e4
+    assert(lambda > meanK * 0.5 && lambda < meanK * 2.0,
+      s"lambda $lambda vs mean $meanK")
+  }
+
+  // --------------------------------------------------------------- q300
+
+  test("q300 scorecard: composed signal replay + rank is total") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // 10-gram census.
+    val grams = docs.flatMap { case (src, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length < 10) Seq.empty
+      else ws.sliding(10).map(g => (src, g.mkString(" "))).toSeq
+    }
+    val gc = grams.groupBy(_._2).map { case (g, xs) => g -> xs.length }
+    val dup = grams.groupBy(_._1).map { case (src, xs) =>
+      src -> ((xs.length.toLong, xs.count(x => gc(x._2) > 1).toLong))
+    }
+    // Quality + tokens (q140 grid discipline).
+    val qual = docs.groupBy(_._1).map { case (src, xs) =>
+      val rows = xs.map { case (_, text) =>
+        val ws = text.split(" ", -1)
+        val stop = ws.count(w => w == "a" || w == "the")
+        val q = (1.0 - stop.toDouble / ws.length) *
+          math.min(ws.length.toDouble / 50.0, 1.0)
+        (ws.length.toLong,
+          halfUp(BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble * 1e6))
+      }
+      src -> ((rows.length.toLong, rows.map(_._1).sum, rows.map(_._2).sum))
+    }
+    val corpusTokens = qual.values.map(_._2).sum
+    val base = qual.map { case (src, (nd, tk, sq)) =>
+      val (ng, dg) = dup(src)
+      (src, nd, tk,
+        halfUp(dg.toDouble / ng * 1e6),
+        halfUp(sq.toDouble / nd / 100.0),
+        halfUp(tk.toDouble / corpusTokens * 1e6))
+    }.toSeq
+    val ranked = base.sortBy { case (src, _, _, d, q, _) => (d, -q, src) }
+      .zipWithIndex.map { case (b, i) =>
+        (b._1, b._2, b._3, b._4, b._5, b._6, i + 1L)
+      }.toSet
+    val got = graft.ext.Curation.q300(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == ranked)
+    // The scorecard must discriminate: ranks are a permutation and the
+    // dup signal varies across sources.
+    assert(got.map(_._7) == (1L to got.size).toSet)
+    assert(got.map(_._4).size > 1)
+  }
+
   // --------------------------------------------------------------- q297
 
   test("q297 Kaplan-Meier: exact product-limit replay + curve sane") {
