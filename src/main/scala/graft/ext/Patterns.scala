@@ -879,7 +879,52 @@ object Patterns {
       .orderBy("k")
   }
 
+  /** q301 — Theil–Sen robust trend of daily event volume per type: the
+    * median over all day-pairs of the pairwise slope (Δcount/Δday).
+    * The outlier-proof "is this feed growing or dying" estimator — one
+    * spiky ingest day that would wreck an OLS fit (q201's shape) moves
+    * at most half the pair population, so the median slope barely
+    * moves. Complements q270 (changepoint: WHEN did it move) and q251
+    * (CUSUM: has it drifted NOW) with HOW FAST it is moving.
+    *
+    * Exactness: daily counts are integers on the calendar grid; each
+    * pair slope is ONE mirrored double division e6-gridded per pair
+    * (a .5-grid hit requires the division to produce the exact double
+    * k+0.5 on both engines, which both then round identically
+    * half-away — the q134 boundary argument); the median over those
+    * INTEGERS is Spark exact `percentile` vs DuckDB `quantile_cont` —
+    * the same lower+(upper−lower)·frac interpolation, exact on ints
+    * < 2⁵³ — and the ×2 output kills the even-count .5 before the
+    * long cast.
+    *
+    * Scale: events collapse map-side to the (type × day) frame, so the
+    * pair join is calendar-bounded (days²/2 rows per type per year —
+    * INDEPENDENT of event volume, the q270/q275 posture); nothing
+    * after the first agg is event-sized.
+    */
+  def q301(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .groupBy(col("event_type"), expr("us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("c").as("c1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"), col("c").as("c2"))
+    a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        Similarity.intScaled(
+          (col("c2") - col("c1")).cast("double") /
+            (col("d2") - col("d1")).cast("double"), 1000000L).as("slope_e6"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (percentile(col("slope_e6"), lit(0.5)) * 2).cast("long")
+          .as("med2_slope_e6"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_theil_sen"       -> (q301 _),
     "q161_assoc_rules"     -> (q161 _),
     "q296_trending"        -> (q296 _),
     "q299_poissonness"     -> (q299 _),
@@ -904,6 +949,27 @@ object Patterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same (type × day) calendar grid, per-pair mirrored double
+    // division e6-gridded, exact-interpolation median doubled before
+    // the BIGINT cast.
+    "q301_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |         CAST(ROUND(CAST(b.c - a.c AS DOUBLE)
+        |                    / CAST(b.day - a.day AS DOUBLE)
+        |                    * 1000000) AS BIGINT) AS slope_e6
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(quantile_cont(slope_e6, 0.5) * 2 AS BIGINT)
+        |         AS med2_slope_e6
+        |FROM p GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // Same k-bounded fof frame, mirrored ln(k!·Nk/N) e6 per k,
     // HUGEINT regression moments, mirrored slope division and exp.
     "q299_poissonness" ->

@@ -759,7 +759,184 @@ object Robust {
           1000000L).as("logrank_e6"))
   }
 
+  /** q302 — Kruskal–Wallis H across sources on document length: the
+    * k-sample generalization of q265's two-sample Mann–Whitney U. One
+    * rank frame answers "do ANY of these feeds draw lengths from a
+    * different distribution" before pairwise drill-down; the output
+    * keeps the per-source rank diagnostics (who sits high/low) beside
+    * the global tie-corrected H.
+    *
+    * All-integer core: doubled tie-averaged ranks ride the VALUE GRID
+    * — r2(v) = 2·cum_below(v) + n(v) + 1 from a cumulative window over
+    * distinct lengths (value-bounded, the q238 collapsed-frequency
+    * posture), so no per-row global sort exists. Rank sums are exact
+    * BIGINTs; each source's deviation term is ONE mirrored double
+    * expression e2-gridded BEFORE the cross-source sum (q232
+    * discipline), and H is one mirrored expression over those exact
+    * integers plus the exact BIGINT tie term.
+    *
+    * Scale: docs collapse to (value) and (source × value) grids
+    * map-side; the only window runs over distinct length values.
+    * Source and grid frames broadcast; nothing after the first agg is
+    * corpus-sized.
+    */
+  def q302(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val d = t(s, dir, "documents").select(col("source"), col("n_chars").as("v"))
+    val grid = d.groupBy(col("v")).agg(count(lit(1)).as("nv"))
+    val wcum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = grid.select(col("v"), col("nv"),
+      (lit(2L) * coalesce(sum(col("nv")).over(wcum), lit(0L)) +
+        col("nv") + 1L).as("r2v"))
+    val sv = d.groupBy(col("source"), col("v")).agg(count(lit(1)).as("nsv"))
+    val per = sv.join(r2, "v")
+      .groupBy(col("source"))
+      .agg(sum(col("nsv")).as("n_docs"),
+        sum(col("nsv").cast(d38) * col("r2v")).cast("long").as("r2_sum"))
+    val ties = grid.agg(
+      sum(col("nv").cast(d38) * col("nv") * col("nv") - col("nv")).as("t"),
+      sum(col("nv")).as("nn"))
+    val dev = col("r2_sum").cast("double") / col("n_docs").cast("double") -
+      (col("nn") + 1L).cast("double")
+    val terms = per.crossJoin(broadcast(ties))
+      .select(col("source"), col("n_docs"), col("r2_sum"),
+        col("nn"), col("t"),
+        Similarity.intScaled(
+          col("n_docs").cast("double") * dev * dev, 100L).as("term_e2"))
+    val st = terms.agg(sum(col("term_e2")).as("st"))
+    terms.crossJoin(broadcast(st))
+      .select(col("source"), col("n_docs"), col("r2_sum"), col("term_e2"),
+        Similarity.intScaled(
+          lit(3.0) * (col("st").cast("double") / lit(100.0)) /
+            (col("nn").cast("double") * (col("nn") + 1L).cast("double")) /
+            (lit(1.0) - col("t").cast("double") /
+              (col("nn").cast(d38) * col("nn") * col("nn") - col("nn"))
+                .cast("double")),
+          10000L).as("h_e4"))
+      .orderBy("source")
+  }
+
+  /** q303 — Brown–Forsythe variance-equality test across sources on
+    * document length: one-way ANOVA F over |x − median(source)| — the
+    * robust Levene variant every review board asks for before trusting
+    * a pooled variance. q302 asks "same location?", this asks "same
+    * SPREAD?" — two feeds can share a median while one is twice as
+    * bursty, which changes packing and batching downstream.
+    *
+    * Exactness: per-source medians come from exact `percentile` ↔
+    * `quantile_cont` interpolation, DOUBLED to an integer (med2), so
+    * the deviation z = |2x − med2| is an exact BIGINT per row. Group
+    * moments (Σz, Σz²) ride decimal(38); the between/within terms are
+    * mirrored double expressions e2-gridded per source BEFORE their
+    * exact sums; F is one mirrored expression over those integers.
+    * F is invariant to the ×2 (numerator and denominator both scale
+    * by 4), so doubling changes nothing but exactness.
+    *
+    * Scale: two corpus scans (median grid, then moments), both
+    * collapsing map-side; medians ride the per-source VALUE GRID via
+    * the source-keyed percentile agg; everything after is
+    * source-bounded. The one-row totals broadcast (accepted global-
+    * stats shape).
+    */
+  def q303(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val d = t(s, dir, "documents").select(col("source"), col("n_chars").as("v"))
+    val med = d.groupBy(col("source"))
+      .agg((percentile(col("v"), lit(0.5)) * 2).cast("long").as("med2"))
+    val z = d.join(broadcast(med), "source")
+      .select(col("source"), col("med2"),
+        abs(lit(2L) * col("v") - col("med2")).as("z2"))
+    val per = z.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), first(col("med2")).as("med2"),
+        sum(col("z2")).as("sz"),
+        sum(col("z2").cast(d38) * col("z2")).as("qz"))
+    val tot = per.agg(sum(col("n_docs")).as("nn"), sum(col("sz")).as("s"),
+      count(lit(1)).as("k"))
+    val mi = col("sz").cast("double") / col("n_docs").cast("double")
+    val m = col("s").cast("double") / col("nn").cast("double")
+    val terms = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("med2"),
+        col("nn"), col("k"),
+        Similarity.intScaled(mi, 10000L).as("z2_mean_e4"),
+        Similarity.intScaled(
+          col("n_docs").cast("double") * (mi - m) * (mi - m), 100L)
+          .as("ssb_e2"),
+        Similarity.intScaled(
+          col("qz").cast("double") - mi * col("sz").cast("double"), 100L)
+          .as("ssw_e2"))
+    val sums = terms.agg(sum(col("ssb_e2")).as("ssb"),
+      sum(col("ssw_e2")).as("ssw"))
+    terms.crossJoin(broadcast(sums))
+      .select(col("source"), col("n_docs"), col("med2"), col("z2_mean_e4"),
+        Similarity.intScaled(
+          (col("nn") - col("k")).cast("double") /
+            (col("k") - 1L).cast("double") *
+            (col("ssb").cast("double") / col("ssw").cast("double")),
+          1000000L).as("f_e6"))
+      .orderBy("source")
+  }
+
+  /** q304 — Welch two-sample battery over market segments on order
+    * value: for every segment pair, the unequal-variance t statistic,
+    * its Welch–Satterthwaite degrees of freedom, and Cohen's d — the
+    * effect-size table behind "segment A really does spend more".
+    * Welch (not Student) because order-value variance differs by
+    * segment, and d because at these n even trivial differences reach
+    * significance — the battery reports BOTH.
+    *
+    * Exactness: order totals become exact cents (q204 discipline);
+    * per-segment n/Σ/Σ² ride decimal(38); means are S/n doubles of
+    * < 2⁵³ integers; Σ² crosses 2⁵³ so it enters as the correctly-
+    * rounded decimal→double cast, IDENTICAL on both engines (the q264
+    * moment pattern), and every downstream op is one mirrored
+    * expression chain gridded at the end (t_e4, df_e2, d_e6).
+    *
+    * Scale: one orders⋈customer shuffle collapses to 5 segment rows;
+    * the pair frame is k² segment-bounded and broadcast. Nothing after
+    * the first agg is order-sized.
+    */
+  def q304(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("x"))
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg"))
+    val per = o.join(c, "o_custkey")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x").cast(d38) * col("x")).as("qx"))
+    def m(p: String): Column = col(p + "s").cast("double") / col(p + "n").cast("double")
+    def v(p: String): Column =
+      (col(p + "q").cast("double") - m(p) * col(p + "s").cast("double")) /
+        (col(p + "n") - 1L).cast("double")
+    val a = per.select(col("seg").as("seg_a"), col("n").as("an"),
+      col("sx").as("as"), col("qx").as("aq"))
+    val b = per.select(col("seg").as("seg_b"), col("n").as("bn"),
+      col("sx").as("bs"), col("qx").as("bq"))
+    val se2 = v("a") / col("an").cast("double") + v("b") / col("bn").cast("double")
+    val df = se2 * se2 / (
+      (v("a") / col("an").cast("double")) * (v("a") / col("an").cast("double")) /
+        (col("an") - 1L).cast("double") +
+      (v("b") / col("bn").cast("double")) * (v("b") / col("bn").cast("double")) /
+        (col("bn") - 1L).cast("double"))
+    val sp2 = ((col("an") - 1L).cast("double") * v("a") +
+      (col("bn") - 1L).cast("double") * v("b")) /
+      (col("an") + col("bn") - 2L).cast("double")
+    a.crossJoin(broadcast(b))
+      .filter(col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        col("an").as("n_a"), col("bn").as("n_b"),
+        Similarity.intScaled((m("a") - m("b")) / sqrt(se2), 10000L).as("t_e4"),
+        Similarity.intScaled(df, 100L).as("df_e2"),
+        Similarity.intScaled((m("a") - m("b")) / sqrt(sp2), 1000000L).as("d_e6"))
+      .orderBy("seg_a", "seg_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_kruskal_wallis" -> (q302 _),
+    "q303_brown_forsythe" -> (q303 _),
+    "q304_welch_battery"  -> (q304 _),
     "q246_seasonal_error" -> (q246 _),
     "q280_hill_tail"      -> (q280 _),
     "q297_kaplan_meier"   -> (q297 _),
@@ -778,6 +955,133 @@ object Robust {
     ewmaCoefs.zipWithIndex.map { case (c, k) => s"($k, $c)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // Same value-grid doubled ranks (2·cum_below + n(v) + 1), exact
+    // BIGINT rank sums, per-source mirrored deviation term e6-gridded
+    // before the exact sum, one mirrored H expression at the end.
+    "q302_kruskal_wallis" ->
+      """WITH d AS (SELECT source, n_chars AS v FROM documents),
+        |grid AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nv FROM d GROUP BY v),
+        |r2 AS (
+        |  SELECT v, nv,
+        |         2 * COALESCE(SUM(nv) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + nv + 1 AS r2v
+        |  FROM grid),
+        |sv AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS nsv
+        |       FROM d GROUP BY 1, 2),
+        |per AS (
+        |  SELECT source, CAST(SUM(nsv) AS BIGINT) AS n_docs,
+        |         CAST(SUM(CAST(nsv AS HUGEINT) * r2v) AS BIGINT) AS r2_sum
+        |  FROM sv JOIN r2 USING (v) GROUP BY source),
+        |ties AS (
+        |  SELECT SUM(CAST(nv AS HUGEINT) * nv * nv - nv) AS t,
+        |         CAST(SUM(nv) AS BIGINT) AS nn
+        |  FROM grid),
+        |terms AS (
+        |  SELECT source, n_docs, r2_sum, nn, t,
+        |         CAST(ROUND(CAST(n_docs AS DOUBLE) *
+        |           (CAST(r2_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |             - CAST(nn + 1 AS DOUBLE)) *
+        |           (CAST(r2_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |             - CAST(nn + 1 AS DOUBLE))
+        |           * 100) AS BIGINT) AS term_e2
+        |  FROM per CROSS JOIN ties),
+        |st AS (SELECT CAST(SUM(term_e2) AS BIGINT) AS st FROM terms)
+        |SELECT source, n_docs, r2_sum, term_e2,
+        |       CAST(ROUND(3.0 * (CAST(st AS DOUBLE) / 100.0)
+        |         / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
+        |         / (1.0 - CAST(t AS DOUBLE)
+        |            / CAST(CAST(nn AS HUGEINT) * nn * nn - nn AS DOUBLE))
+        |         * 10000) AS BIGINT) AS h_e4
+        |FROM terms CROSS JOIN st
+        |ORDER BY source""".stripMargin,
+    // Same doubled exact medians, exact BIGINT |2x − med2| deviations,
+    // decimal moments, per-source mirrored SSB/SSW terms e2-gridded
+    // before their exact sums, one mirrored F expression.
+    "q303_brown_forsythe" ->
+      """WITH d AS (SELECT source, n_chars AS v FROM documents),
+        |med AS (
+        |  SELECT source, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS med2
+        |  FROM d GROUP BY source),
+        |z AS (
+        |  SELECT d.source, med2, ABS(2 * v - med2) AS z2
+        |  FROM d JOIN med ON d.source = med.source),
+        |per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         ANY_VALUE(med2) AS med2,
+        |         CAST(SUM(z2) AS BIGINT) AS sz,
+        |         SUM(CAST(z2 AS HUGEINT) * z2) AS qz
+        |  FROM z GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+        |               CAST(SUM(sz) AS BIGINT) AS s,
+        |               CAST(COUNT(*) AS BIGINT) AS k
+        |        FROM per),
+        |terms AS (
+        |  SELECT source, n_docs, med2, nn, k,
+        |         CAST(ROUND(CAST(sz AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |           * 10000) AS BIGINT) AS z2_mean_e4,
+        |         CAST(ROUND(CAST(n_docs AS DOUBLE) *
+        |           (CAST(sz AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |             - CAST(s AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |           (CAST(sz AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |             - CAST(s AS DOUBLE) / CAST(nn AS DOUBLE))
+        |           * 100) AS BIGINT) AS ssb_e2,
+        |         CAST(ROUND((CAST(qz AS DOUBLE)
+        |           - CAST(sz AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |             * CAST(sz AS DOUBLE))
+        |           * 100) AS BIGINT) AS ssw_e2
+        |  FROM per CROSS JOIN tot),
+        |sums AS (SELECT CAST(SUM(ssb_e2) AS BIGINT) AS ssb,
+        |                CAST(SUM(ssw_e2) AS BIGINT) AS ssw
+        |         FROM terms)
+        |SELECT source, n_docs, med2, z2_mean_e4,
+        |       CAST(ROUND(CAST(nn - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+        |         * (CAST(ssb AS DOUBLE) / CAST(ssw AS DOUBLE))
+        |         * 1000000) AS BIGINT) AS f_e6
+        |FROM terms CROSS JOIN sums
+        |ORDER BY source""".stripMargin,
+    // Same exact-cents moments per segment, mirrored m/v doubles (the
+    // decimal→double Σ² cast is correctly rounded on both engines),
+    // mirrored t / Welch df / Cohen's d expressions gridded once.
+    "q304_welch_battery" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders),
+        |j AS (SELECT c_mktsegment AS seg, x
+        |      FROM o JOIN customer ON c_custkey = o_custkey),
+        |per AS (
+        |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS s,
+        |         SUM(CAST(x AS HUGEINT) * x) AS q
+        |  FROM j GROUP BY seg),
+        |stats AS (
+        |  SELECT seg, n,
+        |         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |         (CAST(q AS DOUBLE)
+        |           - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+        |           / CAST(n - 1 AS DOUBLE) AS v
+        |  FROM per)
+        |SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |       a.n AS n_a, b.n AS n_b,
+        |       CAST(ROUND((a.m - b.m)
+        |         / SQRT(a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE))
+        |         * 10000) AS BIGINT) AS t_e4,
+        |       CAST(ROUND(
+        |         (a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE)) *
+        |         (a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE))
+        |         / ((a.v / CAST(a.n AS DOUBLE)) * (a.v / CAST(a.n AS DOUBLE))
+        |              / CAST(a.n - 1 AS DOUBLE)
+        |            + (b.v / CAST(b.n AS DOUBLE)) * (b.v / CAST(b.n AS DOUBLE))
+        |              / CAST(b.n - 1 AS DOUBLE))
+        |         * 100) AS BIGINT) AS df_e2,
+        |       CAST(ROUND((a.m - b.m)
+        |         / SQRT((CAST(a.n - 1 AS DOUBLE) * a.v
+        |                 + CAST(b.n - 1 AS DOUBLE) * b.v)
+        |                / CAST(a.n + b.n - 2 AS DOUBLE))
+        |         * 1000000) AS BIGINT) AS d_e6
+        |FROM stats a JOIN stats b ON a.seg < b.seg
+        |ORDER BY seg_a, seg_b""".stripMargin,
     // Same deterministic user_id % 2 cohorts, duration grid, per-step
     // mirrored O−E and V doubles e9-gridded before exact sums,
     // mirrored statistic, NULL on zero variance.
