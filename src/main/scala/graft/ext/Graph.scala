@@ -560,7 +560,64 @@ object Graph {
       loopShufflePartitions = Some(8))
       .orderBy("id")
 
+  /** q305 — partition-quality scorecard of the BRAND partition on the
+    * part co-order graph: per-brand modularity contribution
+    * q_c = m_c/m − (vol_c/2m)² and conductance φ_c = cut_c/min(vol_c,
+    * 2m−vol_c). The "are these natural communities?" report — a brand
+    * whose parts are co-ordered mostly with each other scores q_c > 0
+    * and low φ; a brand scattered across the graph scores q_c ≈
+    * −(vol/2m)² and φ → 1. In corpus curation this is the cluster-
+    * validation step after ANY grouping (near-dup components q102,
+    * k-means q44, topic buckets): a partition you'd act on must beat
+    * the configuration-model null this statistic encodes.
+    *
+    * All-integer core: m, per-brand within/cut edge counts and degree
+    * volumes are exact BIGINTs off the shared canonical edge frame;
+    * q_e6/phi_e6 are the only doubles — one mirrored expression each,
+    * e6-gridded, with conductance NULL-guarded by the exact integer
+    * min(vol, 2m−vol) > 0 test (q151 discipline).
+    *
+    * Scale: reuses the memoized [[coOrderGraph]] edges/degrees (no new
+    * corpus-sized work); the two brand joins ride the part dim; every
+    * aggregate after them is brand-bounded. The one-row m broadcasts
+    * (accepted global-stats shape).
+    */
+  def q305(s: SparkSession, dir: String): DataFrame = {
+    val g = coOrderGraph(s, dir)
+    val bl = Tables.table(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val eb = g.edges
+      .join(bl.select(col("p_partkey").as("a"), col("p_brand").as("ba")), "a")
+      .join(bl.select(col("p_partkey").as("b"), col("p_brand").as("bb")), "b")
+    val m = eb.agg(count(lit(1)).as("m"))
+    val vol = g.deg
+      .join(bl.select(col("p_partkey").as("id"), col("p_brand").as("brand")), "id")
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("vol"))
+    val win = eb.filter(col("ba") === col("bb"))
+      .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("win"))
+    val cut = eb.filter(col("ba") =!= col("bb"))
+      .select(explode(array(col("ba"), col("bb"))).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("cut"))
+    val mn = least(col("vol"), lit(2L) * col("m") - col("vol"))
+    val volD = col("vol").cast("double") / (lit(2L) * col("m")).cast("double")
+    vol.join(win, Seq("brand"), "left").join(cut, Seq("brand"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("brand"), col("n_nodes"),
+        coalesce(col("win"), lit(0L)).as("m_within"),
+        coalesce(col("cut"), lit(0L)).as("cut_edges"),
+        Similarity.intScaled(
+          coalesce(col("win"), lit(0L)).cast("double") /
+            col("m").cast("double") - volD * volD, 1000000L).as("q_e6"),
+        when(mn > 0L,
+          Similarity.intScaled(
+            coalesce(col("cut"), lit(0L)).cast("double") / mn.cast("double"),
+            1000000L)).as("phi_e6"))
+      .orderBy("brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_brand_modularity" -> (q305 _),
     "q149_hits"          -> (q149 _),
     "q150_triangles"     -> (q150 _),
     "q151_assortativity" -> (q151 _),
@@ -654,6 +711,46 @@ object Graph {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same canonical edge frame, exact BIGINT within/cut/volume
+    // counts, mirrored modularity and conductance doubles e6-gridded,
+    // conductance NULL-guarded by the exact integer min test.
+    "q305_brand_modularity" ->
+      s"""$partEdgeCte,
+         |bl AS (SELECT p_partkey AS k, p_brand AS br FROM part),
+         |eb AS (
+         |  SELECT e.a, e.b, x.br AS ba, y.br AS bb
+         |  FROM e JOIN bl x ON x.k = e.a JOIN bl y ON y.k = e.b),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM eb),
+         |deg AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY id),
+         |vol AS (
+         |  SELECT br AS brand, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |         CAST(SUM(deg) AS BIGINT) AS vol
+         |  FROM deg JOIN bl ON bl.k = deg.id GROUP BY br),
+         |win AS (SELECT ba AS brand, CAST(COUNT(*) AS BIGINT) AS win
+         |        FROM eb WHERE ba = bb GROUP BY ba),
+         |cut AS (
+         |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS cut FROM (
+         |    SELECT ba AS brand FROM eb WHERE ba <> bb
+         |    UNION ALL SELECT bb FROM eb WHERE ba <> bb)
+         |  GROUP BY brand)
+         |SELECT v.brand, n_nodes,
+         |       COALESCE(win, 0) AS m_within,
+         |       COALESCE(cut, 0) AS cut_edges,
+         |       CAST(ROUND((CAST(COALESCE(win, 0) AS DOUBLE)
+         |           / CAST(m AS DOUBLE)
+         |         - (CAST(vol AS DOUBLE) / CAST(2 * m AS DOUBLE))
+         |           * (CAST(vol AS DOUBLE) / CAST(2 * m AS DOUBLE)))
+         |         * 1000000) AS BIGINT) AS q_e6,
+         |       CASE WHEN LEAST(vol, 2 * m - vol) > 0 THEN
+         |         CAST(ROUND(CAST(COALESCE(cut, 0) AS DOUBLE)
+         |           / CAST(LEAST(vol, 2 * m - vol) AS DOUBLE)
+         |           * 1000000) AS BIGINT) END AS phi_e6
+         |FROM vol v LEFT JOIN win USING (brand) LEFT JOIN cut USING (brand)
+         |CROSS JOIN m
+         |ORDER BY v.brand""".stripMargin,
     "q149_hits" -> hitsOracle,
     "q198_kcore" -> kcoreOracle,
     "q150_triangles" ->

@@ -1045,7 +1045,111 @@ object TextAnalysis {
           10000L).as("entropy_e4"))
       .orderBy("source")
 
+  /** q307 — tokenizer fertility per (lang × source): pieces-per-word
+    * and chars-per-piece under the q53 BPE-proxy segmentation
+    * (`[a-z0-9]+` runs are word pieces; every other non-space char is
+    * its own piece, the way byte-level BPE isolates punctuation). THE
+    * tokenizer-selection table: fertility ≫ 1 for a lang×source slice
+    * means the tokenizer fragments that slice's text (more
+    * tokens-per-word → fewer effective words per context window,
+    * higher serving cost), and chars-per-piece is the compression
+    * view of the same fit. Complements q236 (OOV mass against a fixed
+    * vocab) and q271 (head-vocab coverage) with the segmentation-
+    * granularity signal neither sees.
+    *
+    * All-integer core: per-doc word/piece/char counts collapse
+    * map-side into BIGINT sums; the two ratios are single mirrored
+    * divisions of exact integers (q161 pattern — bit-exact, no margin
+    * machinery needed).
+    *
+    * Scale: one scan, map-side projections, (lang × source)-bounded
+    * output — nothing after the agg is corpus-sized.
+    */
+  def q307(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), col("source"),
+        tokenCount(col("text")).cast("long").as("nw"),
+        (size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))) +
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+          .cast("long").as("np"),
+        col("n_chars").as("nc"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("np")).as("n_pieces"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+        col("n_pieces"),
+        Similarity.intScaled(
+          col("n_pieces").cast("double") / col("n_words").cast("double"),
+          10000L).as("fertility_e4"),
+        Similarity.intScaled(
+          col("n_chars").cast("double") / col("n_pieces").cast("double"),
+          10000L).as("chars_per_piece_e4"))
+      .orderBy("lang", "source")
+
+  /** q308 — TextRank keywords: the top-30 words by damped centrality
+    * on the adjacent-word co-occurrence graph (Mihalcea & Tarau's
+    * TextRank, run corpus-wide): undirected edges weighted by bigram
+    * count (singleton co-occurrences pruned), 3 iterations of
+    * s(v) = 0.15 + 0.85·Σ_u w(u,v)/wdeg(u)·s(u) from s ≡ 1. Where
+    * q271/q142 rank vocabulary by raw frequency, TextRank ranks by
+    * CONNECTIVITY — a word that co-occurs with many distinct frequent
+    * words beats one that repeats inside a single template, which is
+    * exactly the keyword-vs-boilerplate separation a corpus summary
+    * needs.
+    *
+    * Float discipline: propagation shares are mirrored double
+    * divisions, but the per-node Σ over neighbors is a float SUM whose
+    * grouping may differ across engines — the e6 grid absorbs the ulp
+    * drift and Round9jSpec measures both the rounding-boundary margin
+    * and the rank-30/31 gap (the q127/q149 float-summation pattern).
+    * Ranking is by (score_e6 DESC, word) — the gridded integer, never
+    * the raw double.
+    *
+    * Scale: the bigram collapse is map-side (arrays_zip, no token
+    * join); the graph is VOCABULARY-sized, not corpus-sized; each
+    * iteration is one edge-sized join + agg, eagerly checkpointed
+    * (the q127 fixed-round lazy-iteration posture); top-30 is
+    * TakeOrderedAndProject, no global sort.
+    */
+  def q308(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val bi = docs(s, dir)
+      .select(explode(arrays_zip(
+        slice(ws, lit(1), size(ws) - 1).as("w1"),
+        slice(ws, lit(2), size(ws) - 1).as("w2"))).as("b"))
+      .select(least(col("b.w1"), col("b.w2")).as("a"),
+        greatest(col("b.w1"), col("b.w2")).as("bb"))
+      .filter(col("a") =!= col("bb"))
+    val e = bi.groupBy(col("a"), col("bb")).agg(count(lit(1)).as("wt"))
+      .filter(col("wt") >= 2L)
+    val sym = e.select(col("a").as("u"), col("bb").as("v"), col("wt"))
+      .unionAll(e.select(col("bb").as("u"), col("a").as("v"), col("wt")))
+    val wdeg = sym.groupBy(col("u")).agg(sum(col("wt")).as("wd"))
+    val prop = sym.join(wdeg, "u")
+      .select(col("u"), col("v"),
+        (col("wt").cast("double") / col("wd").cast("double")).as("share"))
+      .localCheckpoint(true)
+    var score = wdeg.select(col("u").as("id"), lit(1.0).as("sc"))
+      .localCheckpoint(true)
+    (1 to 3).foreach { _ =>
+      score = prop.join(score, col("u") === col("id"))
+        .groupBy(col("v"))
+        .agg((lit(0.15) + lit(0.85) * sum(col("share") * col("sc"))).as("sc"))
+        .select(col("v").as("id"), col("sc"))
+        .localCheckpoint(true)
+    }
+    score
+      .select(col("id").as("word"),
+        Similarity.intScaled(col("sc"), 1000000L).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("word"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_fertility"    -> (q307 _),
+    "q308_textrank"     -> (q308 _),
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
     "q52_quality_score" -> (q52 _),
@@ -1173,6 +1277,62 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same piece segmentation (alnum runs + per-char punct), exact
+    // BIGINT sums, two mirrored divisions.
+    "q307_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |         CAST(len(regexp_extract_all(text, '[a-z0-9]+'))
+        |           + length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+        |           AS BIGINT) AS np,
+        |         n_chars AS nc
+        |  FROM documents)
+        |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(nw) AS BIGINT) AS n_words,
+        |       CAST(SUM(np) AS BIGINT) AS n_pieces,
+        |       CAST(ROUND(CAST(SUM(np) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE)
+        |         * 10000) AS BIGINT) AS fertility_e4,
+        |       CAST(ROUND(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(np) AS DOUBLE)
+        |         * 10000) AS BIGINT) AS chars_per_piece_e4
+        |FROM d GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+    // Same canonical weighted bigram graph (wt >= 2), 3 unrolled
+    // damped-propagation rounds, e6 grid absorbing float-sum ulp
+    // (margins measured in Round9jSpec), (score DESC, word) top-30.
+    "q308_textrank" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> CASE WHEN ws[i] < ws[i+1]
+        |              THEN ws[i] || ' ' || ws[i+1]
+        |              ELSE ws[i+1] || ' ' || ws[i] END)) AS p
+        |  FROM t),
+        |e AS (
+        |  SELECT split_part(p, ' ', 1) AS a, split_part(p, ' ', 2) AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS wt
+        |  FROM bi WHERE split_part(p, ' ', 1) <> split_part(p, ' ', 2)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (
+        |  SELECT a AS u, b AS v, wt FROM e
+        |  UNION ALL SELECT b, a, wt FROM e),
+        |wdeg AS (SELECT u, CAST(SUM(wt) AS BIGINT) AS wd
+        |         FROM sym GROUP BY u),
+        |prop AS (
+        |  SELECT sym.u, sym.v,
+        |         CAST(sym.wt AS DOUBLE) / CAST(wd AS DOUBLE) AS share
+        |  FROM sym JOIN wdeg ON wdeg.u = sym.u),
+        |s0 AS (SELECT u AS id, 1.0 AS sc FROM wdeg),
+        |s1 AS (SELECT v AS id, 0.15 + 0.85 * SUM(share * sc) AS sc
+        |       FROM prop JOIN s0 ON s0.id = prop.u GROUP BY v),
+        |s2 AS (SELECT v AS id, 0.15 + 0.85 * SUM(share * sc) AS sc
+        |       FROM prop JOIN s1 ON s1.id = prop.u GROUP BY v),
+        |s3 AS (SELECT v AS id, 0.15 + 0.85 * SUM(share * sc) AS sc
+        |       FROM prop JOIN s2 ON s2.id = prop.u GROUP BY v)
+        |SELECT id AS word, CAST(ROUND(sc * 1000000) AS BIGINT) AS score_e6
+        |FROM s3
+        |ORDER BY score_e6 DESC, word
+        |LIMIT 30""".stripMargin,
     // Same in-order trigram occurrences, integer freq-of-freqs, the
     // mirrored (r+1)·N_{r+1}/N_r doubles e6, P0 e9.
     "q290_good_turing" ->
