@@ -201,7 +201,65 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** q306 — perceptual-hash (aHash) near-duplicate census: the image
+    * dedup pipeline run over the stub decode. Each media's 8×8 "luma
+    * grid" is 64 nibbles off the payload digest chain (STUB — a real
+    * build decodes pixels and averages 8×8 blocks; everything after
+    * the grid is the production algorithm): aHash bit_i = [64·v_i >
+    * Σv] (the all-integer form of v_i > mean), the 64-bit hash splits
+    * into 4×16-bit bands, candidate pairs share a band (pigeonhole-
+    * complete for Hamming ≤ 3 — the q59/q65 SimHash discipline), and
+    * candidates are rescored by EXACT Hamming distance. Output is the
+    * candidate Hamming histogram with the ≤3 near-dup verdict per
+    * bucket — the triage table an image-dedup run reports.
+    *
+    * All-integer/string end to end — no float exists anywhere, so no
+    * grid/margin machinery at all (strongest certificate class).
+    *
+    * Scale: banding makes candidate generation bucket-local (no
+    * all-pairs stage); the histogram agg is Hamming-bounded (≤ 65
+    * rows). The bit-string band keys shuffle only candidate pairs.
+    */
+  def q306(s: SparkSession, dir: String): DataFrame = {
+    val hex64 = concat(md5(col("text")), md5(md5(col("text"))))
+    val nibs = transform(sequence(lit(0), lit(63)), i =>
+      conv(substr(hex64, i + lit(1), lit(1)), 16, 10).cast("long"))
+    val base = docs(s, dir)
+      .select(col("doc_id"), nibs.as("nibs"))
+      .select(col("doc_id"), col("nibs"),
+        aggregate(col("nibs"), lit(0L), (a, x) => a + x).as("tot"))
+      .select(col("doc_id"),
+        transform(col("nibs"),
+          v => when(v * 64L > col("tot"), lit(1L)).otherwise(lit(0L)))
+          .as("bits"))
+      .localCheckpoint(true) // branched: band fan-out + two rescore joins
+    val bands = base.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(3)), j =>
+          concat_ws("", transform(
+            slice(col("bits"), j * 16 + lit(1), lit(16)),
+            x => x.cast("string")))))
+          .as(Seq("band", "key")))
+    val cand = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("bits").as("ba")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("bits").as("bb")), "doc_b")
+      .select(aggregate(
+        zip_with(col("ba"), col("bb"),
+          (x, y) => when(x =!= y, lit(1L)).otherwise(lit(0L))),
+        lit(0L), (a, x) => a + x).as("hamming"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("hamming"), col("n_pairs"),
+        (col("hamming") <= 3L).as("is_near_dup"))
+      .orderBy("hamming")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_ahash_neardup" -> (q306 _),
     "q62_multimodal_meta"   -> (q62 _),
     "q63_multimodal_frames" -> (q63 _),
     "q254_patch_grid"       -> (q254 _),
@@ -209,6 +267,44 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same digest-chain nibble grid, all-integer 64v > Σv bits, same
+    // 4×16 band keys, pigeonhole candidates, exact Hamming histogram.
+    "q306_ahash_neardup" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(text) || md5(md5(text)) AS hx FROM documents),
+        |n AS (
+        |  SELECT doc_id, i,
+        |         CAST(('0x' || substr(hx, CAST(i + 1 AS INT), 1)) AS BIGINT)
+        |           AS v
+        |  FROM (SELECT doc_id, hx,
+        |               CAST(UNNEST(range(0, 64)) AS BIGINT) AS i
+        |        FROM h)),
+        |t AS (SELECT doc_id, i, v,
+        |             SUM(v) OVER (PARTITION BY doc_id) AS tot FROM n),
+        |b AS (SELECT doc_id, i,
+        |             CASE WHEN v * 64 > tot THEN 1 ELSE 0 END AS bit FROM t),
+        |bands AS (
+        |  SELECT doc_id, i // 16 AS band,
+        |         string_agg(CAST(bit AS VARCHAR), '' ORDER BY i) AS bkey
+        |  FROM b GROUP BY doc_id, i // 16),
+        |fullb AS (
+        |  SELECT doc_id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY i) AS fb
+        |  FROM b GROUP BY doc_id),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |hd AS (
+        |  SELECT CAST(len(list_filter(range(1, 65),
+        |           k -> substr(fa.fb, CAST(k AS INT), 1)
+        |                <> substr(fc.fb, CAST(k AS INT), 1))) AS BIGINT)
+        |           AS hamming
+        |  FROM cand JOIN fullb fa ON fa.doc_id = cand.doc_a
+        |            JOIN fullb fc ON fc.doc_id = cand.doc_b)
+        |SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       hamming <= 3 AS is_near_dup
+        |FROM hd GROUP BY hamming
+        |ORDER BY hamming""".stripMargin,
     // Same windowed-md5 boundary set, cumulative chunk indices,
     // ordered chunk reassembly, first-wins rank, one e6 division.
     "q289_cdc_chunks" ->

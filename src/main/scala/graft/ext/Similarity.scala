@@ -1065,7 +1065,120 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q309 — top principal component by POWER ITERATION over the exact
+    * integer covariance of the e3-quantized embeddings (the q213
+    * moment discipline): 4 rounds of w = C·v with v re-normalized to
+    * the e6 grid by max-|component| after each round, then the
+    * Rayleigh-quotient eigenvalue estimate. PCA without MLlib — the
+    * "what single direction carries the embedding mass" diagnostic
+    * behind whitening decisions, anisotropy alarms (a collapsed
+    * encoder puts most variance on one axis), and IVF/LSH axis
+    * choices.
+    *
+    * EXACT cross-engine by construction: covariance cells are
+    * e6-gridded integers off exact BIGINT moments; every matrix-vector
+    * product is an exact decimal(38) integer sum (order-independent);
+    * re-normalization is integer round-half division
+    * sign·((2·|w|·1e6 + m) DIV (2m)) — no float exists until the ONE
+    * mirrored Rayleigh division at the end. The d² cells frame is
+    * 4096 rows at d=64; matrix-vector rounds are joins on that frame
+    * against a 64-row vector (broadcast), eagerly checkpointed (q127
+    * posture). Sign is fixed by the deterministic all-ones start.
+    *
+    * Scale: one corpus-sized pass builds the moments (the q213 banded
+    * path covers large d); everything after is d²-sized. At 100 TB the
+    * iteration cost is INDEPENDENT of corpus size.
+    */
+  def q309(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = emb(s, dir)
+      .select(transform(col("embedding"),
+        x => intScaled(x.cast("double"), 1000L)).as("qv"))
+      .select(posexplode(col("qv")).as(Seq("i", "qi")), col("qv"))
+      .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("si"),
+        sum(col("qj")).as("sj"), sum(col("qi") * col("qj")).as("sij"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        intScaled(
+          (col("n").cast("double") * col("sij").cast("double") -
+            col("si").cast("double") * col("sj").cast("double")) /
+            (col("n").cast("double") * col("n").cast("double")),
+          1000000L).as("c"))
+      .localCheckpoint(true)
+    var v = cells.filter(col("j") === 0L)
+      .select(col("i"), lit(1000000L).cast(d38).as("v"))
+      .localCheckpoint(true)
+    (1 to 4).foreach { _ =>
+      val w = cells
+        .join(v.select(col("i").as("j"), col("v")), "j")
+        .groupBy(col("i"))
+        .agg(sum(col("c").cast(d38) * col("v")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i"),
+          when(col("w") >= 0,
+            expr("(2 * w * 1000000 + m) DIV (2 * m)"))
+            .otherwise(-expr("(2 * (-w) * 1000000 + m) DIV (2 * m)"))
+            .cast(d38).as("v"))
+        .localCheckpoint(true)
+    }
+    val vj = v.select(col("i").as("j"), col("v").as("vj"))
+    val num = cells.join(v, "i").join(vj, "j")
+      .agg(sum(col("v") * col("c").cast(d38) * col("vj")).as("num"))
+    val den = v.agg(sum(col("v") * col("v")).as("den"))
+    v.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+      .select(col("i"), col("v").cast("long").as("loading_e6"),
+        intScaled(col("num").cast("double") / col("den").cast("double"),
+          1000L).as("lambda_e3"))
+      .orderBy("i")
+  }
+
+  private val pcaPowerOracle: String = {
+    val head =
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT i.i AS i, j.j AS j, qv[i.i + 1] AS qi, qv[j.j + 1] AS qj
+        |  FROM q CROSS JOIN range(64) i(i) CROSS JOIN range(64) j(j)),
+        |cells AS (
+        |  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |    CAST(ROUND(
+        |      (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(qi * qj) AS DOUBLE) -
+        |       CAST(SUM(qi) AS DOUBLE) * CAST(SUM(qj) AS DOUBLE)) /
+        |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2),
+        |v0 AS (SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS v
+        |       FROM cells)""".stripMargin
+    val rounds = (1 to 4).map { k =>
+      s"""w$k AS (
+         |  SELECT c.i, SUM(CAST(c.c AS HUGEINT) * p.v) AS w
+         |  FROM cells c JOIN v${k - 1} p ON p.i = c.j GROUP BY c.i),
+         |m$k AS (SELECT MAX(ABS(w)) AS m FROM w$k),
+         |v$k AS (
+         |  SELECT i, CASE WHEN w >= 0
+         |                 THEN (2 * w * 1000000 + m) // (2 * m)
+         |                 ELSE -((2 * (-w) * 1000000 + m) // (2 * m)) END AS v
+         |  FROM w$k CROSS JOIN m$k)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      """,
+        |num AS (
+        |  SELECT SUM(va.v * CAST(c.c AS HUGEINT) * vb.v) AS num
+        |  FROM cells c JOIN v4 va ON va.i = c.i JOIN v4 vb ON vb.i = c.j),
+        |den AS (SELECT SUM(v * v) AS den FROM v4)
+        |SELECT i, CAST(v AS BIGINT) AS loading_e6,
+        |       CAST(ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000)
+        |            AS BIGINT) AS lambda_e3
+        |FROM v4 CROSS JOIN num CROSS JOIN den
+        |ORDER BY i""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_pca_power" -> (q309 _),
     "q112_kmeans_step" -> (q112 _),
     "q237_retrieval_metrics" -> (q237 _),
     "q244_hard_negatives" -> (q244 _),
@@ -1258,6 +1371,11 @@ object Similarity {
        |FROM g ORDER BY qid""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Same e6-gridded integer covariance cells (q213 moment shape on
+    // the FULL grid), 4 unrolled exact-integer power rounds with the
+    // identical (2|w|·1e6 + m) // 2m half-up renormalization, one
+    // mirrored Rayleigh division at the end.
+    "q309_pca_power" -> pcaPowerOracle,
     "q237_retrieval_metrics" -> retrievalMetricsOracle,
     // Same unit vectors and x·(127/max|x|) floor codes; quantized rank
     // by the EXACT integer code dot, ground truth by the mirrored
