@@ -616,7 +616,66 @@ object Graph {
       .orderBy("brand")
   }
 
+  /** q310 — label-propagation communities (synchronous LPA, 4 fixed
+    * rounds) on the part co-order graph: every node starts as its own
+    * label and adopts, each round, the most frequent label among its
+    * neighbors with the DETERMINISTIC (count DESC, label ASC)
+    * tie-break. Output is the community-size table. Where q102/q120
+    * find connectivity (everything co-ordered is one blob), LPA finds
+    * DENSITY structure inside the blob — the product-affinity clusters
+    * a recommender or a curation "topic bucket" pass actually wants;
+    * q305 then validates any such partition against the null model.
+    *
+    * Determinism & exactness: labels are node ids, counts are
+    * integers, the adoption rule is a total order — all-integer end to
+    * end, no float anywhere (strongest certificate class). Fixed
+    * rounds, not convergence-tested: synchronous LPA can 2-cycle on
+    * bipartite-ish regions, and a fixed-round contract is what both
+    * engines can replay exactly.
+    *
+    * Scale: each round is one edge-sized equi-join + two node-sized
+    * aggs (the q127 fixed-round posture), eagerly checkpointed per
+    * round inside a small-shuffle scope; the community table is
+    * node-bounded.
+    */
+  def q310(s: SparkSession, dir: String): DataFrame =
+    Components.withSmallScope(s, 8) {
+      import org.apache.spark.sql.expressions.Window
+      // Min-support-2 affinity edges: parts co-ordered in >= 2 DISTINCT
+      // orders. The support floor prunes the incidental-co-purchase
+      // noise that makes raw co-order graphs near-complete (where LPA
+      // degenerates to one or two giant labels) — the same reason
+      // q161's association rules and q308's TextRank carry count
+      // floors. One extra lineitem self-join beyond the shared
+      // coOrderGraph cache; the aggregated (pair, support) frame is
+      // edge-sized.
+      val li = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e2 = li.select(col("o"), col("p").as("a"))
+        .join(li.select(col("o"), col("p").as("b")), "o")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 2L)
+      val sym = e2.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e2.select(col("b").as("u"), col("a").as("v")))
+        .repartition(8, col("u")).localCheckpoint(true)
+      var lab = sym.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+      (1 to 4).foreach { _ =>
+        val cnt = sym.join(lab.select(col("id").as("u"), col("lbl")), "u")
+          .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl"))
+        lab = cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("v").as("id"), col("lbl"))
+          .localCheckpoint(true)
+      }
+      lab.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("community")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_lpa_communities" -> (q310 _),
     "q305_brand_modularity" -> (q305 _),
     "q149_hits"          -> (q149 _),
     "q150_triangles"     -> (q150 _),
@@ -710,7 +769,41 @@ object Graph {
          |GROUP BY id ORDER BY id""".stripMargin
   }
 
+  private val lpaOracle: String = {
+    val head =
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e2 AS (
+        |  SELECT a.p AS a, b.p AS b
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        |sym AS (SELECT a AS u, b AS v FROM e2
+        |        UNION ALL SELECT b, a FROM e2),
+        |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM sym)""".stripMargin
+    val rounds = (1 to 4).map { k =>
+      s"""c$k AS (
+         |  SELECT sym.v, l.lbl, COUNT(*) AS c
+         |  FROM sym JOIN l${k - 1} l ON l.id = sym.u
+         |  GROUP BY sym.v, l.lbl),
+         |l$k AS (
+         |  SELECT v AS id, lbl FROM (
+         |    SELECT v, lbl,
+         |           ROW_NUMBER() OVER (PARTITION BY v
+         |                              ORDER BY c DESC, lbl) AS rn
+         |    FROM c$k)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      """
+        |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM l4 GROUP BY lbl
+        |ORDER BY community""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // Same symmetric edge frame, 4 unrolled all-integer adoption
+    // rounds with the identical (count DESC, label) tie-break.
+    "q310_lpa_communities" -> lpaOracle,
     // Same canonical edge frame, exact BIGINT within/cut/volume
     // counts, mirrored modularity and conductance doubles e6-gridded,
     // conductance NULL-guarded by the exact integer min test.

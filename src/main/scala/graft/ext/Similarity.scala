@@ -1089,23 +1089,36 @@ object Similarity {
     * path covers large d); everything after is d²-sized. At 100 TB the
     * iteration cost is INDEPENDENT of corpus size.
     */
+  /** Memoized FULL-grid exact integer covariance cells (i, j, c) of
+    * the e3-quantized embeddings, e6-gridded (the q213 moment shape
+    * without the upper-triangle cut) — shared by q309 (power
+    * iteration) and q312 (participation ratio), one corpus pass per
+    * session.
+    */
+  private val covCellsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def covCellsFull(s: SparkSession, dir: String): DataFrame =
+    covCellsCache.computeIfAbsent((s, dir), { _ =>
+      emb(s, dir)
+        .select(transform(col("embedding"),
+          x => intScaled(x.cast("double"), 1000L)).as("qv"))
+        .select(posexplode(col("qv")).as(Seq("i", "qi")), col("qv"))
+        .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("qi")).as("si"),
+          sum(col("qj")).as("sj"), sum(col("qi") * col("qj")).as("sij"))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          intScaled(
+            (col("n").cast("double") * col("sij").cast("double") -
+              col("si").cast("double") * col("sj").cast("double")) /
+              (col("n").cast("double") * col("n").cast("double")),
+            1000000L).as("c"))
+        .localCheckpoint(true)
+    })
+
   def q309(s: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val cells = emb(s, dir)
-      .select(transform(col("embedding"),
-        x => intScaled(x.cast("double"), 1000L)).as("qv"))
-      .select(posexplode(col("qv")).as(Seq("i", "qi")), col("qv"))
-      .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("qi")).as("si"),
-        sum(col("qj")).as("sj"), sum(col("qi") * col("qj")).as("sij"))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        intScaled(
-          (col("n").cast("double") * col("sij").cast("double") -
-            col("si").cast("double") * col("sj").cast("double")) /
-            (col("n").cast("double") * col("n").cast("double")),
-          1000000L).as("c"))
-      .localCheckpoint(true)
+    val cells = covCellsFull(s, dir)
     var v = cells.filter(col("j") === 0L)
       .select(col("i"), lit(1000000L).cast(d38).as("v"))
       .localCheckpoint(true)
@@ -1132,6 +1145,32 @@ object Similarity {
         intScaled(col("num").cast("double") / col("den").cast("double"),
           1000L).as("lambda_e3"))
       .orderBy("i")
+  }
+
+  private val kcenterOracle: String = {
+    val head =
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT 1),
+        |m0 AS (SELECT vec_id, qv, 9223372036854775807 AS md FROM q)""".stripMargin
+    val rounds = (0 until 8).map { r =>
+      s"""m${r + 1} AS (
+         |  SELECT m.vec_id, m.qv,
+         |         LEAST(m.md, list_sum(list_transform(range(1, len(m.qv) + 1),
+         |           k -> (m.qv[k] - c.cv[k]) * (m.qv[k] - c.cv[k])))) AS md
+         |  FROM m$r m CROSS JOIN c$r c),
+         |r$r AS (
+         |  SELECT CAST($r AS BIGINT) AS round, cid AS center_id,
+         |         (SELECT CAST(MAX(md) AS BIGINT) FROM m${r + 1}) AS radius2
+         |  FROM c$r),
+         |c${r + 1} AS (SELECT vec_id AS cid, qv AS cv FROM m${r + 1}
+         |              ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") + "\n" +
+      (0 until 8).map(r => s"SELECT * FROM r$r").mkString("", " UNION ALL ", "") +
+      "\nORDER BY round"
   }
 
   private val pcaPowerOracle: String = {
@@ -1177,7 +1216,87 @@ object Similarity {
         |ORDER BY i""".stripMargin
   }
 
+  /** q311 — k-center coreset by farthest-point traversal (Gonzalez's
+    * 2-approximation): 8 rounds of "add the point farthest from every
+    * selected center", reporting each chosen center and the covering
+    * radius after it joins. The diversity-sampling primitive behind
+    * "pick k maximally-different exemplars" — seed selection for
+    * k-means (q44), eval-set diversification, and the coverage view
+    * that q123's SemDeDup (drop near-together points) looks at from
+    * the other side. The radius column IS the k-center objective: how
+    * far the worst-covered embedding sits from its nearest exemplar.
+    *
+    * All-integer: distances are exact squared L2 over the e3-quantized
+    * vectors (BIGINT, zip_with + aggregate — no sqrt needed for
+    * argmax), the min-distance state is exact LEAST, and every argmax
+    * is the (md DESC, vec_id) total order. No float anywhere.
+    *
+    * Scale: each round is one corpus-sized map (broadcast 1-row
+    * center) + a max-agg + a TakeOrdered(1) — k·O(corpus) with NO
+    * pairwise stage, exactly how production k-center runs; the state
+    * checkpoints per round (branched: radius agg + argmax + next
+    * round).
+    */
+  def q311(s: SparkSession, dir: String): DataFrame = {
+    val q = emb(s, dir)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => intScaled(x.cast("double"), 1000L)).as("qv"))
+      .localCheckpoint(true)
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    var sel = q.orderBy(col("vec_id")).limit(1)
+    var state = q.select(col("vec_id"), col("qv"),
+      lit(Long.MaxValue).as("md"))
+    val rounds = (0 until 8).map { r =>
+      val c = broadcast(
+        sel.select(col("vec_id").as("cid"), col("qv").as("cv")))
+      state = state.crossJoin(c)
+        .select(col("vec_id"), col("qv"),
+          least(col("md"), d2(col("qv"), col("cv"))).as("md"))
+        .localCheckpoint(true)
+      val rad = state.agg(max(col("md")).as("radius2"))
+      sel = state.orderBy(col("md").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("qv"))
+      c.select(col("cid")).crossJoin(broadcast(rad))
+        .select(lit(r.toLong).as("round"), col("cid").as("center_id"),
+          col("radius2"))
+    }
+    rounds.reduce(_ unionAll _).orderBy("round")
+  }
+
+  /** q312 — embedding effective dimensionality (participation ratio):
+    * PR = (tr C)² / ‖C‖²_F = (Σλ)²/Σλ² off the exact integer
+    * covariance cells — the anisotropy alarm in one number. PR ≈ d
+    * means variance spreads evenly (healthy encoder); PR ≪ d means a
+    * few directions carry everything (representation collapse — the
+    * cousin q176/q196 see per-dimension, and exactly what q309's
+    * dominant eigenvalue probes from the top). No eigensolve needed:
+    * for symmetric C, Σλ² is the Frobenius norm, so both moments are
+    * EXACT integer sums over the cell grid.
+    *
+    * Exactness: trace and ΣΣc² ride decimal(38) off the gridded
+    * integer cells; the single double division is mirrored and
+    * e4-gridded. Scale: one corpus pass (shared memoized cells), then
+    * d²-sized arithmetic.
+    */
+  def q312(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = covCellsFull(s, dir)
+    cells.agg(
+        count(when(col("i") === col("j"), lit(1))).as("d"),
+        sum(when(col("i") === col("j"), col("c"))).as("tr"),
+        sum(col("c").cast(d38) * col("c")).as("frob2"))
+      .select(col("d"), col("tr"),
+        intScaled(
+          (col("tr").cast(d38) * col("tr")).cast("double") /
+            col("frob2").cast("double"),
+          10000L).as("pr_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_kcenter_coreset" -> (q311 _),
+    "q312_embed_effdim" -> (q312 _),
     "q309_pca_power" -> (q309 _),
     "q112_kmeans_step" -> (q112 _),
     "q237_retrieval_metrics" -> (q237 _),
@@ -1376,6 +1495,36 @@ object Similarity {
     // identical (2|w|·1e6 + m) // 2m half-up renormalization, one
     // mirrored Rayleigh division at the end.
     "q309_pca_power" -> pcaPowerOracle,
+    // Same e3 quantization, 8 unrolled farthest-point rounds — exact
+    // integer squared distances, LEAST state, (md DESC, vec_id)
+    // argmax; no float anywhere.
+    "q311_kcenter_coreset" -> kcenterOracle,
+    // Same full-grid cells; trace and Frobenius moments are exact
+    // HUGEINT sums, one mirrored PR division e4.
+    "q312_embed_effdim" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT i.i AS i, j.j AS j, qv[i.i + 1] AS qi, qv[j.j + 1] AS qj
+        |  FROM q CROSS JOIN range(64) i(i) CROSS JOIN range(64) j(j)),
+        |cells AS (
+        |  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |    CAST(ROUND(
+        |      (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(qi * qj) AS DOUBLE) -
+        |       CAST(SUM(qi) AS DOUBLE) * CAST(SUM(qj) AS DOUBLE)) /
+        |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2)
+        |SELECT CAST(COUNT(CASE WHEN i = j THEN 1 END) AS BIGINT) AS d,
+        |       CAST(SUM(CASE WHEN i = j THEN c END) AS BIGINT) AS tr,
+        |       CAST(ROUND(
+        |         CAST(CAST(SUM(CASE WHEN i = j THEN c END) AS HUGEINT)
+        |              * SUM(CASE WHEN i = j THEN c END) AS DOUBLE)
+        |         / CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
+        |         * 10000) AS BIGINT) AS pr_e4
+        |FROM cells""".stripMargin,
     "q237_retrieval_metrics" -> retrievalMetricsOracle,
     // Same unit vectors and x·(127/max|x|) floor codes; quantized rank
     // by the EXACT integer code dot, ground truth by the mirrored
