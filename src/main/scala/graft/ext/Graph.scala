@@ -638,44 +638,112 @@ object Graph {
     * round inside a small-shuffle scope; the community table is
     * node-bounded.
     */
-  def q310(s: SparkSession, dir: String): DataFrame =
-    Components.withSmallScope(s, 8) {
-      import org.apache.spark.sql.expressions.Window
-      // Min-support-2 affinity edges: parts co-ordered in >= 2 DISTINCT
-      // orders. The support floor prunes the incidental-co-purchase
-      // noise that makes raw co-order graphs near-complete (where LPA
-      // degenerates to one or two giant labels) — the same reason
-      // q161's association rules and q308's TextRank carry count
-      // floors. One extra lineitem self-join beyond the shared
-      // coOrderGraph cache; the aggregated (pair, support) frame is
-      // edge-sized.
-      val li = Tables.table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e2 = li.select(col("o"), col("p").as("a"))
-        .join(li.select(col("o"), col("p").as("b")), "o")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= 2L)
-      val sym = e2.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(e2.select(col("b").as("u"), col("a").as("v")))
-        .repartition(8, col("u")).localCheckpoint(true)
-      var lab = sym.select(col("u").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
-      (1 to 4).foreach { _ =>
-        val cnt = sym.join(lab.select(col("id").as("u"), col("lbl")), "u")
-          .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl"))
-        lab = cnt.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("v").as("id"), col("lbl"))
-          .localCheckpoint(true)
+  /** Memoized final LPA labeling (id, lbl) — shared by q310 (community
+    * sizes) and q315 (NMI vs the brand partition); the 4-round loop
+    * runs once per session.
+    */
+  private val lpaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame =
+    lpaCache.computeIfAbsent((s, dir), { _ =>
+      Components.withSmallScope(s, 8) {
+        import org.apache.spark.sql.expressions.Window
+        // Min-support-2 affinity edges: parts co-ordered in >= 2
+        // DISTINCT orders. The support floor prunes the incidental-
+        // co-purchase noise that makes raw co-order graphs
+        // near-complete (where LPA degenerates to one or two giant
+        // labels) — the same reason q161's association rules and
+        // q308's TextRank carry count floors. One extra lineitem
+        // self-join beyond the shared coOrderGraph cache; the
+        // aggregated (pair, support) frame is edge-sized.
+        val li = Tables.table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val e2 = li.select(col("o"), col("p").as("a"))
+          .join(li.select(col("o"), col("p").as("b")), "o")
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 2L)
+        val sym = e2.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e2.select(col("b").as("u"), col("a").as("v")))
+          .repartition(8, col("u")).localCheckpoint(true)
+        var lab = sym.select(col("u").as("id")).distinct()
+          .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+        (1 to 4).foreach { _ =>
+          val cnt = sym.join(lab.select(col("id").as("u"), col("lbl")), "u")
+            .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+          val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl"))
+          lab = cnt.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("v").as("id"), col("lbl"))
+            .localCheckpoint(true)
+        }
+        lab
       }
-      lab.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nodes"))
-        .orderBy("community")
-    }
+    })
+
+  def q310(s: SparkSession, dir: String): DataFrame =
+    lpaLabels(s, dir)
+      .groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("community")
+
+  /** q315 — normalized mutual information between the LPA communities
+    * (q310) and the BRAND partition of the same parts: does the
+    * behavioural clustering recover the catalog structure? The
+    * partition-comparison yardstick (NMI = 2·I(X;Y)/(H(X)+H(Y)))
+    * every clustering evaluation reports — q272's kappa compares
+    * per-item judge labels, this compares whole PARTITIONS with
+    * different label vocabularies, which kappa cannot do.
+    *
+    * Float discipline: every per-cell MI term (n_ij/n)·ln(n·n_ij/
+    * (n_i·n_j)) and per-marginal entropy term is ONE mirrored double
+    * over exact integers, e12-gridded BEFORE its exact sum (q232
+    * discipline — n_ij ≥ 1 cells only, so no ln(0) exists); NMI is
+    * one mirrored expression over the three gridded sums. NULL-guarded
+    * on degenerate single-cluster partitions (H = 0).
+    *
+    * Scale: the contingency frame is node-bounded (≤ min(#communities
+    * × #brands, #nodes) cells); everything rides the memoized LPA
+    * labeling plus one broadcast part-dim join.
+    */
+  def q315(s: SparkSession, dir: String): DataFrame = {
+    val lab = lpaLabels(s, dir)
+      .join(Tables.table(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_brand").as("brand")), "id")
+      .localCheckpoint(true)
+    val cells = lab.groupBy(col("lbl"), col("brand"))
+      .agg(count(lit(1)).as("nij"))
+    val mx = cells.groupBy(col("lbl")).agg(sum(col("nij")).as("ni"))
+    val my = cells.groupBy(col("brand")).agg(sum(col("nij")).as("nj"))
+    val tot = cells.agg(sum(col("nij")).as("n"), count(lit(1)).as("n_cells"))
+    val mi = cells.join(mx, "lbl").join(my, "brand")
+      .crossJoin(broadcast(tot))
+      .select(Similarity.intScaled(
+        col("nij").cast("double") / col("n").cast("double") *
+          log(col("n").cast("double") * col("nij").cast("double") /
+            (col("ni").cast("double") * col("nj").cast("double"))),
+        1000000000000L).as("t"))
+      .agg(sum(col("t")).as("mi_e12"))
+    def ent(m: DataFrame, cnt: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .select(Similarity.intScaled(
+          -(col(cnt).cast("double") / col("n").cast("double")) *
+            log(col(cnt).cast("double") / col("n").cast("double")),
+          1000000000000L).as("t"))
+        .agg(sum(col("t")).as("h_" + cnt))
+    tot.crossJoin(broadcast(mi))
+      .crossJoin(broadcast(ent(mx, "ni"))).crossJoin(broadcast(ent(my, "nj")))
+      .select(
+        col("n").as("n_nodes"), col("n_cells"), col("mi_e12"),
+        when(col("h_ni") + col("h_nj") > 0L,
+          Similarity.intScaled(
+            lit(2.0) * col("mi_e12").cast("double") /
+              (col("h_ni") + col("h_nj")).cast("double"),
+            1000000L)).as("nmi_e6"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q310_lpa_communities" -> (q310 _),
+    "q315_community_nmi"  -> (q315 _),
     "q305_brand_modularity" -> (q305 _),
     "q149_hits"          -> (q149 _),
     "q150_triangles"     -> (q150 _),
@@ -769,7 +837,10 @@ object Graph {
          |GROUP BY id ORDER BY id""".stripMargin
   }
 
-  private val lpaOracle: String = {
+  /** Shared CTE block computing the final LPA labeling as `l4(id,
+    * lbl)` — prefix of both the q310 and q315 oracles.
+    */
+  private val lpaCteBlock: String = {
     val head =
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |            FROM lineitem),
@@ -793,17 +864,68 @@ object Graph {
          |    FROM c$k)
          |  WHERE rn = 1)""".stripMargin
     }
-    (head +: rounds).mkString(",\n") +
+    (head +: rounds).mkString(",\n")
+  }
+
+  private val lpaOracle: String =
+    lpaCteBlock +
       """
         |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
         |FROM l4 GROUP BY lbl
         |ORDER BY community""".stripMargin
-  }
+
+  private val nmiOracle: String =
+    lpaCteBlock +
+      """,
+        |lb AS (
+        |  SELECT l4.lbl, p_brand AS brand
+        |  FROM l4 JOIN part ON p_partkey = l4.id),
+        |cells AS (SELECT lbl, brand, CAST(COUNT(*) AS BIGINT) AS nij
+        |          FROM lb GROUP BY lbl, brand),
+        |mx AS (SELECT lbl, CAST(SUM(nij) AS BIGINT) AS ni
+        |       FROM cells GROUP BY lbl),
+        |my AS (SELECT brand, CAST(SUM(nij) AS BIGINT) AS nj
+        |       FROM cells GROUP BY brand),
+        |tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+        |               CAST(COUNT(*) AS BIGINT) AS n_cells
+        |        FROM cells),
+        |mi AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS mi_e12 FROM (
+        |    SELECT CAST(ROUND(
+        |      CAST(nij AS DOUBLE) / CAST(n AS DOUBLE) *
+        |      ln(CAST(n AS DOUBLE) * CAST(nij AS DOUBLE) /
+        |         (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+        |      * 1000000000000) AS BIGINT) AS t
+        |    FROM cells JOIN mx USING (lbl) JOIN my USING (brand)
+        |    CROSS JOIN tot)),
+        |hx AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS h_ni FROM (
+        |    SELECT CAST(ROUND(
+        |      -(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000000000) AS BIGINT) AS t
+        |    FROM mx CROSS JOIN tot)),
+        |hy AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS h_nj FROM (
+        |    SELECT CAST(ROUND(
+        |      -(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000000000) AS BIGINT) AS t
+        |    FROM my CROSS JOIN tot))
+        |SELECT n AS n_nodes, n_cells, mi_e12,
+        |       CASE WHEN h_ni + h_nj > 0 THEN
+        |         CAST(ROUND(2.0 * CAST(mi_e12 AS DOUBLE)
+        |           / CAST(h_ni + h_nj AS DOUBLE) * 1000000) AS BIGINT)
+        |       END AS nmi_e6
+        |FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // Same symmetric edge frame, 4 unrolled all-integer adoption
     // rounds with the identical (count DESC, label) tie-break.
     "q310_lpa_communities" -> lpaOracle,
+    // Shared LPA CTE block + brand contingency; per-cell/marginal
+    // ln terms e12-gridded before exact sums, one mirrored NMI.
+    "q315_community_nmi" -> nmiOracle,
     // Same canonical edge frame, exact BIGINT within/cut/volume
     // counts, mirrored modularity and conductance doubles e6-gridded,
     // conductance NULL-guarded by the exact integer min test.

@@ -923,7 +923,64 @@ object Patterns {
       .orderBy("event_type")
   }
 
+  /** q314 — Markov k-step conversion absorption: for each non-purchase
+    * event type, the probability that a user's NEXT 8 steps reach
+    * 'purchase', under the empirical first-order chain (q162's
+    * transition frame with an explicit END state for stream ends,
+    * purchase absorbing). Where q190 attributes a conversion backwards
+    * (last touch) and q162 reports one-step probabilities, this is the
+    * FORWARD multi-step view — "how convert-y is a user standing at
+    * state X" — the standard Markov-attribution building block.
+    *
+    * Exactness: transition counts are exact integers; p rides the e9
+    * grid and each iteration is p'_i = roundHalfUp((c_conv·1e9 +
+    * Σ_j c_ij·p_j) / r_i) spelled as the ALL-INTEGER
+    * (2·num + r) DIV (2·r) — no float exists anywhere (the q309
+    * renormalization discipline). Per-iteration rounding is part of
+    * the declared statistic and mirrored exactly.
+    *
+    * Scale: one user-keyed lead window collapses events to the
+    * type-bounded transition matrix (≤ |types|² + END rows); the 8
+    * iterations ride that tiny frame (broadcast joins), checkpointed
+    * per round. Nothing after the first agg is event-sized.
+    */
+  def q314(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("i"),
+        coalesce(col("next_type"), lit("END")).as("j"))
+    val c = steps.groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val r = c.groupBy(col("i")).agg(sum(col("c")).as("r"))
+    val conv = c.filter(col("j") === "purchase")
+      .select(col("i"), col("c").as("cc"))
+    val base = r.join(conv, Seq("i"), "left")
+      .select(col("i"), col("r"), coalesce(col("cc"), lit(0L)).as("cc"))
+      .localCheckpoint(true)
+    val trans = c.filter(col("j") =!= "purchase" && col("j") =!= "END")
+    var p = base.select(col("i"), lit(0L).as("p"))
+    (1 to 8).foreach { _ =>
+      val acc = trans.join(broadcast(p.select(col("i").as("j"), col("p"))), "j")
+        .groupBy(col("i")).agg(sum(col("c").cast(d38) * col("p")).as("acc"))
+      p = base.join(acc, Seq("i"), "left")
+        .select(col("i"),
+          expr("CAST((2 * (CAST(cc AS DECIMAL(38,0)) * 1000000000" +
+            " + coalesce(acc, CAST(0 AS DECIMAL(38,0)))) + r) DIV (2 * r)" +
+            " AS BIGINT)").as("p"))
+        .localCheckpoint(true)
+    }
+    p.join(base, "i")
+      .select(col("i").as("entry_type"), col("r").as("n_out"),
+        col("cc").as("n_direct"), col("p").as("p8_e9"))
+      .orderBy("entry_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_markov_absorption" -> (q314 _),
     "q301_theil_sen"       -> (q301 _),
     "q161_assoc_rules"     -> (q161 _),
     "q296_trending"        -> (q296 _),
@@ -948,7 +1005,48 @@ object Patterns {
     "q197_trigram_paths"   -> (q197 _),
   )
 
+  private val markovAbsorptionOracle: String = {
+    val head =
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type AS i, COALESCE(next_type, 'END') AS j
+        |  FROM seq WHERE event_type <> 'purchase'),
+        |c AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM st GROUP BY i, j),
+        |r AS (SELECT i, CAST(SUM(c) AS BIGINT) AS r FROM c GROUP BY i),
+        |base AS (
+        |  SELECT r.i, r.r, COALESCE(cv.c, 0) AS cc
+        |  FROM r LEFT JOIN (SELECT i, c FROM c WHERE j = 'purchase') cv
+        |    ON cv.i = r.i),
+        |tr AS (SELECT i, j, c FROM c WHERE j <> 'purchase' AND j <> 'END'),
+        |p0 AS (SELECT i, CAST(0 AS HUGEINT) AS p FROM base)""".stripMargin
+    val rounds = (1 to 8).map { k =>
+      s"""a$k AS (
+         |  SELECT tr.i, SUM(CAST(tr.c AS HUGEINT) * p.p) AS acc
+         |  FROM tr JOIN p${k - 1} p ON p.i = tr.j GROUP BY tr.i),
+         |p$k AS (
+         |  SELECT b.i,
+         |         (2 * (CAST(b.cc AS HUGEINT) * 1000000000
+         |               + COALESCE(a$k.acc, 0)) + b.r) // (2 * b.r) AS p
+         |  FROM base b LEFT JOIN a$k ON a$k.i = b.i)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      """
+        |SELECT p8.i AS entry_type, b.r AS n_out, b.cc AS n_direct,
+        |       CAST(p8.p AS BIGINT) AS p8_e9
+        |FROM p8 JOIN base b ON b.i = p8.i
+        |ORDER BY entry_type""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // Same lead-window transition matrix with END state, 8 unrolled
+    // all-integer absorption rounds with the identical
+    // (2·num + r) // (2r) half-up division.
+    "q314_markov_absorption" -> markovAbsorptionOracle,
     // Same (type × day) calendar grid, per-pair mirrored double
     // division e6-gridded, exact-interpolation median doubled before
     // the BIGINT cast.

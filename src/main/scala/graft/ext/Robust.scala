@@ -933,7 +933,42 @@ object Robust {
       .orderBy("seg_a", "seg_b")
   }
 
+  /** q313 — McNemar's paired test between two document quality gates:
+    * gate A (length ≥ 200 chars) vs gate B (unique-word ratio ≥ ½,
+    * spelled 2·n_unique ≥ n_words so no division exists). The paired
+    * DIRECTIONAL complement to q272's kappa: kappa says how much two
+    * judges agree, McNemar says whether their DISAGREEMENTS lean one
+    * way (χ² = (b−c)²/(b+c) on the discordant cells) — the gate-
+    * replacement decision ("B passes docs A fails more than vice
+    * versa") that agreement scores cannot make.
+    *
+    * All-integer contingency; χ² is ONE mirrored division of exact
+    * integers e6-gridded, NULL-guarded on b+c=0 (no discordance → no
+    * test). One scan, map-side flags, one 4-cell agg.
+    */
+  def q313(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val flags = t(s, dir, "documents")
+      .select(
+        (col("n_chars") >= 200L).cast("long").as("a"),
+        (lit(2L) * size(array_distinct(split(col("text"), " "))).cast("long")
+          >= size(split(col("text"), " ")).cast("long")).cast("long").as("b"))
+    flags.agg(
+        sum(col("a") * col("b")).as("n_both"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n_only_a"),
+        sum((lit(1L) - col("a")) * col("b")).as("n_only_b"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n_neither"))
+      .select(col("n_both"), col("n_only_a"), col("n_only_b"), col("n_neither"),
+        when(col("n_only_a") + col("n_only_b") > 0L,
+          Similarity.intScaled(
+            ((col("n_only_a") - col("n_only_b")).cast(d38) *
+              (col("n_only_a") - col("n_only_b"))).cast("double") /
+              (col("n_only_a") + col("n_only_b")).cast("double"),
+            1000000L)).as("chi2_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_mcnemar" -> (q313 _),
     "q302_kruskal_wallis" -> (q302 _),
     "q303_brown_forsythe" -> (q303 _),
     "q304_welch_battery"  -> (q304 _),
@@ -955,6 +990,29 @@ object Robust {
     ewmaCoefs.zipWithIndex.map { case (c, k) => s"($k, $c)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // Same all-integer gate flags and 4-cell contingency, one
+    // mirrored (b−c)²/(b+c) division e6, NULL on zero discordance.
+    "q313_mcnemar" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+        |         CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+        |                   >= len(string_split(text, ' '))
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |g AS (
+        |  SELECT CAST(SUM(a * b) AS BIGINT) AS n_both,
+        |         CAST(SUM(a * (1 - b)) AS BIGINT) AS n_only_a,
+        |         CAST(SUM((1 - a) * b) AS BIGINT) AS n_only_b,
+        |         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n_neither
+        |  FROM f)
+        |SELECT n_both, n_only_a, n_only_b, n_neither,
+        |       CASE WHEN n_only_a + n_only_b > 0 THEN
+        |         CAST(ROUND(
+        |           CAST(CAST(n_only_a - n_only_b AS HUGEINT)
+        |                * (n_only_a - n_only_b) AS DOUBLE)
+        |           / CAST(n_only_a + n_only_b AS DOUBLE)
+        |           * 1000000) AS BIGINT) END AS chi2_e6
+        |FROM g""".stripMargin,
     // Same value-grid doubled ranks (2·cum_below + n(v) + 1), exact
     // BIGINT rank sums, per-source mirrored deviation term e6-gridded
     // before the exact sum, one mirrored H expression at the end.
