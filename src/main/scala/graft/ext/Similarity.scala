@@ -1294,7 +1294,72 @@ object Similarity {
           10000L).as("pr_e4"))
   }
 
+  /** q316 — centroid silhouette per embedding label: s = (b−a)/max(a,b)
+    * with a = distance to the OWN label centroid and b = the nearest
+    * OTHER centroid (the simplified silhouette — O(N·L) instead of the
+    * textbook O(N²) pairwise form, which is the only silhouette anyone
+    * runs at corpus scale). The cluster-quality verdict on the label
+    * partition itself: mean s near 1 = tight well-separated labels,
+    * near 0 = overlapping, negative = misassigned — the evaluation
+    * counterpart to q192's separability ratio and the quality gate
+    * before q123-style cluster-scoped dedup trusts those labels.
+    *
+    * Exactness: the squared distance to a centroid S/n is the EXACT
+    * integer Σ(n·x_i − S_i)² scaled by 1/n² — so every distance is
+    * ONE mirrored sqrt+division over an exact decimal(38) integer (no
+    * float summation: the per-dim fold is integer). b is a min over
+    * identical doubles; each row's s is e9-gridded BEFORE the exact
+    * per-label sum (q232 discipline); the mean is one mirrored
+    * division chain.
+    *
+    * Scale: centroid moments are one map-side agg (64 sums × L
+    * labels); the row×centroid fan-out is N·L with the L-row centroid
+    * frame broadcast — no pairwise stage, no corpus-sized shuffle
+    * after the first agg.
+    */
+  def q316(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val q = emb(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          x => intScaled(x.cast("double"), 1000L)).as("qv"))
+      .localCheckpoint(true)
+    val cent = q.groupBy(col("label"))
+      .agg(count(lit(1)).as("cn"),
+        (0 until 64).map(i => sum(col("qv").getItem(i)).as(s"s$i")): _*)
+      .select(col("label").as("cl"), col("cn"),
+        array((0 until 64).map(i => col(s"s$i")): _*).as("sv"))
+    val a2 = aggregate(
+      zip_with(col("qv"), col("sv"),
+        (x, sx) => {
+          val t = (col("cn") * x - sx).cast(d38)
+          t * t
+        }),
+      lit(0).cast(d38), (acc, t) => acc + t)
+    val dl = q.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("cl"),
+        (sqrt(a2.cast("double")) / col("cn").cast("double")).as("dist"))
+    val own = dl.filter(col("label") === col("cl"))
+      .select(col("vec_id"), col("label"), col("dist").as("a"))
+    val oth = dl.filter(col("label") =!= col("cl"))
+      .groupBy(col("vec_id")).agg(min(col("dist")).as("b"))
+    val srow = own.join(oth, "vec_id")
+      .select(col("label"),
+        when(greatest(col("a"), col("b")) > 0.0,
+          intScaled((col("b") - col("a")) / greatest(col("a"), col("b")),
+            1000000000L)).otherwise(lit(0L)).as("s_e9"))
+    srow.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("s_e9")).as("s_sum_e9"))
+      .select(col("label"), col("n_vecs"), col("s_sum_e9"),
+        intScaled(
+          col("s_sum_e9").cast("double") / col("n_vecs").cast("double") /
+            lit(1000000000.0),
+          1000000L).as("mean_s_e6"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_silhouette" -> (q316 _),
     "q311_kcenter_coreset" -> (q311 _),
     "q312_embed_effdim" -> (q312 _),
     "q309_pca_power" -> (q309 _),
@@ -1499,6 +1564,47 @@ object Similarity {
     // integer squared distances, LEAST state, (md DESC, vec_id)
     // argmax; no float anywhere.
     "q311_kcenter_coreset" -> kcenterOracle,
+    // Same exact Σ(n·x−S)² integer distance moments, ONE mirrored
+    // sqrt/n per (row, centroid), per-row silhouette e9-gridded
+    // before the exact per-label sum, mirrored mean chain.
+    "q316_silhouette" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding,
+        |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |di AS (
+        |  SELECT label, i.i AS i, CAST(SUM(qv[i.i + 1]) AS BIGINT) AS sx
+        |  FROM q CROSS JOIN range(64) i(i) GROUP BY label, i.i),
+        |cent AS (
+        |  SELECT d.label AS cl, cn.cn, list(d.sx ORDER BY d.i) AS sv
+        |  FROM di d JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS cn
+        |                  FROM q GROUP BY label) cn ON cn.label = d.label
+        |  GROUP BY d.label, cn.cn),
+        |dl AS (
+        |  SELECT q.vec_id, q.label, c.cl,
+        |         SQRT(CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |           k -> CAST(c.cn * q.qv[k] - c.sv[k] AS HUGEINT)
+        |                * (c.cn * q.qv[k] - c.sv[k]))) AS DOUBLE))
+        |           / CAST(c.cn AS DOUBLE) AS dist
+        |  FROM q CROSS JOIN cent c),
+        |own AS (SELECT vec_id, label, dist AS a FROM dl WHERE label = cl),
+        |oth AS (SELECT vec_id, MIN(dist) AS b FROM dl WHERE label <> cl
+        |        GROUP BY vec_id),
+        |srow AS (
+        |  SELECT o.label,
+        |         CASE WHEN GREATEST(a, b) > 0.0 THEN
+        |           CAST(ROUND((b - a) / GREATEST(a, b) * 1000000000)
+        |                AS BIGINT)
+        |         ELSE 0 END AS s_e9
+        |  FROM own o JOIN oth USING (vec_id))
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       CAST(SUM(s_e9) AS BIGINT) AS s_sum_e9,
+        |       CAST(ROUND(CAST(SUM(s_e9) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) / 1000000000.0
+        |         * 1000000) AS BIGINT) AS mean_s_e6
+        |FROM srow GROUP BY label
+        |ORDER BY label""".stripMargin,
     // Same full-grid cells; trace and Frobenius moments are exact
     // HUGEINT sums, one mirrored PR division e4.
     "q312_embed_effdim" ->

@@ -154,6 +154,47 @@ class Round9mSpec extends SparkTestBase {
     nmi.foreach(v => assert(v >= 0L && v <= 1000100L, s"NMI out of band: $v"))
   }
 
+  // --------------------------------------------------------------- q316
+
+  test("q316 silhouette: exact integer-moment replay; means within [-1, 1]") {
+    val rows = Tables.table(spark, sf, "embeddings")
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray.map(x => halfUp(x.toDouble * 1000))))
+    val byLabel = rows.groupBy(_._2)
+    val cent = byLabel.map { case (l, xs) =>
+      l -> ((xs.length.toLong,
+        Array.tabulate(64)(i => xs.map(x => BigInt(x._3(i))).sum)))
+    }
+    def dist(x: Array[Long], l: Long): Double = {
+      val (n, sv) = cent(l)
+      val a2 = (0 until 64).map { i =>
+        val t = BigInt(n) * x(i) - sv(i)
+        t * t
+      }.sum
+      math.sqrt(a2.toDouble) / n.toDouble
+    }
+    val labels = cent.keys.toSeq
+    val srows = rows.map { case (_, l, x) =>
+      val a = dist(x, l)
+      val b = labels.filter(_ != l).map(dist(x, _)).min
+      (l, if (math.max(a, b) > 0.0) halfUp((b - a) / math.max(a, b) * 1e9)
+          else 0L)
+    }
+    val expected = srows.groupBy(_._1).map { case (l, xs) =>
+      val ss = xs.map(x => BigInt(x._2)).sum.toLong
+      (l, xs.length.toLong, ss,
+        halfUp(ss.toDouble / xs.length.toDouble / 1e9 * 1e6))
+    }.toSet
+    val got = graft.ext.Similarity.q316(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    expected.foreach { case (_, _, _, m) =>
+      assert(m >= -1000000L && m <= 1000000L, s"mean silhouette out of band: $m")
+    }
+  }
+
   test("q315 NMI: e12 ln-term rounding margins hold at BOTH gate SFs") {
     Seq(sf, "/root/testdata/sf0.01").foreach { d =>
       val margin = nmiReplay(d)._7
