@@ -43,13 +43,17 @@ object DevScaleAudit {
         docs.select(
           (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
           translate(col("text"), "etaoin", perms(i)).as("text"),
-          col("source"))
+          col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionAll _)
       docs10.repartition(32).write.mode("overwrite").parquet(docsOut.toString)
+      // l_partkey rides along (offset per replica — the co-order /
+      // affinity graphs become 10 structure-identical disjoint shards).
       val li = Tables.table(s, base, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
       val li10 = (0 until 10).map { i =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 10000000L))
       }.reduce(_ unionAll _)
       li10.repartition(32).write.mode("overwrite").parquet(liOut.toString)
     }
@@ -69,6 +73,26 @@ object DevScaleAudit {
           .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
       }.reduce(_ unionAll _)
       ev10.repartition(32).write.mode("overwrite").parquet(evOut.toString)
+    }
+    val embOut = Paths.get(out, "embeddings.parquet")
+    if (!Files.exists(embOut)) {
+      Files.createDirectories(Paths.get(out))
+      // r9 addition — `embeddings` replicas for the geometry family:
+      // replica i offsets vec_id and flips a per-replica sign pattern
+      // over the dimensions (norms and label structure preserved,
+      // directions distinct across replicas — vector count ×10 with
+      // the same per-label geometry).
+      val emb = s.read.parquet(s"$base/embeddings.parquet")
+      val emb10 = (0 until 10).map { i =>
+        val signs = array((0 until 64).map { k =>
+          lit(if (((i >> (k % 4)) & 1) == 1) -1.0f else 1.0f)
+        }: _*)
+        emb.select(
+          (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+          zip_with(col("embedding"), signs, (x, sg) => x * sg).as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+      emb10.repartition(32).write.mode("overwrite").parquet(embOut.toString)
     }
   }
 
@@ -172,6 +196,26 @@ object DevScaleAudit {
       "ev_audience" -> (dir => SparkEntry.queries("q279_audience_overlap")(spark, dir)),
       "txt_source_cosine" -> (dir => SparkEntry.queries("q281_source_cosine")(spark, dir)),
       "ev_journey_end" -> (dir => SparkEntry.queries("q282_journey_end")(spark, dir)),
+      // r9 final batch — the q301-q316 shuffle shapes. ahash bands the
+      // digest bits (candidates bucket-local, docs ×10 disjoint
+      // shards); textrank's vocab grows ~10× with the translated
+      // replicas; LPA rides the support-2 affinity graph (shard-
+      // disjoint, edges ×10; timed via the UNCACHED body so the
+      // session memo can't hide the cost); kruskal collapses to the
+      // length value grid (value cardinality ~fixed, counts ×10);
+      // theil-sen rides the fixed calendar grid (pair join constant,
+      // only the first agg scans ×10); kcenter/silhouette/covcells
+      // are k·O(N), N·L, and d²-moment passes over vectors ×10.
+      "txt_ahash" -> (dir => SparkEntry.queries("q306_ahash_neardup")(spark, dir)),
+      "txt_textrank" -> (dir => SparkEntry.queries("q308_textrank")(spark, dir)),
+      "graph_lpa" -> (dir => ext.Graph.lpaLabelsFresh(spark, dir)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))),
+      "doc_kruskal" -> (dir => SparkEntry.queries("q302_kruskal_wallis")(spark, dir)),
+      "ev_theil_sen" -> (dir => SparkEntry.queries("q301_theil_sen")(spark, dir)),
+      "emb_kcenter" -> (dir => SparkEntry.queries("q311_kcenter_coreset")(spark, dir)),
+      "emb_silhouette" -> (dir => SparkEntry.queries("q316_silhouette")(spark, dir)),
+      "emb_covcells" -> (dir => ext.Similarity.covCellsFresh(spark, dir)
+        .groupBy().agg(sum(col("c")).as("s"))),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

@@ -645,7 +645,11 @@ object Graph {
   private val lpaCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def lpaLabels(s: SparkSession, dir: String): DataFrame =
-    lpaCache.computeIfAbsent((s, dir), { _ =>
+    lpaCache.computeIfAbsent((s, dir), { _ => lpaLabelsFresh(s, dir) })
+
+  /** Uncached LPA body — DevScaleAudit times this directly so the
+    * session memo cannot hide the 10x cost. */
+  private[graft] def lpaLabelsFresh(s: SparkSession, dir: String): DataFrame =
       Components.withSmallScope(s, 8) {
         import org.apache.spark.sql.expressions.Window
         // Min-support-2 affinity edges: parts co-ordered in >= 2
@@ -679,7 +683,6 @@ object Graph {
         }
         lab
       }
-    })
 
   def q310(s: SparkSession, dir: String): DataFrame =
     lpaLabels(s, dir)

@@ -1098,7 +1098,11 @@ object Similarity {
   private val covCellsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def covCellsFull(s: SparkSession, dir: String): DataFrame =
-    covCellsCache.computeIfAbsent((s, dir), { _ =>
+    covCellsCache.computeIfAbsent((s, dir), { _ => covCellsFresh(s, dir) })
+
+  /** Uncached covariance-cell body — DevScaleAudit times this directly
+    * so the session memo cannot hide the 10x cost. */
+  private[graft] def covCellsFresh(s: SparkSession, dir: String): DataFrame =
       emb(s, dir)
         .select(transform(col("embedding"),
           x => intScaled(x.cast("double"), 1000L)).as("qv"))
@@ -1114,7 +1118,6 @@ object Similarity {
               (col("n").cast("double") * col("n").cast("double")),
             1000000L).as("c"))
         .localCheckpoint(true)
-    })
 
   def q309(s: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
