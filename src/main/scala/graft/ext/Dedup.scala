@@ -779,7 +779,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q319 — transitivity (global clustering coefficient) of the q65
+    * near-dup candidate graph: 3·triangles/wedges over the simhash
+    * band pairs. THE threshold-calibration diagnostic for dedup:
+    * genuine near-duplication is (approximately) an equivalence
+    * relation, so a WELL-chosen threshold yields a near-transitive
+    * pair graph (clusters close their triangles); low transitivity
+    * means the bands are stitching unrelated docs through hub-like
+    * false positives — q102's components would then over-merge, and
+    * this number says so BEFORE the merge happens.
+    *
+    * All-integer: edge/degree/triangle counts exactly as q150 counts
+    * them (the degree-oriented wedge join), Σdeg(deg−1) for doubled
+    * wedges, one mirrored 2·(3T)/w2 division e6, NULL-guarded on a
+    * wedge-free graph.
+    *
+    * Scale: candidate pairs are band-local (q65's posture); the wedge
+    * join rides the degree-oriented cap. One-row output.
+    */
+  def q319(s: SparkSession, dir: String): DataFrame = {
+    val subset = docs(s, dir).filter(col("doc_id") < 1000)
+    val pairs = simhashBandPairs(
+      simhashN(subset, col("doc_id"), col("text"), bits = 60),
+      bits = 60, bands = 4, maxHamming = 2)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint(true)
+    val deg = pairs.select(col("src").as("id"))
+      .unionAll(pairs.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val w2 = deg.agg(
+      coalesce(sum(col("deg") * (col("deg") - 1L)), lit(0L)).as("w2"))
+    val tri3 = Graph.triangleCounts(pairs)
+      .agg(coalesce(sum(col("n_tri")), lit(0L)).as("tri3"))
+    pairs.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(w2)).crossJoin(broadcast(tri3))
+      .select(col("n_edges"),
+        expr("w2 DIV 2").as("wedges"),
+        expr("tri3 DIV 3").as("triangles"),
+        when(col("w2") > 0L,
+          Similarity.intScaled(
+            lit(2.0) * col("tri3").cast("double") / col("w2").cast("double"),
+            1000000L)).as("trans_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_neardup_transitivity" -> (q319 _),
     "q55_exact_dedup"      -> (q55 _),
     "q240_winnowing"       -> (q240 _),
     "q56_dedup_keep_first" -> (q56 _),
@@ -1073,6 +1117,30 @@ object Dedup {
        |ORDER BY inc_id, ref_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q65's candidate CTE + the canonical triangle join; exact
+    // edge/doubled-wedge/3T integers, one mirrored division e6.
+    "q319_neardup_transitivity" ->
+      s"""${simhashCandCte()},
+         |e AS (SELECT id_a AS a, id_b AS b FROM cand
+         |      WHERE bit_count(xor(ha, hb)) <= 2),
+         |deg AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY id),
+         |w2 AS (SELECT CAST(COALESCE(SUM(deg * (deg - 1)), 0) AS BIGINT)
+         |         AS w2 FROM deg),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1
+         |  JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |t3 AS (SELECT CAST(COUNT(*) * 3 AS BIGINT) AS tri3 FROM tri),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+         |SELECT n_edges, w2 // 2 AS wedges, tri3 // 3 AS triangles,
+         |       CASE WHEN w2 > 0 THEN
+         |         CAST(ROUND(2.0 * CAST(tri3 AS DOUBLE) / CAST(w2 AS DOUBLE)
+         |           * 1000000) AS BIGINT) END AS trans_e6
+         |FROM ne CROSS JOIN w2 CROSS JOIN t3""".stripMargin,
     "q55_exact_dedup" ->
       """SELECT source, COUNT(*) AS docs, COUNT(DISTINCT md5(text)) AS distinct_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

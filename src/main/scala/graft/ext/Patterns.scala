@@ -979,8 +979,55 @@ object Patterns {
       .orderBy("entry_type")
   }
 
+  /** q318 — frequent TRIPLE itemsets (Apriori level 3) over order
+    * baskets: part triples co-ordered in ≥ 2 distinct orders, with the
+    * anti-monotone pruning that makes Apriori scale — baskets are
+    * first restricted to items that appear in some frequent PAIR
+    * (support(triple) ≥ s ⇒ every sub-pair ≥ s, so pruned items
+    * cannot belong to any answer). q161 stops at pair rules; this is
+    * the level-3 basket signal (bundle detection, and in corpus work
+    * the 3-gram co-occurrence analog).
+    *
+    * All-integer (counts + total orders only — support ratios stay
+    * rational e6 via one mirrored division). Output ordered by the
+    * item triple — membership is count-decided, never float-ranked.
+    *
+    * Scale: the triple fan-out is C(basket, 3) per order AFTER the
+    * frequent-item semi-join (the Apriori prune) — basket sizes are
+    * bounded by order shape, not corpus size; the support agg is a
+    * map-side-combinable count on (a, b, c).
+    */
+  def q318(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true)
+    val f2 = li.select(col("o"), col("p").as("a"))
+      .join(li.select(col("o"), col("p").as("b")), "o")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 2L)
+    val fitems = f2.select(explode(array(col("a"), col("b"))).as("p")).distinct()
+    val lif = li.join(fitems, Seq("p"), "left_semi").localCheckpoint(true)
+    val nOrders = li.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+    lif.select(col("o"), col("p").as("pa"))
+      .join(lif.select(col("o"), col("p").as("pb")), "o")
+      .filter(col("pa") < col("pb"))
+      .join(lif.select(col("o"), col("p").as("pc")), "o")
+      .filter(col("pb") < col("pc"))
+      .groupBy(col("pa"), col("pb"), col("pc"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2L)
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("pc"), col("support"),
+        Similarity.intScaled(
+          col("support").cast("double") / col("n_orders").cast("double"),
+          1000000L).as("supp_e6"))
+      .orderBy("pa", "pb", "pc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q314_markov_absorption" -> (q314 _),
+    "q318_triple_itemsets"   -> (q318 _),
     "q301_theil_sen"       -> (q301 _),
     "q161_assoc_rules"     -> (q161 _),
     "q296_trending"        -> (q296 _),
@@ -1047,6 +1094,32 @@ object Patterns {
     // all-integer absorption rounds with the identical
     // (2·num + r) // (2r) half-up division.
     "q314_markov_absorption" -> markovAbsorptionOracle,
+    // Same distinct baskets, frequent-pair item prune, exact triple
+    // counts, one mirrored support division.
+    "q318_triple_itemsets" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |f2 AS (
+        |  SELECT a.p AS a, b.p AS b
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        |fitems AS (SELECT DISTINCT a AS p FROM f2
+        |           UNION SELECT DISTINCT b FROM f2),
+        |lif AS (SELECT li.o, li.p FROM li
+        |        WHERE li.p IN (SELECT p FROM fitems)),
+        |no AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+        |t AS (
+        |  SELECT a.p AS pa, b.p AS pb, c.p AS pc,
+        |         CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM lif a
+        |  JOIN lif b ON b.o = a.o AND a.p < b.p
+        |  JOIN lif c ON c.o = a.o AND b.p < c.p
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+        |SELECT pa, pb, pc, support,
+        |       CAST(ROUND(CAST(support AS DOUBLE) / CAST(n_orders AS DOUBLE)
+        |         * 1000000) AS BIGINT) AS supp_e6
+        |FROM t CROSS JOIN no
+        |ORDER BY pa, pb, pc""".stripMargin,
     // Same (type × day) calendar grid, per-pair mirrored double
     // division e6-gridded, exact-interpolation median doubled before
     // the BIGINT cast.

@@ -1361,7 +1361,71 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** q317 — alignment & uniformity of the embedding space (Wang &
+    * Isola, ICML'20): alignment = mean ‖x−y‖² over same-label
+    * neighbour pairs (how close semantically-positive pairs sit),
+    * uniformity = ln mean exp(−2‖x−y‖²) over fixed-offset pairs of the
+    * whole set (how evenly mass spreads on the unit sphere — near 0 =
+    * collapsed, strongly negative = uniform). THE modern
+    * representation-quality pair: a collapsed encoder aces alignment
+    * and flunks uniformity; q312's participation ratio sees the same
+    * failure through the eigenspectrum, this sees it through pair
+    * geometry.
+    *
+    * Determinism: pairs are FIXED id-offset joins (+1, +7919 for the
+    * uniformity mix; same-label lead-by-vec_id for alignment) — no
+    * RNG. On unit vectors ‖x−y‖² = 2−2·cos, and cos = dot/√(n²x·n²y)
+    * rides the EXACT integer dot and norm moments of the e3-quantized
+    * vectors — each pair's exp/cos value is ONE mirrored expression,
+    * e9-gridded BEFORE the exact sums (q232 discipline); the final ln
+    * is mirrored once and Round9nSpec pins the exp/ln grid margins at
+    * both gate SFs.
+    *
+    * Scale: two id-offset equi-joins + one label-keyed lead window —
+    * all N-sized, no pairwise stage; one-row output.
+    */
+  def q317(s: SparkSession, dir: String): DataFrame = {
+    val q = emb(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          x => intScaled(x.cast("double"), 1000L)).as("qv"))
+      .select(col("vec_id"), col("label"), col("qv"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x * x).as("n2"))
+      .filter(col("n2") > 0L)
+      .localCheckpoint(true)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, t) => acc + t)
+    def cos: Column =
+      dot(col("qv"), col("yqv")).cast("double") /
+        sqrt((col("n2") * col("yn2")).cast("double"))
+    val y = q.select(col("vec_id").as("yid"), col("qv").as("yqv"),
+      col("n2").as("yn2"))
+    val unif = Seq(1L, 7919L).map { o =>
+      q.join(y, col("yid") === col("vec_id") + lit(o))
+        .select(intScaled(exp(lit(4.0) * cos - lit(4.0)), 1000000000L)
+          .as("t"))
+    }.reduce(_ unionAll _)
+      .agg(count(lit(1)).as("n_unif"), sum(col("t")).as("st"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy("vec_id")
+    val align = q
+      .withColumn("yqv", lead(col("qv"), 1).over(w))
+      .withColumn("yn2", lead(col("n2"), 1).over(w))
+      .filter(col("yqv").isNotNull)
+      .select(intScaled(lit(2.0) - lit(2.0) * cos, 1000000000L).as("t"))
+      .agg(count(lit(1)).as("n_align"), sum(col("t")).as("sa"))
+    unif.crossJoin(broadcast(align))
+      .select(col("n_unif"), col("n_align"),
+        intScaled(
+          log(col("st").cast("double") / col("n_unif").cast("double") /
+            lit(1000000000.0)), 1000000L).as("uniformity_e6"),
+        intScaled(
+          col("sa").cast("double") / col("n_align").cast("double") /
+            lit(1000000000.0), 1000000L).as("align_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_align_uniformity" -> (q317 _),
     "q316_silhouette" -> (q316 _),
     "q311_kcenter_coreset" -> (q311 _),
     "q312_embed_effdim" -> (q312 _),
@@ -1567,6 +1631,56 @@ object Similarity {
     // integer squared distances, LEAST state, (md DESC, vec_id)
     // argmax; no float anywhere.
     "q311_kcenter_coreset" -> kcenterOracle,
+    // Same fixed-offset/lead pair sets, exact integer dot/norm
+    // moments, per-pair mirrored exp/cos e9-gridded before exact
+    // sums, mirrored final ln/mean (margins pinned in Round9nSpec).
+    "q317_align_uniformity" ->
+      """WITH q0 AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding,
+        |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, label, qv,
+        |         list_sum(list_transform(qv, x -> x * x)) AS n2
+        |  FROM q0
+        |  WHERE list_sum(list_transform(qv, x -> x * x)) > 0),
+        |up AS (
+        |  SELECT a.qv AS qv, a.n2 AS n2, b.qv AS yqv, b.n2 AS yn2
+        |  FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+        |  UNION ALL
+        |  SELECT a.qv, a.n2, b.qv, b.n2
+        |  FROM q a JOIN q b ON b.vec_id = a.vec_id + 7919),
+        |ut AS (
+        |  SELECT CAST(ROUND(exp(
+        |    4.0 * (CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |                   k -> qv[k] * yqv[k])) AS DOUBLE)
+        |           / SQRT(CAST(n2 * yn2 AS DOUBLE))) - 4.0)
+        |    * 1000000000) AS BIGINT) AS t
+        |  FROM up),
+        |un AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_unif,
+        |              CAST(SUM(t) AS BIGINT) AS st FROM ut),
+        |ap AS (
+        |  SELECT qv, n2,
+        |         LEAD(qv) OVER (PARTITION BY label ORDER BY vec_id) AS yqv,
+        |         LEAD(n2) OVER (PARTITION BY label ORDER BY vec_id) AS yn2
+        |  FROM q),
+        |at AS (
+        |  SELECT CAST(ROUND((2.0 - 2.0 *
+        |    (CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |             k -> qv[k] * yqv[k])) AS DOUBLE)
+        |     / SQRT(CAST(n2 * yn2 AS DOUBLE))))
+        |    * 1000000000) AS BIGINT) AS t
+        |  FROM ap WHERE yqv IS NOT NULL),
+        |an AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_align,
+        |              CAST(SUM(t) AS BIGINT) AS sa FROM at)
+        |SELECT n_unif, n_align,
+        |       CAST(ROUND(ln(CAST(st AS DOUBLE) / CAST(n_unif AS DOUBLE)
+        |                     / 1000000000.0) * 1000000) AS BIGINT)
+        |         AS uniformity_e6,
+        |       CAST(ROUND(CAST(sa AS DOUBLE) / CAST(n_align AS DOUBLE)
+        |                  / 1000000000.0 * 1000000) AS BIGINT) AS align_e6
+        |FROM un CROSS JOIN an""".stripMargin,
     // Same exact Σ(n·x−S)² integer distance moments, ONE mirrored
     // sqrt/n per (row, centroid), per-row silhouette e9-gridded
     // before the exact per-label sum, mirrored mean chain.
