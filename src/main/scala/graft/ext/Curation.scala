@@ -634,7 +634,68 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q320 — labeling-function conflict matrix (the Snorkel-style weak-
+    * supervision diagnostic): four keep/drop/abstain rules over
+    * documents — length, unique-token ratio, stopword presence, digit
+    * mass — reported pairwise as overlap (both vote), agreement (same
+    * non-zero vote) and conflict (opposite votes) rates. THE table a
+    * weak-supervision pipeline reads before combining noisy quality
+    * rules into one label: high-conflict pairs need arbitration, and a
+    * rule that never overlaps anything adds no evidence. q313 tests
+    * ONE pair's disagreement direction; this maps the whole rule set.
+    *
+    * All-integer votes (every threshold is an integer cross-
+    * multiplication — no division anywhere in the rules); the two
+    * rates are mirrored divisions of exact counts e6-gridded,
+    * NULL-guarded on zero overlap. One scan, one 18-sum agg, 6-row
+    * static fan-out — nothing is corpus-sized after the agg.
+    */
+  def q320(s: SparkSession, dir: String): DataFrame = {
+    val nw = size(split(col("text"), " ")).cast("long")
+    val nu = size(array_distinct(split(col("text"), " "))).cast("long")
+    val st = size(filter(split(col("text"), " "),
+      w => w.isin("a", "the"))).cast("long")
+    val dg = length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+    def vote(pos: Column, neg: Column): Column =
+      when(pos, lit(1L)).when(neg, lit(-1L)).otherwise(lit(0L))
+    val votes = docs(s, dir).select(
+      vote(col("n_chars") >= 300L, col("n_chars") < 100L).as("v0"),
+      vote(lit(2L) * nu >= nw, lit(4L) * nu < nw).as("v1"),
+      vote(lit(20L) * st >= nw, st === 0L).as("v2"),
+      vote(lit(20L) * dg < col("n_chars"),
+        lit(5L) * dg > col("n_chars")).as("v3"))
+    val names = Seq("len", "unique", "stop", "digit")
+    val pairs = for (i <- 0 until 4; j <- i + 1 until 4) yield (i, j)
+    val aggd = votes.agg(count(lit(1)).as("n"),
+      pairs.flatMap { case (i, j) =>
+        Seq(
+          sum((col(s"v$i") =!= 0L && col(s"v$j") =!= 0L).cast("long"))
+            .as(s"ov_${i}_$j"),
+          sum((col(s"v$i") =!= 0L && col(s"v$i") === col(s"v$j"))
+            .cast("long")).as(s"ag_${i}_$j"),
+          sum((col(s"v$i") * col(s"v$j") === -1L).cast("long"))
+            .as(s"cf_${i}_$j"))
+      }: _*)
+    aggd.select(explode(array(pairs.map { case (i, j) =>
+        struct(lit(names(i)).as("lf_a"), lit(names(j)).as("lf_b"),
+          col(s"ov_${i}_$j").as("n_overlap"),
+          col(s"ag_${i}_$j").as("n_agree"),
+          col(s"cf_${i}_$j").as("n_conflict"))
+      }: _*)).as("p"))
+      .select(col("p.lf_a"), col("p.lf_b"), col("p.n_overlap"),
+        col("p.n_agree"), col("p.n_conflict"),
+        when(col("p.n_overlap") > 0L, Similarity.intScaled(
+          col("p.n_agree").cast("double") / col("p.n_overlap").cast("double"),
+          1000000L)).as("agree_e6"),
+        when(col("p.n_overlap") > 0L, Similarity.intScaled(
+          col("p.n_conflict").cast("double") /
+            col("p.n_overlap").cast("double"),
+          1000000L)).as("conflict_e6"))
+      .orderBy("lf_a", "lf_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_lf_conflicts" -> (q320 _),
     "q232_psi_drift"      -> (q232 _),
     "q272_lang_kappa"     -> (q272 _),
     "q295_source_diversity" -> (q295 _),
@@ -650,7 +711,54 @@ object Curation {
     "q268_sensitivity_audit" -> (q268 _),
   )
 
+  private val lfConflictsOracle: String = {
+    val names = Seq("len", "unique", "stop", "digit")
+    val pairs = for (i <- 0 until 4; j <- i + 1 until 4) yield (i, j)
+    val sums = pairs.flatMap { case (i, j) =>
+      Seq(
+        s"CAST(SUM(CASE WHEN v$i <> 0 AND v$j <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ov_${i}_$j",
+        s"CAST(SUM(CASE WHEN v$i <> 0 AND v$i = v$j THEN 1 ELSE 0 END) AS BIGINT) AS ag_${i}_$j",
+        s"CAST(SUM(CASE WHEN v$i * v$j = -1 THEN 1 ELSE 0 END) AS BIGINT) AS cf_${i}_$j")
+    }.mkString(",\n         ")
+    val rows = pairs.map { case (i, j) =>
+      s"""SELECT '${names(i)}' AS lf_a, '${names(j)}' AS lf_b,
+         |  ov_${i}_$j AS n_overlap, ag_${i}_$j AS n_agree,
+         |  cf_${i}_$j AS n_conflict,
+         |  CASE WHEN ov_${i}_$j > 0 THEN CAST(ROUND(CAST(ag_${i}_$j AS DOUBLE)
+         |    / CAST(ov_${i}_$j AS DOUBLE) * 1000000) AS BIGINT) END AS agree_e6,
+         |  CASE WHEN ov_${i}_$j > 0 THEN CAST(ROUND(CAST(cf_${i}_$j AS DOUBLE)
+         |    / CAST(ov_${i}_$j AS DOUBLE) * 1000000) AS BIGINT) END AS conflict_e6
+         |FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT
+       |    CASE WHEN n_chars >= 300 THEN 1
+       |         WHEN n_chars < 100 THEN -1 ELSE 0 END AS v0,
+       |    CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+       |              >= len(string_split(text, ' ')) THEN 1
+       |         WHEN 4 * len(list_distinct(string_split(text, ' ')))
+       |              < len(string_split(text, ' ')) THEN -1 ELSE 0 END AS v1,
+       |    CASE WHEN 20 * len(list_filter(string_split(text, ' '),
+       |                        w -> w IN ('a', 'the')))
+       |              >= len(string_split(text, ' ')) THEN 1
+       |         WHEN len(list_filter(string_split(text, ' '),
+       |                   w -> w IN ('a', 'the'))) = 0 THEN -1 ELSE 0 END AS v2,
+       |    CASE WHEN 20 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+       |              < n_chars THEN 1
+       |         WHEN 5 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+       |              > n_chars THEN -1 ELSE 0 END AS v3
+       |  FROM documents),
+       |a AS (SELECT $sums
+       |      FROM v)
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY lf_a, lf_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // Same integer cross-multiplied vote rules (keep/drop/abstain),
+    // one 18-sum agg, 6 mirrored pair rows, e6 rate divisions.
+    "q320_lf_conflicts" -> lfConflictsOracle,
     // Composes the q108 gram census (per source), the q140 gridded
     // quality mean, and token shares; the health rank compares only
     // the already-gridded integers.

@@ -111,6 +111,48 @@ class Round9nSpec extends SparkTestBase {
     }
   }
 
+  // --------------------------------------------------------------- q320
+
+  test("q320 LF conflicts: exact vote replay; agree+conflict <= overlap") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select($"n_chars", $"text").collect()
+      .map { r =>
+        val (nc, t) = (r.getLong(0), r.getString(1))
+        val ws = t.split(" ", -1)
+        val nw = ws.length.toLong
+        val nu = ws.distinct.length.toLong
+        val st = ws.count(w => w == "a" || w == "the").toLong
+        val dg = t.count(_.isDigit).toLong
+        def vote(pos: Boolean, neg: Boolean): Long =
+          if (pos) 1L else if (neg) -1L else 0L
+        Array(
+          vote(nc >= 300, nc < 100),
+          vote(2 * nu >= nw, 4 * nu < nw),
+          vote(20 * st >= nw, st == 0),
+          vote(20 * dg < nc, 5 * dg > nc))
+      }
+    val names = Seq("len", "unique", "stop", "digit")
+    val expected = (for (i <- 0 until 4; j <- i + 1 until 4) yield {
+      val ov = docs.count(v => v(i) != 0 && v(j) != 0).toLong
+      val ag = docs.count(v => v(i) != 0 && v(i) == v(j)).toLong
+      val cf = docs.count(v => v(i) * v(j) == -1).toLong
+      (names(i), names(j), ov, ag, cf,
+        if (ov > 0) Some(halfUp(ag.toDouble / ov.toDouble * 1e6)) else None,
+        if (ov > 0) Some(halfUp(cf.toDouble / ov.toDouble * 1e6)) else None)
+    }).toSet
+    val got = graft.ext.Curation.q320(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSet
+    assert(got == expected)
+    expected.foreach { case (_, _, ov, ag, cf, _, _) =>
+      assert(ag + cf <= ov, "agreements + conflicts exceed overlap")
+    }
+    // The rule set is not degenerate on the fixture: some pair overlaps.
+    assert(expected.exists(_._3 > 0))
+  }
+
   // --------------------------------------------------------------- q319
 
   test("q319 transitivity: exact replay off the q65 pair set; bounds hold") {
