@@ -822,7 +822,57 @@ object Dedup {
             1000000L)).as("trans_e6"))
   }
 
+  /** q321 — dedup-signal agreement: how much do the TEXTUAL near-dup
+    * candidates (q65's simhash bands over doc text) and the SEMANTIC
+    * ones (q66's label-blocked embedding pairs at cos ≥ 0.3) agree on
+    * the same id space? The multi-signal arbitration row a production
+    * dedup pass reads before choosing its drop policy: high overlap =
+    * either signal suffices; text-only mass = boilerplate/templates
+    * (same words, different meaning-space); embed-only mass =
+    * paraphrase duplication that lexical hashing cannot see (the case
+    * SemDeDup/q123 exists for).
+    *
+    * Pair membership on both sides is decided by canonical integers
+    * (exact Hamming ≤ 2; e2-gridded cosine ≥ 30 — the q66 threshold
+    * discipline, margin-pinned there); counts and Jaccard are exact
+    * integers + one mirrored division. Both pair sets are bounded
+    * (band-local / label-blocked with the q65/q66 probe bounds), so
+    * the full-outer alignment join is candidate-sized.
+    */
+  def q321(s: SparkSession, dir: String): DataFrame = {
+    val tp = simhashBandPairs(
+      simhashN(docs(s, dir).filter(col("doc_id") < 1000),
+        col("doc_id"), col("text"), bits = 60),
+      bits = 60, bands = 4, maxHamming = 2)
+      .select(col("id_a").as("a"), col("id_b").as("b"), lit(1L).as("t"))
+    val unit = Similarity.withUnitVec(
+        graft.Tables.table(s, dir, "embeddings"), "embedding", "u")
+      .filter(col("vec_id") < 1000)
+      .select(col("label"), col("vec_id"), col("u"))
+    val ep = unit.select(col("label"), col("vec_id").as("a"), col("u").as("ua"))
+      .join(unit.select(col("label"), col("vec_id").as("b"), col("u").as("ub")),
+        "label")
+      .filter(col("a") < col("b"))
+      .filter(Similarity.intScaled(
+        Similarity.dot(col("ua"), col("ub")), 100L) >= 30L)
+      .select(col("a"), col("b"), lit(1L).as("e"))
+    tp.join(ep, Seq("a", "b"), "full_outer")
+      .select(coalesce(col("t"), lit(0L)).as("t"),
+        coalesce(col("e"), lit(0L)).as("e"))
+      .agg(
+        coalesce(sum(col("t")), lit(0L)).as("n_text_pairs"),
+        coalesce(sum(col("e")), lit(0L)).as("n_embed_pairs"),
+        coalesce(sum(col("t") * col("e")), lit(0L)).as("n_both"),
+        coalesce(count(lit(1)), lit(0L)).as("n_union"))
+      .select(col("n_text_pairs"), col("n_embed_pairs"), col("n_both"),
+        when(col("n_union") > 0L,
+          Similarity.intScaled(
+            col("n_both").cast("double") / col("n_union").cast("double"),
+            1000000L)).as("jaccard_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_dedup_signal_overlap" -> (q321 _),
     "q319_neardup_transitivity" -> (q319 _),
     "q55_exact_dedup"      -> (q55 _),
     "q240_winnowing"       -> (q240 _),
@@ -1117,6 +1167,33 @@ object Dedup {
        |ORDER BY inc_id, ref_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q65's candidate CTE + q66's cosine threshold (both membership
+    // tests canonical-integer-decided), exact counts, one mirrored
+    // Jaccard division.
+    "q321_dedup_signal_overlap" ->
+      s"""${simhashCandCte()},
+         |tp AS (SELECT id_a AS a, id_b AS b FROM cand
+         |       WHERE bit_count(xor(ha, hb)) <= 2),
+         |ep AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM embeddings x JOIN embeddings y
+         |    ON x.label = y.label AND x.vec_id < y.vec_id
+         |  WHERE x.vec_id < 1000 AND y.vec_id < 1000
+         |    AND CAST(ROUND(list_cosine_similarity(
+         |          CAST(x.embedding AS DOUBLE[]),
+         |          CAST(y.embedding AS DOUBLE[])) * 100) AS BIGINT) >= 30),
+         |f AS (
+         |  SELECT CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END AS t,
+         |         CASE WHEN e.a IS NOT NULL THEN 1 ELSE 0 END AS e
+         |  FROM tp t FULL OUTER JOIN ep e ON t.a = e.a AND t.b = e.b)
+         |SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_text_pairs,
+         |       CAST(COALESCE(SUM(e), 0) AS BIGINT) AS n_embed_pairs,
+         |       CAST(COALESCE(SUM(t * e), 0) AS BIGINT) AS n_both,
+         |       CASE WHEN COUNT(*) > 0 THEN
+         |         CAST(ROUND(CAST(SUM(t * e) AS DOUBLE)
+         |           / CAST(COUNT(*) AS DOUBLE) * 1000000) AS BIGINT)
+         |       END AS jaccard_e6
+         |FROM f""".stripMargin,
     // q65's candidate CTE + the canonical triangle join; exact
     // edge/doubled-wedge/3T integers, one mirrored division e6.
     "q319_neardup_transitivity" ->

@@ -111,6 +111,43 @@ class Round9nSpec extends SparkTestBase {
     }
   }
 
+  // --------------------------------------------------------------- q321
+
+  test("q321 dedup-signal overlap: set algebra over certified pair sets; cos margins tracked") {
+    val tp = graft.ext.Dedup.q65(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Tables.table(spark, sf, "embeddings")
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray.map(_.toDouble)))
+      .filter(_._1 < 1000)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    var minMargin = Double.MaxValue
+    val ep = (for {
+      a <- rows; b <- rows
+      if a._2 == b._2 && a._1 < b._1
+    } yield {
+      val sim = unit(a._3).zip(unit(b._3)).map { case (x, y) => x * y }.sum
+      minMargin = math.min(minMargin, boundaryMargin(sim * 100))
+      ((a._1, b._1), halfUp(sim * 100) >= 30)
+    }).filter(_._2).map(_._1).toSet
+    val both = (tp & ep).size.toLong
+    val union = (tp | ep).size.toLong
+    val expected = (tp.size.toLong, ep.size.toLong, both,
+      if (union > 0) Some(halfUp(both.toDouble / union.toDouble * 1e6))
+      else None)
+    val got = graft.ext.Dedup.q321(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      if (got.isNullAt(3)) None else Some(got.getLong(3))) == expected)
+    // 64-term unit-dot drift is ~1e-13 relative (≈1e-11 on the e2
+    // scale); the observed minimum margin is ~2e-5 — six orders above
+    // the drift. 1e-6 is the alarm floor, not the observed value.
+    assert(minMargin > 1e-6, s"cosine e2 threshold margin collapsed: $minMargin")
+  }
+
   // --------------------------------------------------------------- q320
 
   test("q320 LF conflicts: exact vote replay; agree+conflict <= overlap") {
