@@ -1025,9 +1025,54 @@ object Patterns {
       .orderBy("pa", "pb", "pc")
   }
 
+  /** q322 — Wald SPRT trace over daily conversion (sequential A/B
+    * monitoring): for the user_id%2=1 cohort, the cumulative
+    * log-likelihood ratio of "purchase share of events = 12%" (H1)
+    * against "= 10%" (H0), day by day, with the classic α=β=0.05
+    * decision bounds ±ln 19. THE always-valid sequential monitor —
+    * q274's Wilson CI answers "what is the rate" post hoc; SPRT
+    * answers "may I stop the experiment TODAY", which fixed-horizon
+    * tests cannot do without alpha-spending.
+    *
+    * Float discipline: the per-day term x·ln(p1/p0) + (n−x)·ln(q1/q0)
+    * multiplies EXACT integer daily counts by two ln CONSTANTS each
+    * engine computes from the same literals; terms are e9-gridded per
+    * day BEFORE the exact cumulative sum (q232), and the decision
+    * compares gridded integers to the gridded ±ln 19 bound — no raw
+    * double ever crosses a boundary (margins pinned in Round9oSpec).
+    *
+    * Scale: events collapse map-side to the (day) calendar grid; the
+    * cumsum window rides that value-bounded grid (q238 posture).
+    */
+  def q322(s: SparkSession, dir: String): DataFrame = {
+    val l1 = log(lit(0.12) / lit(0.10))
+    val l0 = log(lit(0.88) / lit(0.90))
+    val bound = Similarity.intScaled(log(lit(19.0)), 1000000000L)
+    val daily = Tables.events(s, dir)
+      .filter(col("user_id") % 2L === 1L)
+      .select((col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"),
+        (col("event_type") === "purchase").cast("long").as("p"))
+      .groupBy(expr("us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("x"))
+    val term = Similarity.intScaled(
+      col("x").cast("double") * l1 + (col("n") - col("x")).cast("double") * l0,
+      1000000000L)
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .select(col("day"), col("n"), col("x"), term.as("t"))
+      .withColumn("llr_e9", sum(col("t")).over(w))
+      .select(col("day"), col("n"), col("x"), col("llr_e9"),
+        when(col("llr_e9") >= bound, lit("accept_h1"))
+          .when(col("llr_e9") <= -bound, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q314_markov_absorption" -> (q314 _),
     "q318_triple_itemsets"   -> (q318 _),
+    "q322_sprt_trace"        -> (q322 _),
     "q301_theil_sen"       -> (q301 _),
     "q161_assoc_rules"     -> (q161 _),
     "q296_trending"        -> (q296 _),
@@ -1094,6 +1139,36 @@ object Patterns {
     // all-integer absorption rounds with the identical
     // (2·num + r) // (2r) half-up division.
     "q314_markov_absorption" -> markovAbsorptionOracle,
+    // Same cohort/day grid, mirrored ln-constant terms e9-gridded per
+    // day before the exact cumsum, gridded-integer decision bounds.
+    "q322_sprt_trace" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events WHERE user_id % 2 = 1
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT day, n, x,
+        |         CAST(ROUND((CAST(x AS DOUBLE) * ln(0.12 / 0.10)
+        |           + CAST(n - x AS DOUBLE) * ln(0.88 / 0.90))
+        |           * 1000000000) AS BIGINT) AS t
+        |  FROM daily),
+        |c AS (
+        |  SELECT day, n, x,
+        |         CAST(SUM(t) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS llr_e9
+        |  FROM t)
+        |SELECT day, n, x, llr_e9,
+        |       CASE WHEN llr_e9 >= CAST(ROUND(ln(19.0) * 1000000000)
+        |                                AS BIGINT) THEN 'accept_h1'
+        |            WHEN llr_e9 <= -CAST(ROUND(ln(19.0) * 1000000000)
+        |                                 AS BIGINT) THEN 'accept_h0'
+        |            ELSE 'continue' END AS decision
+        |FROM c
+        |ORDER BY day""".stripMargin,
     // Same distinct baskets, frequent-pair item prune, exact triple
     // counts, one mirrored support division.
     "q318_triple_itemsets" ->

@@ -1424,7 +1424,59 @@ object Similarity {
             lit(1000000000.0), 1000000L).as("align_e6"))
   }
 
+  /** q323 — per-label embedding ingest-drift: cosine between each
+    * label's FIRST-half and SECOND-half centroid under vec_id order
+    * (the id-range midpoint split — the ingest-order proxy, the q291
+    * temporal-drift lens pointed at the embedding space). An encoder
+    * or upstream-content change mid-ingest drops this cosine below
+    * ~1 for every label at once; a single label drifting alone is a
+    * content shift in that slice. Complements q291 (text length
+    * drift) and q316/q312 (static geometry) with the TEMPORAL
+    * embedding monitor.
+    *
+    * Exactness: centroid cosine is scale-invariant, so it is computed
+    * on the UNNORMALIZED integer sum vectors — dot and norms are
+    * exact decimal(38) moments of the e3-quantized embeddings, and
+    * the only double is ONE mirrored sqrt division per label.
+    *
+    * Scale: one corpus pass collapses map-side to (label × half × 64)
+    * sums; everything after is label-bounded.
+    */
+  def q323(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val q = emb(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          x => intScaled(x.cast("double"), 1000L)).as("qv"))
+    val bounds = q.agg(min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx"))
+    val halves = q.crossJoin(broadcast(bounds))
+      .select(col("label"), col("qv"),
+        when(col("vec_id") <= expr("(mn + mx) DIV 2"), lit(0))
+          .otherwise(lit(1)).as("h"))
+    val sums = halves.groupBy(col("label"), col("h"))
+      .agg(count(lit(1)).as("n"),
+        (0 until 64).map(i => sum(col("qv").getItem(i)).as(s"s$i")): _*)
+      .select(col("label"), col("h"), col("n"),
+        array((0 until 64).map(i => col(s"s$i")): _*).as("sv"))
+    val a = sums.filter(col("h") === 0)
+      .select(col("label"), col("n").as("n_first"), col("sv").as("sa"))
+    val b = sums.filter(col("h") === 1)
+      .select(col("label"), col("n").as("n_second"), col("sv").as("sb"))
+    val dotc = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => x.cast(d38) * y),
+      lit(0).cast(d38), (acc, t) => acc + t)
+    def n2(c: String): Column = aggregate(col(c), lit(0).cast(d38),
+      (acc, x) => acc + x.cast(d38) * x)
+    a.join(b, "label")
+      .select(col("label"), col("n_first"), col("n_second"),
+        intScaled(
+          dotc.cast("double") / sqrt((n2("sa") * n2("sb")).cast("double")),
+          1000000L).as("drift_cos_e6"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_embed_drift" -> (q323 _),
     "q317_align_uniformity" -> (q317 _),
     "q316_silhouette" -> (q316 _),
     "q311_kcenter_coreset" -> (q311 _),
@@ -1631,6 +1683,42 @@ object Similarity {
     // integer squared distances, LEAST state, (md DESC, vec_id)
     // argmax; no float anywhere.
     "q311_kcenter_coreset" -> kcenterOracle,
+    // Same id-midpoint halves, exact HUGEINT sum-vector moments, one
+    // mirrored sqrt division per label.
+    "q323_embed_drift" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding,
+        |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |bounds AS (SELECT MIN(vec_id) AS mn, MAX(vec_id) AS mx FROM q),
+        |hv AS (
+        |  SELECT label, qv,
+        |         CASE WHEN vec_id <= (mn + mx) // 2 THEN 0 ELSE 1 END AS h
+        |  FROM q CROSS JOIN bounds),
+        |cn AS (SELECT label, h, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM hv GROUP BY 1, 2),
+        |di AS (
+        |  SELECT label, h, i.i AS i, CAST(SUM(qv[i.i + 1]) AS BIGINT) AS sx
+        |  FROM hv CROSS JOIN range(64) i(i) GROUP BY 1, 2, 3),
+        |sv AS (SELECT label, h, list(sx ORDER BY i) AS sv
+        |       FROM di GROUP BY 1, 2),
+        |a AS (SELECT sv.label, cn.n AS n_first, sv.sv AS sa
+        |      FROM sv JOIN cn USING (label, h) WHERE h = 0),
+        |b AS (SELECT sv.label, cn.n AS n_second, sv.sv AS sb
+        |      FROM sv JOIN cn USING (label, h) WHERE h = 1)
+        |SELECT a.label, n_first, n_second,
+        |       CAST(ROUND(
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |                k -> CAST(sa[k] AS HUGEINT) * sb[k])) AS DOUBLE)
+        |         / SQRT(CAST(
+        |             list_sum(list_transform(range(1, 65),
+        |               k -> CAST(sa[k] AS HUGEINT) * sa[k]))
+        |             * list_sum(list_transform(range(1, 65),
+        |               k -> CAST(sb[k] AS HUGEINT) * sb[k])) AS DOUBLE))
+        |         * 1000000) AS BIGINT) AS drift_cos_e6
+        |FROM a JOIN b ON b.label = a.label
+        |ORDER BY a.label""".stripMargin,
     // Same fixed-offset/lead pair sets, exact integer dot/norm
     // moments, per-pair mirrored exp/cos e9-gridded before exact
     // sums, mirrored final ln/mean (margins pinned in Round9nSpec).
