@@ -1025,6 +1025,46 @@ object Patterns {
       .orderBy("pa", "pb", "pc")
   }
 
+  /** q324 — Gamma method-of-moments fit of repeat-purchase intervals:
+    * day gaps between a user's consecutive purchases, fitted as
+    * Gamma(k, θ) via k = m²/v, θ = v/m. The renewal-process view of
+    * buying behaviour — k ≈ 1 is memoryless (exponential repurchase,
+    * the q299 Poisson world), k > 1 means paced/regular ordering,
+    * k < 1 bursty binges — which is what CRM re-engagement timing
+    * keys off. Completes the arc: q299 fits counts, q297 fits
+    * time-to-FIRST purchase, this fits the steady-state gap.
+    *
+    * All-integer day gaps off the user-keyed lead window; exact
+    * decimal(38) moments; m/v/k/θ are the q304 mirrored double chain
+    * with the exact integer zero-variance guard.
+    */
+  def q324(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("us DIV 86400000000").as("day"))
+      .withColumn("nxt", lead(col("day"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select((col("nxt") - col("day")).as("g"))
+    val mom = gaps.agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+      sum(col("g").cast(d38) * col("g")).as("qg"))
+    val m = col("sg").cast("double") / col("n").cast("double")
+    val v = (col("qg").cast("double") - m * col("sg").cast("double")) /
+      (col("n") - 1L).cast("double")
+    val varZero = col("n").cast(d38) * col("qg") ===
+      col("sg").cast(d38) * col("sg")
+    mom.select(col("n").as("n_gaps"),
+      Similarity.intScaled(m, 10000L).as("mean_days_e4"),
+      when(!varZero && col("n") > 1L,
+        Similarity.intScaled(m * m / v, 1000000L)).as("k_e6"),
+      when(!varZero && col("n") > 1L,
+        Similarity.intScaled(v / m, 10000L)).as("theta_e4"))
+  }
+
   /** q322 — Wald SPRT trace over daily conversion (sequential A/B
     * monitoring): for the user_id%2=1 cohort, the cumulative
     * log-likelihood ratio of "purchase share of events = 12%" (H1)
@@ -1073,6 +1113,7 @@ object Patterns {
     "q314_markov_absorption" -> (q314 _),
     "q318_triple_itemsets"   -> (q318 _),
     "q322_sprt_trace"        -> (q322 _),
+    "q324_gamma_repurchase"  -> (q324 _),
     "q301_theil_sen"       -> (q301 _),
     "q161_assoc_rules"     -> (q161 _),
     "q296_trending"        -> (q296 _),
@@ -1139,6 +1180,45 @@ object Patterns {
     // all-integer absorption rounds with the identical
     // (2·num + r) // (2r) half-up division.
     "q314_markov_absorption" -> markovAbsorptionOracle,
+    // Same user-keyed purchase lead window, integer day gaps, exact
+    // HUGEINT moments, mirrored m/v/k/θ chain with the exact integer
+    // zero-variance guard.
+    "q324_gamma_repurchase" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         LEAD(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT nxt - day AS g FROM p WHERE nxt IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(g) AS BIGINT) AS sg,
+        |         SUM(CAST(g AS HUGEINT) * g) AS qg
+        |  FROM g)
+        |SELECT n AS n_gaps,
+        |  CAST(ROUND(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) * 10000)
+        |       AS BIGINT) AS mean_days_e4,
+        |  CASE WHEN NOT (CAST(n AS HUGEINT) * qg
+        |                 = CAST(sg AS HUGEINT) * sg) AND n > 1 THEN
+        |    CAST(ROUND(
+        |      CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / ((CAST(qg AS DOUBLE)
+        |          - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)
+        |            * CAST(sg AS DOUBLE))
+        |         / CAST(n - 1 AS DOUBLE))
+        |      * 1000000) AS BIGINT) END AS k_e6,
+        |  CASE WHEN NOT (CAST(n AS HUGEINT) * qg
+        |                 = CAST(sg AS HUGEINT) * sg) AND n > 1 THEN
+        |    CAST(ROUND(
+        |      ((CAST(qg AS DOUBLE)
+        |        - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * CAST(sg AS DOUBLE))
+        |       / CAST(n - 1 AS DOUBLE))
+        |      / (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 10000) AS BIGINT) END AS theta_e4
+        |FROM m""".stripMargin,
     // Same cohort/day grid, mirrored ln-constant terms e9-gridded per
     // day before the exact cumsum, gridded-integer decision bounds.
     "q322_sprt_trace" ->

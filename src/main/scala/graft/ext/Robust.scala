@@ -967,7 +967,49 @@ object Robust {
             1000000L)).as("chi2_e6"))
   }
 
+  /** q326 — Gumbel (extreme-value) method-of-moments fit of DAILY
+    * MAXIMUM order value: location μ = m − γ·β, scale β = s·√6/π over
+    * the per-day max-cents series. The risk lens the mean-based
+    * dashboards miss — "how big is a 1-in-N-days order" is an
+    * extreme-value question (Fisher–Tippett puts daily maxima in the
+    * Gumbel domain), and the fitted (μ, β) answers it via the quantile
+    * μ − β·ln(−ln p). Completes the tail shelf: q280's Hill index
+    * measures the raw tail's heaviness, q294 fits the body, this
+    * models the MAXIMA process.
+    *
+    * Exactness: daily maxima are exact integer cents (max of exact
+    * values); moments ride decimal(38); β and μ are one mirrored
+    * double chain — π and the Euler–Mascheroni γ enter as the
+    * IDENTICAL decimal literals on both engines (spelled out, not
+    * pi(): a literal is the same IEEE double everywhere by
+    * construction, the q66-threshold constant discipline).
+    *
+    * Scale: orders collapse map-side to the day grid; the moment agg
+    * rides calendar-bounded rows.
+    */
+  def q326(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = t(s, dir, "orders")
+      .select(
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("day"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("day")).agg(max(col("c")).as("mx"))
+    val mom = daily.agg(count(lit(1)).as("n"), sum(col("mx")).as("sx"),
+      sum(col("mx").cast(d38) * col("mx")).as("qx"))
+    val m = col("sx").cast("double") / col("n").cast("double")
+    val v = (col("qx").cast("double") - m * col("sx").cast("double")) /
+      (col("n") - 1L).cast("double")
+    val beta = sqrt(v * lit(6.0)) / lit(3.141592653589793)
+    mom.select(col("n").as("n_days"),
+      Similarity.intScaled(m, 100L).as("mean_max_e2"),
+      Similarity.intScaled(beta, 100L).as("beta_e2"),
+      Similarity.intScaled(m - lit(0.5772156649015329) * beta, 100L)
+        .as("mu_e2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_gumbel_daily_max" -> (q326 _),
     "q313_mcnemar" -> (q313 _),
     "q302_kruskal_wallis" -> (q302 _),
     "q303_brown_forsythe" -> (q303 _),
@@ -990,6 +1032,35 @@ object Robust {
     ewmaCoefs.zipWithIndex.map { case (c, k) => s"($k, $c)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // Same exact daily max cents, HUGEINT moments, mirrored β/μ chain
+    // with π and γ as identical decimal literals on both engines.
+    "q326_gumbel_daily_max" ->
+      """WITH daily AS (
+        |  SELECT CAST(DATE_DIFF('day', DATE '1970-01-01',
+        |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |         MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT)) AS mx
+        |  FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(mx) AS BIGINT) AS sx,
+        |         SUM(CAST(mx AS HUGEINT) * mx) AS qx
+        |  FROM daily)
+        |SELECT n AS n_days,
+        |  CAST(ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 100)
+        |       AS BIGINT) AS mean_max_e2,
+        |  CAST(ROUND(SQRT(((CAST(qx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / CAST(n - 1 AS DOUBLE)) * 6.0) / 3.141592653589793
+        |    * 100) AS BIGINT) AS beta_e2,
+        |  CAST(ROUND((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - 0.5772156649015329 *
+        |      (SQRT(((CAST(qx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |           * CAST(sx AS DOUBLE))
+        |         / CAST(n - 1 AS DOUBLE)) * 6.0) / 3.141592653589793))
+        |    * 100) AS BIGINT) AS mu_e2
+        |FROM m""".stripMargin,
     // Same all-integer gate flags and 4-cell contingency, one
     // mirrored (b−c)²/(b+c) division e6, NULL on zero discordance.
     "q313_mcnemar" ->

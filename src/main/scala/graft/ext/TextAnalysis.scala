@@ -1147,8 +1147,39 @@ object TextAnalysis {
       .limit(30)
   }
 
+  /** q325 — hapax/dis-legomena lexical profile per source: type count,
+    * singleton (hapax) and doubleton types, token mass, and the hapax
+    * share of the vocabulary. The lexicographer's tail gauge: a feed
+    * whose hapax share collapses is template/boilerplate-dominated
+    * (its "vocabulary" is a fixed form), one whose share explodes is
+    * noise/OCR garbage — and hapax mass is exactly the N₁ that drives
+    * q290's Good-Turing unseen-probability, broken out per feed.
+    *
+    * All-integer counts off the (source, word) collapse + one
+    * mirrored share division (q161 pattern — bit-exact).
+    *
+    * Scale: map-side (source, word) tf collapse; everything after is
+    * vocabulary-bounded per source.
+    */
+  def q325(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("tf")).as("n_tokens"),
+        sum((col("tf") === 1L).cast("long")).as("n_hapax"),
+        sum((col("tf") === 2L).cast("long")).as("n_dis"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        col("n_hapax"), col("n_dis"),
+        Similarity.intScaled(
+          col("n_hapax").cast("double") / col("n_types").cast("double"),
+          1000000L).as("hapax_share_e6"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q307_fertility"    -> (q307 _),
+    "q325_hapax_profile" -> (q325 _),
     "q308_textrank"     -> (q308 _),
     "q50_text_stats"    -> (q50 _),
     "q51_lang_id"       -> (q51 _),
@@ -1277,6 +1308,27 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same (source, word) tf collapse, exact counts, one mirrored
+    // share division.
+    "q325_hapax_profile" ->
+      """WITH tf AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY source, w)
+        |SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hapax,
+        |       CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dis,
+        |       CAST(ROUND(CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+        |                       AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) * 1000000) AS BIGINT)
+        |         AS hapax_share_e6
+        |FROM tf GROUP BY source
+        |ORDER BY source""".stripMargin,
     // Same piece segmentation (alnum runs + per-char punct), exact
     // BIGINT sums, two mirrored divisions.
     "q307_fertility" ->

@@ -71,6 +71,83 @@ class Round9oSpec extends SparkTestBase {
     }
   }
 
+  // --------------------------------------------------------------- q324
+
+  test("q324 Gamma repurchase fit: exact moment replay; k·θ recomposes the mean") {
+    val gaps = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).values.toSeq.flatMap { xs =>
+        val days = xs.sortBy(x => (x._2, x._3))
+          .map(x => x._2 / 1000 / 86400000000L)
+        days.zip(days.tail).map { case (a, b) => b - a }
+      }
+    val n = gaps.length.toLong
+    val sg = gaps.sum
+    val qg = gaps.map(g => BigInt(g) * g).sum
+    val m = sg.toDouble / n.toDouble
+    val v = (qg.toDouble - m * sg.toDouble) / (n - 1).toDouble
+    val expected = (n, halfUp(m * 1e4),
+      halfUp(m * m / v * 1e6), halfUp(v / m * 1e4))
+    val got = graft.ext.Patterns.q324(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == expected)
+    // Moment closure: k·θ = m (to grid slack) and both positive.
+    val (k, th) = (expected._3 / 1e6, expected._4 / 1e4)
+    assert(k > 0 && th > 0 && math.abs(k * th - m) < 1e-2,
+      s"k*theta $k*$th != mean $m")
+  }
+
+  // --------------------------------------------------------------- q325
+
+  test("q325 hapax profile: exact tf replay; tail counts bounded by types") {
+    val tf = Tables.table(spark, sf, "documents")
+      .select($"source", $"text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map((r.getString(0), _)))
+      .groupBy(identity(_)).map { case (k, v) => (k, v.size.toLong) }
+    val expected = tf.groupBy(_._1._1).map { case (src, xs) =>
+      val types = xs.size.toLong
+      val hapax = xs.count(_._2 == 1L).toLong
+      (src, types, xs.values.sum, hapax, xs.count(_._2 == 2L).toLong,
+        halfUp(hapax.toDouble / types.toDouble * 1e6))
+    }.toSet
+    val got = graft.ext.TextAnalysis.q325(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    expected.foreach { case (_, ty, tk, h, d, _) =>
+      assert(h + d <= ty && ty <= tk)
+    }
+  }
+
+  // --------------------------------------------------------------- q326
+
+  test("q326 Gumbel daily-max fit: exact moment replay; mu sits gamma*beta under the mean") {
+    val daily = Tables.table(spark, sf, "orders")
+      .select($"o_orderdate".cast("date"), $"o_totalprice").collect()
+      .map { r =>
+        val day = r.getDate(0).toLocalDate.toEpochDay
+        val cents = new JBig(r.getDouble(1))
+          .setScale(2, RoundingMode.HALF_UP)
+          .scaleByPowerOfTen(2).longValueExact()
+        (day, cents)
+      }
+      .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).max) }
+    val n = daily.size.toLong
+    val sx = daily.values.sum
+    val qx = daily.values.map(x => BigInt(x) * x).sum
+    val m = sx.toDouble / n.toDouble
+    val v = (qx.toDouble - m * sx.toDouble) / (n - 1).toDouble
+    val beta = math.sqrt(v * 6.0) / 3.141592653589793
+    val expected = (n, halfUp(m * 100), halfUp(beta * 100),
+      halfUp((m - 0.5772156649015329 * beta) * 100))
+    val got = graft.ext.Robust.q326(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == expected)
+    assert(expected._3 > 0 && expected._4 < expected._2)
+  }
+
   // --------------------------------------------------------------- q323
 
   test("q323 embedding drift: exact sum-vector replay; cosine in [-1, 1]") {
