@@ -1065,6 +1065,95 @@ object Patterns {
         Similarity.intScaled(v / m, 10000L)).as("theta_e4"))
   }
 
+  /** q327 — attribution-window sensitivity curve: share of first-time
+    * clickers converting within {1, 24, 72, 168} hours of their FIRST
+    * click. q115 reports the unbounded conversion rate; this is the
+    * curve marketing actually argues about — how much "conversion"
+    * depends on the window you grant it, and where the curve knees.
+    * All-integer: first-click and first-subsequent-purchase are exact
+    * min aggs on the nanos ts, window tests are exact integer
+    * comparisons, and the four rates are mirrored divisions e6.
+    *
+    * Scale: two user-keyed aggs collapse events to one row per
+    * clicker; the window battery is a static 4-way fan-out of ONE
+    * one-row agg (no per-window rescans).
+    */
+  def q327(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("tb"))
+    val lag = firstClick.join(purch, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("tc"))
+      .agg(min(when(col("tb") >= col("tc"), col("tb"))).as("tconv"))
+      .select((col("tconv") - col("tc")).as("lag_ns"))
+    val wins = Seq(1L, 24L, 72L, 168L)
+    lag.agg(count(lit(1)).as("clickers"),
+        wins.map(h => sum((col("lag_ns").isNotNull &&
+          col("lag_ns") <= lit(h * 3600L * 1000000000L)).cast("long"))
+          .as(s"c$h")): _*)
+      .select(col("clickers"),
+        explode(array(wins.map(h =>
+          struct(lit(h).as("window_h"), col(s"c$h").as("converted"))): _*))
+          .as("x"))
+      .select(col("x.window_h"), col("clickers"), col("x.converted"),
+        Similarity.intScaled(
+          col("x.converted").cast("double") / col("clickers").cast("double"),
+          1000000L).as("rate_e6"))
+      .orderBy("window_h")
+  }
+
+  /** q328 — price elasticity of demand per brand: the log-log OLS
+    * slope of quantity on unit price over lineitem transactions.
+    * q286 reports the raw discount↔volume correlation; elasticity is
+    * the ECONOMIC version — % quantity change per % price change —
+    * and the number a pricing engine consumes. Slope < −1 = elastic
+    * (revenue falls when price rises), −1 < slope ≤ 0 inelastic.
+    *
+    * Float discipline: ln(unit price) and ln(qty) are e9-gridded PER
+    * ROW (q294's per-row gridding — the only libm op), then ALL OLS
+    * moments are exact decimal(38) integer sums and the slope is one
+    * mirrored (nΣxy − ΣxΣy)/(nΣx² − Σx²) division e6 with the exact
+    * integer zero-variance guard (q264 discipline).
+    *
+    * Scale: one lineitem scan collapses map-side to brand moments
+    * after a broadcast part join; brand-bounded thereafter.
+    */
+  def q328(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.table(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+    val rows = li
+      .join(Tables.table(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey")
+      .select(col("p_brand").as("brand"),
+        Similarity.intScaled(
+          log(col("cents").cast("double") / col("qty").cast("double")),
+          1000000000L).as("x"),
+        Similarity.intScaled(log(col("qty").cast("double")), 1000000000L)
+          .as("y"))
+    val mom = rows.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"))
+    val num = col("n").cast(d38) * col("sxy") -
+      col("sx").cast(d38) * col("sy")
+    val den = col("n").cast(d38) * col("sxx") -
+      col("sx").cast(d38) * col("sx")
+    mom.select(col("brand"), col("n").as("n_lines"),
+        when(den =!= lit(0).cast(d38),
+          Similarity.intScaled(
+            num.cast("double") / den.cast("double"), 1000000L))
+          .as("elasticity_e6"))
+      .orderBy("brand")
+  }
+
   /** q322 — Wald SPRT trace over daily conversion (sequential A/B
     * monitoring): for the user_id%2=1 cohort, the cumulative
     * log-likelihood ratio of "purchase share of events = 12%" (H1)
@@ -1114,6 +1203,8 @@ object Patterns {
     "q318_triple_itemsets"   -> (q318 _),
     "q322_sprt_trace"        -> (q322 _),
     "q324_gamma_repurchase"  -> (q324 _),
+    "q327_conversion_windows" -> (q327 _),
+    "q328_price_elasticity"  -> (q328 _),
     "q301_theil_sen"       -> (q301 _),
     "q161_assoc_rules"     -> (q161 _),
     "q296_trending"        -> (q296 _),
@@ -1180,6 +1271,74 @@ object Patterns {
     // all-integer absorption rounds with the identical
     // (2·num + r) // (2r) half-up division.
     "q314_markov_absorption" -> markovAbsorptionOracle,
+    // Same first-click/first-purchase min aggs (µs lags ≡ the engine's
+    // ns lags ×1000 exactly), integer window tests, mirrored rates.
+    "q327_conversion_windows" ->
+      """WITH fc AS (
+        |  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS tc
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |pc AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tb
+        |       FROM events WHERE event_type = 'purchase'),
+        |lg AS (
+        |  SELECT fc.user_id, fc.tc,
+        |         MIN(CASE WHEN tb >= tc THEN tb END) AS tconv
+        |  FROM fc LEFT JOIN pc ON pc.user_id = fc.user_id
+        |  GROUP BY fc.user_id, fc.tc),
+        |l AS (SELECT tconv - tc AS lag_us FROM lg),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS clickers,
+        |    CAST(SUM(CASE WHEN lag_us IS NOT NULL
+        |          AND lag_us <= 1 * 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(SUM(CASE WHEN lag_us IS NOT NULL
+        |          AND lag_us <= 24 * 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c24,
+        |    CAST(SUM(CASE WHEN lag_us IS NOT NULL
+        |          AND lag_us <= 72 * 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c72,
+        |    CAST(SUM(CASE WHEN lag_us IS NOT NULL
+        |          AND lag_us <= 168 * 3600000000 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS c168
+        |  FROM l)
+        |SELECT window_h, clickers, converted,
+        |       CAST(ROUND(CAST(converted AS DOUBLE)
+        |         / CAST(clickers AS DOUBLE) * 1000000) AS BIGINT) AS rate_e6
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS window_h, clickers, c1 AS converted
+        |  FROM a
+        |  UNION ALL SELECT 24, clickers, c24 FROM a
+        |  UNION ALL SELECT 72, clickers, c72 FROM a
+        |  UNION ALL SELECT 168, clickers, c168 FROM a)
+        |ORDER BY window_h""".stripMargin,
+    // Same per-row e9-gridded ln(unit price)/ln(qty), exact HUGEINT
+    // OLS moments, one mirrored slope division with the exact
+    // zero-variance guard.
+    "q328_price_elasticity" ->
+      """WITH r AS (
+        |  SELECT p_brand AS brand,
+        |    CAST(ROUND(ln(
+        |      CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(l_quantity AS BIGINT) AS DOUBLE))
+        |      * 1000000000) AS BIGINT) AS x,
+        |    CAST(ROUND(ln(CAST(CAST(l_quantity AS BIGINT) AS DOUBLE))
+        |      * 1000000000) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |m AS (
+        |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |         SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM r GROUP BY brand)
+        |SELECT brand, n AS n_lines,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0
+        |  THEN CAST(ROUND(
+        |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |         AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |           AS DOUBLE)
+        |    * 1000000) AS BIGINT) END AS elasticity_e6
+        |FROM m ORDER BY brand""".stripMargin,
     // Same user-keyed purchase lead window, integer day gaps, exact
     // HUGEINT moments, mirrored m/v/k/θ chain with the exact integer
     // zero-variance guard.
