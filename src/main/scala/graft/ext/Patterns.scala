@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1065,6 +1065,61 @@ object Patterns {
         Similarity.intScaled(v / m, 10000L)).as("theta_e4"))
   }
 
+  /** q329 — strictly-ORDERED session funnel view→click→purchase: a
+    * session completes step k only if step k's event occurs AFTER the
+    * time at which steps 1..k−1 were first satisfied. q115 counts
+    * user-level unordered conversion and q293 looks only at the entry
+    * event; the ordered in-session path is what a UX funnel actually
+    * means — "saw, then clicked what they saw, then bought after
+    * clicking". Sessions are q37's exact 12h-gap sessions.
+    *
+    * All-integer: session keys ride the audited q37 window; the three
+    * step times are nested min-when aggs (tV, then first click > tV,
+    * then first purchase > tC) — two session-keyed self-joins, no
+    * per-event state; rates are mirrored divisions e6.
+    *
+    * Scale: one user-keyed session window, then three aggs + two
+    * joins ALL keyed on (user, sess) — the q37 audited posture;
+    * one-row output.
+    */
+  def q329(s: SparkSession, dir: String): DataFrame = {
+    val gapNs = 12L * 3600 * 1000 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(w)
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("nf",
+        when(prev.isNull || (col("ts") - prev) > gapNs, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("nf")).over(run))
+      .select(col("user_id"), col("sess"), col("ts"), col("event_type"))
+      .localCheckpoint(true) // branched: base agg + two step joins
+    val k = Seq("user_id", "sess")
+    val tv = sess.groupBy(k.map(col): _*)
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"))
+    val tc = sess.join(tv, k)
+      .groupBy(k.map(col): _*)
+      .agg(min(when(col("event_type") === "click" && col("ts") > col("tv"),
+        col("ts"))).as("tc"), first(col("tv")).as("tv2"))
+    val tp = sess.join(tc, k)
+      .groupBy(k.map(col): _*)
+      .agg(min(when(col("event_type") === "purchase" && col("ts") > col("tc"),
+        col("ts"))).as("tp"), first(col("tv2")).as("tv3"),
+        first(col("tc")).as("tc2"))
+    def rate(n: Column, d: Column): Column =
+      Similarity.intScaled(n.cast("double") / d.cast("double"), 1000000L)
+    tp.agg(count(lit(1)).as("sessions"),
+        count(col("tv3")).as("with_view"),
+        count(col("tc2")).as("view_click"),
+        count(col("tp")).as("full_path"))
+      .select(col("sessions"), col("with_view"), col("view_click"),
+        col("full_path"),
+        when(col("with_view") > 0L, rate(col("view_click"), col("with_view")))
+          .as("click_given_view_e6"),
+        when(col("with_view") > 0L, rate(col("full_path"), col("with_view")))
+          .as("purchase_given_view_e6"))
+  }
+
   /** q327 — attribution-window sensitivity curve: share of first-time
     * clickers converting within {1, 24, 72, 168} hours of their FIRST
     * click. q115 reports the unbounded conversion rate; this is the
@@ -1205,6 +1260,7 @@ object Patterns {
     "q324_gamma_repurchase"  -> (q324 _),
     "q327_conversion_windows" -> (q327 _),
     "q328_price_elasticity"  -> (q328 _),
+    "q329_session_funnel"    -> (q329 _),
     "q301_theil_sen"       -> (q301 _),
     "q161_assoc_rules"     -> (q161 _),
     "q296_trending"        -> (q296 _),
@@ -1271,6 +1327,51 @@ object Patterns {
     // all-integer absorption rounds with the identical
     // (2·num + r) // (2r) half-up division.
     "q314_markov_absorption" -> markovAbsorptionOracle,
+    // q37's exact session CTE + the nested step mins (tv, click > tv,
+    // purchase > tc) on epoch_ns, mirrored rates with zero guards.
+    "q329_session_funnel" ->
+      """WITH flag AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL
+        |           OR epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 43200000000000
+        |         THEN 1 ELSE 0 END AS nf
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tns,
+        |    SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM flag),
+        |tv AS (
+        |  SELECT user_id, sess,
+        |         MIN(CASE WHEN event_type = 'view' THEN tns END) AS tv
+        |  FROM sess GROUP BY user_id, sess),
+        |tc AS (
+        |  SELECT s.user_id, s.sess, ANY_VALUE(tv.tv) AS tv2,
+        |         MIN(CASE WHEN s.event_type = 'click' AND s.tns > tv.tv
+        |                  THEN s.tns END) AS tc
+        |  FROM sess s JOIN tv ON tv.user_id = s.user_id AND tv.sess = s.sess
+        |  GROUP BY s.user_id, s.sess),
+        |tp AS (
+        |  SELECT s.user_id, s.sess, ANY_VALUE(tc.tv2) AS tv3,
+        |         ANY_VALUE(tc.tc) AS tc2,
+        |         MIN(CASE WHEN s.event_type = 'purchase' AND s.tns > tc.tc
+        |                  THEN s.tns END) AS tp
+        |  FROM sess s JOIN tc ON tc.user_id = s.user_id AND tc.sess = s.sess
+        |  GROUP BY s.user_id, s.sess)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS sessions,
+        |       CAST(COUNT(tv3) AS BIGINT) AS with_view,
+        |       CAST(COUNT(tc2) AS BIGINT) AS view_click,
+        |       CAST(COUNT(tp) AS BIGINT) AS full_path,
+        |       CASE WHEN COUNT(tv3) > 0 THEN
+        |         CAST(ROUND(CAST(COUNT(tc2) AS DOUBLE)
+        |           / CAST(COUNT(tv3) AS DOUBLE) * 1000000) AS BIGINT) END
+        |         AS click_given_view_e6,
+        |       CASE WHEN COUNT(tv3) > 0 THEN
+        |         CAST(ROUND(CAST(COUNT(tp) AS DOUBLE)
+        |           / CAST(COUNT(tv3) AS DOUBLE) * 1000000) AS BIGINT) END
+        |         AS purchase_given_view_e6
+        |FROM tp""".stripMargin,
     // Same first-click/first-purchase min aggs (µs lags ≡ the engine's
     // ns lags ×1000 exactly), integer window tests, mirrored rates.
     "q327_conversion_windows" ->

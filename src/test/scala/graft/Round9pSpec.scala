@@ -46,6 +46,41 @@ class Round9pSpec extends SparkTestBase {
     assert(rates.zip(rates.tail).forall { case (a, b) => b >= a })
   }
 
+  // --------------------------------------------------------------- q329
+
+  test("q329 session funnel: exact session replay; steps telescope") {
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gap = 12L * 3600 * 1000 * 1000 * 1000
+    val sessions = ev.groupBy(_._1).values.toSeq.flatMap { xs =>
+      val s = xs.sortBy(x => (x._3, x._2))
+      val ids = s.scanLeft((0L, 0L)) { case ((sid, prev), e) =>
+        (if (prev == 0L || e._3 - prev > gap) sid + 1 else sid, e._3)
+      }.tail.map(_._1)
+      s.zip(ids).groupBy(_._2).values.map(_.map(_._1))
+    }
+    val steps = sessions.map { es =>
+      val tv = es.filter(_._4 == "view").map(_._3).minOption
+      val tc = tv.flatMap(t =>
+        es.filter(e => e._4 == "click" && e._3 > t).map(_._3).minOption)
+      val tp = tc.flatMap(t =>
+        es.filter(e => e._4 == "purchase" && e._3 > t).map(_._3).minOption)
+      (tv.isDefined, tc.isDefined, tp.isDefined)
+    }
+    val (n, wv, vc, fp) = (steps.length.toLong,
+      steps.count(_._1).toLong, steps.count(_._2).toLong,
+      steps.count(_._3).toLong)
+    val expected = (n, wv, vc, fp,
+      if (wv > 0) Some(halfUp(vc.toDouble / wv.toDouble * 1e6)) else None,
+      if (wv > 0) Some(halfUp(fp.toDouble / wv.toDouble * 1e6)) else None)
+    val got = graft.ext.Patterns.q329(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      if (got.isNullAt(4)) None else Some(got.getLong(4)),
+      if (got.isNullAt(5)) None else Some(got.getLong(5))) == expected)
+    assert(fp <= vc && vc <= wv && wv <= n)
+  }
+
   // --------------------------------------------------------------- q328
 
   /** Replay; returns (rows, min ln-grid margin). */
