@@ -694,7 +694,50 @@ object Curation {
       .orderBy("lf_a", "lf_b")
   }
 
+  /** q330 — deletion-impact audit (the right-to-be-forgotten dry run):
+    * for a deterministic deletion cohort (custkey ≡ 0 mod 97, and the
+    * same rule on the event user domain), the row counts each table
+    * would lose — customers, their orders, THOSE orders' lineitems
+    * (the referential closure a naive per-table delete misses), and
+    * the cohort's events — with each table's loss share. The
+    * governance report a privacy pipeline produces before executing
+    * erasure: it sizes the blast radius and proves the closure is
+    * computed through the FK chain, not per-table key matching.
+    *
+    * All-integer counts via semi-join chains + one mirrored share
+    * division per row; the 4-row output is a static union of
+    * independent aggs, each broadcast-joined to its table total.
+    *
+    * Scale: the cohort filters push to scans; orders/lineitem travel
+    * the audited FK-join shapes (orderkey equi-joins); nothing is
+    * ever collected.
+    */
+  def q330(s: SparkSession, dir: String): DataFrame = {
+    def t(name: String): DataFrame = Tables.table(s, dir, name)
+    val custDel = t("customer").filter(col("c_custkey") % 97L === 0L)
+      .select(col("c_custkey"))
+    val ordDel = t("orders")
+      .join(custDel.select(col("c_custkey").as("o_custkey")), "o_custkey")
+      .select(col("o_orderkey"))
+    val liDel = t("lineitem")
+      .join(ordDel.select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+    val evDel = Tables.events(s, dir).filter(col("user_id") % 97L === 0L)
+    def row(name: String, del: DataFrame, total: DataFrame): DataFrame =
+      del.agg(count(lit(1)).as("n_deleted"))
+        .crossJoin(broadcast(total.agg(count(lit(1)).as("n_total"))))
+        .select(lit(name).as("table_name"), col("n_deleted"), col("n_total"),
+          Similarity.intScaled(
+            col("n_deleted").cast("double") / col("n_total").cast("double"),
+            1000000L).as("share_e6"))
+    row("customer", custDel, t("customer"))
+      .unionAll(row("orders", ordDel, t("orders")))
+      .unionAll(row("lineitem", liDel, t("lineitem")))
+      .unionAll(row("events", evDel, Tables.events(s, dir)))
+      .orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q330_deletion_impact" -> (q330 _),
     "q320_lf_conflicts" -> (q320 _),
     "q232_psi_drift"      -> (q232 _),
     "q272_lang_kappa"     -> (q272 _),
@@ -756,6 +799,35 @@ object Curation {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same mod-97 cohorts and FK-closure semi-chains, exact counts,
+    // one mirrored share division per table row.
+    "q330_deletion_impact" ->
+      """WITH cd AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |od AS (SELECT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT c_custkey FROM cd)),
+        |rows_ AS (
+        |  SELECT 'customer' AS table_name,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM cd) AS n_deleted,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_total
+        |  UNION ALL
+        |  SELECT 'orders',
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM od),
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |          WHERE l_orderkey IN (SELECT o_orderkey FROM od)),
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'events',
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        |          WHERE user_id % 97 = 0),
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM events))
+        |SELECT table_name, n_deleted, n_total,
+        |       CAST(ROUND(CAST(n_deleted AS DOUBLE)
+        |         / CAST(n_total AS DOUBLE) * 1000000) AS BIGINT) AS share_e6
+        |FROM rows_
+        |ORDER BY table_name""".stripMargin,
     // Same integer cross-multiplied vote rules (keep/drop/abstain),
     // one 18-sum agg, 6 mirrored pair rows, e6 rate divisions.
     "q320_lf_conflicts" -> lfConflictsOracle,

@@ -131,6 +131,39 @@ class Round9pSpec extends SparkTestBase {
     assert(expected.flatMap(_._3).forall(_ < 0L) || expected.nonEmpty)
   }
 
+  // --------------------------------------------------------------- q330
+
+  test("q330 deletion impact: exact FK-closure replay; closure exceeds naive key match") {
+    val cd = Tables.table(spark, sf, "customer")
+      .select($"c_custkey").collect().map(_.getLong(0))
+      .filter(_ % 97 == 0).toSet
+    val orders = Tables.table(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val od = orders.filter(o => cd(o._2)).map(_._1).toSet
+    val li = Tables.table(spark, sf, "lineitem")
+      .select($"l_orderkey").collect().map(_.getLong(0))
+    val ev = Tables.events(spark, sf)
+      .select($"user_id").collect().map(_.getLong(0))
+    val nCust = Tables.table(spark, sf, "customer").count()
+    def share(d: Long, t: Long): Long = halfUp(d.toDouble / t.toDouble * 1e6)
+    val expected = Set(
+      ("customer", cd.size.toLong, nCust, share(cd.size.toLong, nCust)),
+      ("orders", od.size.toLong, orders.length.toLong,
+        share(od.size.toLong, orders.length.toLong)),
+      ("lineitem", li.count(od).toLong, li.length.toLong,
+        share(li.count(od).toLong, li.length.toLong)),
+      ("events", ev.count(_ % 97 == 0).toLong, ev.length.toLong,
+        share(ev.count(_ % 97 == 0).toLong, ev.length.toLong)))
+    val got = graft.ext.Curation.q330(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // The lineitem closure rides the FK chain — it must be nonzero
+    // whenever any cohort order exists (every order has lines here).
+    if (od.nonEmpty) assert(li.count(od) > 0)
+  }
+
   test("q328: e9 ln margins hold at BOTH gate SFs") {
     // A 1-ulp ln disagreement at ln ≈ 10 is ~1.8e-15 absolute, i.e.
     // ~2e-6 on the e9 grid. The min margin shrinks as 1/N with the
