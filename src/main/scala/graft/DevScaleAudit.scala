@@ -74,6 +74,19 @@ object DevScaleAudit {
       }.reduce(_ unionAll _)
       ev10.repartition(32).write.mode("overwrite").parquet(evOut.toString)
     }
+    val partOut = Paths.get(out, "part.parquet")
+    if (!Files.exists(partOut)) {
+      Files.createDirectories(Paths.get(out))
+      // part replicas with l_partkey-matching offsets; brands stay 1×,
+      // so brand-keyed aggregates see rows ×10 into the SAME groups —
+      // the hot-group growth direction.
+      val pt = s.read.parquet(s"$base/part.parquet")
+        .select("p_partkey", "p_brand")
+      val pt10 = (0 until 10).map { i =>
+        pt.withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionAll _)
+      pt10.repartition(8).write.mode("overwrite").parquet(partOut.toString)
+    }
     val embOut = Paths.get(out, "embeddings.parquet")
     if (!Files.exists(embOut)) {
       Files.createDirectories(Paths.get(out))
@@ -216,6 +229,16 @@ object DevScaleAudit {
       "emb_silhouette" -> (dir => SparkEntry.queries("q316_silhouette")(spark, dir)),
       "emb_covcells" -> (dir => ext.Similarity.covCellsFresh(spark, dir)
         .groupBy().agg(sum(col("c")).as("s"))),
+      // r9 closing batch — the q324-q330 shapes that touch a shuffle:
+      // the per-row ln-grid brand OLS (lineitem ×10 via key-offset
+      // replicas; NOTE the replica part join keeps only 1× brands so
+      // the moment frame stays brand-bounded) and the session-funnel
+      // step chain (user-keyed session window + two (user, sess)
+      // joins; users ×10). The rest of the batch is map-side or
+      // rides already-audited cores.
+      "ev_session_funnel" -> (dir => SparkEntry.queries("q329_session_funnel")(spark, dir)),
+      "ev_conv_windows" -> (dir => SparkEntry.queries("q327_conversion_windows")(spark, dir)),
+      "li_elasticity" -> (dir => SparkEntry.queries("q328_price_elasticity")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)
