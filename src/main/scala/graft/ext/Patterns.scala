@@ -1153,9 +1153,9 @@ object Patterns {
           struct(lit(h).as("window_h"), col(s"c$h").as("converted"))): _*))
           .as("x"))
       .select(col("x.window_h"), col("clickers"), col("x.converted"),
-        Similarity.intScaled(
+        when(col("clickers") > 0L, Similarity.intScaled(
           col("x.converted").cast("double") / col("clickers").cast("double"),
-          1000000L).as("rate_e6"))
+          1000000L)).as("rate_e6"))
       .orderBy("window_h")
   }
 
@@ -1402,8 +1402,10 @@ object Patterns {
         |         AS BIGINT) AS c168
         |  FROM l)
         |SELECT window_h, clickers, converted,
-        |       CAST(ROUND(CAST(converted AS DOUBLE)
-        |         / CAST(clickers AS DOUBLE) * 1000000) AS BIGINT) AS rate_e6
+        |       CASE WHEN clickers > 0 THEN
+        |         CAST(ROUND(CAST(converted AS DOUBLE)
+        |           / CAST(clickers AS DOUBLE) * 1000000) AS BIGINT) END
+        |         AS rate_e6
         |FROM (
         |  SELECT CAST(1 AS BIGINT) AS window_h, clickers, c1 AS converted
         |  FROM a

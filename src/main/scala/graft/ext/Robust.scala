@@ -1003,8 +1003,9 @@ object Robust {
     val beta = sqrt(v * lit(6.0)) / lit(3.141592653589793)
     mom.select(col("n").as("n_days"),
       Similarity.intScaled(m, 100L).as("mean_max_e2"),
-      Similarity.intScaled(beta, 100L).as("beta_e2"),
-      Similarity.intScaled(m - lit(0.5772156649015329) * beta, 100L)
+      when(col("n") > 1L, Similarity.intScaled(beta, 100L)).as("beta_e2"),
+      when(col("n") > 1L,
+        Similarity.intScaled(m - lit(0.5772156649015329) * beta, 100L))
         .as("mu_e2"))
   }
 
@@ -1049,17 +1050,19 @@ object Robust {
         |SELECT n AS n_days,
         |  CAST(ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 100)
         |       AS BIGINT) AS mean_max_e2,
-        |  CAST(ROUND(SQRT(((CAST(qx AS DOUBLE)
+        |  CASE WHEN n > 1 THEN
+        |    CAST(ROUND(SQRT(((CAST(qx AS DOUBLE)
         |      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
         |      / CAST(n - 1 AS DOUBLE)) * 6.0) / 3.141592653589793
-        |    * 100) AS BIGINT) AS beta_e2,
-        |  CAST(ROUND((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 100) AS BIGINT) END AS beta_e2,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(ROUND((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
         |    - 0.5772156649015329 *
         |      (SQRT(((CAST(qx AS DOUBLE)
         |         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
         |           * CAST(sx AS DOUBLE))
         |         / CAST(n - 1 AS DOUBLE)) * 6.0) / 3.141592653589793))
-        |    * 100) AS BIGINT) AS mu_e2
+        |    * 100) AS BIGINT) END AS mu_e2
         |FROM m""".stripMargin,
     // Same all-integer gate flags and 4-cell contingency, one
     // mirrored (b−c)²/(b+c) division e6, NULL on zero discordance.

@@ -1075,8 +1075,13 @@ object Similarity {
     * encoder puts most variance on one axis), and IVF/LSH axis
     * choices.
     *
-    * EXACT cross-engine by construction: covariance cells are
-    * e6-gridded integers off exact BIGINT moments; every matrix-vector
+    * EXACT cross-engine by construction: each covariance cell's
+    * numerator n·Σqiqj − Σqi·Σqj and denominator n² are combined in
+    * exact decimal(38)/HUGEINT arithmetic, so the ONLY float step per
+    * cell is one mirrored division of the two exact integers (each
+    * cast to its nearest double identically on both engines) before
+    * the e6 grid (no double moment chain — r9 ADVICE);
+    * every matrix-vector
     * product is an exact decimal(38) integer sum (order-independent);
     * re-normalization is integer round-half division
     * sign·((2·|w|·1e6 + m) DIV (2m)) — no float exists until the ONE
@@ -1110,12 +1115,13 @@ object Similarity {
         .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
         .groupBy(col("i"), col("j"))
         .agg(count(lit(1)).as("n"), sum(col("qi")).as("si"),
-          sum(col("qj")).as("sj"), sum(col("qi") * col("qj")).as("sij"))
+          sum(col("qj")).as("sj"),
+          sum(col("qi").cast("decimal(38,0)") * col("qj")).as("sij"))
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
           intScaled(
-            (col("n").cast("double") * col("sij").cast("double") -
-              col("si").cast("double") * col("sj").cast("double")) /
-              (col("n").cast("double") * col("n").cast("double")),
+            (col("n").cast("decimal(38,0)") * col("sij") -
+              col("si").cast("decimal(38,0)") * col("sj")).cast("double") /
+              (col("n").cast("decimal(38,0)") * col("n")).cast("double"),
             1000000L).as("c"))
         .localCheckpoint(true)
 
@@ -1188,9 +1194,10 @@ object Similarity {
         |cells AS (
         |  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
         |    CAST(ROUND(
-        |      (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(qi * qj) AS DOUBLE) -
-        |       CAST(SUM(qi) AS DOUBLE) * CAST(SUM(qj) AS DOUBLE)) /
-        |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+        |      CAST(CAST(COUNT(*) AS HUGEINT)
+        |             * SUM(CAST(qi AS HUGEINT) * qj)
+        |           - CAST(SUM(qi) AS HUGEINT) * SUM(qj) AS DOUBLE) /
+        |      CAST(CAST(COUNT(*) AS HUGEINT) * COUNT(*) AS DOUBLE)
         |      * 1000000) AS BIGINT) AS c
         |  FROM g GROUP BY 1, 2),
         |v0 AS (SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS v
@@ -1823,9 +1830,10 @@ object Similarity {
         |cells AS (
         |  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
         |    CAST(ROUND(
-        |      (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(qi * qj) AS DOUBLE) -
-        |       CAST(SUM(qi) AS DOUBLE) * CAST(SUM(qj) AS DOUBLE)) /
-        |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+        |      CAST(CAST(COUNT(*) AS HUGEINT)
+        |             * SUM(CAST(qi AS HUGEINT) * qj)
+        |           - CAST(SUM(qi) AS HUGEINT) * SUM(qj) AS DOUBLE) /
+        |      CAST(CAST(COUNT(*) AS HUGEINT) * COUNT(*) AS DOUBLE)
         |      * 1000000) AS BIGINT) AS c
         |  FROM g GROUP BY 1, 2)
         |SELECT CAST(COUNT(CASE WHEN i = j THEN 1 END) AS BIGINT) AS d,

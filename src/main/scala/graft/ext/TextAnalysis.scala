@@ -1080,12 +1080,12 @@ object TextAnalysis {
         sum(col("nc")).as("n_chars"))
       .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
         col("n_pieces"),
-        Similarity.intScaled(
+        when(col("n_words") > 0L, Similarity.intScaled(
           col("n_pieces").cast("double") / col("n_words").cast("double"),
-          10000L).as("fertility_e4"),
-        Similarity.intScaled(
+          10000L)).as("fertility_e4"),
+        when(col("n_pieces") > 0L, Similarity.intScaled(
           col("n_chars").cast("double") / col("n_pieces").cast("double"),
-          10000L).as("chars_per_piece_e4"))
+          10000L)).as("chars_per_piece_e4"))
       .orderBy("lang", "source")
 
   /** q308 — TextRank keywords: the top-30 words by damped centrality
@@ -1343,10 +1343,12 @@ object TextAnalysis {
         |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(nw) AS BIGINT) AS n_words,
         |       CAST(SUM(np) AS BIGINT) AS n_pieces,
-        |       CAST(ROUND(CAST(SUM(np) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE)
-        |         * 10000) AS BIGINT) AS fertility_e4,
-        |       CAST(ROUND(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(np) AS DOUBLE)
-        |         * 10000) AS BIGINT) AS chars_per_piece_e4
+        |       CASE WHEN SUM(nw) > 0 THEN
+        |         CAST(ROUND(CAST(SUM(np) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE)
+        |           * 10000) AS BIGINT) END AS fertility_e4,
+        |       CASE WHEN SUM(np) > 0 THEN
+        |         CAST(ROUND(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(np) AS DOUBLE)
+        |           * 10000) AS BIGINT) END AS chars_per_piece_e4
         |FROM d GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
     // Same canonical weighted bigram graph (wt >= 2), 3 unrolled
