@@ -311,11 +311,18 @@ object Declared {
         count(col("k")).as("n_k"))
       .orderBy("event_type")
 
-  // ---- Q25 (approx distinct, §2.4): HLL sketch (rows-only — HLL
-  // implementations differ across engines; exactness is asserted against
-  // the exact count in OpsSpec instead) --------------------------------
+  // ---- Q25 (approx distinct, §2.4): PORTABLE HLL over o_custkey —
+  // md5 hash family, 256 registers, exact-integer harmonic sum, one
+  // mirrored estimator chain (ops.Sketches.hllPortable*), so the
+  // DuckDB oracle computes the IDENTICAL estimate and the driver
+  // hash-compares it (r9 verdict item 2; previously rows-only on
+  // DataSketches bytes — that engine-specific path remains as
+  // ops.approxDistinct/Sketches.hllSketch, spec-certified in OpsSpec).
   def q25(s: SparkSession, dir: String): DataFrame =
-    approxDistinct(t(s, dir, "orders"), "o_custkey")
+    Sketches.hllPortableEstimate(
+      Sketches.hllPortableRegisters(
+        t(s, dir, "orders"), Seq.empty, col("o_custkey")),
+      Seq.empty)
 
   // ---- Q67 (as-of join): for each click, the latest purchase value at
   // or before it for the same user — certifies ops.AsofJoin against
@@ -481,6 +488,12 @@ object Declared {
 
   /** DuckDB oracle SQL (SURVEY §2.5, validated 22/22 there). */
   val oracleSql: Map[String, String] = Map(
+    // Portable HLL (ops.Sketches.hllPortableOracleSql — identical md5
+    // register file, exact harmonic integers, mirrored estimator).
+    "q25_approx_distinct" ->
+      Sketches.hllPortableOracleSql(
+        "SELECT md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders",
+        Seq.empty),
     "q01_count" ->
       "SELECT COUNT(*) AS n FROM lineitem",
     "q02_project_rename" ->

@@ -123,17 +123,23 @@ object Round4 {
        |FROM lineitem ORDER BY l_orderkey, l_linenumber, zkey""".stripMargin
   }
 
-  // ---- Q97 (ops.Sketches rows-only): per-rollup approx uniques from
-  // MERGED per-shard HLL sketches — the persist-then-merge distinct
-  // pattern. Sketch estimates are engine-specific (DataSketches HLL vs
-  // DuckDB's), so no hash oracle; merge-losslessness and the 5% error
-  // bound vs exact are spec-asserted (LayoutSpec).
-  def q97(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Sketches.distinctByRollup(
+  // ---- Q97: per-rollup approx uniques from MERGED per-shard PORTABLE
+  // HLL register files — the persist-then-merge distinct pattern with
+  // a full DuckDB oracle (r9 verdict item 2; the DataSketches-bytes
+  // path stays as Sketches.distinctByRollup, spec-certified in
+  // LayoutSpec). Registers are built per (status-shard, priority);
+  // the cross-shard MAX per (priority, register) IS HLL union — the
+  // mergeability the byte sketch claims, here visible to the oracle.
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val perShard = graft.ops.Sketches.hllPortableRegisters(
       t(s, dir, "orders"),
-      shard = Seq("o_orderstatus"), rollup = Seq("o_orderpriority"),
-      col("o_custkey"))
+      Seq("o_orderstatus", "o_orderpriority"), col("o_custkey"))
+    val merged = perShard
+      .groupBy(col("o_orderpriority"), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+    graft.ops.Sketches.hllPortableEstimate(merged, Seq("o_orderpriority"))
       .orderBy("o_orderpriority")
+  }
 
   // ---- Q114 (ops.Sketches count-min, rows-only like q97): per-source
   // CMS sketches over document tokens, probed for the observed
@@ -183,8 +189,55 @@ object Round4 {
       .orderBy("source", "term")
   }
 
+  // r10: q114 now runs the PORTABLE count-min (full DuckDB oracle);
+  // the spark.util.sketch bytes path above stays as the
+  // persistable-sketch library surface (ExtensionsSpec ε-bound).
   def q114(s: SparkSession, dir: String): DataFrame =
-    cmsTopTerms(s, dir, vocabCap = 1000)
+    cmsTopTermsPortable(s, dir, vocabCap = 1000)
+
+  /** Portable count-min sketch census (r9 verdict item 2): d = 4 hash
+    * rows × w = 1024 columns, row i hashing term t to column
+    * hex(md5(i‖':'‖t)[1..8]) mod 1024 — every cell and every probe an
+    * exact integer, so the DuckDB oracle computes the IDENTICAL
+    * estimates. est(source, term) = min over the 4 rows of that row's
+    * cell sum — the classic CMS guarantee (never undercounts; over by
+    * colliding terms' mass only), probed for the observed (source,
+    * term) pairs and capped to the top-`vocabCap` per source.
+    *
+    * Better 100 TB posture than the bytes path: term counts collapse
+    * map-side FIRST (one (source,term) row per distinct pair), the
+    * 4-way fan-out rides distinct terms not occurrences, the cells
+    * frame is structurally ≤ sources×4×1024 rows → BROADCAST to the
+    * probe join, and nothing is ever collected to the driver (the
+    * bytes path's k-row sketch collect is gone here).
+    */
+  def cmsTopTermsPortable(s: SparkSession, dir: String, vocabCap: Int): DataFrame = {
+    require(vocabCap >= 1)
+    val termCounts = t(s, dir, "documents")
+      .select(col("source"), explode_outer(split(col("text"), " ")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val fanout = termCounts
+      .select(col("source"), col("term"), col("cnt"),
+        explode(sequence(lit(0), lit(3))).as("i"))
+      .select(col("source"), col("term"), col("cnt"), col("i"),
+        (conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+          col("term"))), 1, 8), 16, 10).cast("long") % 1024L).as("cell"))
+      .localCheckpoint(true) // branched: cell sums + the probe join
+    val cells = fanout.groupBy(col("source"), col("i"), col("cell"))
+      .agg(sum(col("cnt")).as("cv"))
+    val probed = fanout
+      .join(broadcast(cells), Seq("source", "i", "cell"))
+      .groupBy(col("source"), col("term"))
+      .agg(min(col("cv")).as("est"))
+    val w = Window.partitionBy("source").orderBy(col("est").desc, col("term"))
+    probed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= vocabCap)
+      .select(col("source"), col("term"), col("est"))
+      .orderBy("source", "term")
+  }
 
   // ---- Q98 (forward as-of join): for each click, the EARLIEST
   // purchase at or after it per user — q67's mirror, certifying
@@ -603,6 +656,43 @@ object Round4 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Portable HLL register file per priority (one-level max ==
+    // the Spark side's two-level shard merge: MAX is associative),
+    // identical estimator chain (ops.Sketches.hllPortableOracleSql).
+    "q97_hll_rollup" ->
+      (graft.ops.Sketches.hllPortableOracleSql(
+        "SELECT o_orderpriority, md5(CAST(o_custkey AS VARCHAR)) AS hx " +
+          "FROM orders",
+        Seq("o_orderpriority")) + "\nORDER BY o_orderpriority"),
+    // Portable CMS: same md5 row-hash cells, exact integer sums,
+    // min-over-rows probe, (est DESC, term) top-1000 per source.
+    "q114_cms_counts" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tc AS (
+        |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY source, term),
+        |fan AS (
+        |  SELECT source, term, cnt, CAST(i.i AS BIGINT) AS i,
+        |         CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':'
+        |           || term), 1, 8)) AS BIGINT) % 1024 AS cell
+        |  FROM tc CROSS JOIN range(4) i(i)),
+        |cells AS (
+        |  SELECT source, i, cell, CAST(SUM(cnt) AS BIGINT) AS cv
+        |  FROM fan GROUP BY source, i, cell),
+        |probed AS (
+        |  SELECT f.source, f.term, CAST(MIN(c.cv) AS BIGINT) AS est
+        |  FROM fan f JOIN cells c
+        |    ON c.source = f.source AND c.i = f.i AND c.cell = f.cell
+        |  GROUP BY f.source, f.term),
+        |rk AS (
+        |  SELECT source, term, est,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY est DESC, term) AS rn
+        |  FROM probed)
+        |SELECT source, term, est FROM rk WHERE rn <= 1000
+        |ORDER BY source, term""".stripMargin,
     // Integer cents on both sides; same >1-cent mismatch compare.
     "q200_revenue_reconcile" ->
       """WITH li AS (
