@@ -1090,9 +1090,10 @@ object Similarity {
     * against a 64-row vector (broadcast), eagerly checkpointed (q127
     * posture). Sign is fixed by the deterministic all-ones start.
     *
-    * Scale: one corpus-sized pass builds the moments (the q213 banded
-    * path covers large d); everything after is d²-sized. At 100 TB the
-    * iteration cost is INDEPENDENT of corpus size.
+    * Scale: one corpus-sized pass builds the moments via the map-side
+    * accumulator (r10 — partitions×d² shuffle rows, no per-vector
+    * fan-out; d=1024 spec-pinned); everything after is d²-sized. At
+    * 100 TB the iteration cost is INDEPENDENT of corpus size.
     */
   /** Memoized FULL-grid exact integer covariance cells (i, j, c) of
     * the e3-quantized embeddings, e6-gridded (the q213 moment shape
@@ -1106,24 +1107,116 @@ object Similarity {
     covCellsCache.computeIfAbsent((s, dir), { _ => covCellsFresh(s, dir) })
 
   /** Uncached covariance-cell body — DevScaleAudit times this directly
-    * so the session memo cannot hide the 10x cost. */
+    * so the session memo cannot hide the 10x cost. r10: the production
+    * core is the MAP-SIDE moment accumulator (no per-vector d² fan-out
+    * at all); the relational posexplode² form survives as
+    * [[covCellsRelationalFresh]] solely as the SQL-expressible shape
+    * the spec cross-checks (Round10Spec proves cell-for-cell equality
+    * at d=64 on the fixture and at a synthetic d=1024).
+    */
   private[graft] def covCellsFresh(s: SparkSession, dir: String): DataFrame =
-      emb(s, dir)
-        .select(transform(col("embedding"),
-          x => intScaled(x.cast("double"), 1000L)).as("qv"))
-        .select(posexplode(col("qv")).as(Seq("i", "qi")), col("qv"))
-        .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
-        .groupBy(col("i"), col("j"))
-        .agg(count(lit(1)).as("n"), sum(col("qi")).as("si"),
-          sum(col("qj")).as("sj"),
-          sum(col("qi").cast("decimal(38,0)") * col("qj")).as("sij"))
-        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-          intScaled(
-            (col("n").cast("decimal(38,0)") * col("sij") -
-              col("si").cast("decimal(38,0)") * col("sj")).cast("double") /
-              (col("n").cast("decimal(38,0)") * col("n")).cast("double"),
-            1000000L).as("c"))
-        .localCheckpoint(true)
+    covCellify(covMomentsMapSide(s, quantizedVectors(s, dir)))
+
+  /** r9-era relational core: one row per (vector, i, j) — d² rows PER
+    * VECTOR on the shuffle, the fan-out the r9 verdict flagged as
+    * quadratic pain at d=1024. Exact-integer moments, so it equals the
+    * map-side core bit-for-bit; kept only as the oracle/spec
+    * cross-check. */
+  private[graft] def covCellsRelationalFresh(s: SparkSession, dir: String): DataFrame =
+    covCellify(covMomentsRelational(quantizedVectors(s, dir)))
+
+  private[graft] def covMomentsRelational(qv: DataFrame): DataFrame =
+    qv
+      .select(posexplode(col("qv")).as(Seq("i", "qi")), col("qv"))
+      .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("si"),
+        sum(col("qj")).as("sj"),
+        sum(col("qi").cast("decimal(38,0)") * col("qj")).as("sij"))
+
+  private[graft] def covCellsOf(s: SparkSession, qv: DataFrame): DataFrame =
+    covCellify(covMomentsMapSide(s, qv))
+
+  private[graft] def covCellsRelationalOf(qv: DataFrame): DataFrame =
+    covCellify(covMomentsRelational(qv))
+
+  private def quantizedVectors(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(transform(col("embedding"),
+      x => intScaled(x.cast("double"), 1000L)).as("qv"))
+
+  /** Map-side exact moment accumulation: each task folds its vectors
+    * into ONE d×d upper-triangle long array (d=1024 → 4 MB of task
+    * state), then emits d² partial-moment rows PER PARTITION — the
+    * shuffle carries partitions×d² rows instead of vectors×d², which
+    * is what survives 100 TB of embeddings. Partial products stay
+    * exact in Long (|q| ≤ ~2·10³ ⇒ |qi·qj| ≤ ~4·10⁶; 2⁶³/4·10⁶ ≈ 2·10¹²
+    * rows per task before overflow — far beyond any task size); the
+    * cross-partition combine rides decimal(38), so the final moments
+    * equal the relational form's bit-for-bit.
+    */
+  private[graft] def covMomentsMapSide(s: SparkSession, qv: DataFrame): DataFrame = {
+    import s.implicits._
+    qv.select(col("qv")).as[Array[Long]]
+      .mapPartitions { it =>
+        var d = -1
+        var n = 0L
+        var si: Array[Long] = null
+        var sij: Array[Long] = null // upper triangle, row-major
+        while (it.hasNext) {
+          val v = it.next()
+          if (d < 0) {
+            d = v.length
+            si = new Array[Long](d)
+            sij = new Array[Long](d * (d + 1) / 2)
+          }
+          n += 1
+          var i = 0
+          var base = 0
+          while (i < d) {
+            val qi = v(i)
+            si(i) += qi
+            var j = i
+            while (j < d) {
+              sij(base + j - i) += qi * v(j)
+              j += 1
+            }
+            base += d - i
+            i += 1
+          }
+        }
+        if (d < 0) Iterator.empty
+        else {
+          // full-grid emission (the cell frame is full d²; sij symmetric)
+          val rows = for {
+            i <- Iterator.range(0, d)
+            j <- Iterator.range(0, d)
+          } yield {
+            val (lo, hi) = if (i <= j) (i, j) else (j, i)
+            val idx = lo * d - lo * (lo - 1) / 2 + (hi - lo)
+            (i, j, n, si(i), si(j), sij(idx))
+          }
+          rows
+        }
+      }
+      .toDF("i", "j", "n", "si", "sj", "sijL")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("n")).as("n"), sum(col("si")).as("si"),
+        sum(col("sj")).as("sj"),
+        sum(col("sijL").cast("decimal(38,0)")).as("sij"))
+  }
+
+  /** Shared cell arithmetic: the exact decimal(38) numerator and ONE
+    * mirrored double division (r9 ADVICE discipline) — both cores feed
+    * through here so they cannot drift. */
+  private def covCellify(mom: DataFrame): DataFrame =
+    mom
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        intScaled(
+          (col("n").cast("decimal(38,0)") * col("sij") -
+            col("si").cast("decimal(38,0)") * col("sj")).cast("double") /
+            (col("n").cast("decimal(38,0)") * col("n")).cast("double"),
+          1000000L).as("c"))
+      .localCheckpoint(true)
 
   def q309(s: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"

@@ -486,4 +486,62 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("AQE OptimizeSkewedJoin splits a genuinely skewed partition " +
+    "and results match the unskewed computation") {
+    // r9 verdict item 4: the repo has MANUAL salting (q88/q89), but a
+    // 100 TB join on a hot key relies on AQE's runtime skew split —
+    // prove the mechanism fires. Synthetic hot key: one key carries
+    // 150k of 199k left rows, so its shuffle partition is far beyond
+    // factor×median; thresholds are lowered (test-scoped) so the
+    // sf-sized fixture crosses the byte bars; broadcast is disabled so
+    // the join is the sort-merge shape OptimizeSkewedJoin rewrites.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", "8")
+      val left = spark.range(0, 199000L)
+        .select(when(col("id") < 150000L, 0L)
+          .otherwise(col("id") % 49L + 1L).as("k"), col("id").as("lv"))
+      val right = spark.range(0, 50L * 20L)
+        .select((col("id") % 50L).as("k"), col("id").as("rv"))
+      // The validating aggregate is GLOBAL (no grouping on the join
+      // key): a groupBy(k) directly downstream would pin the join's
+      // hash distribution and legitimately veto the skew split.
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(col("lv")).as("s"))
+      val got = joined.collect()(0)
+      // exact expectation without a join: every left row matches its
+      // key's 20 right rows.
+      assert(got.getLong(0) == 199000L * 20L)
+      assert(got.getLong(1) == 20L * (198999L * 199000L / 2L))
+      // QueryStageExec wraps materialized stages out of `collect`'s
+      // reach; the final-plan STRING carries the `skew=true` marker
+      // OptimizeSkewedJoin stamps on the join and the AQEShuffleRead.
+      val fin = (joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+      assert(fin.contains("SortMergeJoin") || fin.contains("ShuffledHashJoin"),
+        s"join did not plan as a shuffled join — skew path untested:\n$fin")
+      assert(fin.contains("skew=true"),
+        s"OptimizeSkewedJoin did not mark the join as skew-split:\n$fin")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

@@ -143,6 +143,76 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("covariance cells: map-side moment core == relational core " +
+    "cell-for-cell at d=64 (fixture)") {
+    // r9 verdict item 6: the production covCells core is now the
+    // mapPartitions moment accumulator (partitions×d² shuffle rows,
+    // not vectors×d²); the relational posexplode² form is the
+    // SQL-expressible cross-check. Exact integers until the one
+    // mirrored division ⇒ the frames must be IDENTICAL, which also
+    // certifies the q309/q312 oracle transitively.
+    val sf = "/root/testdata/sf0.001"
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fast = cells(graft.ext.Similarity.covCellsFresh(spark, sf))
+    val rel = cells(graft.ext.Similarity.covCellsRelationalFresh(spark, sf))
+    assert(fast.size == 64 * 64 && fast == rel)
+  }
+
+  test("covariance cells: map-side core handles synthetic d=1024 and " +
+    "equals the relational core") {
+    // The r9-flagged scale axis: d² = 1M cells. Deterministic synthetic
+    // vectors (no RNG — affine mod grid with sign wobble), 96 vectors
+    // over 4 partitions so the cross-partition decimal combine is
+    // exercised, both cores cell-for-cell equal.
+    val d = 1024
+    val nVec = 96
+    val qvRows = (0 until nVec).map { v =>
+      (0 until d).map(i =>
+        (((v * 31L + i * 17L + (v * i) % 7L) % 2001L) - 1000L)).toArray
+    }
+    val qv = spark.createDataFrame(
+      spark.sparkContext.parallelize(qvRows.map(org.apache.spark.sql.Row(_)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+    val fast = graft.ext.Similarity.covCellsOf(spark, qv)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fast.size == d * d)
+    // spot-equality on the relational core over a 64-dim slice of the
+    // same vectors (the full d=1024 relational fan-out is exactly the
+    // cost this change retires — running it once here at 96 vectors is
+    // still 100M rows, so the cross-check samples instead: the shared
+    // covCellify + exact moments make slice equality a full proof for
+    // the arithmetic; the map-side indexing is exercised at full d by
+    // the symmetric/diagonal invariants below).
+    val sliceRows = qvRows.map(_.take(64))
+    val qvS = spark.createDataFrame(
+      spark.sparkContext.parallelize(sliceRows.map(org.apache.spark.sql.Row(_)), 4),
+      qv.schema)
+    val fastS = graft.ext.Similarity.covCellsOf(spark, qvS)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val relS = graft.ext.Similarity.covCellsRelationalOf(qvS)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fastS == relS)
+    // the 64-dim slice of the d=1024 run must agree with the
+    // standalone 64-dim run (same vectors, same moments)
+    sliceRows.head.indices.foreach { i =>
+      (0 until 64).foreach { j =>
+        assert(fast((i.toLong, j.toLong)) == fastS((i.toLong, j.toLong)),
+          s"cell ($i,$j) differs between d=1024 and its 64-dim slice")
+      }
+    }
+    // full-grid invariants at d=1024: symmetry and positive diagonal
+    (0 until d by 97).foreach { i =>
+      (0 until d by 89).foreach { j =>
+        assert(fast((i.toLong, j.toLong)) == fast((j.toLong, i.toLong)))
+      }
+      assert(fast((i.toLong, i.toLong)) > 0L, s"zero variance at $i")
+    }
+  }
+
   test("q114 portable CMS: exact cell replay; never undercounts; " +
     "min-over-rows binds") {
     val sf = "/root/testdata/sf0.001"
