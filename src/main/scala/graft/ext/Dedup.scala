@@ -43,10 +43,25 @@ object Dedup {
     * ~10× slowdown on the sf0.1 corpus.
     */
   def shingles3FromTokens(ws: Column): Column =
-    when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(1), size(ws) - 2), i =>
-        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+    when(size(ws) >= 3, array_distinct(glueAdjacent(ws, 3)))
       .otherwise(array().cast("array<string>"))
+
+  /** All adjacent k-gram strings of `ws` as an array, built by k−1
+    * `zip_with(slice, slice, concat)` passes instead of a
+    * `transform(sequence, i => concat_ws(element_at…))` lambda — the
+    * two are element-for-element identical, but the element_at/
+    * concat_ws lambda runs ~20× slower per gram (r10 DevProbe: 3.4 s →
+    * 0.3 s for the sf0.1 trigram explode; HOF lambdas are interpreted
+    * and that lambda pays per-element dispatch on every element_at).
+    * No size guard — callers wrap in `when(size(ws) >= k, …)`.
+    */
+  private def glueAdjacent(ws: Column, k: Int): Column = {
+    val len = size(ws) - (k - 1)
+    (1 until k).foldLeft(slice(ws, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(ws, lit(1 + j), len),
+        (a, b) => concat(a, lit(" "), b))
+    }
+  }
 
   def shingles3(text: Column): Column = shingles3FromTokens(split(text, " "))
 
@@ -63,10 +78,11 @@ object Dedup {
     */
   def shinglesKAll(ws: Column, k: Int): Column = {
     require(k >= 1, "k-gram size must be positive")
-    when(size(ws) >= k,
-      transform(sequence(lit(1), size(ws) - (k - 1)), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
+    if (k == 1)
+      when(size(ws) >= 1, ws).otherwise(array().cast("array<string>"))
+    else
+      when(size(ws) >= k, glueAdjacent(ws, k))
+        .otherwise(array().cast("array<string>"))
   }
 
   /** Stride-sampled trigram shingles: every `stride`-th trigram only.
@@ -76,8 +92,8 @@ object Dedup {
     */
   def shingles3Strided(ws: Column, stride: Int): Column =
     when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(1), size(ws) - 2, lit(stride)), i =>
-        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+      array_distinct(filter(glueAdjacent(ws, 3),
+        (_, i) => i % lit(stride) === 0)))
       .otherwise(array().cast("array<string>"))
 
   /** 16-bit SimHash over distinct tokens: bit j is the sign of the sum
@@ -754,13 +770,8 @@ object Dedup {
   def q240(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ws = split(col("text"), " ")
-    val sh3 = when(size(ws) >= 3,
-      transform(sequence(lit(1), size(ws) - 2), i =>
-        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2))))
-      .otherwise(array().cast("array<string>"))
     val g = docs(s, dir)
-      .select(col("doc_id"), posexplode(sh3).as(Seq("pos", "sh")))
+      .select(col("doc_id"), posexplode(shinglesKAll(ws, 3)).as(Seq("pos", "sh")))
     val h40 = conv(substring(md5(col("sh")), 1, 10), 16, 10).cast("long")
     val packed = coalesce(
       when(col("pos") >= lit(1 << 23),
