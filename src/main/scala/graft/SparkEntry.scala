@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Declared.queries ++ graft.queries.Capability.queries ++
       graft.queries.Round4.queries ++ graft.queries.Round8.queries ++
-      graft.queries.Round9.queries ++
+      graft.queries.Round9.queries ++ graft.queries.Round10.queries ++
       graft.ext.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,6 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Declared.oracleSql ++ graft.queries.Capability.oracleSql ++
       graft.queries.Round4.oracleSql ++ graft.queries.Round8.oracleSql ++
-      graft.queries.Round9.oracleSql ++
+      graft.queries.Round9.oracleSql ++ graft.queries.Round10.oracleSql ++
       graft.ext.Extensions.oracleSql
 }

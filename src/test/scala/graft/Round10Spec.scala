@@ -2,6 +2,8 @@ package graft
 
 import java.math.{BigDecimal => JBig, RoundingMode}
 
+import org.apache.spark.sql.functions.substring
+
 /** Round-10 batch: the portable md5 sketches that replaced the
   * rows-only byte-sketch certifications (r9 verdict item 2) — exact
   * driver-side replays of the q25/q97 portable HLL and the q114
@@ -141,6 +143,431 @@ class Round10Spec extends SparkTestBase {
       assert(math.abs(est - exact) / exact < 0.15,
         s"per-priority estimate off >15% for $pri: $est vs $exact")
     }
+  }
+
+  // ------------------------------------------------- q331-q338 replays
+
+  private val sf1 = "/root/testdata/sf0.001"
+
+  private def ordersCents(dir: String = sf1): Array[(Long, Long, String, String, Long)] =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_custkey".cast("long"), $"o_totalprice".cast("decimal(18,2)"),
+        substring($"o_orderdate".cast("string"), 1, 10), $"o_orderpriority",
+        $"o_orderkey".cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).movePointRight(2).longValueExact(),
+        r.getString(2), r.getString(3), r.getLong(4)))
+
+  test("q331 Benford: exact digit replay, chi2 margins, deviation binds") {
+    val cents = ordersCents().map(_._2)
+    val hist = cents.groupBy(_.toString.head.asDigit.toLong)
+      .view.mapValues(_.size.toLong).toMap
+    val n = cents.length.toDouble
+    val probs = (1 to 9).map(d => d.toLong -> math.log10(1.0 + 1.0 / d)).toMap
+    var minMargin = Double.MaxValue
+    val expected = hist.map { case (d, o) =>
+      val p = probs(d)
+      val chi = (o - n * p) * (o - n * p) / (n * p)
+      minMargin = math.min(minMargin,
+        math.min(boundaryMargin(chi * 1e6), boundaryMargin(o / n * 1e6)))
+      (d, o, halfUp(o / n * 1e6), halfUp(p * 1e6), halfUp(chi * 1e6))
+    }.toSet
+    val got = graft.queries.Round10.q331(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    assert(minMargin > 1e-6, s"e6 grid margin razor-thin: $minMargin")
+    // the audit must BIND: TPC-H-ish prices are not Benford — the total
+    // chi2 must scream (>> the 15.5 critical value at alpha=.05, df=8)
+    val chi2 = got.toSeq.map(_._5).sum / 1e6
+    assert(chi2 > 100.0, s"chi2 suspiciously Benford-like: $chi2")
+    assert(got.map(_._1) == (1L to 9L).toSet, "a leading digit is absent")
+  }
+
+  test("q332 Gini: exact rank replay + inequality binds both ways") {
+    val rows = ordersCents()
+    val seg = spark.read.parquet(s"$sf1/customer.parquet")
+      .select($"c_custkey".cast("long"), $"c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    var minMargin = Double.MaxValue
+    val expected = rows.groupBy(_._1).toSeq
+      .map { case (ck, xs) => (seg(ck), ck, xs.map(x => BigInt(x._2)).sum) }
+      .groupBy(_._1).map { case (sg, cs) =>
+        val sorted = cs.sortBy(c => (c._3, c._2))
+        val nn = BigInt(sorted.size)
+        val tot = sorted.map(_._3).sum
+        val ti = sorted.zipWithIndex.map { case (c, i) => c._3 * (i + 1) }.sum
+        val g = (BigInt(2) * ti - (nn + 1) * tot).toDouble /
+          (nn * tot).toDouble
+        minMargin = math.min(minMargin, boundaryMargin(g * 1e6))
+        (sg, nn.toLong, tot.toLong, halfUp(g * 1e6))
+      }.toSet
+    val got = graft.queries.Round10.q332(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    assert(minMargin > 1e-6, s"gini margin razor-thin: $minMargin")
+    got.foreach { g =>
+      assert(g._4 > 0L && g._4 < 1000000L, s"degenerate Gini: $g")
+    }
+  }
+
+  test("q333 jackknife ratio: exact leave-one-out replay, SE binds") {
+    val li = spark.read.parquet(s"$sf1/lineitem.parquet")
+      .select($"l_orderkey".cast("long"),
+        $"l_extendedprice".cast("decimal(18,2)"), $"l_quantity".cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).movePointRight(2).longValueExact(),
+        r.getLong(2)))
+    val pri = ordersCents().map(o => (o._1, o._3, o._4))
+    val okPri = spark.read.parquet(s"$sf1/orders.parquet")
+      .select($"o_orderkey".cast("long"), $"o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    var minMargin = Double.MaxValue
+    val expected = li.groupBy(x => okPri(x._1)).map { case (p, xs) =>
+      val n = xs.size.toLong
+      val sp = xs.map(x => BigInt(x._2)).sum
+      val sq = xs.map(x => BigInt(x._3)).sum
+      val ths = xs.map { x =>
+        halfUp((sp - x._2).toDouble / (sq - x._3).toDouble * 1e9)
+      }
+      val m1 = ths.map(BigInt(_)).sum
+      val m2 = ths.map(t => BigInt(t) * t).sum
+      val se = math.sqrt((n - 1).toDouble *
+        (BigInt(n) * m2 - m1 * m1).toDouble) / n / 1000.0
+      val ratio = sp.toDouble / sq.toDouble * 1e6
+      minMargin = math.min(minMargin,
+        math.min(boundaryMargin(se), boundaryMargin(ratio)))
+      (p, n, halfUp(ratio), halfUp(se))
+    }.toSet
+    val got = graft.queries.Round10.q333(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    assert(minMargin > 1e-6, s"jackknife margins razor-thin: $minMargin")
+    got.foreach(g => assert(g._4 > 0L, s"zero SE: $g"))
+  }
+
+  test("q334 ACF: exact grid replay; series has real memory structure") {
+    val days = ordersCents().map(o =>
+      java.time.LocalDate.parse(o._3).toEpochDay)
+    val hist = days.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (d0, d1) = (days.min, days.max)
+    val xs = (d0 to d1).map(d => hist.getOrElse(d, 0L)).toArray
+    val n = BigInt(xs.length)
+    val sx = xs.map(BigInt(_)).sum
+    val dev = xs.map(x => n * x - sx)
+    val den = dev.map(d => d * d).sum
+    var minMargin = Double.MaxValue
+    val expected = (1 to 7).map { k =>
+      val num = (0 until xs.length - k).map(t => dev(t) * dev(t + k)).sum
+      val a = num.toDouble / den.toDouble * 1e6
+      minMargin = math.min(minMargin, boundaryMargin(a))
+      (k.toLong, xs.length.toLong, halfUp(a))
+    }.toSet
+    val got = graft.queries.Round10.q334(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(minMargin > 1e-6, s"acf margin razor-thin: $minMargin")
+    // binding: the zero-filled daily series must show SOME structure
+    assert(got.exists(g => math.abs(g._3) > 1000L),
+      "all ACF lags ~ 0 — the series replay is vacuous")
+  }
+
+  test("q335 capture-recapture: exact replay; Chapman lands near truth") {
+    val byCust = ordersCents().groupBy(_._1)
+    val a = byCust.count(_._2.exists(_._5 % 2 == 1))
+    val b = byCust.count(_._2.exists(_._5 % 2 == 0))
+    val m = byCust.count(c =>
+      c._2.exists(_._5 % 2 == 1) && c._2.exists(_._5 % 2 == 0))
+    val truth = byCust.size
+    val chap = (a + 1).toDouble * (b + 1).toDouble / (m + 1).toDouble - 1.0
+    val got = graft.queries.Round10.q335(spark, sf1).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      (a.toLong, b.toLong, m.toLong, truth.toLong))
+    assert(got.getLong(4) == halfUp(chap * 100))
+    assert(boundaryMargin(chap * 100) > 1e-6)
+    // closure: both periods sample the same finite population, so the
+    // estimate must land within 25% of the true customer count
+    assert(math.abs(chap - truth) / truth < 0.25,
+      s"Chapman estimate far off truth: $chap vs $truth")
+    assert(m > 0, "no recaptured customers — estimator vacuous")
+  }
+
+  test("q336 degeneration runs: exact replay; runs >= 3 exist") {
+    val docs = spark.read.parquet(s"$sf1/documents.parquet")
+      .select($"source", $"doc_id".cast("long"), $"text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val maxRuns = ds.map { d =>
+        val ws = d._3.split(" ", -1)
+        var best = 1; var cur = 1
+        for (i <- 1 until ws.length) {
+          if (ws(i) == ws(i - 1)) { cur += 1; best = math.max(best, cur) }
+          else cur = 1
+        }
+        if (ws.isEmpty) 0L else best.toLong
+      }
+      (src, ds.size.toLong, maxRuns.max, maxRuns.count(_ >= 3L).toLong)
+    }.toSet
+    val got = graft.queries.Round10.q336(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.exists(_._3 >= 3L),
+      "no run >= 3 anywhere — the census never binds")
+    assert(got.exists(_._4 > 0L))
+  }
+
+  test("q337 Burrows Delta: exact z-grid replay + triangle sanity") {
+    val docs = spark.read.parquet(s"$sf1/documents.parquet")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tf = docs.flatMap(d => d._2.split(" ", -1).map((d._1, _)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val srcTot = tf.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val wordTot = tf.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val top = wordTot.toSeq.sortBy(w => (-w._2, w._1)).take(50).map(_._1)
+    val sources = srcTot.keys.toSeq.sorted
+    var minZMargin = Double.MaxValue
+    val f = (for (s0 <- sources; w <- top) yield {
+      val x = tf.getOrElse((s0, w), 0L).toDouble / srcTot(s0) * 1e9
+      ((s0, w), halfUp(x))
+    }).toMap
+    val z = top.flatMap { w =>
+      val fs = sources.map(s0 => f((s0, w)))
+      val ns = BigInt(fs.size)
+      val sfS = fs.map(BigInt(_)).sum
+      val qf = fs.map(v => BigInt(v) * v).sum
+      val varN = ns * qf - sfS * sfS
+      if (varN > 0) sources.map { s0 =>
+        val zv = (ns * f((s0, w)) - sfS).toDouble / math.sqrt(varN.toDouble)
+        minZMargin = math.min(minZMargin, boundaryMargin(zv * 1e6))
+        ((s0, w), halfUp(zv * 1e6))
+      } else Seq.empty
+    }.toMap
+    val words = z.keys.map(_._2).toSet
+    val expected = (for {
+      i <- sources.indices; j <- sources.indices if sources(i) < sources(j)
+    } yield {
+      val sabs = words.toSeq.map(w =>
+        BigInt((z((sources(i), w)) - z((sources(j), w))).abs)).sum
+      (sources(i), sources(j), words.size.toLong,
+        halfUp(sabs.toDouble / words.size))
+    }).toSet
+    val got = graft.queries.Round10.q337(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    assert(minZMargin > 1e-6, s"z e6 margin razor-thin: $minZMargin")
+    // Delta is a metric-ish distance: positive, and the largest pair
+    // must exceed the smallest meaningfully (real stylistic spread)
+    val ds = got.toSeq.map(_._4)
+    assert(ds.forall(_ > 0L) && ds.max > ds.min * 2,
+      s"Delta spread too flat: min=${ds.min} max=${ds.max}")
+  }
+
+  test("q338 G2 keyness: exact per-row replay + rank-20/21 gap") {
+    val docs = spark.read.parquet(s"$sf1/documents.parquet")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tf = docs.flatMap(d => d._2.split(" ", -1).map((d._1, _)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val r1 = tf.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cw = tf.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nn = tf.values.sum
+    var minMargin = Double.MaxValue
+    val scored = tf.toSeq.flatMap { case ((s0, w), o11) =>
+      val o12 = cw(w) - o11
+      val r2 = nn - r1(s0)
+      if (BigInt(o11) * nn > BigInt(r1(s0)) * cw(w)) {
+        def term(x: Long, num: BigInt, den: BigInt): Double =
+          if (x > 0) x.toDouble * math.log(num.toDouble / den.toDouble)
+          else 0.0
+        val g2 = 2.0 * (term(o11, BigInt(o11) * nn, BigInt(r1(s0)) * cw(w)) +
+          term(o12, BigInt(o12) * nn, BigInt(r2) * cw(w)))
+        minMargin = math.min(minMargin, boundaryMargin(g2 * 1e6))
+        Some((s0, w, o11, o12, halfUp(g2 * 1e6)))
+      } else None
+    }
+    val expected = scored.groupBy(_._1).flatMap { case (_, xs) =>
+      xs.sortBy(x => (-x._5, x._2)).take(20)
+    }.toSet
+    val got = graft.queries.Round10.q338(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    assert(minMargin > 1e-6, s"g2 e6 margin razor-thin: $minMargin")
+    // the top-20 cut must be decided by a real gap, not a coin-flip tie
+    scored.groupBy(_._1).foreach { case (s0, xs) =>
+      val sorted = xs.sortBy(x => (-x._5, x._2))
+      if (sorted.size > 20)
+        assert(sorted(19)._5 != sorted(20)._5 || sorted(19)._2 < sorted(20)._2,
+          s"ambiguous rank-20 cut for $s0")
+    }
+    assert(got.nonEmpty && got.toSeq.map(_._5).min > 0L)
+  }
+
+  test("q339 Theil: exact decomposition replay; within+between ~ total") {
+    val rows = ordersCents()
+    val seg = spark.read.parquet(s"$sf1/customer.parquet")
+      .select($"c_custkey".cast("long"), $"c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val byCust = rows.groupBy(_._1).toSeq
+      .map { case (ck, xs) => (seg(ck), xs.map(x => BigInt(x._2)).sum) }
+    val n = BigInt(byCust.size)
+    val sx = byCust.map(_._2).sum
+    var minMargin = Double.MaxValue
+    val expected = byCust.groupBy(_._1).map { case (sg0, cs) =>
+      val ng = BigInt(cs.size)
+      val sg = cs.map(_._2).sum
+      val wl = cs.map { c =>
+        val lg = halfUp(math.log((c._2 * ng).toDouble / sg.toDouble) * 1e9)
+        c._2 * lg
+      }.sum
+      val within = wl.toDouble / sg.toDouble
+      val between = sg.toDouble / sx.toDouble *
+        math.log((sg * n).toDouble / (sx * ng).toDouble) * 1e9
+      minMargin = math.min(minMargin,
+        math.min(boundaryMargin(within), boundaryMargin(between)))
+      (sg0, ng.toLong, sg.toLong, halfUp(within), halfUp(between))
+    }.toSet
+    val got = graft.queries.Round10.q339(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    assert(minMargin > 1e-6, s"theil margin razor-thin: $minMargin")
+    // decomposability must bind: Σ w_g·T_g + Σ between_g ≈ global Theil
+    val totalTheil = {
+      val wl = byCust.map { c =>
+        c._2.toDouble * math.log((c._2 * n).toDouble / sx.toDouble)
+      }.sum
+      wl / sx.toDouble
+    }
+    val sum = got.toSeq.map { g =>
+      g._3.toDouble / sx.toDouble * (g._4 / 1e9) + g._5 / 1e9
+    }.sum
+    assert(math.abs(sum - totalTheil) < 1e-4,
+      s"decomposition broken: $sum vs $totalTheil")
+    assert(got.exists(_._4 > 0L), "zero within-inequality everywhere")
+  }
+
+  test("q340 Kendall tau-b: exact pair replay; agreement binds") {
+    val li = spark.read.parquet(s"$sf1/lineitem.parquet")
+      .select($"l_partkey".cast("long"),
+        $"l_extendedprice".cast("decimal(18,2)"), $"l_quantity".cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).movePointRight(2).longValueExact(),
+        r.getLong(2)))
+    val brand = spark.read.parquet(s"$sf1/part.parquet")
+      .select($"p_partkey".cast("long"), $"p_brand").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val byBrand = li.groupBy(x => brand(x._1)).map { case (b, xs) =>
+      (b, xs.map(x => BigInt(x._2)).sum, xs.map(x => BigInt(x._3)).sum)
+    }.toSeq.sortBy(_._1)
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L; var np = 0L
+    for (i <- byBrand.indices; j <- byBrand.indices if byBrand(i)._1 < byBrand(j)._1) {
+      np += 1
+      val sr = (byBrand(i)._2 - byBrand(j)._2).signum
+      val sq = (byBrand(i)._3 - byBrand(j)._3).signum
+      if (sr == 0) tx += 1
+      if (sq == 0) ty += 1
+      if (sr * sq > 0) c += 1 else if (sr * sq < 0) d += 1
+    }
+    val tau = (c - d).toDouble /
+      math.sqrt((BigInt(np - tx) * BigInt(np - ty)).toDouble) * 1e6
+    val got = graft.queries.Round10.q340(spark, sf1).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == (np, c, d, tx, ty))
+    assert(got.getLong(5) == halfUp(tau))
+    assert(boundaryMargin(tau) > 1e-6)
+    // revenue and quantity rankings must genuinely correlate (they
+    // share the volume driver) but not perfectly (price mix differs)
+    assert(got.getLong(5) > 200000L && got.getLong(5) < 1000000L,
+      s"tau-b outside the plausible band: ${got.getLong(5)}")
+  }
+
+  test("q341 Mann-Kendall: exact pair replay on the zero-filled grid") {
+    val days = ordersCents().map(o => java.time.LocalDate.parse(o._3).toEpochDay)
+    val hist = days.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val xs = (days.min to days.max).map(d => hist.getOrElse(d, 0L)).toArray
+    var s = 0L
+    for (i <- xs.indices; j <- xs.indices if i < j)
+      s += (xs(j) - xs(i)).signum
+    val n = xs.length.toLong
+    val tsum = xs.groupBy(identity).values
+      .map(g => BigInt(g.length) * (g.length - 1) * (2 * g.length + 5)).sum
+    val var18 = BigInt(n) * (n - 1) * (2 * n + 5) - tsum
+    val zNum = if (s > 0) (s - 1).toDouble else if (s < 0) (s + 1).toDouble else 0.0
+    val z = zNum / math.sqrt(var18.toDouble / 18.0) * 1e6
+    val got = graft.queries.Round10.q341(spark, sf1).collect()(0)
+    assert((got.getLong(0), got.getLong(1)) == (n, s))
+    assert(got.getLong(2) == halfUp(z))
+    assert(boundaryMargin(z) > 1e-6)
+  }
+
+  test("q342 Haar energy: exact pyramid replay; energies sum and bind") {
+    val days = ordersCents().map(o => java.time.LocalDate.parse(o._3).toEpochDay)
+    val hist = days.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val d0 = days.min
+    val len = (days.max - d0 + 1) / 64 * 64
+    assert(len >= 64, "fixture span too short for the 64-day pyramid")
+    val xs = (0L until len).map(t => hist.getOrElse(d0 + t, 0L)).toArray
+    var minMargin = Double.MaxValue
+    val energies = (1 to 6).map { k =>
+      val blk = 1 << k; val half = 1 << (k - 1)
+      val es = xs.indices.groupBy(_ / blk).values.map { idx =>
+        val dd = idx.map(t => if ((t / half) % 2 == 0) xs(t) else -xs(t)).sum
+        BigInt(dd) * dd
+      }.sum
+      (k.toLong, (len / blk), es)
+    }
+    val te = energies.map(_._3).sum
+    val expected = energies.map { case (k, nb, e) =>
+      val share = e.toDouble / te.toDouble * 1e6
+      minMargin = math.min(minMargin, boundaryMargin(share))
+      (k, nb, e.toLong, halfUp(share))
+    }.toSet
+    val got = graft.queries.Round10.q342(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(minMargin > 1e-6, s"share margin razor-thin: $minMargin")
+    // every scale must carry real energy (a flat series would zero out)
+    assert(got.forall(_._3 > 0L), s"a dyadic scale has zero energy: $got")
+  }
+
+  test("q343 runs test: exact run replay; both signs and runs bind") {
+    // sf0.001's grid is majority-zero (median 0, nothing below) — the
+    // guard must NULL the z there, on BOTH engines; the binding replay
+    // runs at sf0.01 where the daily series is dense.
+    val degenerate = graft.queries.Round10.q343(spark, sf1).collect()(0)
+    assert(degenerate.isNullAt(3) && degenerate.getLong(2) == 0L,
+      s"sf0.001 degenerate series should NULL the z: $degenerate")
+    val sf2 = "/root/testdata/sf0.01"
+    val days = ordersCents(sf2).map(o => java.time.LocalDate.parse(o._3).toEpochDay)
+    val hist = days.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val xs = (days.min to days.max).map(d => hist.getOrElse(d, 0L))
+    val n = xs.size
+    val sortedVals = xs.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+    var cum = 0L
+    val med = sortedVals.collectFirst {
+      case (v, c) if { cum += c; cum * 2 >= n } => v
+    }.get
+    val signs = xs.filter(_ != med).map(_ > med)
+    var r = 0L
+    signs.indices.foreach(i => if (i == 0 || signs(i) != signs(i - 1)) r += 1)
+    val np = signs.count(identity).toLong
+    val nm = signs.size - np
+    val e = 2.0 * np * nm / (np + nm) + 1.0
+    val varR = (BigInt(2) * np * nm * (BigInt(2) * np * nm - np - nm)).toDouble /
+      (BigInt(np + nm) * (np + nm) * (np + nm - 1)).toDouble
+    val z = (r - e) / math.sqrt(varR) * 1e6
+    val got = graft.queries.Round10.q343(spark, sf2).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == (r, np, nm))
+    assert(got.getLong(3) == halfUp(z))
+    assert(boundaryMargin(z) > 1e-6)
+    assert(np > 0 && nm > 0 && r > 1, "degenerate sign sequence")
   }
 
   test("covariance cells: map-side moment core == relational core " +
