@@ -107,6 +107,29 @@ object DevScaleAudit {
       }.reduce(_ unionAll _)
       emb10.repartition(32).write.mode("overwrite").parquet(embOut.toString)
     }
+    val ordOut = Paths.get(out, "orders.parquet")
+    val custOut = Paths.get(out, "customer.parquet")
+    if (!(Files.exists(ordOut) && Files.exists(custOut))) {
+      Files.createDirectories(Paths.get(out))
+      // r10 addition — orders/customer replicas for the inequality
+      // family (q332/q339): customers ×10 with per-customer order
+      // baskets preserved, so each segment's rank-window partition
+      // carries 10× rows — the window-skew growth direction.
+      val ord = s.read.parquet(s"$base/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+          "o_orderpriority", "o_orderstatus")
+      val ord10 = (0 until 10).map { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionAll _)
+      ord10.repartition(16).write.mode("overwrite").parquet(ordOut.toString)
+      val cust = s.read.parquet(s"$base/customer.parquet")
+        .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+      val cust10 = (0 until 10).map { i =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionAll _)
+      cust10.repartition(8).write.mode("overwrite").parquet(custOut.toString)
+    }
   }
 
   private def time(name: String, runs: Int)(df: => DataFrame): Double = {
@@ -243,6 +266,13 @@ object DevScaleAudit {
       // r9 verdict's weak-posture fix): corpus-bytes of digest work
       // map-side, ~bytes/16 chunk rows on the census shuffle.
       "cdc_byte_scan" -> (dir => SparkEntry.queries("q289_cdc_chunks")(spark, dir)),
+      // r10 statistics batch — the members that touch a non-trivial
+      // shuffle: doc-keyed run windows (q336), the sources×50
+      // stylometry grid off the corpus tf collapse (q337), the
+      // customer-dimension rank window (q332).
+      "txt_degen_runs" -> (dir => SparkEntry.queries("q336_degeneration_runs")(spark, dir)),
+      "txt_burrows" -> (dir => SparkEntry.queries("q337_burrows_delta")(spark, dir)),
+      "li_gini" -> (dir => SparkEntry.queries("q332_gini_concentration")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

@@ -151,14 +151,23 @@ object Round10 {
       .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("q")).as("sq"))
     li.join(broadcast(totals), "o_orderpriority")
       .select(col("o_orderpriority"), col("n"), col("sp"), col("sq"),
-        when(col("sq") - col("q") > 0L, intScaled(
-          (col("sp") - col("p")).cast("double") /
-            (col("sq") - col("q")).cast("double"),
-          1000000000L)).as("th"))
+        // grid the DEVIATION θ₋ᵢ − θ̂ (both on the e9 grid): variance
+        // is shift-invariant, so the SE is bit-identical to gridding
+        // θ₋ᵢ raw — but the moments shrink by ~n², keeping m1² inside
+        // decimal(38)/HUGEINT at any realistic row count (raw-grid m1²
+        // wrapped BOTH engines' 128-bit range at sf0.1 — r10 fix)
+        when(col("sq") - col("q") > 0L,
+          intScaled(
+            (col("sp") - col("p")).cast("double") /
+              (col("sq") - col("q")).cast("double"),
+            1000000000L) -
+            intScaled(
+              col("sp").cast("double") / col("sq").cast("double"),
+              1000000000L)).as("th"))
       .groupBy(col("o_orderpriority"))
       .agg(max(col("n")).as("n_items"),
         max(col("sp")).as("sp"), max(col("sq")).as("sq"),
-        sum(col("th")).as("m1"),
+        sum(col("th").cast(d38)).as("m1"),
         sum(col("th").cast(d38) * col("th")).as("m2"))
       .select(col("o_orderpriority"), col("n_items"),
         intScaled(col("sp").cast("double") / col("sq").cast("double"),
@@ -166,7 +175,7 @@ object Round10 {
         when(col("n_items") > 1L, intScaled(
           sqrt((col("n_items") - 1L).cast("double") *
             (col("n_items").cast(d38) * col("m2") -
-              col("m1").cast(d38) * col("m1")).cast("double")) /
+              col("m1") * col("m1")).cast("double")) /
             col("n_items").cast("double") / lit(1000.0),
           1L)).as("se_jk_e6"))
       .orderBy("o_orderpriority")
@@ -952,12 +961,14 @@ object Round10 {
         |         CASE WHEN t.sq - li.q > 0 THEN
         |           CAST(ROUND(CAST(t.sp - li.p AS DOUBLE)
         |             / CAST(t.sq - li.q AS DOUBLE) * 1000000000) AS BIGINT)
+        |           - CAST(ROUND(CAST(t.sp AS DOUBLE)
+        |             / CAST(t.sq AS DOUBLE) * 1000000000) AS BIGINT)
         |         END AS th
         |  FROM li JOIN tot t ON t.o_orderpriority = li.o_orderpriority),
         |m AS (
         |  SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_items,
         |         CAST(MAX(sp) AS BIGINT) AS sp, CAST(MAX(sq) AS BIGINT) AS sq,
-        |         CAST(SUM(th) AS BIGINT) AS m1,
+        |         SUM(CAST(th AS HUGEINT)) AS m1,
         |         SUM(CAST(th AS HUGEINT) * th) AS m2
         |  FROM th GROUP BY o_orderpriority)
         |SELECT o_orderpriority, n_items,
@@ -966,7 +977,7 @@ object Round10 {
         |  CASE WHEN n_items > 1 THEN
         |    CAST(ROUND(SQRT(CAST(n_items - 1 AS DOUBLE) *
         |        CAST(CAST(n_items AS HUGEINT) * m2
-        |             - CAST(m1 AS HUGEINT) * m1 AS DOUBLE))
+        |             - m1 * m1 AS DOUBLE))
         |      / CAST(n_items AS DOUBLE) / 1000.0) AS BIGINT) END AS se_jk_e6
         |FROM m ORDER BY o_orderpriority""".stripMargin,
     // Same zero-filled day grid, n-scaled exact deviations, HUGEINT

@@ -487,6 +487,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q331/q334 one-row stat frames ride broadcast, scans stay pruned") {
+    val p1 = plan("q331_benford_audit")
+    assert(p1.contains("BroadcastNestedLoopJoin") ||
+      p1.contains("BroadcastExchange"), p1)
+    assert(!p1.contains("o_comment"), "Benford reads more than o_totalprice")
+    val p2 = plan("q334_daily_acf")
+    assert(p2.contains("BroadcastExchange") ||
+      p2.contains("BroadcastNestedLoopJoin"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
+  test("q340/q341 bounded pair frames are explicit broadcast NLJs, " +
+    "never cartesian shuffles") {
+    Seq("q340_kendall_tau", "q341_mann_kendall").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$name pair frame lost its broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
+  test("q338 keyness: source totals broadcast; the corpus-sized side " +
+    "never shuffles twice") {
+    val p = plan("q338_g2_keyness")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("AQE OptimizeSkewedJoin splits a genuinely skewed partition " +
     "and results match the unskewed computation") {
     // r9 verdict item 4: the repo has MANUAL salting (q88/q89), but a

@@ -228,8 +228,9 @@ class Round10Spec extends SparkTestBase {
       val n = xs.size.toLong
       val sp = xs.map(x => BigInt(x._2)).sum
       val sq = xs.map(x => BigInt(x._3)).sum
+      val thbar = halfUp(sp.toDouble / sq.toDouble * 1e9)
       val ths = xs.map { x =>
-        halfUp((sp - x._2).toDouble / (sq - x._3).toDouble * 1e9)
+        halfUp((sp - x._2).toDouble / (sq - x._3).toDouble * 1e9) - thbar
       }
       val m1 = ths.map(BigInt(_)).sum
       val m2 = ths.map(t => BigInt(t) * t).sum
