@@ -691,7 +691,256 @@ object Round10 {
         1000000L)).as("z_e6"))
   }
 
+  /** q344 — CDC chunk-size distribution per source: count, exact mean
+    * (e2), and the exact 95th-percentile chunk size from the q289
+    * byte-scan chunker. The capacity-planning view of content-defined
+    * chunking — expected chunk size ≈ 16 bytes under the 1/16 boundary
+    * rate, and a source whose p95 balloons (boundary-poor payloads,
+    * e.g. low-entropy runs) will hot-spot any fixed-size chunk store.
+    * ALSO a second, independent oracle certificate for the byte-scan
+    * path: the DuckDB side recomputes the chunks RELATIONALLY (the
+    * q289 SQL shape), so matching here re-proves byte-scan ≡
+    * relational on a different statistic.
+    *
+    * Exactness: sizes/counts exact integers; mean is one mirrored
+    * division e2; p95 is the exact integer inverted-CDF rank
+    * (smallest size with 20·cum ≥ 19·n — the q250 discipline).
+    *
+    * Scale: rides the q289 production path (map-side byte scan,
+    * ~bytes/16 chunk rows); the freq frame is size-value-collapsed
+    * before any window.
+    */
+  def q344(s: SparkSession, dir: String): DataFrame = {
+    val freq = graft.ext.Multimodal.cdcChunksByteScan(s, dir)
+      .groupBy(col("source"), col("n_bytes"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("source").orderBy("n_bytes")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("source")
+    freq
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("tot", sum(col("n_bytes") * col("cnt")).over(wAll))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_chunks"),
+        max(col("tot")).as("total_bytes"),
+        min(when(col("cum") * 20L >= col("n") * 19L, col("n_bytes")))
+          .as("p95_bytes"))
+      .select(col("source"), col("n_chunks"), col("total_bytes"),
+        intScaled(col("total_bytes").cast("double") /
+          col("n_chunks").cast("double"), 100L).as("mean_bytes_e2"),
+        col("p95_bytes"))
+      .orderBy("source")
+  }
+
+  /** q345 — RLE-friendliness census of the lineitem flag columns: how
+    * many value RUNS does l_returnflag form within each order's line
+    * sequence, versus the minimum possible (distinct flags per
+    * order)? THE physical-layout signal `ops.Layout` acts on —
+    * run-length encoding and page compression pay off exactly when
+    * runs are long, and sortedness_e6 says how far a
+    * sort-within-order rewrite could take the column. All-integer end
+    * to end (strongest certificate class).
+    *
+    * Scale: the run window is ORDER-KEYED (bounded ≤ 7 lines — never
+    * a global row-scale window); censuses are combiner aggs. One-row
+    * output.
+    */
+  def q345(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    // the fixture carries duplicate (orderkey, linenumber) rows by
+    // design (the dup-detection battery) — the flag tiebreak makes the
+    // run sequence a TOTAL order on both engines
+    val byOrder = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_returnflag")
+    val runs = li
+      .withColumn("brk", when(lag(col("l_returnflag"), 1).over(byOrder).isNull ||
+        lag(col("l_returnflag"), 1).over(byOrder) =!= col("l_returnflag"), 1L)
+        .otherwise(0L))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("rows"), sum(col("brk")).as("runs"),
+        countDistinct(col("l_returnflag")).as("best"))
+    runs.agg(sum(col("rows")).as("n_rows"),
+        count(lit(1)).as("n_orders"),
+        sum(col("runs")).as("n_runs"),
+        sum(col("best")).as("n_runs_if_sorted"))
+      .select(col("n_rows"), col("n_orders"), col("n_runs"),
+        col("n_runs_if_sorted"),
+        intScaled(col("n_runs").cast("double") / col("n_rows").cast("double"),
+          1000000L).as("run_ratio_e6"),
+        intScaled(col("n_runs_if_sorted").cast("double") /
+          col("n_runs").cast("double"), 1000000L).as("sortedness_e6"))
+  }
+
+  /** q346 — portable Bloom-filter false-positive-rate measurement: a
+    * k=3, m=4096 Bloom filter over the distinct customer keys (md5
+    * row hashes — the q114 portable-CMS discipline), probed with
+    * 10,000 deterministic out-of-domain keys. The MEMBERSHIP sketch
+    * missing from the q25/q97 (HLL) + q114 (CMS) shelf — and the
+    * measured FPR sits next to its own prediction (1 − e^(−kn/m))^k ≈
+    * (bits_set/m)^k, so the row is a self-validating calibration
+    * table for join pre-filtering (the runtime-filter pattern a
+    * 100 TB join uses to skip shuffle rows).
+    *
+    * All-integer core: bit positions, set bits, probe hits are exact;
+    * measured FPR is one mirrored division e6; predicted FPR is one
+    * mirrored (b/m)³ chain e6.
+    *
+    * Scale: the bit array is structurally ≤ m = 4096 rows → broadcast
+    * to the probe join; members collapse to the key dimension first;
+    * probes are a generated frame (no data scan).
+    */
+  def q346(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val m = 4096L
+    def pos(key: Column, i: Column): Column =
+      (conv(substring(md5(concat(i.cast("string"), lit(":"), key)), 1, 8),
+        16, 10).cast("long") % m).as("pos")
+    val members = t(s, dir, "orders")
+      .select(col("o_custkey").cast("string").as("key")).distinct()
+      .localCheckpoint(true) // count + bit fan-out
+    val bits = members
+      .select(col("key"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(pos(col("key"), col("i")))
+      .distinct()
+    val probes = s.range(1L, 10001L)
+      .select(concat(lit("probe:"), col("id").cast("string")).as("key"))
+    val probeHits = probes
+      .select(col("key"), explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(col("key"), pos(col("key"), col("i")))
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("hit"), lit(0L))).as("all_set"))
+    val nb = bits.agg(count(lit(1)).as("n_bits_set"))
+    val nm = members.agg(count(lit(1)).as("n_members"))
+    probeHits.agg(count(lit(1)).as("n_probes"),
+        sum(col("all_set")).as("n_false_pos"))
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nm))
+      .select(col("n_members"), col("n_bits_set"), col("n_probes"),
+        col("n_false_pos"),
+        intScaled(col("n_false_pos").cast("double") /
+          col("n_probes").cast("double"), 1000000L).as("fpr_e6"),
+        intScaled(
+          col("n_bits_set").cast("double") / lit(4096.0) *
+            (col("n_bits_set").cast("double") / lit(4096.0)) *
+            (col("n_bits_set").cast("double") / lit(4096.0)),
+          1000000L).as("fpr_pred_e6"))
+  }
+
+  /** The four ln(w) constants for q347 as shared decimal literals
+    * (q331's discipline — no cross-engine libm-on-literal exposure).
+    */
+  private val lnW: Map[Int, String] = Map(
+    8 -> "2.0794415416798357", 16 -> "2.772588722239781",
+    32 -> "3.4657359027997265", 64 -> "4.1588830833596715")
+
+  /** Shared SPELLING of the ln(w)·1e9 grid points — the same CASE text
+    * runs through Spark's parser and DuckDB (decimal-exact on both).
+    */
+  private val lnWCase: String =
+    "CASE " + lnW.toSeq.sortBy(_._1).map { case (wv, l) =>
+      s"WHEN w = $wv THEN " +
+        s"CAST(ROUND(CAST($l AS DECIMAL(28,16)) * 1000000000) AS BIGINT)"
+    }.mkString(" ") + " END"
+
+  /** q347 — Hurst exponent by rescaled-range (R/S) analysis of the
+    * daily order-count series: mean R/S over complete blocks at
+    * dyadic sizes w ∈ {8,16,32,64}, and the Hurst estimate as the
+    * log-log OLS slope. THE long-memory summary the rest of the
+    * time-series shelf implies but never states — H ≈ 0.5 is
+    * memoryless, H > 0.5 persistent (q334's slow ACF decay,
+    * quantified), H < 0.5 mean-reverting — and the number capacity
+    * planning plugs into self-similar traffic models.
+    *
+    * Float discipline: per block, R/S = (maxW − minW)/√(w·Q − S²)
+    * where W_j = w·cumsum − (j+1)·S — EXACT integer numerator and
+    * sqrt-arg, ONE mirrored chain per block gridded e6; mean R/S per
+    * size is an exact integer sum with one mirrored division; its ln
+    * is e9-gridded; the final slope is exact decimal(38) OLS over the
+    * four (ln w literal, gridded ln mean) points with one mirrored
+    * division e6 (q328 discipline).
+    *
+    * Scale: per-size windows are BLOCK-keyed (≤ 64 rows); block
+    * frames are calendar-bounded; the OLS runs on 4 rows.
+    */
+  def q347(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span
+      .select(col("d0"), explode(sequence(lit(0L), col("d1") - col("d0")))
+        .as("t"))
+      .join(daily.withColumnRenamed("day", "dd"),
+        col("dd") === col("d0") + col("t"), "left")
+      .select(col("t"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint(true) // four per-size passes
+    val n = grid.agg(count(lit(1)).as("n"))
+    val sizes = Seq(8, 16, 32, 64)
+    val perSize = sizes.map { w =>
+      val wl = w.toLong
+      val blkW = Window.partitionBy("blk").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.crossJoin(broadcast(n))
+        .filter(col("t") < expr(s"n DIV $wl") * wl)
+        .select(expr(s"t DIV $wl").as("blk"), col("t"), col("x"))
+        .withColumn("cum", sum(col("x")).over(blkW))
+        .withColumn("j", row_number().over(
+          Window.partitionBy("blk").orderBy("t")))
+        .withColumn("sb_all",
+          sum(col("x")).over(Window.partitionBy("blk")))
+        .withColumn("wj",
+          lit(wl) * col("cum") - col("j") * col("sb_all"))
+        .groupBy(col("blk"))
+        .agg(max(col("sb_all")).as("sb"),
+          sum(col("x").cast(d38) * col("x")).as("qb"),
+          max(col("wj")).as("maxw"), min(col("wj")).as("minw"))
+        .select(
+          when(lit(wl).cast(d38) * col("qb") -
+            col("sb").cast(d38) * col("sb") > 0L,
+            intScaled(
+              (col("maxw") - col("minw")).cast("double") /
+                sqrt((lit(wl).cast(d38) * col("qb") -
+                  col("sb").cast(d38) * col("sb")).cast("double")),
+              1000000L)).as("rs"))
+        .filter(col("rs").isNotNull)
+        .agg(count(lit(1)).as("n_blocks"), sum(col("rs")).as("srs"))
+        .select(lit(wl).as("w"), col("n_blocks"), col("srs"))
+    }
+    val rows = perSize.reduce(_ unionAll _)
+      .select(col("w"), col("n_blocks"),
+        when(col("n_blocks") > 0L, intScaled(
+          col("srs").cast("double") / col("n_blocks").cast("double"),
+          1L)).as("mean_rs_e6"))
+      .localCheckpoint(true) // output + the OLS side
+    val pts = rows.filter(col("mean_rs_e6").isNotNull)
+      .select(col("w"), col("mean_rs_e6"),
+        expr(lnWCase).as("lx"),
+        intScaled(log(col("mean_rs_e6").cast("double") / lit(1000000.0)),
+          1000000000L).as("ly"))
+    val ols = pts.agg(count(lit(1)).as("np"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx").cast(d38) * col("ly")).as("sxy"),
+        sum(col("lx").cast(d38) * col("lx")).as("sxx"))
+      .select(
+        when(col("np").cast(d38) * col("sxx") -
+          col("sx").cast(d38) * col("sx") > 0L,
+          intScaled(
+            (col("np").cast(d38) * col("sxy") -
+              col("sx").cast(d38) * col("sy")).cast("double") /
+              (col("np").cast(d38) * col("sxx") -
+                col("sx").cast(d38) * col("sx")).cast("double"),
+            1000000L)).as("hurst_e6"))
+    rows.crossJoin(broadcast(ols)).orderBy("w")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q344_cdc_sizes" -> (q344 _),
+    "q345_rle_runs" -> (q345 _),
+    "q346_bloom_fpr" -> (q346 _),
+    "q347_hurst_rs" -> (q347 _),
     "q339_theil_decomposition" -> (q339 _),
     "q340_kendall_tau" -> (q340 _),
     "q341_mann_kendall" -> (q341 _),
@@ -707,6 +956,190 @@ object Round10 {
     "q338_g2_keyness" -> (q338 _))
 
   val oracleSql: Map[String, String] = Map(
+    // Relational CDC chunks (the q289 oracle shape) → size-collapsed
+    // freq table, exact inverted-CDF p95, one mirrored mean division.
+    // Matching the Spark byte-scan side re-proves byte ≡ relational
+    // on a second statistic.
+    "q344_cdc_sizes" ->
+      """WITH pos AS (
+        |  SELECT source, doc_id, text,
+        |         CAST(UNNEST(range(1, len(text) + 1)) AS BIGINT) AS p
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, doc_id, p,
+        |         CASE WHEN p >= 8 AND
+        |                   substr(md5(substr(text, CAST(p AS INT) - 7, 8)),
+        |                          1, 1) = '0'
+        |              THEN 1 ELSE 0 END AS bnd
+        |  FROM pos),
+        |cix AS (
+        |  SELECT source, doc_id, p,
+        |         SUM(bnd) OVER (PARTITION BY doc_id ORDER BY p) AS chunk_idx
+        |  FROM b),
+        |chunks AS (
+        |  SELECT source, doc_id, chunk_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS n_bytes
+        |  FROM cix GROUP BY source, doc_id, chunk_idx),
+        |freq AS (
+        |  SELECT source, n_bytes, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM chunks GROUP BY source, n_bytes),
+        |c2 AS (
+        |  SELECT source, n_bytes, cnt,
+        |         SUM(cnt) OVER (PARTITION BY source ORDER BY n_bytes
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY source) AS n,
+        |         SUM(n_bytes * cnt) OVER (PARTITION BY source) AS tot
+        |  FROM freq)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n_chunks,
+        |       CAST(MAX(tot) AS BIGINT) AS total_bytes,
+        |       CAST(ROUND(CAST(MAX(tot) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+        |         * 100) AS BIGINT) AS mean_bytes_e2,
+        |       CAST(MIN(CASE WHEN cum * 20 >= n * 19 THEN n_bytes END)
+        |            AS BIGINT) AS p95_bytes
+        |FROM c2 GROUP BY source ORDER BY source""".stripMargin,
+    // Same order-keyed lag runs, all-integer censuses, two mirrored
+    // ratio divisions.
+    "q345_rle_runs" ->
+      """WITH runs AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS nrows,
+        |         CAST(SUM(CASE WHEN prev IS NULL OR prev <> l_returnflag
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+        |         CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS best
+        |  FROM (SELECT l_orderkey, l_returnflag,
+        |               LAG(l_returnflag) OVER (PARTITION BY l_orderkey
+        |                 ORDER BY l_linenumber, l_returnflag) AS prev
+        |        FROM lineitem)
+        |  GROUP BY l_orderkey)
+        |SELECT CAST(SUM(nrows) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(runs) AS BIGINT) AS n_runs,
+        |       CAST(SUM(best) AS BIGINT) AS n_runs_if_sorted,
+        |       CAST(ROUND(CAST(SUM(runs) AS DOUBLE)
+        |         / CAST(SUM(nrows) AS DOUBLE) * 1000000) AS BIGINT)
+        |         AS run_ratio_e6,
+        |       CAST(ROUND(CAST(SUM(best) AS DOUBLE)
+        |         / CAST(SUM(runs) AS DOUBLE) * 1000000) AS BIGINT)
+        |         AS sortedness_e6
+        |FROM runs""".stripMargin,
+    // Same md5 positions, distinct bit set, all-hit probe fold, two
+    // mirrored FPR chains.
+    "q346_bloom_fpr" ->
+      """WITH members AS (
+        |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || key),
+        |                         1, 8)) AS BIGINT) % 4096 AS pos
+        |  FROM members CROSS JOIN range(3) i(i)),
+        |probes AS (
+        |  SELECT 'probe:' || CAST(pn AS VARCHAR) AS key
+        |  FROM (SELECT UNNEST(range(1, 10001)) AS pn)),
+        |pp AS (
+        |  SELECT key,
+        |    CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || key),
+        |                         1, 8)) AS BIGINT) % 4096 AS pos
+        |  FROM probes CROSS JOIN range(3) i(i)),
+        |ph AS (
+        |  SELECT pp.key,
+        |         MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS all_set
+        |  FROM pp LEFT JOIN bits b ON b.pos = pp.pos
+        |  GROUP BY pp.key),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM bits),
+        |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM members)
+        |SELECT n_members, n_bits_set,
+        |       CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |       CAST(SUM(all_set) AS BIGINT) AS n_false_pos,
+        |       CAST(ROUND(CAST(SUM(all_set) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) * 1000000) AS BIGINT) AS fpr_e6,
+        |       CAST(ROUND(CAST(n_bits_set AS DOUBLE) / 4096.0
+        |         * (CAST(n_bits_set AS DOUBLE) / 4096.0)
+        |         * (CAST(n_bits_set AS DOUBLE) / 4096.0) * 1000000)
+        |         AS BIGINT) AS fpr_pred_e6
+        |FROM ph CROSS JOIN nb CROSS JOIN nm
+        |GROUP BY n_members, n_bits_set""".stripMargin,
+    // Same block-keyed exact W_j walk, integer sqrt-args, shared
+    // ln(w) literals, exact HUGEINT OLS, mirrored chains throughout.
+    "q347_hurst_rs" -> {
+      val head =
+        """WITH daily AS (
+          |  SELECT CAST(DATE_DIFF('day', DATE '1970-01-01',
+          |                        CAST(o_orderdate AS DATE)) AS BIGINT)
+          |           AS day,
+          |         CAST(COUNT(*) AS BIGINT) AS x
+          |  FROM orders GROUP BY 1),
+          |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+          |grid AS (
+          |  SELECT g.day - s.d0 AS t, COALESCE(d.x, 0) AS x
+          |  FROM (SELECT UNNEST(generate_series(d0, d1)) AS day
+          |        FROM span) g
+          |  CROSS JOIN span s
+          |  LEFT JOIN daily d ON d.day = g.day),
+          |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM grid)""".stripMargin
+      val sizes = Seq(8, 16, 32, 64)
+      val perSize = sizes.map { w =>
+        s"""c$w AS (
+           |  SELECT t // $w AS blk, x,
+           |         SUM(x) OVER (PARTITION BY t // $w ORDER BY t
+           |                      ROWS UNBOUNDED PRECEDING) AS cum,
+           |         ROW_NUMBER() OVER (PARTITION BY t // $w ORDER BY t)
+           |           AS j,
+           |         SUM(x) OVER (PARTITION BY t // $w) AS sb_all
+           |  FROM grid CROSS JOIN nn WHERE t < (n // $w) * $w),
+           |a$w AS (
+           |  SELECT blk, CAST(MAX(sb_all) AS BIGINT) AS sb,
+           |         SUM(CAST(x AS HUGEINT) * x) AS qb,
+           |         CAST(MAX($w * cum - j * sb_all) AS BIGINT) AS maxw,
+           |         CAST(MIN($w * cum - j * sb_all) AS BIGINT) AS minw
+           |  FROM c$w GROUP BY blk),
+           |r$w AS (
+           |  SELECT CAST(ROUND(CAST(maxw - minw AS DOUBLE) /
+           |           SQRT(CAST(CAST($w AS HUGEINT) * qb
+           |                - CAST(sb AS HUGEINT) * sb AS DOUBLE))
+           |           * 1000000) AS BIGINT) AS rs
+           |  FROM a$w
+           |  WHERE CAST($w AS HUGEINT) * qb - CAST(sb AS HUGEINT) * sb > 0),
+           |m$w AS (
+           |  SELECT CAST($w AS BIGINT) AS w,
+           |         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           |         CAST(SUM(rs) AS BIGINT) AS srs
+           |  FROM r$w)""".stripMargin
+      }
+      val tail =
+        s"""rws AS (
+           |  SELECT w, n_blocks,
+           |         CASE WHEN n_blocks > 0 THEN
+           |           CAST(ROUND(CAST(srs AS DOUBLE)
+           |             / CAST(n_blocks AS DOUBLE)) AS BIGINT)
+           |         END AS mean_rs_e6
+           |  FROM (SELECT * FROM m8 UNION ALL SELECT * FROM m16
+           |        UNION ALL SELECT * FROM m32 UNION ALL
+           |        SELECT * FROM m64)),
+           |pts AS (
+           |  SELECT w, mean_rs_e6, $lnWCase AS lx,
+           |         CAST(ROUND(ln(CAST(mean_rs_e6 AS DOUBLE) / 1000000.0)
+           |           * 1000000000) AS BIGINT) AS ly
+           |  FROM rws WHERE mean_rs_e6 IS NOT NULL),
+           |ols AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+           |         CAST(SUM(lx) AS BIGINT) AS sx,
+           |         CAST(SUM(ly) AS BIGINT) AS sy,
+           |         SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
+           |         SUM(CAST(lx AS HUGEINT) * lx) AS sxx
+           |  FROM pts),
+           |h AS (
+           |  SELECT CASE WHEN CAST(np AS HUGEINT) * sxx
+           |                   - CAST(sx AS HUGEINT) * sx > 0 THEN
+           |    CAST(ROUND(CAST(CAST(np AS HUGEINT) * sxy
+           |          - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+           |        CAST(CAST(np AS HUGEINT) * sxx
+           |          - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1000000)
+           |      AS BIGINT) END AS hurst_e6
+           |  FROM ols)
+           |SELECT w, n_blocks, mean_rs_e6, hurst_e6
+           |FROM rws CROSS JOIN h ORDER BY w""".stripMargin
+      (head +: perSize :+ tail).mkString(",\n")
+    },
     // Same customer collapse, per-row e9 ln grid off exact HUGEINT
     // ratios, exact weighted sums, mirrored within/between chains.
     "q339_theil_decomposition" ->

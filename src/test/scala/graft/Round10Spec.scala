@@ -571,6 +571,137 @@ class Round10Spec extends SparkTestBase {
     assert(np > 0 && nm > 0 && r > 1, "degenerate sign sequence")
   }
 
+  test("q344 CDC sizes: exact boundary replay; p95 rank is unambiguous") {
+    def md5hex(s0: String): String =
+      md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf1/documents.parquet")
+      .select($"source", $"doc_id".cast("long"), $"text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val sizes = docs.flatMap { case (src, _, text) =>
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      var cs = 1
+      for (p <- 1 to text.length) {
+        if (p >= 8 && md5hex(text.substring(p - 8, p)).charAt(0) == '0') {
+          out += (p - cs).toLong; cs = p
+        }
+      }
+      if (text.length >= cs) out += (text.length - cs + 1).toLong
+      out.map((src, _))
+    }
+    val expected = sizes.groupBy(_._1).map { case (src, xs) =>
+      val ls = xs.map(_._2).sorted
+      val n = ls.length
+      val p95 = ls((19 * n + 19) / 20 - 1) // smallest with 20·cum >= 19·n
+      (src, n.toLong, ls.sum,
+        halfUp(ls.sum.toDouble / n * 100), p95)
+    }.toSet
+    val got = graft.queries.Round10.q344(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    // p95 must exceed the mean meaningfully (real size dispersion)
+    got.foreach(g => assert(g._5 * 100 > g._4, s"p95 below mean: $g"))
+  }
+
+  test("q345 RLE runs: exact per-order replay; sortedness binds strictly") {
+    val li = spark.read.parquet(s"$sf1/lineitem.parquet")
+      .select($"l_orderkey".cast("long"), $"l_linenumber".cast("long"),
+        $"l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val per = li.groupBy(_._1).map { case (_, xs) =>
+      val flags = xs.sortBy(x => (x._2, x._3)).map(_._3)
+      val runs = flags.indices.count(i => i == 0 || flags(i) != flags(i - 1))
+      (xs.size.toLong, runs.toLong, flags.distinct.size.toLong)
+    }
+    val nRows = per.map(_._1).sum
+    val nRuns = per.map(_._2).sum
+    val best = per.map(_._3).sum
+    val got = graft.queries.Round10.q345(spark, sf1).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      (nRows, per.size.toLong, nRuns, best))
+    assert(got.getLong(4) == halfUp(nRuns.toDouble / nRows * 1e6))
+    assert(got.getLong(5) == halfUp(best.toDouble / nRuns * 1e6))
+    // binding both ways: the raw layout is not already sorted (runs >
+    // best) and not fully fragmented (runs < rows)
+    assert(nRuns > best && nRuns < nRows, s"degenerate layout: $nRuns")
+  }
+
+  test("q346 Bloom FPR: exact bit replay; measured FPR tracks prediction") {
+    def md5hex(s0: String): String =
+      md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def pos(i: Long, key: String): Long =
+      java.lang.Long.parseLong(md5hex(s"$i:$key").substring(0, 8), 16) % 4096L
+    val members = ordersCents().map(_._1.toString).distinct
+    val bits = members.flatMap(k => (0L until 3L).map(pos(_, k))).toSet
+    val probes = (1L to 10000L).map(n => s"probe:$n")
+    val fps = probes.count(k => (0L until 3L).forall(i => bits(pos(i, k))))
+    val fpr = fps.toDouble / probes.size * 1e6
+    val pred = bits.size / 4096.0 * (bits.size / 4096.0) *
+      (bits.size / 4096.0) * 1e6
+    val got = graft.queries.Round10.q346(spark, sf1).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      (members.length.toLong, bits.size.toLong, 10000L, fps.toLong))
+    assert(got.getLong(4) == halfUp(fpr) && got.getLong(5) == halfUp(pred))
+    assert(boundaryMargin(fpr) > 1e-6 && boundaryMargin(pred) > 1e-6)
+    // the calibration must BIND: false positives exist, and the
+    // measured rate sits within 3x of the (b/m)^k prediction
+    assert(fps > 0, "no false positives — probe set vacuous")
+    assert(fpr < pred * 3 && pred < fpr * 3,
+      s"FPR wildly off prediction: $fpr vs $pred")
+  }
+
+  test("q347 Hurst R/S: exact block replay; H in (0,1) and points used") {
+    val days = ordersCents().map(o => java.time.LocalDate.parse(o._3).toEpochDay)
+    val hist = days.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val xs = (days.min to days.max).map(d => hist.getOrElse(d, 0L)).toArray
+    val n = xs.length
+    var minMargin = Double.MaxValue
+    val rows = Seq(8, 16, 32, 64).map { w =>
+      val rss = (0 until n / w).flatMap { b =>
+        val blk = xs.slice(b * w, b * w + w)
+        val sb = blk.map(BigInt(_)).sum
+        val qb = blk.map(x => BigInt(x) * x).sum
+        val varN = BigInt(w) * qb - sb * sb
+        if (varN > 0) {
+          var cum = BigInt(0)
+          val wjs = blk.zipWithIndex.map { case (x, j) =>
+            cum += x; BigInt(w) * cum - BigInt(j + 1) * sb
+          }
+          val rs = (wjs.max - wjs.min).toDouble / math.sqrt(varN.toDouble) * 1e6
+          minMargin = math.min(minMargin, boundaryMargin(rs))
+          Some(halfUp(rs))
+        } else None
+      }
+      val mean = halfUp(rss.map(BigInt(_)).sum.toDouble / rss.size)
+      (w.toLong, rss.size.toLong, mean)
+    }
+    // the ln(w) grid points come from the DECIMAL literals (both
+    // engines do exact decimal ROUND on them — replay from the string)
+    val lnWd = Map(8 -> "2.0794415416798357", 16 -> "2.772588722239781",
+      32 -> "3.4657359027997265", 64 -> "4.1588830833596715")
+    val pts = rows.map { case (w, _, m0) =>
+      (BigInt(new JBig(lnWd(w.toInt)).movePointRight(9)
+        .setScale(0, RoundingMode.HALF_UP).longValueExact()),
+        BigInt(halfUp(math.log(m0 / 1e6) * 1e9)))
+    }
+    val np = BigInt(pts.size)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val hurst = (np * sxy - sx * sy).toDouble / (np * sxx - sx * sx).toDouble * 1e6
+    val got = graft.queries.Round10.q347(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq == rows)
+    got.foreach(g => assert(g._4 == halfUp(hurst)))
+    assert(minMargin > 1e-6, s"R/S margin razor-thin: $minMargin")
+    // H must be a real exponent: inside (0,1), estimated from all 4
+    // sizes, with blocks at every size
+    assert(got.forall(_._2 > 0L))
+    assert(halfUp(hurst) > 0L && halfUp(hurst) < 1000000L,
+      s"Hurst outside (0,1): $hurst")
+  }
+
   test("covariance cells: map-side moment core == relational core " +
     "cell-for-cell at d=64 (fixture)") {
     // r9 verdict item 6: the production covCells core is now the
