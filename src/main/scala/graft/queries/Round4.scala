@@ -141,14 +141,15 @@ object Round4 {
       .orderBy("o_orderpriority")
   }
 
-  // ---- Q114 (ops.Sketches count-min, rows-only like q97): per-source
-  // CMS sketches over document tokens, probed for the observed
+  // ---- DataSketches-bytes CMS top-terms (library surface since r10;
+  // q114 itself now runs the PORTABLE cms below): per-source CMS
+  // sketches over document tokens, probed for the observed
   // (source, term) pairs and CAPPED to the top-`vocabCap` estimates
-  // per source. The frequency counterpart of q97's HLL — heavy-hitter
-  // counts within ε·N overcount from mergeable bytes, no per-term
-  // groupBy. Sketch bytes/estimates are engine-specific → no hash
-  // oracle; the ε-bound vs exact counts is spec-asserted
-  // (ExtensionsSpec).
+  // per source. This is the PERSISTABLE variant — spark.util.sketch
+  // bytes merge across independent jobs, which the portable relational
+  // form does not give you. Sketch bytes/estimates are engine-specific
+  // → no hash oracle; the ε-bound vs exact counts is spec-asserted
+  // (ExtensionsSpec "bytes-path CMS").
   //
   // Vocabulary cap (r4 advice): the previous shape broadcast the FULL
   // distinct-term set into a cross join — unbounded at web-scale

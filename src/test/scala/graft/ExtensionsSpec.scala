@@ -328,6 +328,29 @@ class ExtensionsSpec extends SparkTestBase {
     assert(again === got)
   }
 
+  test("bytes-path CMS (cmsTopTerms): never undercounts, eps*N bound — " +
+    "the persistable-sketch variant stays certified") {
+    // q114 switched to the portable md5 CMS in r10; this pins the
+    // spark.util.sketch bytes path (the variant whose sketches persist
+    // and merge across jobs) against the same exact-count contract.
+    val dir = "/root/testdata/sf0.001"
+    val est = graft.queries.Round4.cmsTopTerms(spark, dir, vocabCap = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val toks = graft.Tables.table(spark, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("term"))
+    val exact = toks.groupBy($"source", $"term").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = toks.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty && exact.keySet.subsetOf(est.keySet))
+    est.foreach { case ((src, term), e) =>
+      val x = exact.getOrElse((src, term), 0L)
+      assert(e >= x, s"bytes CMS undercounts $src/$term: $e < $x")
+      assert(e <= x + (0.001 * totals(src)).ceil.toLong + 1,
+        s"bytes CMS overcount beyond eps*N for $src/$term: $e vs $x")
+    }
+  }
+
   test("q114 CMS estimates bound exact counts within eps*N (never under)") {
     val dir = "/root/testdata/sf0.001"
     val est = graft.queries.Round4.q114(spark, dir)
