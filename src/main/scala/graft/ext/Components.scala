@@ -736,7 +736,50 @@ object Components {
       .orderBy("id")
   }
 
+  /** q355 — opt-out CLOSURE through the near-dup graph: when sources
+    * src5/src13 opt out (license revocation, RTBF, robots change),
+    * the documents that must ALSO go are every near-duplicate
+    * cluster-mate of an opted-out doc — keeping a 95%-identical copy
+    * ingested from elsewhere defeats the point of the removal. Per
+    * source: total docs, direct opt-outs, and DRAGGED docs (not from
+    * a banned source, but in a component containing one), with the
+    * total drop share. q330 audits deletion impact through the FK
+    * closure; this is the same audit through the SIMILARITY closure —
+    * the number a takedown review actually signs off on. Composes the
+    * memoized q102 component labels (one simhash-band + CC run shared
+    * with its six existing consumers).
+    *
+    * Exactness: all censuses are exact integers off the certified
+    * component labels; the share is one mirrored division.
+    *
+    * Scale: component flags are a (component → max flag) agg joined
+    * back — two key-scoped shuffles over the probe set; no new pair
+    * or closure computation beyond the shared labeling.
+    */
+  def q355(s: SparkSession, dir: String): DataFrame = {
+    val (subset, labels) = neardupLabels(s, dir)
+    val flagged = subset.select(col("doc_id"), col("source"))
+      .join(labels, "doc_id")
+      .withColumn("opt",
+        when(col("source").isin("src5", "src13"), 1L).otherwise(0L))
+    val comps = flagged.groupBy(col("component"))
+      .agg(max(col("opt")).as("comp_flagged"))
+    flagged.join(comps, "component")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("opt")).as("n_direct"),
+        sum(when(col("opt") === 0L && col("comp_flagged") === 1L, 1L)
+          .otherwise(0L)).as("n_dragged"))
+      .select(col("source"), col("n_docs"), col("n_direct"),
+        col("n_dragged"),
+        graft.ext.Similarity.intScaled(
+          (col("n_direct") + col("n_dragged")).cast("double") /
+            col("n_docs").cast("double"), 1000000L).as("drop_share_e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q355_optout_closure" -> (q355 _),
     "q102_neardup_components" -> (q102 _),
     "q119_component_best"     -> (q119 _),
     "q120_components_star"    -> (q120 _),
@@ -899,7 +942,33 @@ object Components {
       s"\nSELECT id, CAST(ROUND(pr * 1000000) AS BIGINT) AS pr_e6 FROM pr$iters ORDER BY id"
   }
 
+  /** q355 oracle: the SAME recursive-CTE closure as q102's, then the
+    * identical flag/closure/censuses — exact integers, one mirrored
+    * share division.
+    */
+  private val optoutClosureOracle: String =
+    s"""$componentsCte,
+       |fl AS (
+       |  SELECT d.source, c.component,
+       |         CASE WHEN d.source IN ('src5', 'src13') THEN 1 ELSE 0 END
+       |           AS opt
+       |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+       |cf AS (SELECT component, MAX(opt) AS comp_flagged
+       |       FROM fl GROUP BY component)
+       |SELECT fl.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(fl.opt) AS BIGINT) AS n_direct,
+       |       CAST(SUM(CASE WHEN fl.opt = 0 AND cf.comp_flagged = 1
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dragged,
+       |       CAST(ROUND(CAST(SUM(fl.opt) +
+       |           SUM(CASE WHEN fl.opt = 0 AND cf.comp_flagged = 1
+       |               THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(COUNT(*) AS DOUBLE) * 1000000) AS BIGINT)
+       |         AS drop_share_e6
+       |FROM fl JOIN cf ON cf.component = fl.component
+       |GROUP BY fl.source ORDER BY fl.source""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q355_optout_closure" -> optoutClosureOracle,
     "q102_neardup_components" -> componentsOracle,
     "q119_component_best"     -> componentBestOracle,
     // Same oracle as q102 by design: both CC implementations must

@@ -1575,7 +1575,122 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** q353 — Matryoshka truncation-recall curve: recall@10 of search
+    * over the FIRST 8/16/32 dimensions (re-normalized prefixes)
+    * against the full-64-dim ground truth, per query. The acceptance
+    * gate for shipping truncated MRL-style embeddings as a cheaper
+    * serving index — q278 answers the same question for int8 codes
+    * along the PRECISION axis; this is the DIMENSION axis, and
+    * together they bound the quality/cost frontier. At sf0.01 the
+    * measured mean recall rises ~0.20→0.26→0.39 across 8/16/32 dims —
+    * the audit binds hard at every width (these synthetic embeddings
+    * concentrate little mass in low dims, and the curve says exactly
+    * that).
+    *
+    * Determinism: prefix similarity is the ONE mirrored chain
+    * dot(slice)/(‖q‖·‖d‖); both rankings break ties (sim DESC, did);
+    * hits and recall are exact integers off set membership.
+    *
+    * Scale: q136's evaluation-harness posture — the 50-query probe
+    * side broadcasts; the 3× slice fan-out is a constant factor; the
+    * corpus frame is materialized once for both passes.
+    */
+  def q353(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unit = withUnitVec(emb(s, dir), "embedding", "u")
+      .select(col("vec_id"), col("u")).localCheckpoint(true)
+    val wFull = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    val exact = broadcast(unit.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("u").as("qu")))
+      .join(unit.select(col("vec_id").as("did"), col("u").as("du")))
+      .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(wFull)).filter(col("rn") <= 10)
+      .select(col("qid"), col("did"))
+    val sliced = unit
+      .withColumn("m", explode(array(lit(8L), lit(16L), lit(32L))))
+      .withColumn("sl", slice(col("u"), lit(1), col("m")))
+      .withColumn("nrm", l2Norm(col("sl")))
+      .localCheckpoint(true) // probe + corpus sides of the slice join
+    val wm = Window.partitionBy("m", "qid").orderBy(col("sim").desc, col("did"))
+    val tq = sliced.filter(col("vec_id") < 50)
+      .select(col("m"), col("vec_id").as("qid"), col("sl").as("qs"),
+        col("nrm").as("qn"))
+    val td = sliced.select(col("m").as("md"), col("vec_id").as("did"),
+      col("sl").as("ds"), col("nrm").as("dn"))
+    val approx = broadcast(tq).join(td, col("m") === col("md"))
+      .select(col("m"), col("qid"), col("did"),
+        (dot(col("qs"), col("ds")) / (col("qn") * col("dn"))).as("sim"))
+      .withColumn("rn", row_number().over(wm)).filter(col("rn") <= 10)
+      .select(col("m"), col("qid"), col("did"), lit(1L).as("hit"))
+    exact
+      .withColumn("m", explode(array(lit(8L), lit(16L), lit(32L))))
+      .join(approx, Seq("m", "qid", "did"), "left")
+      .groupBy(col("m"), col("qid"))
+      .agg(count(col("hit")).as("hits"))
+      .select(col("m"), col("qid"), col("hits"),
+        intScaled(col("hits") / lit(10.0), 10000L).as("recall_e4"))
+      .orderBy("m", "qid")
+  }
+
+  /** q354 — hubness census of the kNN graph: the in-degree
+    * (k-occurrence N₁₀) distribution over the corpus when a
+    * deterministic half of the points probe their top-10 neighbors —
+    * max in-degree, antihub (never-retrieved) count, and the moment
+    * skewness of N₁₀. High-dimensional spaces concentrate retrieval
+    * onto hub points (skew ≫ 0) and starve antihubs — THE structural
+    * diagnostic for whether q60/q61/q64's kNN lists are trustworthy,
+    * complementing q259's mutual-kNN symmetry check.
+    *
+    * Determinism & exactness: probe set is vec_id % 2 = 0 (no RNG);
+    * in-degrees are exact integers including zeros (left join against
+    * the full corpus); skewness g₁ = √n·Σdev³/(Σdev²)^{3/2} with
+    * dev = n·d − Σd EXACT decimal(38) integers and ONE mirrored
+    * chain (the ^{3/2} spelled m₂·√m₂ — no pow()).
+    *
+    * Scale: the probe side is a deterministic half-sample (fixed
+    * budget at 100 TB — hubness is a sampled diagnostic, not a
+    * serving path); at scale the kNN lists come from the bucketed
+    * q61/q64 paths and this census runs unchanged downstream.
+    */
+  def q354(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unit = withUnitVec(emb(s, dir), "embedding", "u")
+      .select(col("vec_id"), col("u")).localCheckpoint(true)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    val knn = broadcast(unit.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("qid"), col("u").as("qu")))
+      .join(unit.select(col("vec_id").as("did"), col("u").as("du")))
+      .filter(col("did") =!= col("qid"))
+      .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("qid"), col("did"))
+    val indeg = unit.select(col("vec_id").as("did"))
+      .join(knn.groupBy(col("did")).agg(count(lit(1)).as("dd")),
+        Seq("did"), "left")
+      .select(col("did"), coalesce(col("dd"), lit(0L)).as("d"))
+    val mom = indeg.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
+    val nq = unit.agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L))
+      .as("n_queries"))
+    indeg.crossJoin(broadcast(mom))
+      .withColumn("dev",
+        col("n").cast("decimal(38,0)") * col("d") - col("sd"))
+      .agg(max(col("n")).as("n_corpus"), max(col("d")).as("max_indeg"),
+        sum(when(col("d") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("dev") * col("dev")).as("m2"),
+        sum(col("dev") * col("dev") * col("dev")).as("m3"))
+      .crossJoin(broadcast(nq))
+      .select(col("n_corpus"), col("n_queries"), col("max_indeg"),
+        col("n_zero"),
+        when(col("m2") > 0L,
+          intScaled(
+            col("m3").cast("double") * sqrt(col("n_corpus").cast("double")) /
+              (col("m2").cast("double") * sqrt(col("m2").cast("double"))),
+            1000000L)).as("skew_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q353_matryoshka_recall" -> (q353 _),
+    "q354_hubness" -> (q354 _),
     "q323_embed_drift" -> (q323 _),
     "q317_align_uniformity" -> (q317 _),
     "q316_silhouette" -> (q316 _),
@@ -1774,6 +1889,92 @@ object Similarity {
        |FROM g ORDER BY qid""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Same unit vectors, same full-dim ground truth (rn<=10), same
+    // re-normalized prefix similarity chain dot/(nq·nd) with
+    // (sim DESC, did) ties, exact membership counts.
+    "q353_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |           FROM embeddings),
+        |u AS (SELECT vec_id,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev)))
+        |          AS uv
+        |      FROM e),
+        |bs AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS did,
+        |         list_inner_product(q.uv, d.uv) AS sim
+        |  FROM u q CROSS JOIN u d WHERE q.vec_id < 50),
+        |be AS (
+        |  SELECT qid, did FROM (
+        |    SELECT qid, did,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |                              ORDER BY sim DESC, did) AS rn
+        |    FROM bs) WHERE rn <= 10),
+        |ms AS (SELECT CAST(UNNEST([8, 16, 32]) AS BIGINT) AS m),
+        |sn AS (
+        |  SELECT m, vec_id, sl, sqrt(list_inner_product(sl, sl)) AS nrm
+        |  FROM (SELECT m, vec_id, list_slice(uv, 1, CAST(m AS INT)) AS sl
+        |        FROM u CROSS JOIN ms)),
+        |ts AS (
+        |  SELECT q.m, q.vec_id AS qid, d.vec_id AS did,
+        |         list_inner_product(q.sl, d.sl) / (q.nrm * d.nrm) AS sim
+        |  FROM sn q JOIN sn d ON d.m = q.m WHERE q.vec_id < 50),
+        |tt AS (
+        |  SELECT m, qid, did FROM (
+        |    SELECT m, qid, did,
+        |           ROW_NUMBER() OVER (PARTITION BY m, qid
+        |                              ORDER BY sim DESC, did) AS rn
+        |    FROM ts) WHERE rn <= 10),
+        |mb AS (SELECT m, qid, did FROM be CROSS JOIN ms)
+        |SELECT mb.m, mb.qid, CAST(COUNT(tt.did) AS BIGINT) AS hits,
+        |       CAST(ROUND(COUNT(tt.did) / 10.0 * 10000) AS BIGINT)
+        |         AS recall_e4
+        |FROM mb LEFT JOIN tt ON tt.m = mb.m AND tt.qid = mb.qid
+        |                    AND tt.did = mb.did
+        |GROUP BY mb.m, mb.qid ORDER BY mb.m, mb.qid""".stripMargin,
+    // Same deterministic half-probe kNN, zero-inclusive in-degrees,
+    // exact n-scaled deviations, HUGEINT moments, one mirrored
+    // m₂·√m₂ skewness chain.
+    "q354_hubness" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |           FROM embeddings),
+        |u AS (SELECT vec_id,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev)))
+        |          AS uv
+        |      FROM e),
+        |bs AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS did,
+        |         list_inner_product(q.uv, d.uv) AS sim
+        |  FROM u q CROSS JOIN u d
+        |  WHERE q.vec_id % 2 = 0 AND d.vec_id <> q.vec_id),
+        |kn AS (
+        |  SELECT qid, did FROM (
+        |    SELECT qid, did,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |                              ORDER BY sim DESC, did) AS rn
+        |    FROM bs) WHERE rn <= 10),
+        |cnt AS (
+        |  SELECT u.vec_id AS did, CAST(COUNT(kn.did) AS BIGINT) AS d
+        |  FROM u LEFT JOIN kn ON kn.did = u.vec_id GROUP BY u.vec_id),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |               CAST(SUM(d) AS BIGINT) AS sd FROM cnt),
+        |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+        |       FROM u WHERE vec_id % 2 = 0),
+        |dv AS (SELECT d, CAST(n AS HUGEINT) * d - sd AS dev, n
+        |       FROM cnt CROSS JOIN mom),
+        |ag AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n_corpus,
+        |         CAST(MAX(d) AS BIGINT) AS max_indeg,
+        |         CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_zero,
+        |         SUM(dev * dev) AS m2, SUM(dev * dev * dev) AS m3
+        |  FROM dv)
+        |SELECT n_corpus, n_queries, max_indeg, n_zero,
+        |  CASE WHEN m2 > 0 THEN
+        |    CAST(ROUND(CAST(m3 AS DOUBLE) * SQRT(CAST(n_corpus AS DOUBLE))
+        |      / (CAST(m2 AS DOUBLE) * SQRT(CAST(m2 AS DOUBLE)))
+        |      * 1000000) AS BIGINT)
+        |  END AS skew_e6
+        |FROM ag CROSS JOIN nq""".stripMargin,
     // Same e6-gridded integer covariance cells (q213 moment shape on
     // the FULL grid), 4 unrolled exact-integer power rounds with the
     // identical (2|w|·1e6 + m) // 2m half-up renormalization, one
