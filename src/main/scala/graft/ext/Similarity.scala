@@ -1591,6 +1591,13 @@ object Similarity {
     * dot(slice)/(‖q‖·‖d‖); both rankings break ties (sim DESC, did);
     * hits and recall are exact integers off set membership.
     *
+    * Convention: self-matches are INCLUDED on both sides (no
+    * did != qid filter, unlike q354) — each query is its own
+    * guaranteed top-1 in the full-dim truth AND in every truncated
+    * ranking, so recall has a deterministic floor of 0.1; the curve
+    * is read for its SHAPE across widths, and the floor cancels in
+    * width-over-width comparisons. Consistent across both engines.
+    *
     * Scale: q136's evaluation-harness posture — the 50-query probe
     * side broadcasts; the 3× slice fan-out is a constant factor; the
     * corpus frame is materialized once for both passes.
@@ -1633,31 +1640,34 @@ object Similarity {
   }
 
   /** q354 — hubness census of the kNN graph: the in-degree
-    * (k-occurrence N₁₀) distribution over the corpus when a
-    * deterministic half of the points probe their top-10 neighbors —
-    * max in-degree, antihub (never-retrieved) count, and the moment
-    * skewness of N₁₀. High-dimensional spaces concentrate retrieval
-    * onto hub points (skew ≫ 0) and starve antihubs — THE structural
-    * diagnostic for whether q60/q61/q64's kNN lists are trustworthy,
-    * complementing q259's mutual-kNN symmetry check.
+    * (k-occurrence N₁₀) distribution over the corpus when a FIXED
+    * deterministic probe set (vec_id < 200 — q353's probe-budget
+    * pattern) retrieves its top-10 neighbors — max in-degree, antihub
+    * (never-retrieved) count, and the moment skewness of N₁₀.
+    * High-dimensional spaces concentrate retrieval onto hub points
+    * (skew ≫ 0) and starve antihubs — THE structural diagnostic for
+    * whether q60/q61/q64's kNN lists are trustworthy, complementing
+    * q259's mutual-kNN symmetry check.
     *
-    * Determinism & exactness: probe set is vec_id % 2 = 0 (no RNG);
+    * Determinism & exactness: probe set is vec_id < 200 (no RNG);
     * in-degrees are exact integers including zeros (left join against
     * the full corpus); skewness g₁ = √n·Σdev³/(Σdev²)^{3/2} with
     * dev = n·d − Σd EXACT decimal(38) integers and ONE mirrored
     * chain (the ^{3/2} spelled m₂·√m₂ — no pow()).
     *
-    * Scale: the probe side is a deterministic half-sample (fixed
-    * budget at 100 TB — hubness is a sampled diagnostic, not a
-    * serving path); at scale the kNN lists come from the bucketed
-    * q61/q64 paths and this census runs unchanged downstream.
+    * Scale: the probe side is a CONSTANT 200-row broadcast — the
+    * brute pass is 200×N dot products (one corpus scan), not N²/2;
+    * hubness is a sampled diagnostic, not a serving path. At scale
+    * the kNN lists come from the bucketed q61/q64 paths and this
+    * census runs unchanged downstream. PlanAuditSpec pins the probe
+    * frame's constant bound.
     */
   def q354(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val unit = withUnitVec(emb(s, dir), "embedding", "u")
       .select(col("vec_id"), col("u")).localCheckpoint(true)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
-    val knn = broadcast(unit.filter(col("vec_id") % 2 === 0)
+    val knn = broadcast(unit.filter(col("vec_id") < 200)
         .select(col("vec_id").as("qid"), col("u").as("qu")))
       .join(unit.select(col("vec_id").as("did"), col("u").as("du")))
       .filter(col("did") =!= col("qid"))
@@ -1669,7 +1679,7 @@ object Similarity {
         Seq("did"), "left")
       .select(col("did"), coalesce(col("dd"), lit(0L)).as("d"))
     val mom = indeg.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
-    val nq = unit.agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L))
+    val nq = unit.agg(sum(when(col("vec_id") < 200, 1L).otherwise(0L))
       .as("n_queries"))
     indeg.crossJoin(broadcast(mom))
       .withColumn("dev",
@@ -1931,7 +1941,7 @@ object Similarity {
         |FROM mb LEFT JOIN tt ON tt.m = mb.m AND tt.qid = mb.qid
         |                    AND tt.did = mb.did
         |GROUP BY mb.m, mb.qid ORDER BY mb.m, mb.qid""".stripMargin,
-    // Same deterministic half-probe kNN, zero-inclusive in-degrees,
+    // Same fixed 200-probe kNN, zero-inclusive in-degrees,
     // exact n-scaled deviations, HUGEINT moments, one mirrored
     // m₂·√m₂ skewness chain.
     "q354_hubness" ->
@@ -1945,7 +1955,7 @@ object Similarity {
         |  SELECT q.vec_id AS qid, d.vec_id AS did,
         |         list_inner_product(q.uv, d.uv) AS sim
         |  FROM u q CROSS JOIN u d
-        |  WHERE q.vec_id % 2 = 0 AND d.vec_id <> q.vec_id),
+        |  WHERE q.vec_id < 200 AND d.vec_id <> q.vec_id),
         |kn AS (
         |  SELECT qid, did FROM (
         |    SELECT qid, did,
@@ -1958,7 +1968,7 @@ object Similarity {
         |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |               CAST(SUM(d) AS BIGINT) AS sd FROM cnt),
         |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
-        |       FROM u WHERE vec_id % 2 = 0),
+        |       FROM u WHERE vec_id < 200),
         |dv AS (SELECT d, CAST(n AS HUGEINT) * d - sd AS dev, n
         |       FROM cnt CROSS JOIN mom),
         |ag AS (

@@ -685,7 +685,10 @@ object TextAnalysis {
     *
     * Scale: the corpus-sized stage is the word-frequency agg (map-side
     * partial); pair enumeration fans out ≤ len(word)−1 rows per
-    * DISTINCT word — vocabulary-sized, not corpus-sized. The top-20 is
+    * DISTINCT word — vocabulary-sized, not corpus-sized — and is built
+    * by ONE zip_with over two char-array slices (the r10 shingle-core
+    * pattern; the earlier transform(sequence, i -> substr…) lambda was
+    * interpreted, ~13 µs/element). The top-20 is
     * TakeOrderedAndProject.
     */
   def q157(s: SparkSession, dir: String): DataFrame = {
@@ -693,11 +696,12 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val cs = split(col("word"), "")
+    val pairs = zip_with(
+      slice(cs, lit(1), size(cs) - 1), slice(cs, lit(2), size(cs) - 1),
+      (a, b) => struct(a.as("sym_a"), b.as("sym_b")))
     words
-      .select(col("freq"), explode(expr(
-        "transform(sequence(1, length(word) - 1)," +
-          " i -> struct(substr(word, i, 1) AS sym_a," +
-          "            substr(word, i + 1, 1) AS sym_b))")).as("p"))
+      .select(col("freq"), explode(pairs).as("p"))
       .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
       .agg(sum(col("freq")).as("cnt"))
       .orderBy(col("cnt").desc, col("sym_a"), col("sym_b"))

@@ -286,6 +286,12 @@ object Round11 {
     *
     * Scale: the dose collapse is a ≤50-row map-side agg; everything
     * after is a one-row frame.
+    *
+    * Degenerate guard: Z is NULL when all responses agree (rr=0 or
+    * rr=nn) OR when there is a single dose group (n_groups=1 → trend
+    * denominator N·Σs²n−(Σsn)² = 0, where Spark would emit ±Inf/NaN
+    * but DuckDB's CAST(ROUND(...)) errors) — guarded identically on
+    * both engines.
     */
   def q351(s: SparkSession, dir: String): DataFrame = {
     val g = t(s, dir, "lineitem")
@@ -300,7 +306,8 @@ object Round11 {
         sum(col("sc").cast(d38) * col("ri")).as("tr"))
       .select(col("nn").as("n_rows"), col("rr").as("n_returned"),
         col("n_groups"),
-        when(col("rr") > 0L && col("rr") < col("nn"),
+        when(col("rr") > 0L && col("rr") < col("nn") &&
+            col("n_groups") > 1L,
           intScaled(
             (col("nn").cast(d38) * col("tr") - col("sn") * col("rr"))
               .cast("double") * sqrt(col("nn").cast("double")) /
@@ -575,7 +582,7 @@ object Round11 {
         |         SUM(CAST(sc AS HUGEINT) * ri) AS tr
         |  FROM g)
         |SELECT nn AS n_rows, rr AS n_returned, n_groups,
-        |  CASE WHEN rr > 0 AND rr < nn THEN
+        |  CASE WHEN rr > 0 AND rr < nn AND n_groups > 1 THEN
         |    CAST(ROUND(CAST(CAST(nn AS HUGEINT) * tr - sn * rr AS DOUBLE)
         |        * SQRT(CAST(nn AS DOUBLE))
         |        / SQRT(CAST(CAST(rr AS HUGEINT) * (nn - rr) *

@@ -351,6 +351,27 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("portable HLL shard merge: two-level per-shard MAX-merge is " +
+    "bit-identical to the one-level register file (q97's collapse)") {
+    // r11: q97 now builds registers in ONE groupBy(priority, reg).
+    // This pins the claim that made the collapse safe: building
+    // per-(status-shard, priority) register files first and MAX-merging
+    // across shards (HLL union — what a persist-then-merge production
+    // flow does) yields the SAME register file, hence the same
+    // estimates, because register MAX is associative.
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.Tables.table(spark, dir, "orders")
+    val oneLevel = graft.ops.Sketches.hllPortableRegisters(
+      orders, Seq("o_orderpriority"), $"o_custkey")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val perShard = graft.ops.Sketches.hllPortableRegisters(
+      orders, Seq("o_orderstatus", "o_orderpriority"), $"o_custkey")
+      .groupBy($"o_orderpriority", $"reg")
+      .agg(max($"rho").as("rho"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(oneLevel.nonEmpty && perShard === oneLevel)
+  }
+
   test("q114 CMS estimates bound exact counts within eps*N (never under)") {
     val dir = "/root/testdata/sf0.001"
     val est = graft.queries.Round4.q114(spark, dir)

@@ -573,4 +573,98 @@ class PlanAuditSpec extends SparkTestBase {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("every BroadcastNestedLoopJoin in the registry has a declared " +
+    "fixed-size build side (the q354 net — r10 verdict item 6)") {
+    // The global rule above bans CartesianProduct, but r10's q354
+    // showed a corpus-sized BroadcastNestedLoopJoin slides through:
+    // its probe side was N/2 of the corpus. This audit closes that
+    // hole structurally: a BNL is acceptable ONLY when its broadcast
+    // (build) side is provably bounded in the plan itself —
+    //   (a) a global aggregate (empty grouping → exactly one row):
+    //       the accepted one-row global-stats crossJoin shape, or
+    //   (b) a limit (Local/Global/TakeOrdered), or
+    //   (c) a Filter comparing an attribute against a LITERAL bound
+    //       (the fixed-probe-evaluation shape: vec_id < 50/200) —
+    //       note vec_id % 2 = 0 does NOT match: modulo keeps the side
+    //       proportional to the corpus, which is the exact q354 bug, or
+    //   (d) the query is on the named-contract exempt list.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{FilterExec, GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    // Named BNL contracts: each entry declares WHAT bounds its build
+    // side (adjudicated by reading the plan via graft.DevBnl). A new
+    // query planning a BNL must either carry a structural bound (below)
+    // or be added here WITH its bound — an unexplained corpus-sized
+    // build side fails the suite.
+    val exempt = Set(
+      "q60_knn_brute", // all-pairs IS that query's contract
+      "q229_ks_drift", // distinct-doc-length grid (value-bounded)
+      "q232_psi_drift", // length-bucket (n_chars/100) grid (value-bounded)
+      "q143_js_divergence", // per-word corpus distribution (vocab-sized)
+      "q167_cross_perplexity", // per-source LM totals (feed-bounded)
+      "q340_kendall_tau", // per-brand rank frame (≤25 TPC-H brands)
+      "q341_mann_kendall", // calendar day-grid self-pair (day-bounded)
+      "q316_silhouette", // per-cluster centroid sums (k-bounded)
+      "q304_welch_battery" // per-mktsegment moments (5 segments)
+    )
+    def bounded(side: SparkPlan): Boolean = {
+      def litCompare(p: SparkPlan): Boolean = p.collectFirst {
+        case f: FilterExec if f.condition.exists {
+          case LessThan(_, _: Literal) | LessThan(_: Literal, _) => true
+          case LessThanOrEqual(_, _: Literal) | LessThanOrEqual(_: Literal, _) => true
+          case GreaterThan(_, _: Literal) | GreaterThan(_: Literal, _) => true
+          case GreaterThanOrEqual(_, _: Literal) | GreaterThanOrEqual(_: Literal, _) => true
+          case EqualTo(_, _: Literal) | EqualTo(_: Literal, _) => true
+          case _ => false
+        } => f
+      }.isDefined
+      val oneRow = side.collectFirst {
+        case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+      }.isDefined
+      val limited = side.collectFirst {
+        case l: GlobalLimitExec => (l: SparkPlan)
+        case l: LocalLimitExec => (l: SparkPlan)
+        case l: TakeOrderedAndProjectExec => (l: SparkPlan)
+        // a literal local relation is a fixed row set by construction
+        case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+          (l: SparkPlan)
+      }.isDefined
+      oneRow || limited || litCompare(side)
+    }
+    val violations = SparkEntry.queries.keys.filterNot(exempt).flatMap {
+      name =>
+        val sp = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+        sp.collect { case b: BroadcastNestedLoopJoinExec => b }.flatMap { b =>
+          val build = b.buildSide match {
+            case BuildLeft => b.left
+            case BuildRight => b.right
+          }
+          if (bounded(build)) None
+          else Some(s"$name:\n${build.toString}")
+        }
+    }
+    assert(violations.isEmpty,
+      s"${violations.size} BroadcastNestedLoopJoin(s) whose build side " +
+        s"has no declared constant bound (one-row agg / limit / literal " +
+        s"filter) — the q354 failure shape:\n${violations.mkString("\n")}")
+  }
+
+  test("q354 hubness probe frame is constant-bounded (vec_id < 200 " +
+    "reaches the broadcast side)") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val sp = SparkEntry.queries("q354_hubness")(spark, sf)
+      .queryExecution.sparkPlan
+    val bnls = sp.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnls.nonEmpty, "q354 lost its broadcast probe join:\n" + sp)
+    // the probe build side must carry the literal 200 bound, and the
+    // corpus-proportional modulo shape must be gone for good
+    val s = sp.toString
+    assert(s.contains("< 200"), s"q354 probe bound missing:\n$s")
+    assert(!s.contains("% 2"), s"q354 modulo probe shape is back:\n$s")
+  }
 }
