@@ -50,7 +50,7 @@ object DevScaleAudit {
       // affinity graphs become 10 structure-identical disjoint shards).
       val li = Tables.table(s, base, "lineitem")
         .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
-          "l_extendedprice")
+          "l_extendedprice", "l_shipdate", "l_returnflag")
       val li10 = (0 until 10).map { i =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
           .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 10000000L))
@@ -273,6 +273,26 @@ object DevScaleAudit {
       "txt_degen_runs" -> (dir => SparkEntry.queries("q336_degeneration_runs")(spark, dir)),
       "txt_burrows" -> (dir => SparkEntry.queries("q337_burrows_delta")(spark, dir)),
       "li_gini" -> (dir => SparkEntry.queries("q332_gini_concentration")(spark, dir)),
+      // r11 — the q348-q355 shapes (the r10 verdict's audit gap):
+      // the daily prefix-scan break (orders ×10 into the SAME
+      // calendar grid — q348's one-pass F scan must stay grid-sized),
+      // the user-keyed first-occurrence pair table (users ×10, the
+      // |types|²-per-user bound), the 4-threshold session explode
+      // (users ×10 — the verdict's explicitly-named 4× explode), the
+      // year-pair brand rank shift (lineitem ×10 into 1× brands), and
+      // the fixed-probe embedding diagnostics (corpus ×10 against
+      // CONSTANT probe budgets: 50 for q353, 200 for q354 — the r10
+      // scale-killer fix under measurement). q351 is a pure map-side
+      // dose collapse (no audit row needed); q355 is probe-set-scoped
+      // by contract (doc_id < 1000) so its 10× cost is label-memo
+      // recomputation, included to pin exactly that.
+      "ord_chow" -> (dir => SparkEntry.queries("q348_chow_break")(spark, dir)),
+      "ev_precedence" -> (dir => SparkEntry.queries("q349_subseq_support")(spark, dir)),
+      "ev_session_curve" -> (dir => SparkEntry.queries("q350_session_curve")(spark, dir)),
+      "li_rbo" -> (dir => SparkEntry.queries("q352_rbo_rankshift")(spark, dir)),
+      "emb_matryoshka" -> (dir => SparkEntry.queries("q353_matryoshka_recall")(spark, dir)),
+      "emb_hubness" -> (dir => SparkEntry.queries("q354_hubness")(spark, dir)),
+      "doc_optout" -> (dir => SparkEntry.queries("q355_optout_closure")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

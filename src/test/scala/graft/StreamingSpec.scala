@@ -516,4 +516,60 @@ class StreamingSpec extends SparkTestBase {
     assert(rows === Set((1L, 105L, 100L), (2L, 205L, 200L), (1L, 105L, 104L)),
       s"stream-stream join state not recovered across the kill: $rows")
   }
+
+  test("exactly-once sink: a batch that crashes AFTER its write is " +
+    "replayed with the same batchId and leaves no duplicate rows") {
+    // The last unproven streaming leg (r10 verdict item 4): foreachBatch
+    // is at-least-once — a crash in the write→commit gap replays the
+    // batch. writeBatchIdempotent's batch_id-keyed overwrite must make
+    // that replay rewrite its own directory, not append a second copy.
+    // The injected crash fires AFTER the parquet write succeeded — the
+    // exact window where a naive append sink duplicates.
+    val input = MemoryStream[(Long, Long)](spark)
+    val df = input.toDF().toDF("event_id", "v")
+    val sink = java.nio.file.Files.createTempDirectory("graft_eo_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_eo_ckpt").toString
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val batch1Writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    def start() = df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        EventStream.writeBatchIdempotent(b, id, sink)
+        if (id == 1L) {
+          batch1Writes.incrementAndGet()
+          if (failOnce.getAndSet(false))
+            throw new RuntimeException(
+              "injected crash: write done, commit never recorded")
+        }
+      }
+      .start()
+
+    val q1 = start()
+    input.addData((1L, 10L), (2L, 20L))
+    q1.processAllAvailable() // batch 0 commits cleanly
+    input.addData((3L, 30L), (4L, 40L))
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    q1.stop()
+    // the crash left batch 1's FILES on disk but no commit — the
+    // duplicate hazard is real at this point
+    assert(new java.io.File(s"$sink/batch_id=1").exists(),
+      "fault injection must fire after the write")
+
+    val q2 = start() // same checkpoint: batch 1 replays, same batchId
+    try {
+      q2.processAllAvailable()
+      input.addData((5L, 50L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    assert(batch1Writes.get() == 2,
+      s"batch 1 was not retried (writes=${batch1Writes.get()})")
+    val rows = spark.read.parquet(sink)
+      .select("event_id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.size == rows.toSet.size && rows.toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)),
+      s"retried batch duplicated or lost rows: ${rows.sorted}")
+  }
 }
