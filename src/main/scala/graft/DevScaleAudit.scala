@@ -293,6 +293,24 @@ object DevScaleAudit {
       "emb_matryoshka" -> (dir => SparkEntry.queries("q353_matryoshka_recall")(spark, dir)),
       "emb_hubness" -> (dir => SparkEntry.queries("q354_hubness")(spark, dir)),
       "doc_optout" -> (dir => SparkEntry.queries("q355_optout_closure")(spark, dir)),
+      // r11 second batch — the q356-q367 shapes that touch a shuffle
+      // or scan the corpus: fixed-probe LID (50×N dots, corpus ×10),
+      // the IVF centroid pass (corpus scan → labels×64 collapse; at
+      // 10× labels stay 1× so centroid groups carry 10× rows), the
+      // cohort LTV custkey/cohort aggs (customers ×10 into the SAME
+      // calendar triangle), the ABC-XYZ part rank window (parts ×10),
+      // the (cust, band) blocking self-join (customers ×10, per-block
+      // sizes preserved), the three-pass Grubbs grid scan (orders
+      // ×10 into the fixed calendar), and the rich-club degree joins
+      // on the co-order graph (shard-disjoint edges ×10). q357 is a
+      // constant 64² probe frame; q359-q361 share q362's grid shape.
+      "emb_lid" -> (dir => SparkEntry.queries("q356_lid_mle")(spark, dir)),
+      "emb_ivf_curve" -> (dir => SparkEntry.queries("q358_ivf_probe_curve")(spark, dir)),
+      "ord_cohort_ltv" -> (dir => SparkEntry.queries("q363_cohort_ltv")(spark, dir)),
+      "li_abc_xyz" -> (dir => SparkEntry.queries("q364_abc_xyz")(spark, dir)),
+      "ord_dup_invoices" -> (dir => SparkEntry.queries("q365_dup_invoices")(spark, dir)),
+      "ord_grubbs" -> (dir => SparkEntry.queries("q362_grubbs_scan")(spark, dir)),
+      "graph_rich_club" -> (dir => SparkEntry.queries("q367_rich_club")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

@@ -736,7 +736,39 @@ object Curation {
       .orderBy("table_name")
   }
 
+  /** q366 — l-diversity census over the customer table: with
+    * quasi-identifier (nation, market segment) and sensitive
+    * attribute = account-balance $1000 bucket, the distribution of
+    * per-group DISTINCT sensitive values — the privacy audit k-anonymity
+    * (q141/q255) cannot answer: a group can be large (k-safe) yet
+    * expose its members because everyone in it shares one balance
+    * band (l = 1 → homogeneity attack). Reported as a histogram of l
+    * with the at-risk census (groups below l = 3), the release
+    * gate a data-sharing review signs.
+    *
+    * Exactness: buckets are FLOOR(cents/1e5) — floor on the mirrored
+    * double division (NOT integer division: Spark truncates toward
+    * zero, DuckDB floors, and balances go negative); every census is
+    * an exact integer.
+    *
+    * Scale: one groupBy on the bounded QI grid (nations × segments),
+    * distinct-agg inside groups; output ≤ distinct-l rows.
+    */
+  def q366(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.table(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .cast("double") / lit(100000.0)).cast("long").as("sb"))
+    val groups = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(countDistinct(col("sb")).as("l"), count(lit(1)).as("nc"))
+    groups.groupBy(col("l"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("nc")).as("n_customers"),
+        sum(when(col("l") < 3L, col("nc")).otherwise(0L)).as("n_at_risk"))
+      .orderBy("l")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q366_ldiversity" -> (q366 _),
     "q330_deletion_impact" -> (q330 _),
     "q320_lf_conflicts" -> (q320 _),
     "q232_psi_drift"      -> (q232 _),
@@ -799,6 +831,23 @@ object Curation {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same FLOOR(cents/1e5) buckets, same QI grid, exact censuses.
+    "q366_ldiversity" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(FLOOR(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |             AS BIGINT) AS DOUBLE) / 100000.0) AS BIGINT) AS sb
+        |  FROM customer),
+        |g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(COUNT(DISTINCT sb) AS BIGINT) AS l,
+        |         CAST(COUNT(*) AS BIGINT) AS nc
+        |  FROM c GROUP BY 1, 2)
+        |SELECT l, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(SUM(nc) AS BIGINT) AS n_customers,
+        |       CAST(SUM(CASE WHEN l < 3 THEN nc ELSE 0 END) AS BIGINT)
+        |         AS n_at_risk
+        |FROM g GROUP BY l ORDER BY l""".stripMargin,
     // Same mod-97 cohorts and FK-closure semi-chains, exact counts,
     // one mirrored share division per table row.
     "q330_deletion_impact" ->

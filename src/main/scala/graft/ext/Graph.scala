@@ -744,7 +744,47 @@ object Graph {
             1000000L)).as("nmi_e6"))
   }
 
+  /** q367 — rich-club coefficient φ(k) of the part co-order graph at
+    * k ∈ {2,4,8,16}: among nodes with degree > k, the realized edge
+    * density 2E_k/(n_k(n_k−1)) — whether the hubs preferentially wire
+    * to EACH OTHER (φ rising with k = a rich-club core; the
+    * organic-vs-farmed structure question q151's assortativity asks
+    * globally, answered level by level). Rides the memoized
+    * [[coOrderGraph]] edges/degrees — no new graph computation.
+    *
+    * Exactness: node and edge censuses are exact integers off the
+    * canonical edge frame; φ is ONE mirrored chain per k, e6-gridded;
+    * degenerate levels (n_k ≤ 1) guard to NULL on both engines.
+    *
+    * Scale: two degree-keyed joins onto the edge frame plus a
+    * constant 4× threshold explode; output 4 rows.
+    */
+  def q367(s: SparkSession, dir: String): DataFrame = {
+    val g = coOrderGraph(s, dir)
+    val ks = array(lit(2L), lit(4L), lit(8L), lit(16L))
+    val nodes = g.deg.withColumn("k", explode(ks))
+      .filter(col("deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    val ends = g.edges
+      .join(g.deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(g.deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val rich = ends.withColumn("k", explode(ks))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("ne"))
+    nodes.join(rich, Seq("k"), "left")
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("ne"), lit(0L)).as("n_edges"),
+        when(col("n_nodes") > 1L,
+          Similarity.intScaled(
+            lit(2.0) * coalesce(col("ne"), lit(0L)).cast("double") /
+              (col("n_nodes").cast("double") *
+                (col("n_nodes") - 1).cast("double")),
+            1000000L)).as("phi_e6"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q367_rich_club" -> (q367 _),
     "q310_lpa_communities" -> (q310 _),
     "q315_community_nmi"  -> (q315 _),
     "q305_brand_modularity" -> (q305 _),
@@ -923,6 +963,32 @@ object Graph {
         |FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Same canonical edge/degree frames as q150/q151, exact censuses
+    // per threshold, one mirrored φ chain per k.
+    "q367_rich_club" ->
+      s"""$partEdgeCte,
+         |deg AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY id),
+         |ks AS (SELECT CAST(UNNEST([2, 4, 8, 16]) AS BIGINT) AS k),
+         |nodes AS (
+         |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |  FROM deg JOIN ks ON deg > k GROUP BY k),
+         |ends AS (
+         |  SELECT da.deg AS da, db.deg AS db
+         |  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+         |rich AS (
+         |  SELECT k, CAST(COUNT(*) AS BIGINT) AS ne
+         |  FROM ends JOIN ks ON da > k AND db > k GROUP BY k)
+         |SELECT n.k, n.n_nodes,
+         |  CAST(COALESCE(r.ne, 0) AS BIGINT) AS n_edges,
+         |  CASE WHEN n.n_nodes > 1 THEN
+         |    CAST(ROUND(2.0 * CAST(COALESCE(r.ne, 0) AS DOUBLE)
+         |      / (CAST(n.n_nodes AS DOUBLE)
+         |         * CAST(n.n_nodes - 1 AS DOUBLE)) * 1000000) AS BIGINT)
+         |  END AS phi_e6
+         |FROM nodes n LEFT JOIN rich r ON r.k = n.k ORDER BY n.k""".stripMargin,
     // Same symmetric edge frame, 4 unrolled all-integer adoption
     // rounds with the identical (count DESC, label) tie-break.
     "q310_lpa_communities" -> lpaOracle,

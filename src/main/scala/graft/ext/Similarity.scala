@@ -1698,7 +1698,184 @@ object Similarity {
             1000000L)).as("skew_e6"))
   }
 
+  /** q356 — local intrinsic dimensionality (Levina-Bickel / Amsaleg
+    * MLE) per probe: LID = −k / Σᵢ ln(dᵢ/d_k) over the probe's k=10
+    * nearest cosine distances — the per-point "how many effective
+    * dimensions does the space have HERE" that predicts where LSH/IVF
+    * recall degrades and where hubness (q354) concentrates; q312's
+    * participation ratio is the GLOBAL spectrum view, this is the
+    * pointwise complement over the same fixed 50-probe budget as
+    * q353.
+    *
+    * Float discipline: neighbor selection runs on the usual
+    * (sim DESC, did) integer-decided ranks; each ln((1−s)/(1−s_k))
+    * term is a mirrored libm chain gridded e9 PER TERM (sums of raw
+    * doubles would be partition-order-dependent), and the final
+    * −k·1e9/Σ is one mirrored chain gridded e4. Degenerate probes
+    * (all k distances equal, or any exact-duplicate neighbor s ≥ 1)
+    * guard to NULL/are excluded identically on both engines.
+    *
+    * Scale: q354's fixed-budget posture — a constant 50-row probe
+    * broadcast, 50×N dot products, one corpus scan.
+    */
+  def q356(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unit = withUnitVec(emb(s, dir), "embedding", "u")
+      .select(col("vec_id"), col("u")).localCheckpoint(true)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    val knn = broadcast(unit.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("u").as("qu")))
+      .join(unit.select(col("vec_id").as("did"), col("u").as("du")))
+      .filter(col("did") =!= col("qid"))
+      .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .localCheckpoint(true) // the k-th row feeds back as d_k
+    val dk = knn.filter(col("rn") === 10)
+      .select(col("qid"), col("sim").as("simk"))
+    knn.join(dk, "qid")
+      .filter(col("sim") < lit(1.0) && col("simk") < lit(1.0))
+      .withColumn("term_e9",
+        intScaled(log((lit(1.0) - col("sim")) / (lit(1.0) - col("simk"))),
+          1000000000L))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k_used"), sum(col("term_e9")).as("sum_e9"))
+      .select(col("qid"), col("k_used"),
+        when(col("sum_e9") < 0L,
+          intScaled(
+            -col("k_used").cast("double") * lit(1000000000.0) /
+              col("sum_e9").cast("double"),
+            10000L)).as("lid_e4"))
+      .orderBy("qid")
+  }
+
+  /** q357 — cosine-concentration (anisotropy) census: over all C(64,2)
+    * pairs of a fixed 64-probe set, the mean/spread/extremes of
+    * pairwise cosine — Ethayarajh's "how anisotropic is this
+    * embedding space" number: isotropic spaces average ≈ 0, collapsed
+    * spaces cluster near 1, and the mean is the baseline every cosine
+    * threshold (q66's near-dup cut, q123's SemDeDup cut) must be read
+    * against.
+    *
+    * Float discipline: each pair cosine is gridded e9 FIRST
+    * (deterministic per pair); every moment (mean, variance, min,
+    * max, tail count) is then exact integer arithmetic; the two
+    * output divisions and one sqrt are mirrored chains.
+    *
+    * Scale: a constant 64×64 probe frame — no corpus-sized stage at
+    * all beyond the probe scan; one-row output.
+    */
+  def q357(s: SparkSession, dir: String): DataFrame = {
+    // the vec_id < 64 probe bound is applied AFTER the checkpoint so
+    // the literal bound stays visible in the physical plan — the BNL
+    // audit (PlanAuditSpec) verifies broadcast sides structurally
+    val pr = withUnitVec(emb(s, dir), "embedding", "u")
+      .select(col("vec_id"), col("u")).localCheckpoint(true)
+    val a = broadcast(pr.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("ia"), col("u").as("ua")))
+    val b = pr.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("ib"), col("u").as("ub"))
+    a.join(b).filter(col("ia") < col("ib"))
+      .select(intScaled(dot(col("ua"), col("ub")), 1000000000L).as("s9"))
+      .agg(count(lit(1)).as("n"), sum(col("s9")).as("ss"),
+        sum(col("s9").cast("decimal(38,0)") * col("s9")).as("sqq"),
+        min(col("s9")).as("min_e9"), max(col("s9")).as("max_e9"),
+        sum(when(col("s9") > 300000000L, 1L).otherwise(0L)).as("n_gt03"))
+      .select(col("n").as("n_pairs"),
+        intScaled(col("ss").cast("double") / col("n").cast("double") /
+          lit(1000000000.0), 1000000L).as("mean_e6"),
+        intScaled(
+          sqrt((col("n").cast("decimal(38,0)") * col("sqq") -
+            col("ss").cast("decimal(38,0)") * col("ss")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double"))) /
+            lit(1000000000.0),
+          1000000L).as("std_e6"),
+        col("min_e9"), col("max_e9"),
+        intScaled(col("n_gt03").cast("double") / col("n").cast("double"),
+          1000000L).as("frac_gt03_e6"))
+  }
+
+  /** q358 — IVF probe-count recall curve: recall@10 vs the brute
+    * ground truth when each of the fixed 50 queries probes its
+    * nprobe ∈ {1,2,3} nearest coarse cells (label cells, q64's
+    * contract) ranked by exact-integer query·centroid products — the
+    * THIRD axis of the ANN quality/cost frontier (q278 = precision,
+    * q353 = dimensions, this = probes), and the number that decides
+    * the nprobe knob every IVF deployment ships with. Self-matches
+    * included on both sides (q353's documented convention).
+    *
+    * Float discipline: unit-vector components grid to e9 integers
+    * once; centroids are per-(label, dim) half-up integer means of
+    * those (ONE mirrored division each); query→cell affinity is then
+    * an EXACT decimal(38) integer dot product, so cell ranking is
+    * integer-decided — no float can flip which cells are probed.
+    * Member ranking inside probed cells uses the usual mirrored
+    * double dot with (sim DESC, did) ties; hits/recall are exact.
+    *
+    * Scale: centroids are a (labels × 64)-row frame off one corpus
+    * pass (map-side partial sums); the probe stage touches only the
+    * probed cells' members — the entire POINT of IVF; the 3× nprobe
+    * fan-out rides the fixed 50-query frame.
+    */
+  def q358(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unit = withUnitVec(emb(s, dir), "embedding", "u")
+      .select(col("vec_id"), col("label"), col("u"),
+        transform(col("u"),
+          x => round(x * lit(1000000000.0), 0).cast("long")).as("s9"))
+      .localCheckpoint(true)
+    val comp = unit.select(col("vec_id"), col("label"),
+      posexplode(col("s9")).as(Seq("i", "v")))
+    val cent = comp.groupBy(col("label"), col("i"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("nl"))
+      .select(col("label"), col("i"),
+        intScaled(col("sv").cast("double") / col("nl").cast("double"), 1L)
+          .as("cv"))
+    val ip = comp.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("i"), col("v").as("qv"))
+      .join(cent, "i")
+      .groupBy(col("qid"), col("label"))
+      .agg(sum(col("qv").cast("decimal(38,0)") * col("cv")).as("ip"))
+    val wc = Window.partitionBy("qid").orderBy(col("ip").desc, col("label"))
+    val sel = ip.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= 3)
+      .withColumn("np", explode(array(lit(1L), lit(2L), lit(3L))))
+      .filter(col("crn") <= col("np"))
+      .select(col("np"), col("qid"), col("label"))
+    val probeQ = unit.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("u").as("qu"))
+    val wnp = Window.partitionBy("np", "qid")
+      .orderBy(col("sim").desc, col("did"))
+    val approx = broadcast(sel.join(probeQ, "qid"))
+      .join(unit.select(col("label"), col("vec_id").as("did"),
+        col("u").as("du")), Seq("label"))
+      .select(col("np"), col("qid"), col("did"),
+        dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(wnp)).filter(col("rn") <= 10)
+      .select(col("np"), col("qid"), col("did"), lit(1L).as("hit"))
+    val wb = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    val exact = broadcast(probeQ)
+      .join(unit.select(col("vec_id").as("did"), col("u").as("du")))
+      .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= 10)
+      .select(col("qid"), col("did"))
+    exact
+      .withColumn("np", explode(array(lit(1L), lit(2L), lit(3L))))
+      .join(approx, Seq("np", "qid", "did"), "left")
+      .groupBy(col("np"), col("qid"))
+      .agg(count(col("hit")).as("h"))
+      .groupBy(col("np"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("h")).as("sum_hits"))
+      .select(col("np").as("nprobe"), col("n_queries"), col("sum_hits"),
+        intScaled(col("sum_hits").cast("double") /
+          (col("n_queries") * 10).cast("double"), 10000L)
+          .as("mean_recall_e4"))
+      .orderBy("nprobe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q356_lid_mle" -> (q356 _),
+    "q357_cosine_concentration" -> (q357 _),
+    "q358_ivf_probe_curve" -> (q358 _),
     "q353_matryoshka_recall" -> (q353 _),
     "q354_hubness" -> (q354 _),
     "q323_embed_drift" -> (q323 _),
@@ -1899,6 +2076,138 @@ object Similarity {
        |FROM g ORDER BY qid""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Same (sim DESC, did) kNN, same per-term e9 ln grid, same
+    // mirrored −k·1e9/Σ chain, identical degenerate guards.
+    "q356_lid_mle" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |           FROM embeddings),
+        |u AS (SELECT vec_id,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev)))
+        |          AS uv
+        |      FROM e),
+        |bs AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS did,
+        |         list_inner_product(q.uv, d.uv) AS sim
+        |  FROM u q CROSS JOIN u d
+        |  WHERE q.vec_id < 50 AND d.vec_id <> q.vec_id),
+        |kn AS (
+        |  SELECT qid, did, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, did) AS rn
+        |  FROM bs),
+        |dk AS (SELECT qid, sim AS simk FROM kn WHERE rn = 10),
+        |terms AS (
+        |  SELECT k.qid,
+        |         CAST(ROUND(ln((1.0 - k.sim) / (1.0 - d.simk))
+        |           * 1000000000) AS BIGINT) AS term_e9
+        |  FROM kn k JOIN dk d ON d.qid = k.qid
+        |  WHERE k.rn <= 10 AND k.sim < 1.0 AND d.simk < 1.0)
+        |SELECT qid, CAST(COUNT(*) AS BIGINT) AS k_used,
+        |  CASE WHEN SUM(term_e9) < 0 THEN
+        |    CAST(ROUND(-CAST(COUNT(*) AS DOUBLE) * 1000000000.0
+        |      / CAST(SUM(term_e9) AS DOUBLE) * 10000) AS BIGINT)
+        |  END AS lid_e4
+        |FROM terms GROUP BY qid ORDER BY qid""".stripMargin,
+    // Same per-pair e9 grid FIRST, exact HUGEINT moments, mirrored
+    // mean/std chains, exact extremes and tail count.
+    "q357_cosine_concentration" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |           FROM embeddings WHERE vec_id < 64),
+        |u AS (SELECT vec_id,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev)))
+        |          AS uv
+        |      FROM e),
+        |p AS (
+        |  SELECT CAST(ROUND(list_inner_product(a.uv, b.uv) * 1000000000)
+        |           AS BIGINT) AS s9
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(s9) AS BIGINT) AS ss,
+        |         SUM(CAST(s9 AS HUGEINT) * s9) AS sqq,
+        |         CAST(MIN(s9) AS BIGINT) AS min_e9,
+        |         CAST(MAX(s9) AS BIGINT) AS max_e9,
+        |         CAST(SUM(CASE WHEN s9 > 300000000 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_gt03
+        |  FROM p)
+        |SELECT n AS n_pairs,
+        |  CAST(ROUND(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1000000000.0 * 1000000) AS BIGINT) AS mean_e6,
+        |  CAST(ROUND(SQRT(CAST(CAST(n AS HUGEINT) * sqq
+        |      - CAST(ss AS HUGEINT) * ss AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+        |    / 1000000000.0 * 1000000) AS BIGINT) AS std_e6,
+        |  min_e9, max_e9,
+        |  CAST(ROUND(CAST(n_gt03 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 1000000) AS BIGINT) AS frac_gt03_e6
+        |FROM m""".stripMargin,
+    // Same e9 component grid, half-up integer centroids, EXACT
+    // integer cell ranking, identical in-cell (sim DESC, did) probe
+    // ranking, exact hit counts.
+    "q358_ivf_probe_curve" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev
+        |           FROM embeddings),
+        |u AS (SELECT vec_id, label,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev)))
+        |          AS uv
+        |      FROM e),
+        |comp AS (
+        |  SELECT vec_id, label, CAST(ord AS BIGINT) - 1 AS i,
+        |         CAST(ROUND(v * 1000000000) AS BIGINT) AS s9
+        |  FROM (SELECT vec_id, label, UNNEST(uv) AS v,
+        |               UNNEST(range(1, len(uv) + 1)) AS ord
+        |        FROM u)),
+        |cent AS (
+        |  SELECT label, i,
+        |         CAST(ROUND(CAST(SUM(s9) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cv
+        |  FROM comp GROUP BY label, i),
+        |ip AS (
+        |  SELECT c.vec_id AS qid, t.label,
+        |         SUM(CAST(c.s9 AS HUGEINT) * t.cv) AS ip
+        |  FROM comp c JOIN cent t ON t.i = c.i
+        |  WHERE c.vec_id < 50 GROUP BY c.vec_id, t.label),
+        |cr AS (
+        |  SELECT qid, label,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY ip DESC, label) AS crn
+        |  FROM ip),
+        |nps AS (SELECT CAST(UNNEST(range(1, 4)) AS BIGINT) AS np),
+        |sel AS (SELECT np, qid, label FROM cr JOIN nps ON crn <= np),
+        |cs AS (
+        |  SELECT s.np, s.qid, d.vec_id AS did,
+        |         list_inner_product(q.uv, d.uv) AS sim
+        |  FROM sel s JOIN u q ON q.vec_id = s.qid
+        |             JOIN u d ON d.label = s.label),
+        |ct AS (
+        |  SELECT np, qid, did FROM (
+        |    SELECT np, qid, did,
+        |           ROW_NUMBER() OVER (PARTITION BY np, qid
+        |                              ORDER BY sim DESC, did) AS rn
+        |    FROM cs) WHERE rn <= 10),
+        |bs AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS did,
+        |         list_inner_product(q.uv, d.uv) AS sim
+        |  FROM u q CROSS JOIN u d WHERE q.vec_id < 50),
+        |be AS (
+        |  SELECT qid, did FROM (
+        |    SELECT qid, did,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |                              ORDER BY sim DESC, did) AS rn
+        |    FROM bs) WHERE rn <= 10),
+        |hits AS (
+        |  SELECT mb.np, mb.qid,
+        |         CAST(COUNT(ct.did) AS BIGINT) AS h
+        |  FROM (SELECT np, qid, did FROM be CROSS JOIN nps) mb
+        |  LEFT JOIN ct ON ct.np = mb.np AND ct.qid = mb.qid
+        |              AND ct.did = mb.did
+        |  GROUP BY mb.np, mb.qid)
+        |SELECT np AS nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(h) AS BIGINT) AS sum_hits,
+        |  CAST(ROUND(CAST(SUM(h) AS DOUBLE)
+        |    / CAST(COUNT(*) * 10 AS DOUBLE) * 10000) AS BIGINT)
+        |    AS mean_recall_e4
+        |FROM hits GROUP BY np ORDER BY nprobe""".stripMargin,
     // Same unit vectors, same full-dim ground truth (rn<=10), same
     // re-normalized prefix similarity chain dot/(nq·nd) with
     // (sim DESC, did) ties, exact membership counts.

@@ -391,14 +391,672 @@ object Round11 {
     terms.crossJoin(broadcast(tot)).orderBy("d")
   }
 
+  /** Exact lag-autocovariance moments of the daily grid in ONE row —
+    * n, den = Σd², num₁..num_K with d_t = n·x_t − Σx (the q334
+    * deviation frame, pivoted wide) — shared by q359/q360 so the
+    * Ljung-Box and Durbin-Levinson chains read the SAME exact
+    * integers q334's per-lag ACF certifies.
+    */
+  private def lagMoments(
+      s: SparkSession, dir: String, maxLag: Int): DataFrame = {
+    val grid = dailyGrid(s, dir).localCheckpoint(true)
+    val mom = grid.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val dev = grid.crossJoin(broadcast(mom))
+      .select(col("t"), (col("n") * col("x") - col("sx")).as("d"), col("n"))
+      .localCheckpoint(true) // both sides of the lag join + the denom
+    val den = dev.agg(max(col("n")).as("n"),
+      sum(col("d").cast(d38) * col("d")).as("den"))
+    dev
+      .select(col("t"), col("d"),
+        explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"))
+      .select((col("t") + col("lag")).as("t"), col("lag"), col("d").as("d0"))
+      .join(dev.select(col("t"), col("d").as("d1")), "t")
+      .groupBy(col("lag"))
+      .agg(sum(col("d0").cast(d38) * col("d1")).as("num"))
+      .agg(
+        max(when(col("lag") === 1L, col("num"))).as("num1"),
+        (2 to maxLag).map(k =>
+          max(when(col("lag") === k.toLong, col("num"))).as(s"num$k")): _*)
+      .crossJoin(broadcast(den))
+  }
+
+  /** q359 — Ljung-Box portmanteau test at lags 1..7 on the zero-filled
+    * daily order-count series: Q_h = n(n+2)·Σ_{k≤h} r_k²/(n−k), the
+    * "is there ANY autocorrelation up to lag h" summary that reads
+    * q334's per-lag ACF as one cumulative statistic (the whiteness
+    * gate a forecasting residual check runs before trusting q219's
+    * model; q343's runs test is the distribution-free cousin).
+    *
+    * Float discipline: each r_k = num_k/den is ONE mirrored division
+    * off q334's exact decimal(38) moments; each summand r_k²/(n−k) is
+    * gridded e12 PER LAG and the cumulative sum runs on exact
+    * integers (the q352 gridded-terms-summed-exactly pattern — a raw
+    * double Σ would be partition-order-dependent); Q's final chain
+    * n·(n+2)·cum/1e12 is one mirrored multiply-divide (cum < 2⁵³, so
+    * the double conversion is exact).
+    *
+    * Scale: everything after the map-side daily collapse rides the
+    * calendar grid; the lag fan-out is 7×days; output 7 rows.
+    */
+  def q359(s: SparkSession, dir: String): DataFrame = {
+    val m = lagMoments(s, dir, 7)
+    val terms = m.select(col("n"), col("den"),
+      explode(array((1 to 7).map(k => struct(lit(k.toLong).as("lag"),
+        col(s"num$k").as("num"))): _*)).as("p"))
+      .select(col("n"), col("den"), col("p.lag").as("lag"),
+        col("p.num").as("num"))
+      .withColumn("acf_e6", when(col("den") > 0L,
+        intScaled(col("num").cast("double") / col("den").cast("double"),
+          1000000L)))
+      .withColumn("term_e12", when(col("den") > 0L,
+        intScaled(
+          col("num").cast("double") / col("den").cast("double") *
+            (col("num").cast("double") / col("den").cast("double")) /
+            (col("n") - col("lag")).cast("double"),
+          1000000000000L)))
+    val wCum = Window.orderBy("lag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    terms
+      .withColumn("cum", sum(col("term_e12")).over(wCum))
+      .select(col("lag"), col("n").as("n_days"), col("acf_e6"),
+        intScaled(
+          col("n").cast("double") * (col("n") + 2).cast("double") *
+            col("cum").cast("double") / lit(1000000000000.0),
+          1000000L).as("q_e6"))
+      .orderBy("lag")
+  }
+
+  /** q360 — partial autocorrelation (PACF) at lags 1..5 by the
+    * Durbin-Levinson recursion on q334's exact autocovariances: the
+    * direct lag-k effect with lags 1..k−1 partialled out — what an AR
+    * order-selection actually reads (the ACF alone confounds a long
+    * AR(1) tail with genuine higher-order structure).
+    *
+    * Float discipline: the five r_k enter as mirrored num_k/den
+    * divisions off exact decimal(38) moments; the recursion
+    * φ_kk = (r_k − Σφ_{k−1,j}r_{k−j}) / (1 − Σφ_{k−1,j}r_j),
+    * φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j} is UNROLLED with every
+    * product and sum spelled in the identical order on both engines
+    * (the q309 unrolled-power-rounds discipline) — a one-row scalar
+    * chain, gridded e6 only at output.
+    *
+    * Scale: the data-sized stage is q334's daily collapse; the
+    * recursion is a one-row frame; output 5 rows.
+    */
+  def q360(s: SparkSession, dir: String): DataFrame = {
+    val m = lagMoments(s, dir, 5)
+    val r = m.select(Seq(col("n"), col("den")) ++ (1 to 5).map(k =>
+      when(col("den") > 0L,
+        col(s"num$k").cast("double") / col("den").cast("double"))
+        .as(s"r$k")): _*)
+    val p = r
+      .withColumn("p11", col("r1"))
+      .withColumn("p22", (col("r2") - col("p11") * col("r1")) /
+        (lit(1.0) - col("p11") * col("r1")))
+      .withColumn("p21", col("p11") - col("p22") * col("p11"))
+      .withColumn("p33",
+        (col("r3") - (col("p21") * col("r2") + col("p22") * col("r1"))) /
+          (lit(1.0) - (col("p21") * col("r1") + col("p22") * col("r2"))))
+      .withColumn("p31", col("p21") - col("p33") * col("p22"))
+      .withColumn("p32", col("p22") - col("p33") * col("p21"))
+      .withColumn("p44",
+        (col("r4") - (col("p31") * col("r3") + col("p32") * col("r2") +
+          col("p33") * col("r1"))) /
+          (lit(1.0) - (col("p31") * col("r1") + col("p32") * col("r2") +
+            col("p33") * col("r3"))))
+      .withColumn("p41", col("p31") - col("p44") * col("p33"))
+      .withColumn("p42", col("p32") - col("p44") * col("p32"))
+      .withColumn("p43", col("p33") - col("p44") * col("p31"))
+      .withColumn("p55",
+        (col("r5") - (col("p41") * col("r4") + col("p42") * col("r3") +
+          col("p43") * col("r2") + col("p44") * col("r1"))) /
+          (lit(1.0) - (col("p41") * col("r1") + col("p42") * col("r2") +
+            col("p43") * col("r3") + col("p44") * col("r4"))))
+    p.select(col("n").as("n_days"),
+        explode(array(
+          struct(lit(1L).as("lag"), col("p11").as("pf")),
+          struct(lit(2L).as("lag"), col("p22").as("pf")),
+          struct(lit(3L).as("lag"), col("p33").as("pf")),
+          struct(lit(4L).as("lag"), col("p44").as("pf")),
+          struct(lit(5L).as("lag"), col("p55").as("pf")))).as("e"))
+      .select(col("e.lag").as("lag"), col("n_days"),
+        intScaled(col("e.pf"), 1000000L).as("pacf_e6"))
+      .orderBy("lag")
+  }
+
+  /** q361 — Page-Hinkley upward-drift detector on the zero-filled
+    * daily series: PH_t = m_t − min_{s≤t} m_s with m_t the cumulative
+    * deviation from the global mean (δ = 0), alarm when PH_t > λ = 50
+    * events — the sequential cousin of q251's CUSUM (CUSUM locates
+    * ONE retrospective shift; Page-Hinkley is the ONLINE monitor with
+    * an explicit alarm threshold and reset-free memory).
+    *
+    * Exactness: n-scaled m_t (n·Σ_{i≤t}x_i − (t+1)·Σx) is an exact
+    * decimal(38) integer off two prefix sums; the running min, PH,
+    * and the λ·n alarm compare all stay integer; the only double is
+    * the final PH_max/n report, ONE mirrored division gridded e2.
+    *
+    * Scale: the two windows ride the calendar grid (the accepted
+    * frame class) after the map-side daily collapse; one-row output.
+    */
+  def q361(s: SparkSession, dir: String): DataFrame = {
+    val grid = dailyGrid(s, dir)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val ph = grid.crossJoin(broadcast(tot))
+      .withColumn("cx", sum(col("x")).over(wCum))
+      .withColumn("nm",
+        col("n").cast(d38) * col("cx") - (col("t") + 1).cast(d38) * col("sx"))
+      .withColumn("rmin", min(col("nm")).over(wCum))
+      .withColumn("ph", col("nm") - col("rmin"))
+      .withColumn("alarm", col("ph") > lit(50).cast(d38) * col("n"))
+    ph.agg(
+      max(col("n")).as("n_days"),
+      intScaled(max(col("ph")).cast("double") / max(col("n")).cast("double"),
+        100L).as("ph_max_e2"),
+      min(when(col("alarm"), col("t"))).as("first_alarm_t"),
+      sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarm_days"))
+  }
+
+  /** q362 — iterated Grubbs outlier scan (3 rounds) of the daily
+    * series: each round reports the most extreme day's G statistic
+    * |x−x̄|/s and REMOVES it before the next — the classical
+    * generalized-ESD shape (q250's IQR fence is the robust screen;
+    * Grubbs is the parametric test a data-quality runbook quotes
+    * with a critical value). Masking is the point of the iteration:
+    * a second outlier hides the first from a single-pass test.
+    *
+    * Exactness: per round, the deviation |n·x − Σx| and moments are
+    * exact decimal(38); the argmax runs on (dev DESC, t) integers; G
+    * is ONE mirrored chain dev/n/√(var) per round, gridded e6.
+    *
+    * Scale: three grid-sized passes over the calendar frame (the
+    * accepted window class) after the map-side daily collapse;
+    * 3-row output.
+    */
+  def q362(s: SparkSession, dir: String): DataFrame = {
+    val wArg = Window.orderBy(col("dev").desc, col("t"))
+    def round(f: DataFrame): (DataFrame, DataFrame) = {
+      val mom = f.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"))
+      val ranked = f.crossJoin(broadcast(mom))
+        .withColumn("dev", abs(col("n").cast(d38) * col("x") - col("sx")))
+        .withColumn("rn", row_number().over(wArg))
+      val out = ranked.filter(col("rn") === 1)
+        .select(col("t"), col("x"), col("n"), col("sx"), col("sxx"),
+          col("dev"))
+      val rest = ranked.filter(col("rn") =!= 1).select(col("t"), col("x"))
+      (out, rest)
+    }
+    val g0 = dailyGrid(s, dir).localCheckpoint(true)
+    val (o1, f1c) = round(g0)
+    val f1 = f1c.localCheckpoint(true)
+    val (o2, f2c) = round(f1)
+    val f2 = f2c.localCheckpoint(true)
+    val (o3, _) = round(f2)
+    Seq((o1, 1L), (o2, 2L), (o3, 3L)).map { case (o, r) =>
+      o.select(lit(r).as("round"), col("t").as("t_out"),
+        col("x").as("x_out"), col("n").as("n_remaining"),
+        intScaled(
+          col("dev").cast("double") / col("n").cast("double") /
+            sqrt((col("n").cast(d38) * col("sxx") -
+              col("sx").cast(d38) * col("sx")).cast("double") /
+              (col("n").cast("double") * (col("n") - 1).cast("double"))),
+          1000000L).as("g_e6"))
+    }.reduce(_ unionAll _).orderBy("round")
+  }
+
+  /** q363 — cohort lifetime-value matrix: customers cohorted by their
+    * FIRST order month, revenue accumulated by months-since-first —
+    * the (cohort × age) triangle every subscription/commerce finance
+    * team reads for payback curves (q116's retention counts USERS
+    * returning; this follows the MONEY — the two share the cohort
+    * spine). Cumulative share shows each cohort's revenue maturation
+    * against its own total.
+    *
+    * Exactness: cohort/idx are exact integer month arithmetic
+    * (y·12+m−1); revenue is exact cents; the only double is the
+    * cumulative-share division, mirrored and e6-gridded.
+    *
+    * Scale: one custkey-keyed min-agg (map-side combined), one
+    * (cohort, idx)-keyed cents agg; the cumulative window rides the
+    * cohort×age triangle (calendar² frame, ≤ ~85² rows — the q333
+    * grid class), never orders. Output is that triangle.
+    */
+  def q363(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("c"),
+        (year(col("o_orderdate").cast("date")) * 12 +
+          month(col("o_orderdate").cast("date")) - 1).cast("long").as("ym"),
+        cents(col("o_totalprice")).as("cents"))
+      .localCheckpoint(true) // cohort min + the revenue cells
+    val coh = o.groupBy(col("c")).agg(min(col("ym")).as("cohort"))
+    val cell = o.join(coh, "c")
+      .groupBy(col("cohort"), (col("ym") - col("cohort")).as("idx"))
+      .agg(sum(col("cents")).as("rev_cents"),
+        countDistinct(col("c")).as("n_customers"))
+    val wCum = Window.partitionBy("cohort").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell
+      .withColumn("cum_cents", sum(col("rev_cents")).over(wCum))
+      .withColumn("tot", sum(col("rev_cents"))
+        .over(Window.partitionBy("cohort")))
+      .select(col("cohort").as("cohort_ym"), col("idx"),
+        col("n_customers"), col("rev_cents"), col("cum_cents"),
+        intScaled(col("cum_cents").cast("double") / col("tot").cast("double"),
+          1000000L).as("cum_share_e6"))
+      .orderBy("cohort_ym", "idx")
+  }
+
+  /** q364 — ABC-XYZ inventory matrix: parts classed by revenue
+    * concentration (A/B/C — q287's exact cumulative-share convention,
+    * reused verbatim so the two queries can never disagree) CROSSED
+    * with demand variability (X/Y/Z by the coefficient of variation
+    * of monthly quantity over the part's ACTIVE months — this
+    * catalog's demand is sparse, so zero-month inclusion would class
+    * everything Z; active-month CV is the standard sparse-SKU
+    * adaptation) — the 9-cell planning grid that decides
+    * forecast-vs-buffer strategy per class.
+    *
+    * Exactness: the ABC boundaries are q287's exact integer
+    * cross-multiplications; CV² thresholds (⅓ and ½ — fixture-probed
+    * to genuinely split the catalog) compare the EXACT rational
+    * m(m·Σq²−(Σq)²)/((m−1)(Σq)²) by cross-multiplied decimal(38)
+    * integers — no sqrt, no division, no float anywhere until the
+    * census share; single-month parts guard to Z.
+    *
+    * Scale: monthly demand collapses map-side to (part, month); the
+    * rank window rides the part dimension (q287's caveat applies).
+    * Output ≤ 9 rows.
+    */
+  def q364(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        (year(col("l_shipdate").cast("date")) * 12 +
+          month(col("l_shipdate").cast("date")) - 1).cast("long").as("ym"),
+        cents(col("l_extendedprice")).as("cents"),
+        col("l_quantity").cast("long").as("q"))
+      .localCheckpoint(true)
+    val monthly = li.groupBy(col("l_partkey"), col("ym"))
+      .agg(sum(col("q")).as("mq"), sum(col("cents")).as("mcents"))
+    val per = monthly.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("m"), sum(col("mcents")).as("x"),
+        sum(col("mq")).as("sq"),
+        sum(col("mq").cast(d38) * col("mq")).as("sqq"))
+    val w = Window.orderBy(col("x").desc, col("l_partkey"))
+    val wa = Window.partitionBy()
+    val before = (sum(col("x")).over(w) - col("x")).cast(d38) * 100
+    val cv2num = col("m").cast(d38) *
+      (col("m").cast(d38) * col("sqq") - col("sq").cast(d38) * col("sq"))
+    val cv2den = (col("m") - 1).cast(d38) *
+      (col("sq").cast(d38) * col("sq"))
+    val cls = per
+      .withColumn("tot", sum(col("x")).over(wa).cast(d38))
+      .withColumn("abc",
+        when(before < col("tot") * 80, "A")
+          .when(before < col("tot") * 95, "B")
+          .otherwise("C"))
+      .withColumn("xyz",
+        when(col("m") <= 1L, "Z")
+          .when(cv2num * 3 <= cv2den, "X")
+          .when(cv2num * 2 <= cv2den, "Y")
+          .otherwise("Z"))
+    cls.groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("x")).as("rev_cents"),
+        max(col("tot")).as("t"))
+      .select(col("abc"), col("xyz"), col("n_parts"), col("rev_cents"),
+        intScaled(
+          col("rev_cents").cast("double") * 100 / col("t").cast("double"),
+          1000000L).as("share_e6"))
+      .orderBy("abc", "xyz")
+  }
+
+  /** q365 — duplicate-invoice screen: order pairs from the SAME
+    * customer whose totals land in the SAME $10,000 band, placed
+    * within 30 days — the classic payables/forensic double-billing
+    * heuristic, and the STRUCTURED-data sibling of the text near-dup
+    * shelf (blocking key = (customer, amount band), candidate window
+    * = date proximity — exactly a record-linkage blocking pass,
+    * q128/q257's shape on transactions; band+window chosen by probing
+    * this ledger's price dispersion so the screen is non-vacuous).
+    * Censused by week-of-gap so reviewers triage the closest pairs
+    * first.
+    *
+    * Exactness: all keys, bands (integer floor-div on cents), date
+    * diffs, and censuses are exact integers; no float anywhere.
+    *
+    * Scale: the self-join is an EQUI-join on the (custkey, band)
+    * blocking key — group sizes are per-customer-per-band (tiny, and
+    * a production pass would cap them like q66's probe bound); the
+    * ±30-day filter runs inside the block. Never a date-range join,
+    * never all-pairs. Output ≤ 5 rows (week-gap census).
+    */
+  def q365(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("c"),
+        cents(col("o_totalprice")).as("p"),
+        (cents(col("o_totalprice")) / 1000000L).cast("long").as("pb"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("d"),
+        col("o_orderkey").as("k"))
+      .localCheckpoint(true) // both sides of the blocking self-join
+    val a = o.select(col("c"), col("pb"), col("p").as("p1"),
+      col("d").as("d1"), col("k").as("k1"))
+    val b = o.select(col("c"), col("pb"), col("p").as("p2"),
+      col("d").as("d2"), col("k").as("k2"))
+    a.join(b, Seq("c", "pb"))
+      .filter(col("k1") < col("k2") && abs(col("d1") - col("d2")) <= 30L)
+      .groupBy((abs(col("d1") - col("d2")) / 7L).cast("long").as("gap_weeks"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("c")).as("n_customers"),
+        sum(abs(col("p1") - col("p2"))).as("abs_diff_cents"))
+      .orderBy("gap_weeks")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q362_grubbs_scan" -> (q362 _),
+    "q363_cohort_ltv" -> (q363 _),
+    "q364_abc_xyz" -> (q364 _),
+    "q365_dup_invoices" -> (q365 _),
+    "q359_ljung_box" -> (q359 _),
+    "q360_pacf" -> (q360 _),
+    "q361_page_hinkley" -> (q361 _),
     "q348_chow_break" -> (q348 _),
     "q349_subseq_support" -> (q349 _),
     "q350_session_curve" -> (q350 _),
     "q351_cochran_armitage" -> (q351 _),
     "q352_rbo_rankshift" -> (q352 _))
 
+  /** The zero-filled daily grid as DuckDB CTEs (q348's text, shared by
+    * the r11 series oracles so the grid cannot drift between them).
+    */
+  private val gridCte: String =
+    """daily AS (
+      |  SELECT CAST(DATE_DIFF('day', DATE '1970-01-01',
+      |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      |grid AS (
+      |  SELECT g.day - s.d0 AS t, COALESCE(d.x, 0) AS x
+      |  FROM (SELECT UNNEST(generate_series(d0, d1)) AS day
+      |        FROM span) g
+      |  CROSS JOIN span s
+      |  LEFT JOIN daily d ON d.day = g.day)""".stripMargin
+
+  /** q334's exact deviation/lag-covariance moments as CTEs: dev, den,
+    * and nums(lag, num) for lags 1..maxLag — the SQL twin of
+    * [[lagMoments]].
+    */
+  private def lagCte(maxLag: Int): String =
+    s"""mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |               CAST(SUM(x) AS BIGINT) AS sx FROM grid),
+       |dev AS (SELECT t, CAST(n AS HUGEINT) * x - sx AS d, n
+       |        FROM grid CROSS JOIN mom),
+       |den AS (SELECT MAX(n) AS n, SUM(d * d) AS den FROM dev),
+       |nums AS (
+       |  SELECT l.lag, SUM(a.d * b.d) AS num
+       |  FROM (SELECT CAST(UNNEST(range(1, ${maxLag + 1})) AS BIGINT)
+       |          AS lag) l
+       |  JOIN dev a ON TRUE
+       |  JOIN dev b ON b.t = a.t + l.lag
+       |  GROUP BY l.lag)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // Same grid, same exact deviation moments as q334, per-lag e12
+    // gridded summands summed exactly, one mirrored Q chain.
+    "q359_ljung_box" ->
+      s"""WITH $gridCte,
+         |${lagCte(7)},
+         |terms AS (
+         |  SELECT lag, n.n, d.den,
+         |    CASE WHEN d.den > 0 THEN
+         |      CAST(ROUND(CAST(num AS DOUBLE) / CAST(d.den AS DOUBLE)
+         |        * 1000000) AS BIGINT) END AS acf_e6,
+         |    CASE WHEN d.den > 0 THEN
+         |      CAST(ROUND(CAST(num AS DOUBLE) / CAST(d.den AS DOUBLE)
+         |        * (CAST(num AS DOUBLE) / CAST(d.den AS DOUBLE))
+         |        / CAST(n.n - lag AS DOUBLE)
+         |        * 1000000000000) AS BIGINT) END AS term_e12
+         |  FROM nums CROSS JOIN den d CROSS JOIN mom n),
+         |cums AS (
+         |  SELECT lag, n, acf_e6,
+         |         SUM(term_e12) OVER (ORDER BY lag
+         |                             ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM terms)
+         |SELECT lag, n AS n_days, acf_e6,
+         |  CAST(ROUND(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+         |    * CAST(cum AS DOUBLE) / 1000000000000.0 * 1000000) AS BIGINT)
+         |    AS q_e6
+         |FROM cums ORDER BY lag""".stripMargin,
+    // Same exact moments, same mirrored r_k divisions, the identical
+    // unrolled Durbin-Levinson chain (every product/sum in the same
+    // order), e6 grid at output only.
+    "q360_pacf" ->
+      s"""WITH $gridCte,
+         |${lagCte(5)},
+         |one AS (
+         |  SELECT d.n, d.den,
+         |         MAX(CASE WHEN lag = 1 THEN num END) AS num1,
+         |         MAX(CASE WHEN lag = 2 THEN num END) AS num2,
+         |         MAX(CASE WHEN lag = 3 THEN num END) AS num3,
+         |         MAX(CASE WHEN lag = 4 THEN num END) AS num4,
+         |         MAX(CASE WHEN lag = 5 THEN num END) AS num5
+         |  FROM nums CROSS JOIN den d GROUP BY d.n, d.den),
+         |r AS (
+         |  SELECT n,
+         |    CASE WHEN den > 0 THEN CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) END AS r1,
+         |    CASE WHEN den > 0 THEN CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) END AS r2,
+         |    CASE WHEN den > 0 THEN CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) END AS r3,
+         |    CASE WHEN den > 0 THEN CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE) END AS r4,
+         |    CASE WHEN den > 0 THEN CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE) END AS r5
+         |  FROM one),
+         |l1 AS (SELECT *, r1 AS p11 FROM r),
+         |l2 AS (SELECT *,
+         |         (r2 - p11 * r1) / (1.0 - p11 * r1) AS p22 FROM l1),
+         |l2b AS (SELECT *, p11 - p22 * p11 AS p21 FROM l2),
+         |l3 AS (SELECT *,
+         |         (r3 - (p21 * r2 + p22 * r1))
+         |           / (1.0 - (p21 * r1 + p22 * r2)) AS p33 FROM l2b),
+         |l3b AS (SELECT *, p21 - p33 * p22 AS p31,
+         |                  p22 - p33 * p21 AS p32 FROM l3),
+         |l4 AS (SELECT *,
+         |         (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+         |           / (1.0 - (p31 * r1 + p32 * r2 + p33 * r3)) AS p44
+         |       FROM l3b),
+         |l4b AS (SELECT *, p31 - p44 * p33 AS p41,
+         |                  p32 - p44 * p32 AS p42,
+         |                  p33 - p44 * p31 AS p43 FROM l4),
+         |l5 AS (SELECT *,
+         |         (r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1))
+         |           / (1.0 - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4))
+         |           AS p55
+         |       FROM l4b)
+         |SELECT lag, n AS n_days,
+         |  CAST(ROUND(pf * 1000000) AS BIGINT) AS pacf_e6
+         |FROM (
+         |  SELECT CAST(1 AS BIGINT) AS lag, n, p11 AS pf FROM l5
+         |  UNION ALL SELECT 2, n, p22 FROM l5
+         |  UNION ALL SELECT 3, n, p33 FROM l5
+         |  UNION ALL SELECT 4, n, p44 FROM l5
+         |  UNION ALL SELECT 5, n, p55 FROM l5)
+         |ORDER BY lag""".stripMargin,
+    // Same grid, exact n-scaled cumulative deviations, integer running
+    // min and alarm compare, one mirrored PH_max/n division.
+    "q361_page_hinkley" ->
+      s"""WITH $gridCte,
+         |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |                CAST(SUM(x) AS BIGINT) AS sx FROM grid),
+         |cum AS (
+         |  SELECT t, SUM(x) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+         |           AS cx
+         |  FROM grid),
+         |nm AS (
+         |  SELECT t, n,
+         |         CAST(n AS HUGEINT) * cx - (t + 1) * CAST(sx AS HUGEINT)
+         |           AS nm
+         |  FROM cum CROSS JOIN mom),
+         |ph AS (
+         |  SELECT t, n,
+         |         nm - MIN(nm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+         |           AS ph
+         |  FROM nm)
+         |SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+         |  CAST(ROUND(CAST(MAX(ph) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+         |    * 100) AS BIGINT) AS ph_max_e2,
+         |  CAST(MIN(CASE WHEN ph > 50 * CAST(n AS HUGEINT) THEN t END)
+         |    AS BIGINT) AS first_alarm_t,
+         |  CAST(SUM(CASE WHEN ph > 50 * CAST(n AS HUGEINT) THEN 1 ELSE 0
+         |           END) AS BIGINT) AS n_alarm_days
+         |FROM ph""".stripMargin,
+    // Same grid, three unrolled remove-the-argmax rounds, exact
+    // deviation argmax with (dev DESC, t) tie-break, one mirrored G
+    // chain per round.
+    "q362_grubbs_scan" ->
+      s"""WITH $gridCte,
+         |m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(SUM(x) AS BIGINT) AS sx,
+         |              SUM(CAST(x AS HUGEINT) * x) AS sxx FROM grid),
+         |r1 AS (SELECT t, x, n, sx, sxx,
+         |              ABS(CAST(n AS HUGEINT) * x - sx) AS dev,
+         |              ROW_NUMBER() OVER (
+         |                ORDER BY ABS(CAST(n AS HUGEINT) * x - sx) DESC, t)
+         |                AS rn
+         |       FROM grid CROSS JOIN m1),
+         |f1 AS (SELECT t, x FROM r1 WHERE rn <> 1),
+         |m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(SUM(x) AS BIGINT) AS sx,
+         |              SUM(CAST(x AS HUGEINT) * x) AS sxx FROM f1),
+         |r2 AS (SELECT t, x, n, sx, sxx,
+         |              ABS(CAST(n AS HUGEINT) * x - sx) AS dev,
+         |              ROW_NUMBER() OVER (
+         |                ORDER BY ABS(CAST(n AS HUGEINT) * x - sx) DESC, t)
+         |                AS rn
+         |       FROM f1 CROSS JOIN m2),
+         |f2 AS (SELECT t, x FROM r2 WHERE rn <> 1),
+         |m3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(SUM(x) AS BIGINT) AS sx,
+         |              SUM(CAST(x AS HUGEINT) * x) AS sxx FROM f2),
+         |r3 AS (SELECT t, x, n, sx, sxx,
+         |              ABS(CAST(n AS HUGEINT) * x - sx) AS dev,
+         |              ROW_NUMBER() OVER (
+         |                ORDER BY ABS(CAST(n AS HUGEINT) * x - sx) DESC, t)
+         |                AS rn
+         |       FROM f2 CROSS JOIN m3)
+         |SELECT round, t_out, x_out, n_remaining,
+         |  CAST(ROUND(CAST(dev AS DOUBLE) / CAST(n AS DOUBLE)
+         |    / SQRT(CAST(CAST(n AS HUGEINT) * sxx
+         |             - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         |           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+         |    * 1000000) AS BIGINT) AS g_e6
+         |FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, t AS t_out, x AS x_out,
+         |         n AS n_remaining, n, sx, sxx, dev FROM r1 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT 2, t, x, n, n, sx, sxx, dev FROM r2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT 3, t, x, n, n, sx, sxx, dev FROM r3 WHERE rn = 1)
+         |ORDER BY round""".stripMargin,
+    // Same exact month arithmetic, cents, cohort triangle windows,
+    // one mirrored share division.
+    "q363_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS c,
+        |         CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+        |           + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1
+        |           AS BIGINT) AS ym,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders),
+        |coh AS (SELECT c, MIN(ym) AS cohort FROM o GROUP BY c),
+        |cell AS (
+        |  SELECT cohort, ym - cohort AS idx,
+        |         CAST(SUM(cents) AS BIGINT) AS rev_cents,
+        |         CAST(COUNT(DISTINCT o.c) AS BIGINT) AS n_customers
+        |  FROM o JOIN coh ON coh.c = o.c
+        |  GROUP BY cohort, ym - cohort),
+        |wins AS (
+        |  SELECT cohort, idx, n_customers, rev_cents,
+        |         SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY idx
+        |                              ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(rev_cents) OVER (PARTITION BY cohort) AS tot
+        |  FROM cell)
+        |SELECT cohort AS cohort_ym, idx, n_customers, rev_cents,
+        |       CAST(cum AS BIGINT) AS cum_cents,
+        |       CAST(ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+        |         * 1000000) AS BIGINT) AS cum_share_e6
+        |FROM wins ORDER BY cohort_ym, idx""".stripMargin,
+    // q287's exact ABC cross-multiplication verbatim + the exact
+    // cross-multiplied CV² class; zero-month-free moments; one
+    // mirrored share chain.
+    "q364_abc_xyz" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |         CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) * 12
+        |           + EXTRACT(MONTH FROM CAST(l_shipdate AS DATE)) - 1
+        |           AS BIGINT) AS ym,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT) AS cents,
+        |         CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem),
+        |monthly AS (
+        |  SELECT l_partkey, ym, CAST(SUM(q) AS BIGINT) AS mq,
+        |         CAST(SUM(cents) AS BIGINT) AS mcents
+        |  FROM li GROUP BY 1, 2),
+        |per AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS m,
+        |         CAST(SUM(mcents) AS BIGINT) AS x,
+        |         CAST(SUM(mq) AS BIGINT) AS sq,
+        |         SUM(CAST(mq AS HUGEINT) * mq) AS sqq
+        |  FROM monthly GROUP BY 1),
+        |cls AS (
+        |  SELECT x, m, SUM(x) OVER () AS tot,
+        |         (SUM(x) OVER (ORDER BY x DESC, l_partkey
+        |                       ROWS UNBOUNDED PRECEDING) - x)
+        |           * CAST(100 AS HUGEINT) AS bef,
+        |         CAST(m AS HUGEINT)
+        |           * (CAST(m AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq)
+        |           AS cv2num,
+        |         CAST(m - 1 AS HUGEINT) * (CAST(sq AS HUGEINT) * sq)
+        |           AS cv2den
+        |  FROM per),
+        |lab AS (
+        |  SELECT x, tot,
+        |         CASE WHEN bef < CAST(tot AS HUGEINT) * 80 THEN 'A'
+        |              WHEN bef < CAST(tot AS HUGEINT) * 95 THEN 'B'
+        |              ELSE 'C' END AS abc,
+        |         CASE WHEN m <= 1 THEN 'Z'
+        |              WHEN cv2num * 3 <= cv2den THEN 'X'
+        |              WHEN cv2num * 2 <= cv2den THEN 'Y'
+        |              ELSE 'Z' END AS xyz
+        |  FROM cls)
+        |SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |       CAST(SUM(x) AS BIGINT) AS rev_cents,
+        |       CAST(ROUND(CAST(SUM(x) AS DOUBLE) * 100
+        |         / CAST(MAX(tot) AS DOUBLE) * 1000000) AS BIGINT)
+        |         AS share_e6
+        |FROM lab GROUP BY abc, xyz ORDER BY abc, xyz""".stripMargin,
+    // Same (custkey, $10k band) blocking key, same in-block ±30-day
+    // filter, exact integer censuses by week of gap.
+    "q365_dup_invoices" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS c,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS p,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           // 1000000 AS pb,
+        |         CAST(DATE_DIFF('day', DATE '1970-01-01',
+        |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+        |         o_orderkey AS k
+        |  FROM orders)
+        |SELECT ABS(a.d - b.d) // 7 AS gap_weeks,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(COUNT(DISTINCT a.c) AS BIGINT) AS n_customers,
+        |       CAST(SUM(ABS(a.p - b.p)) AS BIGINT) AS abs_diff_cents
+        |FROM o a JOIN o b ON b.c = a.c AND b.pb = a.pb
+        |WHERE a.k < b.k AND ABS(a.d - b.d) <= 30
+        |GROUP BY 1 ORDER BY gap_weeks""".stripMargin,
     // Same zero-filled grid, closed-form Σt/Σt², HUGEINT prefix
     // moments, Cauchy-Schwarz RSS numerators, mirrored F chain,
     // (f_e6 DESC, split_t) top-5.
