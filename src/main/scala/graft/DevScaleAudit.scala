@@ -311,6 +311,15 @@ object DevScaleAudit {
       "ord_dup_invoices" -> (dir => SparkEntry.queries("q365_dup_invoices")(spark, dir)),
       "ord_grubbs" -> (dir => SparkEntry.queries("q362_grubbs_scan")(spark, dir)),
       "graph_rich_club" -> (dir => SparkEntry.queries("q367_rich_club")(spark, dir)),
+      // r11 third batch — the q368-q372 shapes with a data-sized
+      // stage: the per-budget source-keyed packing window (docs ×10),
+      // the md5 keep-first dedup ledger (docs ×10, vocab-disjoint
+      // replicas so group sizes are preserved), and the QI-grid
+      // t-closeness build (customers ×10 into the bounded grid).
+      // q369/q372 are map-side collapses to source/shard frames.
+      "doc_packing_curve" -> (dir => SparkEntry.queries("q368_packing_curve")(spark, dir)),
+      "txt_dedup_savings" -> (dir => SparkEntry.queries("q371_dedup_savings")(spark, dir)),
+      "cust_tcloseness" -> (dir => SparkEntry.queries("q370_t_closeness")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

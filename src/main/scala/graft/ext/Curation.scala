@@ -767,7 +767,64 @@ object Curation {
       .orderBy("l")
   }
 
+  /** q370 — t-closeness audit: for each quasi-identifier group
+    * (q366's nation × segment grid), the earth-mover's distance
+    * between ITS sensitive-value distribution and the GLOBAL one over
+    * the ORDERED $1000 balance buckets — the release gate beyond
+    * l-diversity: a group can be l-diverse yet still leak (all its
+    * balances in the top bands ⇒ membership reveals wealth). For a
+    * 1-D ordered attribute EMD is the mean absolute ECDF gap,
+    * normalized by (B−1).
+    *
+    * Exactness: per-bucket cumulative counts ride the dense
+    * group × bucket grid (zero-filled); each ECDF gap is the exact
+    * cross-multiplied integer |n·cum_g − n_g·cum| (the q229 KS
+    * discipline — KS takes the max, EMD the mean); ONE mirrored
+    * division per group at the end.
+    *
+    * Scale: the grid is (nations × segments) × distinct buckets —
+    * doubly bounded; cumulative windows ride it, never customers.
+    */
+  def q370(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val c = Tables.table(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nat"), col("c_mktsegment").as("seg"),
+        floor((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .cast("double") / lit(100000.0)).cast("long").as("sb"))
+    val gb = c.groupBy(col("nat"), col("seg"), col("sb"))
+      .agg(count(lit(1)).as("ngb"))
+      .localCheckpoint(true) // grid base + global marginals
+    val buckets = gb.groupBy(col("sb")).agg(sum(col("ngb")).as("nb"))
+    val groups = gb.groupBy(col("nat"), col("seg")).agg(sum(col("ngb")).as("ng"))
+    val tot = buckets.agg(sum(col("nb")).as("n"),
+      count(lit(1)).as("n_buckets"))
+    val wCum = Window.partitionBy(col("nat"), col("seg")).orderBy(col("sb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    groups.crossJoin(broadcast(buckets)).crossJoin(broadcast(tot))
+      .join(gb, Seq("nat", "seg", "sb"), "left")
+      .select(col("nat"), col("seg"), col("sb"), col("ng"), col("nb"),
+        col("n"), col("n_buckets"), coalesce(col("ngb"), lit(0L)).as("ngb"))
+      .select(col("nat"), col("seg"), col("ng"), col("n"), col("n_buckets"),
+        sum(col("ngb")).over(wCum).as("cumg"),
+        sum(col("nb")).over(Window.partitionBy(col("nat"), col("seg"))
+          .orderBy(col("sb"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum"))
+      .select(col("nat"), col("seg"), col("ng"), col("n"), col("n_buckets"),
+        abs(col("n").cast(d38) * col("cumg") -
+          col("ng").cast(d38) * col("cum")).as("gap"))
+      .groupBy(col("nat"), col("seg"))
+      .agg(max(col("ng")).as("n_customers"),
+        Similarity.intScaled(
+          sum(col("gap")).cast("double") /
+            (max(col("ng")).cast("double") * max(col("n")).cast("double") *
+              (max(col("n_buckets")) - 1).cast("double")),
+          1000000L).as("emd_e6"))
+      .orderBy("nat", "seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q370_t_closeness" -> (q370 _),
     "q366_ldiversity" -> (q366 _),
     "q330_deletion_impact" -> (q330 _),
     "q320_lf_conflicts" -> (q320 _),
@@ -831,6 +888,41 @@ object Curation {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same dense group×bucket grid, exact cross-multiplied ECDF gaps,
+    // one mirrored EMD division per group.
+    "q370_t_closeness" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+        |         CAST(FLOOR(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |             AS BIGINT) AS DOUBLE) / 100000.0) AS BIGINT) AS sb
+        |  FROM customer),
+        |gb AS (SELECT nat, seg, sb, CAST(COUNT(*) AS BIGINT) AS ngb
+        |       FROM c GROUP BY 1, 2, 3),
+        |buckets AS (SELECT sb, CAST(SUM(ngb) AS BIGINT) AS nb
+        |            FROM gb GROUP BY sb),
+        |groups_ AS (SELECT nat, seg, CAST(SUM(ngb) AS BIGINT) AS ng
+        |            FROM gb GROUP BY nat, seg),
+        |tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS n,
+        |               CAST(COUNT(*) AS BIGINT) AS n_buckets FROM buckets),
+        |grid AS (
+        |  SELECT g.nat, g.seg, b.sb, g.ng, b.nb, t.n, t.n_buckets,
+        |         COALESCE(x.ngb, 0) AS ngb
+        |  FROM groups_ g CROSS JOIN buckets b CROSS JOIN tot t
+        |  LEFT JOIN gb x ON x.nat = g.nat AND x.seg = g.seg
+        |                AND x.sb = b.sb),
+        |cums AS (
+        |  SELECT nat, seg, ng, n, n_buckets,
+        |         SUM(ngb) OVER w AS cumg, SUM(nb) OVER w AS cum
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY nat, seg ORDER BY sb
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT nat, seg, CAST(MAX(ng) AS BIGINT) AS n_customers,
+        |  CAST(ROUND(CAST(SUM(ABS(CAST(n AS HUGEINT) * cumg
+        |        - CAST(ng AS HUGEINT) * cum)) AS DOUBLE)
+        |    / (CAST(MAX(ng) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)
+        |       * CAST(MAX(n_buckets) - 1 AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS emd_e6
+        |FROM cums GROUP BY nat, seg ORDER BY nat, seg""".stripMargin,
     // Same FLOOR(cents/1e5) buckets, same QI grid, exact censuses.
     "q366_ldiversity" ->
       """WITH c AS (

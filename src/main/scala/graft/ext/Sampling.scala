@@ -398,7 +398,131 @@ object Sampling {
       .orderBy("fold")
   }
 
+  /** q368 — sequence-packing budget curve: q77's deterministic
+    * cum-offset packing swept over context budgets {2048, 4096, 8192}
+    * chars, reporting per budget the pack count, the fill rate
+    * (chars / packs·budget), and the oversize-doc count (n_chars >
+    * budget — the docs a packer must truncate or split) — how the
+    * one free packing parameter is chosen, the exact q350
+    * threshold-curve pattern applied to training-batch assembly.
+    *
+    * Exactness: pack ids are q77's floor-division assignment; all
+    * censuses are exact integers; the fill rate is ONE mirrored
+    * division per budget row, e6-gridded.
+    *
+    * Scale: the source-keyed cumulative window runs ONCE per budget
+    * over the (source, doc) frame (3× constant fan-out); everything
+    * aggregates map-side after it. Output 3 rows.
+    */
+  def q368(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("b", explode(array(lit(2048L), lit(4096L), lit(8192L))))
+    val w = Window.partitionBy(col("b"), col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = base
+      .withColumn("pack_id",
+        floor((sum(col("n_chars")).over(w) - col("n_chars")) /
+          col("b").cast("double")).cast("long"))
+    val packs = packed.groupBy(col("b"), col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_chars")).as("ch"))
+    packs.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("ch")).as("chars"),
+        sum(when(col("nd") === 1L, 1L).otherwise(0L)).as("single_doc_packs"))
+      .join(
+        packed.groupBy(col("b"))
+          .agg(sum(when(col("n_chars") > col("b"), 1L).otherwise(0L))
+            .as("oversize_docs")),
+        "b")
+      .select(col("b").as("budget"), col("n_packs"), col("chars"),
+        col("single_doc_packs"), col("oversize_docs"),
+        graft.ext.Similarity.intScaled(
+          col("chars").cast("double") /
+            (col("n_packs") * col("b")).cast("double"),
+          1000000L).as("fill_e6"))
+      .orderBy("budget")
+  }
+
+  /** q369 — temperature-sampling mixture curve: per-source mixture
+    * weights w_s ∝ tokens_s^τ for τ ∈ {0.5, 0.7, 1.0} and the implied
+    * per-source sampling factor (weight share ÷ natural share) — the
+    * full τ sweep behind q134's single-τ table, the knob every
+    * multilingual/multi-domain training mix publishes (τ=1 is
+    * proportional, τ→0 uniform; the factor says how hard each tail
+    * source gets up-sampled).
+    *
+    * Float discipline: STRICTER than q134 — each pow(tokens, τ) is
+    * gridded e6 PER SOURCE, the normalizer is then an exact integer
+    * sum (q134 sums raw pow() doubles across rows; certified, but the
+    * gridded form removes even that order exposure), and the share
+    * and factor are mirrored chains off exact integers. τ literals
+    * are shared digit-for-digit; pow margins are spec-measured (the
+    * q134 pattern).
+    *
+    * Scale: one map-side token agg to the source frame; everything
+    * after rides sources × 3. Output is that frame.
+    */
+  def q369(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+    val taus = t
+      .withColumn("tau_e2", explode(array(lit(50L), lit(70L), lit(100L))))
+      .withColumn("w_e6",
+        graft.ext.Similarity.intScaled(
+          pow(col("toks").cast("double"), col("tau_e2").cast("double") / 100.0),
+          1000000L))
+    val z = taus.groupBy(col("tau_e2"))
+      .agg(sum(col("w_e6")).as("z_e6"), sum(col("toks")).as("n"))
+    taus.join(z, "tau_e2")
+      .select(col("tau_e2"), col("source"), col("toks").as("tokens"),
+        graft.ext.Similarity.intScaled(
+          col("w_e6").cast("double") / col("z_e6").cast("double"),
+          1000000L).as("share_e6"),
+        graft.ext.Similarity.intScaled(
+          col("w_e6").cast("double") / col("z_e6").cast("double") *
+            col("n").cast("double") / col("toks").cast("double"),
+          1000000L).as("factor_e6"))
+      .orderBy("tau_e2", "source")
+  }
+
+  /** q372 — hash-shard balance census at widths S ∈ {16, 64, 256}:
+    * shard by md5("shard:"||doc_id) mod S and report the used-shard
+    * count, extremes, and the max/expected skew factor — the
+    * pre-flight audit before any "the nibble widens at scale" claim
+    * (epochShard's scaladoc) is trusted: a skewed hash here means
+    * hot shards at 100 TB, and the expected skew at THIS corpus size
+    * is the baseline the factor is read against.
+    *
+    * Exactness: shard ids are exact integer arithmetic off the hex
+    * prefix; censuses are exact; the skew factor is ONE mirrored
+    * chain per width, e6-gridded.
+    *
+    * Scale: one map-side hash + a (S × shard)-keyed count (≤ 336
+    * groups); output 3 rows.
+    */
+  def q372(s: SparkSession, dir: String): DataFrame = {
+    val h2 = conv(substring(md5(concat(lit("shard:"),
+      col("doc_id").cast("string"))), 1, 2), 16, 10).cast("long")
+    val d = docs(s, dir).select(h2.as("h2"))
+      .withColumn("ss", explode(array(lit(16L), lit(64L), lit(256L))))
+      .select(col("ss"), (col("h2") % col("ss")).as("shard"))
+    d.groupBy(col("ss"), col("shard")).agg(count(lit(1)).as("n"))
+      .groupBy(col("ss"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("shards_used"),
+        max(col("n")).as("max_shard"), min(col("n")).as("min_shard"))
+      .select(col("ss").as("n_shards"), col("n_docs"), col("shards_used"),
+        col("max_shard"), col("min_shard"),
+        graft.ext.Similarity.intScaled(
+          col("max_shard").cast("double") * col("ss").cast("double") /
+            col("n_docs").cast("double"),
+          1000000L).as("skew_e6"))
+      .orderBy("n_shards")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q368_packing_curve" -> (q368 _),
+    "q369_temperature_curve" -> (q369 _),
+    "q372_shard_balance" -> (q372 _),
     "q76_hash_split"  -> (q76 _),
     "q241_kfold_audit" -> (q241 _),
     "q77_seq_packing" -> (q77 _),
@@ -413,6 +537,85 @@ object Sampling {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q77's floor-division packing swept over the same three budgets,
+    // exact censuses, one mirrored fill division per row.
+    "q368_packing_curve" ->
+      """WITH b AS (SELECT CAST(UNNEST([2048, 4096, 8192]) AS BIGINT) AS b),
+        |c AS (
+        |  SELECT b.b, source, doc_id, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY b.b, source ORDER BY doc_id
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents CROSS JOIN b),
+        |packed AS (
+        |  SELECT b, source, n_chars,
+        |         CAST(FLOOR((cum - n_chars) / CAST(b AS DOUBLE)) AS BIGINT)
+        |           AS pack_id
+        |  FROM c),
+        |packs AS (
+        |  SELECT b, source, pack_id, CAST(COUNT(*) AS BIGINT) AS nd,
+        |         CAST(SUM(n_chars) AS BIGINT) AS ch
+        |  FROM packed GROUP BY b, source, pack_id),
+        |agg1 AS (
+        |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_packs,
+        |         CAST(SUM(ch) AS BIGINT) AS chars,
+        |         CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS single_doc_packs
+        |  FROM packs GROUP BY b),
+        |agg2 AS (
+        |  SELECT b, CAST(SUM(CASE WHEN n_chars > b THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS oversize_docs
+        |  FROM packed GROUP BY b)
+        |SELECT a.b AS budget, n_packs, chars, single_doc_packs,
+        |       oversize_docs,
+        |       CAST(ROUND(CAST(chars AS DOUBLE)
+        |         / CAST(n_packs * a.b AS DOUBLE) * 1000000) AS BIGINT)
+        |         AS fill_e6
+        |FROM agg1 a JOIN agg2 o ON o.b = a.b ORDER BY budget""".stripMargin,
+    // Same per-source e6 pow grid, exact integer normalizer, mirrored
+    // share/factor chains, shared τ literals.
+    "q369_temperature_curve" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT tau_e2, source, toks,
+        |         CAST(ROUND(POW(CAST(toks AS DOUBLE),
+        |           CAST(tau_e2 AS DOUBLE) / 100.0) * 1000000) AS BIGINT)
+        |           AS w_e6
+        |  FROM t CROSS JOIN
+        |    (SELECT CAST(UNNEST([50, 70, 100]) AS BIGINT) AS tau_e2)),
+        |z AS (SELECT tau_e2, CAST(SUM(w_e6) AS BIGINT) AS z_e6,
+        |             CAST(SUM(toks) AS BIGINT) AS n
+        |      FROM w GROUP BY tau_e2)
+        |SELECT w.tau_e2, w.source, w.toks AS tokens,
+        |  CAST(ROUND(CAST(w_e6 AS DOUBLE) / CAST(z_e6 AS DOUBLE)
+        |    * 1000000) AS BIGINT) AS share_e6,
+        |  CAST(ROUND(CAST(w_e6 AS DOUBLE) / CAST(z_e6 AS DOUBLE)
+        |    * CAST(n AS DOUBLE) / CAST(w.toks AS DOUBLE) * 1000000)
+        |    AS BIGINT) AS factor_e6
+        |FROM w JOIN z ON z.tau_e2 = w.tau_e2
+        |ORDER BY w.tau_e2, w.source""".stripMargin,
+    // Same md5 prefix mod S shards, exact censuses, one mirrored skew
+    // chain per width.
+    "q372_shard_balance" ->
+      """WITH d AS (
+        |  SELECT CAST(('0x' || substr(md5('shard:' ||
+        |           CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS h2
+        |  FROM documents),
+        |sh AS (
+        |  SELECT ss, h2 % ss AS shard
+        |  FROM d CROSS JOIN
+        |    (SELECT CAST(UNNEST([16, 64, 256]) AS BIGINT) AS ss)),
+        |cnt AS (SELECT ss, shard, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM sh GROUP BY ss, shard)
+        |SELECT ss AS n_shards, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS shards_used,
+        |       CAST(MAX(n) AS BIGINT) AS max_shard,
+        |       CAST(MIN(n) AS BIGINT) AS min_shard,
+        |       CAST(ROUND(CAST(MAX(n) AS DOUBLE) * CAST(ss AS DOUBLE)
+        |         / CAST(SUM(n) AS DOUBLE) * 1000000) AS BIGINT) AS skew_e6
+        |FROM cnt GROUP BY ss ORDER BY n_shards""".stripMargin,
     // Same md5 fold rule (hex-prefix → BIGINT, mod 5); all-integer
     // floor means.
     "q241_kfold_audit" ->

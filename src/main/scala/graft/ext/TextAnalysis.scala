@@ -1181,7 +1181,44 @@ object TextAnalysis {
           1000000L).as("hapax_share_e6"))
       .orderBy("source")
 
+  /** q371 — dedup token-savings ledger: exact-duplicate groups
+    * (md5(text), keep-first by doc_id — q56's contract), with the
+    * DROPPED copies' token counts attributed to the source that
+    * contributed each copy — the number a data-pipeline budget
+    * review actually wants from dedup ("running exact dedup saves N
+    * tokens ≙ X% of source Y's bill"), joining the dup CENSUS shelf
+    * (q55/q164 count docs) to the TOKEN ledger (q140/q166 budget in
+    * tokens).
+    *
+    * Exactness: all censuses are exact integers; the savings share is
+    * ONE mirrored division per source, e6-gridded.
+    *
+    * Scale: one hash-keyed min-agg (map-side combined) + the join
+    * back on the hash — q56's audited keep-first shape; per-source
+    * output.
+    */
+  def q371(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      tokenCount(col("text")).cast("long").as("tok"),
+      md5(col("text")).as("h"))
+    val keep = d.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    d.join(keep, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+          .as("dropped_docs"),
+        sum(when(col("doc_id") =!= col("keeper"), col("tok")).otherwise(0L))
+          .as("dropped_tokens"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("dropped_docs"), col("dropped_tokens"),
+        Similarity.intScaled(
+          col("dropped_tokens").cast("double") / col("tokens").cast("double"),
+          1000000L).as("savings_e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q371_dedup_savings" -> (q371 _),
     "q307_fertility"    -> (q307 _),
     "q325_hapax_profile" -> (q325 _),
     "q308_textrank"     -> (q308 _),
@@ -1312,6 +1349,27 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same md5 groups, keep-first by min doc_id, exact token ledger,
+    // one mirrored savings division per source.
+    "q371_dedup_savings" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |         md5(text) AS h
+        |  FROM documents),
+        |keep AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(tok) AS BIGINT) AS tokens,
+        |       CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS dropped_docs,
+        |       CAST(SUM(CASE WHEN doc_id <> keeper THEN tok ELSE 0 END)
+        |         AS BIGINT) AS dropped_tokens,
+        |       CAST(ROUND(CAST(SUM(CASE WHEN doc_id <> keeper THEN tok
+        |             ELSE 0 END) AS DOUBLE)
+        |         / CAST(SUM(tok) AS DOUBLE) * 1000000) AS BIGINT)
+        |         AS savings_e6
+        |FROM d JOIN keep ON keep.h = d.h
+        |GROUP BY source ORDER BY source""".stripMargin,
     // Same (source, word) tf collapse, exact counts, one mirrored
     // share division.
     "q325_hapax_profile" ->

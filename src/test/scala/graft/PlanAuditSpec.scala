@@ -604,6 +604,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q60_knn_brute", // all-pairs IS that query's contract
       "q229_ks_drift", // distinct-doc-length grid (value-bounded)
       "q232_psi_drift", // length-bucket (n_chars/100) grid (value-bounded)
+      "q370_t_closeness", // $1000-balance-bucket grid (value-bounded)
       "q143_js_divergence", // per-word corpus distribution (vocab-sized)
       "q167_cross_perplexity", // per-source LM totals (feed-bounded)
       "q340_kendall_tau", // per-brand rank frame (≤25 TPC-H brands)
