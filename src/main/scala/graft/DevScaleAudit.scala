@@ -320,6 +320,15 @@ object DevScaleAudit {
       "doc_packing_curve" -> (dir => SparkEntry.queries("q368_packing_curve")(spark, dir)),
       "txt_dedup_savings" -> (dir => SparkEntry.queries("q371_dedup_savings")(spark, dir)),
       "cust_tcloseness" -> (dir => SparkEntry.queries("q370_t_closeness")(spark, dir)),
+      // r11 fourth batch — q373-q377 shapes with a data-sized stage:
+      // the user-day basket pair join (users ×10, types fixed), the
+      // 3× chunk-hash distinct (docs ×10, replica-disjoint chunks),
+      // and the customer-decile rank window (customers ×10 — the
+      // q287-caveat window class beside li_abc_xyz). q373 rides the
+      // audited ev lag-window family; q377 the audited tf collapse.
+      "ev_event_pmi" -> (dir => SparkEntry.queries("q375_event_pmi")(spark, dir)),
+      "doc_chunk_curve" -> (dir => SparkEntry.queries("q374_chunk_dedup_curve")(spark, dir)),
+      "ord_lorenz" -> (dir => SparkEntry.queries("q376_lorenz_curve")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

@@ -1253,7 +1253,97 @@ object Patterns {
       .orderBy("day")
   }
 
+  /** q373 — Markov next-event predictor accuracy: fit q162's global
+    * transition table, predict each from-type's argmax next type
+    * ((n DESC, to_type) tie-break), and score top-1 accuracy per
+    * from-type — the baseline number any sequence model must beat
+    * before it earns its complexity (and the per-type breakdown says
+    * WHERE order carries signal: a from-type at chance is
+    * memoryless). In-sample by design — the diagnostic reads the
+    * table's own concentration, documented as such.
+    *
+    * Exactness: the argmax is integer-decided; accuracy is one
+    * mirrored division per from-type, e6-gridded.
+    *
+    * Scale: q162's user-keyed lag window (the audited event shape) +
+    * a type-bounded argmax; output ≤ |types| rows.
+    */
+  def q373(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("next_type"))
+      .localCheckpoint(true) // the table AND the eval stream
+    val t = steps.groupBy(col("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wArg = Window.partitionBy(col("from_type"))
+      .orderBy(col("n").desc, col("to_type"))
+    val pred = t.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("predicted_to"))
+    steps.join(pred, "from_type")
+      .groupBy(col("from_type"))
+      .agg(max(col("predicted_to")).as("predicted_to"),
+        count(lit(1)).as("n_transitions"),
+        sum(when(col("next_type") === col("predicted_to"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("from_type"), col("predicted_to"), col("n_transitions"),
+        col("n_correct"),
+        Similarity.intScaled(
+          col("n_correct").cast("double") / col("n_transitions").cast("double"),
+          1000000L).as("acc_e6"))
+      .orderBy("from_type")
+  }
+
+  /** q375 — event-type PMI over user-day baskets: for each unordered
+    * type pair, the pointwise mutual information of co-occurring in
+    * the same (user, day) — the ORDERLESS association signal between
+    * q162's ordered transitions and q161's support/confidence rules
+    * (PMI is symmetric and base-rate-corrected: a pair can have high
+    * lift yet low confidence), the q168 word-PMI pattern applied to
+    * behavior.
+    *
+    * Exactness: baskets are exact integer user-day keys (epoch-ns
+    * floor division); all counts are exact; PMI's ln(n_ab·N/(n_a·n_b))
+    * is ONE mirrored libm chain per pair, e6-gridded (margins
+    * spec-measured).
+    *
+    * Scale: the basket collapse is a map-side distinct; the pair join
+    * is basket-keyed with ≤|types|²-per-basket fan-out over a closed
+    * type set (q349's bound); output ≤ C(|types|,2) rows.
+    */
+  def q375(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+        col("event_type"))
+      .distinct()
+      .localCheckpoint(true) // marginals + both pair sides
+    val n = b.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("nb"))
+    val marg = b.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
+    val pairs = b.select(col("user_id"), col("day"), col("event_type").as("ta"))
+      .join(b.select(col("user_id"), col("day"), col("event_type").as("tb")),
+        Seq("user_id", "day"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(marg.select(col("event_type").as("ta"), col("nt").as("n_a")), "ta")
+      .join(marg.select(col("event_type").as("tb"), col("nt").as("n_b")), "tb")
+      .crossJoin(broadcast(n))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_a"), col("n_b"), col("n_ab"), col("nb").as("n_baskets"),
+        Similarity.intScaled(
+          log(col("n_ab").cast("double") * col("nb").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))),
+          1000000L).as("pmi_e6"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q373_markov_accuracy" -> (q373 _),
+    "q375_event_pmi" -> (q375 _),
     "q314_markov_absorption" -> (q314 _),
     "q318_triple_itemsets"   -> (q318 _),
     "q322_sprt_trace"        -> (q322 _),
@@ -1323,6 +1413,60 @@ object Patterns {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // q162's lag window, integer argmax with (n DESC, to_type) ties,
+    // one mirrored accuracy division per from-type.
+    "q373_markov_accuracy" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |st AS (SELECT from_type, next_type FROM s
+        |       WHERE next_type IS NOT NULL),
+        |t AS (SELECT from_type, next_type AS to_type,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM st GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT from_type, to_type AS predicted_to FROM (
+        |    SELECT from_type, to_type,
+        |           ROW_NUMBER() OVER (PARTITION BY from_type
+        |                              ORDER BY n DESC, to_type) AS rn
+        |    FROM t) WHERE rn = 1)
+        |SELECT st.from_type, MAX(predicted_to) AS predicted_to,
+        |       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        |       CAST(SUM(CASE WHEN next_type = predicted_to THEN 1 ELSE 0
+        |                END) AS BIGINT) AS n_correct,
+        |       CAST(ROUND(CAST(SUM(CASE WHEN next_type = predicted_to
+        |                 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) * 1000000) AS BIGINT) AS acc_e6
+        |FROM st JOIN pred ON pred.from_type = st.from_type
+        |GROUP BY st.from_type ORDER BY st.from_type""".stripMargin,
+    // Same epoch-ns day baskets, exact marginals, one mirrored ln
+    // chain per pair.
+    "q375_event_pmi" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_ns(ts) // 86400000000000 AS day, event_type
+        |  FROM events),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb
+        |      FROM (SELECT DISTINCT user_id, day FROM b)),
+        |marg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nt
+        |         FROM b GROUP BY event_type),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, c.event_type AS tb,
+        |         CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM b a JOIN b c ON c.user_id = a.user_id AND c.day = a.day
+        |  WHERE a.event_type < c.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta AS type_a, tb AS type_b,
+        |       ma.nt AS n_a, mb.nt AS n_b, n_ab, nb AS n_baskets,
+        |       CAST(ROUND(ln(CAST(n_ab AS DOUBLE) * CAST(nb AS DOUBLE)
+        |         / (CAST(ma.nt AS DOUBLE) * CAST(mb.nt AS DOUBLE)))
+        |         * 1000000) AS BIGINT) AS pmi_e6
+        |FROM pairs JOIN marg ma ON ma.event_type = ta
+        |           JOIN marg mb ON mb.event_type = tb
+        |           CROSS JOIN n
+        |ORDER BY type_a, type_b""".stripMargin,
     // Same lead-window transition matrix with END state, 8 unrolled
     // all-integer absorption rounds with the identical
     // (2·num + r) // (2r) half-up division.

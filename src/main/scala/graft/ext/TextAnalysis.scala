@@ -1217,7 +1217,80 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q374 — chunk-granularity dedup curve: non-overlapping token
+    * chunks at sizes {16, 32, 64}, with the duplicate-chunk share per
+    * size — the RAG/pretraining question q101's chunker poses but
+    * never answers: finer chunks expose MORE duplication (shared
+    * boilerplate dedups at 16 tokens that 64-token chunks hide inside
+    * unique context), and this curve prices that trade before a
+    * chunk-store is built.
+    *
+    * Exactness: starts are the exact integer ladder 1, c+1, … (both
+    * engines' sequence/range with step c); chunks compare by md5 of
+    * the space-joined token slice; all censuses exact, ONE mirrored
+    * dup-share division per size.
+    *
+    * Scale: one tokenize + a 3× size fan-out (constant), then a
+    * chunk-hash distinct-agg per size — the q55 exact-dedup shape at
+    * chunk granularity; output 3 rows.
+    */
+  def q374(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val base = docs(s, dir).select(ws.as("ws"))
+      .withColumn("c", explode(array(lit(16), lit(32), lit(64))))
+      .filter(size(col("ws")) >= 1)
+      .select(col("c"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")), col("c"))).as("st"))
+      .select(col("c").cast("long").as("chunk_size"),
+        md5(concat_ws(" ", slice(col("ws"), col("st"), col("c")))).as("h"))
+    base.groupBy(col("chunk_size"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct"))
+      .select(col("chunk_size"), col("n_chunks"), col("n_distinct"),
+        Similarity.intScaled(
+          lit(1.0) - col("n_distinct").cast("double") /
+            col("n_chunks").cast("double"),
+          1000000L).as("dup_share_e6"))
+      .orderBy("chunk_size")
+  }
+
+  /** q377 — word burstiness (Church-Gale adaptation): for words with
+    * document frequency ≥ 20, P(word recurs | word appears) =
+    * df₂/df₁ — the "once it shows up, it keeps showing up" signal
+    * that separates topical content words (bursty) from function
+    * words (Poisson-ish), orthogonal to raw frequency and to q172's
+    * TEMPORAL burstiness. Top-20 by (adaptation DESC, word) plus each
+    * word's corpus stats.
+    *
+    * Exactness: df₁/df₂ are exact integer censuses off per-(doc,
+    * word) counts; adaptation is one mirrored division, e6-gridded,
+    * and the top-20 ranks on the gridded integer.
+    *
+    * Scale: the (doc, word) collapse is the audited tf shape
+    * (map-side combined); the df census is word-keyed; top-20 is
+    * TakeOrderedAndProject.
+    */
+  def q377(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
+    val census = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df1"),
+        sum(when(col("k") >= 2L, 1L).otherwise(0L)).as("df2"),
+        sum(col("k")).as("tf_total"))
+      .filter(col("df1") >= 20L)
+      .withColumn("adapt_e6", Similarity.intScaled(
+        col("df2").cast("double") / col("df1").cast("double"), 1000000L))
+    census
+      .orderBy(col("adapt_e6").desc, col("w"))
+      .limit(20)
+      .select(col("w").as("word"), col("df1"), col("df2"), col("tf_total"),
+        col("adapt_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q374_chunk_dedup_curve" -> (q374 _),
+    "q377_word_burstiness" -> (q377 _),
     "q371_dedup_savings" -> (q371 _),
     "q307_fertility"    -> (q307 _),
     "q325_hapax_profile" -> (q325 _),
@@ -1349,6 +1422,45 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same integer start ladder, md5 chunk identity, exact censuses,
+    // one mirrored dup-share division per size.
+    "q374_chunk_dedup_curve" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |x AS (
+        |  SELECT c, ws, UNNEST(range(1, len(ws) + 1, c)) AS st
+        |  FROM t CROSS JOIN (SELECT UNNEST([16, 32, 64]) AS c)
+        |  WHERE len(ws) >= 1),
+        |ch AS (
+        |  SELECT CAST(c AS BIGINT) AS chunk_size,
+        |         md5(array_to_string(ws[st:st+c-1], ' ')) AS h
+        |  FROM x)
+        |SELECT chunk_size, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+        |       CAST(ROUND((1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT)
+        |         AS dup_share_e6
+        |FROM ch GROUP BY chunk_size ORDER BY chunk_size""".stripMargin,
+    // Same (doc, word) collapse, exact df censuses, mirrored
+    // adaptation division, (adapt DESC, word) top-20.
+    "q377_word_burstiness" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w),
+        |census AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df1,
+        |         CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS df2,
+        |         CAST(SUM(k) AS BIGINT) AS tf_total
+        |  FROM tf GROUP BY w HAVING COUNT(*) >= 20),
+        |scored AS (
+        |  SELECT w, df1, df2, tf_total,
+        |         CAST(ROUND(CAST(df2 AS DOUBLE) / CAST(df1 AS DOUBLE)
+        |           * 1000000) AS BIGINT) AS adapt_e6
+        |  FROM census)
+        |SELECT w AS word, df1, df2, tf_total, adapt_e6
+        |FROM scored ORDER BY adapt_e6 DESC, w LIMIT 20""".stripMargin,
     // Same md5 groups, keep-first by min doc_id, exact token ledger,
     // one mirrored savings division per source.
     "q371_dedup_savings" ->

@@ -754,7 +754,49 @@ object Round11 {
       .orderBy("gap_weeks")
   }
 
+  /** q376 — Lorenz decile curve of customer revenue: customers ranked
+    * ascending by lifetime revenue, split into exact integer deciles,
+    * each decile's revenue share and the cumulative (Lorenz) share —
+    * the curve POINTS behind q332's single Gini number (the published
+    * form: "the bottom 50% of customers hold x% of revenue"), with
+    * the decile→share table a pricing/CRM review reads directly.
+    *
+    * Exactness: decile assignment is the exact integer
+    * ((rank−1)·10)/n (positive floor = truncation on both engines);
+    * all censuses are exact cents; shares are mirrored divisions
+    * e6-gridded.
+    *
+    * Scale: one custkey-keyed cents agg (map-side combined); the rank
+    * window rides the customer DIMENSION (bounded; the q287 two-phase
+    * caveat applies at extreme cardinality); output 10 rows.
+    */
+  def q376(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("rev").asc, col("o_custkey"))
+    val wa = Window.partitionBy()
+    val ranked = cust
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wa))
+      .withColumn("tot", sum(col("rev")).over(wa))
+      .withColumn("decile", expr("(rn - 1) * 10 div n") + 1)
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("rev_cents"),
+        max(col("tot")).as("t"))
+      .withColumn("cum_cents", sum(col("rev_cents")).over(wCum))
+      .select(col("decile"), col("n_customers"), col("rev_cents"),
+        intScaled(col("rev_cents").cast("double") / col("t").cast("double"),
+          1000000L).as("share_e6"),
+        intScaled(col("cum_cents").cast("double") / col("t").cast("double"),
+          1000000L).as("lorenz_e6"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q376_lorenz_curve" -> (q376 _),
     "q362_grubbs_scan" -> (q362 _),
     "q363_cohort_ltv" -> (q363 _),
     "q364_abc_xyz" -> (q364 _),
@@ -804,6 +846,32 @@ object Round11 {
        |  GROUP BY l.lag)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Same exact integer decile ladder, exact cents censuses, two
+    // mirrored share divisions per decile row.
+    "q376_lorenz_curve" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT rev,
+        |         (ROW_NUMBER() OVER (ORDER BY rev ASC, o_custkey) - 1)
+        |           * 10 // (SELECT COUNT(*) FROM cust) + 1 AS decile,
+        |         (SELECT CAST(SUM(rev) AS BIGINT) FROM cust) AS tot
+        |  FROM cust),
+        |dec AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |         CAST(SUM(rev) AS BIGINT) AS rev_cents,
+        |         CAST(MAX(tot) AS BIGINT) AS t
+        |  FROM ranked GROUP BY decile)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers, rev_cents,
+        |  CAST(ROUND(CAST(rev_cents AS DOUBLE) / CAST(t AS DOUBLE)
+        |    * 1000000) AS BIGINT) AS share_e6,
+        |  CAST(ROUND(CAST(SUM(rev_cents) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(t AS DOUBLE)
+        |    * 1000000) AS BIGINT) AS lorenz_e6
+        |FROM dec ORDER BY decile""".stripMargin,
     // Same grid, same exact deviation moments as q334, per-lag e12
     // gridded summands summed exactly, one mirrored Q chain.
     "q359_ljung_box" ->
