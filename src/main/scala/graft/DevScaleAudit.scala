@@ -329,6 +329,11 @@ object DevScaleAudit {
       "ev_event_pmi" -> (dir => SparkEntry.queries("q375_event_pmi")(spark, dir)),
       "doc_chunk_curve" -> (dir => SparkEntry.queries("q374_chunk_dedup_curve")(spark, dir)),
       "ord_lorenz" -> (dir => SparkEntry.queries("q376_lorenz_curve")(spark, dir)),
+      // r11 fifth batch — the HDR register census (orders ×10 into a
+      // ~220-row register file) and the part-year price-index collapse
+      // (lineitem ×10 into part-keyed frames). q380 is map-side.
+      "ord_hdr" -> (dir => SparkEntry.queries("q378_hdr_quantiles")(spark, dir)),
+      "li_price_index" -> (dir => SparkEntry.queries("q379_price_index")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

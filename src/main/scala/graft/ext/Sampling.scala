@@ -519,7 +519,47 @@ object Sampling {
       .orderBy("n_shards")
   }
 
+  /** q380 — mixture effective-sample-size curve: for q369's τ-swept
+    * source weights, Kish's ESS = (Σw)²/Σw² and its share of the
+    * source count — the one number that says how UNIFORM each
+    * temperature actually is (τ=1 collapses toward the token-mass
+    * concentration; τ→0 pushes ESS → n_sources), closing the q369
+    * loop: pick τ by the ESS you can afford, not by folklore.
+    *
+    * Exactness: weights are q369's e6-gridded integers, so (Σw)² and
+    * Σw² are EXACT decimal(38) integers; ESS is one mirrored
+    * division, its share one more.
+    *
+    * Scale: rides q369's source frame (map-side token agg + 3×τ);
+    * output 3 rows.
+    */
+  def q380(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+    val taus = t
+      .withColumn("tau_e2", explode(array(lit(50L), lit(70L), lit(100L))))
+      .withColumn("w_e6",
+        graft.ext.Similarity.intScaled(
+          pow(col("toks").cast("double"), col("tau_e2").cast("double") / 100.0),
+          1000000L))
+    taus.groupBy(col("tau_e2"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("w_e6")).as("sw"),
+        sum(col("w_e6").cast("decimal(38,0)") * col("w_e6")).as("sww"))
+      .select(col("tau_e2"), col("n_sources"),
+        graft.ext.Similarity.intScaled(
+          (col("sw").cast("decimal(38,0)") * col("sw")).cast("double") /
+            col("sww").cast("double"),
+          100L).as("ess_x100"),
+        graft.ext.Similarity.intScaled(
+          (col("sw").cast("decimal(38,0)") * col("sw")).cast("double") /
+            col("sww").cast("double") / col("n_sources").cast("double"),
+          1000000L).as("ess_share_e6"))
+      .orderBy("tau_e2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q380_mixture_ess" -> (q380 _),
     "q368_packing_curve" -> (q368 _),
     "q369_temperature_curve" -> (q369 _),
     "q372_shard_balance" -> (q372 _),
@@ -537,6 +577,31 @@ object Sampling {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q369's gridded weights, exact HUGEINT (Σw)²/Σw², two mirrored
+    // divisions per τ row.
+    "q380_mixture_ess" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT tau_e2,
+        |         CAST(ROUND(POW(CAST(toks AS DOUBLE),
+        |           CAST(tau_e2 AS DOUBLE) / 100.0) * 1000000) AS BIGINT)
+        |           AS w_e6
+        |  FROM t CROSS JOIN
+        |    (SELECT CAST(UNNEST([50, 70, 100]) AS BIGINT) AS tau_e2))
+        |SELECT tau_e2, CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |  CAST(ROUND(CAST(CAST(SUM(w_e6) AS HUGEINT) * SUM(w_e6)
+        |      AS DOUBLE)
+        |    / CAST(SUM(CAST(w_e6 AS HUGEINT) * w_e6) AS DOUBLE) * 100)
+        |    AS BIGINT) AS ess_x100,
+        |  CAST(ROUND(CAST(CAST(SUM(w_e6) AS HUGEINT) * SUM(w_e6)
+        |      AS DOUBLE)
+        |    / CAST(SUM(CAST(w_e6 AS HUGEINT) * w_e6) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS ess_share_e6
+        |FROM w GROUP BY tau_e2 ORDER BY tau_e2""".stripMargin,
     // q77's floor-division packing swept over the same three budgets,
     // exact censuses, one mirrored fill division per row.
     "q368_packing_curve" ->

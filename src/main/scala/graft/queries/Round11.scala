@@ -795,7 +795,127 @@ object Round11 {
       .orderBy("decile")
   }
 
+  /** q378 — HDR-histogram quantile sketch: order totals (cents) land
+    * in log₂ buckets with 8 sub-buckets (bucket id = 8e + sub off the
+    * bit length — the HdrHistogram/DDSketch shape every latency
+    * pipeline ships), then p50/p90/p99 are estimated as bucket
+    * midpoints and compared against the engines' exact interpolated
+    * percentile — the FOURTH portable sketch beside HLL (q25/q97),
+    * CMS (q114) and Bloom (q346): counts merge by plain addition
+    * (shard-mergeable like the HLL register file), and the measured
+    * relative error IS the sketch's resolution guarantee (≤ 2^-3)
+    * made visible.
+    *
+    * Exactness: bucket ids, bounds, and midpoints are pure integer
+    * arithmetic off `length(bin(x))` (the q97 register discipline)
+    * and integer shifts; quantile selection is the cross-multiplied
+    * integer compare (2·cum ≥ n etc. — the q163 no-division rule);
+    * the exact percentile rides the engines' shared type-7
+    * interpolation on integer frames (q152 contract); the relative
+    * error is ONE mirrored chain per row.
+    *
+    * Scale: one map-side bucket assignment + a ≤ ~220-row register
+    * census; the cumulative window rides that register file.
+    */
+  def q378(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("x"))
+      .withColumn("e", (length(bin(col("x"))) - 1).cast("long"))
+      .withColumn("sub",
+        when(col("x") < 8L, lit(0L))
+          .otherwise(expr("shiftright(x, CAST(e - 3 AS INT))") - 8L))
+      .withColumn("bid",
+        when(col("x") < 8L, col("x")).otherwise(col("e") * 8 + col("sub")))
+      .withColumn("width",
+        when(col("x") < 8L, lit(1L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(e - 3 AS INT))")))
+      .withColumn("mid",
+        when(col("x") < 8L, col("x"))
+          .otherwise((col("sub") + 8L) * col("width") +
+            expr("(width - 1) div 2")))
+      .localCheckpoint(true) // register census + the exact percentiles
+    val regs = base.groupBy(col("bid"))
+      .agg(count(lit(1)).as("n"), min(col("mid")).as("mid"))
+    val tot = base.agg(count(lit(1)).as("nn"),
+      expr("percentile(x, 0.5)").as("ex50"),
+      expr("percentile(x, 0.9)").as("ex90"),
+      expr("percentile(x, 0.99)").as("ex99"))
+    val wCum = Window.orderBy("bid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = regs.withColumn("cum", sum(col("n")).over(wCum))
+      .crossJoin(broadcast(tot))
+    val picked = cums
+      .withColumn("q", explode(array(lit(50L), lit(90L), lit(99L))))
+      .filter(col("cum") * 100 >= col("q") * col("nn"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q").orderBy("bid")))
+      .filter(col("rn") === 1)
+    picked.select(col("q"), col("nn").as("n_rows"),
+        col("mid").as("est_cents"),
+        when(col("q") === 50L, col("ex50"))
+          .when(col("q") === 90L, col("ex90"))
+          .otherwise(col("ex99")).as("exact"))
+      .select(col("q"), col("n_rows"), col("est_cents"),
+        intScaled(col("exact"), 100L).as("exact_x100"),
+        intScaled(
+          (col("est_cents").cast("double") - col("exact")) / col("exact"),
+          1000000L).as("rel_err_e6"))
+      .orderBy("q")
+  }
+
+  /** q379 — year-over-year price indices (Laspeyres, Paasche, Fisher)
+    * between 1996 and 1997 over matched parts: THE canonical economic
+    * aggregation (what did prices do, base-weighted vs
+    * current-weighted, and the geometric compromise) — q352's RBO
+    * asks whether the LEADERBOARD moved; this asks what the PRICE
+    * LEVEL did, the number a procurement review quotes.
+    *
+    * Exactness: per-part unit values (cents/quantity) grid e3 ONCE
+    * per (part, year) as ONE mirrored division each; the four index
+    * sums Σu₁q₀ / Σu₀q₀ / Σu₁q₁ / Σu₀q₁ are then EXACT decimal(38)
+    * integers; L and P are one mirrored division each, Fisher one
+    * mirrored √(L·P) chain.
+    *
+    * Scale: the (part, year) collapse is map-side; matched parts ride
+    * a part-keyed self-join of the two year frames (dimension-
+    * bounded); one-row output.
+    */
+  def q379(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        year(col("l_shipdate").cast("date")).as("yr"),
+        cents(col("l_extendedprice")).as("c"),
+        col("l_quantity").cast("long").as("q"))
+      .filter(col("yr").isin(1996, 1997))
+    val py = li.groupBy(col("l_partkey"), col("yr"))
+      .agg(sum(col("c")).as("cc"), sum(col("q")).as("qq"))
+      .select(col("l_partkey"), col("yr"), col("qq"),
+        intScaled(col("cc").cast("double") / col("qq").cast("double"),
+          1000L).as("u_e3"))
+    val matched = py.filter(col("yr") === 1996)
+      .select(col("l_partkey"), col("qq").as("q0"), col("u_e3").as("u0"))
+      .join(py.filter(col("yr") === 1997)
+        .select(col("l_partkey"), col("qq").as("q1"), col("u_e3").as("u1")),
+        "l_partkey")
+    matched.agg(count(lit(1)).as("n_matched_parts"),
+        sum(col("u1").cast(d38) * col("q0")).as("l_num"),
+        sum(col("u0").cast(d38) * col("q0")).as("l_den"),
+        sum(col("u1").cast(d38) * col("q1")).as("p_num"),
+        sum(col("u0").cast(d38) * col("q1")).as("p_den"))
+      .select(col("n_matched_parts"),
+        intScaled(col("l_num").cast("double") / col("l_den").cast("double"),
+          1000000L).as("laspeyres_e6"),
+        intScaled(col("p_num").cast("double") / col("p_den").cast("double"),
+          1000000L).as("paasche_e6"),
+        intScaled(sqrt(
+          col("l_num").cast("double") / col("l_den").cast("double") *
+            (col("p_num").cast("double") / col("p_den").cast("double"))),
+          1000000L).as("fisher_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q378_hdr_quantiles" -> (q378 _),
+    "q379_price_index" -> (q379 _),
     "q376_lorenz_curve" -> (q376 _),
     "q362_grubbs_scan" -> (q362 _),
     "q363_cohort_ltv" -> (q363 _),
@@ -846,6 +966,93 @@ object Round11 {
        |  GROUP BY l.lag)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Same bit-length buckets (length(bin()) — the q97 register
+    // discipline), integer shifts and midpoints, cross-multiplied
+    // quantile selection, shared type-7 exact percentile, one
+    // mirrored relative-error chain per row.
+    "q378_hdr_quantiles" ->
+      """WITH base AS (
+        |  SELECT x, length(bin(x)) - 1 AS e,
+        |         CASE WHEN x < 8 THEN 0
+        |              ELSE (x >> CAST(length(bin(x)) - 1 - 3 AS INT)) - 8
+        |         END AS sub,
+        |         CASE WHEN x < 8 THEN CAST(1 AS BIGINT)
+        |              ELSE (CAST(1 AS BIGINT)
+        |                    << CAST(length(bin(x)) - 1 - 3 AS INT))
+        |         END AS width
+        |  FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |               AS BIGINT) AS x FROM orders)),
+        |bm AS (
+        |  SELECT CASE WHEN x < 8 THEN x ELSE e * 8 + sub END AS bid,
+        |         CASE WHEN x < 8 THEN x
+        |              ELSE (sub + 8) * width + (width - 1) // 2 END AS mid
+        |  FROM base),
+        |regs AS (
+        |  SELECT bid, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(MIN(mid) AS BIGINT) AS mid
+        |  FROM bm GROUP BY bid),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+        |         quantile_cont(x, 0.5) AS ex50,
+        |         quantile_cont(x, 0.9) AS ex90,
+        |         quantile_cont(x, 0.99) AS ex99
+        |  FROM base),
+        |cums AS (
+        |  SELECT bid, mid,
+        |         SUM(n) OVER (ORDER BY bid ROWS UNBOUNDED PRECEDING)
+        |           AS cum
+        |  FROM regs),
+        |picked AS (
+        |  SELECT q, bid, mid, nn, ex50, ex90, ex99,
+        |         ROW_NUMBER() OVER (PARTITION BY q ORDER BY bid) AS rn
+        |  FROM cums CROSS JOIN tot
+        |  CROSS JOIN (SELECT CAST(UNNEST([50, 90, 99]) AS BIGINT) AS q)
+        |  WHERE cum * 100 >= q * nn)
+        |SELECT q, nn AS n_rows, mid AS est_cents,
+        |  CAST(ROUND((CASE WHEN q = 50 THEN ex50 WHEN q = 90 THEN ex90
+        |              ELSE ex99 END) * 100) AS BIGINT) AS exact_x100,
+        |  CAST(ROUND((CAST(mid AS DOUBLE)
+        |      - (CASE WHEN q = 50 THEN ex50 WHEN q = 90 THEN ex90
+        |         ELSE ex99 END))
+        |    / (CASE WHEN q = 50 THEN ex50 WHEN q = 90 THEN ex90
+        |       ELSE ex99 END) * 1000000) AS BIGINT) AS rel_err_e6
+        |FROM picked WHERE rn = 1 ORDER BY q""".stripMargin,
+    // Same e3 unit-value grid per (part, year), exact HUGEINT index
+    // sums, mirrored L/P divisions and one √(L·P) Fisher chain.
+    "q379_price_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |         EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS yr,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT) AS c,
+        |         CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem
+        |  WHERE EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) IN (1996, 1997)),
+        |py AS (
+        |  SELECT l_partkey, yr, CAST(SUM(q) AS BIGINT) AS qq,
+        |         CAST(ROUND(CAST(SUM(c) AS DOUBLE) / CAST(SUM(q) AS DOUBLE)
+        |           * 1000) AS BIGINT) AS u_e3
+        |  FROM li GROUP BY l_partkey, yr),
+        |m AS (
+        |  SELECT a.qq AS q0, a.u_e3 AS u0, b.qq AS q1, b.u_e3 AS u1
+        |  FROM py a JOIN py b ON b.l_partkey = a.l_partkey
+        |  WHERE a.yr = 1996 AND b.yr = 1997),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_matched_parts,
+        |         SUM(CAST(u1 AS HUGEINT) * q0) AS l_num,
+        |         SUM(CAST(u0 AS HUGEINT) * q0) AS l_den,
+        |         SUM(CAST(u1 AS HUGEINT) * q1) AS p_num,
+        |         SUM(CAST(u0 AS HUGEINT) * q1) AS p_den
+        |  FROM m)
+        |SELECT n_matched_parts,
+        |  CAST(ROUND(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)
+        |    * 1000000) AS BIGINT) AS laspeyres_e6,
+        |  CAST(ROUND(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)
+        |    * 1000000) AS BIGINT) AS paasche_e6,
+        |  CAST(ROUND(SQRT(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)
+        |      * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS fisher_e6
+        |FROM agg""".stripMargin,
     // Same exact integer decile ladder, exact cents censuses, two
     // mirrored share divisions per decile row.
     "q376_lorenz_curve" ->
