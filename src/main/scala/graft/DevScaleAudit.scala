@@ -334,6 +334,9 @@ object DevScaleAudit {
       // (lineitem ×10 into part-keyed frames). q380 is map-side.
       "ord_hdr" -> (dir => SparkEntry.queries("q378_hdr_quantiles")(spark, dir)),
       "li_price_index" -> (dir => SparkEntry.queries("q379_price_index")(spark, dir)),
+      // r11 sixth batch — q381's value-collapsed census window under
+      // docs ×10 (q382/q383 are pure map-side collapses, no rows).
+      "doc_conformal" -> (dir => SparkEntry.queries("q381_conformal_coverage")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

@@ -558,7 +558,61 @@ object Sampling {
       .orderBy("tau_e2")
   }
 
+  /** q381 — split-conformal coverage audit: calibrate a one-sided
+    * quality threshold on the hash-split train bucket at miscoverage
+    * α = 0.1 (t = the k-th smallest calibration score, k =
+    * ⌊α·(n+1)⌋ — the distribution-free split-conformal quantile), then
+    * MEASURE coverage P(score ≥ t) on the held-out docs — the "does
+    * the 90% guarantee actually hold on this corpus" audit that turns
+    * q52's quality score into a calibrated filter (q273's calibration
+    * checks a probabilistic classifier; this needs no model at all).
+    *
+    * Exactness: scores grid e6 FIRST; k is exact integer floor
+    * arithmetic; t is an exact order statistic selected on the
+    * VALUE-COLLAPSED score census (the q238 winsorized pattern — the
+    * cumulative window rides distinct score values, never docs);
+    * the eval compare s ≥ t is integer; coverage is one mirrored
+    * division.
+    *
+    * Scale: one map-side score pass, a value-collapsed census window,
+    * integer selection; one-row output.
+    */
+  def q381(s: SparkSession, dir: String): DataFrame = {
+    val sE6 = graft.ext.Similarity.intScaled(
+      graft.ext.TextAnalysis.qualityScore(col("text")), 1000000L)
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("s", sE6)
+      .withColumn("cal", bucket256(col("doc_id")) < "cd")
+      .localCheckpoint(true) // census + eval sides
+    val nCal = scored.filter(col("cal"))
+      .agg(count(lit(1)).as("n_cal"))
+      .select(col("n_cal"), expr("(n_cal + 1) div 10").as("k"))
+    val census = scored.filter(col("cal"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = census.withColumn("cum", sum(col("n")).over(wCum))
+      .crossJoin(broadcast(nCal))
+      .filter(col("cum") >= col("k"))
+      .agg(min(col("s")).as("t_e6"), max(col("n_cal")).as("n_cal"),
+        max(col("k")).as("k"))
+    scored.filter(!col("cal"))
+      .crossJoin(broadcast(t))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
+        max(col("t_e6")).as("t_e6"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("s") >= col("t_e6"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_cal"), col("k"), col("t_e6"), col("n_eval"),
+        col("n_covered"),
+        graft.ext.Similarity.intScaled(
+          col("n_covered").cast("double") / col("n_eval").cast("double"),
+          1000000L).as("coverage_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q381_conformal_coverage" -> (q381 _),
     "q380_mixture_ess" -> (q380 _),
     "q368_packing_curve" -> (q368 _),
     "q369_temperature_curve" -> (q369 _),
@@ -577,6 +631,40 @@ object Sampling {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same e6 score grid (q52's quality twin), same hash split, exact
+    // k and order-statistic selection on the value census, integer
+    // eval compare, one mirrored coverage division.
+    "q381_conformal_coverage" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND((1.0 - CAST(len(list_filter(string_split(text,' '),
+        |           w -> w IN ('a','the'))) AS DOUBLE)
+        |           / len(string_split(text,' ')))
+        |         * LEAST(CAST(len(string_split(text,' ')) AS DOUBLE)
+        |                 / 50.0, 1.0) * 1000000) AS BIGINT) AS s,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS cal
+        |  FROM documents),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+        |              CAST((COUNT(*) + 1) // 10 AS BIGINT) AS k
+        |       FROM d WHERE cal),
+        |census AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM d WHERE cal GROUP BY s),
+        |t AS (
+        |  SELECT MIN(s) AS t_e6, MAX(n_cal) AS n_cal, MAX(k) AS k FROM (
+        |    SELECT s, SUM(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+        |             AS cum, n_cal, k
+        |    FROM census CROSS JOIN nc)
+        |  WHERE cum >= k)
+        |SELECT CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+        |       CAST(MAX(k) AS BIGINT) AS k,
+        |       CAST(MAX(t_e6) AS BIGINT) AS t_e6,
+        |       CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |       CAST(SUM(CASE WHEN s >= t_e6 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_covered,
+        |       CAST(ROUND(CAST(SUM(CASE WHEN s >= t_e6 THEN 1 ELSE 0 END)
+        |           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000)
+        |         AS BIGINT) AS coverage_e6
+        |FROM d CROSS JOIN t WHERE NOT cal""".stripMargin,
     // q369's gridded weights, exact HUGEINT (Σw)²/Σw², two mirrored
     // divisions per τ row.
     "q380_mixture_ess" ->

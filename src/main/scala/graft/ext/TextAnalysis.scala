@@ -1288,7 +1288,85 @@ object TextAnalysis {
         col("adapt_e6"))
   }
 
+  /** q382 — quality-filter threshold curve: at score cuts 0.2/0.4/0.6
+    * (e6-gridded integers — the compare can never flip on a float),
+    * the kept-doc share, kept-TOKEN share, and mean quality of the
+    * kept set — the knob curve behind every "we filtered to the top
+    * X%" claim (q52 scores; q199's survival reads quality against
+    * dedup; this prices the filter itself in tokens, the unit bills
+    * are paid in).
+    *
+    * Exactness: scores grid e6 once; all censuses and token sums are
+    * exact integers; shares and the kept-mean are mirrored divisions.
+    *
+    * Scale: one map-side score+token pass, a constant 3× threshold
+    * fan-out, map-side aggregation; 3-row output.
+    */
+  def q382(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir)
+      .select(Similarity.intScaled(qualityScore(col("text")), 1000000L)
+        .as("s"), tokenCount(col("text")).cast("long").as("tok"))
+      .withColumn("tau_e6", explode(array(
+        lit(200000L), lit(400000L), lit(600000L))))
+    scored.groupBy(col("tau_e6"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"),
+        sum(when(col("s") >= col("tau_e6"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("s") >= col("tau_e6"), col("tok")).otherwise(0L))
+          .as("tok_kept"),
+        sum(when(col("s") >= col("tau_e6"), col("s")).otherwise(0L))
+          .as("s_kept"))
+      .select(col("tau_e6"), col("n_kept"),
+        Similarity.intScaled(
+          col("n_kept").cast("double") / col("n_docs").cast("double"),
+          1000000L).as("doc_share_e6"),
+        Similarity.intScaled(
+          col("tok_kept").cast("double") / col("tokens").cast("double"),
+          1000000L).as("token_share_e6"),
+        when(col("n_kept") > 0L, Similarity.intScaled(
+          col("s_kept").cast("double") / col("n_kept").cast("double"), 1L))
+          .as("mean_kept_q_e6"))
+      .orderBy("tau_e6")
+  }
+
+  /** q383 — leave-one-source-out quality deltas: for each source, the
+    * corpus mean quality WITHOUT it minus the overall mean — the
+    * cheapest data-valuation signal there is (a positive delta says
+    * dropping the source would RAISE corpus quality), q333's
+    * broadcast-totals jackknife applied at source granularity where
+    * the leave-out set is a curation decision, not a variance
+    * estimate.
+    *
+    * Exactness: scores grid e6 once; per-source and global sums are
+    * exact integers; the delta is ONE mirrored chain per source
+    * ((S−S_s)/(N−n_s) − S/N, both terms already e6-scaled, gridded
+    * to integer at the end).
+    *
+    * Scale: one map-side score pass to the source frame + a one-row
+    * totals broadcast; output = source frame.
+    */
+  def q383(s: SparkSession, dir: String): DataFrame = {
+    val per = docs(s, dir)
+      .select(col("source"),
+        Similarity.intScaled(qualityScore(col("text")), 1000000L).as("s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("ss"))
+    val tot = per.agg(sum(col("n")).as("nn"), sum(col("ss")).as("st"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_docs"),
+        Similarity.intScaled(
+          (col("st") - col("ss")).cast("double") /
+            (col("nn") - col("n")).cast("double"), 1L).as("loso_mean_e6"),
+        Similarity.intScaled(
+          (col("st") - col("ss")).cast("double") /
+            (col("nn") - col("n")).cast("double") -
+            col("st").cast("double") / col("nn").cast("double"),
+          1L).as("delta_e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q382_quality_filter_curve" -> (q382 _),
+    "q383_loso_quality" -> (q383 _),
     "q374_chunk_dedup_curve" -> (q374 _),
     "q377_word_burstiness" -> (q377 _),
     "q371_dedup_savings" -> (q371 _),
@@ -1422,6 +1500,61 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same e6 score grid, integer threshold compares, exact token
+    // sums, mirrored share/mean chains.
+    "q382_quality_filter_curve" ->
+      """WITH d AS (
+        |  SELECT CAST(ROUND((1.0
+        |      - CAST(len(list_filter(string_split(text,' '),
+        |          w -> w IN ('a','the'))) AS DOUBLE)
+        |        / len(string_split(text,' ')))
+        |      * LEAST(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0,
+        |              1.0) * 1000000) AS BIGINT) AS s,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |x AS (SELECT tau_e6, s, tok FROM d CROSS JOIN
+        |  (SELECT CAST(UNNEST([200000, 400000, 600000]) AS BIGINT)
+        |     AS tau_e6))
+        |SELECT tau_e6,
+        |  CAST(SUM(CASE WHEN s >= tau_e6 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN s >= tau_e6 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS doc_share_e6,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN s >= tau_e6 THEN tok ELSE 0 END)
+        |      AS DOUBLE) / CAST(SUM(tok) AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS token_share_e6,
+        |  CASE WHEN SUM(CASE WHEN s >= tau_e6 THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(ROUND(CAST(SUM(CASE WHEN s >= tau_e6 THEN s ELSE 0 END)
+        |        AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN s >= tau_e6 THEN 1 ELSE 0 END)
+        |        AS DOUBLE)) AS BIGINT)
+        |  END AS mean_kept_q_e6
+        |FROM x GROUP BY tau_e6 ORDER BY tau_e6""".stripMargin,
+    // Same e6 score grid, exact per-source/global sums, one mirrored
+    // leave-one-out chain per source.
+    "q383_loso_quality" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(ROUND((1.0
+        |      - CAST(len(list_filter(string_split(text,' '),
+        |          w -> w IN ('a','the'))) AS DOUBLE)
+        |        / len(string_split(text,' ')))
+        |      * LEAST(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0,
+        |              1.0) * 1000000) AS BIGINT) AS s
+        |  FROM documents),
+        |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |               CAST(SUM(s) AS BIGINT) AS ss
+        |        FROM d GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |               CAST(SUM(ss) AS BIGINT) AS st FROM per)
+        |SELECT source, n AS n_docs,
+        |  CAST(ROUND(CAST(st - ss AS DOUBLE) / CAST(nn - n AS DOUBLE))
+        |    AS BIGINT) AS loso_mean_e6,
+        |  CAST(ROUND(CAST(st - ss AS DOUBLE) / CAST(nn - n AS DOUBLE)
+        |    - CAST(st AS DOUBLE) / CAST(nn AS DOUBLE)) AS BIGINT)
+        |    AS delta_e6
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
     // Same integer start ladder, md5 chunk identity, exact censuses,
     // one mirrored dup-share division per size.
     "q374_chunk_dedup_curve" ->
