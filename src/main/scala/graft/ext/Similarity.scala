@@ -792,7 +792,11 @@ object Similarity {
   /** q230 — SEMANTIC decontamination: the embedding-space complement
     * of q104's n-gram screen (a paraphrased eval item shares no
     * 5-gram but sits next to its source in embedding space). Eval set
-    * = vec_id % 7 == 0 (the q146 funnel's split), corpus = the rest;
+    * = vec_id % 7 == 0 (the q146 funnel's split) CAPPED at a constant
+    * 200-probe budget (vec_id < 1400 — the q354 discipline: the
+    * broadcast side must be constant-bounded, never corpus-
+    * proportional; an eval set is fixed-size in practice), corpus =
+    * the full non-eval split;
     * per corpus vector: the max eval cosine on the e2 grid, how many
     * eval items sit at/above the 0.40 threshold, and the contamination
     * flag — all integer decisions on ALREADY-GRIDDED values (the q66
@@ -808,7 +812,8 @@ object Similarity {
     */
   def q230(s: SparkSession, dir: String): DataFrame = {
     val unit = withUnitVec(emb(s, dir), "embedding", "u")
-    val ev = broadcast(unit.filter(col("vec_id") % 7 === 0)
+    val ev = broadcast(unit
+      .filter(col("vec_id") % 7 === 0 && col("vec_id") < 1400)
       .select(col("vec_id").as("eid"), col("u").as("eu")))
     val d = unit.filter(col("vec_id") % 7 =!= 0)
       .select(col("vec_id").as("did"), col("u").as("du"))
@@ -882,7 +887,8 @@ object Similarity {
   }
 
   /** q244 — hard-negative mining for contrastive retrieval training:
-    * for each eval probe (the q230 split, vec_id % 7 == 0), the top-5
+    * for each eval probe (the q230 split with its constant 200-probe
+    * cap, vec_id % 7 == 0 AND vec_id < 1400), the top-5
     * SEMI-HARD negatives from the corpus — a different `label` than the
     * probe (a true negative), gridded cosine in [15, 40) (close enough
     * to be informative, below q230's 0.40 contamination gate so never a
@@ -905,7 +911,8 @@ object Similarity {
   def q244(s: SparkSession, dir: String): DataFrame = {
     val unit = withUnitVec(emb(s, dir), "embedding", "u")
       .select(col("vec_id"), col("u"), col("label"))
-    val ev = broadcast(unit.filter(col("vec_id") % 7 === 0)
+    val ev = broadcast(unit
+      .filter(col("vec_id") % 7 === 0 && col("vec_id") < 1400)
       .select(col("vec_id").as("qid"), col("u").as("qu"),
         col("label").as("qlab")))
     val d = unit.filter(col("vec_id") % 7 =!= 0)
@@ -926,7 +933,8 @@ object Similarity {
   }
 
   /** q253 — k-NN classifier evaluation: predict each eval vector's
-    * label (the q230/q244 split: vec_id % 7 == 0) by majority vote of
+    * label (the q230/q244 split with its constant 200-probe cap:
+    * vec_id % 7 == 0 AND vec_id < 1400) by majority vote of
     * its 5 nearest corpus neighbors (cosine), against the true label.
     * The standard "are these embeddings linearly useful" probe — the
     * evaluation harness run before anyone trains a head on top. The
@@ -947,7 +955,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val unit = withUnitVec(emb(s, dir), "embedding", "u")
       .select(col("vec_id"), col("u"), col("label"))
-    val ev = broadcast(unit.filter(col("vec_id") % 7 === 0)
+    val ev = broadcast(unit
+      .filter(col("vec_id") % 7 === 0 && col("vec_id") < 1400)
       .select(col("vec_id").as("qid"), col("u").as("qu"),
         col("label").as("tl")))
     val d = unit.filter(col("vec_id") % 7 =!= 0)
@@ -2515,7 +2524,7 @@ object Similarity {
         |  SELECT q.vec_id AS qid, q.label AS tl, d.vec_id AS did,
         |         d.label AS dl, list_inner_product(q.uv, d.uv) AS sim
         |  FROM u q JOIN u d ON d.vec_id % 7 <> 0
-        |  WHERE q.vec_id % 7 = 0),
+        |  WHERE q.vec_id % 7 = 0 AND q.vec_id < 1400),
         |nn AS (
         |  SELECT qid, tl, dl,
         |         ROW_NUMBER() OVER (PARTITION BY qid
@@ -2550,7 +2559,8 @@ object Similarity {
         |         CAST(ROUND(list_inner_product(q.uv, d.uv) * 100) AS BIGINT)
         |           AS sim_c
         |  FROM u q JOIN u d ON q.label <> d.label
-        |  WHERE q.vec_id % 7 = 0 AND d.vec_id % 7 <> 0),
+        |  WHERE q.vec_id % 7 = 0 AND q.vec_id < 1400
+        |    AND d.vec_id % 7 <> 0),
         |ranked AS (
         |  SELECT qid, did, sim_c,
         |         ROW_NUMBER() OVER (PARTITION BY qid
@@ -2742,7 +2752,7 @@ object Similarity {
         |                CAST(d.embedding AS DOUBLE[])) * 100) AS BIGINT)
         |           AS sim_c
         |  FROM embeddings e, embeddings d
-        |  WHERE e.vec_id % 7 = 0 AND d.vec_id % 7 <> 0)
+        |  WHERE e.vec_id % 7 = 0 AND e.vec_id < 1400 AND d.vec_id % 7 <> 0)
         |SELECT did, MAX(sim_c) AS max_sim_c,
         |       CAST(SUM(CASE WHEN sim_c >= 40 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_close,

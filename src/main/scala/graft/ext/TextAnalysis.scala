@@ -726,6 +726,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode_outer(array_distinct(Dedup.shinglesKAll(col("ws"), k))).as("gram"))
       .filter(col("gram").isNotNull)
+      .localCheckpoint(true) // branched: owner agg AND the join probe side
     val owner = g.groupBy(col("gram")).agg(min(col("doc_id")).as("owner"))
     g.join(owner, "gram")
       .groupBy(col("doc_id"))

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase global rank / cumulative sum — the scale-safe replacement
+  * for `Window.orderBy(...)` with no `partitionBy` (a single-reducer
+  * sort: the whole frame rides ONE task) and for `Window.partitionBy()`
+  * (the all-rows total, same single task). This was the registry's one
+  * weak 100-TB posture (r11 verdict): q287/q332/q364/q376 ranked a
+  * part/customer DIMENSION through one task. At the design point the
+  * dimension is billions of rows; here the sort is distributed and the
+  * only single-task state is a ≤ ~513-row bucket census.
+  *
+  * Mechanics (the classic range-bucket rank, using q378's HDR-histogram
+  * bucketing as the deterministic range partitioner):
+  *
+  *   1. Every row gets a bucket that is a PURE FUNCTION of its sort
+  *      value `v`: HDR log₂ bucket `8e + sub` off the bit length
+  *      (monotone in v, so bucket order == value order; ≤ 8·64+8 ≈ 520
+  *      buckets for any long). No sampling, no nondeterminism — the
+  *      same row always lands in the same bucket, so results are
+  *      bit-stable run-to-run and engine-comparable.
+  *   2. rank / running sum WITHIN each bucket: a keyed window over
+  *      `(part…, bucket)` — distributed, no global sort.
+  *   3. Per-bucket (count, sum) collapse → a tiny census frame; prefix
+  *      offsets over it via a window that rides ~520 rows (the accepted
+  *      value-collapsed window shape); broadcast-joined back.
+  *   4. global rank = bucket prefix count + within-bucket rank;
+  *      global cumsum = bucket prefix sum + within-bucket running sum.
+  *      The same census yields the frame-wide count/total for free —
+  *      callers that used `Window.partitionBy()` for the total get it
+  *      without another single-task window OR a second scan.
+  *
+  * Exactness: ranks and sums are identical to the single-task window's
+  * by construction — the (v, tie) total order is unchanged, buckets
+  * only split the prefix computation (both engines' hashes are pinned
+  * unchanged in TwoPhaseSpec and the q287/q332/q364/q376 oracles).
+  *
+  * Skew note: bucket population is data-dependent (log-uniform money
+  * values spread across ~50+ buckets; adversarially constant columns
+  * collapse to one bucket — exactly the tie case where ANY engine must
+  * fall back to the tie-break sort). Negative values all share one
+  * bucket (-1): monotone and correct, but only the nonnegative domain
+  * (cents, counts — every current caller) gets the full spread.
+  */
+object TwoPhase {
+
+  private val B = "__tp_bucket"
+
+  /** HDR log₂ bucket id, monotone nondecreasing in `v` (long). For
+    * v ≥ 8: `8·e + (v >> (e−3)) − 8` with e = bit length − 1 (q378's
+    * sketch bucketing, reused verbatim); v in [0, 8): identity;
+    * v < 0: −1 (single bucket — see class doc).
+    */
+  def hdrBucket(v: Column): Column = {
+    val x = v.cast("long")
+    val e = (length(bin(x)) - 1).cast("long")
+    when(x < 0L, lit(-1L))
+      .when(x < 8L, x)
+      .otherwise(e * 8 + shiftRightDyn(x, e - 3) - 8L)
+  }
+
+  /** `shiftright` with a COLUMN shift amount (the Scala functions API
+    * only takes a literal Int; SQL's shiftright accepts columns).
+    */
+  private def shiftRightDyn(x: Column, bits: Column): Column =
+    call_function("shiftright", x, bits.cast("int"))
+
+  /** Adds any of: a global row_number `rn`, an inclusive running sum
+    * `cum` of `v`, the frame-wide row count `n`, and the frame-wide sum
+    * `tot` — all over the total order (`v` asc|desc, `tie` asc) within
+    * the optional `part` grouping — WITHOUT a partition-less WindowExec.
+    *
+    *   - `v` must be an integral (long-valued) column; `(v, tie)` must
+    *     be unique within each `part` group (every caller ties on its
+    *     dimension key), or rank/cum are nondeterministic exactly as
+    *     they would be under the single-task window.
+    *   - `rn` lands as LongType (the single-task `row_number()` was
+    *     IntegerType — callers consume it in arithmetic, never in the
+    *     output schema).
+    *   - The bucketed input is `localCheckpoint(true)`-ed: it branches
+    *     into the per-row frame and the census, and re-computing the
+    *     upstream collapse twice would be the q158 double-explode bug.
+    */
+  def rankCum(
+      df: DataFrame,
+      part: Seq[String],
+      v: String,
+      tie: String,
+      asc: Boolean,
+      rn: Option[String] = None,
+      cum: Option[String] = None,
+      n: Option[String] = None,
+      tot: Option[String] = None): DataFrame = {
+    val pc = part.map(col)
+    val bucketed = df.withColumn(B, hdrBucket(col(v))).localCheckpoint(true)
+    val census = bucketed.groupBy((pc :+ col(B)): _*)
+      .agg(count(lit(1)).as("__tp_n"), sum(col(v)).as("__tp_s"))
+    val bOrd = if (asc) col(B).asc else col(B).desc
+    // both windows ride the ≤ ~520-row census — the value-collapsed
+    // window shape (PlanAuditSpec's exempt category by construction)
+    val wOff = Window.partitionBy(pc: _*).orderBy(bOrd)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(pc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val off = census
+      .withColumn("__tp_off_n", coalesce(sum(col("__tp_n")).over(wOff), lit(0L)))
+      .withColumn("__tp_off_s", coalesce(sum(col("__tp_s")).over(wOff), lit(0L)))
+      .withColumn("__tp_all_n", sum(col("__tp_n")).over(wAll))
+      .withColumn("__tp_all_s", sum(col("__tp_s")).over(wAll))
+      .drop("__tp_n", "__tp_s")
+    val vOrd = if (asc) col(v).asc else col(v).desc
+    val wIn = Window.partitionBy((pc :+ col(B)): _*).orderBy(vOrd, col(tie).asc)
+    val wInCum = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var out = bucketed.join(broadcast(off), part :+ B)
+    rn.foreach { c =>
+      out = out.withColumn(c, col("__tp_off_n") + row_number().over(wIn))
+    }
+    cum.foreach { c =>
+      out = out.withColumn(c, col("__tp_off_s") + sum(col(v)).over(wInCum))
+    }
+    n.foreach(c => out = out.withColumn(c, col("__tp_all_n")))
+    tot.foreach(c => out = out.withColumn(c, col("__tp_all_s")))
+    out.drop(B, "__tp_off_n", "__tp_off_s", "__tp_all_n", "__tp_all_s")
+  }
+}

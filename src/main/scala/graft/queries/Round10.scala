@@ -94,9 +94,10 @@ object Round10 {
     * Σ-terms ride decimal(38); ONE mirrored division e6.
     *
     * Scale: orders collapse to the customer dimension map-side first;
-    * the rank window rides that bounded dimension (the q130/q142
-    * two-phase caveat applies if a segment's customer count outgrows
-    * one task); 5-row output.
+    * the per-segment rank rides [[graft.ops.TwoPhase.rankCum]]
+    * partitioned by segment (HDR range-buckets + broadcast prefix
+    * offsets — q287's shared core, closed round 12), so a segment's
+    * customer count never rides one task; 5-row output.
     */
   def q332(s: SparkSession, dir: String): DataFrame = {
     val rev = t(s, dir, "orders")
@@ -105,8 +106,8 @@ object Round10 {
       .join(t(s, dir, "customer")
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
         "o_custkey")
-    val w = Window.partitionBy("c_mktsegment").orderBy(col("rev"), col("o_custkey"))
-    rev.withColumn("i", row_number().over(w))
+    graft.ops.TwoPhase.rankCum(rev, Seq("c_mktsegment"), "rev", "o_custkey",
+        asc = true, rn = Some("i"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("rev")).as("total_cents"),

@@ -667,8 +667,10 @@ object Round11 {
     * census share; single-month parts guard to Z.
     *
     * Scale: monthly demand collapses map-side to (part, month); the
-    * rank window rides the part dimension (q287's caveat applies).
-    * Output ≤ 9 rows.
+    * cumulative mass rides [[graft.ops.TwoPhase.rankCum]] (HDR
+    * range-buckets + broadcast prefix offsets — q287's shared core,
+    * closed round 12), so no task holds the part dimension and the
+    * frame total comes off the same bucket census. Output ≤ 9 rows.
     */
   def q364(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -684,15 +686,15 @@ object Round11 {
       .agg(count(lit(1)).as("m"), sum(col("mcents")).as("x"),
         sum(col("mq")).as("sq"),
         sum(col("mq").cast(d38) * col("mq")).as("sqq"))
-    val w = Window.orderBy(col("x").desc, col("l_partkey"))
-    val wa = Window.partitionBy()
-    val before = (sum(col("x")).over(w) - col("x")).cast(d38) * 100
+    val ranked = graft.ops.TwoPhase.rankCum(per, Nil, "x", "l_partkey",
+      asc = false, cum = Some("__cum"), tot = Some("__tot"))
+    val before = (col("__cum") - col("x")).cast(d38) * 100
     val cv2num = col("m").cast(d38) *
       (col("m").cast(d38) * col("sqq") - col("sq").cast(d38) * col("sq"))
     val cv2den = (col("m") - 1).cast(d38) *
       (col("sq").cast(d38) * col("sq"))
-    val cls = per
-      .withColumn("tot", sum(col("x")).over(wa).cast(d38))
+    val cls = ranked
+      .withColumn("tot", col("__tot").cast(d38))
       .withColumn("abc",
         when(before < col("tot") * 80, "A")
           .when(before < col("tot") * 95, "B")
@@ -767,19 +769,18 @@ object Round11 {
     * e6-gridded.
     *
     * Scale: one custkey-keyed cents agg (map-side combined); the rank
-    * window rides the customer DIMENSION (bounded; the q287 two-phase
-    * caveat applies at extreme cardinality); output 10 rows.
+    * rides [[graft.ops.TwoPhase.rankCum]] (HDR range-buckets +
+    * broadcast prefix offsets — q287's shared core, closed round 12):
+    * no task holds the customer dimension, and n/total come off the
+    * same bucket census instead of two `Window.partitionBy()`
+    * single-task passes; output 10 rows.
     */
   def q376(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(cents(col("o_totalprice"))).as("rev"))
-    val w = Window.orderBy(col("rev").asc, col("o_custkey"))
-    val wa = Window.partitionBy()
-    val ranked = cust
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wa))
-      .withColumn("tot", sum(col("rev")).over(wa))
+    val ranked = graft.ops.TwoPhase.rankCum(cust, Nil, "rev", "o_custkey",
+      asc = true, rn = Some("rn"), n = Some("n"), tot = Some("tot"))
       .withColumn("decile", expr("(rn - 1) * 10 div n") + 1)
     val wCum = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

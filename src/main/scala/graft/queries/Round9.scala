@@ -649,24 +649,26 @@ object Round9 {
     * double could flip the crossing item between engines); only the
     * reported share is a final e6-gridded division.
     *
-    * Scale: lineitem collapses map-side to per-part cents; the rank
-    * window rides the part DIMENSION (bounded like the vocab windows
-    * — SCALE.md documents the two-phase split if a catalog outgrows
-    * one task); output is ≤ 3 rows.
+    * Scale: lineitem collapses map-side to per-part cents; the
+    * cumulative mass rides [[graft.ops.TwoPhase.rankCum]] — HDR
+    * range-buckets + per-bucket running sums + broadcast prefix
+    * offsets — so NO task ever holds the part dimension (r11's one
+    * weak posture, closed round 12; the frame total comes off the
+    * same bucket census instead of a `Window.partitionBy()`
+    * single-task pass); output is ≤ 3 rows.
     */
   def q287(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d38 = "decimal(38,0)"
     val pc = t(s, dir, "lineitem")
       .select(col("l_partkey"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
       .groupBy("l_partkey").agg(sum(col("cents")).as("x"))
-    val w = Window.orderBy(col("x").desc, col("l_partkey"))
-    val wa = Window.partitionBy()
-    val before = (sum(col("x")).over(w) - col("x")).cast(d38) * 100
-    val cls = pc
-      .withColumn("tot", sum(col("x")).over(wa).cast(d38))
+    val ranked = graft.ops.TwoPhase.rankCum(pc, Nil, "x", "l_partkey",
+      asc = false, cum = Some("__cum"), tot = Some("__tot"))
+    val before = (col("__cum") - col("x")).cast(d38) * 100
+    val cls = ranked
+      .withColumn("tot", col("__tot").cast(d38))
       .withColumn("abc",
         when(before < col("tot") * 80, "A")
           .when(before < col("tot") * 95, "B")

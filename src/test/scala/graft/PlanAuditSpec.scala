@@ -13,6 +13,17 @@ class PlanAuditSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Every registered query's pre-AQE physical plan, built once and
+    * shared by the registry-wide nets (BNL build-side bound, global
+    * window) — constructing 380+ plans is the dominant cost of those
+    * tests, not the assertions.
+    */
+  private lazy val allSparkPlans
+      : Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.sparkPlan
+    }
+
   private def plan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.queryExecution.executedPlan.toString
@@ -593,7 +604,7 @@ class PlanAuditSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.{FilterExec, GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
-    import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     // Named BNL contracts: each entry declares WHAT bounds its build
     // side (adjudicated by reading the plan via graft.DevBnl). A new
@@ -613,13 +624,27 @@ class PlanAuditSpec extends SparkTestBase {
       "q304_welch_battery" // per-mktsegment moments (5 segments)
     )
     def bounded(side: SparkPlan): Boolean = {
+      // Only a bare ATTRIBUTE (or a cast of one) compared against a
+      // literal counts as a selective bound: a derived expression like
+      // pmod(vec_id, 2) = 0 keeps the side proportional to the corpus
+      // (the exact q354 bug), and a data predicate like score >= 0.0
+      // bounds nothing — both used to slip through the wildcard
+      // patterns (r11 ADVICE).
+      def isAttr(e: Expression): Boolean = e match {
+        case _: AttributeReference => true
+        case c: Cast => isAttr(c.child)
+        case _ => false
+      }
+      def attrVsLit(l: Expression, r: Expression): Boolean =
+        (isAttr(l) && r.isInstanceOf[Literal]) ||
+          (l.isInstanceOf[Literal] && isAttr(r))
       def litCompare(p: SparkPlan): Boolean = p.collectFirst {
         case f: FilterExec if f.condition.exists {
-          case LessThan(_, _: Literal) | LessThan(_: Literal, _) => true
-          case LessThanOrEqual(_, _: Literal) | LessThanOrEqual(_: Literal, _) => true
-          case GreaterThan(_, _: Literal) | GreaterThan(_: Literal, _) => true
-          case GreaterThanOrEqual(_, _: Literal) | GreaterThanOrEqual(_: Literal, _) => true
-          case EqualTo(_, _: Literal) | EqualTo(_: Literal, _) => true
+          case LessThan(l, r) => attrVsLit(l, r)
+          case LessThanOrEqual(l, r) => attrVsLit(l, r)
+          case GreaterThan(l, r) => attrVsLit(l, r)
+          case GreaterThanOrEqual(l, r) => attrVsLit(l, r)
+          case EqualTo(l, r) => attrVsLit(l, r)
           case _ => false
         } => f
       }.isDefined
@@ -636,9 +661,8 @@ class PlanAuditSpec extends SparkTestBase {
       }.isDefined
       oneRow || limited || litCompare(side)
     }
-    val violations = SparkEntry.queries.keys.filterNot(exempt).flatMap {
-      name =>
-        val sp = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+    val violations = allSparkPlans.filterNot(p => exempt(p._1)).flatMap {
+      case (name, sp) =>
         sp.collect { case b: BroadcastNestedLoopJoinExec => b }.flatMap { b =>
           val build = b.buildSide match {
             case BuildLeft => b.left
@@ -652,6 +676,93 @@ class PlanAuditSpec extends SparkTestBase {
       s"${violations.size} BroadcastNestedLoopJoin(s) whose build side " +
         s"has no declared constant bound (one-row agg / limit / literal " +
         s"filter) — the q354 failure shape:\n${violations.mkString("\n")}")
+  }
+
+  test("every partition-less WindowExec in the registry rides a declared " +
+    "bounded frame (the q287 two-phase net — r11 verdict item 1)") {
+    // A Window with no partitionBy moves its ENTIRE input through one
+    // task. That is fine over a value-collapsed census (calendar days,
+    // vocab, p-value grid, HDR registers — thousands of rows at any
+    // SF) and fatal over a DIMENSION (parts/customers — billions at
+    // the 100-TB design point; r11's one weak posture, q287/q332/
+    // q364/q376, now on ops.TwoPhase). This net makes the distinction
+    // a reviewed contract:
+    //   (a) structural carve-out: a window whose input is the TwoPhase
+    //       bucket census (topmost aggregate below it groups on
+    //       __tp_bucket, <= ~520 rows by construction), or
+    //   (b) a named exemption HERE declaring what bounds the frame.
+    // A new query planning an unexplained partition-less window fails
+    // the suite.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val exempt: Map[String, String] = Map(
+      "q130_zipf_slope" -> "top-100 rank over the closed 31-word vocabulary",
+      "q142_vocab_table" -> "vocabulary-sized frame (closed vocab)",
+      "q166_token_apportion" -> "Hamilton remainder rank over source cardinality (tens of rows)",
+      "q170_event_anomaly" -> "calendar day grid (~2.4k rows at any SF)",
+      "q173_heaps_law" -> "log-spaced prefix grid over the closed vocabulary",
+      "q184_fk_audit" -> "median rides the fan-count HISTOGRAM (distinct fan values)",
+      "q185_key_skew" -> "median rides the key-count histogram (q184 discipline)",
+      "q186_monthly_rev" -> "calendar month frame",
+      "q191_rfm_segments" -> "ntile ranks ride the customer dimension — the q175 accepted rank bound (production swaps to approx-quantile buckets)",
+      "q195_conversion_lag" -> "rank over converted users (funnel-filtered, q163 bound)",
+      "q199_quality_survival" -> "cumulative window over <= 11 quality buckets",
+      "q205_chi2_dow" -> "<= 35-cell (type x dow) grid",
+      "q206_autocorr_daily" -> "calendar day grid",
+      "q231_quota_resample" -> "Hamilton apportion over the length-bucket grid",
+      "q236_oov_rate" -> "top-K vocab rank (bounded-vocabulary posture)",
+      "q246_seasonal_error" -> "calendar day grid",
+      "q247_mutual_info" -> "<= (types x 7) cell grid",
+      "q258_bh_fdr" -> "BH rank over the hypothesis grid (bounded test count)",
+      "q262_stl_seasonal" -> "calendar day grid",
+      "q265_mann_whitney" -> "ranks ride the value-collapsed length domain (q238 posture)",
+      "q271_vocab_coverage" -> "vocabulary-sized rank frame",
+      "q276_negsample_table" -> "top-50 vocab rank frame",
+      "q280_hill_tail" -> "51-row top-(k+1) frame (TakeOrdered upstream)",
+      "q285_cramers_v" -> "(brand x type) value-bounded grid",
+      "q297_kaplan_meier" -> "duration grid (calendar-bounded risk sets)",
+      "q298_logrank" -> "duration grid (q297 posture)",
+      "q300_health_scorecard" -> "source-frame rank window (source cardinality)",
+      "q302_kruskal_wallis" -> "distinct-length value grid",
+      "q322_sprt_trace" -> "calendar day grid cumsum",
+      "q343_runs_test" -> "calendar day grid",
+      "q348_chow_break" -> "calendar day grid (~2.4k rows)",
+      "q359_ljung_box" -> "calendar day grid (7x lag fan-out)",
+      "q361_page_hinkley" -> "calendar day grid",
+      "q362_grubbs_scan" -> "calendar day grid (3 passes)",
+      "q376_lorenz_curve" -> "10-row decile frame (rank itself is TwoPhase)",
+      "q378_hdr_quantiles" -> "<= ~220-row HDR register census",
+      "q381_conformal_coverage" -> "value-collapsed score census window"
+    )
+    def isCensusWindow(w: WindowExec): Boolean =
+      w.child.collectFirst { case a: BaseAggregateExec => a }.exists(
+        _.groupingExpressions.exists(
+          _.references.exists(_.name == "__tp_bucket")))
+    val offenders = allSparkPlans.flatMap { case (name, sp) =>
+      val bad = sp.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !isCensusWindow(w) => w
+      }
+      if (bad.nonEmpty && !exempt.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} quer(ies) plan a partition-less WindowExec with " +
+        s"no declared frame bound (single-task sort at scale — the q287 " +
+        s"failure shape); add the bound here or re-shape via " +
+        s"ops.TwoPhase.rankCum: ${offenders.mkString(", ")}")
+    // the fixed four must stay fixed: their DIMENSION windows are gone
+    Seq("q287_abc_class", "q332_gini_concentration", "q364_abc_xyz").foreach {
+      name =>
+        val sp = allSparkPlans.find(_._1 == name).get._2
+        val dims = sp.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !isCensusWindow(w) => w
+        }
+        assert(dims.isEmpty,
+          s"$name regressed to a dimension-global window:\n${dims.mkString}")
+    }
+    // exemptions must not go stale (renamed/removed queries)
+    val live = allSparkPlans.map(_._1).toSet
+    val stale = exempt.keys.filterNot(live)
+    assert(stale.isEmpty, s"stale window exemptions: ${stale.mkString(", ")}")
   }
 
   test("q354 hubness probe frame is constant-bounded (vec_id < 200 " +
