@@ -1305,8 +1305,13 @@ object Patterns {
     * lift yet low confidence), the q168 word-PMI pattern applied to
     * behavior.
     *
-    * Exactness: baskets are exact integer user-day keys (epoch-ns
-    * floor division); all counts are exact; PMI's ln(n_ab·N/(n_a·n_b))
+    * Exactness: baskets are exact integer user-day keys — TRUE floor
+    * division spelled explicitly (Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors; they diverge for pre-1970 negative
+    * epoch-ns, so the Spark side subtracts 1 when the remainder is
+    * negative, making the two engines identical by construction for
+    * ALL inputs, r11 ADVICE); all counts are exact; PMI's
+    * ln(n_ab·N/(n_a·n_b))
     * is ONE mirrored libm chain per pair, e6-gridded (margins
     * spec-measured).
     *
@@ -1316,7 +1321,10 @@ object Patterns {
     */
   def q375(s: SparkSession, dir: String): DataFrame = {
     val b = Tables.events(s, dir)
-      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+      .select(col("user_id"),
+        expr("ts div 86400000000000" +
+          " - (CASE WHEN ts % 86400000000000 < 0 THEN 1 ELSE 0 END)")
+          .as("day"),
         col("event_type"))
       .distinct()
       .localCheckpoint(true) // marginals + both pair sides

@@ -222,29 +222,37 @@ object Round11 {
     * (rank, count) inversion with a (dur, user, sid) total order;
     * the two rates are one mirrored division each.
     *
-    * Scale: the lag window is user-keyed; the 4× threshold fan-out is
-    * a constant factor; per-threshold session frames group on
-    * (threshold, user, session) — all user-local. The rank window
-    * rides the session frame (sessions ≪ events), and the output is
-    * 4 rows.
+    * Scale: ONE user-keyed window pass computes all four thresholds'
+    * session counters as parallel cumulative sums (the break flag for
+    * threshold t is monotone in t, so the four counters share the one
+    * (us, event_id) sort of 1× events); the 4× fan-out explodes only
+    * AFTER the window, feeding a map-side-combinable hash agg — the
+    * r11 audit's 2.1× edge was the old explode-then-window shape
+    * sorting 4× events under a (threshold, user) re-shuffle. The rank
+    * window rides the session frame (sessions ≪ events), and the
+    * output is 4 rows.
     */
   def q350(s: SparkSession, dir: String): DataFrame = {
+    val thrs = Seq(1L, 6L, 24L, 72L)
     val wLag = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
+    val wCum = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"),
         (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
       .withColumn("gap", col("us") - lag(col("us"), 1).over(wLag))
-    val wSess = Window.partitionBy(col("thr_hr"), col("user_id"))
-      .orderBy(col("us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = base
-      .withColumn("thr_hr",
-        explode(array(lit(1L), lit(6L), lit(24L), lit(72L))))
-      .withColumn("brk",
-        when(col("gap").isNull ||
-          col("gap") > col("thr_hr") * 3600L * 1000000L, 1L).otherwise(0L))
-      .withColumn("sid", sum(col("brk")).over(wSess))
+    val withSids = thrs.foldLeft(base) { (df, h) =>
+      df.withColumn(s"sid_$h",
+        sum(when(col("gap").isNull ||
+          col("gap") > h * 3600L * 1000000L, 1L).otherwise(0L)).over(wCum))
+    }
+    val sess = withSids
+      .select(col("user_id"), col("us"),
+        explode(array(thrs.map(h =>
+          struct(lit(h).as("thr_hr"), col(s"sid_$h").as("sid"))): _*))
+          .as("t"))
+      .select(col("user_id"), col("us"),
+        col("t.thr_hr").as("thr_hr"), col("t.sid").as("sid"))
       .groupBy(col("thr_hr"), col("user_id"), col("sid"))
       .agg(count(lit(1)).as("n_ev"),
         (max(col("us")) - min(col("us"))).as("dur_us"))

@@ -45,6 +45,10 @@ class Round11gSpec extends SparkTestBase {
       (scoreE6(d._2), md5hex(d._1.toString).substring(0, 2) < "cd"))
     val cal = scored.filter(_._2).map(_._1).sorted
     val k = (cal.size + 1) / 10
+    // fixture contract: the calibration split must hold >= 9 docs so
+    // k >= 1 (k = 0 would make the engine's cum >= 0 filter silently
+    // pick the minimum score — fail loudly here instead, r11 ADVICE)
+    assert(k >= 1, s"degenerate calibration split: n_cal=${cal.size} gives k=0")
     val t = cal(k - 1) // k-th smallest
     val eval = scored.filterNot(_._2).map(_._1)
     val covered = eval.count(_ >= t).toLong

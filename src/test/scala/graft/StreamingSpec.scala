@@ -166,6 +166,64 @@ class StreamingSpec extends SparkTestBase {
       "no post-kill session started before the kill — recovery not exercised")
   }
 
+  test("shuffle-partition change across restart: checkpointed session state " +
+    "survives and output equals the uninterrupted batch result") {
+    // The state-rebalance leg (r11 verdict item 6): a production
+    // restart often lands on a DIFFERENT spark.sql.shuffle.partitions
+    // (cluster resize, conf drift). Structured Streaming pins the
+    // state-store partition count in the checkpoint metadata, so the
+    // restarted query must keep reading the SAME state partitioning
+    // regardless of the session conf — a mismatch mishandled here
+    // surfaces as lost sessions or mis-keyed state. Kill the query
+    // mid-stream, restart under a session conf 4x smaller, and require
+    // the final output to equal the uninterrupted batch computation,
+    // including sessions whose state straddled the restart.
+    val fixture = graft.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val maxTs = fixture.map(_._2).max
+    val sentinelTs = maxTs + (12L * 3600 + 600 + 3600) * 1000000000L
+    val chunks = fixture.grouped((fixture.length + 1) / 2).toSeq
+
+    val input = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_rebal_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rebal_ckpt").toString
+    def start() = EventStream.sessionCounts(df)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q1 = start()
+      try {
+        input.addData(chunks(0).toSeq)
+        q1.processAllAvailable()
+      } finally q1.stop() // open sessions live only in 8-partition state
+
+      // the restart sees a DIFFERENT session conf
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val q2 = start()
+      try {
+        input.addData(chunks(1).toSeq)
+        q2.processAllAvailable()
+        input.addData((-1L, sentinelTs, -1L, "sentinel", 0.0))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    val streamed = spark.read.parquet(outDir).filter(col("user_id") >= 0)
+    val batch = SparkEntry.queries("q45_session_window")(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "post-rebalance streamed sessions must equal the batch sessionization")
+  }
+
   test("replay: dedup under producer retries equals the batch fixture exactly") {
     // Each fixture chunk is re-emitted in the NEXT microbatch with a
     // +1s-drifted timestamp — the producer-retry pattern. Keyed on
