@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.GlobalStats
 
 /** Corpus-curation monitoring & planning operators — the "keep the
   * ingest honest" family that runs beside the selection/dedup stages
@@ -71,7 +72,7 @@ object Curation {
     val p = (col("nsx") + lit(1.0)) / (col("ns") + col("k")).cast("double")
     val q = (col("nrx") + lit(1.0)) /
       (col("n") - col("ns") + col("k")).cast("double")
-    cs.crossJoin(broadcast(xs)).crossJoin(broadcast(tot))
+    cs.withGlobalStats(xs).withGlobalStats(tot)
       .join(lx, Seq("source", "b"), "left")
       .select(col("source"), col("ns"), col("n"), col("k"),
         coalesce(col("nsx"), lit(0L)).as("nsx"),
@@ -213,7 +214,7 @@ object Curation {
       .agg(coalesce(max(when(
         lit(4).cast(d38) * col("pnum") * col("m") <=
           col("pden") * col("rank"), col("rank"))), lit(0L)).as("kmax"))
-    framed.crossJoin(broadcast(kmax))
+    framed.withGlobalStats(kmax)
       .select(col("event_type"), col("dow"), col("o"),
         col("rank").cast("long").as("rank"),
         round(col("p_dbl") * 1000000000d, 0).cast("long").as("p_e9"),
@@ -341,7 +342,7 @@ object Curation {
       .groupBy(col("source"))
       .agg(sum(size(split(col("text"), " "))).cast("double").as("toks"))
     val tot = t.agg(sum(pow(col("toks"), lit(0.7))).as("z"))
-    t.crossJoin(broadcast(tot))
+    t.withGlobalStats(tot)
       .select(col("source"), col("toks").cast("long").as("tokens"),
         Similarity.intScaled(
           pow(col("toks"), lit(0.7)) / col("z"), 1000000L).as("weight_e6"))
@@ -439,7 +440,7 @@ object Curation {
       .agg(sum("n").as("n_docs"),
         sum(when(col("lang") === col("guess"), col("n")).otherwise(0L))
           .as("n_agree"))
-      .crossJoin(broadcast(marg))
+      .withGlobalStats(marg)
       .select(col("n_docs"), col("n_agree"), col("rc").cast("long").as("sum_rc"),
         Similarity.intScaled(
           when(den =!= 0, num.cast("double") / den.cast("double")),
@@ -619,7 +620,7 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
         sum(col("q_e6")).as("sq_e6"))
     val tot = qual.agg(sum(col("n_tokens")).as("corpus_tokens"))
-    val joined = dup.join(qual, "source").crossJoin(broadcast(tot))
+    val joined = dup.join(qual, "source").withGlobalStats(tot)
       .select(col("source"), col("n_docs"), col("n_tokens"),
         Similarity.intScaled(
           col("dup_grams").cast("double") / col("n_grams").cast("double"),
@@ -724,7 +725,7 @@ object Curation {
     val evDel = Tables.events(s, dir).filter(col("user_id") % 97L === 0L)
     def row(name: String, del: DataFrame, total: DataFrame): DataFrame =
       del.agg(count(lit(1)).as("n_deleted"))
-        .crossJoin(broadcast(total.agg(count(lit(1)).as("n_total"))))
+        .withGlobalStats(total.agg(count(lit(1)).as("n_total")))
         .select(lit(name).as("table_name"), col("n_deleted"), col("n_total"),
           Similarity.intScaled(
             col("n_deleted").cast("double") / col("n_total").cast("double"),
@@ -800,7 +801,7 @@ object Curation {
       count(lit(1)).as("n_buckets"))
     val wCum = Window.partitionBy(col("nat"), col("seg")).orderBy(col("sb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    groups.crossJoin(broadcast(buckets)).crossJoin(broadcast(tot))
+    groups.withGlobalStats(buckets).withGlobalStats(tot)
       .join(gb, Seq("nat", "seg", "sb"), "left")
       .select(col("nat"), col("seg"), col("sb"), col("ng"), col("nb"),
         col("n"), col("n_buckets"), coalesce(col("ngb"), lit(0L)).as("ngb"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.GlobalStats
 
 /** Benchmark decontamination: flag training documents that share long
   * word n-grams with an evaluation set (the GPT-3/PaLM-style 13-gram
@@ -113,8 +114,8 @@ object Decontam {
     val evStats = ev.agg(count(lit(1)).as("n_eval_grams"))
     val bitStats = bits.agg(count(lit(1)).as("n_bits_set"))
     val probed = corpus.agg(count(lit(1)).as("n_probed"))
-    evStats.crossJoin(broadcast(bitStats)).crossJoin(broadcast(probed))
-      .crossJoin(broadcast(probeHits)).crossJoin(broadcast(truePos))
+    evStats.withGlobalStats(bitStats).withGlobalStats(probed)
+      .withGlobalStats(probeHits).withGlobalStats(truePos)
       .select(col("n_eval_grams"), col("n_bits_set"), col("n_probed"),
         col("n_bloom_pos"), col("n_true_pos"),
         (col("n_bloom_pos") - col("n_true_pos")).as("n_false_pos"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.GlobalStats
 
 /** Dedup family for LLM-data pipelines over `documents` (SURVEY §2.4):
   * exact content-hash dedup, first-wins keep lists, n-gram Jaccard
@@ -543,7 +544,7 @@ object Dedup {
     val cand = d.groupBy(col("band")).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
         .as("cand_pairs"))
-    totals.crossJoin(broadcast(truth)).crossJoin(broadcast(cand))
+    totals.withGlobalStats(truth).withGlobalStats(cand)
       .select(col("n_docs"), col("total_pairs"), col("truth_pairs"),
         col("cand_pairs"), col("caught_pairs"),
         when(col("truth_pairs") > 0,
@@ -823,7 +824,7 @@ object Dedup {
     val tri3 = Graph.triangleCounts(pairs)
       .agg(coalesce(sum(col("n_tri")), lit(0L)).as("tri3"))
     pairs.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(broadcast(w2)).crossJoin(broadcast(tri3))
+      .withGlobalStats(w2).withGlobalStats(tri3)
       .select(col("n_edges"),
         expr("w2 DIV 2").as("wedges"),
         expr("tri3 DIV 3").as("triangles"),

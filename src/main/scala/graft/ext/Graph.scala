@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.GlobalStats
 
 /** Graph analytics beyond the walk family in [[Components]]: HITS
   * (hubs/authorities), triangle counting, and degree assortativity —
@@ -68,14 +69,14 @@ object Graph {
           .select(col("dst").as("id"), col("a"))
           .localCheckpoint(true)
         auth = aRaw
-          .crossJoin(broadcast(aRaw.agg(sum(col("a")).as("tot"))))
+          .withGlobalStats(aRaw.agg(sum(col("a")).as("tot")))
           .select(col("id"), (col("a") / col("tot")).as("a"))
         val hRaw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
           .groupBy(col("src")).agg(sum(col("a")).as("h"))
           .select(col("src").as("id"), col("h"))
           .localCheckpoint(true)
         hub = hRaw
-          .crossJoin(broadcast(hRaw.agg(sum(col("h")).as("tot"))))
+          .withGlobalStats(hRaw.agg(sum(col("h")).as("tot")))
           .select(col("id"), (col("h") / col("tot")).as("h"))
       }
       hub.select(col("id"), lit("hub").as("role"), col("h").as("score"))
@@ -602,7 +603,7 @@ object Graph {
     val mn = least(col("vol"), lit(2L) * col("m") - col("vol"))
     val volD = col("vol").cast("double") / (lit(2L) * col("m")).cast("double")
     vol.join(win, Seq("brand"), "left").join(cut, Seq("brand"), "left")
-      .crossJoin(broadcast(m))
+      .withGlobalStats(m)
       .select(col("brand"), col("n_nodes"),
         coalesce(col("win"), lit(0L)).as("m_within"),
         coalesce(col("cut"), lit(0L)).as("cut_edges"),
@@ -719,7 +720,7 @@ object Graph {
     val my = cells.groupBy(col("brand")).agg(sum(col("nij")).as("nj"))
     val tot = cells.agg(sum(col("nij")).as("n"), count(lit(1)).as("n_cells"))
     val mi = cells.join(mx, "lbl").join(my, "brand")
-      .crossJoin(broadcast(tot))
+      .withGlobalStats(tot)
       .select(Similarity.intScaled(
         col("nij").cast("double") / col("n").cast("double") *
           log(col("n").cast("double") * col("nij").cast("double") /
@@ -727,14 +728,14 @@ object Graph {
         1000000000000L).as("t"))
       .agg(sum(col("t")).as("mi_e12"))
     def ent(m: DataFrame, cnt: String): DataFrame =
-      m.crossJoin(broadcast(tot))
+      m.withGlobalStats(tot)
         .select(Similarity.intScaled(
           -(col(cnt).cast("double") / col("n").cast("double")) *
             log(col(cnt).cast("double") / col("n").cast("double")),
           1000000000000L).as("t"))
         .agg(sum(col("t")).as("h_" + cnt))
-    tot.crossJoin(broadcast(mi))
-      .crossJoin(broadcast(ent(mx, "ni"))).crossJoin(broadcast(ent(my, "nj")))
+    tot.withGlobalStats(mi)
+      .withGlobalStats(ent(mx, "ni")).withGlobalStats(ent(my, "nj"))
       .select(
         col("n").as("n_nodes"), col("n_cells"), col("mi_e12"),
         when(col("h_ni") + col("h_nj") > 0L,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.GlobalStats
 
 /** Pattern mining: frequent itemset pairs (market-basket association
   * rules), sequential event transitions (first-order Markov counts),
@@ -137,14 +138,14 @@ object Patterns {
       key: String = "source"): DataFrame = {
     require(budget >= 0, s"apportion: budget must be >= 0, got $budget")
     val tot = counts.agg(sum(col("tokens")).as("total"))
-    val based = counts.crossJoin(broadcast(tot))
+    val based = counts.withGlobalStats(tot)
       .select(col(key), col("tokens"),
         expr(s"tokens * ${budget}L DIV total").as("base"),
         expr(s"tokens * ${budget}L % total").as("rem"))
       .localCheckpoint(true) // branched by leftover + ranking below
     val leftover = based.agg((lit(budget) - sum(col("base"))).as("leftover"))
     val w = Window.orderBy(col("rem").desc, col(key))
-    based.crossJoin(broadcast(leftover))
+    based.withGlobalStats(leftover)
       .withColumn("extra",
         when(row_number().over(w) <= col("leftover"), 1L).otherwise(0L))
       .select(col(key), col("tokens"), col("base"), col("extra"),
@@ -470,13 +471,13 @@ object Patterns {
     val wR = Window.orderBy(col("lag_us"), col("user_id"))
     val stats = conv
       .withColumn("rn", row_number().over(wR))
-      .crossJoin(broadcast(conv.agg(count(lit(1)).as("n_conv"))))
+      .withGlobalStats(conv.agg(count(lit(1)).as("n_conv")))
       .filter(col("rn") * 2 >= col("n_conv"))
       .agg(max(col("n_conv")).as("n_converted"),
         min(col("lag_us")).as("lag_p50_us"),
         min(when(col("rn") * 10 >= col("n_conv") * 9, col("lag_us")))
           .as("lag_p90_us"))
-    stats.crossJoin(broadcast(viewers.agg(count(lit(1)).as("n_viewers"))))
+    stats.withGlobalStats(viewers.agg(count(lit(1)).as("n_viewers")))
       .select(col("n_viewers"), col("n_converted"),
         Similarity.intScaled(
           col("n_converted").cast("double") / col("n_viewers").cast("double"),
@@ -682,7 +683,7 @@ object Patterns {
     val tot = perUser.agg(count(lit(1)).as("n_users_total"))
     perUser.groupBy("end_type")
       .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"))
-      .crossJoin(broadcast(tot))
+      .withGlobalStats(tot)
       .select(col("end_type"), col("n_users"), col("n_events"),
         Similarity.intScaled(
           col("n_users").cast("double") / col("n_users_total").cast("double"),
@@ -722,7 +723,7 @@ object Patterns {
     val tot = t.groupBy(col("t0")).agg(sum(col("n")).as("n0"))
     val all = t.agg(sum(col("n")).as("nn"))
     val p = col("n").cast("double") / col("n0").cast("double")
-    t.join(tot, "t0").crossJoin(broadcast(all))
+    t.join(tot, "t0").withGlobalStats(all)
       .select(col("t0"), col("n0"),
         Similarity.intScaled(-p * log(p), 1000000000L).as("h_term_e9"),
         Similarity.intScaled(
@@ -807,7 +808,7 @@ object Patterns {
       .groupBy(col("event_type"), expr("us DIV 86400000000").as("day"))
       .agg(count(lit(1)).as("x"))
     val mx = daily.agg(max(col("day")).as("maxday"))
-    val byType = daily.crossJoin(broadcast(mx))
+    val byType = daily.withGlobalStats(mx)
       .select(col("event_type"), col("x"),
         Similarity.intScaled(
           exp(-(col("maxday") - col("day")).cast("double") / lit(30.0)),
@@ -817,7 +818,7 @@ object Patterns {
         sum(col("x").cast(d38) * col("w_e9")).as("decayed"))
     val tot = byType.agg(
       sum(col("n_events")).as("tn"), sum(col("decayed")).as("td"))
-    byType.crossJoin(broadcast(tot))
+    byType.withGlobalStats(tot)
       .select(col("event_type"), col("n_events"),
         col("decayed").cast("long").as("decayed_e9"),
         Similarity.intScaled(
@@ -854,7 +855,7 @@ object Patterns {
       .groupBy("l_orderkey").agg(count(lit(1)).as("k"))
       .groupBy("k").agg(count(lit(1)).as("n_k"))
     val tot = fof.agg(sum(col("n_k")).as("n"))
-    val pts = fof.crossJoin(broadcast(tot))
+    val pts = fof.withGlobalStats(tot)
       .select(col("k"), col("n_k"), col("n"),
         Similarity.intScaled(
           log(factorial(col("k").cast("int")).cast("double") *
@@ -869,7 +870,7 @@ object Patterns {
     val num = col("m").cast(d38) * col("skp") - col("sk").cast(d38) * col("sp")
     val den = (col("m").cast(d38) * col("skk") -
       col("sk").cast(d38) * col("sk")) * 1000000
-    pts.crossJoin(broadcast(reg))
+    pts.withGlobalStats(reg)
       .select(col("k"), col("n_k"), col("phi_e6"),
         Similarity.intScaled(
           num.cast("double") / den.cast("double"), 1000000L).as("slope_e6"),
@@ -1017,7 +1018,7 @@ object Patterns {
       .groupBy(col("pa"), col("pb"), col("pc"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2L)
-      .crossJoin(broadcast(nOrders))
+      .withGlobalStats(nOrders)
       .select(col("pa"), col("pb"), col("pc"), col("support"),
         Similarity.intScaled(
           col("support").cast("double") / col("n_orders").cast("double"),
@@ -1339,7 +1340,7 @@ object Patterns {
     pairs
       .join(marg.select(col("event_type").as("ta"), col("nt").as("n_a")), "ta")
       .join(marg.select(col("event_type").as("tb"), col("nt").as("n_b")), "tb")
-      .crossJoin(broadcast(n))
+      .withGlobalStats(n)
       .select(col("ta").as("type_a"), col("tb").as("type_b"),
         col("n_a"), col("n_b"), col("n_ab"), col("nb").as("n_baskets"),
         Similarity.intScaled(

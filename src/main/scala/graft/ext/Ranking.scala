@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.GlobalStats
 
 /** Corpus-level relevance ranking and frequency statistics for
   * LLM-data pipelines (SURVEY §2.4 extension family):
@@ -58,7 +59,7 @@ object Ranking {
     val stats = base.agg(statAggs.head, statAggs.tail: _*)
     // One-row broadcast join (BroadcastNestedLoop over a single row —
     // the q66 pattern; structurally bounded, never a cartesian blowup).
-    val joined = base.crossJoin(broadcast(stats))
+    val joined = base.withGlobalStats(stats)
     val score = terms.indices.map { i =>
       val tf = col(s"tf_$i")
       val idf = log(lit(1.0) + (col("n") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
@@ -185,7 +186,7 @@ object Ranking {
     val cs = csw.groupBy(col("source")).agg(sum(col("nsw")).as("ns"))
     val cw = csw.groupBy(col("w")).agg(sum(col("nsw")).as("nw"))
     val tot = cw.agg(sum(col("nw")).as("n"))
-    val grid = cs.crossJoin(broadcast(cw)).crossJoin(broadcast(tot))
+    val grid = cs.withGlobalStats(cw).withGlobalStats(tot)
       .join(csw, Seq("source", "w"), "left")
     val p = coalesce(col("nsw").cast("double"), lit(0.0)) / col("ns")
     val q = col("nw").cast("double") / col("n")
@@ -317,7 +318,7 @@ object Ranking {
     val tot = xs.agg(sum(col("nx")).as("n"))
     val wcum = Window.partitionBy(col("source")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val grid = cs.crossJoin(broadcast(xs)).crossJoin(broadcast(tot))
+    val grid = cs.withGlobalStats(xs).withGlobalStats(tot)
       .join(lx, Seq("source", "x"), "left")
       .select(col("source"), col("x"), col("ns"), col("n"),
         coalesce(col("nsx"), lit(0L)).as("nsx"),

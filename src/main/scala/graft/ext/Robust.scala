@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.GlobalStats
 
 /** Robust statistics & mergeable-state operators — the "trust your
   * summary numbers" family (SURVEY §2.4 extension family):
@@ -452,9 +453,9 @@ object Robust {
       .agg(count(lit(1)).as("n"), sum(col("rx")).as("sr"))
     val wide = base.filter(col("source") === "src0")
       .select(col("n").as("n1"), col("sr").as("sr1"))
-      .crossJoin(broadcast(base.filter(col("source") === "src1")
-        .select(col("n").as("n2"))))
-      .crossJoin(broadcast(ties))
+      .withGlobalStats(base.filter(col("source") === "src1")
+        .select(col("n").as("n2")))
+      .withGlobalStats(ties)
     wide
       .select(col("n1"), col("n2"), col("t").cast("long").as("t_ties"),
         (col("sr1") - col("n1") * (col("n1") + 1)).as("u2"))
@@ -609,7 +610,7 @@ object Robust {
     val xk1 = ranked.filter(col("rk") === k + 1)
       .select(col("n_chars").as("xk1"))
     ranked.filter(col("rk") <= k)
-      .crossJoin(broadcast(xk1))
+      .withGlobalStats(xk1)
       .select(col("xk1"),
         Similarity.intScaled(
           log(col("n_chars").cast("double") / col("xk1").cast("double")),
@@ -657,7 +658,7 @@ object Robust {
       .agg(min(col("day")).as("f"),
         min(when(col("event_type") === "purchase", col("day"))).as("p"))
     val mx = ev.agg(max(col("day")).as("mxd"))
-    val grid = perUser.crossJoin(broadcast(mx))
+    val grid = perUser.withGlobalStats(mx)
       .select(
         when(col("p").isNotNull, col("p") - col("f"))
           .otherwise(col("mxd") - col("f")).as("t"),
@@ -718,7 +719,7 @@ object Robust {
         min(when(col("event_type") === "purchase", col("day"))).as("p"))
       .withColumn("g1", expr("user_id % 2"))
     val mx = ev.agg(max(col("day")).as("mxd"))
-    val grid = perUser.crossJoin(broadcast(mx))
+    val grid = perUser.withGlobalStats(mx)
       .select(
         when(col("p").isNotNull, col("p") - col("f"))
           .otherwise(col("mxd") - col("f")).as("t"),
@@ -748,7 +749,7 @@ object Robust {
     steps
       .agg(count(lit(1)).as("n_steps"), sum(col("oe_e9")).as("oe_sum_e9"),
         sum(col("v_e9")).as("v_sum_e9"))
-      .crossJoin(broadcast(users))
+      .withGlobalStats(users)
       .select(col("n_users"), col("n_g1"), col("n_steps"),
         col("oe_sum_e9"), col("v_sum_e9"),
         Similarity.intScaled(
@@ -799,13 +800,13 @@ object Robust {
       sum(col("nv")).as("nn"))
     val dev = col("r2_sum").cast("double") / col("n_docs").cast("double") -
       (col("nn") + 1L).cast("double")
-    val terms = per.crossJoin(broadcast(ties))
+    val terms = per.withGlobalStats(ties)
       .select(col("source"), col("n_docs"), col("r2_sum"),
         col("nn"), col("t"),
         Similarity.intScaled(
           col("n_docs").cast("double") * dev * dev, 100L).as("term_e2"))
     val st = terms.agg(sum(col("term_e2")).as("st"))
-    terms.crossJoin(broadcast(st))
+    terms.withGlobalStats(st)
       .select(col("source"), col("n_docs"), col("r2_sum"), col("term_e2"),
         Similarity.intScaled(
           lit(3.0) * (col("st").cast("double") / lit(100.0)) /
@@ -855,7 +856,7 @@ object Robust {
       count(lit(1)).as("k"))
     val mi = col("sz").cast("double") / col("n_docs").cast("double")
     val m = col("s").cast("double") / col("nn").cast("double")
-    val terms = per.crossJoin(broadcast(tot))
+    val terms = per.withGlobalStats(tot)
       .select(col("source"), col("n_docs"), col("med2"),
         col("nn"), col("k"),
         Similarity.intScaled(mi, 10000L).as("z2_mean_e4"),
@@ -867,7 +868,7 @@ object Robust {
           .as("ssw_e2"))
     val sums = terms.agg(sum(col("ssb_e2")).as("ssb"),
       sum(col("ssw_e2")).as("ssw"))
-    terms.crossJoin(broadcast(sums))
+    terms.withGlobalStats(sums)
       .select(col("source"), col("n_docs"), col("med2"), col("z2_mean_e4"),
         Similarity.intScaled(
           (col("nn") - col("k")).cast("double") /
@@ -923,7 +924,7 @@ object Robust {
     val sp2 = ((col("an") - 1L).cast("double") * v("a") +
       (col("bn") - 1L).cast("double") * v("b")) /
       (col("an") + col("bn") - 2L).cast("double")
-    a.crossJoin(broadcast(b))
+    a.withGlobalStats(b)
       .filter(col("seg_a") < col("seg_b"))
       .select(col("seg_a"), col("seg_b"),
         col("an").as("n_a"), col("bn").as("n_b"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.GlobalStats
 
 /** Reproducible corpus sampling & batching operators for LLM training
   * pipelines (SURVEY §2.4 extension family):
@@ -259,7 +260,7 @@ object Sampling {
     val tot = t.agg(
       sum(col("toks")).as("n"),
       sum(pow(col("toks"), lit(0.7))).as("z"))
-    t.crossJoin(broadcast(tot))
+    t.withGlobalStats(tot)
       .select(
         col("source"),
         col("toks").cast("long").as("tokens"),
@@ -360,7 +361,7 @@ object Sampling {
     val tot = cell.agg(sum(col("n")).as("n_total"))
     val e = (col("n_split") * col("n_source")).cast("double") / col("n_total")
     cell.join(rowt, "split").join(colt, "source")
-      .crossJoin(broadcast(tot))
+      .withGlobalStats(tot)
       .select(col("split"), col("source"), col("n"),
         Similarity.intScaled(e, 10000L).as("expected_e4"),
         Similarity.intScaled(
@@ -389,8 +390,8 @@ object Sampling {
       .groupBy(col("fold"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     folds
-      .crossJoin(broadcast(folds.agg(sum(col("n_docs")).as("tn"),
-        sum(col("sum_chars")).as("ts"))))
+      .withGlobalStats(folds.agg(sum(col("n_docs")).as("tn"),
+        sum(col("sum_chars")).as("ts")))
       .select(col("fold"), col("n_docs"), col("sum_chars"),
         expr("sum_chars DIV n_docs").as("mean_fc"),
         expr("(ts - sum_chars) DIV (tn - n_docs)").as("oof_mean_fc"))
@@ -593,12 +594,12 @@ object Sampling {
     val wCum = Window.orderBy("s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val t = census.withColumn("cum", sum(col("n")).over(wCum))
-      .crossJoin(broadcast(nCal))
+      .withGlobalStats(nCal)
       .filter(col("cum") >= col("k"))
       .agg(min(col("s")).as("t_e6"), max(col("n_cal")).as("n_cal"),
         max(col("k")).as("k"))
     scored.filter(!col("cal"))
-      .crossJoin(broadcast(t))
+      .withGlobalStats(t)
       .agg(max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
         max(col("t_e6")).as("t_e6"),
         count(lit(1)).as("n_eval"),

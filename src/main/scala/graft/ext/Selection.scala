@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.GlobalStats
 
 /** Importance-resampling data selection (DSIR-style: score raw
   * documents by how target-like their hashed n-gram distribution is,
@@ -74,7 +75,7 @@ object Selection {
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
       sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
     val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-    counts.crossJoin(broadcast(tot))
+    counts.withGlobalStats(tot)
       .select(col("b"), col("ct"), col("cr"),
         Similarity.intScaled(
           log((col("ct") + lit(1.0)) / (col("nt") + lit(B.toDouble))) -

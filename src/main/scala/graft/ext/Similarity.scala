@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.GlobalStats
 
 /** Similarity search over the `embeddings` table (SURVEY §2.4):
   * brute-force cosine top-k as the exactness baseline, and a
@@ -262,7 +263,7 @@ object Similarity {
   private def assignToSeeds(unit: DataFrame, seeds: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
-    unit.crossJoin(broadcast(seeds))
+    unit.withGlobalStats(seeds)
       .select(col("vec_id"), col("u"), col("cid"),
         round(dot(col("u"), col("cu")), 6).as("sim"))
       .withColumn("rn", row_number().over(w))
@@ -746,7 +747,7 @@ object Similarity {
     val counts = emb(s, dir).groupBy(col("label").cast("long").as("lbl"))
       .agg(count(lit(1)).as("n"))
     val totals = counts.agg(sum(col("n")).as("ntot"))
-    perLabel.join(counts, "lbl").crossJoin(broadcast(totals))
+    perLabel.join(counts, "lbl").withGlobalStats(totals)
       .select(col("lbl"), col("n"),
         intScaled((col("s2") - col("n")) /
           (col("n") * (col("n") - 1)).cast("double"), 10000L).as("intra_e4"),
@@ -1239,7 +1240,7 @@ object Similarity {
         .groupBy(col("i"))
         .agg(sum(col("c").cast(d38) * col("v")).as("w"))
       val m = w.agg(max(abs(col("w"))).as("m"))
-      v = w.crossJoin(broadcast(m))
+      v = w.withGlobalStats(m)
         .select(col("i"),
           when(col("w") >= 0,
             expr("(2 * w * 1000000 + m) DIV (2 * m)"))
@@ -1251,7 +1252,7 @@ object Similarity {
     val num = cells.join(v, "i").join(vj, "j")
       .agg(sum(col("v") * col("c").cast(d38) * col("vj")).as("num"))
     val den = v.agg(sum(col("v") * col("v")).as("den"))
-    v.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+    v.withGlobalStats(num).withGlobalStats(den)
       .select(col("i"), col("v").cast("long").as("loading_e6"),
         intScaled(col("num").cast("double") / col("den").cast("double"),
           1000L).as("lambda_e3"))
@@ -1370,7 +1371,7 @@ object Similarity {
       val rad = state.agg(max(col("md")).as("radius2"))
       sel = state.orderBy(col("md").desc, col("vec_id")).limit(1)
         .select(col("vec_id"), col("qv"))
-      c.select(col("cid")).crossJoin(broadcast(rad))
+      c.select(col("cid")).withGlobalStats(rad)
         .select(lit(r.toLong).as("round"), col("cid").as("center_id"),
           col("radius2"))
     }
@@ -1448,7 +1449,7 @@ object Similarity {
           t * t
         }),
       lit(0).cast(d38), (acc, t) => acc + t)
-    val dl = q.crossJoin(broadcast(cent))
+    val dl = q.withGlobalStats(cent)
       .select(col("vec_id"), col("label"), col("cl"),
         (sqrt(a2.cast("double")) / col("cn").cast("double")).as("dist"))
     val own = dl.filter(col("label") === col("cl"))
@@ -1523,7 +1524,7 @@ object Similarity {
       .filter(col("yqv").isNotNull)
       .select(intScaled(lit(2.0) - lit(2.0) * cos, 1000000000L).as("t"))
       .agg(count(lit(1)).as("n_align"), sum(col("t")).as("sa"))
-    unif.crossJoin(broadcast(align))
+    unif.withGlobalStats(align)
       .select(col("n_unif"), col("n_align"),
         intScaled(
           log(col("st").cast("double") / col("n_unif").cast("double") /
@@ -1558,7 +1559,7 @@ object Similarity {
         transform(col("embedding"),
           x => intScaled(x.cast("double"), 1000L)).as("qv"))
     val bounds = q.agg(min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx"))
-    val halves = q.crossJoin(broadcast(bounds))
+    val halves = q.withGlobalStats(bounds)
       .select(col("label"), col("qv"),
         when(col("vec_id") <= expr("(mn + mx) DIV 2"), lit(0))
           .otherwise(lit(1)).as("h"))
@@ -1690,14 +1691,14 @@ object Similarity {
     val mom = indeg.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
     val nq = unit.agg(sum(when(col("vec_id") < 200, 1L).otherwise(0L))
       .as("n_queries"))
-    indeg.crossJoin(broadcast(mom))
+    indeg.withGlobalStats(mom)
       .withColumn("dev",
         col("n").cast("decimal(38,0)") * col("d") - col("sd"))
       .agg(max(col("n")).as("n_corpus"), max(col("d")).as("max_indeg"),
         sum(when(col("d") === 0L, 1L).otherwise(0L)).as("n_zero"),
         sum(col("dev") * col("dev")).as("m2"),
         sum(col("dev") * col("dev") * col("dev")).as("m3"))
-      .crossJoin(broadcast(nq))
+      .withGlobalStats(nq)
       .select(col("n_corpus"), col("n_queries"), col("max_indeg"),
         col("n_zero"),
         when(col("m2") > 0L,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.GlobalStats
 
 /** Text-analysis operators for LLM-data pipelines over the `documents`
   * table (SURVEY §2.4): token statistics, language-ID heuristic, quality
@@ -474,7 +475,7 @@ object TextAnalysis {
     val vocab = tf.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
     val tot = vocab.agg(sum(col("cnt")).as("n"), count(lit(1)).as("vsz"))
     tf.join(vocab, "w")
-      .crossJoin(broadcast(tot))
+      .withGlobalStats(tot)
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).as("n_tokens"),
@@ -545,7 +546,7 @@ object TextAnalysis {
     val vocab = cb.agg(countDistinct(col("w2")).as("v"))
     tf.join(cb, Seq("w1", "w2"))
       .join(cu, Seq("w1"))
-      .crossJoin(broadcast(vocab))
+      .withGlobalStats(vocab)
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).as("n_bigrams"),
@@ -577,7 +578,7 @@ object TextAnalysis {
     tf.join(cb, Seq("w1", "w2"))
       .join(cu, Seq("w1"))
       .join(uni, Seq("w2"))
-      .crossJoin(broadcast(tot))
+      .withGlobalStats(tot)
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).as("n_bigrams"),
@@ -634,7 +635,7 @@ object TextAnalysis {
       .join(cu, Seq("w1"))
       .join(n1f, Seq("w1"))
       .join(n1b, Seq("w2"))
-      .crossJoin(broadcast(btot))
+      .withGlobalStats(btot)
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).as("n_bigrams"),
@@ -766,7 +767,7 @@ object TextAnalysis {
     val m = tok.select(col("source").as("t"), col("w"), col("cnt"))
     val mt = m.groupBy(col("t"))
       .agg(sum(col("cnt")).as("n"), count(lit(1)).as("vsz"))
-    tf.crossJoin(broadcast(mt))
+    tf.withGlobalStats(mt)
       .join(m, Seq("t", "w"), "left")
       .groupBy(col("t").as("train_source"), col("e").as("eval_source"))
       .agg(
@@ -811,7 +812,7 @@ object TextAnalysis {
     cb.filter(col("cb") >= 5)
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
-      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withGlobalStats(n1).withGlobalStats(n2)
       .select(col("w1"), col("w2"), col("cb").as("n_ab"),
         Similarity.intScaled(
           log((col("cb").cast("double") / col("n2")) /
@@ -1013,7 +1014,7 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     b.withColumn("cum_docs", sum(col("n_docs")).over(w))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .crossJoin(broadcast(b.agg(sum(col("n_tokens")).as("tot_tokens"))))
+      .withGlobalStats(b.agg(sum(col("n_tokens")).as("tot_tokens")))
       .select(col("bucket"), col("n_docs"), col("n_tokens"),
         col("cum_docs"), col("cum_tokens"),
         Similarity.intScaled(
@@ -1352,7 +1353,7 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("s")).as("ss"))
     val tot = per.agg(sum(col("n")).as("nn"), sum(col("ss")).as("st"))
-    per.crossJoin(broadcast(tot))
+    per.withGlobalStats(tot)
       .select(col("source"), col("n").as("n_docs"),
         Similarity.intScaled(
           (col("st") - col("ss")).cast("double") /
@@ -1442,7 +1443,7 @@ object TextAnalysis {
       sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1"))
     val nxt = fof.select((col("r") - 1).as("r"), col("n_r").as("nn"))
     fof.filter(col("r") <= 5).join(nxt, Seq("r"), "left")
-      .crossJoin(broadcast(tot))
+      .withGlobalStats(tot)
       .select(col("r"), col("n_r"),
         coalesce(col("nn"), lit(0L)).as("n_r_next"),
         Similarity.intScaled(

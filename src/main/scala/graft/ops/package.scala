@@ -215,4 +215,26 @@ package object ops {
     df.groupBy(key.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
+
+  /** Broadcast-global-stats idiom, NAMED (r11 verdict item 7 — ~100
+    * call sites used to re-spell `crossJoin(broadcast(stats))` by
+    * hand): attach a tiny aggregate frame — global totals, a threshold
+    * row, a calibration table — to every row of `df`.
+    *
+    * This is the registry's ONE accepted crossJoin shape, and
+    * PlanAuditSpec's BNL net enforces its contract structurally: the
+    * broadcast (build) side must be provably bounded IN THE PLAN — a
+    * grouping-free aggregate (exactly one row), a limit/TakeOrdered, a
+    * literal local relation, or an attribute-vs-literal filter bound.
+    * A data-proportional build side (the q354 / q230-pre-r12 bug
+    * shape) fails the suite.
+    *
+    * Scale: the broadcast ships kilobytes to every task; no shuffle,
+    * no skew surface, and Catalyst folds the appended columns into the
+    * enclosing projection.
+    */
+  implicit class GlobalStats(private val df: DataFrame) extends AnyVal {
+    def withGlobalStats(stats: DataFrame): DataFrame =
+      df.crossJoin(broadcast(stats))
+  }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.Similarity.intScaled
+import graft.ops.GlobalStats
 
 /** Round-10 analytics batch: audit/inequality/uncertainty statistics
   * (Benford, Gini, jackknife, capture-recapture), time-series memory
@@ -67,7 +68,7 @@ object Round10 {
         .cast("long").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
     val tot = digits.agg(sum(col("n_obs")).as("n"))
-    digits.crossJoin(broadcast(tot))
+    digits.withGlobalStats(tot)
       .withColumn("p", expr(benfordCase).cast("double"))
       .select(col("digit"), col("n_obs"),
         intScaled(col("n_obs").cast("double") / col("n").cast("double"),
@@ -211,7 +212,7 @@ object Round10 {
       .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
       .localCheckpoint(true) // branched: moments + both sides of the lag join
     val mom = grid.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-    val dev = grid.crossJoin(broadcast(mom))
+    val dev = grid.withGlobalStats(mom)
       .select(col("day"), (col("n") * col("x") - col("sx")).as("d"),
         col("n"))
     val denom = dev.agg(max(col("n")).as("n"),
@@ -223,7 +224,7 @@ object Round10 {
       .join(dev.select(col("day"), col("d").as("d1")), "day")
       .groupBy(col("lag"))
       .agg(sum(col("d0").cast(d38) * col("d1")).as("num"))
-      .crossJoin(broadcast(denom))
+      .withGlobalStats(denom)
       .select(col("lag"), col("n").as("n_days"),
         when(col("den") > 0L, intScaled(
           col("num").cast("double") / col("den").cast("double"),
@@ -338,7 +339,7 @@ object Round10 {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cf").desc, col("w"))))
       .filter(col("rk") <= 50).select(col("w"))
-    val gridF = srcTot.crossJoin(broadcast(top))
+    val gridF = srcTot.withGlobalStats(top)
       .join(tf, Seq("source", "w"), "left")
       .select(col("source"), col("w"),
         intScaled(coalesce(col("tf"), lit(0L)).cast("double") /
@@ -404,7 +405,7 @@ object Round10 {
         .otherwise(lit(0.0))
     tf.join(broadcast(srcTot), "source")
       .join(wordTot, "w")
-      .crossJoin(broadcast(nTot))
+      .withGlobalStats(nTot)
       .select(col("source"), col("w"), col("o11"),
         (col("cw") - col("o11")).as("o12"), col("r1"),
         (col("nn") - col("r1")).as("r2"), col("cw"), col("nn"))
@@ -463,7 +464,7 @@ object Round10 {
       .groupBy(col("c_mktsegment"))
       .agg(max(col("ng")).as("ng"), max(col("sg")).as("sg"),
         sum(col("x").cast(d38) * col("lg")).as("wl"))
-    g.crossJoin(broadcast(glob))
+    g.withGlobalStats(glob)
       .select(col("c_mktsegment"), col("ng").as("n_customers"),
         col("sg").as("total_cents"),
         when(col("sg") > 0L, intScaled(
@@ -565,7 +566,7 @@ object Round10 {
       .agg(coalesce(sum(col("tcnt").cast(d38) * (col("tcnt") - 1L) *
         (lit(2L) * col("tcnt") + 5L)), lit(0L).cast(d38)).as("tsum"))
     val n = grid.agg(count(lit(1)).as("n"))
-    sAgg.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+    sAgg.withGlobalStats(ties).withGlobalStats(n)
       .select(col("n").as("n_days"), col("s"),
         ((col("n").cast(d38) * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
           col("tsum"))).as("var18"))
@@ -623,7 +624,7 @@ object Round10 {
     }
     val all = levels.reduce(_ unionAll _).localCheckpoint(true)
     val tot = all.agg(sum(col("energy")).as("te"))
-    all.crossJoin(broadcast(tot))
+    all.withGlobalStats(tot)
       .select(col("scale_days_log2"), col("n_blocks"), col("energy"),
         when(col("te") > 0L, intScaled(
           col("energy").cast("double") / col("te").cast("double"),
@@ -664,10 +665,10 @@ object Round10 {
       .withColumn("cum", sum(col("cnt")).over(
         Window.orderBy(col("x"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(grid.agg(count(lit(1)).as("n"))))
+      .withGlobalStats(grid.agg(count(lit(1)).as("n")))
       .filter(col("cum") * 2L >= col("n"))
       .agg(min(col("x")).as("med"))
-    val signs = grid.crossJoin(broadcast(med))
+    val signs = grid.withGlobalStats(med)
       .filter(col("x") =!= col("med"))
       .select(col("day"), (col("x") > col("med")).cast("long").as("sgn"))
     val w = Window.orderBy("day")
@@ -817,7 +818,7 @@ object Round10 {
     val nm = members.agg(count(lit(1)).as("n_members"))
     probeHits.agg(count(lit(1)).as("n_probes"),
         sum(col("all_set")).as("n_false_pos"))
-      .crossJoin(broadcast(nb)).crossJoin(broadcast(nm))
+      .withGlobalStats(nb).withGlobalStats(nm)
       .select(col("n_members"), col("n_bits_set"), col("n_probes"),
         col("n_false_pos"),
         intScaled(col("n_false_pos").cast("double") /
@@ -884,7 +885,7 @@ object Round10 {
       val wl = w.toLong
       val blkW = Window.partitionBy("blk").orderBy("t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.crossJoin(broadcast(n))
+      grid.withGlobalStats(n)
         .filter(col("t") < expr(s"n DIV $wl") * wl)
         .select(expr(s"t DIV $wl").as("blk"), col("t"), col("x"))
         .withColumn("cum", sum(col("x")).over(blkW))
@@ -934,7 +935,7 @@ object Round10 {
               (col("np").cast(d38) * col("sxx") -
                 col("sx").cast(d38) * col("sx")).cast("double"),
             1000000L)).as("hurst_e6"))
-    rows.crossJoin(broadcast(ols)).orderBy("w")
+    rows.withGlobalStats(ols).orderBy("w")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.Similarity.intScaled
+import graft.ops.GlobalStats
 
 /** Round-11 analytics batch: regime/structure diagnostics the
   * q331-q347 shelf implies but never states — WHERE a trend breaks
@@ -88,7 +89,7 @@ object Round11 {
       m.cast(d38) * stx - st * sx.cast(d38)
     def dtt(m: Column, st: Column, stt: Column): Column =
       m.cast(d38) * stt - st * st
-    val cand = cums.crossJoin(broadcast(tot))
+    val cand = cums.withGlobalStats(tot)
       .withColumn("i", col("t") + 1) // left segment = rows 0..t
       .filter(col("i") >= 8 && col("n") - col("i") >= 8)
       .select(col("i").as("split_t"), col("n"),
@@ -190,7 +191,7 @@ object Round11 {
         col("nu").as("n_a"))), "type_a")
       .join(broadcast(perType.select(col("event_type").as("type_b"),
         col("nu").as("n_b"))), "type_b")
-      .crossJoin(broadcast(nUsers))
+      .withGlobalStats(nUsers)
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
         col("n_both"), col("n_ordered"),
         intScaled(col("n_ordered").cast("double") / col("n").cast("double"),
@@ -396,7 +397,7 @@ object Round11 {
             col("d").cast("double"),
           1000000000L).as("term_e9"))
     val tot = terms.agg(sum(col("term_e9")).as("rbo_e9"))
-    terms.crossJoin(broadcast(tot)).orderBy("d")
+    terms.withGlobalStats(tot).orderBy("d")
   }
 
   /** Exact lag-autocovariance moments of the daily grid in ONE row —
@@ -409,7 +410,7 @@ object Round11 {
       s: SparkSession, dir: String, maxLag: Int): DataFrame = {
     val grid = dailyGrid(s, dir).localCheckpoint(true)
     val mom = grid.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-    val dev = grid.crossJoin(broadcast(mom))
+    val dev = grid.withGlobalStats(mom)
       .select(col("t"), (col("n") * col("x") - col("sx")).as("d"), col("n"))
       .localCheckpoint(true) // both sides of the lag join + the denom
     val den = dev.agg(max(col("n")).as("n"),
@@ -425,7 +426,7 @@ object Round11 {
         max(when(col("lag") === 1L, col("num"))).as("num1"),
         (2 to maxLag).map(k =>
           max(when(col("lag") === k.toLong, col("num"))).as(s"num$k")): _*)
-      .crossJoin(broadcast(den))
+      .withGlobalStats(den)
   }
 
   /** q359 — Ljung-Box portmanteau test at lags 1..7 on the zero-filled
@@ -552,7 +553,7 @@ object Round11 {
     val wCum = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = grid.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-    val ph = grid.crossJoin(broadcast(tot))
+    val ph = grid.withGlobalStats(tot)
       .withColumn("cx", sum(col("x")).over(wCum))
       .withColumn("nm",
         col("n").cast(d38) * col("cx") - (col("t") + 1).cast(d38) * col("sx"))
@@ -588,7 +589,7 @@ object Round11 {
     def round(f: DataFrame): (DataFrame, DataFrame) = {
       val mom = f.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x").cast(d38) * col("x")).as("sxx"))
-      val ranked = f.crossJoin(broadcast(mom))
+      val ranked = f.withGlobalStats(mom)
         .withColumn("dev", abs(col("n").cast(d38) * col("x") - col("sx")))
         .withColumn("rn", row_number().over(wArg))
       val out = ranked.filter(col("rn") === 1)
@@ -852,7 +853,7 @@ object Round11 {
     val wCum = Window.orderBy("bid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cums = regs.withColumn("cum", sum(col("n")).over(wCum))
-      .crossJoin(broadcast(tot))
+      .withGlobalStats(tot)
     val picked = cums
       .withColumn("q", explode(array(lit(50L), lit(90L), lit(99L))))
       .filter(col("cum") * 100 >= col("q") * col("nn"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops._
+import graft.ops.GlobalStats
 
 /** Round-4 certification queries: the skew tools get oracle rows (they
   * were implemented and unit-tested but never driver-certified — the
@@ -372,18 +373,18 @@ object Round4 {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val stats = hist
       .withColumn("cum", sum(col("np")).over(wCum))
-      .crossJoin(broadcast(
+      .withGlobalStats(
         hist.agg(sum(col("np")).as("n_parents"),
           sum(col("f") * col("np")).as("matched_rows"),
           max(col("f")).as("fan_max"),
-          sum(when(col("f") === 0, col("np")).otherwise(0L)).as("childless"))))
+          sum(when(col("f") === 0, col("np")).otherwise(0L)).as("childless")))
       .filter(col("cum") * 2 >= col("n_parents"))
       .agg(max(col("n_parents")).as("n_parents"),
         max(col("matched_rows")).as("matched_rows"),
         min(col("f")).as("fan_p50"),
         max(col("fan_max")).as("fan_max"),
         max(col("childless")).as("childless_parents"))
-    stats.crossJoin(broadcast(orphans))
+    stats.withGlobalStats(orphans)
       .select(lit(rel).as("rel"), col("n_parents"),
         (col("matched_rows") + col("orphan_rows")).as("n_children"),
         col("orphan_rows"), col("childless_parents"),
@@ -433,11 +434,11 @@ object Round4 {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val med = hist
       .withColumn("cum", sum(col("nk")).over(wCum))
-      .crossJoin(broadcast(hist.agg(sum(col("nk")).as("n_keys"),
-        sum(col("c") * col("nk")).as("n_rows"))))
+      .withGlobalStats(hist.agg(sum(col("nk")).as("n_keys"),
+        sum(col("c") * col("nk")).as("n_rows")))
       .filter(col("cum") * 2 >= col("n_keys"))
       .agg(min(col("c")).as("med_cnt"), max(col("n_rows")).as("n_rows"))
-    cnt.crossJoin(broadcast(med))
+    cnt.withGlobalStats(med)
       .orderBy(col("cnt").desc, col("l_suppkey"))
       .limit(10)
       .select(col("l_suppkey"), col("cnt"),
@@ -542,7 +543,7 @@ object Round4 {
       .agg(max(col("d")).as("last_d"), count(lit(1)).as("freq"),
         sum(col("cents")).as("cents"))
     val maxD = byCust.agg(max(col("last_d")).as("max_d"))
-    val scored = byCust.crossJoin(broadcast(maxD))
+    val scored = byCust.withGlobalStats(maxD)
       .withColumn("rec_days", datediff(col("max_d"), col("last_d")))
       .withColumn("r", ntile(5).over(
         Window.orderBy(col("rec_days"), col("o_custkey"))))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.Similarity
+import graft.ops.GlobalStats
 
 /** Round-8 certification queries: the remaining classic warehouse
   * shapes (TPC-H Q7 volume shipping, a Q9-style profit rollup) plus
@@ -92,7 +93,7 @@ object Round8 {
       .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))
-    d.crossJoin(broadcast(d.agg(sum(col("n")).as("total"))))
+    d.withGlobalStats(d.agg(sum(col("n")).as("total")))
       .select(col("digit"), col("n"),
         Similarity.intScaled(
           col("n").cast("double") / col("total").cast("double"),
@@ -392,7 +393,7 @@ object Round8 {
     val tokDf = s.createDataFrame(toks.map(Tuple1(_))).toDF("token")
     Tables.table(s, dir, "documents")
       .select(col("source"), col("text"))
-      .crossJoin(broadcast(tokDf))
+      .withGlobalStats(tokDf)
       .select(col("source"), col("token"),
         when(col("text").contains(col("token")), 1L).otherwise(0L).as("has"),
         // Integer floor division by construction (`DIV`, matching the
@@ -497,8 +498,8 @@ object Round8 {
       .groupBy(col("dow"))
       .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("cents"))
     byDow
-      .crossJoin(broadcast(byDow.agg(
-        sum(col("n_days")).as("tot_days"), sum(col("cents")).as("tot_cents"))))
+      .withGlobalStats(byDow.agg(
+        sum(col("n_days")).as("tot_days"), sum(col("cents")).as("tot_cents")))
       .select(col("dow"), col("n_days"), col("cents"),
         Similarity.intScaled(
           (col("cents").cast("double") / col("n_days").cast("double")) /

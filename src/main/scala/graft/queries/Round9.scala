@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.GlobalStats
 
 /** Round-9 report shapes: the last two classic TPC-H correlated-
   * subquery reports (Q21 waiting-suppliers, Q22 global-avg + NOT
@@ -749,7 +750,7 @@ object Round9 {
       .agg(sum(col("cents").cast(d38)).as("nc"))
     val regC = natC.groupBy("r_name").agg(sum(col("nc")).as("rc"))
     val tot = regC.agg(sum(col("rc")).as("gc"))
-    natC.join(broadcast(regC), "r_name").crossJoin(broadcast(tot))
+    natC.join(broadcast(regC), "r_name").withGlobalStats(tot)
       .select(col("r_name"), col("n_name"),
         col("nc").cast("long").as("nation_cents"),
         col("rc").cast("long").as("region_cents"),
