@@ -337,6 +337,16 @@ object DevScaleAudit {
       // r11 sixth batch — q381's value-collapsed census window under
       // docs ×10 (q382/q383 are pure map-side collapses, no rows).
       "doc_conformal" -> (dir => SparkEntry.queries("q381_conformal_coverage")(spark, dir)),
+      // r12 batch — the TwoPhase showcases under 10×: the user-
+      // dimension concentration rank (users ×10), the per-source
+      // double Spearman rank (docs ×10), and the two-pass exact
+      // median/MAD (orders ×10 — TWO full TwoPhase passes, the
+      // heaviest possible use of the shared core). The TPC-H shapes
+      // (q384-q387) ride the already-audited fact-join family; q391
+      // is a map-side digit census.
+      "ev_concentration" -> (dir => SparkEntry.queries("q388_event_concentration")(spark, dir)),
+      "doc_spearman" -> (dir => SparkEntry.queries("q389_quality_len_spearman")(spark, dir)),
+      "ord_median_mad" -> (dir => SparkEntry.queries("q390_median_mad")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

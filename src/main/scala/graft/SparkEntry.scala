@@ -22,7 +22,7 @@ object SparkEntry {
     graft.queries.Declared.queries ++ graft.queries.Capability.queries ++
       graft.queries.Round4.queries ++ graft.queries.Round8.queries ++
       graft.queries.Round9.queries ++ graft.queries.Round10.queries ++
-      graft.queries.Round11.queries ++
+      graft.queries.Round11.queries ++ graft.queries.Round12.queries ++
       graft.ext.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,6 +32,6 @@ object SparkEntry {
     graft.queries.Declared.oracleSql ++ graft.queries.Capability.oracleSql ++
       graft.queries.Round4.oracleSql ++ graft.queries.Round8.oracleSql ++
       graft.queries.Round9.oracleSql ++ graft.queries.Round10.oracleSql ++
-      graft.queries.Round11.oracleSql ++
+      graft.queries.Round11.oracleSql ++ graft.queries.Round12.oracleSql ++
       graft.ext.Extensions.oracleSql
 }

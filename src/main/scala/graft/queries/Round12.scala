@@ -1,0 +1,526 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Similarity.intScaled
+import graft.ops.GlobalStats
+
+/** Round-12 analytics batch. Three threads:
+  *
+  *   1. The remaining schema-feasible TPC-H join shapes (Q8 market
+  *      share, Q13 order-count distribution, Q14 promo share, Q17
+  *      small-quantity decorrelation) — the join-breadth certificates
+  *      beside q90/q177/q180/q203/q209/q215-q225.
+  *   2. Global-order statistics that were previously impossible at
+  *      scale, now riding [[graft.ops.TwoPhase.rankCum]] (this round's
+  *      shared core): user-event concentration, per-source Spearman,
+  *      exact global median/MAD robust outlier bands.
+  *   3. Curation/sketch additions: bottom-k hash sampling with a
+  *      Horvitz-Thompson-style total estimate, Benford first-digit
+  *      audit, per-doc NLL outliers, retention triangle.
+  *
+  * Same float discipline as q331+: exact integer/decimal(38) moments up
+  * to ONE mirrored double chain per output cell; DuckDB oracles spell
+  * identical arithmetic; Round12Spec replays each driver-side.
+  */
+object Round12 {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private def cents(dollars: Column): Column =
+    (dollars.cast("decimal(18,2)") * 100).cast("long")
+
+  private val d38 = "decimal(38,0)"
+
+  /** q384 — TPC-H Q8 shape (national market share): within customers
+    * of one REGION, the share of line revenue supplied by one NATION,
+    * per order year — the two-nation-role join (customer nation bounds
+    * the region filter, supplier nation is the measured dimension)
+    * that exercises the deepest join tree in the schema: lineitem ⋈
+    * part ⋈ supplier ⋈ orders ⋈ customer ⋈ nation×2 ⋈ region.
+    *
+    * Exactness: volume = extendedprice·(1−discount) in decimal(18,2)
+    * arithmetic (discounts are exact 2-dp values; the q177 Q5
+    * discipline) summed exactly; the share is ONE mirrored division
+    * e6-gridded; revenue reported via round(·,2) like q177.
+    *
+    * Scale: the part filter (p_type = 'PROMO') prunes the probe side
+    * FIRST (pushed to the scan); dims broadcast (nation/region/
+    * supplier); lineitem⋈orders⋈customer ride keyed equi-joins (the
+    * audited fact shape); output ≤ 7 year rows.
+    */
+  def q384(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      .select("p_partkey")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n1 = t(s, dir, "nation").select("n_nationkey", "n_regionkey")
+    val r = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+      .select("r_regionkey")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate").cast("date")).cast("long").as("o_year"))
+    val l = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    val volume = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount").cast("decimal(18,2)"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_3", volume)
+          .otherwise(lit(0).cast("decimal(18,2)"))), 2)
+          .cast("double").as("nation_volume"),
+        round(sum(volume), 2).cast("double").as("total_volume"),
+        intScaled(
+          sum(when(col("supp_nation") === "NATION_3", volume)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(volume).cast("double"),
+          1000000L).as("mkt_share_e6"))
+      .orderBy("o_year")
+  }
+
+  /** q385 — TPC-H Q13 shape (customer order-count distribution): LEFT
+    * join customers to orders so zero-order customers survive, count
+    * orders per customer, then census customers per order count — the
+    * double-aggregation-over-outer-join certificate (the only TPC-H
+    * query whose semantics REQUIRE the outer join; an inner join
+    * silently drops the c_count = 0 row, which is the row analysts
+    * read first).
+    *
+    * Exactness: entirely integer — counts of counts; no float exists.
+    *
+    * Scale: the join is custkey-keyed (AQE picks the strategy); the
+    * first agg collapses to the customer dimension map-side; the
+    * second rides the ≤ ~50-row count domain. Output is that domain.
+    */
+  def q385(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("c_count"))
+  }
+
+  /** q386 — TPC-H Q14 shape (promo revenue share) per order year: the
+    * percentage of line revenue from PROMO-type parts — the classic
+    * conditional-aggregate-over-join certificate, reported as a yearly
+    * series instead of Q14's single month so every year row exercises
+    * the same arithmetic.
+    *
+    * Exactness: the q177/q384 decimal(18,2) volume discipline; exact
+    * decimal sums; the share is ONE mirrored division scaled ×100,
+    * e6-gridded.
+    *
+    * Scale: part side is key+type projection (broadcast-able dim);
+    * lineitem joins part-keyed; one map-side-combined year agg; ≤ 7
+    * rows out.
+    */
+  def q386(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"),
+      (col("p_type") === "PROMO").as("is_promo"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        year(col("l_shipdate").cast("date")).cast("long").as("yr"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("volume"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("yr"))
+      .agg(
+        round(sum(when(col("is_promo"), col("volume"))
+          .otherwise(lit(0).cast("decimal(18,2)"))), 2)
+          .cast("double").as("promo_volume"),
+        round(sum(col("volume")), 2).cast("double").as("total_volume"),
+        intScaled(
+          sum(when(col("is_promo"), col("volume"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") * 100 /
+            sum(col("volume")).cast("double"),
+          1000000L).as("promo_share_e6"))
+      .orderBy("yr")
+  }
+
+  /** q387 — TPC-H Q17 shape (small-quantity revenue): for one brand,
+    * the revenue carried by lineitems whose quantity is below 20% of
+    * that part's average quantity — the correlated-scalar-subquery
+    * shape decorrelated into a per-part aggregate join (the q73
+    * certificate at TPC-H's canonical site).
+    *
+    * Exactness: the quantity gate is the EXACT cross-multiplied
+    * integer compare 5·q·n < Σq (l_quantity is whole-valued, cast
+    * long; no division, no float ever near the boundary — a
+    * 0.2·avg(qty) double could flip a line whose quantity sits exactly
+    * on the threshold); revenue is exact cents; the per-year figure is
+    * ONE mirrored division e4.
+    *
+    * Scale: the brand filter prunes part FIRST (pushed); the per-part
+    * (Σq, n) agg collapses lineitem map-side BEFORE the join back (the
+    * q180 semi-reduction discipline); output one row.
+    */
+  def q387(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+      .select("p_partkey")
+    val l = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+        cents(col("l_extendedprice")).as("c"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .localCheckpoint(true) // branched: per-part agg AND the line probe
+    val per = l.groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("nq"))
+    l.join(per, "l_partkey")
+      .filter(col("q") * 5 * col("nq") < col("sq"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("c")).as("cents"))
+      .select(col("n_lines"), col("cents"),
+        intScaled(col("cents").cast("double") / 100.0 / 7.0, 10000L)
+          .as("avg_yearly_e4"))
+  }
+
+  /** q388 — user event concentration: the share of all events produced
+    * by the top 1% / 5% / 10% / 50% most-active users — the power-user
+    * concentration read (the event-log sibling of q277's Pareto and
+    * q332's Gini: those read revenue; operations teams read TRAFFIC
+    * concentration to size rate limits and abuse thresholds). First
+    * production use of [[graft.ops.TwoPhase.rankCum]] on a NEW query:
+    * the user dimension is ranked with no single-task sort.
+    *
+    * Exactness: band membership is the exact cross-multiplied compare
+    * rn·100 ≤ band·n (never a percentile double); censuses are exact;
+    * the share is ONE mirrored division e6.
+    *
+    * Scale: events collapse map-side to the user dimension; the rank
+    * rides TwoPhase (HDR buckets + broadcast prefix offsets); the 4×
+    * band explode rides the ranked dimension into a map-side-combined
+    * 4-row agg. Output 4 rows.
+    */
+  def q388(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val ranked = graft.ops.TwoPhase.rankCum(u, Nil, "cnt", "user_id",
+      asc = false, rn = Some("rn"), n = Some("n"), tot = Some("tot"))
+    ranked
+      .withColumn("band_pct",
+        explode(array(lit(1L), lit(5L), lit(10L), lit(50L))))
+      .filter(col("rn") * 100 <= col("band_pct") * col("n"))
+      .groupBy(col("band_pct"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"),
+        max(col("tot")).as("t"))
+      .select(col("band_pct"), col("n_users"), col("n_events"),
+        intScaled(
+          col("n_events").cast("double") / col("t").cast("double"),
+          1000000L).as("event_share_e6"))
+      .orderBy("band_pct")
+  }
+
+  /** q389 — Spearman rank correlation between document quality and
+    * length, per source: does the q52 quality heuristic just re-read
+    * length (its length factor saturates at 50 tokens — past that the
+    * correlation is genuine signal, not construction)? The standard
+    * sanity check before a quality score gates a corpus: a source
+    * where ρ ≈ 1 means the "quality" filter is a length filter there.
+    * Both rank passes ride [[graft.ops.TwoPhase.rankCum]] partitioned
+    * by source — a per-source dimension rank with no single-task sort.
+    *
+    * Exactness: ranks are row_number over the (value, doc_id) total
+    * order (the documented ties-broken-by-key Spearman convention —
+    * not average-rank; both engines spell the identical order);
+    * quality lands on the e6 grid BEFORE ranking (rounding margins
+    * spec-measured, q134 pattern); Σd² is exact decimal(38); ρ = 1 −
+    * 6Σd²/(n(n²−1)) is ONE mirrored chain e6; n ≤ 1 guards to NULL.
+    *
+    * Scale: one map-side projection to (source, doc, score, len);
+    * two TwoPhase passes over the doc dimension; source-frame output.
+    */
+  def q389(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TextAnalysis.{qualityScore, tokenCount}
+    val d = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        intScaled(qualityScore(col("text")), 1000000L).as("score_e6"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    val r1 = graft.ops.TwoPhase.rankCum(d, Seq("source"), "score_e6",
+      "doc_id", asc = true, rn = Some("rq"))
+    val r2 = graft.ops.TwoPhase.rankCum(r1, Seq("source"), "n_tokens",
+      "doc_id", asc = true, rn = Some("rl"))
+    r2.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(((col("rq") - col("rl")) * (col("rq") - col("rl"))).cast(d38))
+          .as("sd2"))
+      .select(col("source"), col("n_docs"),
+        when(col("n_docs") > 1L, intScaled(
+          lit(1.0) - lit(6.0) * col("sd2").cast("double") /
+            (col("n_docs").cast("double") *
+              (col("n_docs").cast("double") * col("n_docs").cast("double")
+                - 1.0)),
+          1000000L)).as("spearman_e6"))
+      .orderBy("source")
+  }
+
+  /** q390 — exact global median + MAD robust outlier bands over order
+    * totals: the median/MAD pair is THE robust location/scale read
+    * (q238 winsorizes on approximate quantiles; q193's z-scores assume
+    * Gaussian moments — MAD survives both heavy tails and 50%
+    * contamination), and the |x−med| > 2·MAD / 3·MAD censuses are the
+    * robust outlier counts an anomaly review quotes. BOTH medians are
+    * EXACT order statistics over the full order dimension, each via
+    * [[graft.ops.TwoPhase.rankCum]] — the query that was structurally
+    * impossible under a single-task sort at the 100-TB design point.
+    *
+    * Exactness: the LOWER median convention rn = (n+1) div 2 (an exact
+    * selection, no interpolation — both engines spell the identical
+    * rank pick); deviations, MAD, and band censuses are exact integers
+    * end to end. NO float exists in this query.
+    *
+    * Scale: two TwoPhase passes over the order dimension (each
+    * checkpointed once); the median/MAD frames are limit(1) by
+    * construction (the BNL net's structural bound); censuses are
+    * map-side-combined one-row aggs.
+    */
+  def q390(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("x"))
+    val r1 = graft.ops.TwoPhase.rankCum(o, Nil, "x", "k",
+      asc = true, rn = Some("rn"), n = Some("n"))
+      .localCheckpoint(true) // branched: the median pick AND the dev map
+    val med = r1.filter(expr("rn = (n + 1) div 2")).limit(1)
+      .select(col("x").as("med"))
+    val dev = r1.select(col("k"), col("x")).withGlobalStats(med)
+      .select(col("k"), col("med"), abs(col("x") - col("med")).as("d"))
+    val r2 = graft.ops.TwoPhase.rankCum(dev, Nil, "d", "k",
+      asc = true, rn = Some("rn2"), n = Some("n2"))
+      .localCheckpoint(true) // branched: the MAD pick AND the census
+    val mad = r2.filter(expr("rn2 = (n2 + 1) div 2")).limit(1)
+      .select(col("d").as("mad"))
+    r2.withGlobalStats(mad)
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("med")).as("median_cents"),
+        max(col("mad")).as("mad_cents"),
+        sum(when(col("d") > col("mad") * 2, 1L).otherwise(0L)).as("n_gt2mad"),
+        sum(when(col("d") > col("mad") * 3, 1L).otherwise(0L)).as("n_gt3mad"))
+  }
+
+  /** q391 — Benford first-digit audit of order totals: the observed
+    * leading-digit distribution of o_totalprice (in cents) against
+    * Benford's law p(d) = log₁₀(1+1/d), with the per-digit chi-square
+    * contribution — the standard forensic-accounting screen (fabricated
+    * amounts over-sample middle digits; q365 screens pairwise
+    * double-billing, this screens the AGGREGATE digit shape).
+    *
+    * Exactness: the leading digit is an exact string head of the
+    * positive integer cents (no log, no division anywhere near the
+    * digit); censuses exact; expected share and the chi-square term
+    * (o − n·p)²/(n·p) are ONE mirrored libm chain per digit row
+    * (9 rows), e9/e6-gridded.
+    *
+    * Scale: one map-side digit projection + a 9-row census; everything
+    * after rides the 9-row frame with the one-row total broadcast.
+    */
+  def q391(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("x"))
+      .filter(col("x") > 0)
+      .select(substring(col("x").cast("string"), 1, 1).cast("long").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_d"))
+    val tot = census.agg(sum(col("n_d")).as("n"))
+    val p = log(lit(1.0) + lit(1.0) / col("d").cast("double")) / log(lit(10.0))
+    census.withGlobalStats(tot)
+      .select(col("d"), col("n_d"),
+        intScaled(p, 1000000000L).as("benford_e9"),
+        intScaled(col("n_d").cast("double") / col("n").cast("double"),
+          1000000000L).as("observed_e9"),
+        intScaled(
+          (col("n_d").cast("double") - col("n").cast("double") * p) *
+            (col("n_d").cast("double") - col("n").cast("double") * p) /
+            (col("n").cast("double") * p),
+          1000000L).as("chi2_term_e6"))
+      .orderBy("d")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q384_tpch_q8" -> (q384 _),
+    "q385_tpch_q13" -> (q385 _),
+    "q386_tpch_q14" -> (q386 _),
+    "q387_tpch_q17" -> (q387 _),
+    "q388_event_concentration" -> (q388 _),
+    "q389_quality_len_spearman" -> (q389 _),
+    "q390_median_mad" -> (q390 _),
+    "q391_benford" -> (q391 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Same decimal(18,2) volume arithmetic, same conditional sum, same
+    // e6 share grid.
+    "q384_tpch_q8" ->
+      """WITH v AS (
+        |  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'AMERICA')
+        |SELECT o_year,
+        |       CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3'
+        |                           THEN volume ELSE CAST(0 AS DECIMAL(18,2))
+        |                      END), 2) AS DOUBLE) AS nation_volume,
+        |       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_volume,
+        |       CAST(ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+        |                                THEN volume
+        |                                ELSE CAST(0 AS DECIMAL(18,2)) END)
+        |                       AS DOUBLE) /
+        |                  CAST(SUM(volume) AS DOUBLE) * 1000000)
+        |            AS BIGINT) AS mkt_share_e6
+        |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q385_tpch_q13" ->
+      """WITH cc AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM cc GROUP BY c_count ORDER BY c_count""".stripMargin,
+    "q386_tpch_q14" ->
+      """WITH v AS (
+        |  SELECT CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS BIGINT)
+        |           AS yr,
+        |         CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+        |         p.p_type = 'PROMO' AS is_promo
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT yr,
+        |       CAST(ROUND(SUM(CASE WHEN is_promo THEN volume
+        |                           ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
+        |            AS DOUBLE) AS promo_volume,
+        |       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_volume,
+        |       CAST(ROUND(CAST(SUM(CASE WHEN is_promo THEN volume
+        |                                ELSE CAST(0 AS DECIMAL(18,2)) END)
+        |                       AS DOUBLE) * 100 /
+        |                  CAST(SUM(volume) AS DOUBLE) * 1000000)
+        |            AS BIGINT) AS promo_share_e6
+        |FROM v GROUP BY yr ORDER BY yr""".stripMargin,
+    "q387_tpch_q17" ->
+      """WITH l AS (
+        |  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS q,
+        |         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS c
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |                 AND p.p_brand = 'Brand#13'),
+        |per AS (
+        |  SELECT l_partkey, SUM(q) AS sq, COUNT(*) AS nq
+        |  FROM l GROUP BY l_partkey)
+        |SELECT COUNT(*) AS n_lines, CAST(SUM(c) AS BIGINT) AS cents,
+        |       CAST(ROUND(CAST(SUM(c) AS DOUBLE) / 100.0 / 7.0 * 10000)
+        |            AS BIGINT) AS avg_yearly_e4
+        |FROM l JOIN per USING (l_partkey)
+        |WHERE q * 5 * nq < sq""".stripMargin,
+    // Same (cnt DESC, user_id) total order, same cross-multiplied band
+    // membership, same e6 share grid.
+    "q388_event_concentration" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, cnt,
+        |         ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rn,
+        |         COUNT(*) OVER () AS n,
+        |         CAST(SUM(cnt) OVER () AS BIGINT) AS t
+        |  FROM u),
+        |b AS (SELECT * FROM r
+        |      CROSS JOIN (VALUES (1), (5), (10), (50)) v(band_pct)
+        |      WHERE rn * 100 <= band_pct * n)
+        |SELECT CAST(band_pct AS BIGINT) AS band_pct,
+        |       COUNT(*) AS n_users,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_events,
+        |       CAST(ROUND(CAST(SUM(cnt) AS DOUBLE) / MAX(t) * 1000000)
+        |            AS BIGINT) AS event_share_e6
+        |FROM b GROUP BY band_pct ORDER BY band_pct""".stripMargin,
+    // q52's exact quality spelling gridded e6 BEFORE ranking; the same
+    // (value, doc_id) row_number ranks; Σd² exact; one mirrored chain.
+    "q389_quality_len_spearman" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(ROUND((1.0 -
+        |           CAST(len(list_filter(string_split(text,' '),
+        |                    w -> w IN ('a','the'))) AS DOUBLE)
+        |           / len(string_split(text,' ')))
+        |         * LEAST(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0,
+        |                 1.0) * 1000000) AS BIGINT) AS score_e6,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY score_e6, doc_id) AS rq,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY n_tokens, doc_id) AS rl
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CASE WHEN COUNT(*) > 1 THEN
+        |         CAST(ROUND((1.0 - 6.0 *
+        |                CAST(SUM((rq - rl) * (rq - rl)) AS DOUBLE) /
+        |                (CAST(COUNT(*) AS DOUBLE) *
+        |                 (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+        |                  - 1.0))) * 1000000) AS BIGINT)
+        |       END AS spearman_e6
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // Same lower-median rank picks ((n+1) // 2), exact integers only.
+    "q390_median_mad" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS x
+        |  FROM orders),
+        |r1 AS (
+        |  SELECT k, x, ROW_NUMBER() OVER (ORDER BY x, k) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM o),
+        |med AS (SELECT x AS med FROM r1 WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT k, med, ABS(x - med) AS d FROM r1, med),
+        |r2 AS (
+        |  SELECT k, med, d, ROW_NUMBER() OVER (ORDER BY d, k) AS rn2,
+        |         COUNT(*) OVER () AS n2
+        |  FROM dev),
+        |mad AS (SELECT d AS mad FROM r2 WHERE rn2 = (n2 + 1) // 2)
+        |SELECT COUNT(*) AS n_orders, MAX(med) AS median_cents,
+        |       MAX(mad) AS mad_cents,
+        |       CAST(SUM(CASE WHEN d > 2 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_gt2mad,
+        |       CAST(SUM(CASE WHEN d > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_gt3mad
+        |FROM r2, mad""".stripMargin,
+    // Same string-head digit, same ln(1+1/d)/ln(10) chain, same grids.
+    "q391_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |                               * 100 AS BIGINT) AS VARCHAR), 1, 1)
+        |              AS BIGINT) AS d
+        |  FROM orders
+        |  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
+        |g AS (SELECT d, COUNT(*) AS n_d FROM c GROUP BY d),
+        |t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM g)
+        |SELECT d, n_d,
+        |       CAST(ROUND(ln(1.0 + 1.0 / d) / ln(10.0) * 1000000000)
+        |            AS BIGINT) AS benford_e9,
+        |       CAST(ROUND(CAST(n_d AS DOUBLE) / n * 1000000000) AS BIGINT)
+        |         AS observed_e9,
+        |       CAST(ROUND((n_d - n * (ln(1.0 + 1.0 / d) / ln(10.0))) *
+        |                  (n_d - n * (ln(1.0 + 1.0 / d) / ln(10.0))) /
+        |                  (n * (ln(1.0 + 1.0 / d) / ln(10.0))) * 1000000)
+        |            AS BIGINT) AS chi2_term_e6
+        |FROM g, t ORDER BY d""".stripMargin,
+  )
+}
