@@ -347,6 +347,16 @@ object DevScaleAudit {
       "ev_concentration" -> (dir => SparkEntry.queries("q388_event_concentration")(spark, dir)),
       "doc_spearman" -> (dir => SparkEntry.queries("q389_quality_len_spearman")(spark, dir)),
       "ord_median_mad" -> (dir => SparkEntry.queries("q390_median_mad")(spark, dir)),
+      // r12 second batch — the corpus-sized curation shapes: bottom-k
+      // per-source sampling (docs ×10), the KMV shingle-distinct
+      // sketch (shingle explode ×10, replica-disjoint), the
+      // corpus-wide per-doc NLL outlier census (the LM join at full
+      // corpus — q125 is capped at 1000 docs, this is not), and the
+      // daily retention triangle (users ×10 into the fixed calendar).
+      "doc_bottomk" -> (dir => SparkEntry.queries("q392_bottomk_estimate")(spark, dir)),
+      "doc_kmv" -> (dir => SparkEntry.queries("q393_kmv_distinct")(spark, dir)),
+      "doc_nll_outliers" -> (dir => SparkEntry.queries("q394_nll_outliers")(spark, dir)),
+      "ev_retention_tri" -> (dir => SparkEntry.queries("q395_retention_triangle")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

@@ -1350,9 +1350,57 @@ object Patterns {
       .orderBy("type_a", "type_b")
   }
 
+  /** q395 — daily cohort retention triangle: users grouped by their
+    * FIRST active day (the cohort), then for each cohort×age cell the
+    * count and share of cohort members active on that day — the
+    * classic retention matrix every growth dashboard renders (q363's
+    * cohort LTV reads REVENUE by cohort age; this reads PRESENCE —
+    * the churn curve itself). Daily grain is the one that BINDS on
+    * this stream (fixture-probed: day-level presence spans 0.81-1.0;
+    * at weekly grain every user is active every week and the matrix
+    * reads a vacuous 100%).
+    *
+    * Exactness: days are exact epoch-ns floor divisions (the q375
+    * spelling — truncation corrected for negative remainders so both
+    * engines floor identically for ALL inputs); cohort assignment is
+    * an exact MIN; censuses are exact integers; the retention share is
+    * ONE mirrored division e6. Age 0 is 100% by construction (every
+    * user is active on their first day) — the spec pins it.
+    *
+    * Scale: events collapse map-side to distinct (user, day) rows;
+    * the cohort min is a user-keyed agg; the triangle is
+    * calendar-bounded (≤ days² cells at ANY data size — the q170
+    * grid discipline), so the age-0 join back is a broadcast of a
+    * tiny frame.
+    */
+  def q395(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = "86400000000000"
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"ts div $dayNs" +
+          s" - (CASE WHEN ts % $dayNs < 0 THEN 1 ELSE 0 END)").as("d"))
+      .distinct()
+      .localCheckpoint(true) // branched: cohort min AND the activity join
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    val tri = ev.join(first, "user_id")
+      .groupBy(col("cohort"), (col("d") - col("cohort")).as("age_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .localCheckpoint(true) // tiny (days² cells); branched below
+    val base = tri.filter(col("age_days") === 0)
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    tri.join(broadcast(base), "cohort")
+      .select(col("cohort"), col("age_days"), col("n_active"),
+        col("cohort_size"),
+        Similarity.intScaled(
+          col("n_active").cast("double") / col("cohort_size").cast("double"),
+          1000000L).as("retention_e6"))
+      .orderBy("cohort", "age_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q373_markov_accuracy" -> (q373 _),
     "q375_event_pmi" -> (q375 _),
+    "q395_retention_triangle" -> (q395 _),
     "q314_markov_absorption" -> (q314 _),
     "q318_triple_itemsets"   -> (q318 _),
     "q322_sprt_trace"        -> (q322 _),
@@ -1422,6 +1470,24 @@ object Patterns {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same epoch-ns floor weeks, same MIN cohort, same integer
+    // censuses, one mirrored share division.
+    "q395_retention_triangle" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_ns(ts) // 86400000000000 AS d
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY user_id),
+        |t AS (
+        |  SELECT cohort, d - cohort AS age_days, COUNT(*) AS n_active
+        |  FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+        |b AS (SELECT cohort, n_active AS cohort_size FROM t
+        |      WHERE age_days = 0)
+        |SELECT t.cohort, t.age_days, t.n_active, b.cohort_size,
+        |  CAST(ROUND(CAST(t.n_active AS DOUBLE) / b.cohort_size * 1000000)
+        |       AS BIGINT) AS retention_e6
+        |FROM t JOIN b USING (cohort)
+        |ORDER BY cohort, age_days""".stripMargin,
     // q162's lag window, integer argmax with (n DESC, to_type) ties,
     // one mirrored accuracy division per from-type.
     "q373_markov_accuracy" ->

@@ -629,7 +629,58 @@ object Sampling {
     "q154_weighted_sample" -> (q154 _),
     "q174_split_balance" -> (q174 _),
     "q267_shard_manifest" -> (q267 _),
+    "q392_bottomk_estimate" -> (q392 _),
   )
+
+  /** q392 — bottom-k hash sampling + sample-based total estimate: per
+    * source, the k = 8 docs with the smallest md5(doc_id) hash are
+    * THE distributed sample (a bottom-k sketch is mergeable — the
+    * union's bottom-k is the bottom-k of shard bottom-k's, so 1000
+    * executors each ship k rows and the coordinator keeps k), and
+    * the estimated token total n·Σ_sample/k is read against the exact
+    * total — the measured sampling error IS the op's honesty check
+    * (the q378 sketch-vs-exact discipline applied to sampling). The
+    * q154 weighted sample answers "WHICH docs to train on"; bottom-k
+    * answers "estimate corpus statistics without scanning it".
+    *
+    * Exactness: the hash key is the q154 52-bit md5 prefix (exact in
+    * a long, deterministic forever); selection is the (h, doc_id)
+    * total order; the estimate is ONE mirrored chain n·Σ/k rounded to
+    * an integer token count, and the relative error is a second chain
+    * off that INTEGER (two-stage grid — both engines read the same
+    * rounded estimate); sources with fewer than k docs degrade to
+    * k = n (estimate = exact, error 0) by construction.
+    *
+    * Scale: one map-side projection; the rank window is keyed by
+    * source over doc rows (the q131 stratum bound; the production
+    * form is a per-partition bottom-k heap merged at the combiner —
+    * TopKByScore's shape); the census agg is map-side-combined.
+    */
+  def q392(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    val est = Similarity.intScaled(
+      col("n_docs").cast("double") * col("sample_tokens").cast("double") /
+        col("k").cast("double"), 1L)
+    d.withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("exact_tokens"),
+        sum(when(col("rn") <= 8L, 1L).otherwise(0L)).as("k"),
+        sum(when(col("rn") <= 8L, col("tok")).otherwise(0L))
+          .as("sample_tokens"))
+      .select(col("source"), col("n_docs"), col("k"), col("exact_tokens"),
+        est.as("est_tokens"),
+        Similarity.intScaled(
+          (est.cast("double") - col("exact_tokens").cast("double")) /
+            col("exact_tokens").cast("double"),
+          1000000L).as("rel_err_e6"))
+      .orderBy("source")
+  }
 
   val oracleSql: Map[String, String] = Map(
     // Same e6 score grid (q52's quality twin), same hash split, exact
@@ -918,5 +969,36 @@ object Sampling {
         |SELECT doc_id, CAST(w AS BIGINT) AS w,
         |  CAST(ROUND(ln(m / 4503599627370496.0) / w * 1000000000) AS BIGINT) AS key_e9
         |FROM b ORDER BY key_e9 DESC, doc_id LIMIT 200""".stripMargin,
+    // Same 52-bit md5 key, same (h, doc_id) rank, same two-stage grid
+    // (integer estimate first, relative error off that integer).
+    "q392_bottomk_estimate" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS tok,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |         AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |                               ORDER BY h, doc_id) AS rn
+        |  FROM d),
+        |g AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(tok) AS BIGINT) AS exact_tokens,
+        |         CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS k,
+        |         CAST(SUM(CASE WHEN rn <= 8 THEN tok ELSE 0 END) AS BIGINT)
+        |           AS sample_tokens
+        |  FROM r GROUP BY source)
+        |SELECT source, n_docs, k, exact_tokens,
+        |  CAST(ROUND(CAST(n_docs AS DOUBLE) * CAST(sample_tokens AS DOUBLE)
+        |             / CAST(k AS DOUBLE)) AS BIGINT) AS est_tokens,
+        |  CAST(ROUND((CAST(CAST(ROUND(CAST(n_docs AS DOUBLE) *
+        |                    CAST(sample_tokens AS DOUBLE) /
+        |                    CAST(k AS DOUBLE)) AS BIGINT) AS DOUBLE) -
+        |              CAST(exact_tokens AS DOUBLE)) /
+        |             CAST(exact_tokens AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS rel_err_e6
+        |FROM g ORDER BY source""".stripMargin,
   )
 }

@@ -472,6 +472,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // branched: vocab agg AND the prob join
     val vocab = tf.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
     val tot = vocab.agg(sum(col("cnt")).as("n"), count(lit(1)).as("vsz"))
     tf.join(vocab, "w")
@@ -742,6 +743,57 @@ object TextAnalysis {
   /** q158 — 5-gram novelty over the documents table. */
   def q158(s: SparkSession, dir: String): DataFrame =
     gramNovelty(docs(s, dir), 5).orderBy("doc_id")
+
+  /** q394 — per-source perplexity-outlier census: every doc's mean NLL
+    * under the CORPUS add-one unigram LM (q125's model, corpus-wide),
+    * then per source the mean, SD, and the count of docs beyond
+    * mean + 2·SD — the "which sources hide broken documents" read
+    * (q167 compares SOURCES to sources; this finds the individual
+    * high-perplexity docs — OCR garbage, wrong-language slices,
+    * boilerplate explosions — inside each source, the standard
+    * LM-based cleaning pass).
+    *
+    * Exactness: per-doc NLL lands on the e4 grid FIRST (q125's one
+    * mirrored chain; margins spec-pinned); the source moments are then
+    * EXACT integers, and the 2σ gate is the cross-multiplied compare
+    * (n·x − S)² > 4·(n·Q − S²) with n·x − S > 0 in decimal(38) — no
+    * sqrt, no division anywhere near the boundary (headroom: |n·x − S|
+    * ≤ n·10⁶ on the e4 grid, so the square fits decimal(38) to
+    * n ≈ 10¹³ docs per source). Mean is one mirrored division, SD one
+    * mirrored √ chain, both e4 (report-only).
+    *
+    * Scale: rides q125's checkpointed (doc, word) collapse; the
+    * moments frame is source-sized; the census join is source-keyed.
+    */
+  def q394(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val nll = unigramNll(docs(s, dir))
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val xs = nll.join(src, "doc_id").select(col("source"), col("nll_e4"))
+      .localCheckpoint(true) // branched: source moments AND the census
+    val m = xs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("nll_e4")).as("sv"),
+        sum(col("nll_e4").cast(d38) * col("nll_e4")).as("qv"))
+    val dev = col("n").cast(d38) * col("nll_e4") - col("sv").cast(d38)
+    val var4 = (col("n").cast(d38) * col("qv") -
+      col("sv").cast(d38) * col("sv")) * 4
+    xs.join(m, "source")
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), max(col("sv")).as("sv"),
+        max(col("qv")).as("qv"),
+        sum(when(dev > 0 && dev * dev > var4, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("source"), col("n_docs"),
+        Similarity.intScaled(
+          col("sv").cast("double") / col("n_docs").cast("double"), 1L)
+          .as("mean_nll_e4"),
+        Similarity.intScaled(
+          sqrt((col("n_docs").cast(d38) * col("qv") -
+            col("sv").cast(d38) * col("sv")).cast("double")) /
+            col("n_docs").cast("double"), 1L).as("sd_e4"),
+        col("n_outliers"))
+      .orderBy("source")
+  }
 
   /** q167 — cross-source perplexity matrix: train q125's add-one
     * unigram LM on EACH source, evaluate mean NLL on EVERY source —
@@ -1391,6 +1443,7 @@ object TextAnalysis {
     "q109_inverted_index" -> (q109 _),
     "q110_compress_ratio" -> (q110 _),
     "q125_unigram_nll"   -> (q125 _),
+    "q394_nll_outliers"  -> (q394 _),
     "q133_token_entropy" -> (q133 _),
     "q135_bigram_nll"    -> (q135 _),
     "q140_corpus_card"   -> (q140 _),
@@ -2136,6 +2189,40 @@ object TextAnalysis {
         |             / SUM(t.tf) * 10000) AS BIGINT) AS nll_e4
         |FROM tf t JOIN v ON t.w = v.w CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    // q125's corpus-wide LM spelled identically, e4-gridded per doc
+    // FIRST, then exact integer moments and the cross-multiplied 2σ
+    // gate (n·x − S)² > 4(nQ − S²) — HUGEINT on the DuckDB side,
+    // decimal(38) on the Spark side, identical values.
+    "q394_nll_outliers" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        |v AS (SELECT w, SUM(tf) AS cnt FROM tf GROUP BY w),
+        |tot AS (SELECT SUM(cnt) AS n, COUNT(*) AS vsz FROM v),
+        |nll AS (
+        |  SELECT t.doc_id,
+        |    CAST(ROUND(SUM(t.tf * -ln((v.cnt + 1.0) / (tot.n + tot.vsz)))
+        |               / SUM(t.tf) * 10000) AS BIGINT) AS x
+        |  FROM tf t JOIN v ON t.w = v.w CROSS JOIN tot
+        |  GROUP BY t.doc_id),
+        |xs AS (SELECT d.source, nll.x
+        |       FROM nll JOIN documents d USING (doc_id)),
+        |m AS (SELECT source, COUNT(*) AS n, SUM(x) AS sv,
+        |             SUM(x * x) AS qv
+        |      FROM xs GROUP BY source)
+        |SELECT m.source, MAX(m.n) AS n_docs,
+        |  CAST(ROUND(CAST(MAX(m.sv) AS DOUBLE) / CAST(MAX(m.n) AS DOUBLE))
+        |       AS BIGINT) AS mean_nll_e4,
+        |  CAST(ROUND(sqrt(CAST(MAX(m.n) * MAX(m.qv) - MAX(m.sv) * MAX(m.sv)
+        |                       AS DOUBLE)) / CAST(MAX(m.n) AS DOUBLE))
+        |       AS BIGINT) AS sd_e4,
+        |  CAST(SUM(CASE WHEN m.n * xs.x - m.sv > 0
+        |                 AND (m.n * xs.x - m.sv) * (m.n * xs.x - m.sv)
+        |                     > 4 * (m.n * m.qv - m.sv * m.sv)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM xs JOIN m USING (source)
+        |GROUP BY m.source ORDER BY m.source""".stripMargin,
     // Algebraic entropy form mirrored term-for-term with the Spark
     // side: H = ln(n) − Σ tf·ln(tf)/n over per-(doc, word) counts.
     "q133_token_entropy" ->

@@ -345,6 +345,59 @@ object Round12 {
       .orderBy("d")
   }
 
+  /** q393 — KMV (k-minimum-values) distinct-count sketch: per source,
+    * estimate the distinct TRIGRAM-SHINGLE count (the near-dup shelf's
+    * unit — ~1.1k distinct shingles per source here, vs the closed
+    * ~31-word vocabulary where any sketch would be vacuous) from the
+    * k-th smallest shingle hash — est = (k−1)·2⁵²/h₍ₖ₎ — read against
+    * the exact distinct count. The FIFTH portable sketch beside HLL
+    * (q25/q97), CMS (q114), Bloom (q346) and HDR (q378), and a
+    * different estimator family from HLL: KMV keeps k exact hash
+    * VALUES (mergeable by keeping the k smallest of any union — the
+    * distributed shape), and supports set operations HLL registers
+    * cannot (intersection via the combined sketch). k = 64.
+    *
+    * Exactness: hashes are the q154 52-bit md5 prefix (exact longs,
+    * deterministic); the k-th pick is the (h, shingle) total order;
+    * the estimate is ONE mirrored chain 63·2⁵²/h₆₄ rounded to an
+    * integer, and the relative error is a second chain off that
+    * INTEGER (the q392 two-stage grid); sources with fewer than k
+    * distinct shingles guard to NULL (the sketch would be exact
+    * there anyway).
+    *
+    * Scale: one (source, shingle) distinct collapse map-side (the
+    * audited q107 shingle shape); the rank window rides the
+    * per-source distinct-shingle frame; the production form keeps a
+    * 64-value bounded heap per partition and merges — no corpus-sized
+    * state anywhere.
+    */
+  def q393(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .select(col("source"),
+        explode(graft.ext.Dedup.shinglesKAll(col("ws"), 3)).as("w"))
+      .distinct()
+      .select(col("source"), col("w"),
+        conv(substring(md5(col("w")), 1, 13), 16, 10).cast("long").as("h"))
+      .localCheckpoint(true) // branched: exact census AND the k-th pick
+    val wRank = Window.partitionBy("source").orderBy(col("h"), col("w"))
+    val kth = tok.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 64).select(col("source"), col("h").as("hk"))
+    val exact = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    val est = intScaled(
+      lit(63.0) * lit(4503599627370496.0) / col("hk").cast("double"), 1L)
+    exact.join(kth, Seq("source"), "left")
+      .select(col("source"), col("exact_distinct"),
+        when(col("hk").isNotNull, est).as("kmv_est"),
+        when(col("hk").isNotNull, intScaled(
+          (est.cast("double") - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double"),
+          1000000L)).as("rel_err_e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q384_tpch_q8" -> (q384 _),
     "q385_tpch_q13" -> (q385 _),
@@ -354,6 +407,7 @@ object Round12 {
     "q389_quality_len_spearman" -> (q389 _),
     "q390_median_mad" -> (q390 _),
     "q391_benford" -> (q391 _),
+    "q393_kmv_distinct" -> (q393 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -522,5 +576,40 @@ object Round12 {
         |                  (n * (ln(1.0 + 1.0 / d) / ln(10.0))) * 1000000)
         |            AS BIGINT) AS chi2_term_e6
         |FROM g, t ORDER BY d""".stripMargin,
+    // Same trigram shingles (the q107 CTE shape), same 52-bit hash,
+    // same (h, shingle) rank pick, same two-stage grid.
+    "q393_kmv_distinct" ->
+      """WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS w
+        |  FROM t WHERE len(ws) >= 3),
+        |h AS (
+        |  SELECT source, w,
+        |    CAST(('0x' || substr(md5(w), 1, 13)) AS BIGINT) AS h
+        |  FROM tok),
+        |r AS (
+        |  SELECT source, h,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, w) AS rn
+        |  FROM h),
+        |kth AS (SELECT source, h AS hk FROM r WHERE rn = 64),
+        |ex AS (SELECT source, COUNT(*) AS exact_distinct
+        |       FROM h GROUP BY source)
+        |SELECT ex.source, ex.exact_distinct,
+        |  CASE WHEN kth.hk IS NOT NULL THEN
+        |    CAST(ROUND(CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |               / CAST(kth.hk AS DOUBLE))
+        |         AS BIGINT) END AS kmv_est,
+        |  CASE WHEN kth.hk IS NOT NULL THEN
+        |    CAST(ROUND((CAST(CAST(ROUND(CAST(63 AS DOUBLE) *
+        |                      CAST(4503599627370496 AS DOUBLE) /
+        |                      CAST(kth.hk AS DOUBLE)) AS BIGINT) AS DOUBLE) -
+        |                CAST(ex.exact_distinct AS DOUBLE)) /
+        |               CAST(ex.exact_distinct AS DOUBLE) * 1000000)
+        |         AS BIGINT) END AS rel_err_e6
+        |FROM ex LEFT JOIN kth USING (source)
+        |ORDER BY ex.source""".stripMargin,
   )
 }

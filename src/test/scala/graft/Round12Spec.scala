@@ -235,6 +235,148 @@ class Round12Spec extends SparkTestBase {
     assert(mad > 0 && gt2 > gt3, "q390 bands must bind (gt2 > gt3 > boundary)")
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def h52(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 13), 16)
+
+  test("q392 bottom-k estimate: exact sample replay; the estimator binds both ways") {
+    val docs = spark.read.parquet(s"$sf1/documents.parquet")
+      .select($"source", $"doc_id", $"text")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, g) =>
+      val ranked = g.map(d => (h52(d._2.toString), d._2, d._3))
+        .sortBy(t => (t._1, t._2))
+      val sample = ranked.take(8)
+      val n = g.length.toLong
+      val exact = g.map(_._3).sum
+      val k = sample.length.toLong
+      val st = sample.map(_._3).sum
+      val estD = n.toDouble * st.toDouble / k.toDouble
+      // k = 8 is a power of two, so n·st/k is EXACTLY representable —
+      // a margin of exactly 0.0 means the value IS x.5 (not float
+      // drift toward it), and both engines round positive halves up
+      // (Spark HALF_UP, DuckDB half-away-from-zero). Only NEAR-.5
+      // values (true rounding hazards) are rejected.
+      val m392 = boundaryMargin(estD)
+      assert(m392 > 1e-6 || m392 == 0.0, s"q392 est margin at $src")
+      val est = halfUp(estD)
+      val rel = (est.toDouble - exact.toDouble) / exact.toDouble * 1e6
+      assert(boundaryMargin(rel) > 1e-6, s"q392 rel margin at $src")
+      (src, n, k, exact, est, halfUp(rel))
+    }
+    val got = graft.ext.Sampling.queries("q392_bottomk_estimate")(spark, sf1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // the sketch must actually estimate: some source over, some under
+    assert(expected.exists(_._6 > 0) && expected.exists(_._6 < 0),
+      "q392 estimator degenerate — every source exact")
+  }
+
+  test("q393 KMV distinct: exact k-th pick replay; every source binds; error sane") {
+    val docs = spark.read.parquet(s"$sf1/documents.parquet")
+      .select($"source", $"text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, g) =>
+      val shingles = g.flatMap { case (_, text) =>
+        val ws = text.split(" ", -1)
+        if (ws.length < 3) Seq.empty
+        else (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+      }.distinct
+      val exact = shingles.length.toLong
+      val ranked = shingles.map(w => (h52(w), w)).sortBy(identity)
+      assert(ranked.length >= 64, s"q393 must bind at $src (vacuous sketch)")
+      val hk = ranked(63)._1
+      val estD = 63.0 * 4503599627370496.0 / hk.toDouble
+      assert(boundaryMargin(estD) > 1e-6, s"q393 est margin at $src")
+      val est = halfUp(estD)
+      val rel = (est.toDouble - exact.toDouble) / exact.toDouble * 1e6
+      assert(boundaryMargin(rel) > 1e-6, s"q393 rel margin at $src")
+      (src, exact, est, halfUp(rel))
+    }
+    val got = graft.queries.Round12.q393(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    // KMV at k=64 on ~1.1k sets: |rel err| should stay well under 50%
+    assert(expected.forall(e => math.abs(e._4) < 500000),
+      "q393 KMV error implausibly large — estimator bug")
+  }
+
+  test("q394 NLL outliers: exact LM + census replay; the 2-sigma gate binds") {
+    val docs = spark.read.parquet(s"$sf1/documents.parquet")
+      .select($"doc_id", $"source", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tf = docs.flatMap { case (id, _, text) =>
+      text.split(" ", -1).groupBy(identity).map { case (w, g) =>
+        ((id, w), g.length.toLong)
+      }
+    }
+    val vocab = tf.groupBy(_._1._2).map { case (w, g) => w -> g.map(_._2).sum }
+    val n = vocab.values.sum
+    val vsz = vocab.size.toLong
+    val nll = docs.map { case (id, src, text) =>
+      val terms = tf.filter(_._1._1 == id)
+      val tot = terms.map(_._2).sum
+      val s = terms.map { case ((_, w), f) =>
+        f * -math.log((vocab(w) + 1.0) / (n + vsz))
+      }.sum
+      val x = halfUp(s / tot * 10000)
+      (src, x)
+    }
+    val expected = nll.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, g) =>
+      val nd = g.length.toLong
+      val sv = g.map(_._2).sum
+      val qv = g.map(t => BigInt(t._2) * t._2).sum
+      val out = g.count { t =>
+        val dev = BigInt(nd) * t._2 - sv
+        dev > 0 && dev * dev > (BigInt(nd) * qv - BigInt(sv) * sv) * 4
+      }.toLong
+      val mean = sv.toDouble / nd
+      val sd = math.sqrt((BigInt(nd) * qv - BigInt(sv) * sv).toDouble) / nd
+      assert(boundaryMargin(mean) > 1e-6, s"q394 mean margin at $src")
+      assert(boundaryMargin(sd) > 1e-6, s"q394 sd margin at $src")
+      (src, nd, halfUp(mean), halfUp(sd), out)
+    }
+    val got = graft.ext.TextAnalysis.q394(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(expected.map(_._5).sum > 0, "q394 2-sigma gate never binds")
+    // heavy-tailed NLL legitimately puts >= 1 outlier in every source
+    // here; the sanity bound is that the gate never flags a majority
+    assert(expected.forall(e => e._5 * 2 < e._2),
+      "q394 gate flags a majority of docs — too loose")
+  }
+
+  test("q395 retention triangle: exact replay; age 0 is 100%; churn binds") {
+    val ev = graft.Tables.events(spark, sf1)
+      .select($"user_id", $"ts").collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400000000000L)))
+      .distinct
+    val cohort = ev.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).min }
+    val tri = ev.map { case (u, d) => (cohort(u), d - cohort(u)) }
+      .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val expected = tri.toSeq.sortBy(_._1).map { case ((c, age), na) =>
+      val sz = tri((c, 0L))
+      val share = na.toDouble / sz * 1e6
+      assert(boundaryMargin(share) > 1e-6, s"q395 share margin at ($c,$age)")
+      (c, age, na, sz, halfUp(share))
+    }
+    val got = graft.ext.Patterns.queries("q395_retention_triangle")(spark, sf1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.filter(_._2 == 0L).forall(_._5 == 1000000L),
+      "age-0 retention must be 100% by construction")
+    assert(got.exists(_._5 < 1000000L),
+      "q395 vacuous — no churn anywhere (the weekly-grain failure mode)")
+  }
+
   test("q391 Benford: digit census replay; chi2 margins hold; digits complete") {
     val xs = spark.read.parquet(s"$sf1/orders.parquet")
       .select($"o_totalprice").collect()
