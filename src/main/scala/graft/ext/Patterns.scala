@@ -468,10 +468,11 @@ object Patterns {
       .filter(col("us") >= col("fv"))
       .groupBy(col("user_id"))
       .agg((min(col("us")) - min(col("fv"))).as("lag_us"))
-    val wR = Window.orderBy(col("lag_us"), col("user_id"))
-    val stats = conv
-      .withColumn("rn", row_number().over(wR))
-      .withGlobalStats(conv.agg(count(lit(1)).as("n_conv")))
+    // round 12: the converted-user rank rides TwoPhase (was a
+    // partition-less window over the funnel-survivor dimension); the
+    // count comes off the same bucket census.
+    val stats = graft.ops.TwoPhase.rankCum(conv, Nil, "lag_us", "user_id",
+        asc = true, rn = Some("rn"), n = Some("n_conv"))
       .filter(col("rn") * 2 >= col("n_conv"))
       .agg(max(col("n_conv")).as("n_converted"),
         min(col("lag_us")).as("lag_p50_us"),

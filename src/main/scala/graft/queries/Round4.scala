@@ -522,17 +522,22 @@ object Round4 {
     * monetary (exact cents) per customer, each scored into quintiles,
     * then rolled up per 3-digit RFM segment — the classic CRM cut.
     *
-    * Determinism: every ntile runs under a (metric, custkey) TOTAL
+    * Determinism: every quintile runs under a (metric, custkey) TOTAL
     * order (ties pinned), and NTILE's equal-buckets-remainder-first
     * semantics are the SQL standard on both engines; recency is an
     * integer day diff, monetary exact cents — nothing floats until
     * the per-segment average, which is one division of exact
     * integers.
     *
-    * Scale: customer-sized frame; the three ntile windows are
-    * single-partition over that frame — the q175 accepted rank bound
-    * (production swaps percentile buckets from approx quantiles).
-    * The corpus max date is a broadcast one-row crossJoin.
+    * Scale: customer-sized frame, but the three quintile ranks ride
+    * [[graft.ops.TwoPhase.rankCum]] (round 12 — was three
+    * single-partition ntile windows over the customer DIMENSION, the
+    * q175 accepted-with-caveat bound); NTILE is then the exact
+    * integer formula off (rank, n): the first n%5 buckets hold
+    * n/5+1 rows — the SQL-standard remainder-first convention both
+    * engines implement, reproduced bit-for-bit so the oracle's
+    * native ntile agrees. The corpus max date is a broadcast one-row
+    * frame.
     */
   def q191(s: SparkSession, dir: String): DataFrame = {
     val byCust = t(s, dir, "orders")
@@ -543,14 +548,25 @@ object Round4 {
       .agg(max(col("d")).as("last_d"), count(lit(1)).as("freq"),
         sum(col("cents")).as("cents"))
     val maxD = byCust.agg(max(col("last_d")).as("max_d"))
-    val scored = byCust.withGlobalStats(maxD)
-      .withColumn("rec_days", datediff(col("max_d"), col("last_d")))
-      .withColumn("r", ntile(5).over(
-        Window.orderBy(col("rec_days"), col("o_custkey"))))
-      .withColumn("f", ntile(5).over(
-        Window.orderBy(col("freq"), col("o_custkey"))))
-      .withColumn("m", ntile(5).over(
-        Window.orderBy(col("cents"), col("o_custkey"))))
+    val scored0 = byCust.withGlobalStats(maxD)
+      .withColumn("rec_days",
+        datediff(col("max_d"), col("last_d")).cast("long"))
+    val r1 = graft.ops.TwoPhase.rankCum(scored0, Nil, "rec_days",
+      "o_custkey", asc = true, rn = Some("rn_r"), n = Some("n"))
+    val r2 = graft.ops.TwoPhase.rankCum(r1, Nil, "freq",
+      "o_custkey", asc = true, rn = Some("rn_f"))
+    val r3 = graft.ops.TwoPhase.rankCum(r2, Nil, "cents",
+      "o_custkey", asc = true, rn = Some("rn_m"))
+    // Exact NTILE(5) off (rank, n): sizes n/5 (+1 for the first n%5
+    // buckets) — the remainder-first convention ntile() implements.
+    def ntile5(rn: String): String =
+      s"CASE WHEN $rn <= (n % 5) * (n div 5 + 1)" +
+        s" THEN ($rn - 1) div (n div 5 + 1) + 1" +
+        s" ELSE (n % 5) + ($rn - (n % 5) * (n div 5 + 1) - 1) div (n div 5) + 1 END"
+    val scored = r3
+      .withColumn("r", expr(ntile5("rn_r")))
+      .withColumn("f", expr(ntile5("rn_f")))
+      .withColumn("m", expr(ntile5("rn_m")))
     scored
       .groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
       .agg(count(lit(1)).as("n_customers"),

@@ -704,8 +704,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q184_fk_audit" -> "median rides the fan-count HISTOGRAM (distinct fan values)",
       "q185_key_skew" -> "median rides the key-count histogram (q184 discipline)",
       "q186_monthly_rev" -> "calendar month frame",
-      "q191_rfm_segments" -> "ntile ranks ride the customer dimension — the q175 accepted rank bound (production swaps to approx-quantile buckets)",
-      "q195_conversion_lag" -> "rank over converted users (funnel-filtered, q163 bound)",
+      // q191 and q195 were exempt here until round 12: their customer/
+      // converted-user dimension windows now ride ops.TwoPhase.
       "q199_quality_survival" -> "cumulative window over <= 11 quality buckets",
       "q205_chi2_dow" -> "<= 35-cell (type x dow) grid",
       "q206_autocorr_daily" -> "calendar day grid",
