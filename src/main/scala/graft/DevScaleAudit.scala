@@ -357,6 +357,13 @@ object DevScaleAudit {
       "doc_kmv" -> (dir => SparkEntry.queries("q393_kmv_distinct")(spark, dir)),
       "doc_nll_outliers" -> (dir => SparkEntry.queries("q394_nll_outliers")(spark, dir)),
       "ev_retention_tri" -> (dir => SparkEntry.queries("q395_retention_triangle")(spark, dir)),
+      // r12 third batch — the knn(k) degree-slot joins (edges ×10,
+      // shard-disjoint), the (user, type)-keyed burstiness lag (users
+      // ×10), and the per-dim isotropy collapse (vectors ×10 into 1×
+      // labels × 64 dims). q397 rides the audited fact-join family.
+      "graph_knn_curve" -> (dir => SparkEntry.queries("q396_avg_neighbor_degree")(spark, dir)),
+      "ev_burstiness" -> (dir => SparkEntry.queries("q398_event_burstiness")(spark, dir)),
+      "emb_isotropy" -> (dir => SparkEntry.queries("q399_isotropy")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

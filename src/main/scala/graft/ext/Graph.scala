@@ -791,8 +791,47 @@ object Graph {
       .orderBy("k")
   }
 
+  /** q396 — average-neighbor-degree curve knn(k) of the part co-order
+    * graph: for each degree k, the mean degree of the neighbors of
+    * degree-k nodes — THE local assortativity read (q151's single
+    * Pearson r says "hubs wire to hubs, yes/no"; knn(k) shows WHERE
+    * along the degree axis the mixing turns — rising = assortative
+    * core, falling = disassortative hub-and-spoke), on the EDGE-SLOT
+    * convention: knn(k) = Σ_{slots of degree-k nodes} deg(neighbor) /
+    * (k·n_k) — the convention that keeps the estimate a single exact
+    * ratio (the node-mean-of-means alternative is a mean of per-node
+    * rationals, a float per node before the aggregate).
+    *
+    * Exactness: degrees and slot censuses are exact integers off the
+    * canonical edge frame; knn is ONE mirrored division per degree
+    * row, e4-gridded. n_slots = k·n_k by construction (every degree-k
+    * node contributes exactly k slots) — the spec pins the identity.
+    *
+    * Scale: two degree-keyed joins onto the symmetrized edge frame
+    * (the q367 shape); output is degree-histogram-sized. Rides the
+    * memoized [[coOrderGraph]] edges/degrees — no new graph build.
+    */
+  def q396(s: SparkSession, dir: String): DataFrame = {
+    val g = coOrderGraph(s, dir)
+    val ends = g.edges.select(col("a").as("node"), col("b").as("nb"))
+      .unionAll(g.edges.select(col("b").as("node"), col("a").as("nb")))
+    val nd = ends
+      .join(g.deg.select(col("id").as("nb"), col("deg").as("nbdeg")), "nb")
+      .join(g.deg.select(col("id").as("node"), col("deg").as("k")), "node")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_slots"), sum(col("nbdeg")).as("sum_nb_deg"))
+    val nk = g.deg.groupBy(col("deg").as("k")).agg(count(lit(1)).as("n_nodes"))
+    nk.join(nd, Seq("k"))
+      .select(col("k"), col("n_nodes"), col("n_slots"), col("sum_nb_deg"),
+        Similarity.intScaled(
+          col("sum_nb_deg").cast("double") / col("n_slots").cast("double"),
+          10000L).as("knn_e4"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q367_rich_club" -> (q367 _),
+    "q396_avg_neighbor_degree" -> (q396 _),
     "q310_lpa_communities" -> (q310 _),
     "q315_community_nmi"  -> (q315 _),
     "q305_brand_modularity" -> (q305 _),
@@ -971,6 +1010,30 @@ object Graph {
         |FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Same canonical edge/degree frames, symmetrized slot join, one
+    // mirrored knn division per degree row.
+    "q396_avg_neighbor_degree" ->
+      s"""$partEdgeCte,
+         |deg AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY id),
+         |ends AS (
+         |  SELECT a AS node, b AS nb FROM e
+         |  UNION ALL SELECT b AS node, a AS nb FROM e),
+         |nd AS (
+         |  SELECT dn.deg AS k, CAST(COUNT(*) AS BIGINT) AS n_slots,
+         |         CAST(SUM(db.deg) AS BIGINT) AS sum_nb_deg
+         |  FROM ends
+         |  JOIN deg dn ON dn.id = ends.node
+         |  JOIN deg db ON db.id = ends.nb
+         |  GROUP BY dn.deg),
+         |nk AS (SELECT deg AS k, COUNT(*) AS n_nodes FROM deg GROUP BY deg)
+         |SELECT nk.k, nk.n_nodes, nd.n_slots, nd.sum_nb_deg,
+         |  CAST(ROUND(CAST(nd.sum_nb_deg AS DOUBLE)
+         |             / CAST(nd.n_slots AS DOUBLE) * 10000) AS BIGINT)
+         |    AS knn_e4
+         |FROM nk JOIN nd USING (k) ORDER BY k""".stripMargin,
     // Same canonical edge/degree frames as q150/q151, exact censuses
     // per threshold, one mirrored φ chain per k.
     "q367_rich_club" ->

@@ -1882,6 +1882,51 @@ object Similarity {
       .orderBy("nprobe")
   }
 
+  /** q399 — embedding isotropy per label via the mean-vector ratio:
+    * iso = ‖Σx‖² / (n·Σ‖x‖²) ∈ [1/n, 1] — equals 1 when every vector
+    * points the same way (collapsed representations), ≈ 1/n when
+    * directions cancel (isotropic). The ONE-PASS collapse read beside
+    * q317's pairwise alignment/uniformity (those need vector pairs;
+    * this needs only per-dimension sums — the cheapest anisotropy
+    * alarm a training pipeline can afford at every checkpoint, and
+    * algebraically the mean pairwise cosine numerator: ‖Σx‖² =
+    * Σᵢⱼ⟨xᵢ,xⱼ⟩).
+    *
+    * Exactness: elements land on q317's e3 grid FIRST (the
+    * established per-element embedding grid; margins spec-pinned),
+    * so per-dimension sums, ‖Σx‖², and Σ‖x‖² are all EXACT
+    * decimal(38) integers; iso is ONE mirrored division e6.
+    *
+    * Scale: the per-dim collapse is a map-side-combined
+    * (label × 64)-row agg; per-vector norms collapse map-side; no
+    * pair frame ever exists (contrast q317's bounded pair probe).
+    */
+  def q399(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val v = emb(s, dir)
+      .select(col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          x => intScaled(x.cast("double"), 1000L)).as("qv"))
+      .localCheckpoint(true) // branched: per-vector norms AND dim sums
+    val per = v
+      .select(col("label"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x * x).as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("n2").cast(d38)).as("q2"))
+    val dims = v.select(col("label"), posexplode(col("qv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("sd"))
+      .groupBy(col("label"))
+      .agg(sum(col("sd").cast(d38) * col("sd")).as("s2"))
+    per.join(dims, "label")
+      .select(col("label"), col("n_vecs"),
+        intScaled(
+          col("s2").cast("double") /
+            (col("n_vecs").cast("double") * col("q2").cast("double")),
+          1000000L).as("isotropy_e6"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q356_lid_mle" -> (q356 _),
     "q357_cosine_concentration" -> (q357 _),
@@ -1891,6 +1936,7 @@ object Similarity {
     "q323_embed_drift" -> (q323 _),
     "q317_align_uniformity" -> (q317 _),
     "q316_silhouette" -> (q316 _),
+    "q399_isotropy" -> (q399 _),
     "q311_kcenter_coreset" -> (q311 _),
     "q312_embed_effdim" -> (q312 _),
     "q309_pca_power" -> (q309 _),
@@ -2086,6 +2132,31 @@ object Similarity {
        |FROM g ORDER BY qid""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q317's e3 element grid, exact HUGEINT dim-sum/norm moments, one
+    // mirrored isotropy division.
+    "q399_isotropy" ->
+      """WITH v AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding,
+        |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+        |           AS qv
+        |  FROM embeddings),
+        |per AS (
+        |  SELECT label, COUNT(*) AS n_vecs,
+        |         SUM(CAST(list_sum(list_transform(qv, x -> x * x))
+        |                  AS HUGEINT)) AS q2
+        |  FROM v GROUP BY label),
+        |ds AS (
+        |  SELECT label, i, CAST(SUM(qv[i]) AS HUGEINT) AS sd
+        |  FROM v CROSS JOIN range(1, 65) r(i)
+        |  GROUP BY label, i),
+        |s2 AS (SELECT label, SUM(sd * sd) AS s2 FROM ds GROUP BY label)
+        |SELECT per.label, per.n_vecs,
+        |  CAST(ROUND(CAST(s2.s2 AS DOUBLE) /
+        |             (CAST(per.n_vecs AS DOUBLE) * CAST(per.q2 AS DOUBLE))
+        |             * 1000000) AS BIGINT) AS isotropy_e6
+        |FROM per JOIN s2 USING (label)
+        |ORDER BY per.label""".stripMargin,
     // Same (sim DESC, did) kNN, same per-term e9 ln grid, same
     // mirrored −k·1e9/Σ chain, identical degenerate guards.
     "q356_lid_mle" ->

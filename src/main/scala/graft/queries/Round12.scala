@@ -398,6 +398,84 @@ object Round12 {
       .orderBy("source")
   }
 
+  /** q397 — TPC-H Q15 shape (top supplier): per-supplier line revenue
+    * over one quarter, then the supplier(s) holding the MAXIMUM — the
+    * aggregate-then-argmax-against-a-global-scalar certificate (Q15's
+    * VIEW + MAX subquery, decorrelated to a broadcast one-row max and
+    * an exact decimal equality).
+    *
+    * Exactness: the q177 decimal(18,2) volume discipline; the argmax
+    * compare is DECIMAL EQUALITY on exact sums (never a double — two
+    * suppliers tied at the max both surface, as Q15 specifies);
+    * revenue reported via round(·,2).
+    *
+    * Scale: the date filter pushes to the scan; one map-side-combined
+    * supplier agg (checkpointed — branched into the max and the
+    * filter); the max is a broadcast one-row frame; the supplier dim
+    * broadcasts. Output = the argmax set (1 row here).
+    */
+  def q397(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate").cast("date") < lit("1996-04-01").cast("date"))
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("volume"))
+      .groupBy(col("l_suppkey")).agg(sum(col("volume")).as("total"))
+      .localCheckpoint(true) // branched: the max AND the argmax filter
+    val mx = rev.agg(max(col("total")).as("mx"))
+    rev.withGlobalStats(mx).filter(col("total") === col("mx"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+        round(col("total"), 2).cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q398 — inter-event burstiness per event type: B = (σ−μ)/(σ+μ)
+    * over each user's within-type inter-arrival gaps, pooled per type
+    * — the Goh-Barabási burstiness coefficient (B → −1 periodic,
+    * 0 Poisson, → +1 bursty) that q377 reads for TOKEN recurrence,
+    * here read for BEHAVIOR: a type whose gaps are bursty is
+    * session-driven, a periodic one is a scheduler.
+    *
+    * Exactness: gaps are exact epoch-µs integers off the user×type
+    * lag; moments are exact long/decimal(38); B reduces to
+    * (√(nQ−S²) − S)/(√(nQ−S²) + S) — ONE shared √ of an exact integer
+    * and one mirrored division, e6-gridded; the mean gap is one
+    * mirrored division (decimal(38) headroom: gaps ≤ 2.6e12 µs,
+    * squares 7e24 — Q overflows only past ~10¹³ gaps).
+    *
+    * Scale: the lag window is (user, type)-keyed — never a
+    * type-partitioned window (5 types would serialize the stream
+    * through 5 tasks); the census is a map-side-combined 5-row agg.
+    */
+  def q398(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val disc = sqrt((col("n_gaps").cast(d38) * col("qv") -
+      col("sv").cast(d38) * col("sv")).cast("double"))
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sv"),
+        sum(col("gap").cast(d38) * col("gap")).as("qv"))
+      .select(col("event_type"), col("n_gaps"),
+        intScaled(
+          col("sv").cast("double") / col("n_gaps").cast("double"), 1L)
+          .as("mean_gap_us"),
+        when(col("n_gaps") > 1L, intScaled(
+          (disc - col("sv").cast("double")) /
+            (disc + col("sv").cast("double")),
+          1000000L)).as("burstiness_e6"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q384_tpch_q8" -> (q384 _),
     "q385_tpch_q13" -> (q385 _),
@@ -408,6 +486,8 @@ object Round12 {
     "q390_median_mad" -> (q390 _),
     "q391_benford" -> (q391 _),
     "q393_kmv_distinct" -> (q393 _),
+    "q397_tpch_q15" -> (q397 _),
+    "q398_event_burstiness" -> (q398 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -611,5 +691,50 @@ object Round12 {
         |         AS BIGINT) END AS rel_err_e6
         |FROM ex LEFT JOIN kth USING (source)
         |ORDER BY ex.source""".stripMargin,
+    // Same decimal volume, exact decimal max-equality argmax.
+    "q397_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT MAX(total) AS mx FROM rev)
+        |SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+        |       CAST(ROUND(rev.total, 2) AS DOUBLE) AS total_revenue
+        |FROM rev CROSS JOIN mx
+        |JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        |WHERE rev.total = mx.mx
+        |ORDER BY s_suppkey""".stripMargin,
+    // Same (user, type) lag gaps, exact moments, the identical
+    // (√(nQ−S²) − S)/(√(nQ−S²) + S) chain.
+    "q398_event_burstiness" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |         us - LAG(us) OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY us, event_id) AS gap
+        |  FROM e),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n_gaps,
+        |         CAST(SUM(gap) AS BIGINT) AS sv,
+        |         SUM(CAST(gap AS HUGEINT) * gap) AS qv
+        |  FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_gaps,
+        |  CAST(ROUND(CAST(sv AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS BIGINT)
+        |    AS mean_gap_us,
+        |  CASE WHEN n_gaps > 1 THEN
+        |    CAST(ROUND((sqrt(CAST(n_gaps * qv - CAST(sv AS HUGEINT) * sv
+        |                          AS DOUBLE)) - CAST(sv AS DOUBLE)) /
+        |               (sqrt(CAST(n_gaps * qv - CAST(sv AS HUGEINT) * sv
+        |                          AS DOUBLE)) + CAST(sv AS DOUBLE))
+        |               * 1000000) AS BIGINT)
+        |  END AS burstiness_e6
+        |FROM m ORDER BY event_type""".stripMargin,
   )
 }

@@ -563,10 +563,12 @@ object Round4 {
       s"CASE WHEN $rn <= (n % 5) * (n div 5 + 1)" +
         s" THEN ($rn - 1) div (n div 5 + 1) + 1" +
         s" ELSE (n % 5) + ($rn - (n % 5) * (n div 5 + 1) - 1) div (n div 5) + 1 END"
+    // cast to int: native ntile() returned IntegerType, and the output
+    // schema (segment = r*100+f*10+m) must stay identical
     val scored = r3
-      .withColumn("r", expr(ntile5("rn_r")))
-      .withColumn("f", expr(ntile5("rn_f")))
-      .withColumn("m", expr(ntile5("rn_m")))
+      .withColumn("r", expr(ntile5("rn_r")).cast("int"))
+      .withColumn("f", expr(ntile5("rn_f")).cast("int"))
+      .withColumn("m", expr(ntile5("rn_m")).cast("int"))
     scored
       .groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
       .agg(count(lit(1)).as("n_customers"),

@@ -377,6 +377,125 @@ class Round12Spec extends SparkTestBase {
       "q395 vacuous — no churn anywhere (the weekly-grain failure mode)")
   }
 
+  test("q396 avg neighbor degree: exact replay; the k*n_k slot identity holds") {
+    val li = spark.read.parquet(s"$sf1/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values
+    val edges = byOrder.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSeq.distinct
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val slots = edges.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a)))
+    }
+    val nd = slots.groupBy(_._1).map { case (k, g) =>
+      k -> (g.length.toLong, g.map(_._2).sum)
+    }
+    val nk = deg.values.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val expected = nk.toSeq.sortBy(_._1).map { case (k, nNodes) =>
+      val (nSlots, snd) = nd(k)
+      assert(nSlots == k * nNodes, s"q396 slot identity broke at k=$k")
+      val knn = snd.toDouble / nSlots * 1e4
+      assert(boundaryMargin(knn) > 1e-6, s"q396 knn margin at k=$k")
+      (k, nNodes, nSlots, snd, halfUp(knn))
+    }
+    val got = graft.ext.Graph.queries("q396_avg_neighbor_degree")(spark, sf1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("q397 TPC-H Q15: exact decimal argmax replay; a unique max here") {
+    val li = spark.read.parquet(s"$sf1/lineitem.parquet")
+      .select($"l_suppkey", $"l_shipdate".cast("date").cast("string"),
+        $"l_extendedprice", $"l_discount")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3)))
+      .filter(t => t._2 >= "1996-01-01" && t._2 < "1996-04-01")
+    val rev = li.groupBy(_._1).map { case (k, g) =>
+      k -> g.map(t => d2(t._3).multiply(JBig.ONE.subtract(d2(t._4))))
+        .reduce(_ add _)
+    }
+    val mx = rev.values.max
+    val names = spark.read.parquet(s"$sf1/supplier.parquet")
+      .select($"s_suppkey".cast("long"), $"s_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = rev.filter(_._2 == mx).toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        (k, names(k), v.setScale(2, RoundingMode.HALF_UP).doubleValue())
+      }
+    val got = graft.queries.Round12.q397(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    assert(got.length == 1, "fixture contract: a unique max supplier")
+  }
+
+  test("q398 burstiness: exact moment replay; types spread around 0") {
+    val ev = graft.Tables.events(spark, sf1)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Math.floorDiv(r.getLong(3), 1000L)))
+    val gaps = ev.groupBy(t => (t._1, t._3)).values.flatMap { g =>
+      val sorted = g.sortBy(t => (t._4, t._2))
+      sorted.zip(sorted.drop(1)).map { case (a, b) => (a._3, b._4 - a._4) }
+    }
+    val expected = gaps.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      val n = g.size.toLong
+      val sv = g.map(_._2).sum
+      val qv = g.map(x => BigInt(x._2) * x._2).sum
+      val mean = sv.toDouble / n
+      assert(boundaryMargin(mean) > 1e-6, s"q398 mean margin at $t")
+      val disc = math.sqrt((BigInt(n) * qv - BigInt(sv) * sv).toDouble)
+      val b = (disc - sv.toDouble) / (disc + sv.toDouble) * 1e6
+      assert(boundaryMargin(b) > 1e-6, s"q398 B margin at $t")
+      (t, n, halfUp(mean), if (n > 1) Some(halfUp(b)) else None)
+    }
+    val got = graft.queries.Round12.q398(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got === expected)
+    // gaps from pooled user streams must not be degenerate-periodic
+    assert(expected.flatMap(_._4).exists(_ != 0L))
+  }
+
+  test("q399 isotropy: exact e3-grid replay; labels differ; range sane") {
+    val vecs = spark.read.parquet(s"$sf1/embeddings.parquet")
+      .select($"label".cast("long"), $"embedding")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val gridded = vecs.map { case (l, e) =>
+      val g = e.map { x =>
+        assert(boundaryMargin(x * 1000) > 1e-6, "q399 e3 grid margin")
+        halfUp(x * 1000)
+      }
+      (l, g)
+    }
+    val expected = gridded.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (l, g) =>
+        val n = g.length.toLong
+        val q2 = g.map(v => v._2.map(x => BigInt(x) * x).sum).sum
+        val dims = g.head._2.indices
+        val s2 = dims.map { i =>
+          val sd = g.map(_._2(i)).sum
+          BigInt(sd) * sd
+        }.sum
+        val iso = s2.toDouble / (n.toDouble * q2.toDouble) * 1e6
+        assert(boundaryMargin(iso) > 1e-6, s"q399 iso margin at $l")
+        (l, n, halfUp(iso))
+    }
+    val got = graft.ext.Similarity.queries("q399_isotropy")(spark, sf1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(expected.map(_._3).distinct.length > 1,
+      "q399 vacuous — identical isotropy everywhere")
+    assert(expected.forall(e => e._3 >= 0 && e._3 <= 1000000))
+  }
+
   test("q391 Benford: digit census replay; chi2 margins hold; digits complete") {
     val xs = spark.read.parquet(s"$sf1/orders.parquet")
       .select($"o_totalprice").collect()
