@@ -364,6 +364,11 @@ object DevScaleAudit {
       "graph_knn_curve" -> (dir => SparkEntry.queries("q396_avg_neighbor_degree")(spark, dir)),
       "ev_burstiness" -> (dir => SparkEntry.queries("q398_event_burstiness")(spark, dir)),
       "emb_isotropy" -> (dir => SparkEntry.queries("q399_isotropy")(spark, dir)),
+      // r12: q191 moved from three single-task ntile sorts to
+      // TwoPhase.rankMulti — the small-scale constant rose (~0.6 →
+      // ~1.3 s at sf0.1, three distributed sorts + broadcast joins);
+      // this row documents the flat scaling that buys.
+      "ord_rfm" -> (dir => SparkEntry.queries("q191_rfm_segments")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

@@ -630,7 +630,46 @@ object Sampling {
     "q174_split_balance" -> (q174 _),
     "q267_shard_manifest" -> (q267 _),
     "q392_bottomk_estimate" -> (q392 _),
+    "q400_neyman_allocation" -> (q400 _),
   )
+
+  /** q400 — Neyman-optimal stratified sample allocation: a 300-doc
+    * audit budget split across sources proportional to N_h·σ_h (the
+    * allocation minimizing the variance of the stratified mean —
+    * proportional allocation oversamples big HOMOGENEOUS strata;
+    * Neyman sends the budget where the variance lives), integerized by
+    * the certified Hamilton largest-remainder core ([[Patterns
+    * .apportion]] — q166's op with a variance-weighted proportionality
+    * source). The sampling-design companion to q131's stratum sample
+    * (WHICH docs) and q392's bottom-k (estimate WITHOUT sampling
+    * rights): this decides HOW MANY per stratum.
+    *
+    * Exactness: N_h·σ_h = √(N_h·Q_h − S_h²) over exact decimal(38)
+    * n_chars moments — ONE mirrored √ per source, e3-gridded; the
+    * apportionment is then ENTIRELY integer (q166's DIV/%/rank
+    * discipline), so quotas sum to exactly 300 by construction.
+    *
+    * Scale: one map-side moment collapse to the source frame;
+    * everything after rides source cardinality (the q166 bound).
+    */
+  def q400(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = docs(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sv"),
+        sum(col("n_chars").cast(d38) * col("n_chars")).as("qv"))
+      .select(col("source"), col("n_docs"),
+        Similarity.intScaled(
+          sqrt((col("n_docs").cast(d38) * col("qv") -
+            col("sv").cast(d38) * col("sv")).cast("double")),
+          1000L).as("tokens"))
+      .localCheckpoint(true) // source-sized; branched: apportion + join
+    Patterns.apportion(w.select(col("source"), col("tokens")), 300L)
+      .join(w.select(col("source"), col("n_docs")), "source")
+      .select(col("source"), col("n_docs"),
+        col("tokens").as("neyman_w_e3"), col("quota"))
+      .orderBy("source")
+  }
 
   /** q392 — bottom-k hash sampling + sample-based total estimate: per
     * source, the k = 8 docs with the smallest md5(doc_id) hash are
@@ -1000,5 +1039,33 @@ object Sampling {
         |             CAST(exact_tokens AS DOUBLE) * 1000000) AS BIGINT)
         |    AS rel_err_e6
         |FROM g ORDER BY source""".stripMargin,
+    // Same √(N·Q−S²) e3 weights, q166's exact Hamilton integerization.
+    "q400_neyman_allocation" ->
+      """WITH m AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sv,
+        |         SUM(CAST(n_chars AS HUGEINT) * n_chars) AS qv
+        |  FROM documents GROUP BY source),
+        |c AS (
+        |  SELECT source, n_docs,
+        |    CAST(ROUND(sqrt(CAST(n_docs * qv - CAST(sv AS HUGEINT) * sv
+        |                         AS DOUBLE)) * 1000) AS BIGINT) AS tokens
+        |  FROM m),
+        |t AS (SELECT SUM(tokens) AS total FROM c),
+        |b AS (
+        |  SELECT source, n_docs, tokens,
+        |         tokens * 300 // total AS base,
+        |         tokens * 300 % total AS rem
+        |  FROM c CROSS JOIN t),
+        |l AS (SELECT 300 - SUM(base) AS leftover FROM b),
+        |r AS (
+        |  SELECT source, n_docs, tokens, base,
+        |         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM b)
+        |SELECT source, n_docs, tokens AS neyman_w_e3,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
+        |FROM r CROSS JOIN l
+        |ORDER BY source""".stripMargin,
   )
 }

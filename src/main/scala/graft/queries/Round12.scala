@@ -247,10 +247,9 @@ object Round12 {
       .select(col("source"), col("doc_id"),
         intScaled(qualityScore(col("text")), 1000000L).as("score_e6"),
         tokenCount(col("text")).cast("long").as("n_tokens"))
-    val r1 = graft.ops.TwoPhase.rankCum(d, Seq("source"), "score_e6",
-      "doc_id", asc = true, rn = Some("rq"))
-    val r2 = graft.ops.TwoPhase.rankCum(r1, Seq("source"), "n_tokens",
-      "doc_id", asc = true, rn = Some("rl"))
+    val r2 = graft.ops.TwoPhase.rankMulti(d, Seq("source"),
+      Seq(("score_e6", "doc_id", true, "rq"),
+        ("n_tokens", "doc_id", true, "rl")))
     r2.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(((col("rq") - col("rl")) * (col("rq") - col("rl"))).cast(d38))

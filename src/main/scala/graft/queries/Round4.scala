@@ -551,12 +551,11 @@ object Round4 {
     val scored0 = byCust.withGlobalStats(maxD)
       .withColumn("rec_days",
         datediff(col("max_d"), col("last_d")).cast("long"))
-    val r1 = graft.ops.TwoPhase.rankCum(scored0, Nil, "rec_days",
-      "o_custkey", asc = true, rn = Some("rn_r"), n = Some("n"))
-    val r2 = graft.ops.TwoPhase.rankCum(r1, Nil, "freq",
-      "o_custkey", asc = true, rn = Some("rn_f"))
-    val r3 = graft.ops.TwoPhase.rankCum(r2, Nil, "cents",
-      "o_custkey", asc = true, rn = Some("rn_m"))
+    val r3 = graft.ops.TwoPhase.rankMulti(scored0, Nil,
+      Seq(("rec_days", "o_custkey", true, "rn_r"),
+        ("freq", "o_custkey", true, "rn_f"),
+        ("cents", "o_custkey", true, "rn_m")),
+      n = Some("n"))
     // Exact NTILE(5) off (rank, n): sizes n/5 (+1 for the first n%5
     // buckets) — the remainder-first convention ntile() implements.
     def ntile5(rn: String): String =

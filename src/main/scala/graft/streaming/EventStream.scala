@@ -166,6 +166,30 @@ object EventStream {
         expr(s"""$leftKey = $rightKey AND
                 |$rightTs BETWEEN $leftTs - INTERVAL $within AND $leftTs""".stripMargin))
 
+  /** LEFT OUTER stream-stream interval join — [[intervalJoin]]'s
+    * attribution shape with the UNMATCHED left rows kept: a click with
+    * no qualifying view must still reach the sink (as nulls) or the
+    * funnel's denominator silently shrinks. Outer emission is
+    * watermark-driven: Spark holds an unmatched left row in state
+    * until the watermark proves no matching right row can still
+    * arrive, THEN emits it null-padded — so unmatched rows surface
+    * exactly once, late, and state stays bounded by the same interval
+    * condition as the inner join (both-side watermarks + the time
+    * bound are REQUIRED for outer stream-stream joins; without them
+    * Spark rejects the plan rather than leaking state).
+    */
+  def intervalJoinLeftOuter(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      within: String): DataFrame =
+    left.withWatermark(leftTs, within)
+      .join(
+        right.withWatermark(rightTs, within),
+        expr(s"""$leftKey = $rightKey AND
+                |$rightTs BETWEEN $leftTs - INTERVAL $within AND $leftTs""".stripMargin),
+        "left_outer")
+
   /** Streaming CDC apply — a changelog stream maintained into a parquet
     * snapshot via `foreachBatch`. The snapshot CARRIES each row's
     * changelog sequence number (`orderCol`), and every micro-batch

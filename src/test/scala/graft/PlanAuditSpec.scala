@@ -699,6 +699,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q130_zipf_slope" -> "top-100 rank over the closed 31-word vocabulary",
       "q142_vocab_table" -> "vocabulary-sized frame (closed vocab)",
       "q166_token_apportion" -> "Hamilton remainder rank over source cardinality (tens of rows)",
+      "q400_neyman_allocation" -> "Hamilton remainder rank over source cardinality (the q166 apportion core)",
       "q170_event_anomaly" -> "calendar day grid (~2.4k rows at any SF)",
       "q173_heaps_law" -> "log-spaced prefix grid over the closed vocabulary",
       "q184_fk_audit" -> "median rides the fan-count HISTOGRAM (distinct fan values)",
@@ -737,7 +738,7 @@ class PlanAuditSpec extends SparkTestBase {
     def isCensusWindow(w: WindowExec): Boolean =
       w.child.collectFirst { case a: BaseAggregateExec => a }.exists(
         _.groupingExpressions.exists(
-          _.references.exists(_.name == "__tp_bucket")))
+          _.references.exists(_.name.startsWith("__tp_b"))))
     val offenders = allSparkPlans.flatMap { case (name, sp) =>
       val bad = sp.collect {
         case w: WindowExec if w.partitionSpec.isEmpty && !isCensusWindow(w) => w

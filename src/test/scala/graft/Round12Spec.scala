@@ -496,6 +496,44 @@ class Round12Spec extends SparkTestBase {
     assert(expected.forall(e => e._3 >= 0 && e._3 <= 1000000))
   }
 
+  test("q400 Neyman allocation: exact weight+Hamilton replay; quotas sum to 300; " +
+    "allocation genuinely differs from proportional") {
+    val docs = spark.read.parquet(s"$sf1/documents.parquet")
+      .select($"source", $"n_chars".cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val weights = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, g) =>
+      val n = g.length.toLong
+      val sv = g.map(_._2).sum
+      val qv = g.map(x => BigInt(x._2) * x._2).sum
+      val w = math.sqrt((BigInt(n) * qv - BigInt(sv) * sv).toDouble) * 1000
+      assert(boundaryMargin(w) > 1e-6, s"q400 weight margin at $src")
+      (src, n, halfUp(w))
+    }
+    val total = weights.map(_._3).sum
+    val based = weights.map { case (src, n, w) =>
+      (src, n, w, w * 300 / total, w * 300 % total)
+    }
+    val leftover = 300 - based.map(_._4).sum
+    val ranked = based.sortBy(t => (-t._5, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1 <= leftover) }.toMap
+    val expected = based.map { case (src, n, w, base, _) =>
+      (src, n, w, base + (if (ranked(src)) 1L else 0L))
+    }
+    val got = graft.ext.Sampling.queries("q400_neyman_allocation")(spark, sf1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.map(_._4).sum == 300L, "quotas must sum to the budget exactly")
+    // Neyman must differ from proportional-by-count somewhere, or the
+    // variance weighting is vacuous on this fixture
+    val prop = {
+      val nTot = weights.map(_._2).sum
+      weights.map(t => t._1 -> t._2 * 300 / nTot).toMap
+    }
+    assert(got.exists(g => math.abs(g._4 - prop(g._1)) > 1),
+      "q400 indistinguishable from proportional allocation")
+  }
+
   test("q391 Benford: digit census replay; chi2 margins hold; digits complete") {
     val xs = spark.read.parquet(s"$sf1/orders.parquet")
       .select($"o_totalprice").collect()

@@ -363,6 +363,43 @@ class StreamingSpec extends SparkTestBase {
     assert(rows === Set((1L, 101L, 100L), (1L, 101L, 95L)))
   }
 
+  test("left-outer stream-stream join emits unmatched left rows null-padded " +
+    "once the watermark closes their interval") {
+    val clicks = MemoryStream[(Long, Long)](spark)
+    val views = MemoryStream[(Long, Long)](spark)
+    val c = clicks.toDF().toDF("cu", "cmin")
+      .withColumn("click_ts", timestamp_seconds(col("cmin") * 60))
+    val v = views.toDF().toDF("vu", "vmin")
+      .withColumn("view_ts", timestamp_seconds(col("vmin") * 60))
+    val joined = EventStream.intervalJoinLeftOuter(
+      c, v, "cu", "vu", "click_ts", "view_ts", "10 minutes")
+      .select(col("cu"), col("cmin"), col("vmin"))
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData((1L, 100L), (1L, 95L))
+      clicks.addData((1L, 101L), (2L, 150L)) // user 2 has NO view
+      q.processAllAvailable()
+      // the unmatched click@150 can only emit once the watermark passes
+      // its interval's end — advance both streams far past it
+      views.addData((9L, 500L))
+      clicks.addData((9L, 500L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj_outer").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    // matched pairs arrive as in the inner join; user 2's click
+    // surfaces null-padded instead of vanishing
+    assert(rows.contains((1L, 101L, Some(100L))) &&
+      rows.contains((1L, 101L, Some(95L))),
+      s"matched pairs missing: $rows")
+    assert(rows.contains((2L, 150L, None)),
+      s"unmatched left row never emitted: $rows")
+    assert(!rows.contains((1L, 101L, None)),
+      s"matched left row also emitted null-padded: $rows")
+  }
+
   test("late data beyond the watermark is dropped") {
     val input = MemoryStream[(Long, String)](spark)
     // minutes → nanos; watermark 10 minutes, window 1 hour
