@@ -369,6 +369,14 @@ object DevScaleAudit {
       // ~1.3 s at sf0.1, three distributed sorts + broadcast joins);
       // this row documents the flat scaling that buys.
       "ord_rfm" -> (dir => SparkEntry.queries("q191_rfm_segments")(spark, dir)),
+      // r12 fourth batch — the decontam threshold curve (train grams
+      // ×10 against the broadcast eval set), the band-candidate
+      // source matrix (q107's bounded candidates + dimension joins),
+      // and the DAU/WAU/MAU coverage fan (user-days ×10, 30× bounded
+      // explode of the COLLAPSED frame, never of events).
+      "doc_decontam_curve" -> (dir => SparkEntry.queries("q401_decontam_curve")(spark, dir)),
+      "doc_leakage_matrix" -> (dir => SparkEntry.queries("q402_source_leakage")(spark, dir)),
+      "ev_dau_mau" -> (dir => SparkEntry.queries("q403_dau_mau")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

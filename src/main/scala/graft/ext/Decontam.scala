@@ -141,9 +141,72 @@ object Decontam {
     contaminationReport(train, eval, k = 5).orderBy("doc_id")
   }
 
+  /** q401 — decontamination threshold-sensitivity curve: the doc and
+    * TOKEN mass a 5-gram overlap screen removes at hit thresholds of
+    * 1/2/4/8 shared grams — q104 reports per-doc hits at no threshold;
+    * this curve is how the cutoff is actually chosen (the q350/q382
+    * threshold-curve discipline applied to decontamination: "flag on
+    * ANY shared gram" can halve a corpus; the curve shows where the
+    * flagged mass stops collapsing). Token shares matter more than doc
+    * shares — a screen that flags 2% of docs but 15% of tokens is
+    * eating the long documents.
+    *
+    * Exactness: hit counts are exact distinct-gram censuses (q104's
+    * machinery); zero-hit docs are KEPT via the left join (a q104-style
+    * inner join would silently drop them from the denominators); the
+    * threshold gate is an integer compare; shares are one mirrored
+    * division each, e6.
+    *
+    * Scale: q104's broadcast-eval-grams plan (train grams never
+    * shuffle); the per-doc hit frame value-collapses to the hit-count
+    * HISTOGRAM before the 4× threshold explode (the q367 discipline);
+    * output ≤ 4 rows.
+    */
+  def q401(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val evalGrams = d.filter(col("doc_id") % 7 === 0)
+      .select(explode_outer(Dedup.shinglesK(col("ws"), 5)).as("gram"))
+      .filter(col("gram").isNotNull)
+      .distinct()
+    val train = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        Dedup.shinglesK(col("ws"), 5).as("grams"))
+      .localCheckpoint(true) // branched: the hit join AND the doc frame
+    val hits = train
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("hits"))
+    val perDoc = train.select(col("doc_id"), col("n_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("n_tokens"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .localCheckpoint(true) // branched: histogram AND totals
+    val hist = perDoc.groupBy(col("hits"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("tok"))
+    val tot = perDoc.agg(count(lit(1)).as("nd_all"),
+      sum(col("n_tokens")).as("tok_all"))
+    hist
+      .withColumn("thr", explode(array(lit(1L), lit(2L), lit(4L), lit(8L))))
+      .filter(col("hits") >= col("thr"))
+      .groupBy(col("thr"))
+      .agg(sum(col("nd")).as("n_flagged"), sum(col("tok")).as("tokens_flagged"))
+      .withGlobalStats(tot)
+      .select(col("thr"), col("n_flagged"), col("tokens_flagged"),
+        graft.ext.Similarity.intScaled(
+          col("n_flagged").cast("double") / col("nd_all").cast("double"),
+          1000000L).as("doc_share_e6"),
+        graft.ext.Similarity.intScaled(
+          col("tokens_flagged").cast("double") / col("tok_all").cast("double"),
+          1000000L).as("token_share_e6"))
+      .orderBy("thr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_decontaminate" -> (q104 _),
     "q263_bloom_audit"   -> (q263 _),
+    "q401_decontam_curve" -> (q401 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -165,6 +228,35 @@ object Decontam {
         |    AS hit_ratio
         |FROM tr JOIN e USING (gram)
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // q104's gram CTE, zero-hit docs kept via the left join, hit
+    // histogram × threshold gate, mirrored share divisions.
+    "q401_decontam_curve" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, len(ws) AS n_tokens,
+        |        CASE WHEN len(ws) >= 5 THEN
+        |          list_distinct(list_transform(range(1, len(ws) - 3),
+        |            i -> array_to_string(ws[i:i+4], ' ')))
+        |        ELSE CAST([] AS VARCHAR[]) END AS grams
+        |      FROM t),
+        |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 7 = 0),
+        |tr AS (SELECT doc_id, unnest(grams) AS gram
+        |       FROM g WHERE doc_id % 7 <> 0),
+        |h AS (SELECT tr.doc_id, COUNT(DISTINCT tr.gram) AS hits
+        |      FROM tr JOIN e USING (gram) GROUP BY tr.doc_id),
+        |pd AS (SELECT CAST(g.n_tokens AS BIGINT) AS n_tokens,
+        |              COALESCE(h.hits, 0) AS hits
+        |       FROM g LEFT JOIN h USING (doc_id) WHERE g.doc_id % 7 <> 0),
+        |tot AS (SELECT COUNT(*) AS nd_all,
+        |               CAST(SUM(n_tokens) AS BIGINT) AS tok_all FROM pd),
+        |thr AS (SELECT CAST(UNNEST([1, 2, 4, 8]) AS BIGINT) AS thr)
+        |SELECT thr.thr, CAST(COUNT(*) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(pd.n_tokens) AS BIGINT) AS tokens_flagged,
+        |  CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(tot.nd_all) * 1000000)
+        |       AS BIGINT) AS doc_share_e6,
+        |  CAST(ROUND(CAST(SUM(pd.n_tokens) AS DOUBLE) / MAX(tot.tok_all)
+        |             * 1000000) AS BIGINT) AS token_share_e6
+        |FROM pd JOIN thr ON pd.hits >= thr.thr CROSS JOIN tot
+        |GROUP BY thr.thr ORDER BY thr.thr""".stripMargin,
     // Bloom audit mirrored: the same md5-prefix-40bit(i:gram) mod m
     // positions, the set-bit table as a relation, count-of-matches = 3
     // as the bit test; one mirrored division for fpr.

@@ -895,6 +895,7 @@ object Dedup {
     "q65_simhash_neardup"  -> (q65 _),
     "q94_band_rescore"     -> (q94 _),
     "q107_minhash_portable" -> (q107 _),
+    "q402_source_leakage" -> (q402 _),
     "q122_cross_corpus_neardup" -> (q122 _),
     "q128_fuzzy_pairs"     -> (q128 _),
     "q252_jw_match"        -> (q252 _),
@@ -987,6 +988,47 @@ object Dedup {
     * rounding agrees bit-for-bit. Exact Jaccard is computed ONLY on
     * the banded candidates (pair-set-sized, never all-pairs).
     */
+  /** q402 — cross-source near-dup LEAKAGE matrix: q107's banded
+    * MinHash candidates rolled up to unordered (source, source) cells
+    * — which sources share content with which (the corpus-level
+    * question behind per-pair dedup: a hot off-diagonal cell means one
+    * source republishes another — drop the copier, not random halves
+    * of each pair; the diagonal is within-source duplication). The
+    * matrix view of q122's bipartite probe, over ALL source pairs at
+    * once.
+    *
+    * Exactness: candidate membership is q107's exact band equality;
+    * cell keys are least/greatest source strings; censuses exact; the
+    * mean shared-band strength is one mirrored division per cell.
+    *
+    * Scale: q107's banded candidate generation (bucket-local, never
+    * all-pairs) + two doc→source dimension joins + a ≤|sources|²-cell
+    * agg.
+    */
+  def q402(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") < 1000)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), shingles3FromTokens(col("ws")).as("sh"))
+    val sig = minhashSignature(base, col("doc_id"), col("sh"), numHashes = 12)
+    val cand = minhashBandPairs(sig, numHashes = 12, bands = 4)
+    val srcs = docs(s, dir).select(col("doc_id"), col("source"))
+      .localCheckpoint(true) // both sides of the pair resolution
+    cand
+      .join(srcs.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        "id_a")
+      .join(srcs.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        "id_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("shared_bands")).as("shared_bands"),
+        Similarity.intScaled(
+          sum(col("shared_bands")).cast("double") /
+            count(lit(1)).cast("double"),
+          10000L).as("mean_bands_e4"))
+      .orderBy("source_a", "source_b")
+  }
+
   def q159(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).filter(col("doc_id") < 1000)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -1282,6 +1324,26 @@ object Dedup {
     "q65_simhash_neardup" -> simhashNearDupOracle,
     "q94_band_rescore" -> bandRescoreOracle,
     "q107_minhash_portable" -> minhashPortableOracle,
+    // q107's band CTE, source dimension joins, unordered cell keys,
+    // one mirrored mean-strength division per cell.
+    "q402_source_leakage" ->
+      s"""$minhashBandCte,
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |    CAST(COUNT(*) AS BIGINT) AS shared_bands
+         |  FROM b a JOIN b b2
+         |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+         |  GROUP BY a.doc_id, b2.doc_id)
+         |SELECT LEAST(da.source, db.source) AS source_a,
+         |       GREATEST(da.source, db.source) AS source_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(c.shared_bands) AS BIGINT) AS shared_bands,
+         |       CAST(ROUND(CAST(SUM(c.shared_bands) AS DOUBLE) / COUNT(*)
+         |                  * 10000) AS BIGINT) AS mean_bands_e4
+         |FROM cand c
+         |JOIN documents da ON da.doc_id = c.id_a
+         |JOIN documents db ON db.doc_id = c.id_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q122_cross_corpus_neardup" -> crossCorpusOracle,
     "q159_minhash_calib" -> minhashCalibOracle,
     "q164_dedup_census" ->

@@ -1398,10 +1398,59 @@ object Patterns {
       .orderBy("cohort", "age_days")
   }
 
+  /** q403 — DAU/WAU/MAU + stickiness per day: distinct daily actives,
+    * 7-day and 30-day rolling distinct actives, and DAU/MAU — THE
+    * growth-dashboard headline (stickiness ≈ how many of the monthly
+    * actives show up on a given day; q395's retention reads cohorts,
+    * this reads the whole population's engagement level day by day).
+    *
+    * Rolling DISTINCT counts cannot ride a window aggregate (distinct
+    * isn't subtractable); the scale-correct shape is the COVERAGE
+    * fan-out: each distinct (user, day) activity row covers the 7/30
+    * subsequent calendar days, so rolling actives = a distinct census
+    * per covering day — map-side explode of a user-DAY frame (already
+    * collapsed from events), never of events. Early days carry
+    * truncated windows (both engines alike — the standard dashboard
+    * convention).
+    *
+    * Exactness: days are exact epoch-ns floor divisions (q375's
+    * spelling); every census is an exact distinct count; stickiness is
+    * ONE mirrored division e6.
+    *
+    * Scale: events collapse map-side to distinct (user, day); the
+    * 7×/30× coverage fan-outs ride THAT frame (user-days ≪ events);
+    * censuses are map-side-combined day-grid aggs; output is the
+    * calendar grid.
+    */
+  def q403(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = "86400000000000"
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"ts div $dayNs" +
+          s" - (CASE WHEN ts % $dayNs < 0 THEN 1 ELSE 0 END)").as("d"))
+      .distinct()
+      .localCheckpoint(true) // branched: DAU census + two coverage fans
+    def rolling(k: Int, out: String) = ud
+      .select(col("user_id"),
+        explode(sequence(col("d"), col("d") + (k - 1))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as(out))
+    val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    dau
+      .join(rolling(7, "wau"), "day")
+      .join(rolling(30, "mau"), "day")
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        Similarity.intScaled(
+          col("dau").cast("double") / col("mau").cast("double"),
+          1000000L).as("stickiness_e6"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q373_markov_accuracy" -> (q373 _),
     "q375_event_pmi" -> (q375 _),
     "q395_retention_triangle" -> (q395 _),
+    "q403_dau_mau" -> (q403 _),
     "q314_markov_absorption" -> (q314 _),
     "q318_triple_itemsets"   -> (q318 _),
     "q322_sprt_trace"        -> (q322 _),
@@ -1471,6 +1520,26 @@ object Patterns {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same floor days, same coverage fan-outs (sequence(d, d+k-1) ≡
+    // d + range(0, k)), exact distinct censuses, one mirrored
+    // stickiness division.
+    "q403_dau_mau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_ns(ts) // 86400000000000 AS d
+        |  FROM events),
+        |dau AS (SELECT d AS day, COUNT(*) AS dau FROM ud GROUP BY d),
+        |w AS (SELECT DISTINCT user_id, d + i AS day
+        |      FROM ud CROSS JOIN range(0, 7) r(i)),
+        |wau AS (SELECT day, COUNT(*) AS wau FROM w GROUP BY day),
+        |m AS (SELECT DISTINCT user_id, d + i AS day
+        |      FROM ud CROSS JOIN range(0, 30) r(i)),
+        |mau AS (SELECT day, COUNT(*) AS mau FROM m GROUP BY day)
+        |SELECT dau.day, dau.dau, wau.wau, mau.mau,
+        |  CAST(ROUND(CAST(dau.dau AS DOUBLE) / mau.mau * 1000000)
+        |       AS BIGINT) AS stickiness_e6
+        |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        |ORDER BY day""".stripMargin,
     // Same epoch-ns floor weeks, same MIN cohort, same integer
     // censuses, one mirrored share division.
     "q395_retention_triangle" ->

@@ -534,6 +534,96 @@ class Round12Spec extends SparkTestBase {
       "q400 indistinguishable from proportional allocation")
   }
 
+  test("q401 decontam curve: exact hit-census replay; thresholds bind; " +
+    "flagged mass falls monotonically") {
+    val docs = spark.read.parquet(s"$sf1/documents.parquet")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    def grams(ws: Array[String]): Set[String] =
+      if (ws.length < 5) Set.empty
+      else (0 to ws.length - 5).map(i => ws.slice(i, i + 5).mkString(" ")).toSet
+    val evalGrams = docs.filter(_._1 % 7 == 0).flatMap(d => grams(d._2)).toSet
+    val perDoc = docs.filter(_._1 % 7 != 0).map { case (_, ws) =>
+      (ws.length.toLong, grams(ws).count(evalGrams.contains).toLong)
+    }
+    val ndAll = perDoc.length.toLong
+    val tokAll = perDoc.map(_._1).sum
+    val expected = Seq(1L, 2L, 4L, 8L).flatMap { thr =>
+      val fl = perDoc.filter(_._2 >= thr)
+      if (fl.isEmpty) None
+      else {
+        val nf = fl.length.toLong
+        val tf = fl.map(_._1).sum
+        val ds = nf.toDouble / ndAll * 1e6
+        val ts = tf.toDouble / tokAll * 1e6
+        assert(boundaryMargin(ds) > 1e-6 && boundaryMargin(ts) > 1e-6,
+          s"q401 share margin at thr=$thr")
+        Some((thr, nf, tf, halfUp(ds), halfUp(ts)))
+      }
+    }
+    val got = graft.ext.Decontam.queries("q401_decontam_curve")(spark, sf1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(expected.length == 4, "every threshold must flag something here")
+    assert(expected.map(_._2) == expected.map(_._2).sorted.reverse,
+      "flagged docs must fall (weakly) as the threshold rises")
+    assert(expected.head._2 > expected.last._2,
+      "the curve must actually move across thresholds")
+  }
+
+  test("q402 source leakage: candidates roll up to the exact cell census; " +
+    "off-diagonal leakage exists") {
+    // reuse the engine's own q107 candidates as the pair set (they are
+    // oracle-certified), and verify ONLY the source roll-up here
+    val cand = graft.ext.Dedup.queries("q107_minhash_portable")(spark, sf1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val src = spark.read.parquet(s"$sf1/documents.parquet")
+      .select($"doc_id", $"source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = cand.map { case (a, b, sb) =>
+      val (s1, s2) = (src(a), src(b))
+      ((if (s1 <= s2) s1 else s2, if (s1 <= s2) s2 else s1), sb)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case ((sa, sb), g) =>
+      val n = g.length.toLong
+      val bands = g.map(_._2).sum
+      val mean = bands.toDouble / n * 1e4
+      assert(boundaryMargin(mean) > 1e-6 || boundaryMargin(mean) == 0.0,
+        s"q402 mean margin at ($sa,$sb)")
+      (sa, sb, n, bands, halfUp(mean))
+    }
+    val got = graft.ext.Dedup.queries("q402_source_leakage")(spark, sf1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.exists(c => c._1 != c._2), "no off-diagonal leakage cell")
+  }
+
+  test("q403 DAU/WAU/MAU: exact coverage replay; windows nest; stickiness binds") {
+    val ud = graft.Tables.events(spark, sf1)
+      .select($"user_id", $"ts").collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400000000000L)))
+      .distinct
+    val dau = ud.groupBy(_._2).map { case (d, g) => d -> g.length.toLong }
+    def roll(k: Int) = ud.flatMap { case (u, d) =>
+      (0 until k).map(i => (u, d + i))
+    }.distinct.groupBy(_._2).map { case (d, g) => d -> g.length.toLong }
+    val (wau, mau) = (roll(7), roll(30))
+    val expected = dau.toSeq.sortBy(_._1).map { case (d, a) =>
+      val s = a.toDouble / mau(d) * 1e6
+      assert(boundaryMargin(s) > 1e-6 || boundaryMargin(s) == 0.0,
+        s"q403 stickiness margin at day $d")
+      (d, a, wau(d), mau(d), halfUp(s))
+    }
+    val got = graft.ext.Patterns.queries("q403_dau_mau")(spark, sf1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.forall(r => r._2 <= r._3 && r._3 <= r._4),
+      "DAU <= WAU <= MAU must hold on every day")
+    assert(got.exists(_._5 < 1000000L), "stickiness never binds below 1.0")
+  }
+
   test("q391 Benford: digit census replay; chi2 margins hold; digits complete") {
     val xs = spark.read.parquet(s"$sf1/orders.parquet")
       .select($"o_totalprice").collect()
