@@ -766,6 +766,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(stale.isEmpty, s"stale window exemptions: ${stale.mkString(", ")}")
   }
 
+  test("q384 TPC-H Q8: the deepest join tree broadcasts its dims and pushes " +
+    "the part-type filter to the scan") {
+    val p = finalPlan("q384_tpch_q8")
+    assert(p.contains("PushedFilters") && p.contains("p_type"),
+      s"part-type filter not pushed:\n${p.take(3000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"nation/region/supplier dims should broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q390 median/MAD: both stat frames are limit(1)-bounded broadcasts, " +
+    "no dimension-global window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("q390_median_mad")(spark, sf)
+      .queryExecution.sparkPlan
+    val bad = sp.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.filterNot(w => w.child.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.exists(_.groupingExpressions.exists(
+      _.references.exists(_.name.startsWith("__tp_b")))))
+    assert(bad.isEmpty,
+      s"q390 regressed to a dimension-global window:\n${bad.mkString}")
+    assert(sp.toString.contains("GlobalLimit") ||
+      sp.collectFirst {
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l }.isDefined,
+      s"median/MAD stat frames lost their limit(1) bound:\n${sp.toString.take(2000)}")
+  }
+
   test("q354 hubness probe frame is constant-bounded (vec_id < 200 " +
     "reaches the broadcast side)") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
