@@ -377,6 +377,9 @@ object DevScaleAudit {
       "doc_decontam_curve" -> (dir => SparkEntry.queries("q401_decontam_curve")(spark, dir)),
       "doc_leakage_matrix" -> (dir => SparkEntry.queries("q402_source_leakage")(spark, dir)),
       "ev_dau_mau" -> (dir => SparkEntry.queries("q403_dau_mau")(spark, dir)),
+      // r12 closing pair — the half-split TwoPhase decile ranks under
+      // users ×10 (q405 is a map-side 24×types grid, no row).
+      "ev_persistence" -> (dir => SparkEntry.queries("q404_top_decile_persistence")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

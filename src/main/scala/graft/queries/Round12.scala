@@ -475,6 +475,101 @@ object Round12 {
       .orderBy("event_type")
   }
 
+  /** q404 — top-decile persistence: are the heaviest users the SAME
+    * users over time? Split the event span at its integer midpoint
+    * day, rank users by activity within each half via
+    * [[graft.ops.TwoPhase.rankMulti]], flag each half's top decile
+    * (rn·10 ≤ n — exact cross-multiplication), and census the
+    * overlap — q388 says traffic IS concentrated; this says whether
+    * the concentration is a stable cohort (retention problem solved)
+    * or churning whales (q352's rank-biased overlap asks this of
+    * brand LEADERBOARDS; here it's the user base, with a set census
+    * instead of a rank-weighted score).
+    *
+    * Exactness: the midpoint is an exact integer day off broadcast
+    * min/max; per-half counts and decile flags are exact; Jaccard and
+    * persistence are one mirrored division each, e6.
+    *
+    * Scale: events collapse map-side to (user, half) counts; both
+    * decile ranks ride TwoPhase partitioned by half (no single-task
+    * sort); the overlap census is a user-keyed self-agg; one-row
+    * output.
+    */
+  def q404(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = "86400000000000"
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"ts div $dayNs" +
+          s" - (CASE WHEN ts % $dayNs < 0 THEN 1 ELSE 0 END)").as("d"))
+    val span = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val halves = ev.withGlobalStats(span)
+      .select(col("user_id"),
+        when(col("d") * 2 <= col("d0") + col("d1"), lit(0L)).otherwise(lit(1L))
+          .as("half"))
+      .groupBy(col("user_id"), col("half"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = graft.ops.TwoPhase.rankCum(halves, Seq("half"), "cnt",
+      "user_id", asc = false, rn = Some("rn"), n = Some("n"))
+    val flags = ranked
+      .select(col("user_id"), col("half"),
+        (col("rn") * 10 <= col("n")).cast("long").as("top"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("half") === 0L, col("top")).otherwise(0L)).as("t0"),
+        max(when(col("half") === 1L, col("top")).otherwise(0L)).as("t1"))
+    flags.agg(
+      sum(when(col("t0") === 1L && col("t1") === 1L, 1L).otherwise(0L))
+        .as("n_both"),
+      sum(when(col("t0") === 1L && col("t1") === 0L, 1L).otherwise(0L))
+        .as("n_first_only"),
+      sum(when(col("t0") === 0L && col("t1") === 1L, 1L).otherwise(0L))
+        .as("n_second_only"))
+      .select(col("n_both"), col("n_first_only"), col("n_second_only"),
+        intScaled(col("n_both").cast("double") /
+          (col("n_both") + col("n_first_only") + col("n_second_only"))
+            .cast("double"), 1000000L).as("jaccard_e6"),
+        intScaled(col("n_both").cast("double") /
+          (col("n_both") + col("n_first_only")).cast("double"), 1000000L)
+          .as("persistence_e6"))
+  }
+
+  /** q405 — hour-of-day activity profile per event type: the 24-cell
+    * UTC-hour census with within-type shares and the exact-argmax peak
+    * hour — the diurnal fingerprint (organic traffic has one; a
+    * scheduler or bot swarm is flat or single-spiked; q398's
+    * burstiness reads gap DISPERSION, this reads WHERE in the day the
+    * mass sits).
+    *
+    * Exactness: the hour is an exact epoch floor (ts div 3600e9 mod
+    * 24 — UTC by the engine's pinned session timezone and the
+    * oracle's epoch arithmetic alike); censuses exact; the share is
+    * one mirrored division e6; the peak flag is the exact integer
+    * argmax with the (n DESC ⇒ max-compare, hour ASC ⇒ min-hour-
+    * among-maxima) tie convention spelled identically in both
+    * engines.
+    *
+    * Scale: one map-side (type, hour) collapse to ≤ types×24 cells;
+    * every window below rides that constant grid.
+    */
+  def q405(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("(ts div 3600000000000) % 24").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val wType = Window.partitionBy("event_type")
+    cells
+      .withColumn("tot", sum(col("n")).over(wType))
+      .withColumn("mx", max(col("n")).over(wType))
+      .withColumn("peak_hour",
+        min(when(col("n") === col("mx"), col("hour"))).over(wType))
+      .select(col("event_type"), col("hour"), col("n"),
+        intScaled(col("n").cast("double") / col("tot").cast("double"),
+          1000000L).as("share_e6"),
+        (col("hour") === col("peak_hour")).cast("long").as("is_peak"))
+      .orderBy("event_type", "hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q384_tpch_q8" -> (q384 _),
     "q385_tpch_q13" -> (q385 _),
@@ -487,6 +582,8 @@ object Round12 {
     "q393_kmv_distinct" -> (q393 _),
     "q397_tpch_q15" -> (q397 _),
     "q398_event_burstiness" -> (q398 _),
+    "q404_top_decile_persistence" -> (q404 _),
+    "q405_hourly_profile" -> (q405 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -735,5 +832,66 @@ object Round12 {
         |               * 1000000) AS BIGINT)
         |  END AS burstiness_e6
         |FROM m ORDER BY event_type""".stripMargin,
+    // Same integer midpoint split, same (cnt DESC, user_id) decile
+    // ranks, same cross-multiplied flags and mirrored set ratios.
+    "q404_top_decile_persistence" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d
+        |  FROM events),
+        |sp AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM e),
+        |h AS (
+        |  SELECT user_id,
+        |         CASE WHEN d * 2 <= d0 + d1 THEN 0 ELSE 1 END AS half,
+        |         COUNT(*) AS cnt
+        |  FROM e CROSS JOIN sp GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, half, cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY half
+        |                            ORDER BY cnt DESC, user_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY half) AS n
+        |  FROM h),
+        |f AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN half = 0 AND rn * 10 <= n THEN 1 ELSE 0 END) AS t0,
+        |    MAX(CASE WHEN half = 1 AND rn * 10 <= n THEN 1 ELSE 0 END) AS t1
+        |  FROM r GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN t0 = 1 AND t1 = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_both,
+        |    CAST(SUM(CASE WHEN t0 = 1 AND t1 = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_first_only,
+        |    CAST(SUM(CASE WHEN t0 = 0 AND t1 = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_second_only
+        |  FROM f)
+        |SELECT n_both, n_first_only, n_second_only,
+        |  CAST(ROUND(CAST(n_both AS DOUBLE) /
+        |             (n_both + n_first_only + n_second_only) * 1000000)
+        |       AS BIGINT) AS jaccard_e6,
+        |  CAST(ROUND(CAST(n_both AS DOUBLE) / (n_both + n_first_only)
+        |             * 1000000) AS BIGINT) AS persistence_e6
+        |FROM c""".stripMargin,
+    // Same epoch hour, same grid windows, same min-hour-among-maxima
+    // peak convention.
+    "q405_hourly_profile" ->
+      """WITH c AS (
+        |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, hour, n,
+        |         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+        |         MAX(n) OVER (PARTITION BY event_type) AS mx
+        |  FROM c),
+        |p AS (
+        |  SELECT event_type, MIN(hour) AS peak_hour
+        |  FROM g WHERE n = mx GROUP BY event_type)
+        |SELECT g.event_type, g.hour, g.n,
+        |  CAST(ROUND(CAST(g.n AS DOUBLE) / g.tot * 1000000) AS BIGINT)
+        |    AS share_e6,
+        |  CAST(CASE WHEN g.hour = p.peak_hour THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_peak
+        |FROM g JOIN p USING (event_type)
+        |ORDER BY g.event_type, g.hour""".stripMargin,
   )
 }

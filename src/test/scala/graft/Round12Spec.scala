@@ -624,6 +624,65 @@ class Round12Spec extends SparkTestBase {
     assert(got.exists(_._5 < 1000000L), "stickiness never binds below 1.0")
   }
 
+  test("q404 top-decile persistence: exact split+rank replay; churn binds") {
+    val ev = graft.Tables.events(spark, sf1)
+      .select($"user_id", $"ts").collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400000000000L)))
+    val (d0, d1) = (ev.map(_._2).min, ev.map(_._2).max)
+    val halves = ev.map { case (u, d) =>
+      ((u, if (d * 2 <= d0 + d1) 0L else 1L), 1L)
+    }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    def topSet(h: Long): Set[Long] = {
+      val hs = halves.filter(_._1._2 == h).toSeq
+        .map { case ((u, _), c) => (u, c) }
+      val n = hs.size.toLong
+      hs.sortBy(t => (-t._2, t._1)).zipWithIndex
+        .filter { case (_, i) => (i + 1) * 10 <= n }
+        .map(_._1._1).toSet
+    }
+    val (t0, t1) = (topSet(0L), topSet(1L))
+    val both = (t0 & t1).size.toLong
+    val fo = (t0 -- t1).size.toLong
+    val so = (t1 -- t0).size.toLong
+    val j = both.toDouble / (both + fo + so) * 1e6
+    val p = both.toDouble / (both + fo) * 1e6
+    assert(boundaryMargin(j) > 1e-6 && boundaryMargin(p) > 1e-6)
+    val got = graft.queries.Round12.q404(spark, sf1).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) === (both, fo, so, halfUp(j), halfUp(p)))
+    // sf0.001's ~30 users hold a stable 3-user decile (no churn there);
+    // the binding proof runs at sf0.01 where whales genuinely churn
+    val g01 = graft.queries.Round12.q404(spark, "/root/testdata/sf0.01")
+      .collect()(0)
+    assert(g01.getLong(1) > 0 && g01.getLong(2) > 0,
+      "q404 vacuous at sf0.01 — the top decile never churns")
+  }
+
+  test("q405 hourly profile: exact grid replay; 120 cells; one peak per type") {
+    val cells = graft.Tables.events(spark, sf1)
+      .select($"event_type", $"ts").collect()
+      .map(r => (r.getString(0),
+        Math.floorDiv(r.getLong(1), 3600000000000L) % 24))
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val expected = cells.groupBy(_._1._1).toSeq.sortBy(_._1).flatMap {
+      case (t, g) =>
+        val tot = g.values.sum
+        val mx = g.values.max
+        val peak = g.filter(_._2 == mx).keys.map(_._2).min
+        g.toSeq.sortBy(_._1._2).map { case ((_, h), n) =>
+          val s = n.toDouble / tot * 1e6
+          assert(boundaryMargin(s) > 1e-6, s"q405 share margin at ($t,$h)")
+          (t, h, n, halfUp(s), if (h == peak) 1L else 0L)
+        }
+    }
+    val got = graft.queries.Round12.q405(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.length == 120 && got.count(_._5 == 1L) == 5,
+      "24 hours x 5 types, exactly one peak each")
+  }
+
   test("q391 Benford: digit census replay; chi2 margins hold; digits complete") {
     val xs = spark.read.parquet(s"$sf1/orders.parquet")
       .select($"o_totalprice").collect()
