@@ -19,7 +19,7 @@ object DevWindowAudit {
           case w: WindowExec if w.partitionSpec.isEmpty =>
             val census = w.child.collectFirst {
               case a: BaseAggregateExec if a.groupingExpressions.exists(
-                _.references.exists(_.name == "__tp_bucket")) => a
+                _.references.exists(_.name.startsWith("__tp_b"))) => a
             }.isDefined
             if (census) None else Some(w)
         }.flatten

@@ -27,6 +27,17 @@ object Tables {
     * `epoch_us(CAST(ts AS TIMESTAMP))`) is unchanged. `unix_micros` is
     * exact integer math; ×1000 cannot overflow until year ~2262.
     */
+  /** Events with `ts` normalized to epoch-nanosecond Long.
+    *
+    * Sign contract: `ts` MAY be negative (pre-1970) in principle; any
+    * query that floors `ts` into a coarser grain must spell the
+    * negative-remainder correction (`x div u - (x % u < 0 ? 1 : 0)`)
+    * so Spark's truncating `div` matches DuckDB's flooring `//` for
+    * ALL inputs — the q375/q395/q398/q403/q404/q405 discipline.
+    * Pre-round-12 spellings (e.g. q350's µs cast) predate this rule
+    * and are safe only under the fixtures' post-1970 timestamps; new
+    * queries must use the floored spelling.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

@@ -41,9 +41,15 @@ import org.apache.spark.sql.functions._
   * Skew note: bucket population is data-dependent (log-uniform money
   * values spread across ~50+ buckets; adversarially constant columns
   * collapse to one bucket — exactly the tie case where ANY engine must
-  * fall back to the tie-break sort). Negative values all share one
-  * bucket (-1): monotone and correct, but only the nonnegative domain
-  * (cents, counts — every current caller) gets the full spread.
+  * fall back to the tie-break sort). Negative values get the SAME log₂
+  * spread via the sign mirror `v < 0 → −hdrBucket(−v) − 1` (still
+  * monotone: mirrored buckets land in [−512, −1], below every
+  * nonnegative bucket, and reverse order exactly as the values do;
+  * `Long.MinValue`, whose negation overflows, is pinned to −520 —
+  * strictly below every mirrored bucket, as the value is below every
+  * other long). Ranks/sums are bucket-split-invariant, so this changes
+  * no caller's RESULT — it changes the signed-domain census from one
+  * degenerate all-rows bucket to ≤ ~1030 spread buckets.
   */
 object TwoPhase {
 
@@ -52,14 +58,20 @@ object TwoPhase {
   /** HDR log₂ bucket id, monotone nondecreasing in `v` (long). For
     * v ≥ 8: `8·e + (v >> (e−3)) − 8` with e = bit length − 1 (q378's
     * sketch bucketing, reused verbatim); v in [0, 8): identity;
-    * v < 0: −1 (single bucket — see class doc).
+    * v < 0: sign-mirrored `−bucket(−v) − 1` (see class doc), with
+    * `Long.MinValue` pinned below every mirrored bucket.
     */
   def hdrBucket(v: Column): Column = {
     val x = v.cast("long")
+    when(x >= 0L, posBucket(x))
+      .when(x === Long.MinValue, lit(-520L))
+      .otherwise(-posBucket(-x) - 1L)
+  }
+
+  /** The nonnegative-domain bucket body (callers guarantee x ≥ 0). */
+  private def posBucket(x: Column): Column = {
     val e = (length(bin(x)) - 1).cast("long")
-    when(x < 0L, lit(-1L))
-      .when(x < 8L, x)
-      .otherwise(e * 8 + shiftRightDyn(x, e - 3) - 8L)
+    when(x < 8L, x).otherwise(e * 8 + shiftRightDyn(x, e - 3) - 8L)
   }
 
   /** `shiftright` with a COLUMN shift amount (the Scala functions API
@@ -149,9 +161,15 @@ object TwoPhase {
       n: Option[String] = None,
       tot: Option[String] = None): DataFrame = {
     val pc = part.map(col)
+    val needSum = cum.isDefined || tot.isDefined
     val bucketed = df.withColumn(B, hdrBucket(col(v))).localCheckpoint(true)
+    // Sum columns only when a caller asked for cum/tot: rank-only
+    // callers skip the census sum entirely (and a rank over a domain
+    // whose TOTAL would overflow long — e.g. extreme signed values —
+    // stays well-defined under ANSI arithmetic).
     val census = bucketed.groupBy((pc :+ col(B)): _*)
-      .agg(count(lit(1)).as("__tp_n"), sum(col(v)).as("__tp_s"))
+      .agg(count(lit(1)).as("__tp_n"),
+        (if (needSum) Seq(sum(col(v)).as("__tp_s")) else Nil): _*)
     val bOrd = if (asc) col(B).asc else col(B).desc
     // both windows ride the ≤ ~520-row census — the value-collapsed
     // window shape (PlanAuditSpec's exempt category by construction)
@@ -159,12 +177,14 @@ object TwoPhase {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(pc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val off = census
+    var off = census
       .withColumn("__tp_off_n", coalesce(sum(col("__tp_n")).over(wOff), lit(0L)))
-      .withColumn("__tp_off_s", coalesce(sum(col("__tp_s")).over(wOff), lit(0L)))
       .withColumn("__tp_all_n", sum(col("__tp_n")).over(wAll))
+    if (needSum) off = off
+      .withColumn("__tp_off_s", coalesce(sum(col("__tp_s")).over(wOff), lit(0L)))
       .withColumn("__tp_all_s", sum(col("__tp_s")).over(wAll))
-      .drop("__tp_n", "__tp_s")
+      .drop("__tp_s")
+    off = off.drop("__tp_n")
     val vOrd = if (asc) col(v).asc else col(v).desc
     val wIn = Window.partitionBy((pc :+ col(B)): _*).orderBy(vOrd, col(tie).asc)
     val wInCum = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)

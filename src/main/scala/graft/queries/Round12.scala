@@ -440,7 +440,11 @@ object Round12 {
     * session-driven, a periodic one is a scheduler.
     *
     * Exactness: gaps are exact epoch-µs integers off the user×type
-    * lag; moments are exact long/decimal(38); B reduces to
+    * lag (the µs floor carries the explicit negative-remainder
+    * correction so Spark's truncating `div` equals DuckDB's flooring
+    * `//` for ALL inputs, not just the post-1970 fixtures — the
+    * q375/q395/q403 day-bucket discipline applied to µs);
+    * moments are exact long/decimal(38); B reduces to
     * (√(nQ−S²) − S)/(√(nQ−S²) + S) — ONE shared √ of an exact integer
     * and one mirrored division, e6-gridded; the mean gap is one
     * mirrored division (decimal(38) headroom: gaps ≤ 2.6e12 µs,
@@ -456,7 +460,8 @@ object Round12 {
       .orderBy(col("us"), col("event_id"))
     val gaps = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("us"))
+        expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")
+          .as("us"))
       .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
       .filter(col("gap").isNotNull)
     val disc = sqrt((col("n_gaps").cast(d38) * col("qv") -
@@ -539,9 +544,12 @@ object Round12 {
     * burstiness reads gap DISPERSION, this reads WHERE in the day the
     * mass sits).
     *
-    * Exactness: the hour is an exact epoch floor (ts div 3600e9 mod
-    * 24 — UTC by the engine's pinned session timezone and the
-    * oracle's epoch arithmetic alike); censuses exact; the share is
+    * Exactness: the hour is an exact epoch floor — the hour index
+    * carries the negative-remainder correction (Spark `div` truncates,
+    * DuckDB `//` floors) and the `% 24` is sign-normalized
+    * `((h % 24) + 24) % 24` in BOTH engines (each engine's `%` follows
+    * the dividend sign), so the cell is identical by construction for
+    * ALL inputs incl. pre-1970 timestamps; censuses exact; the share is
     * one mirrored division e6; the peak flag is the exact integer
     * argmax with the (n DESC ⇒ max-compare, hour ASC ⇒ min-hour-
     * among-maxima) tie convention spelled identically in both
@@ -554,7 +562,9 @@ object Round12 {
     import org.apache.spark.sql.expressions.Window
     val cells = Tables.events(s, dir)
       .select(col("event_type"),
-        expr("(ts div 3600000000000) % 24").as("hour"))
+        expr("((((ts div 3600000000000" +
+          " - (CASE WHEN ts % 3600000000000 < 0 THEN 1 ELSE 0 END))" +
+          " % 24) + 24) % 24)").as("hour"))
       .groupBy(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("n"))
     val wType = Window.partitionBy("event_type")
@@ -875,7 +885,8 @@ object Round12 {
     // peak convention.
     "q405_hourly_profile" ->
       """WITH c AS (
-        |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |  SELECT event_type,
+        |         ((epoch_ns(ts) // 3600000000000) % 24 + 24) % 24 AS hour,
         |         COUNT(*) AS n
         |  FROM events GROUP BY 1, 2),
         |g AS (
