@@ -380,6 +380,10 @@ object DevScaleAudit {
       // r12 closing pair — the half-split TwoPhase decile ranks under
       // users ×10 (q405 is a map-side 24×types grid, no row).
       "ev_persistence" -> (dir => SparkEntry.queries("q404_top_decile_persistence")(spark, dir)),
+      // r13 — the HLL register-merge swap for ev_dau_mau: the rolling
+      // fan rides ≤256-row/day register files, so only the map-side ud
+      // collapse (and the kept-for-error exact side) should scale.
+      "ev_dau_mau_hll" -> (dir => SparkEntry.queries("q406_dau_mau_hll")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)
