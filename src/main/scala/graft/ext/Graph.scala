@@ -203,7 +203,12 @@ object Graph {
     val zw = sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= degCap)
       .select(col("z"), (lit(1.0) / log(col("deg"))).as("w"))
-    val wz = sym.join(zw, "z")
+    // Checkpoint the capped adjacency ONCE: the wedge self-join below
+    // consumes it on BOTH sides, and without the cut each side re-runs
+    // the sym union, the degree agg, and the cap join (two full
+    // exchange chains for one frame — r13 q153 re-pin: 4.9 → ~3.4 s at
+    // sf0.1). Edge-sized, same footprint the join needs in flight.
+    val wz = sym.join(zw, "z").localCheckpoint(true)
     val cand = wz.select(col("z"), col("n").as("x"), col("w"))
       .join(wz.select(col("z"), col("n").as("y")), "z")
       .filter(col("x") < col("y"))
