@@ -612,6 +612,68 @@ class StreamingSpec extends SparkTestBase {
       s"stream-stream join state not recovered across the kill: $rows")
   }
 
+  test("streaming ingest dedup: cross-store + within-batch drops, and a " +
+    "crash-replayed batch recomputes the SAME keep set with no duplicates") {
+    // The production crawl loop (r12 verdict item 6): q122's bipartite
+    // band join as a foreachBatch stage over a growing signature store.
+    // The crash fires AFTER both writes of batch 1 — the replay then
+    // (a) must overwrite its own batch_id=1 dirs, not append, and
+    // (b) must NOT see its own landed signatures as reference (else
+    // doc 5 would collide with itself and vanish from the keeps — the
+    // batch_id < current pin is what this asserts).
+    val base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val other = "completely different words describing structured streaming state stores"
+    val third = "yet another unrelated document about parquet layout and shuffles"
+    val input = MemoryStream[(Long, String)](spark)
+    val df = input.toDF().toDF("doc_id", "text")
+    val sigDir = java.nio.file.Files.createTempDirectory("graft_ing_sig").toString
+    val keepDir = java.nio.file.Files.createTempDirectory("graft_ing_keep").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ing_ckpt").toString
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val batch1Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    def start() =
+      df.writeStream // the dedupIngestStream body + injected crash
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          EventStream.dedupIngestBatch(b, id, sigDir, keepDir)
+          if (id == 1L) {
+            batch1Runs.incrementAndGet()
+            if (failOnce.getAndSet(false))
+              throw new RuntimeException(
+                "injected crash: both writes done, commit never recorded")
+          }
+        }
+        .start()
+    // batch 0: doc 2 is an exact dup of 1 (within-batch drop, min-id
+    // wins); doc 3 distinct.
+    val q1 = start()
+    input.addData((1L, base), (2L, base), (3L, other))
+    q1.processAllAvailable()
+    // batch 1: doc 4 duplicates the STORE's doc 1 (cross-batch drop);
+    // doc 5 distinct (kept); doc 6 too short to shingle (kept, no sig).
+    input.addData((4L, base), (5L, third), (6L, "tiny doc"))
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    q1.stop()
+    assert(new java.io.File(s"$keepDir/batch_id=1").exists(),
+      "fault injection must fire after the writes")
+
+    val q2 = start() // same checkpoint: batch 1 replays with the same id
+    try q2.processAllAvailable() finally q2.stop()
+
+    assert(batch1Runs.get() == 2, s"batch 1 not retried (${batch1Runs.get()})")
+    val keeps = spark.read.parquet(keepDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(keeps.size == keeps.toSet.size,
+      s"replay duplicated kept docs: ${keeps.sorted}")
+    assert(keeps.toSet === Set(1L, 3L, 5L, 6L),
+      s"keep set wrong: ${keeps.sorted}")
+    val sigs = spark.read.parquet(sigDir).select("__id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sigs.size == sigs.toSet.size && sigs.toSet === Set(1L, 3L, 5L),
+      s"signature store wrong (shingle-less doc 6 must land no sig): ${sigs.sorted}")
+  }
+
   test("exactly-once sink: a batch that crashes AFTER its write is " +
     "replayed with the same batchId and leaves no duplicate rows") {
     // The last unproven streaming leg (r10 verdict item 4): foreachBatch
