@@ -28,21 +28,34 @@ import org.apache.spark.sql.functions._
   */
 object DevScaleAudit {
 
-  private val perms = Seq(
+  private val perms10 = Seq(
     "etaoin", "taoine", "aoinet", "oineta", "inetao", "netaoi",
     "eatoni", "tenaio", "antoie", "otanei")
 
-  private def synth(s: SparkSession, base: String, out: String): Unit = {
+  /** n distinct bijective 'etaoin' substitutions — the hand list for
+    * the historical 10× tier (keeps dev/sf10x bit-stable on disk);
+    * lexicographic permutations beyond it (6! = 720 available, so the
+    * 100× tier's replicas stay pairwise token-disjoint — two replicas
+    * sharing a permutation would plant N cross-replica exact dups and
+    * turn every near-dup audit quadratic).
+    */
+  private def perms(n: Int): Seq[String] =
+    if (n <= 10) perms10.take(n)
+    else (perms10 ++ "etaoin".permutations.filterNot(perms10.contains))
+      .take(n).toSeq
+
+  private def synth(s: SparkSession, base: String, out: String, n: Int): Unit = {
     val docsOut = Paths.get(out, "documents.parquet")
     val liOut = Paths.get(out, "lineitem.parquet")
     val evOut = Paths.get(out, "events.parquet")
     if (!(Files.exists(docsOut) && Files.exists(liOut))) {
       Files.createDirectories(Paths.get(out))
       val docs = Tables.table(s, base, "documents")
-      val docs10 = (0 until 10).map { i =>
+      val ps = perms(n)
+      val docs10 = (0 until n).map { i =>
         docs.select(
           (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
-          translate(col("text"), "etaoin", perms(i)).as("text"),
+          translate(col("text"), "etaoin", ps(i)).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionAll _)
       docs10.repartition(32).write.mode("overwrite").parquet(docsOut.toString)
@@ -51,7 +64,7 @@ object DevScaleAudit {
       val li = Tables.table(s, base, "lineitem")
         .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_shipdate", "l_returnflag")
-      val li10 = (0 until 10).map { i =>
+      val li10 = (0 until n).map { i =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
           .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 10000000L))
       }.reduce(_ unionAll _)
@@ -68,7 +81,7 @@ object DevScaleAudit {
       // Written via the raw file (not Tables.events) so the synthetic
       // file keeps the CURRENT driver schema for ts verbatim.
       val ev = s.read.parquet(s"$base/events.parquet")
-      val ev10 = (0 until 10).map { i =>
+      val ev10 = (0 until n).map { i =>
         ev.withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
           .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
       }.reduce(_ unionAll _)
@@ -82,7 +95,7 @@ object DevScaleAudit {
       // the hot-group growth direction.
       val pt = s.read.parquet(s"$base/part.parquet")
         .select("p_partkey", "p_brand")
-      val pt10 = (0 until 10).map { i =>
+      val pt10 = (0 until n).map { i =>
         pt.withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 10000000L))
       }.reduce(_ unionAll _)
       pt10.repartition(8).write.mode("overwrite").parquet(partOut.toString)
@@ -96,9 +109,15 @@ object DevScaleAudit {
       // directions distinct across replicas — vector count ×10 with
       // the same per-label geometry).
       val emb = s.read.parquet(s"$base/embeddings.parquet")
-      val emb10 = (0 until 10).map { i =>
+      // k%4 reads 4 bits of i (distinct patterns for the 10× tier,
+      // preserved bit-stable); n > 10 reads 7 bits so patterns stay
+      // distinct through i < 128 — two replicas sharing a pattern
+      // would plant cross-replica duplicate DIRECTIONS and corrupt
+      // every nearest-neighbor audit.
+      val signBits = if (n <= 10) 4 else 7
+      val emb10 = (0 until n).map { i =>
         val signs = array((0 until 64).map { k =>
-          lit(if (((i >> (k % 4)) & 1) == 1) -1.0f else 1.0f)
+          lit(if (((i >> (k % signBits)) & 1) == 1) -1.0f else 1.0f)
         }: _*)
         emb.select(
           (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
@@ -118,14 +137,14 @@ object DevScaleAudit {
       val ord = s.read.parquet(s"$base/orders.parquet")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
           "o_orderpriority", "o_orderstatus")
-      val ord10 = (0 until 10).map { i =>
+      val ord10 = (0 until n).map { i =>
         ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
           .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 10000000L))
       }.reduce(_ unionAll _)
       ord10.repartition(16).write.mode("overwrite").parquet(ordOut.toString)
       val cust = s.read.parquet(s"$base/customer.parquet")
         .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
-      val cust10 = (0 until 10).map { i =>
+      val cust10 = (0 until n).map { i =>
         cust.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * 10000000L))
       }.reduce(_ unionAll _)
       cust10.repartition(8).write.mode("overwrite").parquet(custOut.toString)
@@ -147,8 +166,12 @@ object DevScaleAudit {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "dev/sf10x"
     val runs = sys.env.getOrElse("GRAFT_AUDIT_RUNS", "2").toInt
+    // optional 4th arg: replica factor (default 10; the r12-verdict
+    // 100× tier runs `… dev/sf100x <subset> 100` with
+    // SPARK_DRIVER_MEM=64g — ~60M-row lineitem in the 128 GiB sandbox)
+    val factor = if (args.length > 3) args(3).toInt else 10
     val spark = Engine.session(cores = "32", appName = "graft-scale-audit")
-    synth(spark, base, out)
+    synth(spark, base, out, factor)
 
     def docsOf(dir: String) =
       Tables.table(spark, dir, "documents").select("doc_id", "text")
@@ -384,6 +407,22 @@ object DevScaleAudit {
       // fan rides ≤256-row/day register files, so only the map-side ud
       // collapse (and the kept-for-error exact side) should scale.
       "ev_dau_mau_hll" -> (dir => SparkEntry.queries("q406_dau_mau_hll")(spark, dir)),
+      // r13 — the overlap I-E sibling: register merges are census-
+      // sized; the kept-for-error exact side is the (day, user) pair
+      // self-join, the data-sized stage this row watches.
+      "ev_overlap_hll" -> (dir => SparkEntry.queries("q407_audience_overlap_hll")(spark, dir)),
+      // r13 — rows the 100×-tier brief names that had no entry yet:
+      // the remaining TwoPhase adopter (q287), the two gram shuffles
+      // not already covered by dup_ngram_frac (q158 novelty, q300
+      // scorecard), the events Apriori (user-day baskets ×N into
+      // fixed |types|³), and link prediction (endpoint-bounded — the
+      // probe discipline should hold its volume CONSTANT across
+      // tiers; this row measures exactly that).
+      "li_abc_class" -> (dir => SparkEntry.queries("q287_abc_class")(spark, dir)),
+      "txt_gram_novelty" -> (dir => SparkEntry.queries("q158_gram_novelty")(spark, dir)),
+      "doc_scorecard" -> (dir => SparkEntry.queries("q300_health_scorecard")(spark, dir)),
+      "ev_triple_itemsets" -> (dir => SparkEntry.queries("q318_triple_itemsets")(spark, dir)),
+      "graph_link_predict" -> (dir => SparkEntry.queries("q153_link_predict")(spark, dir)),
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)
@@ -393,10 +432,10 @@ object DevScaleAudit {
     }
     val rows = picked.map { case (name, fn) =>
       val t1 = time(s"$name@1x", runs)(fn(base))
-      val t10 = time(s"$name@10x", runs)(fn(out))
-      (name, t1, t10, t10 / t1)
+      val tN = time(s"$name@${factor}x", runs)(fn(out))
+      (name, t1, tN, tN / t1)
     }
-    println("| operator | 1× (s) | 10× (s) | ratio |")
+    println(s"| operator | 1× (s) | ${factor}× (s) | ratio |")
     println("|---|---|---|---|")
     rows.foreach { case (n, a, b, r) =>
       println(f"| $n | $a%.2f | $b%.2f | $r%.1f× |")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.Similarity.intScaled
-import graft.ops.Sketches
+import graft.ops.{GlobalStats, Sketches}
 
 /** Round-13 batch: the sketch-path rollups that replace the registry's
   * biggest event-family shuffles at the 100 TB design point, reported
@@ -97,13 +97,181 @@ object Round13 {
       .orderBy("day")
   }
 
+  /** q407 — daily cross-type audience overlap via HLL inclusion–
+    * exclusion, beside exact: per (day, type-pair), the exact audience
+    * sizes and intersection, and the sketch path — per-(type, day)
+    * portable register files (the SAME store q406 would persist),
+    * MAX-merged per pair for the union estimate, with
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) in PURE INTEGER e2 arithmetic.
+    * This certifies sketch COMPOSITIONALITY: one register store
+    * answers DAU (q406) and audience overlap (here) without touching
+    * users again. q279 reads the lifetime type-pair Jaccard (exact);
+    * the day grain is what BINDS on this stream (fixture-probed:
+    * lifetime audiences are all = the full population; daily pairwise
+    * Jaccard spans 0.11–0.31).
+    *
+    * Exactness: registers exact integers; per-frame estimates are the
+    * q25/q97 mirrored chain; the union file is the MAX-merge of the
+    * two type files (commutes with building from the unioned user
+    * set — the q406 spec-proved property; the oracle builds it from
+    * raw pair user-days, the opposite order); the intersection
+    * estimate is integer subtraction of three e2 BIGINTs; the error
+    * cell is one mirrored double chain, emitted only when the exact
+    * intersection is nonzero.
+    *
+    * Scale: ONE distinct collapse to (type, day, user); register files
+    * are ≤ types·days·256 rows; pair grids, union merges, and
+    * estimates all ride that census (types² · days · 256). The exact
+    * side (kept to MEASURE the error) is the (day, user)-keyed pair
+    * self-join — the piece a production run drops.
+    */
+  def q407(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = "86400000000000"
+    val udt = Tables.events(s, dir)
+      .select(col("event_type").as("t"),
+        expr(s"ts div $dayNs" +
+          s" - (CASE WHEN ts % $dayNs < 0 THEN 1 ELSE 0 END)").as("d"),
+        col("user_id"))
+      .distinct()
+      .localCheckpoint(true) // branched: registers + exact censuses + pairs
+    val regs = Sketches.hllPortableRegisters(udt, Seq("t", "d"), col("user_id"))
+      .localCheckpoint(true) // branched: per-type estimates + pair merges
+    // (day, ta, tb) grid of types active that day — an equi-join on d
+    // between two per-day type lists (≤ types rows/day each side).
+    val active = regs.select(col("t"), col("d")).distinct()
+      .localCheckpoint(true)
+    val grid = active.select(col("d"), col("t").as("ta"))
+      .join(active.select(col("d"), col("t").as("tb")), "d")
+      .filter(col("ta") < col("tb"))
+    // Union register file per (d, ta, tb): each member type's file
+    // enters via its own equi-join (never an OR-join), MAX-merged.
+    val uni = grid.join(regs.withColumnRenamed("t", "ta"), Seq("d", "ta"))
+      .select(col("d"), col("ta"), col("tb"), col("reg"), col("rho"))
+      .unionAll(grid.join(regs.withColumnRenamed("t", "tb"), Seq("d", "tb"))
+        .select(col("d"), col("ta"), col("tb"), col("reg"), col("rho")))
+      .groupBy(col("d"), col("ta"), col("tb"), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+    val estT = Sketches.hllPortableEstimate(regs, Seq("t", "d"))
+      .select(col("t"), col("d"), col("est_e2"))
+      .localCheckpoint(true) // tiny; joined twice (ta and tb sides)
+    val estU = Sketches.hllPortableEstimate(uni, Seq("d", "ta", "tb"))
+      .select(col("d"), col("ta"), col("tb"), col("est_e2").as("union_est_e2"))
+    val nT = udt.groupBy(col("t"), col("d")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // tiny; joined twice
+    val inter = udt.select(col("d"), col("user_id"), col("t").as("ta"))
+      .join(udt.select(col("d"), col("user_id"), col("t").as("tb")),
+        Seq("d", "user_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("d"), col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_inter"))
+    grid
+      .join(nT.select(col("t").as("ta"), col("d"), col("n").as("n_a")),
+        Seq("d", "ta"))
+      .join(nT.select(col("t").as("tb"), col("d"), col("n").as("n_b")),
+        Seq("d", "tb"))
+      .join(inter, Seq("d", "ta", "tb"), "left")
+      .join(estT.select(col("t").as("ta"), col("d"), col("est_e2").as("a_est_e2")),
+        Seq("d", "ta"))
+      .join(estT.select(col("t").as("tb"), col("d"), col("est_e2").as("b_est_e2")),
+        Seq("d", "tb"))
+      .join(estU, Seq("d", "ta", "tb"))
+      .select(col("d").as("day"), col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_a"), col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        col("a_est_e2"), col("b_est_e2"), col("union_est_e2"),
+        (col("a_est_e2") + col("b_est_e2") - col("union_est_e2"))
+          .as("inter_est_e2"),
+        when(coalesce(col("n_inter"), lit(0L)) > 0L, intScaled(
+          (col("a_est_e2") + col("b_est_e2") - col("union_est_e2"))
+            .cast("double") / lit(100.0) /
+            col("n_inter").cast("double") - lit(1.0), 1000000L))
+          .as("inter_err_e6"))
+      .orderBy("day", "type_a", "type_b")
+  }
+
+  /** q408 — stationary distribution of the event-type Markov chain by
+    * power iteration on the e9 integer grid: where does a user's
+    * long-run attention settle? q162 reads one-step probabilities,
+    * q314 the 8-step absorption into purchase, q283 the chain's
+    * entropy rate — this is the chain's fixed point (PageRank's
+    * textbook cousin on the type-transition graph), the steady-state
+    * traffic mix the one-step matrix implies.
+    *
+    * Exactness (the q309/q314 renormalization discipline — no float
+    * exists anywhere): transition counts are exact integers; the
+    * row-stochastic matrix is FIXED on the e9 grid first
+    * (q_ij = (2·c_ij·1e9 + r_i) DIV (2·r_i), one half-up rounding,
+    * mirrored); p₀ is the uniform e9 integer; each of the 6 rounds is
+    * p'_j = (2·Σ_i p_i·q_ij + 1e9) DIV (2·1e9) — exact decimal(38)
+    * sums (terms ≤ 1e18 · |types|), one integer rounding per cell per
+    * round, spelled identically in the oracle's unrolled CTE chain.
+    * Per-round rounding is part of the declared statistic.
+    *
+    * Fixture note: the stream's types are near-uniform, so the
+    * stationary point sits near 1/|types| — but the e9 grid separates
+    * the types by ~3.4e6 units (fixture-probed), so the statistic
+    * BINDS: cells differ per type and encode the real transition
+    * structure, and the spec pins the spread.
+    *
+    * Scale: one user-keyed lead window collapses events to the
+    * ≤ |types|² matrix; the 6 iterations ride that census frame via
+    * broadcast joins, checkpointed per round. Nothing after the first
+    * agg is event-sized.
+    */
+  def q408(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("i"), col("next_type").as("j"))
+    val c = steps.groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val r = c.groupBy(col("i")).agg(sum(col("c")).as("r"))
+    val q = c.join(r, "i")
+      .select(col("i"), col("j"),
+        expr("CAST((2 * CAST(c AS DECIMAL(38,0)) * 1000000000 + r)" +
+          " DIV (2 * r) AS BIGINT)").as("q"))
+      .localCheckpoint(true)
+    val types = r.select(col("i"))
+    val nTypes = types.agg(count(lit(1)).as("nt"))
+    var p = types.withGlobalStats(nTypes)
+      .select(col("i"),
+        expr("CAST((2 * CAST(1000000000 AS DECIMAL(38,0)) + nt)" +
+          " DIV (2 * nt) AS BIGINT)").as("p"))
+      .localCheckpoint(true)
+    (1 to 6).foreach { _ =>
+      p = q.join(broadcast(p), "i")
+        .groupBy(col("j"))
+        .agg(sum(col("p").cast(d38) * col("q")).as("acc"))
+        .select(col("j").as("i"),
+          expr("CAST((2 * acc + 1000000000) DIV (CAST(2 AS DECIMAL(38,0))" +
+            " * 1000000000) AS BIGINT)").as("p"))
+        .localCheckpoint(true)
+    }
+    p.join(r, "i")
+      .select(col("i").as("event_type"), col("r").as("n_out"),
+        col("p").as("p_stat_e9"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q406_dau_mau_hll" -> (q406 _),
+    "q407_audience_overlap_hll" -> (q407 _),
+    "q408_markov_stationary" -> (q408 _),
   )
 
   private def hllDayEst(fromSql: String, estAlias: String): String = {
     val frag = Sketches.hllPortableOracleSql(fromSql, Seq("day"))
     s"(SELECT day, est_e2 AS $estAlias FROM ($frag))"
+  }
+
+  private def hllEstOver(fromSql: String, groupCols: Seq[String],
+      estAlias: String): String = {
+    val frag = Sketches.hllPortableOracleSql(fromSql, groupCols)
+    s"(SELECT ${groupCols.mkString(", ")}, est_e2 AS $estAlias FROM ($frag))"
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -144,6 +312,94 @@ object Round13 {
          |JOIN ${hllDayEst(fan(7), "wau_est_e2")} we USING (day)
          |JOIN ${hllDayEst(fan(30), "mau_est_e2")} me USING (day)
          |ORDER BY day""".stripMargin
+    },
+    // Same floored days, same per-(type, day) register files; the pair
+    // UNION file is built from raw pair user-days here (register
+    // construction commutes with union — Spark MAX-merges the two type
+    // files); same estimator chain; intersection = integer
+    // inclusion-exclusion; one mirrored error chain.
+    "q407_audience_overlap_hll" -> {
+      val udt = """SELECT DISTINCT event_type AS t,
+                  |         epoch_ns(ts) // 86400000000000 AS d,
+                  |         user_id
+                  |  FROM events""".stripMargin
+      val perType =
+        "SELECT t, d, md5(CAST(user_id AS VARCHAR)) AS hx FROM udt"
+      val pairUnion =
+        """SELECT g.d, g.ta, g.tb, md5(CAST(u.user_id AS VARCHAR)) AS hx
+          |   FROM grid g JOIN udt u ON u.d = g.d
+          |     AND (u.t = g.ta OR u.t = g.tb)""".stripMargin
+      s"""WITH udt AS ($udt),
+         |active AS (SELECT DISTINCT t, d FROM udt),
+         |grid AS (
+         |  SELECT a.d, a.t AS ta, b.t AS tb
+         |  FROM active a JOIN active b ON a.d = b.d AND a.t < b.t),
+         |nt AS (SELECT t, d, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM udt GROUP BY t, d),
+         |inter AS (
+         |  SELECT x.d, x.t AS ta, y.t AS tb, CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM udt x JOIN udt y
+         |    ON x.d = y.d AND x.user_id = y.user_id AND x.t < y.t
+         |  GROUP BY 1, 2, 3)
+         |SELECT g.d AS day, g.ta AS type_a, g.tb AS type_b,
+         |  na.n AS n_a, nb.n AS n_b, COALESCE(i.n_inter, 0) AS n_inter,
+         |  ea.a_est_e2, eb.b_est_e2, eu.union_est_e2,
+         |  ea.a_est_e2 + eb.b_est_e2 - eu.union_est_e2 AS inter_est_e2,
+         |  CASE WHEN COALESCE(i.n_inter, 0) > 0 THEN
+         |    CAST(ROUND((CAST(ea.a_est_e2 + eb.b_est_e2 - eu.union_est_e2
+         |                     AS DOUBLE) / 100.0
+         |                / CAST(i.n_inter AS DOUBLE) - 1.0) * 1000000)
+         |         AS BIGINT)
+         |  END AS inter_err_e6
+         |FROM grid g
+         |JOIN nt na ON na.t = g.ta AND na.d = g.d
+         |JOIN nt nb ON nb.t = g.tb AND nb.d = g.d
+         |LEFT JOIN inter i ON i.d = g.d AND i.ta = g.ta AND i.tb = g.tb
+         |JOIN ${hllEstOver(perType, Seq("t", "d"), "a_est_e2")} ea
+         |  ON ea.t = g.ta AND ea.d = g.d
+         |JOIN ${hllEstOver(perType, Seq("t", "d"), "b_est_e2")} eb
+         |  ON eb.t = g.tb AND eb.d = g.d
+         |JOIN ${hllEstOver(pairUnion, Seq("d", "ta", "tb"), "union_est_e2")} eu
+         |  ON eu.d = g.d AND eu.ta = g.ta AND eu.tb = g.tb
+         |ORDER BY day, type_a, type_b""".stripMargin
+    },
+    // Same lead-window transitions, same e9 row-stochastic fix
+    // ((2c·1e9 + r) // (2r)), same uniform p0, same 6 unrolled
+    // per-cell-rounded rounds.
+    "q408_markov_stationary" -> {
+      val head =
+        """WITH seq AS (
+          |  SELECT user_id, event_type,
+          |         LEAD(event_type) OVER (PARTITION BY user_id
+          |                                ORDER BY ts, event_id) AS nt
+          |  FROM events),
+          |st AS (SELECT event_type AS i, nt AS j FROM seq
+          |       WHERE nt IS NOT NULL),
+          |c AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS c
+          |      FROM st GROUP BY i, j),
+          |r AS (SELECT i, CAST(SUM(c) AS BIGINT) AS r FROM c GROUP BY i),
+          |q AS (
+          |  SELECT c.i, c.j,
+          |         (2 * CAST(c.c AS HUGEINT) * 1000000000 + r.r)
+          |           // (2 * CAST(r.r AS HUGEINT)) AS q
+          |  FROM c JOIN r ON r.i = c.i),
+          |ntyp AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nt FROM r),
+          |p0 AS (
+          |  SELECT i, (2 * CAST(1000000000 AS HUGEINT) + nt) // (2 * nt) AS p
+          |  FROM r CROSS JOIN ntyp)""".stripMargin
+      val rounds = (1 to 6).map { k =>
+        s"""p$k AS (
+           |  SELECT q.j AS i,
+           |         (2 * SUM(CAST(p.p AS HUGEINT) * q.q) + 1000000000)
+           |           // (2 * CAST(1000000000 AS HUGEINT)) AS p
+           |  FROM q JOIN p${k - 1} p ON p.i = q.i GROUP BY q.j)""".stripMargin
+      }
+      (head +: rounds).mkString(",\n") +
+        """
+          |SELECT p6.i AS event_type, r.r AS n_out,
+          |       CAST(p6.p AS BIGINT) AS p_stat_e9
+          |FROM p6 JOIN r ON r.i = p6.i
+          |ORDER BY event_type""".stripMargin
     },
   )
 }

@@ -97,6 +97,98 @@ class Round13Spec extends SparkTestBase {
     }
   }
 
+  // ---- q407 -------------------------------------------------------------
+
+  private lazy val typeDayUsers: Map[(String, Long), Set[Long]] =
+    Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("ts div 86400000000000" +
+          " - (CASE WHEN ts % 86400000000000 < 0 THEN 1 ELSE 0 END)").as("d"),
+        col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(x => (x._1, x._2)).map { case (k, xs) => k -> xs.map(_._3).toSet }
+
+  test("q407 cells equal the first-principles replay (exact, estimates, I-E, error)") {
+    val got = queries.Round13.q407(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8), r.getLong(9),
+          if (r.isNullAt(10)) None else Some(r.getLong(10)))
+    }.toMap
+    val expKeys = for {
+      ((ta, d), _) <- typeDayUsers.toSeq
+      ((tb, d2), _) <- typeDayUsers.toSeq
+      if d2 == d && ta < tb
+    } yield (d, ta, tb)
+    assert(got.keySet === expKeys.toSet)
+    got.foreach { case ((d, ta, tb), (na, nb, ni, ea, eb, eu, ei, err)) =>
+      val a = typeDayUsers((ta, d)); val b = typeDayUsers((tb, d))
+      assert((na, nb, ni) === (a.size.toLong, b.size.toLong, (a & b).size.toLong),
+        s"exact cells, ($d,$ta,$tb)")
+      val (xa, _, _) = estimate(a.map(_.toString))
+      val (xb, _, _) = estimate(b.map(_.toString))
+      val (xu, _, _) = estimate((a | b).map(_.toString))
+      assert((ea, eb, eu) === (xa, xb, xu),
+        s"estimates diverged from the span-built replay, ($d,$ta,$tb)")
+      assert(ei === xa + xb - xu, s"I-E identity, ($d,$ta,$tb)")
+      val expErr = if (ni > 0)
+        Some(new java.math.BigDecimal(
+          (ei.toDouble / 100.0 / ni.toDouble - 1.0) * 1000000)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+      else None
+      assert(err === expErr, s"error chain, ($d,$ta,$tb)")
+    }
+  }
+
+  test("q407 bindingness: overlaps are partial and the sketch is not vacuously exact") {
+    val rows = queries.Round13.q407(spark, sf).collect()
+    assert(rows.exists(r => r.getLong(5) < math.min(r.getLong(3), r.getLong(4))),
+      "every pair-day overlap is total — the day grain stopped binding")
+    assert(rows.exists(r => r.getLong(9) != r.getLong(5) * 100),
+      "every I-E estimate equals exact — sketch path is vacuous")
+  }
+
+  // ---- q408 -------------------------------------------------------------
+
+  test("q408 equals the BigInt power-iteration replay and the grid separates the types") {
+    val trans = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values.flatMap { evs =>
+        val s = evs.toSeq.sortBy(e => (e._2, e._3)).map(_._4)
+        s.zip(s.drop(1))
+      }.toSeq
+    val c = trans.groupBy(identity).map { case ((i, j), xs) => (i, j) -> xs.size.toLong }
+    val r = c.groupBy(_._1._1).map { case (i, xs) => i -> xs.values.sum }
+    def halfUp(num: BigInt, den: BigInt): BigInt = (2 * num + den) / (2 * den)
+    val q = c.map { case ((i, j), n) =>
+      (i, j) -> halfUp(BigInt(n) * 1000000000L, BigInt(r(i))) }
+    val types = r.keySet
+    var p: Map[String, BigInt] =
+      types.map(_ -> halfUp(BigInt(1000000000L), BigInt(types.size))).toMap
+    (1 to 6).foreach { _ =>
+      p = q.groupBy(_._1._2).map { case (j, cells) =>
+        j -> halfUp(cells.map { case ((i, _), qv) => p.getOrElse(i, BigInt(0)) * qv }.sum,
+          BigInt(1000000000L))
+      }
+    }
+    val got = queries.Round13.q408(spark, sf).collect()
+      .map(r2 => r2.getString(0) -> (r2.getLong(1), r2.getLong(2))).toMap
+    assert(got.keySet === p.keySet.intersect(r.keySet))
+    got.foreach { case (t, (nOut, pe9)) =>
+      assert(nOut === r(t), s"n_out, $t")
+      assert(BigInt(pe9) === p(t), s"stationary cell diverged, $t")
+    }
+    // BINDINGNESS: near-uniform is not identical — the e9 grid must
+    // separate the types, and total mass stays ~1e9 (≤ |types|/2
+    // rounding drift per round).
+    val vals = got.values.map(_._2).toSeq
+    assert(vals.distinct.size > 1, "all stationary cells identical — vacuous")
+    assert(math.abs(vals.sum - 1000000000L) <= 100L,
+      s"mass drifted: ${vals.sum}")
+  }
+
   test("q406 bindingness: the LC branch fires at sf0.001 and the sketch is not vacuously exact") {
     // Small-range fixture → every window sits on the linear-counting
     // branch (raw ≤ 640, zero registers exist); sf0.1's MAU ≈ 1350
