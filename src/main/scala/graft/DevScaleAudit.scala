@@ -5,13 +5,14 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only 10× spill/robustness audit (not part of the driver
-  * contract): synthesize a 10×-sf0.1 `documents` + `lineitem` under
-  * `dev/sf10x/`, then time the shuffle-heavy operator family
-  * (components / dup-gram / MinHashLSH / salted dedup) at 1× and 10×
-  * on the SAME frame-parameterized operator cores the queries use.
-  * Expectation: roughly linear degradation, no OOM at the default 8 g
-  * driver heap. Results land in SCALE.md.
+/** Dev-only N× spill/robustness audit (not part of the driver
+  * contract): synthesize N×-sf0.1 replica tables (default N=10 under
+  * `dev/sf10x/`; the r13 100× tier under `dev/sf100x/` via the 4th
+  * arg — `SPARK_DRIVER_MEM=64g … <base> dev/sf100x <subset> 100`),
+  * then time the shuffle-heavy operator family at 1× and N× on the
+  * SAME frame-parameterized operator cores the queries use.
+  * Expectation: at-most-linear degradation (ratio ≤ N), no OOM.
+  * Results land in SCALE.md ("100×-of-gate audit" table).
   *
   * Replica construction keeps the audit honest:
   *  - `documents`: replica i is a per-replica BIJECTIVE character

@@ -428,9 +428,21 @@ object Graph {
   }
 
   /** The materialized part co-order graph: canonical edges, per-node
-    * degrees, per-node triangle counts.
+    * degrees, per-node triangle counts. `deg`/`tri` are LAZY: an
+    * edges-only consumer (q153 — link prediction over a bounded
+    * endpoint subset) must never pay the triangle wedge join. The r13
+    * 100× audit caught exactly this: the eager `tri` materialization
+    * spilled the disk to death on a 100×-sf0.1 co-order graph that
+    * q153's own bounded plan never touches. First ACTUAL consumer
+    * (q150/q151/q171) still pays once; the memo then shares the
+    * checkpointed blocks.
     */
-  private case class CoOrderGraph(edges: DataFrame, deg: DataFrame, tri: DataFrame)
+  private final class CoOrderGraph(s: SparkSession, dir: String) {
+    val edges: DataFrame =
+      canonEdges(partCoOrderEdges(s, dir)).localCheckpoint(true)
+    lazy val deg: DataFrame = degreesOf(edges).localCheckpoint(true)
+    lazy val tri: DataFrame = triangleCountsCanon(edges, deg).localCheckpoint(true)
+  }
 
   private val coOrderCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), CoOrderGraph]
@@ -452,12 +464,7 @@ object Graph {
     * queries already needs in flight; nothing is driver-collected.
     */
   private def coOrderGraph(s: SparkSession, dir: String): CoOrderGraph =
-    coOrderCache.computeIfAbsent((s, dir), { _ =>
-      val e = canonEdges(partCoOrderEdges(s, dir)).localCheckpoint(true)
-      val deg = degreesOf(e).localCheckpoint(true)
-      val tri = triangleCountsCanon(e, deg).localCheckpoint(true)
-      CoOrderGraph(e, deg, tri)
-    })
+    coOrderCache.computeIfAbsent((s, dir), _ => new CoOrderGraph(s, dir))
 
   /** q149 — HITS on the directed customer→supplier graph: customers
     * are hubs (they only point), suppliers authorities (they are only
