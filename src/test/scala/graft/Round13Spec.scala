@@ -97,6 +97,34 @@ class Round13Spec extends SparkTestBase {
     }
   }
 
+  test("register store round-trip: persisted per-day files re-read and MAX-merged " +
+    "give identical estimates (the production two-job flow)") {
+    // q406/q407's 100 TB story assumes job A persists per-shard
+    // register files and job B merges them later. Prove the parquet
+    // round-trip is lossless: write the per-day registers, read them
+    // back, MAX-merge a 7-day window, estimate — identical to the
+    // in-memory span-built estimate.
+    import graft.ops.Sketches
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("ts div 86400000000000" +
+          " - (CASE WHEN ts % 86400000000000 < 0 THEN 1 ELSE 0 END)").as("d"))
+      .distinct()
+    val dir = java.nio.file.Files.createTempDirectory("graft_regstore").toString
+    Sketches.hllPortableRegisters(ud, Seq("d"), col("user_id"))
+      .write.mode("overwrite").partitionBy("d").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    val day = userDays.map(_._2).max // full trailing-7 window exists
+    val merged = reread
+      .filter(col("d") > day - 7 && col("d") <= day)
+      .groupBy(col("reg")).agg(max(col("rho")).as("rho"))
+    val est = Sketches.hllPortableEstimate(merged, Seq.empty)
+      .select(col("est_e2")).collect().head.getLong(0)
+    val (_, (expected, _, _)) = window(day, 7)
+    assert(est === expected,
+      "parquet round-trip + MAX-merge diverged from the span-built estimate")
+  }
+
   // ---- q407 -------------------------------------------------------------
 
   private lazy val typeDayUsers: Map[(String, Long), Set[Long]] =
