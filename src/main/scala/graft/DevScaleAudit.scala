@@ -412,6 +412,10 @@ object DevScaleAudit {
       // sized; the kept-for-error exact side is the (day, user) pair
       // self-join, the data-sized stage this row watches.
       "ev_overlap_hll" -> (dir => SparkEntry.queries("q407_audience_overlap_hll")(spark, dir)),
+      // r13 — grouped HDR gap census: the (user, type) lag + the
+      // event-sized checkpointed gap frame are the data-sized stages;
+      // the census and every window below are types×~280 rows.
+      "ev_gap_tails" -> (dir => SparkEntry.queries("q409_gap_tail_quantiles")(spark, dir)),
       // r13 — rows the 100×-tier brief names that had no entry yet:
       // the remaining TwoPhase adopter (q287), the two gram shuffles
       // not already covered by dup_ngram_frac (q158 novelty, q300

@@ -257,10 +257,90 @@ object Round13 {
       .orderBy("event_type")
   }
 
+  /** q409 — per-type inter-event gap tail quantiles (p50/p90/p99 µs)
+    * via the HDR register census, exact percentiles beside with
+    * relative error — the tail-latency dashboard read ("what's the
+    * p99 silence before an error?"). q398 reads the gap DISPERSION in
+    * one burstiness number; this reads the TAIL POINTS. q378 certifies
+    * the HDR quantile sketch globally; this is the GROUPED census —
+    * registers per (type, bucket), the form a per-endpoint latency
+    * pipeline actually ships (counts merge by addition per group).
+    *
+    * Exactness: gaps are exact floored epoch-µs off the (user, type)
+    * lag (q398's spelling); bucket ids/midpoints are pure integer
+    * arithmetic off `length(bin(x))`; quantile selection is the
+    * cross-multiplied integer compare (cum·100 ≥ q·n); the exact
+    * percentile rides the engines' shared type-7 interpolation on
+    * integer frames; x100 grid + ONE mirrored error chain per row.
+    * Error-bound note: the 2⁻³ HDR resolution guarantee holds against
+    * the ceil-rank ORDER STATISTIC the pick targets (spec-asserted);
+    * the REPORTED error vs the interpolated percentile can exceed it
+    * in a small-n tail where the two straddling statistics land in
+    * different buckets (sf0.001 p99 at n=186 measures 17.2%).
+    *
+    * Scale: the lag window is (user, type)-keyed; the gap frame is
+    * checkpointed once (branched: register census + exact
+    * percentiles); registers collapse map-side to ≤ types·~280 rows
+    * and every window below rides that census (type-partitioned).
+    * At 100 TB the exact-percentile branch is the piece a production
+    * run drops — the census IS the artifact.
+    */
+  def q409(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")
+          .as("us"))
+      .withColumn("x", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .select(col("event_type").as("t"), col("x"))
+      .withColumn("e", (length(bin(col("x"))) - 1).cast("long"))
+      .withColumn("sub",
+        when(col("x") < 8L, lit(0L))
+          .otherwise(expr("shiftright(x, CAST(e - 3 AS INT))") - 8L))
+      .withColumn("bid",
+        when(col("x") < 8L, col("x")).otherwise(col("e") * 8 + col("sub")))
+      .withColumn("width",
+        when(col("x") < 8L, lit(1L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(e - 3 AS INT))")))
+      .withColumn("mid",
+        when(col("x") < 8L, col("x"))
+          .otherwise((col("sub") + 8L) * col("width") +
+            expr("(width - 1) div 2")))
+      .localCheckpoint(true) // branched: register census + exact pcts
+    val regs = gaps.groupBy(col("t"), col("bid"))
+      .agg(count(lit(1)).as("n"), min(col("mid")).as("mid"))
+    val tot = gaps.groupBy(col("t")).agg(count(lit(1)).as("nn"),
+      expr("percentile(x, 0.5)").as("ex50"),
+      expr("percentile(x, 0.9)").as("ex90"),
+      expr("percentile(x, 0.99)").as("ex99"))
+    val wCum = Window.partitionBy("t").orderBy("bid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = regs.withColumn("cum", sum(col("n")).over(wCum))
+      .join(tot, "t")
+      .withColumn("q", explode(array(lit(50L), lit(90L), lit(99L))))
+      .filter(col("cum") * 100 >= col("q") * col("nn"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("t", "q").orderBy("bid")))
+      .filter(col("rn") === 1)
+    val exact = when(col("q") === 50L, col("ex50"))
+      .when(col("q") === 90L, col("ex90")).otherwise(col("ex99"))
+    picked
+      .select(col("t").as("event_type"), col("q"),
+        col("nn").as("n_gaps"), col("mid").as("est_us"),
+        intScaled(exact, 100L).as("exact_x100"),
+        intScaled((col("mid").cast("double") - exact) / exact, 1000000L)
+          .as("rel_err_e6"))
+      .orderBy("event_type", "q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q406_dau_mau_hll" -> (q406 _),
     "q407_audience_overlap_hll" -> (q407 _),
     "q408_markov_stationary" -> (q408 _),
+    "q409_gap_tail_quantiles" -> (q409 _),
   )
 
   private def hllDayEst(fromSql: String, estAlias: String): String = {
@@ -401,5 +481,64 @@ object Round13 {
           |FROM p6 JOIN r ON r.i = p6.i
           |ORDER BY event_type""".stripMargin
     },
+    // Same floored-µs (user, type) lag gaps, same HDR bucket/midpoint
+    // integer arithmetic, same cross-multiplied pick, shared type-7
+    // exact percentiles, one mirrored error chain per row.
+    "q409_gap_tail_quantiles" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |gp AS (
+        |  SELECT event_type AS t,
+        |         us - LAG(us) OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY us, event_id) AS x
+        |  FROM e),
+        |base AS (
+        |  SELECT t, x, length(bin(x)) - 1 AS e,
+        |         CASE WHEN x < 8 THEN 0
+        |              ELSE (x >> CAST(length(bin(x)) - 1 - 3 AS INT)) - 8
+        |         END AS sub,
+        |         CASE WHEN x < 8 THEN CAST(1 AS BIGINT)
+        |              ELSE (CAST(1 AS BIGINT)
+        |                    << CAST(length(bin(x)) - 1 - 3 AS INT))
+        |         END AS width
+        |  FROM gp WHERE x IS NOT NULL),
+        |bm AS (
+        |  SELECT t,
+        |         CASE WHEN x < 8 THEN x ELSE e * 8 + sub END AS bid,
+        |         CASE WHEN x < 8 THEN x
+        |              ELSE (sub + 8) * width + (width - 1) // 2 END AS mid
+        |  FROM base),
+        |regs AS (
+        |  SELECT t, bid, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(MIN(mid) AS BIGINT) AS mid
+        |  FROM bm GROUP BY t, bid),
+        |tot AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS nn,
+        |         quantile_cont(x, 0.5) AS ex50,
+        |         quantile_cont(x, 0.9) AS ex90,
+        |         quantile_cont(x, 0.99) AS ex99
+        |  FROM base GROUP BY t),
+        |cums AS (
+        |  SELECT t, bid, mid,
+        |         SUM(n) OVER (PARTITION BY t ORDER BY bid
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM regs),
+        |picked AS (
+        |  SELECT c.t, q, bid, mid, nn, ex50, ex90, ex99,
+        |         ROW_NUMBER() OVER (PARTITION BY c.t, q ORDER BY bid) AS rn
+        |  FROM cums c JOIN tot ON tot.t = c.t
+        |  CROSS JOIN (SELECT CAST(UNNEST([50, 90, 99]) AS BIGINT) AS q)
+        |  WHERE cum * 100 >= q * nn)
+        |SELECT t AS event_type, q, nn AS n_gaps, mid AS est_us,
+        |  CAST(ROUND((CASE WHEN q = 50 THEN ex50 WHEN q = 90 THEN ex90
+        |              ELSE ex99 END) * 100) AS BIGINT) AS exact_x100,
+        |  CAST(ROUND((CAST(mid AS DOUBLE)
+        |      - (CASE WHEN q = 50 THEN ex50 WHEN q = 90 THEN ex90
+        |         ELSE ex99 END))
+        |    / (CASE WHEN q = 50 THEN ex50 WHEN q = 90 THEN ex90
+        |       ELSE ex99 END) * 1000000) AS BIGINT) AS rel_err_e6
+        |FROM picked WHERE rn = 1 ORDER BY event_type, q""".stripMargin,
   )
 }

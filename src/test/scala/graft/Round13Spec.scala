@@ -217,6 +217,73 @@ class Round13Spec extends SparkTestBase {
       s"mass drifted: ${vals.sum}")
   }
 
+  // ---- q409 -------------------------------------------------------------
+
+  test("q409 equals the exact grouped-HDR replay; error honors the 2^-3 resolution bound") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")
+          .as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val gapsByType: Map[String, Seq[Long]] = evs
+      .groupBy(e => (e._1, e._3)).toSeq.flatMap { case ((_, t), xs) =>
+        val s = xs.sortBy(e => (e._4, e._2)).map(_._4)
+        s.zip(s.drop(1)).map { case (a, b) => t -> (b - a) }
+      }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
+    def bucket(x: Long): (Long, Long) =
+      if (x < 8L) (x, x)
+      else {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+        val sub = (x >> (e - 3)) - 8
+        val width = 1L << (e - 3)
+        (e.toLong * 8 + sub, (sub + 8) * width + (width - 1) / 2)
+      }
+    def halfUp(x: Double): Long =
+      new java.math.BigDecimal(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val expected = gapsByType.toSeq.flatMap { case (t, xs) =>
+      val regs = xs.map(bucket).groupBy(_._1).toSeq
+        .map { case (bid, ys) => (bid, ys.size.toLong, ys.head._2) }
+        .sortBy(_._1)
+      val n = xs.size.toLong
+      val sorted = xs.sorted
+      def exactQ(q: Double): Double = {
+        val h = (n - 1) * q
+        val lo = math.floor(h).toInt
+        val frac = h - lo
+        if (lo + 1 < n) sorted(lo) * (1 - frac) + sorted(lo + 1) * frac
+        else sorted(lo).toDouble
+      }
+      Seq(50L, 90L, 99L).map { q =>
+        var cum = 0L
+        val hit = regs.find { r => cum += r._2; cum * 100 >= q * n }.get
+        val ex = exactQ(q.toDouble / 100.0)
+        // the order statistic the ceil-rank pick actually targets:
+        // the resolution bound is guaranteed against THIS value (the
+        // reported error vs the INTERPOLATED percentile can exceed it
+        // in a small-n tail, where the two straddling statistics land
+        // in different buckets — n=186 p99 here measures 17.2%)
+        val rank = ((q * n + 99) / 100).toInt // ceil(q·n/100), ≥ 1
+        val xCeil = sorted(rank - 1).toDouble
+        assert(math.abs(hit._3.toDouble - xCeil) / xCeil <= 0.125,
+          s"HDR midpoint beyond the resolution bound vs its order " +
+            s"statistic: t=$t q=$q mid=${hit._3} x=$xCeil")
+        (t, q, n, hit._3, halfUp(ex * 100),
+          halfUp((hit._3.toDouble - ex) / ex * 1e6))
+      }
+    }.sortBy(e => (e._1, e._2))
+    val got = queries.Round13.q409(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // BINDINGNESS: the sketch is not vacuously exact, and the three
+    // quantile points differ within some type (a tail exists).
+    assert(got.exists(_._6 != 0L), "every estimate exact — census vacuous")
+    assert(gapsByType.keySet.forall(t =>
+      got.filter(_._1 == t).map(_._4).distinct.size == 3),
+      "p50/p90/p99 collapsed to one bucket for some type")
+  }
+
   test("q406 bindingness: the LC branch fires at sf0.001 and the sketch is not vacuously exact") {
     // Small-range fixture → every window sits on the linear-counting
     // branch (raw ≤ 640, zero registers exist); sf0.1's MAU ≈ 1350
