@@ -336,8 +336,54 @@ object Round13 {
       .orderBy("event_type", "q")
   }
 
+  /** q410 — year-over-year customer revenue delta waterfall: matched
+    * 1996/1997 customers ranked by their SIGNED revenue change via
+    * [[graft.ops.TwoPhase.rankCum]], collapsed to deciles with per-
+    * decile delta mass and the running (waterfall) total — "which
+    * tenth of the base drove the swing" (q376's Lorenz reads one
+    * year's LEVEL; this reads the CHANGE, the number a growth review
+    * quotes). FIRST signed-domain TwoPhase caller: deltas are ~half
+    * negative at every SF (fixture-probed), so the r13 sign-mirrored
+    * HDR bucket is exercised end-to-end against the oracle — before
+    * the mirror every negative delta collapsed into one bucket.
+    *
+    * Exactness: ALL-INTEGER (exact cents, ranks, running sums, decile
+    * = (rn−1)·10 div n on nonnegative ints = truncation both engines;
+    * max_by on the unique rn). No float exists anywhere.
+    *
+    * Scale: two map-side (custkey, yr) collapses + one custkey-keyed
+    * match join; the global signed rank and running sum ride TwoPhase
+    * (distributed buckets + a broadcast census — no single-task sort);
+    * output 10 rows.
+    */
+  def q410(s: SparkSession, dir: String): DataFrame = {
+    val y = Tables.table(s, dir, "orders")
+      .select(col("o_custkey"),
+        year(col("o_orderdate").cast("date")).as("yr"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy(col("o_custkey"), col("yr")).agg(sum(col("c")).as("r"))
+      .localCheckpoint(true) // branched: the two year sides
+    val d = y.filter(col("yr") === 1996)
+      .select(col("o_custkey"), col("r").as("r0"))
+      .join(y.filter(col("yr") === 1997)
+        .select(col("o_custkey"), col("r").as("r1")), "o_custkey")
+      .select(col("o_custkey"), (col("r1") - col("r0")).as("delta"))
+    val ranked = graft.ops.TwoPhase.rankCum(d, Nil, "delta", "o_custkey",
+      asc = true, rn = Some("rn"), cum = Some("cum"), n = Some("n"))
+    ranked.withColumn("decile", expr("(rn - 1) * 10 div n") + 1)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("delta")).as("delta_cents"),
+        min(col("delta")).as("min_delta"),
+        max(col("delta")).as("max_delta"),
+        max_by(col("cum"), col("rn")).as("waterfall_cents"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q406_dau_mau_hll" -> (q406 _),
+    "q410_yoy_delta_waterfall" -> (q410 _),
     "q407_audience_overlap_hll" -> (q407 _),
     "q408_markov_stationary" -> (q408 _),
     "q409_gap_tail_quantiles" -> (q409 _),
@@ -540,5 +586,35 @@ object Round13 {
         |    / (CASE WHEN q = 50 THEN ex50 WHEN q = 90 THEN ex90
         |       ELSE ex99 END) * 1000000) AS BIGINT) AS rel_err_e6
         |FROM picked WHERE rn = 1 ORDER BY event_type, q""".stripMargin,
+    // Same exact cents, same (delta, custkey) total order, same
+    // truncating decile, same unique-rn waterfall pick — all integers.
+    "q410_yoy_delta_waterfall" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS yr,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS c
+        |  FROM orders
+        |  WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) IN (1996, 1997)),
+        |y AS (SELECT o_custkey, yr, CAST(SUM(c) AS BIGINT) AS r
+        |      FROM o GROUP BY 1, 2),
+        |d AS (
+        |  SELECT a.o_custkey, b.r - a.r AS delta
+        |  FROM y a JOIN y b ON a.o_custkey = b.o_custkey
+        |  WHERE a.yr = 1996 AND b.yr = 1997),
+        |rk AS (
+        |  SELECT o_custkey, delta,
+        |         ROW_NUMBER() OVER (ORDER BY delta, o_custkey) AS rn,
+        |         COUNT(*) OVER () AS n,
+        |         CAST(SUM(delta) OVER (ORDER BY delta, o_custkey
+        |                               ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT (rn - 1) * 10 // n + 1 AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(delta) AS BIGINT) AS delta_cents,
+        |  MIN(delta) AS min_delta, MAX(delta) AS max_delta,
+        |  MAX_BY(cum, rn) AS waterfall_cents
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

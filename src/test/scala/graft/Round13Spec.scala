@@ -217,6 +217,44 @@ class Round13Spec extends SparkTestBase {
       s"mass drifted: ${vals.sum}")
   }
 
+  // ---- q410 -------------------------------------------------------------
+
+  test("q410 equals the exact integer replay and actually exercises the signed domain") {
+    val y = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"),
+        substring(col("o_orderdate").cast("string"), 1, 4).as("yr"),
+        col("o_totalprice").cast("decimal(18,2)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDecimal(2).movePointRight(2).longValueExact()))
+      .filter(x => x._2 == "1996" || x._2 == "1997")
+      .groupBy(x => (x._1, x._2)).map { case (k, xs) => k -> xs.map(_._3).sum }
+    val deltas = y.keys.filter(_._2 == "1996").map(_._1)
+      .filter(c => y.contains((c, "1997"))).toSeq
+      .map(c => c -> (y((c, "1997")) - y((c, "1996"))))
+      .sortBy(x => (x._2, x._1))
+    val n = deltas.size
+    var cum = 0L
+    val rows = deltas.zipWithIndex.map { case ((_, d), i) =>
+      cum += d; (i.toLong * 10 / n + 1, d, cum)
+    }
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (dec, xs) =>
+      (dec, xs.size.toLong, xs.map(_._2).sum, xs.map(_._2).min,
+        xs.map(_._2).max, xs.last._3)
+    }
+    val got = queries.Round13.q410(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // SIGNEDNESS pins: the signed HDR mirror is genuinely exercised —
+    // the bottom decile is all-negative, the top all-positive, and the
+    // waterfall dips below zero before ending at the total swing.
+    assert(got.head._5 < 0L, "decile 1 not all-negative — signed domain vacuous")
+    assert(got.last._4 > 0L, "decile 10 not all-positive")
+    assert(got.map(_._6).min < 0L, "waterfall never dipped negative")
+    assert(got.last._6 === deltas.map(_._2).sum, "waterfall end != total swing")
+  }
+
   // ---- q409 -------------------------------------------------------------
 
   test("q409 equals the exact grouped-HDR replay; error honors the 2^-3 resolution bound") {
