@@ -388,6 +388,46 @@ object EventStream {
     writeBatchIdempotent(keptDocs, batchId, keepDir)
   }
 
+  /** Incremental distinct-count ingestion — the streaming leg of the
+    * q406/q407 register-store flow: per micro-batch, build the batch's
+    * portable md5-HLL register file (per `groupCols`) and land it in a
+    * `batch_id=<n>` overwrite directory. [[hllMergedEstimate]] then
+    * MAX-merges every landed batch for the running estimate.
+    *
+    * Register MAX-merge is associative AND idempotent, which makes
+    * this sink doubly replay-safe: the batch_id overwrite handles the
+    * at-least-once replay (writeBatchIdempotent's contract), and even
+    * a reader racing a partially-rewritten batch can only UNDER-count
+    * that batch's registers, never corrupt others — the merge has no
+    * subtraction. At 100 TB the per-batch files are ≤ 256·|groups|
+    * rows each and double as the retention/compaction unit; the
+    * estimate never touches raw values again.
+    */
+  def hllRegisterSink(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: org.apache.spark.sql.Column,
+      sinkDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.ops.Sketches.hllPortableRegisters(batch, groupCols, value),
+          batchId, sinkDir)
+      }
+
+  /** Running distinct-count estimate off a [[hllRegisterSink]] store:
+    * MAX-merge every landed batch's registers per group, estimate via
+    * the q25/q97 portable chain. Census-sized end to end.
+    */
+  def hllMergedEstimate(
+      spark: SparkSession, sinkDir: String, groupCols: Seq[String]): DataFrame = {
+    val merged = spark.read.parquet(sinkDir)
+      .groupBy((groupCols :+ "reg").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+    graft.ops.Sketches.hllPortableEstimate(merged, groupCols)
+  }
+
   /** Run a streaming DataFrame to completion against the memory sink and
     * return the collected table (AvailableNow semantics via
     * processAllAvailable — deterministic for file sources).
