@@ -7,10 +7,19 @@ import graft.Tables
 import graft.ext.Similarity.intScaled
 import graft.ops.{GlobalStats, Sketches}
 
-/** Round-13 batch: the sketch-path rollups that replace the registry's
-  * biggest event-family shuffles at the 100 TB design point, reported
-  * BESIDE their exact counterparts with measured error — the swap the
-  * r12 verdict named as the documented 100 TB path for q403.
+/** Round-13 batch. Two threads:
+  *
+  *   1. Sketch-path rollups that replace the registry's biggest
+  *      event-family shuffles at the 100 TB design point, reported
+  *      BESIDE their exact counterparts with measured error: rolling
+  *      DAU/WAU/MAU off per-day HLL register files (q406 — the swap
+  *      the r12 verdict named for q403), daily audience overlap via
+  *      inclusion–exclusion off the SAME store (q407), and per-type
+  *      gap tail quantiles off the grouped HDR census (q409).
+  *   2. Census-sized chain/rank analytics: the event-type Markov
+  *      stationary distribution on the e9 integer grid (q408) and the
+  *      YoY revenue delta waterfall — the first SIGNED-domain
+  *      TwoPhase caller (q410).
   *
   * Float discipline unchanged (q331+): exact integers up to ONE
   * mirrored double chain per output cell; DuckDB oracles spell
