@@ -147,6 +147,80 @@ object EventStream {
       }
   }
 
+  /** [[userRunningAgg]] re-expressed on Spark 4's `transformWithState`
+    * (the arbitrary-state API that supersedes
+    * `flatMapGroupsWithState`): a [[StatefulProcessor]] holding one
+    * `ValueState[UserState]` with an explicit event-time TIMER per key
+    * for the TTL eviction — same semantics, spec-proved equal output.
+    *
+    * Why both exist: fmGWS is the stable API; transformWithState adds
+    * composable typed state (value/list/map), per-key timers decoupled
+    * from state, and runs on the RocksDB state store (the 100 TB
+    * state backend — spillable, incrementally checkpointed). The
+    * timer discipline mirrors the fmGWS deadline rule: re-arm to
+    * `lastEvent + ttl` on every batch (delete the stale timer — an
+    * orphaned early timer would otherwise fire and evict live state).
+    */
+  final class RunningAggProcessor(stateTtlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double, java.sql.Timestamp), UserAgg] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("agg",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Double, java.sql.Timestamp)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserAgg] = {
+      val prev =
+        if (st.exists()) st.get()
+        else UserState(user, 0L, 0.0, Long.MinValue)
+      var n = 0L; var v = 0.0; var lastMs = prev.lastEventMs
+      rows.foreach { case (_, value, ts) =>
+        n += 1; v += value; lastMs = math.max(lastMs, ts.getTime)
+      }
+      val next = UserState(user, prev.events + n, prev.totalValue + v, lastMs)
+      st.update(next)
+      if (prev.lastEventMs != Long.MinValue)
+        getHandle.deleteTimer(prev.lastEventMs + stateTtlMs)
+      getHandle.registerTimer(math.max(lastMs + stateTtlMs,
+        timerValues.getCurrentWatermarkInMs + 1))
+      Iterator.single(UserAgg(user, next.events, next.totalValue))
+    }
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[UserAgg] = {
+      st.clear() // watermark passed lastEvent + TTL: evict
+      Iterator.empty
+    }
+  }
+
+  /** `transformWithState` requires the RocksDB state store; callers set
+    * `spark.sql.streaming.stateStore.providerClass` to this before
+    * starting (per-query via `.option` is not supported for this key).
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def userRunningAggTws(
+      spark: SparkSession,
+      df: DataFrame,
+      watermark: String = "10 minutes",
+      stateTtlMs: Long = 60L * 60 * 1000): Dataset[UserAgg] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    withEventTime(df)
+      .withWatermark("event_ts", watermark)
+      .select(
+        col("user_id").as[Long], col("value").as[Double],
+        col("event_ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .transformWithState(new RunningAggProcessor(stateTtlMs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** Stream-stream interval join: pair each left row with right rows of
     * the same key whose event time falls within `within` BEFORE the
     * left row's time. Watermarks on BOTH sides + the interval condition

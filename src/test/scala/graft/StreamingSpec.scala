@@ -259,6 +259,53 @@ class StreamingSpec extends SparkTestBase {
       "deduped stream under retries must equal the original fixture rows")
   }
 
+  test("transformWithState (Spark 4 StatefulProcessor on RocksDB) matches " +
+    "flatMapGroupsWithState: cross-batch accumulation AND timer-driven TTL eviction") {
+    // Same fixture sequence as the two fmGWS tests below, run through
+    // the new API — accumulation across batches, then the TTL timer
+    // evicting user 7 so a post-eviction return RESTARTS from zero.
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      EventStream.RocksDbProvider)
+    try {
+      val input = MemoryStream[(Long, Long, String, Double)](spark)
+      val df = input.toDF().toDF("event_id", "user_id", "event_type", "value")
+        .withColumn("ts", col("event_id") * expr("1000000000"))
+      val agg = EventStream.userRunningAggTws(
+        spark, df, watermark = "10 minutes", stateTtlMs = 3600L * 1000)
+      val q = agg.writeStream.format("memory").queryName("user_agg_tws")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData((1000L, 7L, "a", 1.0), (1000L, 8L, "b", 1.0),
+          (1001L, 7L, "a", 2.0))
+        q.processAllAvailable()               // user 7: (2, 3.0); wm → 401s
+        input.addData((20000L, 8L, "b", 1.0)) // wm → 19400s > 1001+3600
+        q.processAllAvailable()
+        input.addData((20001L, 8L, "b", 1.0)) // timer FIRES this batch
+        q.processAllAvailable()
+        input.addData((20002L, 7L, "a", 5.0)) // user 7 returns post-eviction
+        q.processAllAvailable()
+      } finally q.stop()
+      val user7 = spark.table("user_agg_tws").filter(col("userId") === 7L)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(user7 === Set((2L, 3.0), (1L, 5.0)),
+        s"tws state not accumulated-then-evicted like fmGWS: $user7")
+      val user8 = spark.table("user_agg_tws").filter(col("userId") === 8L)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      // user 8 never times out (its own events keep re-arming the timer)
+      assert(user8 === Set((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+        s"tws accumulation broke for the always-live key: $user8")
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user aggregates across batches") {
     val input = MemoryStream[(Long, Long, String, Double)](spark)
     val df = input.toDF().toDF("event_id", "user_id", "event_type", "value")
