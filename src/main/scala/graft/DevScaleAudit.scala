@@ -408,6 +408,10 @@ object DevScaleAudit {
       // fan rides ≤256-row/day register files, so only the map-side ud
       // collapse (and the kept-for-error exact side) should scale.
       "ev_dau_mau_hll" -> (dir => SparkEntry.queries("q406_dau_mau_hll")(spark, dir)),
+      // r13 — the sketch-ONLY form (no kept-for-error exact fan): the
+      // scaling a production deployment actually pays for rolling
+      // distinct actives. Compare against ev_dau_mau (exact path).
+      "ev_dau_mau_hll_pure" -> (dir => graft.queries.Round13.q406SketchOnly(spark, dir)),
       // r13 — the overlap I-E sibling: register merges are census-
       // sized; the kept-for-error exact side is the (day, user) pair
       // self-join, the data-sized stage this row watches.

@@ -106,6 +106,37 @@ object Round13 {
       .orderBy("day")
   }
 
+  /** The production (sketch-only) form of [[q406]] — register fan +
+    * estimates, NO exact coverage fan. Not a registered query (the
+    * registered form carries the exact side precisely to MEASURE the
+    * sketch); this exists so DevScaleAudit can price the swap itself:
+    * the scaling row a 100 TB deployment actually pays.
+    */
+  private[graft] def q406SketchOnly(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = "86400000000000"
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"ts div $dayNs" +
+          s" - (CASE WHEN ts % $dayNs < 0 THEN 1 ELSE 0 END)").as("d"))
+      .distinct()
+    val regs = Sketches.hllPortableRegisters(ud, Seq("d"), col("user_id"))
+      .localCheckpoint(true)
+    def estRoll(k: Int, out: String) = {
+      val merged =
+        if (k == 1) regs.select(col("d").as("day"), col("reg"), col("rho"))
+        else regs
+          .select(explode(sequence(col("d"), col("d") + (k - 1))).as("day"),
+            col("reg"), col("rho"))
+          .groupBy(col("day"), col("reg")).agg(max(col("rho")).as("rho"))
+      Sketches.hllPortableEstimate(merged, Seq("day"))
+        .select(col("day"), col("est_e2").as(out))
+    }
+    estRoll(1, "dau_est_e2")
+      .join(estRoll(7, "wau_est_e2"), "day")
+      .join(estRoll(30, "mau_est_e2"), "day")
+      .orderBy("day")
+  }
+
   /** q407 — daily cross-type audience overlap via HLL inclusion–
     * exclusion, beside exact: per (day, type-pair), the exact audience
     * sizes and intersection, and the sketch path — per-(type, day)
