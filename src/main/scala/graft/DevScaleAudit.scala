@@ -49,6 +49,28 @@ object DevScaleAudit {
     val docsOut = Paths.get(out, "documents.parquet")
     val liOut = Paths.get(out, "lineitem.parquet")
     val evOut = Paths.get(out, "events.parquet")
+    // Guard against silently reusing an out dir synthesized at a
+    // DIFFERENT replica factor (results would print under the wrong
+    // `${n}×` label): the factor used is pinned in a marker file.
+    val marker = Paths.get(out, "FACTOR")
+    if (Files.exists(marker)) {
+      val recorded = new String(Files.readAllBytes(marker), "UTF-8").trim
+      require(recorded == n.toString,
+        s"$out was synthesized at factor $recorded, but factor $n was " +
+          s"requested — delete $out (or point at a fresh dir) to regenerate")
+    } else if (Files.exists(docsOut) || Files.exists(liOut) || Files.exists(evOut)) {
+      // Pre-marker dirs: the historical tiers are dev/sf10x (10) and
+      // dev/sf100x (100); anything else must be regenerated explicitly.
+      val assumed = if (out.contains("100x")) 100 else 10
+      require(assumed == n,
+        s"$out predates the FACTOR marker and looks like factor $assumed; " +
+          s"requested $n — delete the dir to regenerate")
+      Files.createDirectories(Paths.get(out))
+      Files.write(marker, n.toString.getBytes("UTF-8"))
+    } else {
+      Files.createDirectories(Paths.get(out))
+      Files.write(marker, n.toString.getBytes("UTF-8"))
+    }
     if (!(Files.exists(docsOut) && Files.exists(liOut))) {
       Files.createDirectories(Paths.get(out))
       val docs = Tables.table(s, base, "documents")

@@ -43,11 +43,12 @@ import org.apache.spark.sql.functions._
   * collapse to one bucket — exactly the tie case where ANY engine must
   * fall back to the tie-break sort). Negative values get the SAME log₂
   * spread via the sign mirror `v < 0 → −hdrBucket(−v) − 1` (still
-  * monotone: mirrored buckets land in [−512, −1], below every
-  * nonnegative bucket, and reverse order exactly as the values do;
-  * `Long.MinValue`, whose negation overflows, is pinned to −520 —
-  * strictly below every mirrored bucket, as the value is below every
-  * other long). Ranks/sums are bucket-split-invariant, so this changes
+  * monotone: mirrored buckets land in about [−504, −2] — x = −1 maps
+  * to −posBucket(1) − 1 = −2 and the max positive bucket is ~503 —
+  * all below every nonnegative bucket, and reverse order exactly as
+  * the values do; `Long.MinValue`, whose negation overflows, is pinned
+  * to −520 — strictly below every mirrored bucket, as the value is
+  * below every other long). Ranks/sums are bucket-split-invariant, so this changes
   * no caller's RESULT — it changes the signed-domain census from one
   * degenerate all-rows bucket to ≤ ~1030 spread buckets.
   */

@@ -371,7 +371,11 @@ object Round13 {
       .select(col("t").as("event_type"), col("q"),
         col("nn").as("n_gaps"), col("mid").as("est_us"),
         intScaled(exact, 100L).as("exact_x100"),
-        intScaled((col("mid").cast("double") - exact) / exact, 1000000L)
+        // Zero guard (q407's inter_err_e6 pattern): a type whose gap
+        // percentile is 0 µs (duplicate same-µs events) must yield
+        // NULL, not a NaN that fails Spark's ANSI double→BIGINT cast.
+        when(exact > 0,
+          intScaled((col("mid").cast("double") - exact) / exact, 1000000L))
           .as("rel_err_e6"))
       .orderBy("event_type", "q")
   }
@@ -620,11 +624,14 @@ object Round13 {
         |SELECT t AS event_type, q, nn AS n_gaps, mid AS est_us,
         |  CAST(ROUND((CASE WHEN q = 50 THEN ex50 WHEN q = 90 THEN ex90
         |              ELSE ex99 END) * 100) AS BIGINT) AS exact_x100,
-        |  CAST(ROUND((CAST(mid AS DOUBLE)
-        |      - (CASE WHEN q = 50 THEN ex50 WHEN q = 90 THEN ex90
-        |         ELSE ex99 END))
-        |    / (CASE WHEN q = 50 THEN ex50 WHEN q = 90 THEN ex90
-        |       ELSE ex99 END) * 1000000) AS BIGINT) AS rel_err_e6
+        |  CASE WHEN (CASE WHEN q = 50 THEN ex50 WHEN q = 90 THEN ex90
+        |             ELSE ex99 END) > 0 THEN
+        |    CAST(ROUND((CAST(mid AS DOUBLE)
+        |        - (CASE WHEN q = 50 THEN ex50 WHEN q = 90 THEN ex90
+        |           ELSE ex99 END))
+        |      / (CASE WHEN q = 50 THEN ex50 WHEN q = 90 THEN ex90
+        |         ELSE ex99 END) * 1000000) AS BIGINT)
+        |  END AS rel_err_e6
         |FROM picked WHERE rn = 1 ORDER BY event_type, q""".stripMargin,
     // Same exact cents, same (delta, custkey) total order, same
     // truncating decile, same unique-rn waterfall pick — all integers.

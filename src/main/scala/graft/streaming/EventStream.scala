@@ -182,8 +182,11 @@ object EventStream {
       }
       val next = UserState(user, prev.events + n, prev.totalValue + v, lastMs)
       st.update(next)
-      if (prev.lastEventMs != Long.MinValue)
-        getHandle.deleteTimer(prev.lastEventMs + stateTtlMs)
+      // Delete whatever was actually registered (the watermark clamp
+      // below can register watermark+1 ≠ lastEventMs+ttl, so deriving
+      // the old timestamp from state would miss it and leave an
+      // orphaned early timer that later evicts live state).
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
       getHandle.registerTimer(math.max(lastMs + stateTtlMs,
         timerValues.getCurrentWatermarkInMs + 1))
       Iterator.single(UserAgg(user, next.events, next.totalValue))
@@ -192,7 +195,12 @@ object EventStream {
         user: Long,
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[UserAgg] = {
-      st.clear() // watermark passed lastEvent + TTL: evict
+      // Evict only when the state's own deadline has genuinely passed —
+      // a stray early timer (impossible under listTimers-deletion above,
+      // but cheap to guard) must not restart a live running agg.
+      if (st.exists() &&
+          st.get().lastEventMs + stateTtlMs <= timerValues.getCurrentWatermarkInMs)
+        st.clear()
       Iterator.empty
     }
   }
@@ -443,9 +451,22 @@ object EventStream {
     val sigCols = sig.columns.toSeq
     // Reference = every strictly-earlier batch (partition pruning on
     // batch_id — directories beyond the filter are never read).
-    val ref = scala.util.Try(spark.read.parquet(sigDir)).toOption
-      .map(_.filter(col("batch_id") < batchId)
-        .select(sigCols.map(col): _*))
+    // First-batch detection is an EXPLICIT listing for landed
+    // `batch_id=` partitions (a pre-created-but-empty root is still
+    // "no store"): a transient IO error or corrupt footer on a
+    // POPULATED store must fail the batch (foreachBatch retries it),
+    // not silently disable cross-batch dedup and land dups.
+    val sigPath = new org.apache.hadoop.fs.Path(sigDir)
+    val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val storePopulated = fs.exists(sigPath) &&
+      fs.listStatus(sigPath).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    val ref =
+      if (storePopulated)
+        Some(spark.read.parquet(sigDir)
+          .filter(col("batch_id") < batchId)
+          .select(sigCols.map(col): _*))
+      else None
     val crossDrops = ref match {
       case Some(r) =>
         Dedup.minhashBandJoin(sig, r, numHashes, bands)
