@@ -172,7 +172,22 @@ object DevScaleAudit {
       }.reduce(_ unionAll _)
       cust10.repartition(8).write.mode("overwrite").parquet(custOut.toString)
     }
+    // r14 — healthcare CSV at 50k·factor rows (the commissioned-DAG
+    // end-to-end audit, r13 verdict item 4): same generator as the
+    // gate fixture, streamed to disk.
+    val hcOut = Paths.get(out, "healthcare.csv")
+    if (!Files.exists(hcOut))
+      pipeline.HealthcareFixture.writeLarge(hcOut.toString, 50000 * n)
   }
+
+  /** Recursive delete for per-run pipeline output dirs (the pipe_*
+    * rows re-run the whole DAG per timed evaluation; leaving 100×
+    * outputs behind would fill the disk across runs).
+    */
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
 
   private def time(name: String, runs: Int)(df: => DataFrame): Double = {
     val ts = (1 to runs).map { i =>
@@ -195,11 +210,22 @@ object DevScaleAudit {
     val factor = if (args.length > 3) args(3).toInt else 10
     val spark = Engine.session(cores = "32", appName = "graft-scale-audit")
     synth(spark, base, out, factor)
+    // 1× healthcare CSV (the base dir is read-only): 50k rows, the
+    // pipe_healthcare row's 1× input.
+    val hc1x = Paths.get("dev/healthcare1x/healthcare.csv")
+    if (!Files.exists(hc1x))
+      pipeline.HealthcareFixture.writeLarge(hc1x.toString, 50000)
 
     def docsOf(dir: String) =
       Tables.table(spark, dir, "documents").select("doc_id", "text")
     def liOf(dir: String) = Tables.table(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    // The shared bipartite audit graph (order nodes even, the
+    // quantity×10+linenumber value grid odd) — pagerank3/hits2's frame,
+    // factored out for the r14 graph-family rows.
+    def liGraph(dir: String) = liOf(dir).select(
+      (col("l_orderkey") * 2).as("src"),
+      ((col("l_quantity").cast("long") * 10 + col("l_linenumber")) * 2 + 1).as("dst"))
 
     // Full-corpus CC (no doc_id<1000 subset): simhash bands over every
     // doc, min-label components at the session's production shuffle
@@ -228,21 +254,13 @@ object DevScaleAudit {
       // side fixed — the skew-growth direction).
       "segment_dedup" -> (dir => ext.Dedup.segmentDedup(
         docsOf(dir), col("doc_id"), col("text"))),
-      "pagerank3" -> (dir => ext.Components.pageRank(
-        liOf(dir).select(
-          (col("l_orderkey") * 2).as("src"),
-          ((col("l_quantity").cast("long") * 10 + col("l_linenumber")) * 2 + 1).as("dst")),
-        iterations = 3)),
+      "pagerank3" -> (dir => ext.Components.pageRank(liGraph(dir), iterations = 3)),
       // r7 continuation: the graph-analytics cores. HITS shares the
       // bipartite frame above (node count ×10 on the order side, the
       // popular item side fixed); triangles run over the simhash
       // candidate pair graph — shard-disjoint replicas, so candidate
       // volume (and wedge volume) scales linearly by construction.
-      "hits2" -> (dir => ext.Graph.hits(
-        liOf(dir).select(
-          (col("l_orderkey") * 2).as("src"),
-          ((col("l_quantity").cast("long") * 10 + col("l_linenumber")) * 2 + 1).as("dst")),
-        iterations = 2)),
+      "hits2" -> (dir => ext.Graph.hits(liGraph(dir), iterations = 2)),
       "tri_simhash" -> { dir =>
         val d = docsOf(dir)
         ext.Graph.triangleCounts(
@@ -454,6 +472,51 @@ object DevScaleAudit {
       "doc_scorecard" -> (dir => SparkEntry.queries("q300_health_scorecard")(spark, dir)),
       "ev_triple_itemsets" -> (dir => SparkEntry.queries("q318_triple_itemsets")(spark, dir)),
       "graph_link_predict" -> (dir => SparkEntry.queries("q153_link_predict")(spark, dir)),
+      // r14 — the REST of the iterative-graph family (r13 verdict item
+      // 1: pagerank3 was the only power-iteration shape with a 100×
+      // row). All run the library CORES directly on the same
+      // lineitem-derived bipartite frame as pagerank3/hits2 (order
+      // nodes ×N, the ~350-value popular side fixed — the skew-growth
+      // direction), bypassing the per-(session,dir) edge memos the
+      // registry queries use so repeated timing runs stay honest.
+      "pagerank3_personal" -> (dir => ext.Components.pageRankPersonalized(
+        liGraph(dir), isSeed = _ % 97 === 0, iterations = 3)),
+      "pagerank3_weighted" -> (dir => ext.Components.pageRankWeighted(
+        liOf(dir).select(
+          (col("l_orderkey") * 2).as("src"),
+          ((col("l_quantity").cast("long") * 10 + col("l_linenumber")) * 2 + 1).as("dst"),
+          col("l_quantity").cast("double").as("w")),
+        iterations = 3)),
+      "graph_seed_bfs" -> (dir => ext.Graph.seedDistance(
+        liGraph(dir), isSeed = _ % 97 === 0, maxDepth = 4)),
+      "graph_kcore" -> (dir => ext.Graph.kCore(liGraph(dir), k = 5, maxIter = 40)),
+      // r14 — the two commissioned DAGs end-to-end (r13 verdict item
+      // 4): each timed evaluation runs the WHOLE pipeline (reads,
+      // counts, writes — real sinks, deleted after metrics are taken)
+      // and returns a 1-row metrics frame for the noop force. The 1×
+      // healthcare CSV lives outside the read-only base dir.
+      "pipe_healthcare" -> { dir =>
+        import spark.implicits._
+        val csv =
+          if (dir == base) "dev/healthcare1x/healthcare.csv"
+          else s"$dir/healthcare.csv"
+        val outDir = Files.createTempDirectory("graft-hc-audit")
+        val m = pipeline.Healthcare.run(spark, pipeline.PipelineConfig(
+          csv, outDir.toString, overwrite = true,
+          logDir = s"$outDir/logs"))
+        rmTree(outDir)
+        Seq((m.inputRows, m.afterDedupRows, m.patientsTotal, m.admissionsTotal))
+          .toDF("input", "after_dedup", "patients", "admissions")
+      },
+      "pipe_corpus" -> { dir =>
+        import spark.implicits._
+        val outDir = Files.createTempDirectory("graft-corpus-audit")
+        val m = pipeline.Corpus.run(spark, pipeline.CorpusConfig(
+          inDir = dir, outPath = s"$outDir/clean"))
+        rmTree(outDir)
+        Seq((m.input, m.written, m.nearDupDocsDropped, m.chunksWritten, m.packs))
+          .toDF("input", "written", "neardup_dropped", "chunks", "packs")
+      },
     )
 
     // optional 3rd arg: comma-separated name-prefix subset (fast iteration)

@@ -23,7 +23,7 @@ object SparkEntry {
       graft.queries.Round4.queries ++ graft.queries.Round8.queries ++
       graft.queries.Round9.queries ++ graft.queries.Round10.queries ++
       graft.queries.Round11.queries ++ graft.queries.Round12.queries ++
-      graft.queries.Round13.queries ++
+      graft.queries.Round13.queries ++ graft.queries.Round14.queries ++
       graft.ext.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,6 +34,6 @@ object SparkEntry {
       graft.queries.Round4.oracleSql ++ graft.queries.Round8.oracleSql ++
       graft.queries.Round9.oracleSql ++ graft.queries.Round10.oracleSql ++
       graft.queries.Round11.oracleSql ++ graft.queries.Round12.oracleSql ++
-      graft.queries.Round13.oracleSql ++
+      graft.queries.Round13.oracleSql ++ graft.queries.Round14.oracleSql ++
       graft.ext.Extensions.oracleSql
 }

@@ -66,6 +66,25 @@ object HealthcareFixture {
   def main(args: Array[String]): Unit =
     write(args(0), if (args.length > 1) args(1).toInt else 200)
 
+  /** Streaming variant of [[write]] for audit-scale fixtures (50k–5M
+    * rows): rows go straight to a buffered writer — no single giant
+    * string on the driver heap. Same header, same adversarial head,
+    * same seeded bulk generator, so any size is a prefix-extension of
+    * the gate fixture's distribution.
+    */
+  def writeLarge(path: String, rows: Int, seed: Long = 42L): Unit = {
+    val rng = new Random(seed)
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val w = Files.newBufferedWriter(p)
+    try {
+      w.write(header); w.newLine()
+      adversarial.foreach { r => w.write(r); w.newLine() }
+      var i = adversarial.length
+      while (i < rows) { w.write(bulkRow(rng)); w.newLine(); i += 1 }
+    } finally w.close()
+  }
+
   /** Write a `rows`-row fixture CSV (adversarial head + seeded bulk). */
   def write(path: String, rows: Int = 200, seed: Long = 42L): Unit = {
     val rng = new Random(seed)
