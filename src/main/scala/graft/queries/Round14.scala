@@ -162,9 +162,34 @@ object Round14 {
       .orderBy("t", "wk")
   }
 
+  /** q413 — whole-span actives per type from the TWO-TIER store:
+    * compacted weekly registers for the aged days (q412's files) MERGED
+    * with the recent daily files (q411's window) answer one span
+    * question — lifetime distinct actives per type — without events
+    * and without caring which granularity each register came from.
+    * This is the compositionality contract that makes compaction SAFE:
+    * MAX-merge is associative, so (daily→weekly)→span ≡ daily→span ≡
+    * raw→span, and the oracle takes the third route (registers built
+    * directly from all raw user rows) to certify the first.
+    */
+  def q413(s: SparkSession, dir: String): DataFrame = {
+    val maxD = ensureDailyStore(s, dir)
+    ensureWeeklyStore(s, dir, maxD)
+    val recent = dailyRead(s, dir)
+      .filter(col("d") >= lit(maxD - 9L))
+      .select(col("t"), col("reg"), col("rho"))
+    val aged = s.read.parquet(storeRoot(dir) + "/weekly")
+      .select(col("t"), col("reg"), col("rho"))
+    val merged = recent.unionAll(aged)
+      .groupBy(col("t"), col("reg")).agg(max(col("rho")).as("rho"))
+    Sketches.hllPortableEstimate(merged, Seq("t"))
+      .orderBy("t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q411_store_dau_overlap" -> (q411 _),
     "q412_store_weekly_compact" -> (q412 _),
+    "q413_store_span_actives" -> (q413 _),
   )
 
   private def hllEstOver(fromSql: String, groupCols: Seq[String],
@@ -215,6 +240,17 @@ object Round14 {
          |JOIN ${hllEstOver(pairUnion, Seq("d", "ta", "tb"), "union_est_e2")} eu
          |  ON eu.d = g.d AND eu.ta = g.ta AND eu.tb = g.tb
          |ORDER BY day, type_a, type_b""".stripMargin
+    },
+    // Whole-span per-type registers built directly from raw user rows —
+    // the third construction order; Spark MAX-merges weekly-compacted
+    // aged files with recent daily files (merge associativity).
+    "q413_store_span_actives" -> {
+      val fromSql =
+        "SELECT t, md5(CAST(user_id AS VARCHAR)) AS hx FROM udt"
+      s"""WITH $udtCte
+         |SELECT t, n_registers_used, n_zero_registers, est_e2
+         |FROM (${Sketches.hllPortableOracleSql(fromSql, Seq("t"))})
+         |ORDER BY t""".stripMargin
     },
     // Same aged-day bound, same positive-day floor week (Spark `div 7`
     // ≡ DuckDB `// 7` on positive days), registers built from raw

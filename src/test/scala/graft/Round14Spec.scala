@@ -70,6 +70,14 @@ class Round14Spec extends SparkTestBase {
     val q412 = queries.Round14.q412(spark, sf).localCheckpoint(true)
     assert(q412.count() === 20L, "expected 4 aged weeks × 5 types")
     assert(q412.filter(col("est_e2") <= 0).isEmpty, "degenerate weekly estimate")
+    // Two-tier span query: one row per type, and the span estimate
+    // dominates any single week's (more days merged in → more
+    // registers hit, the estimate is monotone in set inclusion).
+    val q413 = queries.Round14.q413(spark, sf).localCheckpoint(true)
+    assert(q413.count() === 5L, "expected one span row per type")
+    val wkMax = q412.groupBy(col("t")).agg(max(col("est_e2")).as("wk_max"))
+    assert(q413.join(wkMax, "t").filter(col("est_e2") < col("wk_max")).isEmpty,
+      "span estimate fell below a single compacted week's estimate")
   }
 
   // ---- streaming ingest store pruning (r13 verdict item 6) ------------------
