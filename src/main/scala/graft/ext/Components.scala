@@ -441,9 +441,23 @@ object Components {
       // (59.7× for 100× data). The residual per-round shuffle is the
       // contraction groupBy(dst), which is the operator's intrinsic
       // linear pass.
-      val symDeg = loopShufflePartitions
-        .map(w => symDeg0.repartition(w, col("src")).localCheckpoint(true))
-        .getOrElse(symDeg0.repartition(col("src")).localCheckpoint(true))
+      // ALSO pre-sorted on the key: the per-round join is a sort-merge
+      // join, and partitioning alone still pays a full edge-frame SORT
+      // every round — `localCheckpoint` preserves outputOrdering along
+      // with outputPartitioning, so sorting once here makes the edge
+      // side of every round's SMJ zero-work (stream-merge only).
+      // Materialized under AQE-OFF: the checkpoint captures the
+      // physical plan's outputPartitioning/Ordering, and under AQE the
+      // captured plan is the adaptive WRAPPER, which reports
+      // UnknownPartitioning — silently re-adding the per-round
+      // edge-frame Exchange+Sort this block exists to eliminate
+      // (caught by GRAFT_EXPLAIN_LOOP plan dump, r14).
+      val symDeg = withAqeOff(spark) {
+        val parted = loopShufflePartitions
+          .map(w => symDeg0.repartition(w, col("src")))
+          .getOrElse(symDeg0.repartition(col("src")))
+        parted.sortWithinPartitions("src").localCheckpoint(true)
+      }
       // Uniform walk: constant teleport (1-d)/N, uniform pr0.
       // Personalized: restart mass concentrates on the seed set — the
       // teleport is an expression over the contraction's group key and
@@ -478,6 +492,11 @@ object Components {
             lit(damping) * sum(col("pr") * col("w") / col("d"))).as("pr"))
           .select(col("dst").as("id"), col("pr"))
       }
+      // Dev-only plan probe: dump the loop's physical plan before it
+      // executes so the co-partitioning/pre-sort claim is inspectable
+      // (the edge side of each round's SMJ must show neither Exchange
+      // nor Sort above the checkpointed scan).
+      if (sys.env.contains("GRAFT_EXPLAIN_LOOP")) pr.explain("formatted")
       // Materialized INSIDE the scope (single job): the one place the
       // whole chain executes, so the scoped shuffle width/AQE setting
       // actually binds — a lazy return would run under the restored
@@ -501,6 +520,19 @@ object Components {
     * and adaptive-planning latency. Lazy plan tails returned from `f`
     * execute later under the restored session conf.
     */
+  /** Run `f` (typically an eager repartition+sort+localCheckpoint of a
+    * loop frame) with AQE disabled, restoring the conf after: the
+    * checkpoint's LogicalRDD copies the captured physical plan's
+    * outputPartitioning/outputOrdering, and the AQE wrapper plan
+    * reports UnknownPartitioning — so a checkpoint taken under AQE
+    * loses exactly the distribution the loop wants to reuse.
+    */
+  private[ext] def withAqeOff[A](s: SparkSession)(f: => A): A = {
+    val aqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally s.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   private[ext] def withSmallScope[A](s: SparkSession, parts: Int)(f: => A): A = {
     val sp = s.conf.get("spark.sql.shuffle.partitions")
     val aqe = s.conf.get("spark.sql.adaptive.enabled")

@@ -66,12 +66,21 @@ object Graph {
       // re-exchanging the edge frame 2×iterations times. Storage is 2×
       // the edge frame — the same class of footprint the join needs in
       // flight anyway.
-      val eSrc = loopShufflePartitions
-        .map(w => e.repartition(w, col("src"))).getOrElse(e.repartition(col("src")))
-        .localCheckpoint(true)
-      val eDst = loopShufflePartitions
-        .map(w => e.repartition(w, col("dst"))).getOrElse(e.repartition(col("dst")))
-        .localCheckpoint(true)
+      // Pre-sorted on the join key too, materialized under AQE-off so
+      // the checkpoint actually captures the distribution (the
+      // runPageRank discipline — see Components.withAqeOff): SMJ's
+      // edge side is then stream-merge only, no per-half-round
+      // Exchange or Sort of the edge frame.
+      val eSrc = Components.withAqeOff(spark) {
+        loopShufflePartitions
+          .map(w => e.repartition(w, col("src"))).getOrElse(e.repartition(col("src")))
+          .sortWithinPartitions("src").localCheckpoint(true)
+      }
+      val eDst = Components.withAqeOff(spark) {
+        loopShufflePartitions
+          .map(w => e.repartition(w, col("dst"))).getOrElse(e.repartition(col("dst")))
+          .sortWithinPartitions("dst").localCheckpoint(true)
+      }
       val hubs = eSrc.select(col("src").as("id")).distinct().localCheckpoint(true)
       val nh = hubs.count()
       require(nh > 0, "hits: empty edge set after self-loop removal")
@@ -274,9 +283,12 @@ object Graph {
       // Pre-partitioned by the per-round join key in BOTH branches
       // (r13 verdict item 1 — the runPageRank comment has the full
       // rationale): rounds exchange only the node-sized dist frame.
-      val symC = loopShufflePartitions
-        .map(w => sym.repartition(w, col("src")).localCheckpoint(true))
-        .getOrElse(sym.repartition(col("src")).localCheckpoint(true))
+      val symC = Components.withAqeOff(spark) {
+        loopShufflePartitions
+          .map(w => sym.repartition(w, col("src")))
+          .getOrElse(sym.repartition(col("src")))
+          .sortWithinPartitions("src").localCheckpoint(true)
+      }
       var dist = symC.select(col("src").as("id")).distinct()
         .filter(isSeed(col("id")))
         .select(col("id"), lit(0L).as("dist"))
