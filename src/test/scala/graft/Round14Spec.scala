@@ -80,6 +80,24 @@ class Round14Spec extends SparkTestBase {
       "span estimate fell below a single compacted week's estimate")
   }
 
+  // ---- warm-start PageRank (q414) -------------------------------------------
+
+  test("q414 warm-start equals cold: 3 persisted rounds + 1 warm round match " +
+    "the 4-round cold run on the e6 grid") {
+    // Same edge derivation as the registered graph family (the shared
+    // memo is ext-private; the 3-line derivation is its definition).
+    val o = Tables.table(spark, sf, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.table(spark, sf, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val cold = ext.Components.pageRank(edges, iterations = 4,
+      loopShufflePartitions = Some(8))
+      .select(col("id"), ext.Similarity.intScaled(col("pr"), 1000000L).as("pr_e6"))
+    val warm = ext.Components.q414(spark, sf).select("id", "pr_e6")
+    assert(warm.exceptAll(cold).isEmpty && cold.exceptAll(warm).isEmpty,
+      "warm-start ranks diverged from the 4-round cold run")
+  }
+
   // ---- streaming ingest store pruning (r13 verdict item 6) ------------------
 
   test("streaming dedup replay read prunes batch_id partitions: the reference " +
