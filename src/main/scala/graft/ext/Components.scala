@@ -46,11 +46,35 @@ object Components {
     *              corpus size.
     * @return (`id`, `comp`) where `comp` = min vertex id reachable
     */
+  /** Warm-start connected components: seed the min-label loop with a
+    * PERSISTED prior labeling instead of self-labels — the incremental
+    * form (yesterday's labeling + today's new edges converge in a few
+    * rounds instead of from scratch). Correctness is an invariant, not
+    * an approximation: prior labels are min ids WITHIN old components,
+    * old components only ever MERGE under added edges, so min-label
+    * propagation from the seeded state reaches the same unique
+    * fixpoint (the merged component's min id) as a cold run — q415
+    * certifies warm ≡ cold ≡ the recursive-CTE oracle. Nodes absent
+    * from `initial` (new arrivals) default to self-labels.
+    *
+    * @param initial (`id`, `comp`) — a prior labeling over any
+    *                SUBGRAPH of the current graph
+    */
+  def connectedComponentsWarm(
+      vertices: DataFrame,
+      edges: DataFrame,
+      initial: DataFrame,
+      maxIter: Int = 30,
+      loopShufflePartitions: Option[Int] = None): DataFrame =
+    connectedComponents(vertices, edges, maxIter, loopShufflePartitions,
+      initial = Some(initial))
+
   def connectedComponents(
       vertices: DataFrame,
       edges: DataFrame,
       maxIter: Int = 30,
-      loopShufflePartitions: Option[Int] = None): DataFrame = {
+      loopShufflePartitions: Option[Int] = None,
+      initial: Option[DataFrame] = None): DataFrame = {
     // Materialize the (possibly expensive) edge derivation ONCE before
     // symmetrizing — the union references `edges` twice, which would
     // otherwise evaluate the upstream pipeline (e.g. a simhash band
@@ -82,12 +106,23 @@ object Components {
     // label frame with a NULL old-comp on its first appearance, the
     // null-safe change count would miss it, and the loop could converge
     // EARLY with wrong groups — silently, despite the loud-failure goal.
-    var labels = vertices.select(col("id"))
+    val allIds = vertices.select(col("id"))
       .union(e1.select(col("src").as("id")))
       .union(e1.select(col("dst").as("id")))
       .distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    var labels = initial match {
+      // Warm start: seed from the prior labeling where it covers a
+      // node, self-label new arrivals. Labels still only decrease
+      // (prior labels are ids within their component), so the change
+      // detection and fixpoint argument below are untouched.
+      case Some(init) =>
+        allIds
+          .join(init.select(col("id"), col("comp").as("__ic")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__ic"), col("id")).as("comp"))
+          .localCheckpoint(true)
+      case None =>
+        allIds.select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    }
     // Adaptive re-planning adds per-shuffle-stage scheduling latency
     // that dominates when the loop frames are tiny; with the loop width
     // pinned there is nothing for AQE to decide. Scoped mode turns it
@@ -609,6 +644,64 @@ object Components {
   def q102(s: SparkSession, dir: String): DataFrame =
     neardupLabels(s, dir)._2.orderBy("doc_id")
 
+  private val ccStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  /** Persist the labeling of the OLD half of the probe corpus — the
+    * EVEN doc ids, q122's existing-corpus/incoming-batch framing, so
+    * the split binds at every SF (the planted near-dup pairs mix
+    * parities generously; a prefix split degenerates at sf0.001 where
+    * the probe bound covers the whole corpus). Simhash fingerprints
+    * and band keys are per-doc, so the old pair set is exactly the
+    * full pair set restricted to old endpoints.
+    */
+  private def ensureCcStore(s: SparkSession, dir: String): String =
+    ccStoreCache.computeIfAbsent((s, dir), { _ =>
+      val path = "/tmp/graft-ccstore/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      withSmallScope(s, 4) {
+        val old = Tables.table(s, dir, "documents")
+          .filter(col("doc_id") < 1000 && col("doc_id") % 2 === 0)
+        val pairs = Dedup.simhashBandPairs(
+          Dedup.simhashN(old, col("doc_id"), col("text"), bits = 60),
+          bits = 60, bands = 4, maxHamming = 2)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        connectedComponents(old.select(col("doc_id").as("id")), pairs,
+          loopShufflePartitions = Some(4))
+          .write.mode("overwrite").parquet(path)
+      }
+      path
+    })
+
+  /** q415 — INCREMENTAL near-dup components off a persisted labeling:
+    * the even-id half of the probe corpus is labeled once and
+    * persisted (yesterday's dedup state — q122's existing-corpus
+    * framing); today's run adds the odd half's docs and every new
+    * candidate pair, seeds the min-label loop from the store, and must
+    * converge to EXACTLY the full-graph labeling — q102's
+    * recursive-CTE oracle, unchanged.
+    * The incremental-maintenance trilogy's third leg (registers
+    * q411-q413, ranks q414, labels here): at 100 TB the nightly dedup
+    * job re-labels only what new edges can touch, never the corpus.
+    * Unlike the float walks, this contract is EXACT — prior labels
+    * are ids within their components and components only merge, so
+    * the seeded fixpoint is identical, not approximately equal.
+    */
+  def q415(s: SparkSession, dir: String): DataFrame = {
+    val store = ensureCcStore(s, dir)
+    withSmallScope(s, 4) {
+      val subset = Tables.table(s, dir, "documents").filter(col("doc_id") < 1000)
+      val pairs = Dedup.simhashBandPairs(
+        Dedup.simhashN(subset, col("doc_id"), col("text"), bits = 60),
+        bits = 60, bands = 4, maxHamming = 2)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      connectedComponentsWarm(subset.select(col("doc_id").as("id")), pairs,
+        initial = s.read.parquet(store),
+        loopShufflePartitions = Some(4))
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** q120 — the SAME near-dup component labeling as q102, computed by
     * the star-contraction path ([[connectedComponentsStar]]) and
     * certified against the SAME recursive-CTE oracle. Keeps the two CC
@@ -885,6 +978,7 @@ object Components {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q355_optout_closure" -> (q355 _),
     "q102_neardup_components" -> (q102 _),
+    "q415_components_warm"    -> (q415 _),
     "q119_component_best"     -> (q119 _),
     "q120_components_star"    -> (q120 _),
     "q127_pagerank"           -> (q127 _),
@@ -1082,6 +1176,10 @@ object Components {
     // Same oracle as q102 by design: both CC implementations must
     // produce the identical labeling.
     "q120_components_star"    -> componentsOracle,
+    // Same oracle AGAIN by design: the warm-started incremental run
+    // must reach the identical labeling as the cold run and the
+    // recursive-CTE ground truth.
+    "q415_components_warm"    -> componentsOracle,
     "q127_pagerank"           -> pageRankOracle,
     // The 4-round cold unroll: Spark answers with 3 PERSISTED rounds +
     // 1 warm round off the rank store — equality certifies the

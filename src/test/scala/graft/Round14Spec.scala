@@ -98,6 +98,29 @@ class Round14Spec extends SparkTestBase {
       "warm-start ranks diverged from the 4-round cold run")
   }
 
+  // ---- incremental connected components (q415) ------------------------------
+
+  test("q415 warm-start CC is binding and exact: the even-half store covers " +
+    "real components, cross-parity pairs force real merges, and the seeded " +
+    "run equals the cold q102 labeling") {
+    val warm = ext.Components.q415(spark, sf).localCheckpoint(true)
+    val cold = ext.Components.q102(spark, sf)
+    assert(warm.exceptAll(cold).isEmpty && cold.exceptAll(warm).isEmpty,
+      "incremental labeling diverged from the cold full-graph labeling")
+    // Bindingness: the fixture's candidate pairs must MIX parities —
+    // otherwise the warm start never exercises a merge of a persisted
+    // component with a new node.
+    val subset = Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") < 1000)
+    val pairs = ext.Dedup.simhashBandPairs(
+      ext.Dedup.simhashN(subset, col("doc_id"), col("text"), bits = 60),
+      bits = 60, bands = 4, maxHamming = 2)
+    val cross = pairs.filter(col("id_a") % 2 =!= col("id_b") % 2).count()
+    val within = pairs.filter(col("id_a") % 2 === col("id_b") % 2).count()
+    assert(cross > 0, "no cross-parity candidate pair — warm start vacuous")
+    assert(within > 0, "no within-half pair — the persisted state is all singletons")
+  }
+
   // ---- streaming ingest store pruning (r13 verdict item 6) ------------------
 
   test("streaming dedup replay read prunes batch_id partitions: the reference " +
