@@ -226,6 +226,9 @@ object DevScaleAudit {
     def liGraph(dir: String) = liOf(dir).select(
       (col("l_orderkey") * 2).as("src"),
       ((col("l_quantity").cast("long") * 10 + col("l_linenumber")) * 2 + 1).as("dst"))
+    // Per-dir cold-rank store for the graph_rank_warm row: run 1 pays
+    // the 3-round cold build + write; later runs time the warm round.
+    val rankStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
 
     // Full-corpus CC (no doc_id<1000 subset): simhash bands over every
     // doc, min-label components at the session's production shuffle
@@ -490,6 +493,27 @@ object DevScaleAudit {
       "graph_seed_bfs" -> (dir => ext.Graph.seedDistance(
         liGraph(dir), isSeed = _ % 97 === 0, maxDepth = 4)),
       "graph_kcore" -> (dir => ext.Graph.kCore(liGraph(dir), k = 5, maxIter = 40)),
+      // r14 — the persisted-store lifecycle rows. The per-session
+      // memo makes run 1 pay the store WRITE (the one data-sized
+      // scan); min-of-3 therefore records the steady-state READ path:
+      // q411 answers DAU+overlap from pruned register files (flat by
+      // construction), q414 pays ONE warm PageRank round off the rank
+      // store vs pagerank3's three cold rounds — the incremental
+      // claim, priced directly.
+      "ev_store_read" -> (dir => SparkEntry.queries("q411_store_dau_overlap")(spark, dir)),
+      // Warm PageRank on the audit's own bipartite frame (the replica
+      // lineitem has no l_suppkey, so the registered q414 graph can't
+      // be derived here; the mechanism under measurement is identical).
+      "graph_rank_warm" -> { dir =>
+        val store = rankStoreMemo.getOrElseUpdate(dir, {
+          val p = Files.createTempDirectory("graft-rankstore-audit").toString
+          ext.Components.pageRank(liGraph(dir), iterations = 3)
+            .write.mode("overwrite").parquet(p)
+          p
+        })
+        ext.Components.pageRankWarm(liGraph(dir), spark.read.parquet(store),
+          iterations = 1)
+      },
       // r14 — the two commissioned DAGs end-to-end (r13 verdict item
       // 4): each timed evaluation runs the WHOLE pipeline (reads,
       // counts, writes — real sinks, deleted after metrics are taken)
