@@ -186,10 +186,52 @@ object Round14 {
       .orderBy("t")
   }
 
+  private val jsonlCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  /** Land the documents table as JSONL once per session (the export
+    * format every labeling/annotation toolchain speaks). */
+  private def ensureJsonl(s: SparkSession, dir: String): String =
+    jsonlCache.computeIfAbsent((s, dir), { _ =>
+      val path = "/tmp/graft-jsonl/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"), col("text"))
+        .write.mode("overwrite").json(path)
+      path
+    })
+
+  /** q416 — JSONL sink/source round-trip certification: the documents
+    * table is written as JSON Lines (escapes, unicode, embedded
+    * newlines all on the sink's shoulders), read back with an EXPLICIT
+    * schema (never inference — at 100 TB schema inference is a full
+    * extra pass and a drift hazard), and aggregated with a
+    * CONTENT-SENSITIVE statistic — per (lang, source): doc count,
+    * char mass, and the summed 32-bit md5 prefix of every text. The
+    * oracle computes the same aggregate from the PARQUET table, so a
+    * hash match proves the JSON round-trip preserved every text
+    * byte-exactly (any mangled escape or lost codepoint moves an md5).
+    * The md5-prefix sum is the collation-free choice: a min/max(text)
+    * would hang cross-engine string ordering on ICU-vs-binary
+    * collation; integer sums cannot.
+    */
+  def q416(s: SparkSession, dir: String): DataFrame = {
+    val back = s.read
+      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING")
+      .json(ensureJsonl(s, dir))
+    back.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("md5_sum"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q411_store_dau_overlap" -> (q411 _),
     "q412_store_weekly_compact" -> (q412 _),
     "q413_store_span_actives" -> (q413 _),
+    "q416_jsonl_roundtrip" -> (q416 _),
   )
 
   private def hllEstOver(fromSql: String, groupCols: Seq[String],
@@ -210,6 +252,16 @@ object Round14 {
       |mx AS (SELECT MAX(d) AS maxd FROM udt)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // The oracle reads the PARQUET table — a hash match against the
+    // Spark side's JSONL read-back certifies the JSON round-trip
+    // byte-exactly (same md5 chain as the HLL family).
+    "q416_jsonl_roundtrip" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+        |            AS BIGINT) AS md5_sum
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     // Same floored days, same last-10-days bound (scalar-subquery max
     // where Spark reads the store's max partition), same md5 register
     // files — built from raw user rows here where Spark READS the

@@ -80,6 +80,22 @@ class Round14Spec extends SparkTestBase {
       "span estimate fell below a single compacted week's estimate")
   }
 
+  // ---- JSONL round-trip (q416) ----------------------------------------------
+
+  test("q416 JSONL round-trip: the read-back aggregate equals the same " +
+    "aggregate computed directly from parquet, across multiple groups") {
+    val direct = Tables.table(spark, sf, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("md5_sum"))
+    val viaJson = queries.Round14.q416(spark, sf).localCheckpoint(true)
+    assert(viaJson.exceptAll(direct).isEmpty && direct.exceptAll(viaJson).isEmpty,
+      "JSONL read-back aggregate diverged from the parquet-side aggregate")
+    assert(viaJson.count() > 1L, "single group — the round-trip pin is vacuous")
+  }
+
   // ---- warm-start PageRank (q414) -------------------------------------------
 
   test("q414 warm-start equals cold: 3 persisted rounds + 1 warm round match " +
