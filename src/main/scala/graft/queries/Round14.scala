@@ -227,11 +227,71 @@ object Round14 {
       .orderBy("lang", "source")
   }
 
+  private val csvCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  /** The hazard-injected text column, spelled identically in the
+    * oracle: a leading double-quote plus every space turned into a
+    * NEWLINE. Fixture-probed necessity: the synthetic corpus contains
+    * zero embedded newlines/quotes/commas, so a plain export would
+    * certify the multiLine/escape machinery VACUOUSLY — this
+    * transformation makes every single row a quoted multi-line field
+    * with an escaped quote.
+    */
+  private def hazardText: org.apache.spark.sql.Column =
+    concat(lit("\""), translate(col("text"), " ", "\n"))
+
+  /** Land the documents table as quoted CSV once per session, text
+    * hazard-injected — the writer must quote every field and double
+    * the embedded quote; the read side becomes a true multiLine parse.
+    */
+  private def ensureCsv(s: SparkSession, dir: String): String =
+    csvCache.computeIfAbsent((s, dir), { _ =>
+      val path = "/tmp/graft-csv/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          hazardText.as("text"))
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(path)
+      path
+    })
+
+  /** q417 — CSV sink/source round-trip, the multiLine leg: q416's
+    * certification applied to the format where the hazard is worst —
+    * quoted fields with embedded record separators require
+    * `multiLine=true` (a naive line-split reader shreds them), and
+    * `escape="\""` pins RFC-4180 doubled-quote escaping on both write
+    * and read (Spark's default backslash escape is the
+    * interoperability trap). Every exported row carries an injected
+    * leading quote and space→newline hazards ([[hazardText]], mirrored
+    * in the oracle — the corpus itself is hazard-free, fixture-probed,
+    * so the injection is what makes this certification BIND). Same
+    * content-sensitive aggregate and parquet-side oracle shape as
+    * q416: the hash match proves the CSV writer and the multiLine
+    * parser are exact inverses on hazard-laden content.
+    */
+  def q417(s: SparkSession, dir: String): DataFrame = {
+    val back = s.read
+      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING")
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(ensureCsv(s, dir))
+    back.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("md5_sum"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q411_store_dau_overlap" -> (q411 _),
     "q412_store_weekly_compact" -> (q412 _),
     "q413_store_span_actives" -> (q413 _),
     "q416_jsonl_roundtrip" -> (q416 _),
+    "q417_csv_roundtrip" -> (q417 _),
   )
 
   private def hllEstOver(fromSql: String, groupCols: Seq[String],
@@ -259,6 +319,18 @@ object Round14 {
       """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+        |            AS BIGINT) AS md5_sum
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+    // Same parquet-side aggregate over the IDENTICALLY hazard-injected
+    // text ('"' prefix + spaces→newlines): the Spark side reads its
+    // landed CSV back through the multiLine parser; a hash match
+    // proves writer and parser are exact inverses on that content.
+    "q417_csv_roundtrip" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(SUM(CAST(('0x' || substr(md5(
+        |              '"' || replace(text, ' ', chr(10))), 1, 8)) AS BIGINT))
         |            AS BIGINT) AS md5_sum
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,

@@ -96,6 +96,30 @@ class Round14Spec extends SparkTestBase {
     assert(viaJson.count() > 1L, "single group — the round-trip pin is vacuous")
   }
 
+  // ---- CSV multiLine round-trip (q417) --------------------------------------
+
+  test("q417 CSV round-trip: hazards actually landed (physical lines far " +
+    "exceed rows) and the multiLine read-back equals the parquet side") {
+    val direct = Tables.table(spark, sf, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        sum(conv(substring(md5(
+          concat(lit("\""), translate(col("text"), " ", "\n"))), 1, 8), 16, 10)
+          .cast("long")).as("md5_sum"))
+    val viaCsv = queries.Round14.q417(spark, sf).localCheckpoint(true)
+    assert(viaCsv.exceptAll(direct).isEmpty && direct.exceptAll(viaCsv).isEmpty,
+      "CSV multiLine read-back diverged from the parquet-side aggregate")
+    // Bindingness: the landed files must contain far more PHYSICAL
+    // lines than data rows — the embedded newlines really reached disk
+    // and the multiLine parser really had to stitch them.
+    val nDocs = Tables.table(spark, sf, "documents").count()
+    val physicalLines = spark.read.text(
+      "/tmp/graft-csv/" + sf.replaceAll("[^A-Za-z0-9._-]", "_")).count()
+    assert(physicalLines > nDocs * 10,
+      s"only $physicalLines physical lines for $nDocs rows — hazards not landing")
+  }
+
   // ---- warm-start PageRank (q414) -------------------------------------------
 
   test("q414 warm-start equals cold: 3 persisted rounds + 1 warm round match " +
