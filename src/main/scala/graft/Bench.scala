@@ -51,6 +51,16 @@ object Bench {
     "q49_regex_battery" -> 0.4220, "q62_multimodal_meta" -> 0.2252,
     "q84_string_agg" -> 0.2211, "q313_mcnemar" -> 0.3275)
 
+  /** True median: averages the two middle elements for even sizes (the
+    * upper-median shortcut biased drift_factor toward the larger-ratio
+    * half of the 10-probe set — r14 ADVICE).
+    */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session(
@@ -64,15 +74,41 @@ object Bench {
     val samples = queries.map { case (name, _) =>
       name -> scala.collection.mutable.ArrayBuffer.empty[Double]
     }.toMap
+    // Per-block drift probes (r14 verdict item 3): the r13→r14 sweeps
+    // showed a contiguous registry block (q200-q266) moving 1.4-2.1×
+    // drift-NORMALIZED with untouched code — whole-sweep normalization
+    // cannot see a drift PHASE that spans minutes, not the whole sweep.
+    // So each suite round is split into one contiguous block per probe,
+    // and the block's probe runs an EXTRA time immediately before the
+    // block (same time-phase as the block's queries; the extra run is
+    // NOT recorded into the probe's registry sample). A real regression
+    // in one registry region now has a same-phase yardstick: it must
+    // survive division by ITS block's factor, not the sweep-wide one.
+    // Cost: 10 probe runs/round ≈ 2-3 s of a ~350 s sweep.
+    val probeNames = ProbeRefSf01.map(_._1)
+    val blockSize = math.max(1,
+      (queries.length + probeNames.length - 1) / probeNames.length)
+    val blocks = queries.grouped(blockSize).toSeq
+    val blockProbeSamples = Array.fill(blocks.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Double])
     (1 to runs).foreach { round =>
-      queries.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          samples(name) += (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed (round $round): ${e.getMessage}")
-          samples(name) += -1.0
+      blocks.zipWithIndex.foreach { case (block, bi) =>
+        SparkEntry.queries.get(probeNames(bi % probeNames.length)).foreach { pfn =>
+          val t0 = System.nanoTime()
+          try {
+            pfn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            blockProbeSamples(bi) += (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => blockProbeSamples(bi) += -1.0 }
+        }
+        block.foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            samples(name) += (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed (round $round): ${e.getMessage}")
+            samples(name) += -1.0
+          }
         }
       }
     }
@@ -84,7 +120,7 @@ object Bench {
       val times = samples(name).toSeq
       val warm = times.drop(1).filter(_ >= 0).sorted
       val ok = if (warm.nonEmpty) warm else times.filter(_ >= 0).sorted
-      name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
+      name -> (if (ok.isEmpty) -1.0 else median(ok))
     }
     // Per-query MIN over the warm rounds, recorded beside the median
     // (r11 verdict item 3): the driver's sweep shares the host with
@@ -114,13 +150,28 @@ object Bench {
     val probeRatios = ProbeRefSf01.flatMap { case (name, ref) =>
       resultMap.get(name).filter(_ > 0).map(m => name -> m / ref)
     }
+    val atSf01 = Paths.get(sfDir).getFileName.toString.equals("sf0.1")
     val driftOpt =
-      if (!Paths.get(sfDir).getFileName.toString.equals("sf0.1") ||
-        probeRatios.length < 3) None
-      else {
-        val sortedR = probeRatios.map(_._2).sorted
-        Some(sortedR(sortedR.length / 2))
-      }
+      if (!atSf01 || probeRatios.length < 3) None
+      else Some(median(probeRatios.map(_._2)))
+    // Per-block factors: median over WARM in-phase probe runs of
+    // (run / pinned ref) for the block's probe. -1 marks a block whose
+    // probe never succeeded warm; omitted entirely off sf0.1.
+    val probeRefMap = ProbeRefSf01.toMap
+    val blockDrift = blocks.zipWithIndex.map { case (block, bi) =>
+      val pName = probeNames(bi % probeNames.length)
+      val label = block.head._1.takeWhile(_ != '_') + "-" +
+        block.last._1.takeWhile(_ != '_')
+      val warm = blockProbeSamples(bi).toSeq.drop(1).filter(_ > 0)
+      val f = if (warm.isEmpty) -1.0 else median(warm) / probeRefMap(pName)
+      (label, pName, f)
+    }
+    val blockDriftJson =
+      if (!atSf01) "null"
+      else blockDrift.map { case (label, pName, f) =>
+        "\"" + label + "\":{\"probe\":\"" + pName + "\",\"factor\":" +
+          (math.rint(f * 1000) / 1000) + "}"
+      }.mkString("{", ",", "}")
     val probesJson = probeRatios.map { case (k, v) =>
       "\"" + k + "\":" + (math.rint(v * 1000) / 1000)
     }.mkString("{", ",", "}")
@@ -132,7 +183,7 @@ object Bench {
       }.mkString("{", ",", "}")
     }.getOrElse("null")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_total":$minTotal,"mins":$minQs,"drift_factor":$driftJson,"probes":$probesJson,"normalized":$normJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_total":$minTotal,"mins":$minQs,"drift_factor":$driftJson,"probes":$probesJson,"block_drift":$blockDriftJson,"normalized":$normJson,"sf":"$sfDir"}"""
     // The driver captures only a ~4 KB stdout TAIL and parses the LAST
     // line. With 200+ queries even a short-id map is ~3 KB and its
     // head gets clipped by the window (r4–r8: "parsed": null every

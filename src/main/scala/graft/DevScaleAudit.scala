@@ -185,9 +185,12 @@ object DevScaleAudit {
     * outputs behind would fill the disk across runs).
     */
   private def rmTree(p: java.nio.file.Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
+      finally s.close()
+    }
 
   private def time(name: String, runs: Int)(df: => DataFrame): Double = {
     val ts = (1 to runs).map { i =>
@@ -505,14 +508,22 @@ object DevScaleAudit {
       // lineitem has no l_suppkey, so the registered q414 graph can't
       // be derived here; the mechanism under measurement is identical).
       "graph_rank_warm" -> { dir =>
+        // Run 1 pays BOTH store writes (ranks + prepared edges); later
+        // runs time the steady-state warm path: two store reads + one
+        // marginal round, no edge rebuild (r14 verdict item 2).
         val store = rankStoreMemo.getOrElseUpdate(dir, {
           val p = Files.createTempDirectory("graft-rankstore-audit").toString
           ext.Components.pageRank(liGraph(dir), iterations = 3)
-            .write.mode("overwrite").parquet(p)
-          p
+            .write.mode("overwrite").parquet(s"$p/ranks")
+          val tbl = "graft_audit_prep_" +
+            dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+          ext.Components.persistPreparedEdges(liGraph(dir), tbl,
+            s"$p/edges", buckets = 32)
+          s"$p/ranks|$tbl"
         })
-        ext.Components.pageRankWarm(liGraph(dir), spark.read.parquet(store),
-          iterations = 1)
+        val Array(ranks, tbl) = store.split('|')
+        ext.Components.pageRankWarmPrepared(spark.table(tbl),
+          spark.read.parquet(ranks), iterations = 1)
       },
       // r14 — the two commissioned DAGs end-to-end (r13 verdict item
       // 4): each timed evaluation runs the WHOLE pipeline (reads,

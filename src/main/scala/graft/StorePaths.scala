@@ -1,0 +1,48 @@
+package graft
+
+/** Per-JVM roots for session-persisted store fixtures (the q411-q415
+  * register/CC/rank stores and the q416/q417 JSONL/CSV landings).
+  *
+  * The roots are keyed by the process PID (r14 ADVICE + verdict item
+  * 6): the scheme used to be a bare fixture-keyed `/tmp/graft-<kind>/
+  * <dir>` with per-JVM overwrite-once memoization, so two concurrent
+  * JVMs over the same fixture (Verify and `sbt test`, say) could
+  * overwrite a store the other was mid-read. The PID suffix makes the
+  * root unique per process while keeping the in-JVM memoization exact
+  * (the suffix is constant for the process lifetime), and a shutdown
+  * hook reclaims everything this JVM landed so repeated sessions don't
+  * accumulate under /tmp.
+  *
+  * This is the TEST-FIXTURE lifecycle only. The production posture is
+  * unchanged: a real deployment roots these stores on durable shared
+  * storage with its own retention, never on a per-process temp path.
+  */
+object StorePaths {
+
+  private val pid = ProcessHandle.current().pid()
+
+  private val created =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  sys.addShutdownHook {
+    created.forEach { p =>
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+        finally s.close()
+      }
+    }
+  }
+
+  /** `/tmp/graft-<kind>-<pid>/d_<sanitized dir>` — stable within a
+    * JVM, disjoint across JVMs. The `d_` prefix keeps the leaf from
+    * starting with `_` (a sanitized absolute path does), which Spark's
+    * file listing treats as a hidden path and warns about.
+    */
+  def root(kind: String, dir: String): String = {
+    val base = java.nio.file.Paths.get(s"/tmp/graft-$kind-$pid")
+    created.add(base)
+    base.resolve("d_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+  }
+}

@@ -31,21 +31,6 @@ import graft.Tables
   */
 object Components {
 
-  /** @param vertices single-column frame `id` (one row per vertex)
-    * @param edges two-column frame `src`,`dst` (undirected; either
-    *              orientation; self-loops and duplicates tolerated)
-    * @param loopShufflePartitions when set, `spark.sql.shuffle.partitions`
-    *              is scoped DOWN to this value for the duration of the
-    *              label loop (restored after). The label frame is tiny
-    *              relative to the corpus (one row per candidate vertex,
-    *              not per document), so the default session partitioning
-    *              — sized for full-corpus shuffles — makes each round pay
-    *              a fixed scheduling cost per empty partition. At 100 TB
-    *              leave this None (or size it to the candidate-graph
-    *              vertex count / target partition size), never to the
-    *              corpus size.
-    * @return (`id`, `comp`) where `comp` = min vertex id reachable
-    */
   /** Warm-start connected components: seed the min-label loop with a
     * PERSISTED prior labeling instead of self-labels — the incremental
     * form (yesterday's labeling + today's new edges converge in a few
@@ -69,6 +54,21 @@ object Components {
     connectedComponents(vertices, edges, maxIter, loopShufflePartitions,
       initial = Some(initial))
 
+  /** @param vertices single-column frame `id` (one row per vertex)
+    * @param edges two-column frame `src`,`dst` (undirected; either
+    *              orientation; self-loops and duplicates tolerated)
+    * @param loopShufflePartitions when set, `spark.sql.shuffle.partitions`
+    *              is scoped DOWN to this value for the duration of the
+    *              label loop (restored after). The label frame is tiny
+    *              relative to the corpus (one row per candidate vertex,
+    *              not per document), so the default session partitioning
+    *              — sized for full-corpus shuffles — makes each round pay
+    *              a fixed scheduling cost per empty partition. At 100 TB
+    *              leave this None (or size it to the candidate-graph
+    *              vertex count / target partition size), never to the
+    *              corpus size.
+    * @return (`id`, `comp`) where `comp` = min vertex id reachable
+    */
   def connectedComponents(
       vertices: DataFrame,
       edges: DataFrame,
@@ -434,9 +434,6 @@ object Components {
     runPageRank(canon, iterations, damping, loopShufflePartitions)
   }
 
-  /** Shared power-iteration core over a canonicalized weighted edge
-    * frame (`src` < `dst`, one row per pair, `w` > 0).
-    */
   /** Warm-start PageRank: continue the walk from a PERSISTED rank
     * frame instead of the uniform pr0 — the incremental-maintenance
     * form (a nightly job persists ranks; the next run pays only the
@@ -461,6 +458,87 @@ object Components {
       initial = Some(init))
   }
 
+  /** Persist the PREPARED power-iteration edge frame — symmetrized and
+    * degree-joined, (`src`, `dst`, `w`, `d`), exactly the frame
+    * [[runPageRank]] rebuilds per session — as a bucketed+sorted table
+    * next to the rank store (r14 verdict item 2: the warm round kept
+    * re-paying the ~17 s/100× edge build its rank store was supposed to
+    * amortize away). `bucketBy(src)+sortBy(src)` with exactly ONE file
+    * per bucket (the repartition below guarantees it) makes the
+    * read-back scan itself report the hash distribution and ascending
+    * order the loop's SMJ requires — the warm edge side is then a bare
+    * bucketed parquet scan: no Exchange, no Sort, no per-session
+    * rebuild, no checkpoint (and hence no AQE-capture trap — nothing is
+    * captured). This is [[ops.Layout]]'s bucketed-join machinery
+    * (BucketingSpec) applied to iterative-loop state.
+    */
+  def persistPreparedEdges(
+      edges: DataFrame,
+      table: String,
+      path: String,
+      buckets: Int): Unit = {
+    val spark = edges.sparkSession
+    // Same construction as the cold path, spelled identically (warm ≡
+    // cold is a hash contract): canonical-orientation dedup, doubled
+    // union, summed incident weight.
+    val canon = canonUnit(edges)
+    val sym = canon
+      .union(canon.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val deg = sym.groupBy("src").agg(sum(col("w")).as("d"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    sym.join(deg, "src")
+      .repartition(buckets, col("src"))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(table)
+  }
+
+  /** Warm-start PageRank over a [[persistPreparedEdges]] read-back: the
+    * incremental run's steady state — BOTH stores read from disk, the
+    * only per-run work being the marginal rounds themselves (one
+    * node-sized rank exchange + one contraction per round). Arithmetic
+    * is identical to [[pageRankWarm]] (same join/agg expressions, same
+    * teleport spelling, N from the node-complete init), so the warm ≡
+    * cold contract carries over; q414 certifies it through the real
+    * store round-trip.
+    */
+  def pageRankWarmPrepared(
+      prepared: DataFrame,
+      init: DataFrame,
+      iterations: Int = 1,
+      damping: Double = 0.85,
+      loopShufflePartitions: Option[Int] = None): DataFrame = {
+    require(iterations >= 1,
+      s"pageRankWarmPrepared: iterations must be >= 1, got $iterations")
+    val spark = prepared.sparkSession
+    def scoped[A](f: => A): A = loopShufflePartitions
+      .map(p => withSmallScope(spark, p)(f)).getOrElse(f)
+    scoped {
+      // init covers every node (the pageRankWarm contract), so N — the
+      // teleport denominator — is one count of the node-sized store.
+      val n = init.count()
+      require(n > 0, "pageRankWarmPrepared: empty init rank frame")
+      val teleport = lit((1.0 - damping) / n)
+      var pr = init.select(col("id"), col("pr"))
+      (1 to iterations).foreach { _ =>
+        pr = prepared
+          .join(pr.select(col("id").as("src"), col("pr")), "src")
+          .groupBy(col("dst"))
+          .agg((teleport +
+            lit(damping) * sum(col("pr") * col("w") / col("d"))).as("pr"))
+          .select(col("dst").as("id"), col("pr"))
+      }
+      // Same dev-only probe as the cold loop: the SMJ edge side must be
+      // a bare bucketed scan (no Exchange/Sort).
+      if (sys.env.contains("GRAFT_EXPLAIN_LOOP")) pr.explain("formatted")
+      pr.localCheckpoint(eager = true)
+    }
+  }
+
+  /** Shared power-iteration core over a canonicalized weighted edge
+    * frame (`src` < `dst`, one row per pair, `w` > 0).
+    */
   private def runPageRank(
       canon: DataFrame,
       iterations: Int,
@@ -575,13 +653,6 @@ object Components {
     * min doc_id of its near-dup group (singletons label themselves).
     * This is the stage that turns near-dup PAIRS into keep/drop GROUPS.
     */
-  /** Scope shuffle width + AQE down for a bounded-probe-set derivation
-    * whose EAGER actions (edge checkpoint, CC loop) run inside `f`, then
-    * restore. The probe set is 1000 docs by construction, so the
-    * session's corpus-sized shuffle width only buys per-stage scheduling
-    * and adaptive-planning latency. Lazy plan tails returned from `f`
-    * execute later under the restored session conf.
-    */
   /** Run `f` (typically an eager repartition+sort+localCheckpoint of a
     * loop frame) with AQE disabled, restoring the conf after: the
     * checkpoint's LogicalRDD copies the captured physical plan's
@@ -595,6 +666,13 @@ object Components {
     try f finally s.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  /** Scope shuffle width + AQE down for a bounded-probe-set derivation
+    * whose EAGER actions (edge checkpoint, CC loop) run inside `f`, then
+    * restore. The probe set is 1000 docs by construction, so the
+    * session's corpus-sized shuffle width only buys per-stage scheduling
+    * and adaptive-planning latency. Lazy plan tails returned from `f`
+    * execute later under the restored session conf.
+    */
   private[ext] def withSmallScope[A](s: SparkSession, parts: Int)(f: => A): A = {
     val sp = s.conf.get("spark.sql.shuffle.partitions")
     val aqe = s.conf.get("spark.sql.adaptive.enabled")
@@ -657,7 +735,7 @@ object Components {
     */
   private def ensureCcStore(s: SparkSession, dir: String): String =
     ccStoreCache.computeIfAbsent((s, dir), { _ =>
-      val path = "/tmp/graft-ccstore/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = graft.StorePaths.root("ccstore", dir)
       withSmallScope(s, 4) {
         val old = Tables.table(s, dir, "documents")
           .filter(col("doc_id") < 1000 && col("doc_id") % 2 === 0)
@@ -887,38 +965,47 @@ object Components {
   }
 
   private val rankStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]
 
   /** Persist the 3-round cold ranks for q414's warm start (memoized
     * once per session; node-sized parquet — raw doubles round-trip
-    * exactly, so the warm run continues from bit-identical state).
+    * exactly, so the warm run continues from bit-identical state) AND
+    * the prepared edge frame beside them ([[persistPreparedEdges]]):
+    * the nightly job lands both; the warm run reads both and rebuilds
+    * neither. Returns (rank parquet path, prepared-edge table name).
     */
-  private def ensureRankStore(s: SparkSession, dir: String): String =
+  private def ensureRankStore(s: SparkSession, dir: String): (String, String) =
     rankStoreCache.computeIfAbsent((s, dir), { _ =>
-      val path = "/tmp/graft-rankstore/" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      pageRank(Graph.custSuppEdgesShared(s, dir),
-        iterations = 3, loopShufflePartitions = Some(8))
+      val path = graft.StorePaths.root("rankstore", dir)
+      val edges = Graph.custSuppEdgesShared(s, dir)
+      pageRank(edges, iterations = 3, loopShufflePartitions = Some(8))
         .write.mode("overwrite").parquet(path)
-      path
+      val table = "graft_prep_edges_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      persistPreparedEdges(edges, table,
+        graft.StorePaths.root("prepedges", dir), buckets = 8)
+      (path, table)
     })
 
   /** q414 — WARM-START PageRank off the persisted rank store: 3 cold
-    * rounds persisted once (node-sized parquet), then ONE warm round
-    * continues from the store — and must equal a 4-round cold run (the
+    * rounds persisted once (node-sized parquet) NEXT TO the prepared
+    * edge frame (bucketed+sorted table), then ONE warm round continues
+    * from the two stores — and must equal a 4-round cold run (the
     * oracle runs the 4 unrolled rounds directly). This is the
     * register-store lifecycle (q411-q413) applied to iterative graph
     * state: a nightly rank job persists its fixpoint progress and the
-    * next run pays only the marginal rounds, never the restart.
-    * Certifies [[pageRankWarm]]'s warm ≡ cold contract end to end
-    * through a real store write/read.
+    * next run pays only the marginal rounds — never the restart, and
+    * since r15 never the edge rebuild either ([[pageRankWarmPrepared]]).
+    * Certifies the warm ≡ cold contract end to end through both real
+    * store write/reads.
     */
-  def q414(s: SparkSession, dir: String): DataFrame =
-    pageRankWarm(Graph.custSuppEdgesShared(s, dir),
-      s.read.parquet(ensureRankStore(s, dir)),
+  def q414(s: SparkSession, dir: String): DataFrame = {
+    val (rankPath, edgeTable) = ensureRankStore(s, dir)
+    pageRankWarmPrepared(s.table(edgeTable), s.read.parquet(rankPath),
       iterations = 1, loopShufflePartitions = Some(8))
       .select(col("id"), Similarity.intScaled(col("pr"), 1000000L).as("pr_e6"))
       .orderBy("id")
+  }
 
   /** q148 — personalized PageRank seeded at the supplier side (odd
     * node ids): proximity-to-trusted-nodes over the same graph as

@@ -696,40 +696,62 @@ object Graph {
 
   /** Uncached LPA body — DevScaleAudit times this directly so the
     * session memo cannot hide the 10x cost. */
-  private[graft] def lpaLabelsFresh(s: SparkSession, dir: String): DataFrame =
-      Components.withSmallScope(s, 8) {
-        import org.apache.spark.sql.expressions.Window
-        // Min-support-2 affinity edges: parts co-ordered in >= 2
-        // DISTINCT orders. The support floor prunes the incidental-
-        // co-purchase noise that makes raw co-order graphs
-        // near-complete (where LPA degenerates to one or two giant
-        // labels) — the same reason q161's association rules and
-        // q308's TextRank carry count floors. One extra lineitem
-        // self-join beyond the shared coOrderGraph cache; the
-        // aggregated (pair, support) frame is edge-sized.
-        val li = Tables.table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val e2 = li.select(col("o"), col("p").as("a"))
-          .join(li.select(col("o"), col("p").as("b")), "o")
-          .filter(col("a") < col("b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
-          .filter(col("supp") >= 2L)
-        val sym = e2.select(col("a").as("u"), col("b").as("v"))
-          .unionAll(e2.select(col("b").as("u"), col("a").as("v")))
-          .repartition(8, col("u")).localCheckpoint(true)
-        var lab = sym.select(col("u").as("id")).distinct()
-          .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
-        (1 to 4).foreach { _ =>
-          val cnt = sym.join(lab.select(col("id").as("u"), col("lbl")), "u")
-            .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
-          val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl"))
-          lab = cnt.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("v").as("id"), col("lbl"))
-            .localCheckpoint(true)
-        }
-        lab
+  private[graft] def lpaLabelsFresh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Min-support-2 affinity edges: parts co-ordered in >= 2
+    // DISTINCT orders. The support floor prunes the incidental-
+    // co-purchase noise that makes raw co-order graphs
+    // near-complete (where LPA degenerates to one or two giant
+    // labels) — the same reason q161's association rules and
+    // q308's TextRank carry count floors. One extra lineitem
+    // self-join beyond the shared coOrderGraph cache; the
+    // aggregated (pair, support) frame is edge-sized.
+    //
+    // Built at the SESSION shuffle width with AQE on (the pageRank
+    // discipline: the corpus-sized edge derivation never runs inside
+    // the loop's narrow scope — at 100x a width-8 lineitem self-join
+    // was the row's dominant cost) and checkpointed edge-sized, so the
+    // narrow-scoped symmetrize/sort below starts from materialized
+    // pairs instead of re-deriving the self-join.
+    val li = Tables.table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e2 = li.select(col("o"), col("p").as("a"))
+      .join(li.select(col("o"), col("p").as("b")), "o")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 2L)
+      .localCheckpoint(true)
+    Components.withSmallScope(s, 8) {
+      // Loop-frame invariant (r14, Components.pageRank): the edge
+      // frame every round joins on `u` must be checkpointed
+      // partitioned AND sorted by `u`, with AQE off while the
+      // checkpoint is taken — under AQE the LogicalRDD captures the
+      // adaptive wrapper plan (UnknownPartitioning) and all 4 rounds
+      // silently re-pay the edge-frame Exchange+Sort (this was the
+      // family's worst 100x ratio before the fix). withSmallScope
+      // already holds AQE off here.
+      val sym = e2.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e2.select(col("b").as("u"), col("a").as("v")))
+        .repartition(8, col("u")).sortWithinPartitions("u")
+        .localCheckpoint(true)
+      var lab = sym.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+      (1 to 4).foreach { round =>
+        val cnt = sym.join(lab.select(col("id").as("u"), col("lbl")), "u")
+          .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl"))
+        val next = cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("v").as("id"), col("lbl"))
+        // Same dev-only probe as the pageRank loop: the SMJ edge side
+        // must be a bare Scan ExistingRDD (no Exchange, no Sort).
+        if (round == 1 && sys.env.contains("GRAFT_EXPLAIN_LOOP"))
+          next.explain("formatted")
+        lab = next.localCheckpoint(true)
       }
+      lab
+    }
+  }
 
   def q310(s: SparkSession, dir: String): DataFrame =
     lpaLabels(s, dir)

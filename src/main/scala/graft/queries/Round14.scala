@@ -37,11 +37,11 @@ import graft.ops.Sketches
   */
 object Round14 {
 
-  /** Store root for a fixture dir — deterministic so repeated sessions
-    * land on (and overwrite) the same path.
+  /** Store root for a fixture dir — stable within a JVM (the memoized
+    * writes land once), PID-disjoint across JVMs ([[graft.StorePaths]]).
     */
   private[graft] def storeRoot(dir: String): String =
-    "/tmp/graft-regstore/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.StorePaths.root("regstore", dir)
 
   private val dayNs = "86400000000000"
 
@@ -193,7 +193,7 @@ object Round14 {
     * format every labeling/annotation toolchain speaks). */
   private def ensureJsonl(s: SparkSession, dir: String): String =
     jsonlCache.computeIfAbsent((s, dir), { _ =>
-      val path = "/tmp/graft-jsonl/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = graft.StorePaths.root("jsonl", dir)
       Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_chars").cast("long").as("n_chars"), col("text"))
@@ -245,9 +245,9 @@ object Round14 {
     * hazard-injected — the writer must quote every field and double
     * the embedded quote; the read side becomes a true multiLine parse.
     */
-  private def ensureCsv(s: SparkSession, dir: String): String =
+  private[graft] def ensureCsv(s: SparkSession, dir: String): String =
     csvCache.computeIfAbsent((s, dir), { _ =>
-      val path = "/tmp/graft-csv/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = graft.StorePaths.root("csv", dir)
       Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_chars").cast("long").as("n_chars"),

@@ -115,7 +115,7 @@ class Round14Spec extends SparkTestBase {
     // and the multiLine parser really had to stitch them.
     val nDocs = Tables.table(spark, sf, "documents").count()
     val physicalLines = spark.read.text(
-      "/tmp/graft-csv/" + sf.replaceAll("[^A-Za-z0-9._-]", "_")).count()
+      queries.Round14.ensureCsv(spark, sf)).count()
     assert(physicalLines > nDocs * 10,
       s"only $physicalLines physical lines for $nDocs rows — hazards not landing")
   }
