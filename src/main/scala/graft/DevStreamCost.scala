@@ -38,7 +38,20 @@ object DevStreamCost {
     val docs = Tables.table(spark, base, "documents")
       .select("doc_id", "text").localCheckpoint(true)
 
+    // Mid-stream compaction (r14 verdict item 4): merge every aged
+    // signature partition at the halfway mark, leaving the latest
+    // landed batch uncompacted (the replay-visibility requirement).
+    // The cost question: does the flat curve SURVIVE the boundary —
+    // same keep semantics, fewer directories on every later reference
+    // read?
+    val compactAt = nBatches / 2
     val times = (0 until nBatches).map { i =>
+      if (i == compactAt && i >= 3) {
+        val t0 = System.nanoTime()
+        streaming.EventStream.compactSignatureStore(spark, sigDir, i - 2L)
+        println(f"[stream-cost] compacted batch_id<=${i - 2} " +
+          f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
       val batch = docs.filter(col("doc_id") % nBatches === i)
       val t0 = System.nanoTime()
       streaming.EventStream.dedupIngestBatch(batch, i.toLong, sigDir, keepDir)
@@ -51,10 +64,13 @@ object DevStreamCost {
     // state against the near-full store.
     val head = mean(times.slice(5, 15))
     val tail = mean(times.slice(nBatches - 10, nBatches))
+    val preC = mean(times.slice(math.max(0, compactAt - 10), compactAt))
+    val postC = mean(times.slice(compactAt, math.min(nBatches, compactAt + 10)))
     val kept = spark.read.parquet(keepDir).count()
     val sigs = spark.read.parquet(sigDir).count()
     println(f"[stream-cost] batches=$nBatches head(5-14)=$head%.2f s " +
-      f"tail(last 10)=$tail%.2f s tail/head=${tail / head}%.2f kept=$kept sigs=$sigs")
+      f"tail(last 10)=$tail%.2f s tail/head=${tail / head}%.2f " +
+      f"pre-compact=$preC%.2f s post-compact=$postC%.2f s kept=$kept sigs=$sigs")
     spark.stop()
   }
 }

@@ -385,6 +385,83 @@ object EventStream {
         writeBatchIdempotent(batch, id, sinkDir)
       }
 
+  /** Compact aged `batch_id=<n>` signature-store partitions into ONE
+    * directory (r14 verdict item 4 — the documented-but-unbuilt unit:
+    * "the batch_id layout is the compaction unit"). Everything landed
+    * at `batch_id <= upTo` is re-landed, deduplicated, as the single
+    * partition `batch_id=upTo`; older directories are deleted. The
+    * replay contract survives the boundary because visibility only
+    * COARSENS upward: a row originally visible to batches > its own id
+    * becomes visible to batches > upTo — and since `upTo` is required
+    * to be strictly below the maximum landed id, every batch that can
+    * still replay (only the latest, under foreachBatch's at-least-once)
+    * has id > upTo and sees the identical reference set through its
+    * `batch_id < current` filter. StreamingSpec proves the
+    * identical-keep-set claim across a compaction boundary.
+    *
+    * Crash discipline (the [[cdcApplyStream]] stage-and-swap posture):
+    * the merged frame is written to a DOT-PREFIXED stage directory
+    * (invisible to partition discovery, so the store stays complete
+    * while it builds), the live `batch_id=upTo` is renamed ASIDE (never
+    * deleted first), the stage renamed in, the aside and the aged
+    * directories deleted last. A crash at any point leaves either the
+    * old store intact or a recoverable aside; re-running the call
+    * completes the swap (the recovery branch below), and the merged
+    * `.distinct()` makes a re-run over a half-cleaned store land no
+    * duplicate rows. Run it in a maintenance window — quiescent stream —
+    * like any file-level compaction without a transaction log.
+    *
+    * At 100 TB: the store holds a few hundred bytes per kept doc, but
+    * its FILE count grows by one directory per micro-batch forever —
+    * the per-batch reference read pays listing + footer per directory.
+    * Periodic compaction caps that at (one compacted dir + the
+    * uncompacted recent tail); `targetFiles` sizes the compacted
+    * partition (store bytes / ~256 MB at scale; 1 at gate scale).
+    */
+  def compactSignatureStore(
+      spark: SparkSession,
+      sigDir: String,
+      upTo: Long,
+      targetFiles: Int = 1): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(sigDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    def landedIds = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    val target = new HPath(root, s"batch_id=$upTo")
+    val old = new HPath(root, s".compact_old_$upTo")
+    // Crash recovery: target missing + aside present means a prior run
+    // died between the two renames — restore the aside before anything
+    // reads (or re-merges) an incomplete store.
+    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+    val all = landedIds
+    require(all.isEmpty || upTo < all.max,
+      s"compactSignatureStore: upTo=$upTo must be strictly below the " +
+        s"latest landed batch (${all.max}) — the latest batch may still " +
+        "replay and must keep seeing its full reference set")
+    val aged = all.filter(_ <= upTo)
+    if (aged.size <= 1) return // nothing to merge
+    val stage = new HPath(root, s".compact_stage_$upTo")
+    fs.delete(stage, true)
+    spark.read.parquet(sigDir)
+      .filter(col("batch_id") <= upTo)
+      .drop("batch_id")
+      .distinct() // idempotent re-run over a half-cleaned store
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(stage.toString)
+    fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"compact swap failed: $target -> $old")
+    if (!fs.rename(stage, target))
+      throw new java.io.IOException(s"compact swap failed: $stage -> $target")
+    fs.delete(old, true)
+    aged.filter(_ < upTo).foreach { id =>
+      fs.delete(new HPath(root, s"batch_id=$id"), true)
+    }
+  }
+
   /** Streaming ingest near-dup filter — q122's bipartite MinHash band
     * join run as the production crawl loop (r12 verdict item 6): per
     * micro-batch of documents, (1) signature the batch with the
@@ -412,7 +489,9 @@ object EventStream {
     * hundred bytes, not the document — and the band join is
     * bucket-local on (band, bkey); AQE broadcasts the (small) incoming
     * batch, so the accumulated reference side never shuffles. The
-    * per-batch directories double as the retention/compaction unit.
+    * per-batch directories double as the retention/compaction unit —
+    * [[compactSignatureStore]] merges the aged ones periodically so
+    * the reference read's directory count stays bounded.
     *
     * @param docs streaming frame with `doc_id` (long) and `text`
     * @param sigDir  signature store root (batch_id=<n> subdirs)

@@ -809,4 +809,63 @@ class StreamingSpec extends SparkTestBase {
       Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)),
       s"retried batch duplicated or lost rows: ${rows.sorted}")
   }
+
+  test("signature-store compaction: a replayed batch computes the IDENTICAL " +
+    "keep set across the compaction boundary, and the directory count drops") {
+    // r14 verdict item 4. Bindingness: batch 5's dropped doc collides
+    // with BATCH 0's signature — the oldest compacted partition — so
+    // the assertion fails if compaction loses, hides, or re-ids any
+    // aged reference row (visibility must coarsen to `> upTo`, never
+    // past it).
+    val textA = "the quick brown fox jumps over the lazy dog tonight again"
+    val texts = Seq(
+      "completely different words describing structured streaming stores",
+      "yet another unrelated document about parquet layout and shuffles",
+      "a third unrelated body of text concerning adaptive query planning",
+      "fourth distinct content block about bucketed joins and exchanges",
+      "fifth distinct content block about watermarks and state eviction")
+    val sigDir = java.nio.file.Files.createTempDirectory("graft_cpt_sig").toString
+    val keepDir = java.nio.file.Files.createTempDirectory("graft_cpt_keep").toString
+    def mkBatch(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    // batches 0..4: doc 1 carries textA (batch 0); 11/21/31/41 distinct.
+    EventStream.dedupIngestBatch(mkBatch(Seq((1L, textA), (2L, texts(0)))),
+      0L, sigDir, keepDir)
+    (1 to 4).foreach { i =>
+      EventStream.dedupIngestBatch(mkBatch(Seq((i * 10L + 1L, texts(i)))),
+        i.toLong, sigDir, keepDir)
+    }
+    // batch 5, first attempt: doc 51 duplicates batch 0's doc 1 (cross-
+    // store drop through the aged partition), doc 52 is fresh (kept).
+    val b5 = Seq((51L, textA), (52L, "a brand new document that matches nothing else at all"))
+    EventStream.dedupIngestBatch(mkBatch(b5), 5L, sigDir, keepDir)
+    val keepsBefore = spark.read.parquet(s"$keepDir/batch_id=5")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sigsBefore = spark.read.parquet(sigDir)
+      .drop("batch_id").collect().map(_.toSeq).toSet
+    assert(keepsBefore === Set(52L), s"pre-compaction keep set wrong: $keepsBefore")
+
+    EventStream.compactSignatureStore(spark, sigDir, upTo = 4L)
+
+    val dirs = new java.io.File(sigDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).toSet
+    assert(dirs === Set("batch_id=4", "batch_id=5"),
+      s"aged partitions not merged: $dirs")
+    // Row-level preservation: compaction moved rows, lost none.
+    val sigsAfter = spark.read.parquet(sigDir)
+      .drop("batch_id").collect().map(_.toSeq).toSet
+    assert(sigsAfter === sigsBefore, "compaction changed the signature rows")
+    // The at-least-once replay of batch 5 (same id, same input) must
+    // recompute the identical keep set from the compacted store.
+    EventStream.dedupIngestBatch(mkBatch(b5), 5L, sigDir, keepDir)
+    val keepsAfter = spark.read.parquet(s"$keepDir/batch_id=5")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keepsAfter === keepsBefore,
+      s"replayed keep set diverged across compaction: $keepsAfter vs $keepsBefore")
+    // upTo at-or-above the latest landed batch must be refused — that
+    // batch may still replay and would lose reference visibility.
+    intercept[IllegalArgumentException] {
+      EventStream.compactSignatureStore(spark, sigDir, upTo = 5L)
+    }
+  }
 }
