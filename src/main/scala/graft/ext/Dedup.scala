@@ -889,7 +889,10 @@ object Dedup {
     "q55_exact_dedup"      -> (q55 _),
     "q240_winnowing"       -> (q240 _),
     "q56_dedup_keep_first" -> (q56 _),
-    "q57_minhash_neardup"  -> (q57 _),
+    // q57_minhash_neardup retired from the registry (r14 verdict item
+    // 7): its spark.ml hash family has no cross-engine oracle; the
+    // capability is certified by the oracle-checked q107 portable
+    // banding plus Round14Spec's q57 ⊇ planted-pairs pin. Def remains.
     "q58_ngram_jaccard"    -> (q58 _),
     "q59_simhash"          -> (q59 _),
     "q65_simhash_neardup"  -> (q65 _),

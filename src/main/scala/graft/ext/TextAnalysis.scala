@@ -1441,7 +1441,11 @@ object TextAnalysis {
     "q106_tfidf"         -> (q106 _),
     "q108_dup_ngram_frac" -> (q108 _),
     "q109_inverted_index" -> (q109 _),
-    "q110_compress_ratio" -> (q110 _),
+    // q110_compress_ratio retired from the registry (r14 verdict item
+    // 7): DEFLATE has no oracle-engine counterpart, so the row could
+    // never be hash-certified. The capability is certified by
+    // ExtensionsSpec's independent java.util.zip reference oracle and
+    // ratio-band/determinism contracts. Def remains.
     "q125_unigram_nll"   -> (q125 _),
     "q394_nll_outliers"  -> (q394 _),
     "q133_token_entropy" -> (q133 _),

@@ -469,7 +469,9 @@ object Declared {
     "q21_conditional_agg"  -> (q21 _),
     "q22_pipeline_replica" -> (q22 _),
     "q23_titlecase_expr"   -> (q23 _),
-    "q24_schema_report"    -> (q24 _),
+    // q24_schema_report retired from the registry (r14 verdict item 7):
+    // its P2 capability is fully certified by the oracle-checked
+    // q111_schema_canon; the def and its spec coverage remain.
     "q25_approx_distinct"  -> (q25 _),
     "q26_first_wins_agg"   -> (q26 _),
     "q27_rollup"           -> (q27 _),

@@ -442,6 +442,34 @@ class ExtensionsSpec extends SparkTestBase {
     assert(stats.getLong(2) === 0L)
   }
 
+  test("q110 matches an independent java.util.zip reference oracle on the " +
+    "full fixture corpus (the in-JVM stand-in for the retired DuckDB row)") {
+    // DEFLATE is not expressible in the oracle engine, so q110 was
+    // retired from the registry (r14 verdict item 7). This is its
+    // replacement certificate: recompute every doc's raw-DEFLATE length
+    // DRIVER-SIDE with a freshly-constructed Deflater per doc — sharing
+    // no code path with ops.DeflateLen's codegen'd thread-local
+    // expression — and require exact equality on every row.
+    val expected = Tables.table(spark, sf, "documents")
+      .select($"doc_id", $"text").collect().map { row =>
+      val bytes = row.getString(1).getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      row.getLong(0) -> (bytes.length.toLong, n)
+    }.toMap
+    val got = TextAnalysis.q110(spark, sf)
+      .select($"doc_id", $"raw_bytes", $"deflate_bytes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === expected.keySet, "doc coverage diverged")
+    val bad = got.collect { case (id, v) if expected(id) != v =>
+      s"$id: got $v expected ${expected(id)}" }
+    assert(bad.isEmpty, s"deflate mismatch on ${bad.size} docs: ${bad.take(5)}")
+  }
+
   // ---- fuzzy dedup / segment dedup / ranking ----------------------------
 
   test("fuzzyPairs finds exactly the <=maxDist pairs, across length bands") {

@@ -7,8 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * drift independently (the §8 header already went stale once, r11).
   * This spec fails the build when:
   *   (a) a `queries` key has no `oracleSql` entry and is not on the
-  *       NAMED rows-only allowlist (q24/q57/q110, each with a
-  *       documented engine-specific reason),
+  *       NAMED rows-only allowlist (EMPTY since r15: q24/q57/q110 were
+  *       retired from the registry — their capabilities stay certified
+  *       by q111, q107+Round14Spec, and ExtensionsSpec's java.util.zip
+  *       reference oracle respectively — so every registered query is
+  *       now hash-certified against the oracle),
   *   (b) an `oracleSql` key has no `queries` implementation (dangling
   *       oracle), or
   *   (c) a `queries` key ≥ q23 has no SURVEY §8 row (single row or a
@@ -18,11 +21,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistryConsistencySpec extends AnyFunSuite {
 
   /** Queries whose results are rows-only checked by design; adding a
-    * key here requires a documented reason in SURVEY §8. */
-  private val rowsOnlyAllowlist = Set(
-    "q24_schema_report", // engines render type names differently
-    "q57_minhash_neardup", // spark.ml MinHashLSH hash family
-    "q110_compress_ratio") // DEFLATE bytes are library-specific
+    * key here requires a documented reason in SURVEY §8. Empty since
+    * r15 — an engine-specific capability belongs OUT of the registry
+    * (def + spec certification), not in it with an uncheckable row.
+    */
+  private val rowsOnlyAllowlist = Set.empty[String]
 
   private lazy val queryKeys = SparkEntry.queries.keySet
   private lazy val oracleKeys = SparkEntry.oracleSql.keySet
