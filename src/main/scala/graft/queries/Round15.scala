@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.ext.Dedup
+import graft.streaming.EventStream
+
+/** Round-15 batch: the two store lifecycles this round built or
+  * extended, registered INSIDE the correctness gate (the q411-q415
+  * discipline — a store mechanism isn't done until an oracle-checked
+  * query reads through it).
+  *
+  *   - q418 — the signature store's COMPACTION leg: six landed
+  *     signature batches, the aged five merged by
+  *     [[EventStream.compactSignatureStore]], the read-back digested
+  *     per doc. The oracle re-derives every md5-min signature from raw
+  *     documents in DuckDB (q107's certified chain), so a hash match
+  *     proves compaction preserved every signature row bit-exactly —
+  *     no loss, no duplication, no re-keying.
+  *   - q419 — a PERSISTED HISTOGRAM register store (the third sketch
+  *     family to get the store lifecycle: HLL registers q411-q413,
+  *     rank state q414, labels q415): monthly per-priority equi-width
+  *     histograms landed partitioned by month, quantiles answered FROM
+  *     the store over a literal month span (partition-pruned read),
+  *     against an oracle that rebuilds the same histogram from raw
+  *     orders — certifying the histogram's SUM-merge and the landing's
+  *     completeness in one hash.
+  */
+object Round15 {
+
+  // ---- q418: signature-store compaction round-trip -------------------------
+
+  private val sigStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  /** Land the q107 probe set's signatures as SIX batches (doc_id % 6 —
+    * non-empty at every SF) via the streaming sink's idempotent
+    * batch_id layout, then compact the aged five (batch 5 stays, the
+    * replay-visibility rule). Memoized once per session; q418 reads
+    * the post-compaction store.
+    */
+  private[graft] def ensureSigStore(s: SparkSession, dir: String): String =
+    sigStoreCache.computeIfAbsent((s, dir), { _ =>
+      val root = graft.StorePaths.root("sigstore", dir)
+      val base = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id"), Dedup.shingles3(col("text")).as("sh"))
+        .localCheckpoint(true) // one text scan feeds all six batches
+      (0 to 5).foreach { i =>
+        val sig = Dedup.minhashSignature(
+          base.filter(col("doc_id") % 6 === i), col("doc_id"), col("sh"),
+          numHashes = 12)
+        EventStream.writeBatchIdempotent(sig, i.toLong, root)
+      }
+      EventStream.compactSignatureStore(s, root, upTo = 4L)
+      root
+    })
+
+  /** q418 — compacted-signature-store read certification: per kept doc,
+    * the md5 digest of its full 12-component signature, read FROM the
+    * store after compaction merged batches 0-4 into one partition. The
+    * oracle recomputes the signatures directly from `documents` (the
+    * q107-certified md5-min chain) and digests them identically — so
+    * the hash compare is sensitive to any row compaction lost,
+    * duplicated (the digest rides a per-doc_id row; a dup changes the
+    * row count), or altered. Round15Spec pins the physical side: the
+    * store really holds only {batch_id=4, batch_id=5} when this query
+    * answers.
+    *
+    * Scale: signatures are 12 md5 strings per doc — bytes; the store
+    * scan is census-sized and the digest is one projection. The
+    * compaction this certifies is what keeps the streaming store's
+    * directory count bounded at 100 TB (SCALE.md r15).
+    */
+  def q418(s: SparkSession, dir: String): DataFrame = {
+    val sig = s.read.parquet(ensureSigStore(s, dir))
+    val sigKey = md5(concat_ws("|", (0 until 12).map(k => col(s"mh$k")): _*))
+    sig.select(col("__id").as("doc_id"), sigKey.as("sig_key"))
+      .orderBy("doc_id")
+  }
+
+  // ---- q419: persisted histogram register store ----------------------------
+
+  private val histStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  /** Exact cents (the repo-canonical decimal spelling). */
+  private def cents(dollars: org.apache.spark.sql.Column) =
+    (dollars.cast("decimal(18,2)") * 100).cast("long")
+
+  /** Land the monthly per-priority order-value histogram registers
+    * ONCE per session: (priority, bucket = cents DIV 10^6 — $10,000
+    * equi-width bins, all-integer so no float-boundary hazard, cnt),
+    * parquet-partitioned by month id `m = year*100 + month` so month
+    * spans prune at the file listing. One orders scan per store
+    * lifetime; every row is census-sized (≤ priorities × ~60 buckets
+    * per month).
+    */
+  private[graft] def ensureHistStore(s: SparkSession, dir: String): String =
+    histStoreCache.computeIfAbsent((s, dir), { _ =>
+      val root = graft.StorePaths.root("histstore", dir)
+      Tables.table(s, dir, "orders")
+        .select(
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("m"),
+          col("o_orderpriority").as("priority"),
+          cents(col("o_totalprice")).as("c"))
+        .select(col("m"), col("priority"), expr("c DIV 1000000").as("bucket"))
+        .groupBy(col("m"), col("priority"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").partitionBy("m").parquet(root)
+      root
+    })
+
+  /** q419 — histogram-register store: p50/p90/p99 order value per
+    * priority over the LITERAL month span [199501, 199612], answered
+    * entirely FROM the persisted store — the months outside the span
+    * are pruned at the file listing (Round15Spec pins
+    * `PartitionFilters` with the literal bounds), the 24 monthly
+    * histograms MERGE by plain count addition (the property that makes
+    * histograms the production quantile sketch), and the q242
+    * interpolation rule extracts the quantiles on the merged
+    * ~priority×60-bucket grid. The oracle rebuilds the same histogram
+    * from RAW orders rows — a hash match certifies the store landed
+    * complete, non-overlapping monthly registers AND that merge ∘ land
+    * ≡ direct aggregation.
+    *
+    * Exactness: buckets and counts are integers end-to-end; the one
+    * double is q242's single interpolation division, mirrored
+    * clause-for-clause in the oracle and e0-gridded in cents (bucket
+    * width 10^6 cents keeps the rounding-boundary margin ≥ the q134
+    * audit bar).
+    *
+    * Scale: the store read is census-sized (24 months × 5 priorities ×
+    * ≤60 buckets); nothing here rescans orders. A nightly pipeline
+    * appends one new month partition and every historical quantile
+    * question stays a store-only read — the q411 posture for the
+    * quantile family.
+    */
+  def q419(s: SparkSession, dir: String): DataFrame = {
+    val h = s.read.parquet(ensureHistStore(s, dir))
+      .filter(col("m") >= 199501 && col("m") <= 199612)
+      .groupBy(col("priority"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val w = Window.partitionBy("priority").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = h
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val grp = spans.groupBy(col("priority")).agg(sum(col("cnt")).as("n"))
+    val sp = spans.join(broadcast(grp), "priority")
+    val ps = Seq(50, 90, 99).map { p =>
+      sp.withColumn("t", expr(s"($p * n + 99) DIV 100"))
+        .filter(col("cum") >= col("t") && col("prev") < col("t"))
+        .select(col("priority"), lit(p.toLong).as("p"), col("n"),
+          round(col("bucket") * 1000000 +
+            (col("t") - col("prev")) * lit(1000000.0) / col("cnt"), 0)
+            .cast("long").as("est_cents"))
+    }
+    ps.reduce(_ unionAll _).orderBy("priority", "p")
+  }
+
+  // ---- registry -------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q418_sigstore_compact" -> (q418 _),
+    "q419_hist_store_quantiles" -> (q419 _),
+  )
+
+  /** q418 oracle: the q107-certified md5-min signature chain (same t/g/m
+    * CTE spelling as `Dedup.minhashBandCte`), digested per doc.
+    */
+  private val sigStoreOracle: String = {
+    val mins = (0 until 12).map(k =>
+      s"MIN(md5('$k:' || s)) AS mh$k").mkString(", ")
+    val key = (0 until 12).map(k => s"mh$k").mkString(" || '|' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(string_split(text,' ')) - 1),
+       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] ||
+       |         ' ' || string_split(text,' ')[i+2])) AS sh
+       |  FROM documents
+       |  WHERE doc_id < 1000 AND len(string_split(text,' ')) >= 3),
+       |g AS (SELECT doc_id, unnest(sh) AS s FROM t),
+       |m AS (SELECT doc_id, $mins FROM g GROUP BY doc_id)
+       |SELECT doc_id, md5($key) AS sig_key
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q418_sigstore_compact" -> sigStoreOracle,
+    // Histogram rebuilt from RAW orders; quantile clauses mirror q242.
+    "q419_hist_store_quantiles" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           // 1000000 AS bucket,
+        |         COUNT(*) AS cnt
+        |  FROM orders
+        |  WHERE year(o_orderdate) * 100 + month(o_orderdate)
+        |        BETWEEN 199501 AND 199612
+        |  GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT priority, bucket, cnt,
+        |         SUM(cnt) OVER (PARTITION BY priority ORDER BY bucket
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY priority) AS n
+        |  FROM h),
+        |sp AS (SELECT *, cum - cnt AS prev FROM spans),
+        |est AS (
+        |  SELECT priority, p, n,
+        |         CAST(ROUND(bucket * 1000000 +
+        |             ((p * n + 99) // 100 - prev) * 1000000.0 / cnt)
+        |           AS BIGINT) AS est_cents
+        |  FROM sp CROSS JOIN (VALUES (50), (90), (99)) AS pp(p)
+        |  WHERE cum >= (p * n + 99) // 100 AND prev < (p * n + 99) // 100)
+        |SELECT priority, CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n,
+        |       est_cents
+        |FROM est ORDER BY priority, p""".stripMargin,
+  )
+}

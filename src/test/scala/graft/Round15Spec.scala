@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 pins: the compacted signature store behind q418 (physical
+  * layout + row preservation) and the histogram-register store behind
+  * q419 (partition pruning with literal month bounds + bindingness of
+  * the span filter and the monthly merge).
+  */
+class Round15Spec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- q418: compacted signature store --------------------------------------
+
+  test("q418 store physically holds ONLY {batch_id=4, batch_id=5} after " +
+    "compaction, with one row per probe doc (no loss, no duplication)") {
+    val root = queries.Round15.ensureSigStore(spark, sf)
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).toSet
+    assert(dirs === Set("batch_id=4", "batch_id=5"),
+      s"compaction did not merge the aged batches: $dirs")
+    // Bindingness: the merge had something to merge — every residue
+    // class doc_id % 6 is populated in the probe set at this SF, so
+    // five non-empty directories really collapsed into one.
+    val classes = Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") < 1000)
+      .select((col("doc_id") % 6).as("r")).distinct().count()
+    assert(classes === 6L, s"only $classes of 6 batch classes populated")
+    // One signature row per shingleable probe doc.
+    val shingleable = Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") < 1000 &&
+        size(split(col("text"), " ")) >= 3).count()
+    val stored = spark.read.parquet(root).count()
+    assert(stored === shingleable,
+      s"store rows $stored != shingleable probe docs $shingleable")
+    val distinctIds = spark.read.parquet(root)
+      .select("__id").distinct().count()
+    assert(distinctIds === stored, "duplicate doc ids in the compacted store")
+  }
+
+  test("q418 equals the signatures derived directly from documents — the " +
+    "store round-trip through landing + compaction is lossless") {
+    val base = Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), ext.Dedup.shingles3(col("text")).as("sh"))
+    val direct = ext.Dedup.minhashSignature(base, col("doc_id"), col("sh"), 12)
+      .select(col("__id").as("doc_id"),
+        md5(concat_ws("|", (0 until 12).map(k => col(s"mh$k")): _*))
+          .as("sig_key"))
+    val viaStore = queries.Round15.q418(spark, sf)
+    assert(viaStore.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaStore).isEmpty,
+      "compacted-store signatures diverged from the direct derivation")
+  }
+
+  // ---- q419: histogram-register store ----------------------------------------
+
+  test("q419 store read is month-partition-pruned: PartitionFilters carries " +
+    "the literal 199501/199612 bounds and scans only the span") {
+    val root = queries.Round15.ensureHistStore(spark, sf)
+    val pruned = spark.read.parquet(root)
+      .filter(col("m") >= 199501 && col("m") <= 199612)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      s"no PartitionFilters in the store-read plan:\n$plan")
+    assert(plan.contains("199501") && plan.contains("199612"),
+      s"literal month bounds did not reach the scan:\n$plan")
+    // Bindingness: the span EXCLUDES months (orders cover ~1992-1998,
+    // so the filter prunes real partitions) and INCLUDES many (the
+    // monthly merge has >1 register per (priority, bucket) to add).
+    val allMonths = spark.read.parquet(root).select("m").distinct().count()
+    val spanMonths = pruned.select("m").distinct().count()
+    assert(spanMonths === 24L, s"expected 24 span months, got $spanMonths")
+    assert(allMonths > spanMonths,
+      s"span filter vacuous: $allMonths store months, $spanMonths in span")
+    val multiMonth = pruned.groupBy("priority", "bucket")
+      .agg(countDistinct(col("m")).as("k")).filter(col("k") > 1).count()
+    assert(multiMonth > 0L,
+      "no (priority, bucket) cell spans months — the SUM-merge is vacuous")
+  }
+
+  test("q419 bindingness: full 5x3 quantile grid, positive counts, and the " +
+    "interpolation term actually fires (some estimate off the bucket edge)") {
+    val r = queries.Round15.q419(spark, sf).collect()
+    assert(r.length === 15, s"expected 5 priorities x 3 percentiles, got ${r.length}")
+    assert(r.forall(_.getLong(2) > 0L), "a priority had zero span orders")
+    val offEdge = r.count(_.getLong(3) % 1000000L != 0L)
+    assert(offEdge > 0,
+      "every estimate sits on a bucket edge — the within-bin interpolation " +
+        "never bound")
+  }
+}
