@@ -336,17 +336,26 @@ object Graph {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     val spark = edges.sparkSession
     val e0 = canonEdges(edges)
+    // ONE materialization for the whole derivation chain: the
+    // canonicalizing distinct runs at the SESSION shuffle width (the
+    // corpus-sized stage never serializes onto the loop's 8 partitions
+    // — the LPA lesson, r15), the explicit repartition then narrows to
+    // the loop width, and the checkpoint is taken under AQE-off so it
+    // captures the distribution. Pre-partitioned by `a` in both
+    // branches: the low-degree frame usually broadcasts (anti joins
+    // preserve the build side's distribution round over round), and
+    // when it ever exceeds the broadcast threshold the SMJ fallback
+    // finds `cur` already distributed on its first key.
+    val cur0 = Components.withAqeOff(spark) {
+      loopShufflePartitions
+        .map(w => e0.repartition(w, col("a")))
+        .getOrElse(e0.repartition(col("a")))
+        .localCheckpoint(true)
+    }
     def scoped[A](f: => A): A = loopShufflePartitions
       .map(p => Components.withSmallScope(spark, p)(f)).getOrElse(f)
     scoped {
-      // Pre-partitioned by `a` in both branches: the low-degree frame
-      // usually broadcasts (anti joins preserve the build side's
-      // distribution round over round), and when it ever exceeds the
-      // broadcast threshold the SMJ fallback finds `cur` already
-      // distributed on its first key.
-      var cur = loopShufflePartitions
-        .map(w => e0.repartition(w, col("a")).localCheckpoint(true))
-        .getOrElse(e0.repartition(col("a")).localCheckpoint(true))
+      var cur = cur0
       var converged = false
       var round = 0
       while (round < maxIter && !converged) {
