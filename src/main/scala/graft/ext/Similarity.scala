@@ -338,6 +338,75 @@ object Similarity {
     assigned.select(col("vec_id"), col("cid"))
   }
 
+  /** One full Lloyd round returning the REBUILT spherical centroids
+    * (`cid`, `cu`) as RAW doubles — [[kmeansFit]]'s per-round centroid
+    * rebuild factored out as the persistable warm-start state (q421):
+    * parquet round-trips doubles exactly, so a warm run continues from
+    * bit-identical centroids, the q414 rank-store contract applied to
+    * the embedding family.
+    */
+  def kmeansCentroidRound(unit: DataFrame, seeds: DataFrame): DataFrame =
+    assignToSeeds(unit, seeds)
+      .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .withColumn("__n", sqrt(dot(col("cv"), col("cv"))))
+      .select(col("cid"),
+        transform(col("cv"), x => x / col("__n")).as("cu"))
+
+  private val centroidStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  /** Persist round-1's rebuilt centroids once per session (k×dims raw
+    * doubles — bytes). The nightly-clustering posture: the fit job
+    * lands its centroid state; the next run (or an online assigner)
+    * reads it back and pays only the marginal round.
+    */
+  private def ensureCentroidStore(s: SparkSession, dir: String): String =
+    centroidStoreCache.computeIfAbsent((s, dir), { _ =>
+      val root = graft.StorePaths.root("centroids", dir)
+      val unit = withUnitVec(emb(s, dir), "embedding", "u").select("vec_id", "u")
+      val seeds = unit.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("u").as("cu"))
+      kmeansCentroidRound(unit, seeds).write.mode("overwrite").parquet(root)
+      root
+    })
+
+  /** q421 — WARM-START k-means off the persisted centroid store: round
+    * 1's rebuilt spherical centroids persisted once (raw doubles), then
+    * the SECOND Lloyd round runs from the read-back — and must equal
+    * two unrolled cold rounds (the oracle replays both rounds from raw
+    * embeddings). q414's incremental-maintenance contract extended to
+    * the embedding family: ranks (q414), labels (q415), registers
+    * (q411-q413), histograms (q419), now centroids.
+    *
+    * Float discipline: assignments rank on round(dot, 6) and the output
+    * means ride the q112-certified e4 grid; the new cross-engine
+    * surface is round-1's centroid arithmetic (per-dim avg + one
+    * normalize division) feeding round-2's sims — SimilaritySpec
+    * measures the distance of every unrounded sim to its e6 boundary
+    * and every output mean to its e4 boundary (the q134 pattern) and
+    * pins them orders above the ~1e-10 summation drift.
+    *
+    * Scale: identical to q112's shape — one broadcast-assign per round,
+    * one (cid, pos) mean agg; the store read is k×dims. Vectors are
+    * never collected.
+    */
+  def q421(s: SparkSession, dir: String): DataFrame = {
+    val unit = withUnitVec(emb(s, dir), "embedding", "u").select("vec_id", "u")
+    // cid < 8 is a no-op by the store's construction (cids ARE the 8
+    // seed vec_ids) spelled as a literal filter so the broadcast build
+    // side carries a PROVABLE constant bound — the PlanAuditSpec BNL
+    // net's requirement, same as q112's seed filter.
+    val seeds = s.read.parquet(ensureCentroidStore(s, dir))
+      .filter(col("cid") < 8)
+    kmeansStep(unit, seeds)
+  }
+
   /** q112 — the k-means step on the embeddings table with deterministic
     * seeds (the 8 lowest vec_ids), certifying assignment + mean
     * recomputation against an oracle that replays both independently.
@@ -1941,6 +2010,7 @@ object Similarity {
     "q312_embed_effdim" -> (q312 _),
     "q309_pca_power" -> (q309 _),
     "q112_kmeans_step" -> (q112 _),
+    "q421_kmeans_warm" -> (q421 _),
     "q237_retrieval_metrics" -> (q237 _),
     "q244_hard_negatives" -> (q244 _),
     "q253_knn_classify" -> (q253 _),
@@ -2769,6 +2839,45 @@ object Similarity {
         |       CAST(COUNT(*) AS BIGINT) AS n_members,
         |       CAST(ROUND(AVG(x) * 10000) AS BIGINT) AS c_e4
         |FROM x GROUP BY cid, ord ORDER BY cid, pos""".stripMargin,
+    // q421: q112's round unrolled TWICE — round 1 rebuilds spherical
+    // centroids (per-dim mean, L2 renormalize — kmeansCentroidRound's
+    // spelling), round 2 re-assigns and re-means. The Spark side reads
+    // round-1 state from the persisted store; the oracle replays it.
+    "q421_kmeans_warm" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |u AS (SELECT vec_id,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
+        |      FROM e),
+        |seeds AS (SELECT vec_id AS cid, uv AS cu FROM u WHERE vec_id < 8),
+        |sims1 AS (
+        |  SELECT u.vec_id, s.cid, u.uv,
+        |         ROUND(list_inner_product(u.uv, s.cu), 6) AS sim
+        |  FROM u CROSS JOIN seeds s),
+        |asg1 AS (
+        |  SELECT vec_id, cid, uv,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |  FROM sims1),
+        |x1 AS (SELECT cid, UNNEST(uv) AS x, UNNEST(range(1, len(uv) + 1)) AS ord
+        |       FROM asg1 WHERE rn = 1),
+        |m1 AS (SELECT cid, ord, AVG(x) AS c FROM x1 GROUP BY cid, ord),
+        |cl AS (SELECT cid, list(c ORDER BY ord) AS cv FROM m1 GROUP BY cid),
+        |c1 AS (SELECT cid,
+        |         list_transform(cv, x -> x / sqrt(list_inner_product(cv, cv))) AS cu
+        |       FROM cl),
+        |sims2 AS (
+        |  SELECT u.vec_id, c.cid, u.uv,
+        |         ROUND(list_inner_product(u.uv, c.cu), 6) AS sim
+        |  FROM u CROSS JOIN c1 c),
+        |asg2 AS (
+        |  SELECT vec_id, cid, uv,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |  FROM sims2),
+        |x2 AS (SELECT cid, UNNEST(uv) AS x, UNNEST(range(1, len(uv) + 1)) AS ord
+        |       FROM asg2 WHERE rn = 1)
+        |SELECT cid, CAST(ord AS BIGINT) - 1 AS pos,
+        |       CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       CAST(ROUND(AVG(x) * 10000) AS BIGINT) AS c_e4
+        |FROM x2 GROUP BY cid, ord ORDER BY cid, pos""".stripMargin,
     "q61_knn_lsh" -> knnLshOracle,
     // Mutual-kNN mirrored on the same LSH CTEs: per-side top-5 with
     // the identical (sim DESC, id) total order, reversed-pair join.

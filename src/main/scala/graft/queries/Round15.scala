@@ -162,11 +162,72 @@ object Round15 {
     ps.reduce(_ unionAll _).orderBy("priority", "p")
   }
 
+  // ---- q420: ORC sink/source round-trip --------------------------------------
+
+  private val orcCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  /** The multi-byte hazard, spelled identically in the oracle: the
+    * corpus is pure ASCII (fixture-probed — q103's premise), so a
+    * plain export would certify ORC's string path only on single-byte
+    * data. Every 'e' becomes U+00E9 (2-byte UTF-8), making every row's
+    * text multi-byte — char length ≠ byte length, the encoding-bug
+    * surface (the q417 hazard-injection discipline, format-appropriate:
+    * ORC has no quoting/escaping to stress, its hazard is encoding).
+    */
+  private def orcHazard: org.apache.spark.sql.Column =
+    translate(col("text"), "e", "é")
+
+  /** Land the documents table as ORC once per session — the THIRD
+    * interchange format after q416's JSONL and q417's CSV: columnar
+    * like parquet but a different container, codec framing, and string
+    * encoding path, so a content-sensitive round-trip certifies the
+    * whole ORC writer/reader pair rather than assuming
+    * parquet-adjacent means correct.
+    */
+  private[graft] def ensureOrc(s: SparkSession, dir: String): String =
+    orcCache.computeIfAbsent((s, dir), { _ =>
+      val path = graft.StorePaths.root("orc", dir)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          orcHazard.as("text"))
+        .write.mode("overwrite").orc(path)
+      path
+    })
+
+  /** q420 — ORC sink/source round-trip certification: q416's
+    * content-sensitive aggregate (per (lang, source): doc count, char
+    * mass, summed 32-bit md5 prefix of every text — collation-free, so
+    * no cross-engine string-ordering hazard) computed from the ORC
+    * read-back with an EXPLICIT schema, over hazard-injected multi-byte
+    * text ([[orcHazard]], mirrored in the oracle). The oracle reads the
+    * PARQUET table, so a hash match proves ORC preserved every UTF-8
+    * byte exactly through its own dictionary/RLE/string machinery.
+    *
+    * Scale: one columnar write + one columnar scan; at 100 TB ORC is
+    * the interchange leg for Hive-lineage consumers the way JSONL is
+    * for labeling toolchains — format certifications are per-format,
+    * which is exactly why this query exists beside q416/q417.
+    */
+  def q420(s: SparkSession, dir: String): DataFrame = {
+    val back = s.read
+      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING")
+      .orc(ensureOrc(s, dir))
+    back.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("md5_sum"))
+      .orderBy("lang", "source")
+  }
+
   // ---- registry -------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q418_sigstore_compact" -> (q418 _),
     "q419_hist_store_quantiles" -> (q419 _),
+    "q420_orc_roundtrip" -> (q420 _),
   )
 
   /** q418 oracle: the q107-certified md5-min signature chain (same t/g/m
@@ -219,5 +280,16 @@ object Round15 {
         |SELECT priority, CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n,
         |       est_cents
         |FROM est ORDER BY priority, p""".stripMargin,
+    // The oracle reads the PARQUET table (q416's pattern) with the
+    // identical multi-byte injection — the hash match IS the byte-exact
+    // ORC round-trip proof on UTF-8 data.
+    "q420_orc_roundtrip" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(SUM(CAST(('0x' ||
+        |              substr(md5(replace(text, 'e', 'é')), 1, 8)) AS BIGINT))
+        |            AS BIGINT) AS md5_sum
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
   )
 }

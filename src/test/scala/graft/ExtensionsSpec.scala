@@ -304,6 +304,57 @@ class ExtensionsSpec extends SparkTestBase {
       DeflateUtil.deflateLen(UTF8String.fromString(repetitive.take(100))))
   }
 
+  test("q421 warm k-means equals the in-memory two-round unroll, and the " +
+    "float margins (sim e6, mean e4) sit orders above summation drift") {
+    val unit = Similarity.withUnitVec(
+      Tables.table(spark, sf, "embeddings"), "embedding", "u")
+      .select("vec_id", "u")
+    val seeds0 = unit.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"u".as("cu"))
+    val c1 = Similarity.kmeansCentroidRound(unit, seeds0).localCheckpoint(true)
+    val cold = Similarity.kmeansStep(unit, c1)
+    val warm = Similarity.q421(spark, sf)
+    // Warm ≡ cold: the centroid store's parquet round-trip is exact, so
+    // the second round from the read-back matches the in-memory chain.
+    assert(warm.exceptAll(cold).isEmpty && cold.exceptAll(warm).isEmpty,
+      "warm round off the centroid store diverged from the in-memory unroll")
+    // Rounding-boundary margins (the q134 discipline): the oracle
+    // recomputes round-1 centroids with its own summation order
+    // (~1e-10 relative drift), so every UNROUNDED round-2 sim must sit
+    // far from its e6 rounding boundary, and every output mean far from
+    // its e4 boundary. Driver-side exact recompute on the tiny frames
+    // (8x64 centroids, fixture vectors).
+    def frac05(v: Double, scale: Double): Double = {
+      val f = ((v * scale) % 1 + 1) % 1
+      math.abs(f - 0.5)
+    }
+    val cents = c1.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val vecs = unit.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val simMargins = for ((_, v) <- vecs; (_, c) <- cents) yield
+      frac05(v.zip(c).map { case (a, b) => a * b }.sum, 1e6)
+    assert(simMargins.min > 1e-7,
+      s"round-2 sim margin collapsed: ${simMargins.min}")
+    // Output-mean e4 margins: replay round 2's assignment + means in
+    // plain Scala (sum-order differences vs Spark are the very ~1e-10
+    // drift the margin must dwarf, so they don't disturb the measure).
+    val assigned = vecs.map { case (_, v) =>
+      val best = cents.toSeq.map { case (cid, c) =>
+        (cid, math.rint(v.zip(c).map { case (a, b) => a * b }.sum * 1e6) / 1e6)
+      }.sortBy { case (cid, s) => (-s, cid) }.head._1
+      (best, v)
+    }
+    val dims = vecs.head._2.length
+    val meanMargins = assigned.groupBy(_._1).toSeq.flatMap { case (_, m) =>
+      (0 until dims).map(d => m.map(_._2(d)).sum / m.length)
+    }.map(frac05(_, 1e4))
+    assert(meanMargins.min > 1e-7,
+      s"mean e4 margin collapsed: ${meanMargins.min}")
+    assert(warm.count() === cents.size.toLong * dims,
+      "output grid incomplete — some centroid lost all members")
+  }
+
   test("kmeansFit recovers well-separated clusters deterministically") {
     // 3 clusters hugging orthogonal axes in 4 dims; ids arranged so the
     // deterministic seeds (lowest 3 ids) land one per cluster

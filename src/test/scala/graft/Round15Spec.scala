@@ -91,4 +91,24 @@ class Round15Spec extends SparkTestBase {
       "every estimate sits on a bucket edge — the within-bin interpolation " +
         "never bound")
   }
+
+  // ---- q420: ORC round-trip ---------------------------------------------------
+
+  test("q420 bindingness: the corpus is single-byte ASCII, so the e→é " +
+    "injection is what makes the ORC UTF-8 leg bind (bytes > chars on disk)") {
+    val pre = Tables.table(spark, sf, "documents")
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(pre === 0L,
+      "corpus already multi-byte — the injection probe premise is stale")
+    val landed = spark.read.orc(queries.Round15.ensureOrc(spark, sf))
+    val total = landed.count()
+    val multi = landed
+      .filter(octet_length(col("text")) > length(col("text"))).count()
+    // Every fixture doc contains an 'e' (English-like synthetic text);
+    // if that ever changes, the count still has to be non-trivial for
+    // the certification to bind.
+    assert(multi === total && total > 0L,
+      s"only $multi of $total landed ORC rows are multi-byte — injection " +
+        "not reaching disk")
+  }
 }
