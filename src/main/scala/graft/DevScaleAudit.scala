@@ -504,6 +504,12 @@ object DevScaleAudit {
       // store vs pagerank3's three cold rounds — the incremental
       // claim, priced directly.
       "ev_store_read" -> (dir => SparkEntry.queries("q411_store_dau_overlap")(spark, dir)),
+      // r15 — the histogram-register store (q419): run 1 pays the one
+      // orders scan + store write; min-of-N records the census-sized
+      // store-read path, which must hold the ev_store_read flat
+      // profile (nothing rescans orders).
+      "hist_store_read" -> (dir =>
+        SparkEntry.queries("q419_hist_store_quantiles")(spark, dir)),
       // Warm PageRank on the audit's own bipartite frame (the replica
       // lineitem has no l_suppkey, so the registered q414 graph can't
       // be derived here; the mechanism under measurement is identical).
