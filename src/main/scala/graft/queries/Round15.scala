@@ -8,10 +8,10 @@ import graft.Tables
 import graft.ext.Dedup
 import graft.streaming.EventStream
 
-/** Round-15 batch: the two store lifecycles this round built or
-  * extended, registered INSIDE the correctness gate (the q411-q415
-  * discipline — a store mechanism isn't done until an oracle-checked
-  * query reads through it).
+/** Round-15 batch: the store lifecycles this round built or extended,
+  * registered INSIDE the correctness gate (the q411-q415 discipline —
+  * a store mechanism isn't done until an oracle-checked query reads
+  * through it), plus the third interchange-format certification.
   *
   *   - q418 — the signature store's COMPACTION leg: six landed
   *     signature batches, the aged five merged by
@@ -28,6 +28,12 @@ import graft.streaming.EventStream
   *     against an oracle that rebuilds the same histogram from raw
   *     orders — certifying the histogram's SUM-merge and the landing's
   *     completeness in one hash.
+  *   - q420 — ORC sink/source round-trip (JSONL q416, CSV q417, now
+  *     ORC), hazard-injected multi-byte so the UTF-8 encoding leg
+  *     binds on the ASCII fixture corpus.
+  *
+  * (q421, the warm k-means centroid store, lives with the embedding
+  * family in [[graft.ext.Similarity]].)
   */
 object Round15 {
 
