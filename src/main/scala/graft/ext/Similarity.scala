@@ -161,6 +161,60 @@ object Similarity {
       .orderBy("qid", "did")
   }
 
+  private val ivfStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  /** Persist the IVF INVERTED LISTS: the unit vectors re-landed
+    * parquet-PARTITIONED BY the coarse cell (`label`) — the on-disk
+    * form of an IVF index, where "probe a cell" is literally "list
+    * only that cell's directory". One reorganizing write per index
+    * lifetime; q422 then reads back only the probed cells.
+    */
+  private[graft] def ensureIvfStore(s: SparkSession, dir: String): String =
+    ivfStoreCache.computeIfAbsent((s, dir), { _ =>
+      val root = graft.StorePaths.root("ivf", dir)
+      withUnitVec(emb(s, dir), "embedding", "u")
+        .select(col("vec_id"), col("u"), col("label"))
+        .write.mode("overwrite").partitionBy("label").parquet(root)
+      root
+    })
+
+  /** q422 — ANN probe against the PERSISTED IVF index: q64's
+    * cell-local top-3 search, but the database side reads the
+    * [[ensureIvfStore]] inverted lists and the broadcast query side's
+    * cells prune the scan DYNAMICALLY — the physical plan carries a
+    * `dynamicpruning` PartitionFilter on `label`, so only the probed
+    * cells' files are ever listed (Round15Spec pins the plan and that
+    * the probe set touches a strict subset of the cells — 4-5 of 10 at
+    * the gate SFs, so the pruning BINDS). This is the missing
+    * lifecycle leg of the ANN family: q64 certifies the search shape,
+    * q358 the nprobe recall trade, q421 the centroid training state —
+    * this certifies the INDEX AS A STORE, where index-once/query-many
+    * is the entire economics of ANN at 100 TB (a query over a 100 TB
+    * vector corpus scans nprobe/ncells of it, at the file listing, not
+    * after a full scan).
+    *
+    * Exactness: the store holds Spark's unit doubles (parquet
+    * round-trips them bit-exactly); the oracle recomputes cosine from
+    * raw embeddings — the q64-certified equivalence — and the e2 sim
+    * grid carries q64's measured margins.
+    */
+  def q422(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = withUnitVec(emb(s, dir), "embedding", "u")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("u").as("qu"), col("label"))
+    val d = s.read.parquet(ensureIvfStore(s, dir))
+      .select(col("vec_id").as("did"), col("u").as("du"), col("label"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    q.join(d, "label")
+      .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("did"), intScaled(col("sim"), 100).as("sim_c"))
+      .orderBy("qid", "did")
+  }
+
   /** Embedding-cosine near-dup machinery, cell-bounded: within each
     * coarse cell, count pairs above a similarity threshold and report
     * the cell's max similarity — the profile a dedup pass would use to
@@ -2019,6 +2073,7 @@ object Similarity {
     "q60_knn_brute" -> (q60 _),
     "q61_knn_lsh"   -> (q61 _),
     "q64_knn_ivf"   -> (q64 _),
+    "q422_ivf_store_probe" -> (q422 _),
     "q66_embedding_neardup" -> (q66 _),
     "q100_embed_quant" -> (q100 _),
     "q121_filtered_knn" -> (q121 _),
@@ -2961,6 +3016,22 @@ object Similarity {
         |                                CAST(d.embedding AS DOUBLE[])) AS sim
         |  FROM embeddings q JOIN embeddings d ON q.label = d.label
         |  WHERE q.vec_id < 50
+        |), ranked AS (
+        |  SELECT qid, did, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
+        |  FROM sims)
+        |SELECT qid, did, CAST(ROUND(sim * 100) AS BIGINT) AS sim_c
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY qid, did""".stripMargin,
+    // q422: q64's oracle on the 5-query probe set — the store holds the
+    // same vectors reorganized by cell, so the answer is identical.
+    "q422_ivf_store_probe" ->
+      """WITH sims AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS did,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(d.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings q JOIN embeddings d ON q.label = d.label
+        |  WHERE q.vec_id < 5
         |), ranked AS (
         |  SELECT qid, did, sim,
         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn

@@ -111,4 +111,30 @@ class Round15Spec extends SparkTestBase {
       s"only $multi of $total landed ORC rows are multi-byte — injection " +
         "not reaching disk")
   }
+
+  // ---- q422: persisted IVF index ------------------------------------------------
+
+  test("q422 probes the IVF store under DYNAMIC partition pruning: the index " +
+    "scan carries a dynamicpruning filter on label, and the probe set " +
+    "touches a strict subset of the cells (pruning binds)") {
+    val root = ext.Similarity.ensureIvfStore(spark, sf)
+    // Physical layout: one directory per coarse cell — the inverted lists.
+    val cellDirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("label=")).length
+    val allCells = Tables.table(spark, sf, "embeddings")
+      .select("label").distinct().count()
+    assert(cellDirs.toLong === allCells,
+      s"store holds $cellDirs cell dirs for $allCells cells")
+    // Bindingness: the 5 probe queries touch fewer cells than exist.
+    val probedCells = Tables.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < 5).select("label").distinct().count()
+    assert(probedCells < allCells,
+      s"probe set covers all $allCells cells — pruning vacuous")
+    // Plan pin: the store-side scan must be pruned DYNAMICALLY by the
+    // broadcast query side's cells (DPP), not fully listed.
+    val plan = ext.Similarity.q422(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamicpruning PartitionFilter on the IVF store scan:\n$plan")
+  }
 }
