@@ -168,6 +168,94 @@ object Round15 {
     ps.reduce(_ unionAll _).orderBy("priority", "p")
   }
 
+  // ---- q423: persisted count-min register store -------------------------------
+
+  private val dayNsL = "86400000000000"
+
+  private def cmsRoot(dir: String): String =
+    graft.StorePaths.root("cmsstore", dir)
+
+  private val cmsStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]
+
+  /** The portable CMS cell hash (q114's spelling): row `i` sends a key
+    * to column hex(md5(i‖':'‖key)[1..8]) mod w — exact integers,
+    * identical in the oracle. w = 16 here, a FIXTURE-SCALE choice
+    * (fixture-probed: at q114's w = 1024 the sf0.001/sf0.01 user
+    * populations produce zero collisions, so the sketch leg of the
+    * certification would be vacuous — est ≡ exact everywhere; at 16,
+    * every SF overcounts somewhere and undercounts nowhere, so the
+    * min-over-rows genuinely binds). Production sizes w = ⌈e/ε⌉ from
+    * the tolerated overcount fraction, exactly as q114 documents.
+    */
+  private def cmsCell(i: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column) =
+    (conv(substring(md5(concat(i.cast("string"), lit(":"),
+      key.cast("string"))), 1, 8), 16, 10).cast("long") % 16L).as("cell")
+
+  /** Land per-DAY portable count-min cell files over user activity
+    * (d = 4 rows × w = 16 columns, q114's md5 hashing keyed on
+    * user_id, cell value = Σ event count) partitioned by day, and
+    * return the store's max day (the q411 literal-bound pattern). One
+    * events scan per store lifetime; each day's file is ≤ 4096 rows —
+    * census-sized at ANY corpus size.
+    */
+  private[graft] def ensureCmsStore(s: SparkSession, dir: String): Long =
+    cmsStoreCache.computeIfAbsent((s, dir), { _ =>
+      val uc = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr(s"ts div $dayNsL" +
+            s" - (CASE WHEN ts % $dayNsL < 0 THEN 1 ELSE 0 END)").as("d"))
+        .groupBy(col("d"), col("user_id")).agg(count(lit(1)).as("cnt"))
+      uc.select(col("d"), col("cnt"),
+          explode(sequence(lit(0), lit(3))).as("i"),
+          col("user_id"))
+        .select(col("d"), col("i"), cmsCell(col("i"), col("user_id")), col("cnt"))
+        .groupBy(col("d"), col("i"), col("cell")).agg(sum(col("cnt")).as("cv"))
+        .write.mode("overwrite").partitionBy("d").parquet(cmsRoot(dir))
+      // The partition column round-trips as INT (inferred from the
+      // directory names) — cast before the 1-row literal extraction.
+      s.read.parquet(cmsRoot(dir))
+        .agg(max(col("d")).cast("long").as("m")).head().getLong(0)
+    })
+
+  /** q423 — heavy-hitter frequency estimates FROM the persisted CMS
+    * store: per probe user (user_id < 20), the estimated event count
+    * over the last-10-days span, answered by (1) pruning the store to
+    * the span's day partitions (literal bound — the q411
+    * PartitionFilters posture), (2) SUM-merging the spanned cell files
+    * (count-min registers merge by cell-wise addition, the property
+    * that makes CMS the production frequency sketch), (3) est = min
+    * over the 4 rows of the probe's merged cell — never an undercount.
+    * The oracle rebuilds the merged cells from RAW span events (merge ∘
+    * land ≡ direct, the q419 claim for the frequency family) and probes
+    * identically — exact integers end to end, no float anywhere.
+    *
+    * This completes the mergeable-sketch STORE matrix: HLL registers
+    * (q411-q413, MAX-merge), histograms (q419, SUM-merge), now
+    * count-min (SUM-merge) — the three sketch algebras a production
+    * metrics store runs on.
+    *
+    * Scale: the store read is ≤ 10 days × 4096 rows; the probe side is
+    * a bounded literal set; nothing rescans events after the store
+    * write. Absent probe users correctly estimate 0 (their cells carry
+    * no mass — COALESCE(0) on both sides).
+    */
+  def q423(s: SparkSession, dir: String): DataFrame = {
+    val maxD = ensureCmsStore(s, dir)
+    val cells = s.read.parquet(cmsRoot(dir))
+      .filter(col("d") >= lit(maxD - 9L))
+      .groupBy(col("i"), col("cell")).agg(sum(col("cv")).as("cv"))
+    val probes = Tables.events(s, dir)
+      .select(col("user_id")).filter(col("user_id") < 20).distinct()
+      .select(col("user_id"), explode(sequence(lit(0), lit(3))).as("i"))
+      .select(col("user_id"), col("i"), cmsCell(col("i"), col("user_id")))
+    probes.join(broadcast(cells), Seq("i", "cell"), "left")
+      .groupBy(col("user_id"))
+      .agg(min(coalesce(col("cv"), lit(0L))).as("est"))
+      .orderBy("user_id")
+  }
+
   // ---- q420: ORC sink/source round-trip --------------------------------------
 
   private val orcCache =
@@ -234,6 +322,7 @@ object Round15 {
     "q418_sigstore_compact" -> (q418 _),
     "q419_hist_store_quantiles" -> (q419 _),
     "q420_orc_roundtrip" -> (q420 _),
+    "q423_cms_store_probe" -> (q423 _),
   )
 
   /** q418 oracle: the q107-certified md5-min signature chain (same t/g/m
@@ -297,5 +386,33 @@ object Round15 {
         |            AS BIGINT) AS md5_sum
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    // q423: same floored days, same scalar-subquery max where Spark
+    // pins the store's max partition as a literal, same md5 cell hash
+    // (q114's spelling) — cells rebuilt from RAW span events here where
+    // Spark SUM-merges persisted daily files (cell addition commutes
+    // with the day split), identical probe, exact-integer min.
+    "q423_cms_store_probe" ->
+      """WITH uc AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |mx AS (SELECT MAX(d) AS maxd FROM uc),
+        |cnts AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM uc, mx WHERE d >= maxd - 9 GROUP BY user_id),
+        |cells AS (
+        |  SELECT CAST(i.i AS BIGINT) AS i,
+        |         CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':'
+        |           || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS cell,
+        |         CAST(SUM(cnt) AS BIGINT) AS cv
+        |  FROM cnts CROSS JOIN range(4) i(i)
+        |  GROUP BY 1, 2),
+        |probe AS (SELECT DISTINCT user_id FROM uc WHERE user_id < 20),
+        |pf AS (
+        |  SELECT user_id, CAST(i.i AS BIGINT) AS i,
+        |         CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':'
+        |           || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS cell
+        |  FROM probe CROSS JOIN range(4) i(i))
+        |SELECT p.user_id, CAST(MIN(COALESCE(c.cv, 0)) AS BIGINT) AS est
+        |FROM pf p LEFT JOIN cells c ON c.i = p.i AND c.cell = p.cell
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
   )
 }

@@ -137,4 +137,39 @@ class Round15Spec extends SparkTestBase {
     assert(plan.contains("dynamicpruning"),
       s"no dynamicpruning PartitionFilter on the IVF store scan:\n$plan")
   }
+
+  // ---- q423: count-min register store -----------------------------------------
+
+  test("q423 CMS store: day span prunes (literal bound in PartitionFilters), " +
+    "never undercounts, and overcounts SOMEWHERE (the sketch binds at w=16)") {
+    val maxD = queries.Round15.ensureCmsStore(spark, sf)
+    val root = graft.StorePaths.root("cmsstore", sf)
+    val pruned = spark.read.parquet(root).filter(col("d") >= lit(maxD - 9L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains((maxD - 9L).toString),
+      s"literal day bound ${maxD - 9L} not in the store scan:\n$plan")
+    val allDays = spark.read.parquet(root).select("d").distinct().count()
+    val spanDays = pruned.select("d").distinct().count()
+    assert(allDays === 30L && spanDays === 10L,
+      s"expected 30 store days / 10 span days, got $allDays/$spanDays")
+    // True span counts per probe user, computed directly from events.
+    val dayNs = 86400000000000L
+    val trueCnt = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr(s"ts div $dayNs - (CASE WHEN ts % $dayNs < 0 THEN 1 ELSE 0 END)")
+          .as("d"))
+      .filter(col("d") >= lit(maxD - 9L) && col("user_id") < 20)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = queries.Round15.q423(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet === trueCnt.keySet, "probe coverage diverged")
+    val under = est.count { case (u, e) => e < trueCnt(u) }
+    val over = est.count { case (u, e) => e > trueCnt(u) }
+    assert(under === 0, s"$under probe users UNDERCOUNTED — CMS guarantee broken")
+    assert(over > 0,
+      "no probe user overcounts — the sketch leg is vacuous at this SF " +
+        "(fixture drifted; re-probe the width)")
+  }
 }
