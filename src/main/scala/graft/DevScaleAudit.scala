@@ -184,13 +184,7 @@ object DevScaleAudit {
     * rows re-run the whole DAG per timed evaluation; leaving 100×
     * outputs behind would fill the disk across runs).
     */
-  private def rmTree(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
-      finally s.close()
-    }
+  private def rmTree(p: java.nio.file.Path): Unit = StorePaths.deleteTree(p)
 
   private def time(name: String, runs: Int)(df: => DataFrame): Double = {
     val ts = (1 to runs).map { i =>

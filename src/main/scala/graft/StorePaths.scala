@@ -24,15 +24,21 @@ object StorePaths {
   private val created =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
 
-  sys.addShutdownHook {
-    created.forEach { p =>
-      if (java.nio.file.Files.exists(p)) {
-        val s = java.nio.file.Files.walk(p)
-        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => scala.util.Try(java.nio.file.Files.delete(f)))
-        finally s.close()
-      }
+  /** Recursive delete that closes its walk stream — the one shared
+    * spelling of the walk/reverse-order/delete idiom (also used by dev
+    * tooling; per-file failures are swallowed so a shutdown-time race
+    * cannot abort the sweep).
+    */
+  def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+      finally s.close()
     }
+
+  sys.addShutdownHook {
+    created.forEach(deleteTree(_))
   }
 
   /** `/tmp/graft-<kind>-<pid>/d_<sanitized dir>` — stable within a

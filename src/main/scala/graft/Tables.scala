@@ -15,6 +15,24 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Nanoseconds per day, as the string every floored-day expression
+    * interpolates. */
+  val DayNs = "86400000000000"
+
+  /** CANONICAL negative-safe floored epoch-day of a bigint-nanos `ts`
+    * column — the cross-engine day spelling whose DuckDB mirror is
+    * `epoch_ns(ts) // 86400000000000` (floor division). This exact
+    * arithmetic is a hash contract (see the sign-contract note below);
+    * new queries must use this helper rather than re-spelling it —
+    * r15's code review found the expression hand-copied in three new
+    * places. Pre-r15 copies inside certified queries are left verbatim
+    * (same characters; migrating them buys nothing and risks plan
+    * churn).
+    */
+  def flooredDay(ts: String = "ts"): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"$ts div $DayNs - (CASE WHEN $ts % $DayNs < 0 THEN 1 ELSE 0 END)")
+
   /** The whole engine's `ts` contract is BIGINT EPOCH NANOSECONDS —
     * established when the driver testdata carried parquet
     * TIMESTAMP(NANOS) (readable in Spark 4.x only as a nanos long via

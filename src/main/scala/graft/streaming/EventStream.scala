@@ -432,10 +432,34 @@ object EventStream {
       .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
     val target = new HPath(root, s"batch_id=$upTo")
     val old = new HPath(root, s".compact_old_$upTo")
-    // Crash recovery: target missing + aside present means a prior run
-    // died between the two renames — restore the aside before anything
-    // reads (or re-merges) an incomplete store.
-    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+    // Crash recovery for EVERY aside, not just this call's upTo: a run
+    // that died between its two renames left `.compact_old_<k>` holding
+    // the ONLY copy of batch k's rows, and the next maintenance run
+    // will usually arrive with a LATER upTo — if it recovered only its
+    // own aside, batch k's dot-prefixed rows would be invisible to the
+    // merge and then orphaned forever (silent reference loss: the
+    // stream re-admits near-dups of every batch-k doc). So: restore any
+    // aside whose target is missing, drop any aside whose target exists
+    // (crash landed after the swap), and THROW if a rename fails —
+    // hadoop rename signals failure by returning false, and proceeding
+    // past a failed restore would later delete the only copy.
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".compact_old_"))
+      .foreach { st =>
+        val k = st.getPath.getName.stripPrefix(".compact_old_")
+        val tgt = new HPath(root, s"batch_id=$k")
+        if (fs.exists(tgt)) fs.delete(st.getPath, true)
+        else if (!fs.rename(st.getPath, tgt))
+          throw new java.io.IOException(
+            s"compact recovery failed: ${st.getPath} -> $tgt")
+      }
+    // Stale stages (any upTo) are pure debris once their run died —
+    // every live stage is consumed within the call that wrote it.
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".compact_stage_"))
+      .foreach(st => fs.delete(st.getPath, true))
     val all = landedIds
     require(all.isEmpty || upTo < all.max,
       s"compactSignatureStore: upTo=$upTo must be strictly below the " +

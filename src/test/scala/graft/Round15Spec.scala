@@ -154,11 +154,8 @@ class Round15Spec extends SparkTestBase {
     assert(allDays === 30L && spanDays === 10L,
       s"expected 30 store days / 10 span days, got $allDays/$spanDays")
     // True span counts per probe user, computed directly from events.
-    val dayNs = 86400000000000L
     val trueCnt = Tables.events(spark, sf)
-      .select(col("user_id"),
-        expr(s"ts div $dayNs - (CASE WHEN ts % $dayNs < 0 THEN 1 ELSE 0 END)")
-          .as("d"))
+      .select(col("user_id"), Tables.flooredDay().as("d"))
       .filter(col("d") >= lit(maxD - 9L) && col("user_id") < 20)
       .groupBy("user_id").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -911,5 +911,32 @@ class StreamingSpec extends SparkTestBase {
       "rows lost or altered across the crash-recovery compaction")
     assert(!stage.exists() && !aside.exists(),
       "recovery left stage/aside debris behind")
+
+    // A LATER-upTo run must ALSO recover the orphan (the realistic
+    // sequence — a periodic compactor never retries the same upTo):
+    // land batch 4, re-create the crash state on batch_id=2, then
+    // compact(upTo=3). The entry sweep has to restore the aside BEFORE
+    // merging, else batch 2's rows are invisible to the merge and then
+    // deleted forever.
+    EventStream.dedupIngestBatch(
+      Seq((41L, "epsilon document about broadcast joins and dynamic pruning"))
+        .toDF("doc_id", "text"),
+      4L, sigDir, keepDir)
+    val beforeLater = spark.read.parquet(sigDir)
+      .drop("batch_id").collect().map(_.toSeq).toSet
+    val target2 = new java.io.File(sigDir, "batch_id=2")
+    val aside2 = new java.io.File(sigDir, ".compact_old_2")
+    assert(target2.renameTo(aside2), "test setup: rename-aside failed")
+    EventStream.compactSignatureStore(spark, sigDir, upTo = 3L)
+    val dirsLater = new java.io.File(sigDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).toSet
+    assert(dirsLater === Set("batch_id=3", "batch_id=4"),
+      s"later-upTo recovery did not complete the merge: $dirsLater")
+    val afterLater = spark.read.parquet(sigDir)
+      .drop("batch_id").collect().map(_.toSeq).toSet
+    assert(afterLater === beforeLater,
+      "a later-upTo compaction lost the crashed run's orphaned rows")
+    assert(!aside2.exists(), "later-upTo recovery left the aside behind")
   }
 }
