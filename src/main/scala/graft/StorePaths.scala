@@ -41,14 +41,65 @@ object StorePaths {
     created.forEach(deleteTree(_))
   }
 
+  /** Reclaim siblings left by CRASHED processes (r15 ADVICE): the
+    * shutdown hook never runs on SIGKILL/OOM-kill, so
+    * `/tmp/graft-<kind>-<deadpid>` directories would otherwise
+    * accumulate forever — and PID reuse could even hand a new JVM a
+    * stale directory its overwrite-once memoization assumes it owns.
+    * Runs once per JVM, on the first [[root]] call: any graft dir
+    * whose trailing-PID process is gone is deleted (per-dir failures
+    * swallowed — a concurrent sweep by another new JVM is benign).
+    */
+  private lazy val sweptStale: Unit = {
+    scala.util.Try {
+      val tmp = java.nio.file.Paths.get("/tmp")
+      val pat = java.util.regex.Pattern.compile("graft-.+-(\\d+)")
+      val s = java.nio.file.Files.list(tmp)
+      try s.forEach { p =>
+        val m = pat.matcher(p.getFileName.toString)
+        if (m.matches()) scala.util.Try {
+          val owner = m.group(1).toLong
+          if (owner != pid && ProcessHandle.of(owner).isEmpty) deleteTree(p)
+        }
+      } finally s.close()
+    }
+    ()
+  }
+
   /** `/tmp/graft-<kind>-<pid>/d_<sanitized dir>` — stable within a
     * JVM, disjoint across JVMs. The `d_` prefix keeps the leaf from
     * starting with `_` (a sanitized absolute path does), which Spark's
     * file listing treats as a hidden path and warns about.
     */
   def root(kind: String, dir: String): String = {
+    sweptStale
     val base = java.nio.file.Paths.get(s"/tmp/graft-$kind-$pid")
     created.add(base)
     base.resolve("d_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
   }
+}
+
+/** The ONE spelling of the session-store memoization idiom (r15
+  * verdict item 6 — it had grown 7+ near-identical
+  * `ConcurrentHashMap.computeIfAbsent` blocks): build a store exactly
+  * once per (session, kind, fixture dir) and return its handle — the
+  * root path for most stores, a literal bound for q423's max-day, a
+  * (path, table) pair for the rank store.
+  *
+  * Keyed on the session OBJECT (not an id) so a fresh JVM or a fresh
+  * test session rebuilds; `computeIfAbsent` gives per-key build
+  * exclusivity within the JVM. The builder receives
+  * `StorePaths.root(kind, dir)` for convenience; families that land
+  * several legs under one shared root (the q411-q413 daily/weekly
+  * tiers) may root themselves and ignore the argument.
+  */
+object StoreLifecycle {
+
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String), Any]
+
+  def ensure[A](s: org.apache.spark.sql.SparkSession, kind: String, dir: String)(
+      build: String => A): A =
+    memo.computeIfAbsent((s, kind, dir),
+      _ => build(StorePaths.root(kind, dir))).asInstanceOf[A]
 }

@@ -161,9 +161,6 @@ object Similarity {
       .orderBy("qid", "did")
   }
 
-  private val ivfStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
-
   /** Persist the IVF INVERTED LISTS: the unit vectors re-landed
     * parquet-PARTITIONED BY the coarse cell (`label`) — the on-disk
     * form of an IVF index, where "probe a cell" is literally "list
@@ -171,13 +168,12 @@ object Similarity {
     * lifetime; q422 then reads back only the probed cells.
     */
   private[graft] def ensureIvfStore(s: SparkSession, dir: String): String =
-    ivfStoreCache.computeIfAbsent((s, dir), { _ =>
-      val root = graft.StorePaths.root("ivf", dir)
+    graft.StoreLifecycle.ensure(s, "ivf", dir) { root =>
       withUnitVec(emb(s, dir), "embedding", "u")
         .select(col("vec_id"), col("u"), col("label"))
         .write.mode("overwrite").partitionBy("label").parquet(root)
       root
-    })
+    }
 
   /** q422 — ANN probe against the PERSISTED IVF index: q64's
     * cell-local top-3 search, but the database side reads the
@@ -412,23 +408,19 @@ object Similarity {
       .select(col("cid"),
         transform(col("cv"), x => x / col("__n")).as("cu"))
 
-  private val centroidStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
-
   /** Persist round-1's rebuilt centroids once per session (k×dims raw
     * doubles — bytes). The nightly-clustering posture: the fit job
     * lands its centroid state; the next run (or an online assigner)
     * reads it back and pays only the marginal round.
     */
   private def ensureCentroidStore(s: SparkSession, dir: String): String =
-    centroidStoreCache.computeIfAbsent((s, dir), { _ =>
-      val root = graft.StorePaths.root("centroids", dir)
+    graft.StoreLifecycle.ensure(s, "centroids", dir) { root =>
       val unit = withUnitVec(emb(s, dir), "embedding", "u").select("vec_id", "u")
       val seeds = unit.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("u").as("cu"))
       kmeansCentroidRound(unit, seeds).write.mode("overwrite").parquet(root)
       root
-    })
+    }
 
   /** q421 — WARM-START k-means off the persisted centroid store: round
     * 1's rebuilt spherical centroids persisted once (raw doubles), then

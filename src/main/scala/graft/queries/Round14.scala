@@ -56,9 +56,6 @@ object Round14 {
         col("user_id"))
       .distinct()
 
-  private val dailyCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]
-
   /** Ensure the per-(type, day) DAILY register store exists for `dir`
     * (one event scan, overwrite-once per session; parquet partitioned
     * by `d` so day filters prune at the file listing) and return the
@@ -69,13 +66,15 @@ object Round14 {
     * join.
     */
   private[graft] def ensureDailyStore(s: SparkSession, dir: String): Long =
-    dailyCache.computeIfAbsent((s, dir), { _ =>
+    // kind "regstore.daily": the daily and weekly tiers share one
+    // family root ([[storeRoot]]) but memoize independently.
+    graft.StoreLifecycle.ensure(s, "regstore.daily", dir) { _ =>
       val regs = Sketches.hllPortableRegisters(udt(s, dir), Seq("t", "d"),
         col("user_id"))
       regs.write.mode("overwrite").partitionBy("d")
         .parquet(storeRoot(dir) + "/daily")
       dailyRead(s, dir).agg(max(col("d")).as("m")).head().getLong(0)
-    })
+    }
 
   /** The persisted daily store, read back. Partition-column type
     * inference yields int for `d`; cast restores the written long.
@@ -84,16 +83,13 @@ object Round14 {
     s.read.parquet(storeRoot(dir) + "/daily")
       .select(col("t"), col("d").cast("long").as("d"), col("reg"), col("rho"))
 
-  private val weeklyCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]
-
   /** Compact the AGED daily files (days strictly older than the q411
     * window) to weekly registers by MAX-merge and land them partitioned
     * by week. Days are positive (epoch days), so `div 7` here and
     * DuckDB's `// 7` floor identically.
     */
   private[graft] def ensureWeeklyStore(s: SparkSession, dir: String, maxD: Long): Unit =
-    weeklyCache.computeIfAbsent((s, dir), { _ =>
+    graft.StoreLifecycle.ensure(s, "regstore.weekly", dir) { _ =>
       dailyRead(s, dir)
         .filter(col("d") < lit(maxD - 9L))
         .select(col("t"), expr("d div 7").as("wk"), col("reg"), col("rho"))
@@ -101,8 +97,7 @@ object Round14 {
         .agg(max(col("rho")).as("rho"))
         .write.mode("overwrite").partitionBy("wk")
         .parquet(storeRoot(dir) + "/weekly")
-      java.lang.Boolean.TRUE
-    })
+    }
 
   /** q411 — DAU + audience overlap FROM the persisted store, last 10
     * days: per (day, type pair), both types' DAU estimates, the
@@ -186,20 +181,16 @@ object Round14 {
       .orderBy("t")
   }
 
-  private val jsonlCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
-
   /** Land the documents table as JSONL once per session (the export
     * format every labeling/annotation toolchain speaks). */
   private def ensureJsonl(s: SparkSession, dir: String): String =
-    jsonlCache.computeIfAbsent((s, dir), { _ =>
-      val path = graft.StorePaths.root("jsonl", dir)
+    graft.StoreLifecycle.ensure(s, "jsonl", dir) { path =>
       Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_chars").cast("long").as("n_chars"), col("text"))
         .write.mode("overwrite").json(path)
       path
-    })
+    }
 
   /** q416 — JSONL sink/source round-trip certification: the documents
     * table is written as JSON Lines (escapes, unicode, embedded
@@ -227,9 +218,6 @@ object Round14 {
       .orderBy("lang", "source")
   }
 
-  private val csvCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
-
   /** The hazard-injected text column, spelled identically in the
     * oracle: a leading double-quote plus every space turned into a
     * NEWLINE. Fixture-probed necessity: the synthetic corpus contains
@@ -246,8 +234,7 @@ object Round14 {
     * the embedded quote; the read side becomes a true multiLine parse.
     */
   private[graft] def ensureCsv(s: SparkSession, dir: String): String =
-    csvCache.computeIfAbsent((s, dir), { _ =>
-      val path = graft.StorePaths.root("csv", dir)
+    graft.StoreLifecycle.ensure(s, "csv", dir) { path =>
       Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_chars").cast("long").as("n_chars"),
@@ -256,7 +243,7 @@ object Round14 {
         .option("header", "true").option("escape", "\"")
         .csv(path)
       path
-    })
+    }
 
   /** q417 — CSV sink/source round-trip, the multiLine leg: q416's
     * certification applied to the format where the hazard is worst —

@@ -39,9 +39,6 @@ object Round15 {
 
   // ---- q418: signature-store compaction round-trip -------------------------
 
-  private val sigStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
-
   /** Land the q107 probe set's signatures as SIX batches (doc_id % 6 —
     * non-empty at every SF) via the streaming sink's idempotent
     * batch_id layout, then compact the aged five (batch 5 stays, the
@@ -49,8 +46,7 @@ object Round15 {
     * the post-compaction store.
     */
   private[graft] def ensureSigStore(s: SparkSession, dir: String): String =
-    sigStoreCache.computeIfAbsent((s, dir), { _ =>
-      val root = graft.StorePaths.root("sigstore", dir)
+    graft.StoreLifecycle.ensure(s, "sigstore", dir) { root =>
       val base = Tables.table(s, dir, "documents")
         .filter(col("doc_id") < 1000)
         .select(col("doc_id"), Dedup.shingles3(col("text")).as("sh"))
@@ -63,7 +59,7 @@ object Round15 {
       }
       EventStream.compactSignatureStore(s, root, upTo = 4L)
       root
-    })
+    }
 
   /** q418 — compacted-signature-store read certification: per kept doc,
     * the md5 digest of its full 12-component signature, read FROM the
@@ -90,9 +86,6 @@ object Round15 {
 
   // ---- q419: persisted histogram register store ----------------------------
 
-  private val histStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
-
   /** Exact cents (the repo-canonical decimal spelling). */
   private def cents(dollars: org.apache.spark.sql.Column) =
     (dollars.cast("decimal(18,2)") * 100).cast("long")
@@ -106,8 +99,7 @@ object Round15 {
     * per month).
     */
   private[graft] def ensureHistStore(s: SparkSession, dir: String): String =
-    histStoreCache.computeIfAbsent((s, dir), { _ =>
-      val root = graft.StorePaths.root("histstore", dir)
+    graft.StoreLifecycle.ensure(s, "histstore", dir) { root =>
       Tables.table(s, dir, "orders")
         .select(
           (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("m"),
@@ -118,7 +110,7 @@ object Round15 {
         .agg(count(lit(1)).as("cnt"))
         .write.mode("overwrite").partitionBy("m").parquet(root)
       root
-    })
+    }
 
   /** q419 — histogram-register store: p50/p90/p99 order value per
     * priority over the LITERAL month span [199501, 199612], answered
@@ -173,9 +165,6 @@ object Round15 {
   private def cmsRoot(dir: String): String =
     graft.StorePaths.root("cmsstore", dir)
 
-  private val cmsStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]
-
   /** The portable CMS cell hash (q114's spelling): row `i` sends a key
     * to column hex(md5(i‖':'‖key)[1..8]) mod w — exact integers,
     * identical in the oracle. w = 16 here, a FIXTURE-SCALE choice
@@ -199,7 +188,7 @@ object Round15 {
     * census-sized at ANY corpus size.
     */
   private[graft] def ensureCmsStore(s: SparkSession, dir: String): Long =
-    cmsStoreCache.computeIfAbsent((s, dir), { _ =>
+    graft.StoreLifecycle.ensure(s, "cmsstore", dir) { _ =>
       val uc = Tables.events(s, dir)
         .select(col("user_id"), Tables.flooredDay().as("d"))
         .groupBy(col("d"), col("user_id")).agg(count(lit(1)).as("cnt"))
@@ -221,7 +210,7 @@ object Round15 {
       // directory names) — cast before the 1-row literal extraction.
       s.read.parquet(cmsRoot(dir))
         .agg(max(col("d")).cast("long").as("m")).head().getLong(0)
-    })
+    }
 
   /** q423 — heavy-hitter frequency estimates FROM the persisted CMS
     * store: per probe user (user_id < 20), the estimated event count
@@ -262,9 +251,6 @@ object Round15 {
 
   // ---- q420: ORC sink/source round-trip --------------------------------------
 
-  private val orcCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
-
   /** The multi-byte hazard, spelled identically in the oracle: the
     * corpus is pure ASCII (fixture-probed — q103's premise), so a
     * plain export would certify ORC's string path only on single-byte
@@ -284,15 +270,14 @@ object Round15 {
     * parquet-adjacent means correct.
     */
   private[graft] def ensureOrc(s: SparkSession, dir: String): String =
-    orcCache.computeIfAbsent((s, dir), { _ =>
-      val path = graft.StorePaths.root("orc", dir)
+    graft.StoreLifecycle.ensure(s, "orc", dir) { path =>
       Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_chars").cast("long").as("n_chars"),
           orcHazard.as("text"))
         .write.mode("overwrite").orc(path)
       path
-    })
+    }
 
   /** q420 — ORC sink/source round-trip certification: q416's
     * content-sensitive aggregate (per (lang, source): doc count, char

@@ -154,11 +154,20 @@ class Round15Spec extends SparkTestBase {
     assert(allDays === 30L && spanDays === 10L,
       s"expected 30 store days / 10 span days, got $allDays/$spanDays")
     // True span counts per probe user, computed directly from events.
-    val trueCnt = Tables.events(spark, sf)
+    // q423 (and its oracle) report an estimate for EVERY probe user
+    // with any event — a user quiet inside the span truly counts 0, so
+    // the reference map must default to 0 rather than require span
+    // activity (r15 ADVICE: the keySet equality used to double as an
+    // accidental fixture-density assertion).
+    val probeUsers = Tables.events(spark, sf)
+      .select(col("user_id")).filter(col("user_id") < 20).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val spanCnt = Tables.events(spark, sf)
       .select(col("user_id"), Tables.flooredDay().as("d"))
       .filter(col("d") >= lit(maxD - 9L) && col("user_id") < 20)
       .groupBy("user_id").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trueCnt = probeUsers.map(u => u -> spanCnt.getOrElse(u, 0L)).toMap
     val est = queries.Round15.q423(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(est.keySet === trueCnt.keySet, "probe coverage diverged")
