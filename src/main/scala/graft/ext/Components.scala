@@ -519,6 +519,22 @@ object Components {
       // teleport denominator — is one count of the node-sized store.
       val n = init.count()
       require(n > 0, "pageRankWarmPrepared: empty init rank frame")
+      // The coverage precondition is CHECKED, not assumed (r15 ADVICE):
+      // if the prepared edge store grew after the ranks were persisted
+      // (a node in `prepared` missing from `init`), the inner join
+      // below would silently drop its mass and N would be stale —
+      // wrong with no error. One anti-join probe over the bucketed
+      // store (broadcasting the node-sized init) catches it loudly;
+      // at true scale this is the nightly landing's validation pass,
+      // priced into the graph_rank_warm audit row.
+      val uncovered = prepared.select(col("src"))
+        .join(broadcast(init.select(col("id").as("src"))), Seq("src"),
+          "left_anti")
+        .head(1)
+      require(uncovered.isEmpty,
+        s"pageRankWarmPrepared: prepared edge store mentions node " +
+          s"${uncovered.head.get(0)} absent from init — the stores were " +
+          "persisted at different graph versions; rebuild the rank store")
       val teleport = lit((1.0 - damping) / n)
       var pr = init.select(col("id"), col("pr"))
       (1 to iterations).foreach { _ =>
@@ -722,61 +738,140 @@ object Components {
   def q102(s: SparkSession, dir: String): DataFrame =
     neardupLabels(s, dir)._2.orderBy("doc_id")
 
-  private val ccStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
-
-  /** Persist the labeling of the OLD half of the probe corpus — the
-    * EVEN doc ids, q122's existing-corpus/incoming-batch framing, so
-    * the split binds at every SF (the planted near-dup pairs mix
-    * parities generously; a prefix split degenerates at sf0.001 where
-    * the probe bound covers the whole corpus). Simhash fingerprints
-    * and band keys are per-doc, so the old pair set is exactly the
-    * full pair set restricted to old endpoints.
+  /** Persist yesterday's dedup state for the OLD half of the probe
+    * corpus — the EVEN doc ids, q122's existing-corpus/incoming-batch
+    * framing, so the split binds at every SF (the planted near-dup
+    * pairs mix parities generously; a prefix split degenerates at
+    * sf0.001 where the probe bound covers the whole corpus). TWO legs
+    * land under one root (r15 verdict item 1 — the labels alone made
+    * the warm loop warm but left q415 re-fingerprinting the corpus):
+    *
+    *   - `labels/` — the old half's component labeling (warm-CC seed);
+    *   - `sigs/`   — the old half's 60-bit simhash fingerprints
+    *     (8 bytes/doc), so an incremental run band-joins NEW docs
+    *     against the store instead of re-fingerprinting old ones.
+    *
+    * Fingerprints are per-doc (simhashN groups by __id), so the stored
+    * values are bit-identical to what a full-corpus pass would compute
+    * for the same docs — the q424 set-identity certification rests on
+    * exactly that.
     */
-  private def ensureCcStore(s: SparkSession, dir: String): String =
-    ccStoreCache.computeIfAbsent((s, dir), { _ =>
-      val path = graft.StorePaths.root("ccstore", dir)
+  private[graft] def ensureCcStore(s: SparkSession, dir: String): String =
+    graft.StoreLifecycle.ensure(s, "ccstore", dir) { path =>
       withSmallScope(s, 4) {
         val old = Tables.table(s, dir, "documents")
           .filter(col("doc_id") < 1000 && col("doc_id") % 2 === 0)
-        val pairs = Dedup.simhashBandPairs(
-          Dedup.simhashN(old, col("doc_id"), col("text"), bits = 60),
+        // One fingerprint pass feeds BOTH the sig store and the old
+        // half's own labeling (checkpointed: the band self-join scans
+        // its input twice).
+        val fp = Dedup.simhashN(old, col("doc_id"), col("text"), bits = 60)
+          .localCheckpoint(true)
+        fp.write.mode("overwrite").parquet(s"$path/sigs")
+        val pairs = Dedup.simhashBandPairs(fp,
           bits = 60, bands = 4, maxHamming = 2)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         connectedComponents(old.select(col("doc_id").as("id")), pairs,
           loopShufflePartitions = Some(4))
-          .write.mode("overwrite").parquet(path)
+          .write.mode("overwrite").parquet(s"$path/labels")
       }
       path
-    })
+    }
 
-  /** q415 — INCREMENTAL near-dup components off a persisted labeling:
-    * the even-id half of the probe corpus is labeled once and
-    * persisted (yesterday's dedup state — q122's existing-corpus
-    * framing); today's run adds the odd half's docs and every new
-    * candidate pair, seeds the min-label loop from the store, and must
-    * converge to EXACTLY the full-graph labeling — q102's
-    * recursive-CTE oracle, unchanged.
+  /** q415 — INCREMENTAL near-dup components off the persisted dedup
+    * state: the even-id half of the probe corpus is fingerprinted and
+    * labeled once ([[ensureCcStore]] — yesterday's state); today's run
+    * fingerprints ONLY the odd half, derives candidate pairs as
+    * (new-vs-new band pairs) ∪ (new-vs-STORE band join — the stored
+    * fingerprints, never the old texts), adds one star edge per stored
+    * label row (comp ≠ id) so old components stay connected without
+    * replaying their pair derivation, seeds the min-label loop from
+    * the stored labels, and must converge to EXACTLY the full-graph
+    * labeling — q102's recursive-CTE oracle, unchanged.
+    *
+    * Exactness is structural, not approximate: (1) the dropped old-old
+    * candidate pairs connect only nodes the star edges already connect
+    * (the stored labeling is the fixpoint of exactly those pairs), and
+    * the added star edges connect only nodes the old-old pairs
+    * transitively connected — so the graph's components are identical;
+    * (2) q424 hash-certifies that the incremental pair set equals the
+    * full band-pair set restricted to pairs touching the new half
+    * (band completeness); (3) prior labels are ids within their
+    * components and components only merge, so the seeded fixpoint is
+    * the merged component's min id, exactly the cold answer.
+    *
     * The incremental-maintenance trilogy's third leg (registers
-    * q411-q413, ranks q414, labels here): at 100 TB the nightly dedup
-    * job re-labels only what new edges can touch, never the corpus.
-    * Unlike the float walks, this contract is EXACT — prior labels
-    * are ids within their components and components only merge, so
-    * the seeded fixpoint is identical, not approximately equal.
+    * q411-q413, ranks q414, labels here), now end-to-end: at 100 TB
+    * the nightly dedup job fingerprints the NEW batch, band-joins it
+    * against stored signatures (bytes per doc), and re-labels only
+    * what new edges can touch — the corpus is never re-read. The
+    * `cc_warm_full` DevScaleAudit row prices exactly that split at
+    * full corpus scale.
     */
   def q415(s: SparkSession, dir: String): DataFrame = {
     val store = ensureCcStore(s, dir)
     withSmallScope(s, 4) {
       val subset = Tables.table(s, dir, "documents").filter(col("doc_id") < 1000)
-      val pairs = Dedup.simhashBandPairs(
-        Dedup.simhashN(subset, col("doc_id"), col("text"), bits = 60),
+      val newFp = Dedup.simhashN(
+        subset.filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"), bits = 60)
+        .localCheckpoint(true) // feeds the self-join AND the store join
+      val storeFp = s.read.parquet(s"$store/sigs")
+      val labels = s.read.parquet(s"$store/labels")
+      val newNew = Dedup.simhashBandPairs(newFp,
         bits = 60, bands = 4, maxHamming = 2)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
-      connectedComponentsWarm(subset.select(col("doc_id").as("id")), pairs,
-        initial = s.read.parquet(store),
+      val newOld = Dedup.simhashBandJoin(newFp, storeFp,
+        bits = 60, bands = 4, maxHamming = 2)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      // Star edges: label-store-sized, one per non-root old node —
+      // they carry the old half's transitive connectivity so a new
+      // label arriving at ONE member of a stored component reaches
+      // the rest without the old-old pair derivation.
+      val star = labels.filter(col("comp") =!= col("id"))
+        .select(col("comp").as("src"), col("id").as("dst"))
+      connectedComponentsWarm(subset.select(col("doc_id").as("id")),
+        newNew.union(newOld).union(star),
+        initial = labels,
         loopShufflePartitions = Some(4))
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
+    }
+  }
+
+  /** q424 — the incremental candidate-pair derivation itself,
+    * oracle-certified: fingerprint ONLY the new (odd) half, band it
+    * against itself and against the PERSISTED old-half fingerprint
+    * store, and emit every candidate pair within Hamming ≤ 2 that
+    * touches a new doc. The oracle recomputes the FULL corpus band-pair
+    * set in DuckDB (q65's certified chain) and restricts it to pairs
+    * with an odd endpoint — a hash match proves the incremental
+    * derivation finds exactly the pairs a from-scratch run would find
+    * (band completeness through the store round-trip: stored
+    * fingerprints are bit-identical to recomputed ones, and the
+    * bipartite join's pigeonhole covers every cross pair).
+    *
+    * This is the certification q415's scale story rests on: the
+    * nightly job's pair stage reads 8 bytes/doc of stored fingerprints
+    * instead of re-reading and re-hashing yesterday's corpus.
+    *
+    * Scale: the only text scan is the new half; the store side is a
+    * bytes-per-doc columnar read; both band joins are bucket-local on
+    * (band, slice). At 100 TB with a small daily batch, AQE broadcasts
+    * the new side and the store side never shuffles.
+    */
+  def q424(s: SparkSession, dir: String): DataFrame = {
+    val store = ensureCcStore(s, dir)
+    withSmallScope(s, 4) {
+      val newFp = Dedup.simhashN(
+        Tables.table(s, dir, "documents")
+          .filter(col("doc_id") < 1000 && col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"), bits = 60)
+        .localCheckpoint(true)
+      val storeFp = s.read.parquet(s"$store/sigs")
+      Dedup.simhashBandPairs(newFp, bits = 60, bands = 4, maxHamming = 2)
+        .union(Dedup.simhashBandJoin(newFp, storeFp,
+          bits = 60, bands = 4, maxHamming = 2))
+        .orderBy("id_a", "id_b")
     }
   }
 
@@ -964,9 +1059,6 @@ object Components {
       .orderBy("id")
   }
 
-  private val rankStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]
-
   /** Persist the 3-round cold ranks for q414's warm start (memoized
     * once per session; node-sized parquet — raw doubles round-trip
     * exactly, so the warm run continues from bit-identical state) AND
@@ -975,8 +1067,7 @@ object Components {
     * neither. Returns (rank parquet path, prepared-edge table name).
     */
   private def ensureRankStore(s: SparkSession, dir: String): (String, String) =
-    rankStoreCache.computeIfAbsent((s, dir), { _ =>
-      val path = graft.StorePaths.root("rankstore", dir)
+    graft.StoreLifecycle.ensure(s, "rankstore", dir) { path =>
       val edges = Graph.custSuppEdgesShared(s, dir)
       pageRank(edges, iterations = 3, loopShufflePartitions = Some(8))
         .write.mode("overwrite").parquet(path)
@@ -985,7 +1076,7 @@ object Components {
       persistPreparedEdges(edges, table,
         graft.StorePaths.root("prepedges", dir), buckets = 8)
       (path, table)
-    })
+    }
 
   /** q414 — WARM-START PageRank off the persisted rank store: 3 cold
     * rounds persisted once (node-sized parquet) NEXT TO the prepared
@@ -1066,6 +1157,7 @@ object Components {
     "q355_optout_closure" -> (q355 _),
     "q102_neardup_components" -> (q102 _),
     "q415_components_warm"    -> (q415 _),
+    "q424_inc_band_pairs"     -> (q424 _),
     "q119_component_best"     -> (q119 _),
     "q120_components_star"    -> (q120 _),
     "q127_pagerank"           -> (q127 _),
@@ -1267,6 +1359,18 @@ object Components {
     // must reach the identical labeling as the cold run and the
     // recursive-CTE ground truth.
     "q415_components_warm"    -> componentsOracle,
+    // The FULL band-pair set (q65's certified chain) restricted to
+    // pairs touching the new (odd) half — the Spark side derives it
+    // incrementally (new-half fingerprints + the persisted old-half
+    // fingerprint store), so a hash match certifies the incremental
+    // derivation ≡ from-scratch on exactly the pairs it claims.
+    "q424_inc_band_pairs" ->
+      s"""${Dedup.simhashCandCte()}
+         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ha, hb)) <= 2
+         |  AND (id_a % 2 = 1 OR id_b % 2 = 1)
+         |ORDER BY id_a, id_b""".stripMargin,
     "q127_pagerank"           -> pageRankOracle,
     // The 4-round cold unroll: Spark answers with 3 PERSISTED rounds +
     // 1 warm round off the rank store — equality certifies the

@@ -161,6 +161,50 @@ object Dedup {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
   }
 
+  /** Bipartite SimHash band join — near-dup candidates of an INCOMING
+    * fingerprint frame against a PERSISTED reference fingerprint store
+    * (the [[minhashBandJoin]] shape for Hamming space). Both sides are
+    * banded identically, so pigeonhole completeness carries over: any
+    * incoming/reference pair within `maxHamming` (for
+    * `maxHamming < bands`) shares at least one band slice and is found
+    * by the (band, slice) equi-join — never an all-pairs compare, and
+    * the incoming side's fingerprints are the only ones computed this
+    * run (the reference side is a bytes-per-doc store read). Output is
+    * canonically oriented (`id_a` < `id_b`), matching
+    * [[simhashBandPairs]], so the union of (incoming self-pairs) ∪
+    * (this join) is EXACTLY the full-corpus pair set restricted to
+    * pairs touching the incoming half — q424 oracle-certifies that set
+    * identity, and q415's warm CC consumes it.
+    *
+    * @param incoming  (__id, simhash<bits>) — this run's fingerprints
+    * @param reference (__id, simhash<bits>) — the persisted store;
+    *                  ids must be disjoint from `incoming`'s
+    */
+  def simhashBandJoin(
+      incoming: DataFrame, reference: DataFrame,
+      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    val width = bits / bands
+    def banded(df: DataFrame, idName: String, shName: String) = {
+      val hc = df.columns.last
+      df.select(col("__id").as(idName), col(hc).as(shName),
+        explode(sequence(lit(0), lit(bands - 1))).as("__band"))
+        .withColumn("__bval",
+          expr(s"shiftright($shName, __band * $width) & ${(1L << width) - 1}"))
+    }
+    banded(incoming, "__inc", "hi")
+      .join(banded(reference, "__ref", "hr"), Seq("__band", "__bval"))
+      .select(
+        least(col("__inc"), col("__ref")).as("id_a"),
+        greatest(col("__inc"), col("__ref")).as("id_b"),
+        when(col("__inc") < col("__ref"), col("hi")).otherwise(col("hr")).as("ha"),
+        when(col("__inc") < col("__ref"), col("hr")).otherwise(col("hi")).as("hb"))
+      .distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(
+        col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+  }
+
   /** Engine-portable MinHash signature: component k = MIN over the
     * doc's shingle set of md5("k:" ++ shingle). Unlike spark.ml's
     * `MinHashLSH` (q57 — engine-local hash family, rows-only check),

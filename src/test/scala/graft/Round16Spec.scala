@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 pins: the incremental dedup pair derivation behind
+  * q415/q424 (r15 verdict item 1 — the warm CC loop was warm but the
+  * query re-fingerprinted the whole corpus every run). Three claims,
+  * each pinned at fixture scale:
+  *
+  *   1. SET IDENTITY — (new-vs-new band pairs) ∪ (new-vs-store band
+  *      join) equals the full-corpus pair set restricted to pairs
+  *      touching the new half (band completeness through the
+  *      fingerprint-store round-trip).
+  *   2. STORE FIDELITY — the persisted old-half fingerprints are
+  *      bit-identical to a fresh recomputation (simhash is per-doc, so
+  *      the store can never drift from the derivation).
+  *   3. STAR BINDING — the fixture forces label flow THROUGH a star
+  *      edge: some stored multi-member component ends up with an odd
+  *      (new-half) label, which can only reach its second old member
+  *      via the comp→id star edge (the old-old candidate pairs are
+  *      never rederived). Without this probe, a broken star leg would
+  *      pass warm ≡ cold vacuously on a fixture where old components
+  *      never re-label. Probed at all 3 SFs via DuckDB (r16): 3/6/6
+  *      star-binding components at sf0.001/0.01/0.1.
+  */
+class Round16Spec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q424 incremental pair set == full band-pair set restricted to pairs " +
+    "touching the new half (band completeness through the store)") {
+    val subset = Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") < 1000)
+    val full = ext.Dedup.simhashBandPairs(
+      ext.Dedup.simhashN(subset, col("doc_id"), col("text"), bits = 60),
+      bits = 60, bands = 4, maxHamming = 2).localCheckpoint(true)
+    val touchingNew = full
+      .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+    val inc = ext.Components.q424(spark, sf).localCheckpoint(true)
+    assert(inc.exceptAll(touchingNew).isEmpty &&
+      touchingNew.exceptAll(inc).isEmpty,
+      "incremental pair derivation diverged from the from-scratch set")
+    // Bindingness of the restriction itself: pairs exist on BOTH sides
+    // of it (old-old pairs really are excluded; new-touching pairs
+    // really are found), and both q424 legs are non-empty.
+    assert(full.count() > touchingNew.count(),
+      "no old-old pair at this SF — the restriction is vacuous")
+    assert(inc.filter(col("id_a") % 2 === col("id_b") % 2).count() > 0,
+      "no new-vs-new pair — the self-join leg is vacuous")
+    assert(inc.filter(col("id_a") % 2 =!= col("id_b") % 2).count() > 0,
+      "no new-vs-store pair — the bipartite leg is vacuous")
+  }
+
+  test("ccstore sigs leg: persisted old-half fingerprints are bit-identical " +
+    "to a fresh recomputation") {
+    val root = ext.Components.ensureCcStore(spark, sf)
+    val stored = spark.read.parquet(s"$root/sigs")
+    val fresh = ext.Dedup.simhashN(
+      Tables.table(spark, sf, "documents")
+        .filter(col("doc_id") < 1000 && col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), bits = 60)
+    assert(stored.exceptAll(fresh).isEmpty && fresh.exceptAll(stored).isEmpty,
+      "fingerprint store diverged from the derivation")
+  }
+
+  test("q415 star-edge leg binds: some stored multi-member component takes " +
+    "an odd label in the warm run — that label crossed a star edge") {
+    val root = ext.Components.ensureCcStore(spark, sf)
+    val stored = spark.read.parquet(s"$root/labels")
+      .select(col("id").as("doc_id"), col("comp"))
+    val multi = stored.groupBy("comp")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+    val warm = ext.Components.q415(spark, sf)
+    val starBound = stored.join(multi, "comp")
+      .join(warm, "doc_id")
+      .filter(col("component") % 2 === 1)
+    assert(starBound.count() > 0,
+      "no stored multi-member component re-labeled to a new-half id — " +
+        "the star-edge propagation path never bound (fixture drifted?)")
+  }
+}
