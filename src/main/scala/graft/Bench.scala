@@ -49,7 +49,16 @@ object Bench {
     "q06_titlecase_norm" -> 0.2148, "q08_surrogate_key" -> 0.2280,
     "q19_topk" -> 0.1997, "q34_word_count" -> 0.2873,
     "q49_regex_battery" -> 0.4220, "q62_multimodal_meta" -> 0.2252,
-    "q84_string_agg" -> 0.2211, "q313_mcnemar" -> 0.3275)
+    "q84_string_agg" -> 0.2211, "q313_mcnemar" -> 0.3275,
+    // r16 probe extension (r15 verdict item 4): four more probes so the
+    // per-probe BLOCKS shrink from 42 to 30 queries (~25 s of sweep per
+    // block — closer to the measured minutes-scale drift phase). Their
+    // reference constants postdate r13, so they are pinned from the r15
+    // DRIVER sweep re-expressed in r13-host units: (r15 median) /
+    // (r15 global drift_factor 0.865) — the same unit the ten r13
+    // probes are pinned in, so one sweep-wide factor stays meaningful.
+    "q21_conditional_agg" -> 0.3235, "q176_embed_dim_stats" -> 0.3914,
+    "q280_hill_tail" -> 0.3358, "q351_cochran_armitage" -> 0.4199)
 
   /** True median: averages the two middle elements for even sizes (the
     * upper-median shortcut biased drift_factor toward the larger-ratio
@@ -84,7 +93,7 @@ object Bench {
     // NOT recorded into the probe's registry sample). A real regression
     // in one registry region now has a same-phase yardstick: it must
     // survive division by ITS block's factor, not the sweep-wide one.
-    // Cost: 10 probe runs/round ≈ 2-3 s of a ~350 s sweep.
+    // Cost: 14 probe runs/round ≈ 3-4 s of a ~350 s sweep.
     val probeNames = ProbeRefSf01.map(_._1)
     val blockSize = math.max(1,
       (queries.length + probeNames.length - 1) / probeNames.length)
@@ -177,9 +186,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val driftJson = driftOpt
       .map(d => (math.rint(d * 1000) / 1000).toString).getOrElse("null")
+    // Per-query normalization divides by the query's OWN block factor
+    // (r15 verdict item 3): the global factor cannot see a drift PHASE
+    // spanning minutes, so untouched queries in a slow-phase block kept
+    // surfacing as phantom 1.3-2× movers in cross-round diffs. Fall
+    // back to the global factor for a block whose probe never
+    // succeeded warm.
+    val queryBlockFactor: Map[String, Double] = blocks.zipWithIndex.flatMap {
+      case (block, bi) =>
+        val f = blockDrift.lift(bi).map(_._3).getOrElse(-1.0)
+        block.map { case (name, _) => name -> f }
+    }.toMap
     val normJson = driftOpt.map { d =>
       results.map { case (k, v) =>
-        "\"" + k + "\":" + (if (v < 0) v else math.rint(v / d * 1000) / 1000)
+        val bf = queryBlockFactor.getOrElse(k, -1.0)
+        val f = if (bf > 0) bf else d
+        "\"" + k + "\":" + (if (v < 0) v else math.rint(v / f * 1000) / 1000)
       }.mkString("{", ",", "}")
     }.getOrElse("null")
     val fullLine =

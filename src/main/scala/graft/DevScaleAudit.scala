@@ -239,9 +239,63 @@ object DevScaleAudit {
       ext.Components.connectedComponents(
         d.select(col("doc_id").as("id")), pairs)
     }
+    // r16 — the INCREMENTAL form of ccFull at full corpus scale (the
+    // q415 mechanism without its probe bound): the even half's
+    // fingerprints + labeling persisted once per dir (run 1 — the
+    // "yesterday" job); later runs fingerprint only the odd half,
+    // band-join it against the stored fingerprints, add the label
+    // store's star edges, and run the warm loop. min-of-runs therefore
+    // records the steady-state nightly cost, to be read against
+    // cc_simhash_full's cold restart on the same tier.
+    val ccStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+    def ccWarmFull(dir: String): DataFrame = {
+      val store = ccStoreMemo.getOrElseUpdate(dir, {
+        val p = Files.createTempDirectory("graft-ccstore-audit").toString
+        val old = docsOf(dir).filter(col("doc_id") % 2 === 0)
+        val fp = ext.Dedup.simhashN(old, col("doc_id"), col("text"), bits = 60)
+          .localCheckpoint(true)
+        fp.write.mode("overwrite").parquet(s"$p/sigs")
+        val pairs = ext.Dedup.simhashBandPairs(fp,
+          bits = 60, bands = 4, maxHamming = 2)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        ext.Components.connectedComponents(
+          old.select(col("doc_id").as("id")), pairs)
+          .write.mode("overwrite").parquet(s"$p/labels")
+        p
+      })
+      val newFp = ext.Dedup.simhashN(
+        docsOf(dir).filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"), bits = 60).localCheckpoint(true)
+      val labels = spark.read.parquet(s"$store/labels")
+      val newNew = ext.Dedup.simhashBandPairs(newFp,
+        bits = 60, bands = 4, maxHamming = 2)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val newOld = ext.Dedup.simhashBandJoin(newFp,
+        spark.read.parquet(s"$store/sigs"),
+        bits = 60, bands = 4, maxHamming = 2)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val star = labels.filter(col("comp") =!= col("id"))
+        .select(col("comp").as("src"), col("id").as("dst"))
+      ext.Components.connectedComponentsWarm(
+        docsOf(dir).select(col("doc_id").as("id")),
+        newNew.union(newOld).union(star), initial = labels)
+    }
 
     val suite: Seq[(String, String => DataFrame)] = Seq(
       "cc_simhash_full" -> (dir => ccFull(dir)),
+      "cc_warm_full" -> (dir => ccWarmFull(dir)),
+      // r16 — the two r15 store families that had only by-construction
+      // scale arguments (r15 verdict item 5). cms_store_read: the store
+      // is ≤ 30 days × 4×16 cells at ANY corpus size and the probe set
+      // is a replica-0 literal — expect the ev_store_read flat profile
+      // (run 1 pays the events scan + landing). ivf_store_probe: the
+      // probed CELLS' row count grows with the corpus (ncells is fixed
+      // at the 10 labels), so the honest expectation is ~linear in
+      // corpus/ncells — the store's saving is the pruned fraction
+      // (probed/All cells at the file listing), not a census bound;
+      // production re-sizes ncells with the corpus.
+      "ivf_store_probe" -> (dir => SparkEntry.queries("q422_ivf_store_probe")(spark, dir)),
+      "cms_store_read" -> (dir => SparkEntry.queries("q423_cms_store_probe")(spark, dir)),
       "dup_ngram_frac" -> (dir => ext.TextAnalysis.dupNgramFraction(docsOf(dir))),
       "minhash_lsh" -> (dir => ext.Dedup.minhashLshPairs(docsOf(dir))),
       "salted_dedup" -> (dir => graft.ops.dedupFirstWinsSalted(
