@@ -247,11 +247,14 @@ object DevScaleAudit {
     // store's star edges, and run the warm loop. min-of-runs therefore
     // records the steady-state nightly cost, to be read against
     // cc_simhash_full's cold restart on the same tier.
-    val ccStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
-    def ccWarmFull(dir: String): DataFrame = {
-      val store = ccStoreMemo.getOrElseUpdate(dir, {
+    // `mod` sets the old/new split: new = (doc_id % mod == mod-1), so
+    // mod=2 is q415's adversarial 50/50 parity split and mod=10 the
+    // production-like 10% daily batch against a 90% store.
+    val ccStoreMemo = scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+    def ccWarmFull(dir: String, mod: Int): DataFrame = {
+      val store = ccStoreMemo.getOrElseUpdate((dir, mod), {
         val p = Files.createTempDirectory("graft-ccstore-audit").toString
-        val old = docsOf(dir).filter(col("doc_id") % 2 === 0)
+        val old = docsOf(dir).filter(col("doc_id") % mod =!= (mod - 1))
         val fp = ext.Dedup.simhashN(old, col("doc_id"), col("text"), bits = 60)
           .localCheckpoint(true)
         fp.write.mode("overwrite").parquet(s"$p/sigs")
@@ -264,7 +267,7 @@ object DevScaleAudit {
         p
       })
       val newFp = ext.Dedup.simhashN(
-        docsOf(dir).filter(col("doc_id") % 2 === 1),
+        docsOf(dir).filter(col("doc_id") % mod === (mod - 1)),
         col("doc_id"), col("text"), bits = 60).localCheckpoint(true)
       val labels = spark.read.parquet(s"$store/labels")
       val newNew = ext.Dedup.simhashBandPairs(newFp,
@@ -283,7 +286,11 @@ object DevScaleAudit {
 
     val suite: Seq[(String, String => DataFrame)] = Seq(
       "cc_simhash_full" -> (dir => ccFull(dir)),
-      "cc_warm_full" -> (dir => ccWarmFull(dir)),
+      "cc_warm_full" -> (dir => ccWarmFull(dir, 2)),
+      // The production split: a 10% incoming batch against a 90%
+      // store — the fingerprint + banding saving the incremental path
+      // exists for (the 50/50 row above is the adversarial bound).
+      "cc_warm_batch" -> (dir => ccWarmFull(dir, 10)),
       // r16 — the two r15 store families that had only by-construction
       // scale arguments (r15 verdict item 5). cms_store_read: the store
       // is ≤ 30 days × 4×16 cells at ANY corpus size and the probe set

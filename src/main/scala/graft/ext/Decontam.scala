@@ -41,10 +41,24 @@ object Decontam {
     // Measured 5× on q104 at sf0.1. The outer generator is exempt from
     // that rule; the isnotnull filter on the GENERATED attribute cannot
     // be pushed below the Generate.
-    val evalGrams = evalDocs
+    contaminationReportGrams(trainDocs, evalGramSet(evalDocs, k), k)
+  }
+
+  /** The benchmark side's distinct k-gram set — the state
+    * [[ensureGramStore]] persists and q425 screens against. */
+  private def evalGramSet(evalDocs: DataFrame, k: Int): DataFrame =
+    evalDocs
       .select(explode_outer(Dedup.shinglesK(col("ws"), k)).as("gram"))
       .filter(col("gram").isNotNull)
       .distinct()
+
+  /** [[contaminationReport]] against a PRE-BUILT distinct gram set
+    * (single column `gram`) — the store-read form: a persisted
+    * benchmark gram table screens an incoming batch without
+    * re-deriving the eval side.
+    */
+  def contaminationReportGrams(
+      trainDocs: DataFrame, evalGrams: DataFrame, k: Int): DataFrame = {
     val trainGrams = trainDocs
       .select(col("doc_id"), Dedup.shinglesK(col("ws"), k).as("grams"))
       .select(col("doc_id"), size(col("grams")).as("n_grams"),
@@ -141,6 +155,47 @@ object Decontam {
     contaminationReport(train, eval, k = 5).orderBy("doc_id")
   }
 
+  /** Persist the eval set's distinct 5-grams once per session — the
+    * benchmark side of decontamination is FIXED state (benchmarks
+    * change on release cadence, corpora on crawl cadence), so a
+    * production pipeline lands the gram set once and screens every
+    * incoming batch against the store instead of re-tokenizing the
+    * benchmarks per run. Census-sized: distinct grams of the bounded
+    * eval set, a broadcastable table at any corpus size.
+    */
+  private[graft] def ensureGramStore(s: SparkSession, dir: String): String =
+    graft.StoreLifecycle.ensure(s, "gramstore", dir) { root =>
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      evalGramSet(d.filter(col("doc_id") % 7 === 0), k = 5)
+        .write.mode("overwrite").parquet(root)
+      root
+    }
+
+  /** q425 — INCREMENTAL decontamination off the persisted eval-gram
+    * store: q104's contamination report computed for the NEW (odd-id)
+    * batch only, with the eval side READ from [[ensureGramStore]] —
+    * never re-derived. The q424 posture applied to the
+    * decontamination family: the nightly screen tokenizes the incoming
+    * batch, broadcasts the stored gram set, and touches nothing else.
+    * The oracle rebuilds the gram set from raw documents (q104's
+    * certified CTE) and screens the same batch — a hash match proves
+    * the store round-trip lost/duplicated no gram AND that
+    * screen-from-store ≡ screen-from-scratch.
+    *
+    * Scale: the batch side is one map + explode over the new docs;
+    * the store side is a census-sized broadcast read. At 100 TB the
+    * screen's cost is the batch scan — the corpus and the benchmarks
+    * are never re-read.
+    */
+  def q425(s: SparkSession, dir: String): DataFrame = {
+    val store = s.read.parquet(ensureGramStore(s, dir))
+    val batch = Tables.table(s, dir, "documents")
+      .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 2 === 1)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    contaminationReportGrams(batch, store, k = 5).orderBy("doc_id")
+  }
+
   /** q401 — decontamination threshold-sensitivity curve: the doc and
     * TOKEN mass a 5-gram overlap screen removes at hit thresholds of
     * 1/2/4/8 shared grams — q104 reports per-doc hits at no threshold;
@@ -207,6 +262,7 @@ object Decontam {
     "q104_decontaminate" -> (q104 _),
     "q263_bloom_audit"   -> (q263 _),
     "q401_decontam_curve" -> (q401 _),
+    "q425_decontam_store" -> (q425 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -221,6 +277,27 @@ object Decontam {
         |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 7 = 0),
         |tr AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
         |       FROM g WHERE doc_id % 7 <> 0)
+        |SELECT tr.doc_id,
+        |  CAST(MAX(tr.n_grams) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS hit_grams,
+        |  ROUND(CAST(COUNT(DISTINCT tr.gram) AS DOUBLE) / MAX(tr.n_grams), 4)
+        |    AS hit_ratio
+        |FROM tr JOIN e USING (gram)
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // q104's oracle restricted to the odd-id batch: the eval gram set
+    // is rebuilt from raw documents here where Spark reads it from the
+    // persisted store — hash equality IS the store-fidelity proof.
+    "q425_decontam_store" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(ws) >= 5 THEN
+        |          list_distinct(list_transform(range(1, len(ws) - 3),
+        |            i -> array_to_string(ws[i:i+4], ' ')))
+        |        ELSE CAST([] AS VARCHAR[]) END AS grams
+        |      FROM t),
+        |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 7 = 0),
+        |tr AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+        |       FROM g WHERE doc_id % 7 <> 0 AND doc_id % 2 = 1)
         |SELECT tr.doc_id,
         |  CAST(MAX(tr.n_grams) AS BIGINT) AS n_grams,
         |  CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS hit_grams,

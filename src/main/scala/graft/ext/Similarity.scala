@@ -195,12 +195,17 @@ object Similarity {
     * raw embeddings — the q64-certified equivalence — and the e2 sim
     * grid carries q64's measured margins.
     */
-  def q422(s: SparkSession, dir: String): DataFrame = {
+  def q422(s: SparkSession, dir: String): DataFrame =
+    ivfStoreProbe(s, dir, ensureIvfStore(s, dir))
+
+  /** The q422 probe shape against any IVF-layout store root. */
+  private def ivfStoreProbe(
+      s: SparkSession, dir: String, root: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = withUnitVec(emb(s, dir), "embedding", "u")
       .filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("u").as("qu"), col("label"))
-    val d = s.read.parquet(ensureIvfStore(s, dir))
+    val d = s.read.parquet(root)
       .select(col("vec_id").as("did"), col("u").as("du"), col("label"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
     q.join(d, "label")
@@ -210,6 +215,40 @@ object Similarity {
       .select(col("qid"), col("did"), intScaled(col("sim"), 100).as("sim_c"))
       .orderBy("qid", "did")
   }
+
+  /** The TWO-GENERATION IVF landing behind q426: the even-id vectors
+    * land as the index build; the odd-id vectors land with
+    * `mode("append")` into the SAME label partitions — the daily
+    * embedding batch folded into the inverted lists without a rebuild
+    * (each cell directory simply gains the new generation's files;
+    * partition discovery and DPP see both).
+    */
+  private[graft] def ensureIvfAppendStore(s: SparkSession, dir: String): String =
+    graft.StoreLifecycle.ensure(s, "ivf2", dir) { root =>
+      val unit = withUnitVec(emb(s, dir), "embedding", "u")
+        .select(col("vec_id"), col("u"), col("label"))
+      unit.filter(col("vec_id") % 2 === 0)
+        .write.mode("overwrite").partitionBy("label").parquet(root)
+      unit.filter(col("vec_id") % 2 === 1)
+        .write.mode("append").partitionBy("label").parquet(root)
+      root
+    }
+
+  /** q426 — ANN probe against the INCREMENTALLY-MAINTAINED IVF index:
+    * q422's cell-local top-3 search, but the store was built in two
+    * generations ([[ensureIvfAppendStore]] — initial build + an
+    * appended batch), so a hash match against the from-raw oracle
+    * certifies APPEND ≡ REBUILD: no vector lost, duplicated, or
+    * mis-celled across the append, and the probe's top-3 genuinely
+    * draws from both generations (Round16Spec pins that bindingness:
+    * 3-5 of the 5 probes mix parities in their top-3 at every SF).
+    * Completes the index's incremental-maintenance story beside q421
+    * (centroid state) and q422 (index-as-store): at 100 TB the nightly
+    * embedding batch assigns cells map-side and appends bytes-per-
+    * vector files — the index is never rebuilt and never rescanned.
+    */
+  def q426(s: SparkSession, dir: String): DataFrame =
+    ivfStoreProbe(s, dir, ensureIvfAppendStore(s, dir))
 
   /** Embedding-cosine near-dup machinery, cell-bounded: within each
     * coarse cell, count pairs above a similarity threshold and report
@@ -2066,6 +2105,7 @@ object Similarity {
     "q61_knn_lsh"   -> (q61 _),
     "q64_knn_ivf"   -> (q64 _),
     "q422_ivf_store_probe" -> (q422 _),
+    "q426_ivf_append_probe" -> (q426 _),
     "q66_embedding_neardup" -> (q66 _),
     "q100_embed_quant" -> (q100 _),
     "q121_filtered_knn" -> (q121 _),
@@ -2247,6 +2287,26 @@ object Similarity {
        |                        1.0 / log2(4.0)) * 1e9) AS BIGINT)) AS BIGINT)
        |         AS ndcg_e6
        |FROM g ORDER BY qid""".stripMargin
+
+  /** q64's oracle on the 5-query probe set, shared by q422 (rebuilt
+    * store) and q426 (append-maintained store): both stores hold the
+    * same vectors reorganized, so both must answer the from-raw
+    * cosine top-3 identically.
+    */
+  private val ivfProbeOracle: String =
+    """WITH sims AS (
+      |  SELECT q.vec_id AS qid, d.vec_id AS did,
+      |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                CAST(d.embedding AS DOUBLE[])) AS sim
+      |  FROM embeddings q JOIN embeddings d ON q.label = d.label
+      |  WHERE q.vec_id < 5
+      |), ranked AS (
+      |  SELECT qid, did, sim,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
+      |  FROM sims)
+      |SELECT qid, did, CAST(ROUND(sim * 100) AS BIGINT) AS sim_c
+      |FROM ranked WHERE rn <= 3
+      |ORDER BY qid, did""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // q317's e3 element grid, exact HUGEINT dim-sum/norm moments, one
@@ -3017,20 +3077,11 @@ object Similarity {
         |ORDER BY qid, did""".stripMargin,
     // q422: q64's oracle on the 5-query probe set — the store holds the
     // same vectors reorganized by cell, so the answer is identical.
-    "q422_ivf_store_probe" ->
-      """WITH sims AS (
-        |  SELECT q.vec_id AS qid, d.vec_id AS did,
-        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                                CAST(d.embedding AS DOUBLE[])) AS sim
-        |  FROM embeddings q JOIN embeddings d ON q.label = d.label
-        |  WHERE q.vec_id < 5
-        |), ranked AS (
-        |  SELECT qid, did, sim,
-        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rn
-        |  FROM sims)
-        |SELECT qid, did, CAST(ROUND(sim * 100) AS BIGINT) AS sim_c
-        |FROM ranked WHERE rn <= 3
-        |ORDER BY qid, did""".stripMargin,
+    "q422_ivf_store_probe" -> ivfProbeOracle,
+    // Same from-raw oracle by design: the appended two-generation
+    // store must answer identically to the rebuilt one — hash equality
+    // IS the append ≡ rebuild certification.
+    "q426_ivf_append_probe" -> ivfProbeOracle,
     "q66_embedding_neardup" ->
       """WITH sims AS (
         |  SELECT a.label, list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

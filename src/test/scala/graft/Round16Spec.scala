@@ -63,6 +63,61 @@ class Round16Spec extends SparkTestBase {
       "fingerprint store diverged from the derivation")
   }
 
+  // ---- q425: persisted eval-gram store ---------------------------------------
+
+  test("q425 gram store fidelity and bindingness: stored grams equal a fresh " +
+    "derivation, and the odd batch really hits the store") {
+    val root = ext.Decontam.ensureGramStore(spark, sf)
+    val stored = spark.read.parquet(root)
+    val d = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val fresh = d.filter(col("doc_id") % 7 === 0)
+      .select(explode(ext.Dedup.shinglesK(col("ws"), 5)).as("gram"))
+      .distinct()
+    assert(stored.exceptAll(fresh).isEmpty && fresh.exceptAll(stored).isEmpty,
+      "gram store diverged from the derivation")
+    // Bindingness (DuckDB fixture probe r16: 41/44/78 hit docs at the
+    // 3 SFs within the probe bound; unbounded is a superset).
+    val hits = ext.Decontam.q425(spark, sf).count()
+    assert(hits > 0, "no odd-batch doc hits the eval gram store — vacuous")
+    // The batch restriction binds: q425 ⊂ q104 (strictly, at this SF).
+    val full = ext.Decontam.q104(spark, sf)
+    assert(hits < full.count(),
+      "q425 equals the full q104 report — the batch restriction is vacuous")
+  }
+
+  // ---- q426: append-maintained IVF store -------------------------------------
+
+  test("q426 append ≡ rebuild: the two-generation store answers exactly like " +
+    "q422's rebuilt store, each probed cell holds files from BOTH landings, " +
+    "and some probe's top-3 mixes generations") {
+    val viaAppend = ext.Similarity.q426(spark, sf).localCheckpoint(true)
+    val viaRebuild = ext.Similarity.q422(spark, sf)
+    assert(viaAppend.exceptAll(viaRebuild).isEmpty &&
+      viaRebuild.exceptAll(viaAppend).isEmpty,
+      "append-maintained IVF store diverged from the rebuilt store")
+    // Two file generations really landed per cell.
+    val root = ext.Similarity.ensureIvfAppendStore(spark, sf)
+    val cells = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("label="))
+    assert(cells.nonEmpty, "no cell directories in the append store")
+    cells.foreach { c =>
+      val files = c.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files >= 2,
+        s"${c.getName} holds $files parquet file(s) — the append " +
+          "generation did not land beside the build generation")
+    }
+    // Bindingness: a broken append (odd generation lost) would still
+    // pass a top-3 check built only from even vectors — require that
+    // some probe's top-3 contains BOTH parities (DuckDB fixture probe
+    // r16: 3/3/4 of 5 probes at the 3 SFs).
+    val mixed = viaAppend.groupBy("qid")
+      .agg(countDistinct(col("did") % 2).as("p"))
+      .filter(col("p") === 2).count()
+    assert(mixed > 0,
+      "no probe draws top-3 neighbors from both generations — vacuous")
+  }
+
   test("q415 star-edge leg binds: some stored multi-member component takes " +
     "an odd label in the warm run — that label crossed a star edge") {
     val root = ext.Components.ensureCcStore(spark, sf)
