@@ -118,6 +118,73 @@ class Round16Spec extends SparkTestBase {
       "no probe draws top-3 neighbors from both generations — vacuous")
   }
 
+  // ---- q427: two-generation DF register store --------------------------------
+
+  test("q427 DF registers: store read-back equals a fresh per-generation " +
+    "derivation, and the SUM-merge binds (top terms live in BOTH generations)") {
+    val root = queries.Round16.ensureDfStore(spark, sf)
+    val stored = spark.read.parquet(root)
+    val fresh = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy((col("doc_id") % 2).as("gen"), col("term"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"), col("gen"))
+    assert(stored.exceptAll(fresh).isEmpty && fresh.exceptAll(stored).isEmpty,
+      "DF register store diverged from the derivation")
+    val top = queries.Round16.q427(spark, sf).collect()
+    assert(top.length === 25, s"expected the top-25 cut, got ${top.length}")
+    assert(top.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0),
+      "a top term is missing from one generation — the SUM-merge leg " +
+        "would be vacuous for it")
+  }
+
+  // ---- compaction lock (r15 ADVICE) ------------------------------------------
+
+  test("compactSignatureStore exclusivity: a LIVE owner's lock fails the " +
+    "second compactor fast; a DEAD owner's lock is stolen and compaction " +
+    "proceeds") {
+    val root = java.nio.file.Files.createTempDirectory("graft-r16-lock").toString
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") < 300).select("doc_id", "text")
+    (0 until 3).foreach { i =>
+      val sig = ext.Dedup.minhashSignature(
+        docs.filter(col("doc_id") % 3 === i)
+          .select(col("doc_id"), ext.Dedup.shingles3(col("text")).as("sh")),
+        col("doc_id"), col("sh"), numHashes = 12)
+      streaming.EventStream.writeBatchIdempotent(sig, i.toLong, root)
+    }
+    val lock = java.nio.file.Paths.get(root, ".compact_lock")
+    // Live owner (this JVM's own pid): must fail fast, store untouched.
+    java.nio.file.Files.writeString(lock,
+      ProcessHandle.current().pid().toString)
+    val ex = intercept[IllegalArgumentException] {
+      streaming.EventStream.compactSignatureStore(spark, root, upTo = 1L)
+    }
+    assert(ex.getMessage.contains("single-flight"))
+    val dirs = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(dirs === Set("batch_id=0", "batch_id=1", "batch_id=2"),
+      "failed lock acquisition must leave the store untouched")
+    // Dead owner: a pid that cannot exist (beyond pid_max) — the lock
+    // is stolen, compaction completes, and the lock is released.
+    java.nio.file.Files.writeString(lock, "999999999")
+    streaming.EventStream.compactSignatureStore(spark, root, upTo = 1L)
+    val after = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(after === Set("batch_id=1", "batch_id=2"),
+      "compaction under a stolen dead lock did not merge the aged batches")
+    assert(!java.nio.file.Files.exists(lock), "lock not released after the run")
+  }
+
+  test("q426 store probe prunes cells dynamically (DPP filter on label, " +
+    "same as the q422 pin but through the two-generation store)") {
+    val plan = ext.Similarity.q426(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamicpruning PartitionFilter on the append-store scan:\n$plan")
+  }
+
   test("q415 star-edge leg binds: some stored multi-member component takes " +
     "an odd label in the warm run — that label crossed a star edge") {
     val root = ext.Components.ensureCcStore(spark, sf)
