@@ -172,6 +172,81 @@ object Decontam {
       root
     }
 
+  /** The q263 position family parameterized on the bit-table size:
+    * h_i(g) = md5-prefix-40bit("i:" ‖ g) mod m, k = 3 — hex-portable,
+    * no RNG, identical spelling in the oracles.
+    */
+  private def bloomPositions(m: Long): Column = array((0 until 3).map(i =>
+    pmod(conv(substring(md5(
+      concat(lit(s"$i:"), col("gram"))), 1, 10), 16, 10).cast("long"),
+      lit(m))): _*)
+
+  /** Land the corpus-membership Bloom bit table in TWO generations —
+    * the OR-merge member of the sketch-store matrix (HLL registers
+    * MAX-merge, histogram/CMS/DF registers SUM-merge; a Bloom filter
+    * merges by bit-OR, which relationally is DISTINCT-union of set-bit
+    * positions): generation 0 is the even-id corpus half's bit set,
+    * generation 1 the odd half's, landed `mode("append")`. m = 2^18 is
+    * fixture-probed (DuckDB, r16): at every SF the merged filter has
+    * real false positives (35/34/24513) AND really prunes
+    * (bloom_pos < probed) — neither vacuous nor saturated.
+    */
+  private[graft] def ensureBloomStore(s: SparkSession, dir: String): String =
+    graft.StoreLifecycle.ensure(s, "bloomstore", dir) { root =>
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      def gen(parity: Int): DataFrame = d
+        .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 2 === parity)
+        .select(explode_outer(Dedup.shinglesK(col("ws"), 5)).as("gram"))
+        .filter(col("gram").isNotNull).distinct()
+        .select(explode(bloomPositions(262144L)).as("b")).distinct()
+        .withColumn("gen", lit(parity.toLong))
+      gen(0).write.mode("overwrite").parquet(root)
+      gen(1).write.mode("append").parquet(root)
+      root
+    }
+
+  /** q428 — Bloom membership screen answered from the TWO-GENERATION
+    * bit store: the merged filter is the DISTINCT-union (bit-OR) of
+    * the generations' set-bit positions, and the probe side is q425's
+    * persisted eval-gram store — two stores composed, the corpus and
+    * the benchmarks both never re-read. One census row: per-generation
+    * and OR-merged bit counts (merged < gen0 + gen1 proves the OR
+    * collapsed genuinely shared bits) plus the probe verdicts. The
+    * oracle rebuilds both generations' bit sets and the probe set from
+    * raw documents — a hash match certifies the bit landing lost or
+    * duplicated no position, OR-merge ∘ land ≡ direct, and the
+    * 3-of-3-hits probe semantics end to end. Completes the sketch
+    * store matrix's merge algebras: MAX, SUM, OR.
+    *
+    * All-integer. Scale: the bit table is ≤ m rows at ANY corpus size
+    * (broadcastable by construction); the probe side is the
+    * census-sized gram store; a nightly batch appends its own distinct
+    * bit file and the filter is current — the production "have we seen
+    * this?" screen (seen-URL / seen-gram pruning) with no rebuild.
+    */
+  def q428(s: SparkSession, dir: String): DataFrame = {
+    val store = s.read.parquet(ensureBloomStore(s, dir))
+    val merged = store.select(col("b")).distinct().localCheckpoint(true)
+    val g0 = store.filter(col("gen") === 0L)
+      .agg(count(lit(1)).as("n_bits_gen0"))
+    val g1 = store.filter(col("gen") === 1L)
+      .agg(count(lit(1)).as("n_bits_gen1"))
+    val nm = merged.agg(count(lit(1)).as("n_bits_merged"))
+    val probes = s.read.parquet(ensureGramStore(s, dir))
+    val np = probes.agg(count(lit(1)).as("n_probed"))
+    val pos = probes
+      .select(col("gram"), explode(bloomPositions(262144L)).as("b"))
+      .join(broadcast(merged), "b")
+      .groupBy(col("gram")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === 3)
+      .agg(count(lit(1)).as("n_bloom_pos"))
+    g0.withGlobalStats(g1).withGlobalStats(nm)
+      .withGlobalStats(np).withGlobalStats(pos)
+      .select(col("n_bits_gen0"), col("n_bits_gen1"), col("n_bits_merged"),
+        col("n_probed"), col("n_bloom_pos"))
+  }
+
   /** q425 — INCREMENTAL decontamination off the persisted eval-gram
     * store: q104's contamination report computed for the NEW (odd-id)
     * batch only, with the eval side READ from [[ensureGramStore]] —
@@ -263,6 +338,7 @@ object Decontam {
     "q263_bloom_audit"   -> (q263 _),
     "q401_decontam_curve" -> (q401 _),
     "q425_decontam_store" -> (q425 _),
+    "q428_bloom_store" -> (q428 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -305,6 +381,39 @@ object Decontam {
         |    AS hit_ratio
         |FROM tr JOIN e USING (gram)
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // Both generations' bit sets, the OR-merge (distinct union), and
+    // the 3-of-3 probe rebuilt from raw documents with the identical
+    // md5-prefix-40bit(i:gram) mod 2^18 positions.
+    "q428_bloom_store" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(ws) >= 5 THEN
+        |          list_distinct(list_transform(range(1, len(ws) - 3),
+        |            i -> array_to_string(ws[i:i+4], ' ')))
+        |        ELSE CAST([] AS VARCHAR[]) END AS grams
+        |      FROM t),
+        |c0 AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+        |       WHERE doc_id % 7 <> 0 AND doc_id % 2 = 0),
+        |c1 AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+        |       WHERE doc_id % 7 <> 0 AND doc_id % 2 = 1),
+        |b0 AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR)
+        |         || ':' || gram), 1, 10)) AS BIGINT) % 262144 AS b
+        |       FROM c0 CROSS JOIN range(3) i(i)),
+        |b1 AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR)
+        |         || ':' || gram), 1, 10)) AS BIGINT) % 262144 AS b
+        |       FROM c1 CROSS JOIN range(3) i(i)),
+        |mrg AS (SELECT b FROM b0 UNION SELECT b FROM b1),
+        |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 7 = 0),
+        |pr AS (SELECT gram, CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR)
+        |         || ':' || gram), 1, 10)) AS BIGINT) % 262144 AS b
+        |       FROM ev CROSS JOIN range(3) i(i)),
+        |hits AS (SELECT gram FROM pr JOIN mrg USING (b)
+        |         GROUP BY gram HAVING COUNT(*) = 3)
+        |SELECT CAST((SELECT COUNT(*) FROM b0) AS BIGINT) AS n_bits_gen0,
+        |       CAST((SELECT COUNT(*) FROM b1) AS BIGINT) AS n_bits_gen1,
+        |       CAST((SELECT COUNT(*) FROM mrg) AS BIGINT) AS n_bits_merged,
+        |       CAST((SELECT COUNT(*) FROM ev) AS BIGINT) AS n_probed,
+        |       CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_bloom_pos""".stripMargin,
     // q104's gram CTE, zero-hit docs kept via the left join, hit
     // histogram × threshold gate, mirrored share divisions.
     "q401_decontam_curve" ->

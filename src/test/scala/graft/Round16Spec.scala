@@ -139,6 +139,55 @@ class Round16Spec extends SparkTestBase {
         "would be vacuous for it")
   }
 
+  // ---- q428: two-generation bloom bit store -----------------------------------
+
+  test("q428 OR-merge and probe semantics bind: generations overlap (merged < " +
+    "sum), no false negative, real false positives, and the filter prunes") {
+    val Array(g0, g1, merged, probed, bloomPos) =
+      ext.Decontam.q428(spark, sf).collect().head.toSeq
+        .map(_.asInstanceOf[Long]).toArray
+    assert(merged < g0 + g1,
+      "no shared bit between generations — the OR-merge is vacuous " +
+        "(plain concatenation would pass)")
+    assert(merged > math.max(g0, g1),
+      "one generation's bits contain the other's — the append leg is vacuous")
+    // Exact membership, computed independently: corpus grams vs eval
+    // grams (the q263 ground-truth construction).
+    val d = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    def grams(f: org.apache.spark.sql.DataFrame) = f
+      .select(explode(ext.Dedup.shinglesK(col("ws"), 5)).as("gram")).distinct()
+    val corpus = grams(d.filter(col("doc_id") % 7 =!= 0))
+    val ev = grams(d.filter(col("doc_id") % 7 === 0)).localCheckpoint(true)
+    val truePos = ev.join(corpus, Seq("gram"), "left_semi").count()
+    assert(bloomPos > truePos,
+      s"no false positive at this SF (bloom $bloomPos vs exact $truePos) — " +
+        "the sketch leg is vacuous; re-probe m")
+    assert(bloomPos < probed,
+      "every probe is bloom-positive — the filter is saturated and prunes " +
+        "nothing; re-probe m")
+    assert(probed === ev.count(), "probe census drifted from the gram store")
+    // No false negatives — the Bloom guarantee itself: every true
+    // member probe must be bloom-positive. Per-gram verdicts rebuilt
+    // with the same portable positions against the store's merged bits.
+    val bits = spark.read
+      .parquet(ext.Decontam.ensureBloomStore(spark, sf))
+      .select(col("b")).distinct()
+    val positions = array((0 until 3).map(i =>
+      pmod(conv(substring(md5(
+        concat(lit(s"$i:"), col("gram"))), 1, 10), 16, 10).cast("long"),
+        lit(262144L))): _*)
+    val positives = ev
+      .select(col("gram"), explode(positions).as("b"))
+      .join(bits, "b")
+      .groupBy(col("gram")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === 3).select("gram")
+    val falseNeg = ev.join(corpus, Seq("gram"), "left_semi")
+      .join(positives, Seq("gram"), "left_anti").count()
+    assert(falseNeg === 0L,
+      s"$falseNeg true member(s) bloom-NEGATIVE — the filter guarantee broke")
+  }
+
   // ---- compaction lock (r15 ADVICE) ------------------------------------------
 
   test("compactSignatureStore exclusivity: a LIVE owner's lock fails the " +
