@@ -49,6 +49,14 @@ object StorePaths {
     * Runs once per JVM, on the first [[root]] call: any graft dir
     * whose trailing-PID process is gone is deleted (per-dir failures
     * swallowed — a concurrent sweep by another new JVM is benign).
+    *
+    * Dirs carrying OUR OWN pid are swept too (r16 ADVICE): this JVM
+    * cannot have created one yet (the sweep completes inside the first
+    * `root()` call, before any path is handed to a writer), so a
+    * same-pid dir can only be a dead predecessor whose pid the OS
+    * recycled to us — exactly the dir the `owner != pid` exclusion
+    * used to protect, turning the one unreachable case of the hazard
+    * into the one case the sweep missed.
     */
   private lazy val sweptStale: Unit = {
     scala.util.Try {
@@ -59,7 +67,7 @@ object StorePaths {
         val m = pat.matcher(p.getFileName.toString)
         if (m.matches()) scala.util.Try {
           val owner = m.group(1).toLong
-          if (owner != pid && ProcessHandle.of(owner).isEmpty) deleteTree(p)
+          if (owner == pid || ProcessHandle.of(owner).isEmpty) deleteTree(p)
         }
       } finally s.close()
     }
@@ -77,6 +85,26 @@ object StorePaths {
     created.add(base)
     base.resolve("d_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
   }
+
+  /** A short per-session discriminator (identity hash — unique among
+    * live sessions in one JVM, which is the scope that matters: the
+    * PID suffix already separates JVMs).
+    */
+  def sessionTag(s: org.apache.spark.sql.SparkSession): String =
+    Integer.toHexString(System.identityHashCode(s))
+
+  /** [[root]] scoped to a SparkSession (r16 ADVICE): the
+    * [[StoreLifecycle]] memo is keyed on the session OBJECT, but a
+    * bare (kind, dir, pid) path is shared by every session in the
+    * JVM — a second session would rebuild INTO the first session's
+    * live store, and the overwrite-then-append builders transiently
+    * empty it mid-rebuild. Folding the session tag into the path makes
+    * memo key and path scope agree: each session builds, reads, and
+    * (at shutdown, via the pid-root sweep) reclaims its own copy.
+    */
+  def sessionRoot(
+      s: org.apache.spark.sql.SparkSession, kind: String, dir: String): String =
+    root(s"$kind-s${sessionTag(s)}", dir)
 }
 
 /** The ONE spelling of the session-store memoization idiom (r15
@@ -101,5 +129,5 @@ object StoreLifecycle {
   def ensure[A](s: org.apache.spark.sql.SparkSession, kind: String, dir: String)(
       build: String => A): A =
     memo.computeIfAbsent((s, kind, dir),
-      _ => build(StorePaths.root(kind, dir))).asInstanceOf[A]
+      _ => build(StorePaths.sessionRoot(s, kind, dir))).asInstanceOf[A]
 }

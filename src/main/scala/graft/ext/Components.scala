@@ -1071,10 +1071,14 @@ object Components {
       val edges = Graph.custSuppEdgesShared(s, dir)
       pageRank(edges, iterations = 3, loopShufflePartitions = Some(8))
         .write.mode("overwrite").parquet(path)
-      val table = "graft_prep_edges_" +
+      // Session-tagged like the path (r16 ADVICE): catalog tables are
+      // shared across same-JVM sessions (shared SharedState), so an
+      // untagged name would let a second session's DROP+rebuild yank
+      // the table out from under the first.
+      val table = "graft_prep_edges_" + graft.StorePaths.sessionTag(s) + "_" +
         dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
       persistPreparedEdges(edges, table,
-        graft.StorePaths.root("prepedges", dir), buckets = 8)
+        graft.StorePaths.sessionRoot(s, "prepedges", dir), buckets = 8)
       (path, table)
     }
 

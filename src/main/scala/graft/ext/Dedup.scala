@@ -185,7 +185,17 @@ object Dedup {
       bits: Int, bands: Int, maxHamming: Int): DataFrame = {
     val width = bits / bands
     def banded(df: DataFrame, idName: String, shName: String) = {
-      val hc = df.columns.last
+      // Fingerprint column selected BY NAME, never positionally (r16
+      // ADVICE): the reference side is an externally persisted store,
+      // and a future layout gaining a column (or reordering) would
+      // silently band the wrong values — an INCOMPLETE candidate set
+      // with no error, quietly breaking the band-completeness argument
+      // q415's exactness proof rests on. The name is derivable from
+      // `bits` ([[simhashN]]'s contract); its absence fails loudly.
+      val hc = s"simhash$bits"
+      require(df.columns.contains("__id") && df.columns.contains(hc),
+        s"simhashBandJoin: expected columns (__id, $hc), got " +
+          df.columns.mkString("(", ", ", ")"))
       df.select(col("__id").as(idName), col(hc).as(shName),
         explode(sequence(lit(0), lit(bands - 1))).as("__band"))
         .withColumn("__bval",

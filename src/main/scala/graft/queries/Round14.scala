@@ -40,8 +40,8 @@ object Round14 {
   /** Store root for a fixture dir — stable within a JVM (the memoized
     * writes land once), PID-disjoint across JVMs ([[graft.StorePaths]]).
     */
-  private[graft] def storeRoot(dir: String): String =
-    graft.StorePaths.root("regstore", dir)
+  private[graft] def storeRoot(s: SparkSession, dir: String): String =
+    graft.StorePaths.sessionRoot(s, "regstore", dir)
 
   private val dayNs = "86400000000000"
 
@@ -72,7 +72,7 @@ object Round14 {
       val regs = Sketches.hllPortableRegisters(udt(s, dir), Seq("t", "d"),
         col("user_id"))
       regs.write.mode("overwrite").partitionBy("d")
-        .parquet(storeRoot(dir) + "/daily")
+        .parquet(storeRoot(s, dir) + "/daily")
       dailyRead(s, dir).agg(max(col("d")).as("m")).head().getLong(0)
     }
 
@@ -80,7 +80,7 @@ object Round14 {
     * inference yields int for `d`; cast restores the written long.
     */
   private[graft] def dailyRead(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(storeRoot(dir) + "/daily")
+    s.read.parquet(storeRoot(s, dir) + "/daily")
       .select(col("t"), col("d").cast("long").as("d"), col("reg"), col("rho"))
 
   /** Compact the AGED daily files (days strictly older than the q411
@@ -96,7 +96,7 @@ object Round14 {
         .groupBy(col("t"), col("wk"), col("reg"))
         .agg(max(col("rho")).as("rho"))
         .write.mode("overwrite").partitionBy("wk")
-        .parquet(storeRoot(dir) + "/weekly")
+        .parquet(storeRoot(s, dir) + "/weekly")
     }
 
   /** q411 — DAU + audience overlap FROM the persisted store, last 10
@@ -151,7 +151,7 @@ object Round14 {
   def q412(s: SparkSession, dir: String): DataFrame = {
     val maxD = ensureDailyStore(s, dir)
     ensureWeeklyStore(s, dir, maxD)
-    val weekly = s.read.parquet(storeRoot(dir) + "/weekly")
+    val weekly = s.read.parquet(storeRoot(s, dir) + "/weekly")
       .select(col("t"), col("wk").cast("long").as("wk"), col("reg"), col("rho"))
     Sketches.hllPortableEstimate(weekly, Seq("t", "wk"))
       .orderBy("t", "wk")
@@ -173,7 +173,7 @@ object Round14 {
     val recent = dailyRead(s, dir)
       .filter(col("d") >= lit(maxD - 9L))
       .select(col("t"), col("reg"), col("rho"))
-    val aged = s.read.parquet(storeRoot(dir) + "/weekly")
+    val aged = s.read.parquet(storeRoot(s, dir) + "/weekly")
       .select(col("t"), col("reg"), col("rho"))
     val merged = recent.unionAll(aged)
       .groupBy(col("t"), col("reg")).agg(max(col("rho")).as("rho"))

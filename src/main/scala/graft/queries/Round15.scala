@@ -162,8 +162,8 @@ object Round15 {
 
   // ---- q423: persisted count-min register store -------------------------------
 
-  private def cmsRoot(dir: String): String =
-    graft.StorePaths.root("cmsstore", dir)
+  private def cmsRoot(s: SparkSession, dir: String): String =
+    graft.StorePaths.sessionRoot(s, "cmsstore", dir)
 
   /** The portable CMS cell hash (q114's spelling): row `i` sends a key
     * to column hex(md5(i‖':'‖key)[1..8]) mod w — exact integers,
@@ -197,7 +197,7 @@ object Round15 {
           col("user_id"))
         .select(col("d"), col("i"), cmsCell(col("i"), col("user_id")), col("cnt"))
         .groupBy(col("d"), col("i"), col("cell")).agg(sum(col("cnt")).as("cv"))
-        .write.mode("overwrite").partitionBy("d").parquet(cmsRoot(dir))
+        .write.mode("overwrite").partitionBy("d").parquet(cmsRoot(s, dir))
       // The probe set lands BESIDE the store (bounded: literal id
       // filter, pushed to the scan) so the steady-state q423 read is
       // store-only — the query must never rescan events (the scale
@@ -205,10 +205,10 @@ object Round15 {
       Tables.events(s, dir)
         .select(col("user_id")).filter(col("user_id") < 20).distinct()
         .repartition(1)
-        .write.mode("overwrite").parquet(cmsRoot(dir) + "_probe")
+        .write.mode("overwrite").parquet(cmsRoot(s, dir) + "_probe")
       // The partition column round-trips as INT (inferred from the
       // directory names) — cast before the 1-row literal extraction.
-      s.read.parquet(cmsRoot(dir))
+      s.read.parquet(cmsRoot(s, dir))
         .agg(max(col("d")).cast("long").as("m")).head().getLong(0)
     }
 
@@ -236,10 +236,10 @@ object Round15 {
     */
   def q423(s: SparkSession, dir: String): DataFrame = {
     val maxD = ensureCmsStore(s, dir)
-    val cells = s.read.parquet(cmsRoot(dir))
+    val cells = s.read.parquet(cmsRoot(s, dir))
       .filter(col("d") >= lit(maxD - 9L))
       .groupBy(col("i"), col("cell")).agg(sum(col("cv")).as("cv"))
-    val probes = s.read.parquet(cmsRoot(dir) + "_probe")
+    val probes = s.read.parquet(cmsRoot(s, dir) + "_probe")
       .filter(col("user_id") < 20) // no-op by construction; provable bound
       .select(col("user_id"), explode(sequence(lit(0), lit(3))).as("i"))
       .select(col("user_id"), col("i"), cmsCell(col("i"), col("user_id")))

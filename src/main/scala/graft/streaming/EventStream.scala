@@ -430,35 +430,16 @@ object EventStream {
     // Exclusivity guard (r15 ADVICE): the entry sweep below restores
     // asides and deletes stages unconditionally, so two CONCURRENT
     // maintenance runs (overlapping cron invocations) could delete each
-    // other's live stage or swap a half-restored aside mid-rename. A
-    // create-if-absent lock file makes the single-compactor window
-    // explicit: fail fast while a LIVE owner holds it; steal a dead
-    // owner's (the lock names its PID — a crashed compactor must not
-    // block recovery forever, and the recovery path is exactly a re-run
-    // of this call).
-    val lock = new HPath(root, ".compact_lock")
-    def tryAcquire(): Boolean =
-      try {
-        val out = fs.create(lock, false)
-        try out.writeBytes(ProcessHandle.current().pid().toString)
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    if (!tryAcquire()) {
-      val owner = try {
-        val in = fs.open(lock)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-        finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => -1L }
-      require(owner > 0 && ProcessHandle.of(owner).isEmpty,
-        s"compactSignatureStore: another compactor (pid $owner) holds " +
-          s"$lock — compaction is single-flight; retry after it finishes")
-      fs.delete(lock, false)
-      require(tryAcquire(),
-        s"compactSignatureStore: lost the lock race on $lock")
+    // other's live stage or swap a half-restored aside mid-rename.
+    // [[graft.ops.FsLock]] makes the single-compactor window explicit:
+    // atomic pid-carrying acquisition (hard-link on local FS — no
+    // empty-lock window), fail fast while a LIVE owner holds it, steal
+    // a dead or over-grace-ownerless lock (a crashed compactor must
+    // not block recovery — re-running this call IS the recovery).
+    graft.ops.FsLock.withLock(fs, new HPath(root, ".compact_lock"),
+      "compactSignatureStore") {
+      compactLocked(spark, fs, root, sigDir, upTo, targetFiles)
     }
-    try compactLocked(spark, fs, root, sigDir, upTo, targetFiles)
-    finally fs.delete(lock, false)
   }
 
   private def compactLocked(

@@ -143,7 +143,7 @@ class Round15Spec extends SparkTestBase {
   test("q423 CMS store: day span prunes (literal bound in PartitionFilters), " +
     "never undercounts, and overcounts SOMEWHERE (the sketch binds at w=16)") {
     val maxD = queries.Round15.ensureCmsStore(spark, sf)
-    val root = graft.StorePaths.root("cmsstore", sf)
+    val root = graft.StorePaths.sessionRoot(spark, "cmsstore", sf)
     val pruned = spark.read.parquet(root).filter(col("d") >= lit(maxD - 9L))
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
