@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Round11.queries ++ graft.queries.Round12.queries ++
       graft.queries.Round13.queries ++ graft.queries.Round14.queries ++
       graft.queries.Round15.queries ++ graft.queries.Round16.queries ++
+      graft.queries.Round17.queries ++
       graft.ext.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Round11.oracleSql ++ graft.queries.Round12.oracleSql ++
       graft.queries.Round13.oracleSql ++ graft.queries.Round14.oracleSql ++
       graft.queries.Round15.oracleSql ++ graft.queries.Round16.oracleSql ++
+      graft.queries.Round17.oracleSql ++
       graft.ext.Extensions.oracleSql
 }

@@ -42,13 +42,7 @@ object Ranking {
   def bm25Scores(
       d: DataFrame, id: Column, text: Column, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty && terms.distinct == terms,
-      s"terms must be non-empty and distinct, got $terms")
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      size(filter(split(text, " "), w => w === t)).cast("double").as(s"tf_$i")
-    }
-    val base = d.select(
-      (id.as("doc_id") +: size(split(text, " ")).cast("double").as("dl") +: tfCols): _*)
+    val base = bm25Base(d, id, text, terms)
     // Global stats: one row. N and df are exact integers, avgdl is an
     // exact-integer-sum / count — bit-identical in any engine.
     val statAggs =
@@ -57,8 +51,36 @@ object Ranking {
         terms.indices.map(i =>
           sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
     val stats = base.agg(statAggs.head, statAggs.tail: _*)
-    // One-row broadcast join (BroadcastNestedLoop over a single row —
-    // the q66 pattern; structurally bounded, never a cartesian blowup).
+    bm25Score(base, stats, terms, k1, b)
+  }
+
+  /** The per-document side of BM25: (doc_id, dl, tf_0..tf_k) — one
+    * corpus scan, all map-side. Shared by the from-raw ([[bm25Scores]])
+    * and from-store (q429) paths so the per-doc arithmetic cannot
+    * diverge between them.
+    */
+  private[graft] def bm25Base(
+      d: DataFrame, id: Column, text: Column, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct, got $terms")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(split(text, " "), w => w === t)).cast("double").as(s"tf_$i")
+    }
+    d.select(
+      (id.as("doc_id") +: size(split(text, " ")).cast("double").as("dl") +: tfCols): _*)
+  }
+
+  /** The scoring side of BM25 given a ONE-ROW stats frame
+    * (`n`, `avgdl`, `df_0..df_k` — all double). The stats frame may be
+    * computed from the corpus ([[bm25Scores]]) or read from a persisted
+    * register store (q429) — the score expression is the same code, so
+    * store-fed ≡ from-raw reduces to the stats VALUES being equal.
+    * One-row broadcast join (BroadcastNestedLoop over a single row —
+    * the q66 pattern; structurally bounded, never a cartesian blowup).
+    */
+  private[graft] def bm25Score(
+      base: DataFrame, stats: DataFrame, terms: Seq[String],
+      k1: Double, b: Double): DataFrame = {
     val joined = base.withGlobalStats(stats)
     val score = terms.indices.map { i =>
       val tf = col(s"tf_$i")

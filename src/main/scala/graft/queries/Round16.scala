@@ -26,15 +26,29 @@ object Round16 {
     */
   private[graft] def ensureDfStore(s: SparkSession, dir: String): String =
     graft.StoreLifecycle.ensure(s, "dfstore", dir) { root =>
-      val terms = Tables.table(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("term"))
+      val d = Tables.table(s, dir, "documents")
+      val terms = d.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
       def gen(parity: Int): DataFrame = terms
         .filter(col("doc_id") % 2 === parity)
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .withColumn("gen", lit(parity.toLong))
-      gen(0).write.mode("overwrite").parquet(root)
-      gen(1).write.mode("append").parquet(root)
+      gen(0).write.mode("overwrite").parquet(s"$root/df")
+      gen(1).write.mode("append").parquet(s"$root/df")
+      // Corpus-stat registers beside the DF registers (r16 verdict —
+      // the store needs everything a BM25/TF-IDF consumer reads, or
+      // the consumer still rescans the corpus for N/avgdl): per
+      // generation, the doc count and the EXACT integer token-length
+      // sum. Both SUM-merge like the DF rows, and avgdl = Σdl/Σn is
+      // one double division of exact integers — bit-identical to a
+      // from-raw avg(dl) (q126's own exactness note).
+      def corpusGen(parity: Int): DataFrame = d
+        .filter(col("doc_id") % 2 === parity)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("dl_sum"))
+        .withColumn("gen", lit(parity.toLong))
+      corpusGen(0).write.mode("overwrite").parquet(s"$root/corpus")
+      corpusGen(1).write.mode("append").parquet(s"$root/corpus")
       root
     }
 
@@ -60,7 +74,7 @@ object Round16 {
     * global sort. One corpus scan per generation's landing, zero after.
     */
   def q427(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(ensureDfStore(s, dir))
+    s.read.parquet(ensureDfStore(s, dir) + "/df")
       .groupBy(col("term"))
       .agg(
         sum(when(col("gen") === 0L, col("df"))).as("df_old"),

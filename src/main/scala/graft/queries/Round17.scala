@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Ranking, Similarity}
+import graft.ops.GlobalStats
+
+/** Round-17 batch: the text-ranking family's store CONSUMER (q429 —
+  * BM25 answered from the q427 register store, closing the
+  * producer-without-consumer gap) and register-store COMPACTION
+  * (q430 — a multi-generation DF store collapsed under
+  * [[graft.ops.RegisterStore.compact]]'s crash discipline and read
+  * back through the boundary).
+  */
+object Round17 {
+
+  private val Bm25Terms = Seq("spark", "join", "window")
+
+  /** q429 — BM25 ranking with every INDEX STATISTIC read from the
+    * persisted register store: q126's exact query ({spark, join,
+    * window}, standard k1/b), but N, avgdl, and the per-term document
+    * frequencies come from [[Round16.ensureDfStore]]'s two-generation
+    * registers (DF rows SUM-merged across generations; N = Σ n_docs;
+    * avgdl = Σ dl_sum / Σ n_docs — one double division of exact
+    * integers, bit-identical to a from-raw avg). The ONLY corpus read
+    * is the per-document tf/dl projection — one map-side scan, no
+    * aggregation over documents anywhere in the plan (Round17Spec pins
+    * a single documents scan and zero corpus-side aggs).
+    *
+    * This is the store-consumer leg the q427 producer was missing: the
+    * q414/q421 pattern (persisted state + a warm consumer) completed
+    * for text ranking. At 100 TB the ranker scores a candidate batch
+    * by scanning ONLY that batch; the index statistics arrive as a
+    * vocab-sized register read maintained by appending each ingest
+    * batch's registers (q427's certified SUM-merge) — the corpus is
+    * never rescanned for statistics.
+    *
+    * Exactness: the oracle is q126's from-raw SQL verbatim — the hash
+    * match proves store-fed ≡ from-raw END TO END (register landing,
+    * SUM-merge, and the avgdl reconstruction all collapse to the same
+    * IEEE inputs; the score expression is literally shared code,
+    * [[Ranking.bm25Score]]).
+    */
+  def q429(s: SparkSession, dir: String): DataFrame = {
+    val root = Round16.ensureDfStore(s, dir)
+    // Per-term merged DF as one vocab-sized agg → ONE row (n registers
+    // summed per query term; absent terms correctly read 0).
+    val dfAggs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("df")).otherwise(0L))
+        .cast("double").as(s"df_$i")
+    }
+    val dfRow = s.read.parquet(s"$root/df").agg(dfAggs.head, dfAggs.tail: _*)
+    val corpusRow = s.read.parquet(s"$root/corpus").agg(
+      sum(col("n_docs")).cast("double").as("n"),
+      (sum(col("dl_sum")).cast("double") / sum(col("n_docs")).cast("double"))
+        .as("avgdl"))
+    val stats = corpusRow.withGlobalStats(dfRow)
+    Ranking.bm25Score(
+      Ranking.bm25Base(
+        Tables.table(s, dir, "documents"), col("doc_id"), col("text"),
+        Bm25Terms),
+      stats, Bm25Terms, k1 = 1.2, b = 0.75)
+      .select(col("doc_id"), col("dl"),
+        Similarity.intScaled(col("score"), 10000L).as("bm25_e4"))
+      .orderBy("doc_id")
+  }
+
+  /** Four DF-register generations (doc_id % 4 — each non-empty at
+    * every SF, fixture-probed) landed gen-partitioned, then
+    * generations 0-2 COMPACTED into the single partition `gen=2` by
+    * [[graft.ops.RegisterStore.compact]] (SUM algebra, stage-and-swap
+    * + rename-aside + marker idempotence under the FsLock). The layout
+    * q430 reads is {gen=2 (one file), gen=3 (the live tail)} — the
+    * retention posture that keeps a year of daily register appends
+    * from becoming 365 directories per store.
+    */
+  private[graft] def ensureDfStore4(s: SparkSession, dir: String): String =
+    graft.StoreLifecycle.ensure(s, "dfstore4", dir) { root =>
+      val terms = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+      def gen(g: Int): DataFrame = terms
+        .filter(col("doc_id") % 4 === g)
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .withColumn("gen", lit(g.toLong))
+      (0 to 3).foreach { g =>
+        gen(g).write.mode(if (g == 0) "overwrite" else "append")
+          .partitionBy("gen").parquet(root)
+      }
+      graft.ops.RegisterStore.compact(s, root, "gen", upTo = 2L,
+        m => m.groupBy(col("term")).agg(sum(col("df")).as("df")))
+      root
+    }
+
+  /** q430 — document-frequency registers read THROUGH a compaction
+    * boundary: per term, the compacted-head DF (generations 0-2,
+    * now one merged partition), the live-tail DF (generation 3), and
+    * the total, for the top-25 terms by (total DF desc, term). The
+    * oracle rebuilds both sides from raw documents — a hash match
+    * certifies compact ∘ append ≡ direct for the SUM algebra: no
+    * register lost, duplicated (the non-idempotent-merge trap the
+    * marker closes), or mis-binned by the swap. Round17Spec drives the
+    * crash matrix (kill before / between / after the renames) to the
+    * same certified store.
+    *
+    * Scale: everything after the landing is vocab-sized; compaction
+    * reads and rewrites only register files (bytes per term), never
+    * documents. File-count growth before/after is priced in SCALE.md.
+    */
+  def q430(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureDfStore4(s, dir))
+      .select(col("term"), col("df"), col("gen").cast("long").as("gen"))
+      .groupBy(col("term"))
+      .agg(
+        sum(when(col("gen") <= 2L, col("df"))).as("h"),
+        sum(when(col("gen") === 3L, col("df"))).as("t"))
+      .select(col("term"),
+        coalesce(col("h"), lit(0L)).as("df_head"),
+        coalesce(col("t"), lit(0L)).as("df_tail"),
+        (coalesce(col("h"), lit(0L)) + coalesce(col("t"), lit(0L))).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(25)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q429_bm25_from_store" -> (q429 _),
+    "q430_df_store_compact" -> (q430 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // q126's from-raw oracle VERBATIM — the store path must reproduce
+    // the raw-corpus BM25 bit for bit.
+    "q429_bm25_from_store" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'spark')) AS DOUBLE) AS tf_0,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'join')) AS DOUBLE) AS tf_1,
+        |    CAST(len(list_filter(string_split(text,' '), w -> w = 'window')) AS DOUBLE) AS tf_2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+        |    SUM(CASE WHEN tf_0 > 0 THEN 1.0 ELSE 0.0 END) AS df_0,
+        |    SUM(CASE WHEN tf_1 > 0 THEN 1.0 ELSE 0.0 END) AS df_1,
+        |    SUM(CASE WHEN tf_2 > 0 THEN 1.0 ELSE 0.0 END) AS df_2
+        |  FROM base)
+        |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+        |  CAST(ROUND((
+        |      ln(1.0 + (n - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  ) * 10000) AS BIGINT) AS bm25_e4
+        |FROM base CROSS JOIN stats ORDER BY doc_id""".stripMargin,
+    // Both sides of the compaction boundary rebuilt from raw
+    // documents; same (df DESC, term) total order and top-25 cut.
+    "q430_df_store_compact" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents),
+        |g AS (
+        |  SELECT term,
+        |         SUM(CASE WHEN doc_id % 4 <= 2 THEN 1 ELSE 0 END) AS df_head,
+        |         SUM(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS df_tail
+        |  FROM t GROUP BY term)
+        |SELECT term, CAST(df_head AS BIGINT) AS df_head,
+        |       CAST(df_tail AS BIGINT) AS df_tail,
+        |       CAST(df_head + df_tail AS BIGINT) AS df
+        |FROM g ORDER BY df DESC, term LIMIT 25""".stripMargin,
+  )
+}
