@@ -250,6 +250,126 @@ object Similarity {
   def q426(s: SparkSession, dir: String): DataFrame =
     ivfStoreProbe(s, dir, ensureIvfAppendStore(s, dir))
 
+  /** RE-QUANTIZE an IVF index at ncells ≈ √N (r16 verdict item 1 —
+    * the one measured non-flat store row): the fixture stores (q422/
+    * q426) inherit the dataset's 10 labels as cells, so probed-cell
+    * row count grows LINEARLY with the corpus (`ivf_store_probe` 1.5×
+    * at 100×). The production maintenance job re-fits the coarse
+    * quantizer as the corpus grows and re-lands the inverted lists:
+    * with ncells ~ √N, a probe touches nprobe·√N rows — flat in
+    * practice at any tier (the `ivf_requant_probe` audit row measures
+    * exactly that). q422/q426 and their stores are untouched; this is
+    * the periodic re-size path beside them.
+    *
+    * Mechanics, all k-means machinery this library already certifies:
+    *  - ncells = ⌊√N⌋; the quantizer trains on a DETERMINISTIC sample
+    *    (vec_id % m == 0, m sized for ~`sampleCap` vectors — no RNG,
+    *    rerun-stable) with `lloydRounds` of [[kmeansCentroidRound]]
+    *    from the sample's lowest-id seeds.
+    *  - Final assignment is ONE broadcast pass: (vec_id, cid, sim)
+    *    scored against the ≤√N-row centroid broadcast and reduced by a
+    *    map-side `max_by` partial agg (ties impossible — the ordering
+    *    struct carries -cid), never a window over the N×k pair stream.
+    *  - TWO-LEVEL layout: one directory PER CELL would put O(√N)
+    *    directories under the root, and a fresh probe's partition
+    *    discovery pays a listing per directory — measured ~1 s warm at
+    *    707 dirs, dwarfing the 3.5k rows it prunes down to (the
+    *    small-files problem reborn inside the fix). Cells are instead
+    *    packed `cellsPerDir` to a directory (`grp = hash(cell) mod
+    *    ndirs`, ndirs = ⌈ncells/cellsPerDir⌉): listing is O(√N/g)
+    *    directories and a probe reads O(g·√N) rows — every component
+    *    of probe cost is Θ(√N), with no cached-file-index assumption.
+    *    One file per directory (`repartition(grp)`).
+    *
+    * Layout under `root`: `cells/` ((vec_id, u, cell), partitioned by
+    * `grp`), `centroids/` (cid, cu — the quantizer state a prober and
+    * the next incremental append both read; the q421 store contract),
+    * and `meta/` (the one-row ndirs a prober needs to re-derive grp).
+    *
+    * @return the trained cell count (≤ ncells — Lloyd may retire
+    *         empty cells)
+    */
+  def requantizeIvf(
+      unit: DataFrame,
+      root: String,
+      sampleCap: Int = 20000,
+      lloydRounds: Int = 2,
+      cellsPerDir: Int = 32): Int = {
+    val s = unit.sparkSession
+    val n = unit.count()
+    require(n > 0, "requantizeIvf: empty vector corpus")
+    val ncells = math.max(1, math.sqrt(n.toDouble).toInt)
+    val m = math.max(1L, n / sampleCap)
+    val sample = unit.filter(col("vec_id") % m === 0)
+    var seeds = sample.orderBy("vec_id").limit(ncells)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+      .localCheckpoint(true)
+    (1 to lloydRounds).foreach { _ =>
+      seeds = kmeansCentroidRound(sample, seeds).localCheckpoint(true)
+    }
+    seeds.write.mode("overwrite").parquet(s"$root/centroids")
+    val cents = s.read.parquet(s"$root/centroids")
+    val ndirs = math.max(1, (ncells + cellsPerDir - 1) / cellsPerDir)
+    import s.implicits._
+    Seq(ndirs).toDF("ndirs").write.mode("overwrite").parquet(s"$root/meta")
+    val assigned = assignCells(unit, cents)
+    unit.join(assigned, "vec_id")
+      .select(col("vec_id"), col("u"), col("cell"),
+        pmod(hash(col("cell")), lit(ndirs)).as("grp"))
+      .repartition(col("grp"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").partitionBy("grp").parquet(s"$root/cells")
+    cents.count().toInt
+  }
+
+  /** Nearest-centroid cell per vector — the SLIM assignment pass:
+    * score rows carry (vec_id, cid, sim) only (never the 64-double
+    * vector through the N×k fan-out) and reduce with a map-side
+    * `max_by` partial agg instead of a per-vector rank window (which
+    * would sort the whole pair stream through a shuffle). Ties broken
+    * to the lowest cid on the e6-rounded sim (the [[assignToSeeds]]
+    * rule) via the (-cid) component — deterministic by construction.
+    */
+  private def assignCells(unit: DataFrame, cents: DataFrame): DataFrame =
+    unit.select(col("vec_id"), col("u"))
+      .withGlobalStats(cents)
+      .select(col("vec_id"), col("cid"),
+        round(dot(col("u"), col("cu")), 6).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"),
+        struct(col("sim"), (-col("cid")).as("nc"))).as("cell"))
+
+  /** q422's probe shape against a [[requantizeIvf]] store: the query
+    * vectors assign to their trained cell (a k-row centroid read +
+    * broadcast pass), then the cell-local top-3 join reads ONLY the
+    * probed cells' directories (the q422 DPP posture — the cell filter
+    * arrives as a dynamic PartitionFilter on the `cells/` scan).
+    */
+  def ivfRequantProbe(queries: DataFrame, root: String): DataFrame = {
+    val s = queries.sparkSession
+    val cents = s.read.parquet(s"$root/centroids")
+    // One-row layout constant (the q411 literal-extraction precedent —
+    // the grp derivation must match the landing's exactly).
+    val ndirs = s.read.parquet(s"$root/meta").head().getInt(0)
+    val q = queries.select(col("vec_id"), col("u"))
+      .join(assignCells(queries, cents), "vec_id")
+      .select(col("vec_id").as("qid"), col("u").as("qu"), col("cell"),
+        pmod(hash(col("cell")), lit(ndirs)).as("grp"))
+    val d = s.read.parquet(s"$root/cells")
+      .select(col("vec_id").as("did"), col("u").as("du"), col("cell"),
+        col("grp"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    // The grp equi-key prunes directories dynamically (the q422 DPP
+    // posture at the group level); the cell equi-key keeps the search
+    // cell-local within the ≤ cellsPerDir cells a directory packs.
+    q.join(d, Seq("grp", "cell"))
+      .select(col("qid"), col("did"), dot(col("qu"), col("du")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("did"), intScaled(col("sim"), 100).as("sim_c"))
+      .orderBy("qid", "did")
+  }
+
   /** Embedding-cosine near-dup machinery, cell-bounded: within each
     * coarse cell, count pairs above a similarity threshold and report
     * the cell's max similarity — the profile a dedup pass would use to

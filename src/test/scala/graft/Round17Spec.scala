@@ -175,6 +175,68 @@ class Round17Spec extends SparkTestBase {
       "a refused compaction must leave the store untouched")
   }
 
+  // ---- IVF re-quantization (r16 verdict item 1) ---------------------------------
+
+  test("requantizeIvf: every vector lands exactly once across ~√N cells " +
+    "(one file per cell), and the probe's top-3 equals the brute-force " +
+    "top-3 within the probed cells through a dynamic partition prune") {
+    val unit = ext.Similarity.withUnitVec(
+      Tables.table(spark, sf, "embeddings"), "embedding", "u")
+      .select("vec_id", "u").localCheckpoint(true)
+    val n = unit.count()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-r17-ivfrq").toString
+    // cellsPerDir = 4 at fixture scale so the two-level layout is
+    // non-degenerate (ncells = 22 → 6 group dirs; the default 32 would
+    // pack everything into one dir and the DPP pin below would be
+    // vacuous).
+    val trained = ext.Similarity.requantizeIvf(unit, root, cellsPerDir = 4)
+    val ncellsTarget = math.sqrt(n.toDouble).toInt
+    assert(trained >= 2 && trained <= ncellsTarget,
+      s"trained $trained cells, expected 2..$ncellsTarget")
+    val store = spark.read.parquet(s"$root/cells")
+    assert(store.count() === n && store.select("vec_id").distinct().count() === n,
+      "re-landing lost or duplicated vectors")
+    val ndirsTarget = (ncellsTarget + 3) / 4
+    val grpDirs = new java.io.File(s"$root/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("grp="))
+    assert(grpDirs.length >= 2 && grpDirs.length <= ndirsTarget,
+      s"${grpDirs.length} group dirs, expected 2..$ndirsTarget")
+    assert(grpDirs.forall(_.listFiles().count(_.getName.startsWith("part-")) == 1),
+      "re-landing left more than one file in some group dir — the " +
+        "repartition by grp must bound files at one per directory")
+    // Probe: DPP on the cells scan, 3 rows per probe, and the winners
+    // equal a brute-force rank WITHIN the probed cells.
+    val probes = unit.filter(col("vec_id") < 5)
+    val got = ext.Similarity.ivfRequantProbe(probes, root)
+    assert(got.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "no dynamic PartitionFilter on the re-quantized cells scan")
+    val rows = got.collect()
+    assert(rows.length === 15, s"expected 5 probes × top-3, got ${rows.length}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("did"))
+    // Recompute the expected top-3 WITHOUT the pruned probe path: each
+    // probe's cell is ITS OWN row's cell in the store (the probe-time
+    // assignment is the same computation the landing ran), so rank all
+    // of that cell's members brute-force and cut at 3.
+    val q = ext.Similarity.ivfRequantProbe(probes, root)
+    val brute = {
+      val qAssigned = got.select(col("qid")).distinct()
+        .join(store.select(col("vec_id").as("qid"), col("cell")), "qid")
+      val d = store.select(col("vec_id").as("did"), col("u").as("du"), col("cell"))
+      qAssigned.join(probes.select(col("vec_id").as("qid"), col("u").as("qu")), "qid")
+        .join(d, "cell")
+        .select(col("qid"), col("did"),
+          ext.Similarity.dot(col("qu"), col("du")).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("did"),
+          ext.Similarity.intScaled(col("sim"), 100).as("sim_c"))
+    }
+    assert(q.exceptAll(brute).isEmpty && brute.exceptAll(q).isEmpty,
+      "pruned probe diverged from the brute-force within-cell rank")
+  }
+
   test("FsLock: an OWNERLESS lock younger than the grace window fails with " +
     "retry advice; past the grace it is stolen and the run proceeds") {
     val root = java.nio.file.Files
