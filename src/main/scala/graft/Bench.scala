@@ -44,7 +44,7 @@ object Bench {
     * sf0.1 — at any other SF the probes still print but the factor is
     * omitted (the constants would be meaningless).
     */
-  private val ProbeRefSf01: Seq[(String, Double)] = Seq(
+  private[graft] val ProbeRefSf01: Seq[(String, Double)] = Seq(
     "q01_count" -> 0.1432, "q03_null_profile" -> 0.1738,
     "q06_titlecase_norm" -> 0.2148, "q08_surrogate_key" -> 0.2280,
     "q19_topk" -> 0.1997, "q34_word_count" -> 0.2873,
@@ -53,12 +53,23 @@ object Bench {
     // r16 probe extension (r15 verdict item 4): four more probes so the
     // per-probe BLOCKS shrink from 42 to 30 queries (~25 s of sweep per
     // block — closer to the measured minutes-scale drift phase). Their
-    // reference constants postdate r13, so they are pinned from the r15
-    // DRIVER sweep re-expressed in r13-host units: (r15 median) /
-    // (r15 global drift_factor 0.865) — the same unit the ten r13
-    // probes are pinned in, so one sweep-wide factor stays meaningful.
-    "q21_conditional_agg" -> 0.3235, "q176_embed_dim_stats" -> 0.3914,
-    "q280_hill_tail" -> 0.3358, "q351_cochran_armitage" -> 0.4199)
+    // reference constants postdate r13.
+    //
+    // r17 RE-PIN (r16 verdict item 4 / ADVICE): the original pins —
+    // (one r15 sweep median) / (that sweep's GLOBAL drift factor) —
+    // inherited their landing block's phase bias. Re-pinned from TWO
+    // dedicated graft.DevProbeCalib runs (2026-08-16, 8 interleaved
+    // round-robin rounds each: every probe samples every host phase,
+    // so block-phase error cannot separate probes): per run,
+    // implied_ref = calib median / (median over the ten r13 probes of
+    // calib median / r13 ref); pinned value = mean of the two runs'
+    // implied refs, which agreed within 1-9% while the runs' host
+    // factors differed 1.13 vs 0.95 — the normalization holds. Old →
+    // new: q21 0.3235→0.3265, q176 0.3914→0.3453, q280 0.3358→0.3421,
+    // q351 0.4199→0.3943. Future re-pins: re-run DevProbeCalib twice
+    // and average, same arithmetic.
+    "q21_conditional_agg" -> 0.3265, "q176_embed_dim_stats" -> 0.3453,
+    "q280_hill_tail" -> 0.3421, "q351_cochran_armitage" -> 0.3943)
 
   /** True median: averages the two middle elements for even sizes (the
     * upper-median shortcut biased drift_factor toward the larger-ratio
