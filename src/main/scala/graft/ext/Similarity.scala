@@ -322,6 +322,36 @@ object Similarity {
     cents.count().toInt
   }
 
+  /** q431 — the re-quantized IVF store IN THE GATE: [[requantizeIvf]]
+    * run once per session on the embeddings corpus (ncells = ⌊√N⌋,
+    * deterministic sample, two Lloyd rounds of the q421-certified
+    * centroid arithmetic, two-level grouped layout), then the
+    * [[ivfRequantProbe]] cell-local top-3 for the five probe vectors.
+    * The oracle replays the WHOLE chain from raw embeddings — sample,
+    * seeds, both Lloyd rounds, final assignment, and the within-cell
+    * rank — so a hash match certifies training ∘ re-landing ∘ grouped
+    * probe ≡ the from-scratch derivation, cross-engine. The q422/q426
+    * fixture stores certify the index-as-store lifecycle at fixed
+    * cells; this certifies the MAINTENANCE path that re-sizes the
+    * quantizer as the corpus grows (SCALE.md r17: probe flat at 100×
+    * only after the re-size).
+    *
+    * Float discipline: assignments rank on ROUND(sim, 6) (the q112/
+    * q421 rule) and the output sims ride the e2 grid; Round17Spec pins
+    * the measured assignment-boundary and rank-3/4 margins ≫ drift.
+    */
+  def q431(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.StoreLifecycle.ensure(s, "ivfrq", dir) { r =>
+      requantizeIvf(
+        withUnitVec(emb(s, dir), "embedding", "u").select("vec_id", "u"), r)
+      r
+    }
+    ivfRequantProbe(
+      withUnitVec(emb(s, dir), "embedding", "u")
+        .filter(col("vec_id") < 5).select("vec_id", "u"),
+      root)
+  }
+
   /** Nearest-centroid cell per vector — the SLIM assignment pass:
     * score rows carry (vec_id, cid, sim) only (never the 64-double
     * vector through the N×k fan-out) and reduce with a map-side
@@ -2226,6 +2256,7 @@ object Similarity {
     "q64_knn_ivf"   -> (q64 _),
     "q422_ivf_store_probe" -> (q422 _),
     "q426_ivf_append_probe" -> (q426 _),
+    "q431_ivf_requant_probe" -> (q431 _),
     "q66_embedding_neardup" -> (q66 _),
     "q100_embed_quant" -> (q100 _),
     "q121_filtered_knn" -> (q121 _),
@@ -3105,6 +3136,75 @@ object Similarity {
         |       CAST(COUNT(*) AS BIGINT) AS n_members,
         |       CAST(ROUND(AVG(x) * 10000) AS BIGINT) AS c_e4
         |FROM x2 GROUP BY cid, ord ORDER BY cid, pos""".stripMargin,
+    // q431: the whole re-quantization chain replayed from raw —
+    // deterministic sample (total at gate SFs, spelled faithfully),
+    // ⌊√N⌋ lowest-id seeds, TWO Lloyd rounds (q421's CTE spelling),
+    // final assignment of every vector to the trained centroids, and
+    // the cell-local top-3 probe. Assignment ranks on ROUND(sim, 6)
+    // with lowest-cid ties, matching the Spark max_by ordering.
+    "q431_ivf_requant_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |u AS (SELECT vec_id,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
+        |      FROM e),
+        |params AS (SELECT GREATEST(1, COUNT(*) // 20000) AS m,
+        |                  CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS ncells
+        |           FROM u),
+        |samp AS (SELECT u.* FROM u, params WHERE vec_id % m = 0),
+        |seeds AS (
+        |  SELECT vec_id AS cid, uv AS cu FROM (
+        |    SELECT vec_id, uv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk
+        |    FROM samp), params
+        |  WHERE rnk <= ncells),
+        |sims1 AS (
+        |  SELECT sm.vec_id, s.cid, sm.uv,
+        |         ROUND(list_inner_product(sm.uv, s.cu), 6) AS sim
+        |  FROM samp sm CROSS JOIN seeds s),
+        |asg1 AS (
+        |  SELECT vec_id, cid, uv,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |  FROM sims1),
+        |x1 AS (SELECT cid, UNNEST(uv) AS x, UNNEST(range(1, len(uv) + 1)) AS ord
+        |       FROM asg1 WHERE rn = 1),
+        |m1 AS (SELECT cid, ord, AVG(x) AS c FROM x1 GROUP BY cid, ord),
+        |cl1 AS (SELECT cid, list(c ORDER BY ord) AS cv FROM m1 GROUP BY cid),
+        |c1 AS (SELECT cid,
+        |         list_transform(cv, x -> x / sqrt(list_inner_product(cv, cv))) AS cu
+        |       FROM cl1),
+        |sims2 AS (
+        |  SELECT sm.vec_id, c.cid, sm.uv,
+        |         ROUND(list_inner_product(sm.uv, c.cu), 6) AS sim
+        |  FROM samp sm CROSS JOIN c1 c),
+        |asg2 AS (
+        |  SELECT vec_id, cid, uv,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |  FROM sims2),
+        |x2 AS (SELECT cid, UNNEST(uv) AS x, UNNEST(range(1, len(uv) + 1)) AS ord
+        |       FROM asg2 WHERE rn = 1),
+        |m2 AS (SELECT cid, ord, AVG(x) AS c FROM x2 GROUP BY cid, ord),
+        |cl2 AS (SELECT cid, list(c ORDER BY ord) AS cv FROM m2 GROUP BY cid),
+        |c2 AS (SELECT cid,
+        |         list_transform(cv, x -> x / sqrt(list_inner_product(cv, cv))) AS cu
+        |       FROM cl2),
+        |simsF AS (
+        |  SELECT u.vec_id, c.cid,
+        |         ROUND(list_inner_product(u.uv, c.cu), 6) AS sim
+        |  FROM u CROSS JOIN c2 c),
+        |asgF AS (
+        |  SELECT vec_id, cid AS cell,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |  FROM simsF),
+        |cells AS (SELECT a.vec_id, a.cell, u.uv
+        |          FROM asgF a JOIN u USING (vec_id) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, uv AS qu, cell FROM cells WHERE vec_id < 5),
+        |top AS (
+        |  SELECT q.qid, d.vec_id AS did,
+        |         list_inner_product(q.qu, d.uv) AS sim,
+        |         ROW_NUMBER() OVER (PARTITION BY q.qid
+        |           ORDER BY list_inner_product(q.qu, d.uv) DESC, d.vec_id) AS rn
+        |  FROM q JOIN cells d ON d.cell = q.cell)
+        |SELECT qid, did, CAST(ROUND(sim * 100) AS BIGINT) AS sim_c
+        |FROM top WHERE rn <= 3 ORDER BY qid, did""".stripMargin,
     "q61_knn_lsh" -> knnLshOracle,
     // Mutual-kNN mirrored on the same LSH CTEs: per-side top-5 with
     // the identical (sim DESC, id) total order, reversed-pair join.

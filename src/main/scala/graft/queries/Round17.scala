@@ -123,9 +123,56 @@ object Round17 {
       .orderBy(col("df").desc, col("term"))
       .limit(25)
 
+  /** Four HLL-register generations over distinct (event_type, user)
+    * actives — gen = user_id % 4, every generation non-empty at every
+    * SF and each head generation contributing registers no sibling
+    * holds (fixture-probed: losing a directory breaks the hash) —
+    * compacted 0-2 under the MAX algebra by
+    * [[graft.ops.RegisterStore.compact]].
+    */
+  private[graft] def ensureHllStore4(s: SparkSession, dir: String): String =
+    graft.StoreLifecycle.ensure(s, "hllstore4", dir) { root =>
+      val tu = Tables.events(s, dir)
+        .select(col("event_type").as("t"), col("user_id"))
+      (0 to 3).foreach { g =>
+        graft.ops.Sketches.hllPortableRegisters(
+          tu.filter(col("user_id") % 4 === g), Seq("t"), col("user_id"))
+          .withColumn("gen", lit(g.toLong))
+          .write.mode(if (g == 0) "overwrite" else "append")
+          .partitionBy("gen").parquet(root)
+      }
+      graft.ops.RegisterStore.compact(s, root, "gen", upTo = 2L,
+        m => m.groupBy(col("t"), col("reg")).agg(max(col("rho")).as("rho")))
+      root
+    }
+
+  /** q432 — per-type distinct actives FROM the MAX-compacted register
+    * store: q430's compaction boundary exercised under the SECOND merge
+    * algebra (MAX — HLL rhos; q430 certified SUM). The read MAX-merges
+    * the compacted head partition with the live gen-3 tail and
+    * estimates per type; the oracle rebuilds registers from ALL raw
+    * user rows directly — a hash match certifies (4-way split → MAX
+    * per generation → compact 0-2 → MAX with tail) ≡ direct, i.e.
+    * compaction commutes with the HLL algebra end to end (the q413
+    * associativity contract, now THROUGH `RegisterStore.compact`'s
+    * stage-and-swap). MAX is idempotent, so the `_COMPACTED` marker is
+    * belt-and-braces here — but the families share one code path, and
+    * the crash discipline must hold for the worst algebra it carries.
+    *
+    * Scale: registers are ≤ types × 256 rows per generation at ANY
+    * corpus size; compaction reads and rewrites only those. One events
+    * scan per generation landing, zero after.
+    */
+  def q432(s: SparkSession, dir: String): DataFrame = {
+    val regs = s.read.parquet(ensureHllStore4(s, dir))
+      .groupBy(col("t"), col("reg")).agg(max(col("rho")).as("rho"))
+    graft.ops.Sketches.hllPortableEstimate(regs, Seq("t")).orderBy("t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q429_bm25_from_store" -> (q429 _),
     "q430_df_store_compact" -> (q430 _),
+    "q432_hll_store_compact" -> (q432 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -167,5 +214,15 @@ object Round17 {
         |       CAST(df_tail AS BIGINT) AS df_tail,
         |       CAST(df_head + df_tail AS BIGINT) AS df
         |FROM g ORDER BY df DESC, term LIMIT 25""".stripMargin,
+    // Registers rebuilt from ALL raw user rows directly (the q413
+    // "third construction order"): the Spark side's split → compact →
+    // merge chain must land the identical register set.
+    "q432_hll_store_compact" -> {
+      val fromSql = "SELECT t, md5(CAST(user_id AS VARCHAR)) AS hx " +
+        "FROM (SELECT DISTINCT event_type AS t, user_id FROM events)"
+      s"""SELECT t, n_registers_used, n_zero_registers, est_e2
+         |FROM (${graft.ops.Sketches.hllPortableOracleSql(fromSql, Seq("t"))})
+         |ORDER BY t""".stripMargin
+    },
   )
 }

@@ -237,6 +237,107 @@ class Round17Spec extends SparkTestBase {
       "pruned probe diverged from the brute-force within-cell rank")
   }
 
+  test("q431 float margins: every assignment sim (seeds, round-2, final) " +
+    "sits far from its e6 rounding boundary, probe rank-3/4 raw gaps are " +
+    "wide, output sims clear the e2 grid, and every probe cell has > 3 " +
+    "members (the top-3 cut binds)") {
+    val unit = ext.Similarity.withUnitVec(
+      Tables.table(spark, sf, "embeddings"), "embedding", "u")
+      .select("vec_id", "u").localCheckpoint(true)
+    val n = unit.count()
+    val ncells = math.sqrt(n.toDouble).toInt
+    val seeds0 = unit.orderBy("vec_id").limit(ncells)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+      .localCheckpoint(true)
+    val c1 = ext.Similarity.kmeansCentroidRound(unit, seeds0).localCheckpoint(true)
+    val c2 = ext.Similarity.kmeansCentroidRound(unit, c1).localCheckpoint(true)
+    def frac05(v: Double, scale: Double): Double = {
+      val f = ((v * scale) % 1 + 1) % 1
+      math.abs(f - 0.5)
+    }
+    val vecs = unit.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def centsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def dotd(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    Seq("seeds" -> seeds0, "round2" -> c1, "final" -> c2).foreach {
+      case (stage, cents) =>
+        val cs = centsOf(cents)
+        val m = (for ((_, v) <- vecs; (_, c) <- cs)
+          yield frac05(dotd(v, c), 1e6)).min
+        assert(m > 1e-7, s"$stage assignment e6 margin collapsed: $m")
+    }
+    // Probe-side margins off the final assignment (the store's cells).
+    val cs2 = centsOf(c2)
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cs2.map { case (cid, c) =>
+        (cid, math.rint(dotd(v, c) * 1e6) / 1e6)
+      }.minBy { case (cid, s) => (-s, cid) }._1
+    }.toMap
+    val byCell = vecs.groupBy { case (id, _) => cellOf(id) }
+    vecs.filter(_._1 < 5).foreach { case (qid, qv) =>
+      val members = byCell(cellOf(qid))
+      assert(members.length > 3,
+        s"probe $qid cell has only ${members.length} members — top-3 vacuous")
+      val sims = members.map { case (did, dv) => (dotd(qv, dv), did) }
+        .sortBy { case (s, did) => (-s, did) }
+      val gap = sims(2)._1 - sims(3)._1
+      assert(gap > 1e-7 || sims(2)._1 == sims(3)._1,
+        s"probe $qid rank-3/4 raw gap collapsed: $gap")
+      val e2margins = sims.take(3).map(s => frac05(s._1, 100.0))
+      assert(e2margins.min > 1e-7,
+        s"probe $qid output e2 margin collapsed: ${e2margins.min}")
+    }
+    // And the registry query agrees with this driver-side replay's cells.
+    val got = ext.Similarity.q431(spark, sf).collect()
+    assert(got.length === 15)
+    got.foreach(r => assert(cellOf(r.getLong(1)) === cellOf(r.getLong(0)),
+      s"probe ${r.getLong(0)} returned ${r.getLong(1)} from a different cell"))
+  }
+
+  test("q432 layout + MAX bindingness: the HLL store compacts to " +
+    "{gen=2, gen=3} with the marker; every head generation contributes a " +
+    "register no sibling holds (losing a directory breaks the hash); the " +
+    "MAX genuinely arbitrates conflicting rhos at sf0.01") {
+    val root = queries.Round17.ensureHllStore4(spark, sf)
+    assert(genDirs(root) === Set("gen=2", "gen=3"),
+      s"unexpected layout: ${genDirs(root)}")
+    assert(new java.io.File(root, "gen=2/_COMPACTED_2").exists())
+    // Per-head-gen register recompute from raw events.
+    def genRegs(dir: String, g: Int) = graft.ops.Sketches.hllPortableRegisters(
+      Tables.events(spark, dir)
+        .select(col("event_type").as("t"), col("user_id"))
+        .filter(col("user_id") % 4 === g),
+      Seq("t"), col("user_id"))
+    val heads = (0 to 2).map(g =>
+      genRegs(sf, g).select(col("t"), col("reg")).localCheckpoint(true))
+    (0 to 2).foreach { g =>
+      val others = heads.indices.filter(_ != g).map(heads)
+        .reduce(_ union _).distinct()
+      val unique = heads(g).exceptAll(heads(g).intersect(others)).count()
+      assert(unique > 0,
+        s"head generation $g contributes no unique register — a lost " +
+          "directory would pass the hash vacuously")
+    }
+    // The compacted head equals the direct head MAX-merge.
+    val direct = (0 to 2).map(g => genRegs(sf, g)).reduce(_ union _)
+      .groupBy(col("t"), col("reg")).agg(max(col("rho")).as("rho"))
+    val stored = spark.read.parquet(root)
+      .filter(col("gen").cast("long") === 2L).select("t", "reg", "rho")
+    assert(stored.exceptAll(direct).isEmpty && direct.exceptAll(stored).isEmpty,
+      "compacted head registers diverged from the direct MAX-merge")
+    // MAX arbitration binds at sf0.01: some head (t, reg) cell holds
+    // DIFFERENT rhos across generations (fixture-probed: 45 cells).
+    val sf01 = "/root/testdata/sf0.01"
+    val conflicts = (0 to 2).map(g => genRegs(sf01, g)).reduce(_ union _)
+      .groupBy(col("t"), col("reg"))
+      .agg(countDistinct(col("rho")).as("nr"))
+      .filter(col("nr") >= 2).count()
+    assert(conflicts >= 1,
+      "no conflicting-rho register cells at sf0.01 — the MAX algebra " +
+        "never arbitrates (fixture drifted?)")
+  }
+
   test("FsLock: an OWNERLESS lock younger than the grace window fails with " +
     "retry advice; past the grace it is stolen and the run proceeds") {
     val root = java.nio.file.Files
