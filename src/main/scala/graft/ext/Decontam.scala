@@ -176,7 +176,7 @@ object Decontam {
     * h_i(g) = md5-prefix-40bit("i:" ‖ g) mod m, k = 3 — hex-portable,
     * no RNG, identical spelling in the oracles.
     */
-  private def bloomPositions(m: Long): Column = array((0 until 3).map(i =>
+  private[graft] def bloomPositions(m: Long): Column = array((0 until 3).map(i =>
     pmod(conv(substring(md5(
       concat(lit(s"$i:"), col("gram"))), 1, 10), 16, 10).cast("long"),
       lit(m))): _*)
@@ -244,6 +244,85 @@ object Decontam {
     g0.withGlobalStats(g1).withGlobalStats(nm)
       .withGlobalStats(np).withGlobalStats(pos)
       .select(col("n_bits_gen0"), col("n_bits_gen1"), col("n_bits_merged"),
+        col("n_probed"), col("n_bloom_pos"))
+  }
+
+  /** Four Bloom bit-set generations (gen = doc_id % 4 over the corpus
+    * half, every generation non-empty at all 3 SFs and each HEAD
+    * generation holding 12k-35k bits no sibling sets — fixture-probed,
+    * so a directory lost by compaction breaks the hash), generations
+    * 0-2 collapsed under the OR algebra (relationally DISTINCT over
+    * set-bit positions) by [[graft.ops.RegisterStore.compact]].
+    */
+  private[graft] def ensureBloomStore4(s: SparkSession, dir: String): String =
+    graft.StoreLifecycle.ensure(s, "bloomstore4", dir) { root =>
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      def gen(g: Int): DataFrame = d
+        .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 4 === g)
+        .select(col("doc_id"),
+          explode_outer(Dedup.shinglesK(col("ws"), 5)).as("gram"))
+        .filter(col("gram").isNotNull).select("gram").distinct()
+        .select(explode(bloomPositions(262144L)).as("b")).distinct()
+        .withColumn("gen", lit(g.toLong))
+      (0 to 3).foreach { g =>
+        gen(g).write.mode(if (g == 0) "overwrite" else "append")
+          .partitionBy("gen").parquet(root)
+      }
+      graft.ops.RegisterStore.compact(s, root, "gen", upTo = 2L,
+        m => m.select(col("b")).distinct())
+      root
+    }
+
+  /** q433 — the Bloom membership screen answered THROUGH a compaction
+    * boundary: the THIRD merge algebra (OR) through
+    * [[graft.ops.RegisterStore.compact]]'s stage-and-swap (q430
+    * certified SUM, q432 MAX — with this the compactor is certified
+    * under every algebra the sketch-store matrix carries). Four
+    * generation bit sets landed gen-partitioned, generations 0-2
+    * collapsed to one DISTINCT-merged head partition, and the read
+    * OR-merges head + live gen-3 tail into the screening filter probed
+    * by q425's persisted eval-gram store. One census row: head / tail /
+    * merged bit counts AND position sums (count alone would miss a
+    * compaction that dropped bit X while inventing bit Y — the sum over
+    * distinct positions makes the head/tail/merged SETS hash-sensitive)
+    * plus the 3-of-3 probe verdicts. The oracle rebuilds every
+    * generation's bit set, both sides of the boundary, and the probe
+    * from raw documents — a hash match certifies (4-way split →
+    * per-gen DISTINCT → compact 0-2 → OR with tail) ≡ direct.
+    *
+    * OR is idempotent (like q432's MAX), so the `_COMPACTED` marker is
+    * belt-and-braces here; the crash matrix is driven once for the
+    * shared code path under its worst algebra (q430's SUM).
+    *
+    * All-integer (b < 2^18 and ≤ 2^18 rows, so the position sums stay
+    * far inside BIGINT). Scale: each generation is ≤ m rows at ANY
+    * corpus size; compaction reads and rewrites only bit files — the
+    * year-of-nightly-appends store stays one head + a bounded tail.
+    */
+  def q433(s: SparkSession, dir: String): DataFrame = {
+    val store = s.read.parquet(ensureBloomStore4(s, dir))
+      .select(col("b"), col("gen").cast("long").as("gen"))
+    val merged = store.select(col("b")).distinct().localCheckpoint(true)
+    val hd = store.filter(col("gen") === 2L).agg(
+      count(lit(1)).as("n_bits_head"), sum(col("b")).as("bits_head_sum"))
+    val tl = store.filter(col("gen") === 3L).agg(
+      count(lit(1)).as("n_bits_tail"), sum(col("b")).as("bits_tail_sum"))
+    val mg = merged.agg(
+      count(lit(1)).as("n_bits_merged"), sum(col("b")).as("bits_merged_sum"))
+    val probes = s.read.parquet(ensureGramStore(s, dir))
+    val np = probes.agg(count(lit(1)).as("n_probed"))
+    val pos = probes
+      .select(col("gram"), explode(bloomPositions(262144L)).as("b"))
+      .join(broadcast(merged), "b")
+      .groupBy(col("gram")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === 3)
+      .agg(count(lit(1)).as("n_bloom_pos"))
+    hd.withGlobalStats(tl).withGlobalStats(mg)
+      .withGlobalStats(np).withGlobalStats(pos)
+      .select(col("n_bits_head"), col("bits_head_sum"),
+        col("n_bits_tail"), col("bits_tail_sum"),
+        col("n_bits_merged"), col("bits_merged_sum"),
         col("n_probed"), col("n_bloom_pos"))
   }
 
@@ -339,6 +418,7 @@ object Decontam {
     "q401_decontam_curve" -> (q401 _),
     "q425_decontam_store" -> (q425 _),
     "q428_bloom_store" -> (q428 _),
+    "q433_bloom_store_compact" -> (q433 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -412,6 +492,41 @@ object Decontam {
         |SELECT CAST((SELECT COUNT(*) FROM b0) AS BIGINT) AS n_bits_gen0,
         |       CAST((SELECT COUNT(*) FROM b1) AS BIGINT) AS n_bits_gen1,
         |       CAST((SELECT COUNT(*) FROM mrg) AS BIGINT) AS n_bits_merged,
+        |       CAST((SELECT COUNT(*) FROM ev) AS BIGINT) AS n_probed,
+        |       CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_bloom_pos""".stripMargin,
+    // Every generation's bit set, both sides of the compaction
+    // boundary, and the probe rebuilt from raw documents with the
+    // identical md5-prefix-40bit(i:gram) mod 2^18 positions; position
+    // SUMS make the head/tail/merged sets (not just counts) binding.
+    "q433_bloom_store_compact" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(ws) >= 5 THEN
+        |          list_distinct(list_transform(range(1, len(ws) - 3),
+        |            i -> array_to_string(ws[i:i+4], ' ')))
+        |        ELSE CAST([] AS VARCHAR[]) END AS grams
+        |      FROM t),
+        |gb AS (SELECT DISTINCT doc_id % 4 AS gen,
+        |         CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR)
+        |           || ':' || gram), 1, 10)) AS BIGINT) % 262144 AS b
+        |       FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+        |             WHERE doc_id % 7 <> 0)
+        |       CROSS JOIN range(3) i(i)),
+        |head AS (SELECT DISTINCT b FROM gb WHERE gen <= 2),
+        |tail AS (SELECT b FROM gb WHERE gen = 3),
+        |mrg AS (SELECT b FROM head UNION SELECT b FROM tail),
+        |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 7 = 0),
+        |pr AS (SELECT gram, CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR)
+        |         || ':' || gram), 1, 10)) AS BIGINT) % 262144 AS b
+        |       FROM ev CROSS JOIN range(3) i(i)),
+        |hits AS (SELECT gram FROM pr JOIN mrg USING (b)
+        |         GROUP BY gram HAVING COUNT(*) = 3)
+        |SELECT CAST((SELECT COUNT(*) FROM head) AS BIGINT) AS n_bits_head,
+        |       CAST((SELECT SUM(b) FROM head) AS BIGINT) AS bits_head_sum,
+        |       CAST((SELECT COUNT(*) FROM tail) AS BIGINT) AS n_bits_tail,
+        |       CAST((SELECT SUM(b) FROM tail) AS BIGINT) AS bits_tail_sum,
+        |       CAST((SELECT COUNT(*) FROM mrg) AS BIGINT) AS n_bits_merged,
+        |       CAST((SELECT SUM(b) FROM mrg) AS BIGINT) AS bits_merged_sum,
         |       CAST((SELECT COUNT(*) FROM ev) AS BIGINT) AS n_probed,
         |       CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_bloom_pos""".stripMargin,
     // q104's gram CTE, zero-hit docs kept via the left join, hit

@@ -338,6 +338,45 @@ class Round17Spec extends SparkTestBase {
         "never arbitrates (fixture drifted?)")
   }
 
+  test("q433 layout + OR bindingness: the Bloom store compacts to " +
+    "{gen=2, gen=3} with the marker; every head generation sets bits no " +
+    "sibling head sets (losing a directory breaks the hash); the OR " +
+    "genuinely collapses bits shared across generations") {
+    val root = ext.Decontam.ensureBloomStore4(spark, sf)
+    assert(genDirs(root) === Set("gen=2", "gen=3"),
+      s"unexpected layout: ${genDirs(root)}")
+    assert(new java.io.File(root, "gen=2/_COMPACTED_2").exists())
+    // Per-generation bit sets rebuilt from raw documents.
+    def genBits(g: Int) = Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 4 === g)
+      .select(col("doc_id"),
+        explode_outer(ext.Dedup.shinglesK(split(col("text"), " "), 5)).as("gram"))
+      .filter(col("gram").isNotNull).select("gram").distinct()
+      .select(explode(ext.Decontam.bloomPositions(262144L)).as("b")).distinct()
+    val heads = (0 to 2).map(g => genBits(g).localCheckpoint(true))
+    (0 to 2).foreach { g =>
+      val others = heads.indices.filter(_ != g).map(heads)
+        .reduce(_ union _).distinct()
+      val unique = heads(g).exceptAll(heads(g).intersect(others)).count()
+      assert(unique > 0,
+        s"head generation $g sets no unique bit — a lost directory " +
+          "would pass the hash vacuously")
+    }
+    // The compacted head equals the direct OR-merge (distinct union).
+    val direct = heads.reduce(_ union _).distinct()
+    val stored = spark.read.parquet(root)
+      .filter(col("gen").cast("long") === 2L).select("b")
+    assert(stored.exceptAll(direct).isEmpty && direct.exceptAll(stored).isEmpty,
+      "compacted head bit set diverged from the direct OR-merge")
+    // The OR genuinely arbitrates: head strictly below the per-gen sum
+    // (generations share bits the DISTINCT collapses).
+    val perGenSum = heads.map(_.count()).sum
+    val headN = stored.count()
+    assert(headN < perGenSum,
+      s"head has $headN bits vs per-gen sum $perGenSum — no generation " +
+        "overlap, the OR merge is vacuous (fixture drifted?)")
+  }
+
   test("FsLock: an OWNERLESS lock younger than the grace window fails with " +
     "retry advice; past the grace it is stolen and the run proceeds") {
     val root = java.nio.file.Files
