@@ -360,18 +360,33 @@ object Similarity {
     * to the lowest cid on the e6-rounded sim (the [[assignToSeeds]]
     * rule) via the (-cid) component — deterministic by construction.
     */
-  private def assignCells(unit: DataFrame, cents: DataFrame): DataFrame =
-    unit.select(col("vec_id"), col("u"))
-      .withGlobalStats(cents)
+  private def assignCells(
+      unit: DataFrame,
+      cents: DataFrame,
+      broadcastVectors: Boolean = false): DataFrame = {
+    // The landing broadcasts the ≤√N centroids under the N-row vector
+    // stream; a PROBE inverts that — its vector side is a literal-
+    // bounded handful, so IT is the broadcast build side and the
+    // centroid store streams (PlanAuditSpec's BNL net reads the bound
+    // off the probe filter; a broadcast centroid READ would carry no
+    // structural bound). The crossJoin is symmetric and max_by is
+    // order-insensitive (ties impossible via -cid), so both pairings
+    // compute the identical assignment.
+    val paired =
+      if (broadcastVectors) cents.withGlobalStats(unit.select(col("vec_id"), col("u")))
+      else unit.select(col("vec_id"), col("u")).withGlobalStats(cents)
+    paired
       .select(col("vec_id"), col("cid"),
         round(dot(col("u"), col("cu")), 6).as("sim"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"),
         struct(col("sim"), (-col("cid")).as("nc"))).as("cell"))
+  }
 
   /** q422's probe shape against a [[requantizeIvf]] store: the query
-    * vectors assign to their trained cell (a k-row centroid read +
-    * broadcast pass), then the cell-local top-3 join reads ONLY the
+    * vectors assign to their trained cell (the bounded probe set is
+    * broadcast under the streamed centroid read), then the cell-local
+    * top-3 join reads ONLY the
     * probed cells' directories (the q422 DPP posture — the cell filter
     * arrives as a dynamic PartitionFilter on the `cells/` scan).
     */
@@ -382,7 +397,7 @@ object Similarity {
     // the grp derivation must match the landing's exactly).
     val ndirs = s.read.parquet(s"$root/meta").head().getInt(0)
     val q = queries.select(col("vec_id"), col("u"))
-      .join(assignCells(queries, cents), "vec_id")
+      .join(assignCells(queries, cents, broadcastVectors = true), "vec_id")
       .select(col("vec_id").as("qid"), col("u").as("qu"), col("cell"),
         pmod(hash(col("cell")), lit(ndirs)).as("grp"))
     val d = s.read.parquet(s"$root/cells")

@@ -123,7 +123,7 @@ class Round16Spec extends SparkTestBase {
   test("q427 DF registers: store read-back equals a fresh per-generation " +
     "derivation, and the SUM-merge binds (top terms live in BOTH generations)") {
     val root = queries.Round16.ensureDfStore(spark, sf)
-    val stored = spark.read.parquet(root)
+    val stored = spark.read.parquet(s"$root/df")
     val fresh = Tables.table(spark, sf, "documents")
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))

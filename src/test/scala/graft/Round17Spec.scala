@@ -162,6 +162,48 @@ class Round17Spec extends SparkTestBase {
     assert(headRows(rootB) === directHead())
   }
 
+  test("q430 repeated compaction (the monthly cadence): a SECOND compact " +
+    "over {previous head + newer generations} treats the old head as one " +
+    "input generation — registers stay equal to the direct from-raw merge, " +
+    "and only the newest marker survives") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-r17-recompact").toString
+    landGens(root)
+    ops.RegisterStore.compact(spark, root, "gen", 2L, sumMerge)
+    // Two more batches land after the first compaction (doc_id % 8 in
+    // {1, 5} — a genuine re-split so the new generations are non-empty
+    // and distinct from the originals).
+    val terms = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+    Seq(4L -> 1, 5L -> 5).foreach { case (g, m) =>
+      terms.filter(col("doc_id") % 8 === m)
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .withColumn("gen", lit(g))
+        .write.mode("append").partitionBy("gen").parquet(root)
+    }
+    ops.RegisterStore.compact(spark, root, "gen", 4L, sumMerge)
+    assert(genDirs(root) === Set("gen=4", "gen=5"),
+      s"second compaction left the wrong layout: ${genDirs(root)}")
+    assert(new java.io.File(root, "gen=4/_COMPACTED_4").exists())
+    assert(!new java.io.File(root, "gen=4/_COMPACTED_2").exists(),
+      "the first compaction's marker leaked into the new head")
+    // Head = everything except the live gen-5 tail: all four original
+    // generations plus the %8==1 batch — straight from raw.
+    val expect = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .withColumn("w",
+        when(col("doc_id") % 8 === 1, lit(2)).otherwise(lit(1)))
+      .groupBy(col("term")).agg(sum(col("w")).as("df"))
+      .collect().map(_.toSeq).toSet
+    val head = spark.read.parquet(root)
+      .filter(col("gen").cast("long") === 4L).drop("gen")
+      .collect().map(_.toSeq).toSet
+    assert(head === expect,
+      "registers lost or doubled across the second compaction")
+  }
+
   test("q430 guard rails: upTo at/above the newest generation is refused " +
     "(the live tail stays uncompacted)") {
     val root = java.nio.file.Files
