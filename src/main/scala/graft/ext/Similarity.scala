@@ -383,6 +383,64 @@ object Similarity {
         struct(col("sim"), (-col("cid")).as("nc"))).as("cell"))
   }
 
+  /** Fold a new vector batch into a [[requantizeIvf]] store WITHOUT
+    * re-training: the batch assigns against the stored FROZEN quantizer
+    * (centroids/ read back — the q421 state contract), derives `grp`
+    * with the stored layout constant, and `mode("append")`s into the
+    * same cells/ partitions. The q426 maintenance posture applied to
+    * the re-sized index: between periodic re-quantizations, the
+    * nightly batch appends bytes-per-vector files and the index is
+    * never rebuilt or rescanned.
+    */
+  def appendToRequantStore(batch: DataFrame, root: String): Unit = {
+    val s = batch.sparkSession
+    val cents = s.read.parquet(s"$root/centroids")
+    val ndirs = s.read.parquet(s"$root/meta").head().getInt(0)
+    batch.join(assignCells(batch, cents), "vec_id")
+      .select(col("vec_id"), col("u"), col("cell"),
+        pmod(hash(col("cell")), lit(ndirs)).as("grp"))
+      .repartition(col("grp"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("append").partitionBy("grp").parquet(s"$root/cells")
+  }
+
+  /** The two-generation RE-QUANTIZED store behind q434: the quantizer
+    * trains on the even-id half only (the state of the index when the
+    * last re-size ran), then the odd-id batch folds in through
+    * [[appendToRequantStore]] against that frozen quantizer.
+    */
+  private[graft] def ensureIvfRequantAppendStore(
+      s: SparkSession, dir: String): String =
+    graft.StoreLifecycle.ensure(s, "ivfrq2", dir) { root =>
+      val unit = withUnitVec(emb(s, dir), "embedding", "u")
+        .select("vec_id", "u")
+      requantizeIvf(unit.filter(col("vec_id") % 2 === 0), root)
+      appendToRequantStore(unit.filter(col("vec_id") % 2 === 1), root)
+      root
+    }
+
+  /** q434 — the re-quantized index maintained by APPEND: q431 certifies
+    * the re-size itself; this certifies that the nightly batch still
+    * folds in AFTERWARDS without touching the quantizer — train on the
+    * even half (⌊√N_even⌋ cells), freeze, assign + append the odd
+    * batch into the same grp partitions, probe through the grouped DPP
+    * prune. The oracle replays the WHOLE chain from raw embeddings with
+    * the training restricted to the even half and the FINAL assignment
+    * over every vector — a hash match certifies train ∘ freeze ∘
+    * append ∘ grouped probe ≡ the from-scratch derivation, i.e. append
+    * ≡ rebuild-under-the-frozen-quantizer (the honest contract between
+    * re-sizes; a full re-train is q431's job, on its cadence).
+    * Round17Spec pins mixed-generation top-3 bindingness (the probe
+    * genuinely draws from both generations), store-vs-direct assignment
+    * equality, and the full q431-style float-margin ladder against the
+    * even-trained centroids.
+    */
+  def q434(s: SparkSession, dir: String): DataFrame =
+    ivfRequantProbe(
+      withUnitVec(emb(s, dir), "embedding", "u")
+        .filter(col("vec_id") < 5).select("vec_id", "u"),
+      ensureIvfRequantAppendStore(s, dir))
+
   /** q422's probe shape against a [[requantizeIvf]] store: the query
     * vectors assign to their trained cell (the bounded probe set is
     * broadcast under the streamed centroid read), then the cell-local
@@ -2272,6 +2330,7 @@ object Similarity {
     "q422_ivf_store_probe" -> (q422 _),
     "q426_ivf_append_probe" -> (q426 _),
     "q431_ivf_requant_probe" -> (q431 _),
+    "q434_ivf_requant_append" -> (q434 _),
     "q66_embedding_neardup" -> (q66 _),
     "q100_embed_quant" -> (q100 _),
     "q121_filtered_knn" -> (q121 _),
@@ -3166,6 +3225,74 @@ object Similarity {
         |                  CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS ncells
         |           FROM u),
         |samp AS (SELECT u.* FROM u, params WHERE vec_id % m = 0),
+        |seeds AS (
+        |  SELECT vec_id AS cid, uv AS cu FROM (
+        |    SELECT vec_id, uv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk
+        |    FROM samp), params
+        |  WHERE rnk <= ncells),
+        |sims1 AS (
+        |  SELECT sm.vec_id, s.cid, sm.uv,
+        |         ROUND(list_inner_product(sm.uv, s.cu), 6) AS sim
+        |  FROM samp sm CROSS JOIN seeds s),
+        |asg1 AS (
+        |  SELECT vec_id, cid, uv,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |  FROM sims1),
+        |x1 AS (SELECT cid, UNNEST(uv) AS x, UNNEST(range(1, len(uv) + 1)) AS ord
+        |       FROM asg1 WHERE rn = 1),
+        |m1 AS (SELECT cid, ord, AVG(x) AS c FROM x1 GROUP BY cid, ord),
+        |cl1 AS (SELECT cid, list(c ORDER BY ord) AS cv FROM m1 GROUP BY cid),
+        |c1 AS (SELECT cid,
+        |         list_transform(cv, x -> x / sqrt(list_inner_product(cv, cv))) AS cu
+        |       FROM cl1),
+        |sims2 AS (
+        |  SELECT sm.vec_id, c.cid, sm.uv,
+        |         ROUND(list_inner_product(sm.uv, c.cu), 6) AS sim
+        |  FROM samp sm CROSS JOIN c1 c),
+        |asg2 AS (
+        |  SELECT vec_id, cid, uv,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |  FROM sims2),
+        |x2 AS (SELECT cid, UNNEST(uv) AS x, UNNEST(range(1, len(uv) + 1)) AS ord
+        |       FROM asg2 WHERE rn = 1),
+        |m2 AS (SELECT cid, ord, AVG(x) AS c FROM x2 GROUP BY cid, ord),
+        |cl2 AS (SELECT cid, list(c ORDER BY ord) AS cv FROM m2 GROUP BY cid),
+        |c2 AS (SELECT cid,
+        |         list_transform(cv, x -> x / sqrt(list_inner_product(cv, cv))) AS cu
+        |       FROM cl2),
+        |simsF AS (
+        |  SELECT u.vec_id, c.cid,
+        |         ROUND(list_inner_product(u.uv, c.cu), 6) AS sim
+        |  FROM u CROSS JOIN c2 c),
+        |asgF AS (
+        |  SELECT vec_id, cid AS cell,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |  FROM simsF),
+        |cells AS (SELECT a.vec_id, a.cell, u.uv
+        |          FROM asgF a JOIN u USING (vec_id) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, uv AS qu, cell FROM cells WHERE vec_id < 5),
+        |top AS (
+        |  SELECT q.qid, d.vec_id AS did,
+        |         list_inner_product(q.qu, d.uv) AS sim,
+        |         ROW_NUMBER() OVER (PARTITION BY q.qid
+        |           ORDER BY list_inner_product(q.qu, d.uv) DESC, d.vec_id) AS rn
+        |  FROM q JOIN cells d ON d.cell = q.cell)
+        |SELECT qid, did, CAST(ROUND(sim * 100) AS BIGINT) AS sim_c
+        |FROM top WHERE rn <= 3 ORDER BY qid, did""".stripMargin,
+    // q434: q431's replay with the TRAINING restricted to the even-id
+    // half (the frozen quantizer of the last re-size) and the final
+    // assignment over EVERY vector — append ≡ rebuild-under-the-
+    // frozen-quantizer, cross-engine.
+    "q434_ivf_requant_append" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |u AS (SELECT vec_id,
+        |        list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) AS uv
+        |      FROM e),
+        |params AS (SELECT GREATEST(1, COUNT(*) // 20000) AS m,
+        |                  CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS ncells
+        |           FROM u WHERE vec_id % 2 = 0),
+        |samp AS (SELECT u.* FROM u, params
+        |         WHERE vec_id % 2 = 0 AND vec_id % m = 0),
         |seeds AS (
         |  SELECT vec_id AS cid, uv AS cu FROM (
         |    SELECT vec_id, uv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk

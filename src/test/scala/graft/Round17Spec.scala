@@ -337,6 +337,94 @@ class Round17Spec extends SparkTestBase {
       s"probe ${r.getLong(0)} returned ${r.getLong(1)} from a different cell"))
   }
 
+  test("q434 append-to-requantized-store: the appended generation's cell " +
+    "assignments equal a direct assignment against the frozen quantizer, " +
+    "the probe's top-3 genuinely mixes generations, and the q431 float-" +
+    "margin ladder holds against the even-trained centroids") {
+    val unit = ext.Similarity.withUnitVec(
+      Tables.table(spark, sf, "embeddings"), "embedding", "u")
+      .select("vec_id", "u").localCheckpoint(true)
+    val root = ext.Similarity.ensureIvfRequantAppendStore(spark, sf)
+    // (1) Store content ≡ direct assignment of EVERY vector (both
+    // generations) against the stored frozen quantizer.
+    val cs = spark.read.parquet(s"$root/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def dotd(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val vecs = unit.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cs.map { case (cid, c) =>
+        (cid, math.rint(dotd(v, c) * 1e6) / 1e6)
+      }.minBy { case (cid, s2) => (-s2, cid) }._1
+    }.toMap
+    val stored = spark.read.parquet(s"$root/cells")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(stored.length === vecs.length,
+      s"store holds ${stored.length} vectors, corpus has ${vecs.length}")
+    stored.foreach { case (id, c) =>
+      assert(c === cellOf(id),
+        s"vector $id landed in cell $c; the frozen quantizer assigns ${cellOf(id)}")
+    }
+    // (2) Mixed-generation top-3 (fixture-probed 5/4/3 of 5 at the 3
+    // SFs): the probe must really read across the append boundary.
+    val got = ext.Similarity.q434(spark, sf).collect()
+    assert(got.length === 15)
+    val mixed = got.groupBy(_.getLong(0)).count { case (_, rows) =>
+      rows.map(_.getLong(1) % 2).distinct.length == 2
+    }
+    assert(mixed >= 3,
+      s"only $mixed of 5 probes draw top-3 from both generations — the " +
+        "append leg is near-vacuous (fixture drifted?)")
+    // (3) The q431 margin ladder against the EVEN-trained quantizer:
+    // every final-assignment sim far from its e6 boundary, rank-3/4
+    // raw gaps wide, output sims clear the e2 grid.
+    def frac05(v: Double, scale: Double): Double = {
+      val f = ((v * scale) % 1 + 1) % 1
+      math.abs(f - 0.5)
+    }
+    val asgMargin = (for ((_, v) <- vecs; (_, c) <- cs)
+      yield frac05(dotd(v, c), 1e6)).min
+    assert(asgMargin > 1e-7, s"final assignment e6 margin collapsed: $asgMargin")
+    // Training-stage margins (seeds, round-2) replayed on the even-half
+    // sample — the q431 ladder under THIS training input (a rank flip
+    // at either stage would move the trained centroids themselves).
+    val trainUnit = unit.filter(col("vec_id") % 2 === 0).localCheckpoint(true)
+    val nEven = trainUnit.count()
+    val mSamp = math.max(1L, nEven / 20000L)
+    val sample = trainUnit.filter(col("vec_id") % mSamp === 0)
+      .localCheckpoint(true)
+    val ncellsEven = math.max(1, math.sqrt(nEven.toDouble).toInt)
+    val seeds0 = sample.orderBy("vec_id").limit(ncellsEven)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+      .localCheckpoint(true)
+    val c1 = ext.Similarity.kmeansCentroidRound(sample, seeds0)
+      .localCheckpoint(true)
+    val sampVecs = sample.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    Seq("seeds" -> seeds0, "round2" -> c1).foreach { case (stage, cents) =>
+      val cArr = cents.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      val mrg = (for ((_, v) <- sampVecs; (_, c) <- cArr)
+        yield frac05(dotd(v, c), 1e6)).min
+      assert(mrg > 1e-7, s"$stage training e6 margin collapsed: $mrg")
+    }
+    val byCell = vecs.groupBy { case (id, _) => cellOf(id) }
+    vecs.filter(_._1 < 5).foreach { case (qid, qv) =>
+      val members = byCell(cellOf(qid))
+      assert(members.length > 3,
+        s"probe $qid cell has only ${members.length} members — top-3 vacuous")
+      val sims = members.map { case (did, dv) => (dotd(qv, dv), did) }
+        .sortBy { case (s2, did) => (-s2, did) }
+      val gap = sims(2)._1 - sims(3)._1
+      assert(gap > 1e-7 || sims(2)._1 == sims(3)._1,
+        s"probe $qid rank-3/4 raw gap collapsed: $gap")
+      val e2margins = sims.take(3).map(s2 => frac05(s2._1, 100.0))
+      assert(e2margins.min > 1e-7,
+        s"probe $qid output e2 margin collapsed: ${e2margins.min}")
+    }
+  }
+
   test("q432 layout + MAX bindingness: the HLL store compacts to " +
     "{gen=2, gen=3} with the marker; every head generation contributes a " +
     "register no sibling holds (losing a directory breaks the hash); the " +
