@@ -169,10 +169,79 @@ object Round17 {
     graft.ops.Sketches.hllPortableEstimate(regs, Seq("t")).orderBy("t")
   }
 
+  /** The STREAM-INGESTED register store behind q435: a 4-file copy of
+    * the (event_type, user_id) projection is landed once as the stream
+    * source, then Structured Streaming consumes it one file per
+    * micro-batch through [[graft.streaming.EventStream.hllRegisterSink]]
+    * (foreachBatch + `batch_id=<n>` idempotent overwrite — the
+    * at-least-once replay discipline StreamingSpec crash-proves), and
+    * the aged batches 0-2 compact under MAX. File→batch assignment is
+    * ordering-dependent; every certified read MAX-merges ALL landed
+    * registers, so the store's answers are split-independent by
+    * construction.
+    */
+  private[graft] def ensureStreamHllStore(s: SparkSession, dir: String): String =
+    graft.StoreLifecycle.ensure(s, "streamhll", dir) { root =>
+      val src = s"$root/src"
+      val proj = Tables.events(s, dir)
+        .select(col("event_type").as("t"), col("user_id"))
+      (0 to 3).foreach { g =>
+        proj.filter(col("user_id") % 4 === g).coalesce(1)
+          .write.mode(if (g == 0) "overwrite" else "append").parquet(src)
+      }
+      val regs = s"$root/regs"
+      landStreamHllRegisters(s, src, regs, s"$root/ckpt")
+      graft.ops.RegisterStore.compact(s, regs, "batch_id", upTo = 2L,
+        m => m.groupBy(col("t"), col("reg")).agg(max(col("rho")).as("rho")))
+      regs
+    }
+
+  /** One-file-per-micro-batch streaming run of the HLL register sink
+    * over a parquet source directory (factored out so the spec can
+    * drive the landing on its own roots).
+    */
+  private[graft] def landStreamHllRegisters(
+      s: SparkSession, src: String, regs: String, ckpt: String): Unit = {
+    val stream = s.readStream
+      .schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val q = graft.streaming.EventStream
+      .hllRegisterSink(stream, Seq("t"), col("user_id"), regs)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** q435 — per-type distinct actives from a STREAM-MAINTAINED register
+    * store read through a compaction boundary: the streaming leg of the
+    * register-store flow taken into the gate. q432 certifies the batch
+    * landing → MAX-compaction chain; this certifies the same final
+    * state arrived at through Structured Streaming — file-source
+    * micro-batches, the foreachBatch idempotent `batch_id` sink (the
+    * at-least-once replay contract), a checkpointed query, then
+    * `RegisterStore.compact` over the aged batches. The oracle rebuilds
+    * registers from ALL raw user rows — a hash match certifies
+    * stream-ingest ∘ at-least-once landing ∘ compact ∘ MAX-merge ≡
+    * direct, end to end and cross-engine.
+    *
+    * Scale: each micro-batch lands ≤ types × 256 register rows; the
+    * estimate and the compactor never touch raw events again. At
+    * 100 TB this is the production rolling-actives pipeline: the
+    * stream appends register files forever, compaction caps the file
+    * count, and the read is census-sized regardless of event volume.
+    */
+  def q435(s: SparkSession, dir: String): DataFrame = {
+    val regs = s.read.parquet(ensureStreamHllStore(s, dir))
+      .groupBy(col("t"), col("reg")).agg(max(col("rho")).as("rho"))
+    graft.ops.Sketches.hllPortableEstimate(regs, Seq("t")).orderBy("t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q429_bm25_from_store" -> (q429 _),
     "q430_df_store_compact" -> (q430 _),
     "q432_hll_store_compact" -> (q432 _),
+    "q435_stream_hll_store" -> (q435 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -218,6 +287,17 @@ object Round17 {
     // "third construction order"): the Spark side's split → compact →
     // merge chain must land the identical register set.
     "q432_hll_store_compact" -> {
+      val fromSql = "SELECT t, md5(CAST(user_id AS VARCHAR)) AS hx " +
+        "FROM (SELECT DISTINCT event_type AS t, user_id FROM events)"
+      s"""SELECT t, n_registers_used, n_zero_registers, est_e2
+         |FROM (${graft.ops.Sketches.hllPortableOracleSql(fromSql, Seq("t"))})
+         |ORDER BY t""".stripMargin
+    },
+    // Same third-construction-order oracle as q432 — the streamed
+    // landing must arrive at the identical register state as a direct
+    // build over all raw user rows (MAX-merge is split-independent, so
+    // micro-batch boundaries cannot show through).
+    "q435_stream_hll_store" -> {
       val fromSql = "SELECT t, md5(CAST(user_id AS VARCHAR)) AS hx " +
         "FROM (SELECT DISTINCT event_type AS t, user_id FROM events)"
       s"""SELECT t, n_registers_used, n_zero_registers, est_e2

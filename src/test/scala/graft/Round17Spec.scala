@@ -507,6 +507,52 @@ class Round17Spec extends SparkTestBase {
         "overlap, the OR merge is vacuous (fixture drifted?)")
   }
 
+  test("q435 stream-landed register store: one micro-batch per source file " +
+    "(4 batch dirs, each holding registers), compaction leaves {batch_id=2 " +
+    "+ marker, batch_id=3}, and the merged registers equal a direct build " +
+    "from raw events row for row") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-r17-streamhll").toString
+    val proj = Tables.events(spark, sf)
+      .select(col("event_type").as("t"), col("user_id"))
+    (0 to 3).foreach { g =>
+      proj.filter(col("user_id") % 4 === g).coalesce(1)
+        .write.mode(if (g == 0) "overwrite" else "append")
+        .parquet(s"$root/src")
+    }
+    queries.Round17.landStreamHllRegisters(
+      spark, s"$root/src", s"$root/regs", s"$root/ckpt")
+    def dirs = new java.io.File(s"$root/regs").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).toSet
+    assert(dirs === (0 to 3).map(b => s"batch_id=$b").toSet,
+      s"expected one landed batch per source file, got $dirs")
+    (0 to 3).foreach { b =>
+      assert(spark.read.parquet(s"$root/regs/batch_id=$b").count() > 0,
+        s"micro-batch $b landed no registers")
+    }
+    ops.RegisterStore.compact(spark, s"$root/regs", "batch_id", 2L,
+      m => m.groupBy(col("t"), col("reg")).agg(max(col("rho")).as("rho")))
+    assert(dirs === Set("batch_id=2", "batch_id=3"),
+      s"compaction left the wrong layout: $dirs")
+    assert(new java.io.File(s"$root/regs/batch_id=2/_COMPACTED_2").exists())
+    // Stream-landed ∘ compacted ≡ direct from raw, as REGISTERS (not
+    // just the estimate): the q413 associativity through the streaming
+    // sink and the compactor at once.
+    val merged = spark.read.parquet(s"$root/regs")
+      .groupBy(col("t"), col("reg")).agg(max(col("rho")).as("rho"))
+    val direct = graft.ops.Sketches.hllPortableRegisters(
+      proj, Seq("t"), col("user_id"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "stream-landed registers diverged from the direct build")
+    // And the two gate queries over this state agree (q432's batch
+    // landing and q435's streamed landing certify the same answer).
+    val a = queries.Round17.q435(spark, sf).collect().map(_.toSeq)
+    val b = queries.Round17.q432(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq,
+      "streamed-store estimate diverged from the batch-store estimate")
+  }
+
   test("FsLock: an OWNERLESS lock younger than the grace window fails with " +
     "retry advice; past the grace it is stolen and the run proceeds") {
     val root = java.nio.file.Files
