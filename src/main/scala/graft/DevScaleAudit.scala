@@ -228,6 +228,8 @@ object DevScaleAudit {
     val rankStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
     // Per-dir re-quantized IVF store for the ivf_requant_probe row.
     val requantMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+    // Per-dir 90%-corpus requant store for the ivf_append_batch row.
+    val requantApMemo = scala.collection.concurrent.TrieMap.empty[String, String]
     def embUnit(dir: String) = ext.Similarity.withUnitVec(
       spark.read.parquet(s"$dir/embeddings.parquet"), "embedding", "u")
       .select("vec_id", "u")
@@ -321,6 +323,26 @@ object DevScaleAudit {
         })
         ext.Similarity.ivfRequantProbe(
           embUnit(dir).filter(col("vec_id") < 5), root)
+      },
+      // r17 — the APPEND leg of the re-quantized store (q434's
+      // mechanism at audit scale): run 1 pays the full re-quantization
+      // on the 90% "yesterday" corpus; later runs time the steady-state
+      // nightly job — assign the 10% batch against the frozen ≤√N
+      // centroid read and append its files into the grp partitions.
+      // Repeated runs re-append the same batch (duplicate vec_ids are
+      // harmless for timing); expectation: batch-sized, far below the
+      // re-size cost the requant memo's run 1 records.
+      "ivf_append_batch" -> { dir =>
+        import spark.implicits._
+        val root = requantApMemo.getOrElseUpdate(dir, {
+          val p = Files.createTempDirectory("graft-ivfap-audit").toString
+          ext.Similarity.requantizeIvf(
+            embUnit(dir).filter(col("vec_id") % 10 =!= 9), p)
+          p
+        })
+        ext.Similarity.appendToRequantStore(
+          embUnit(dir).filter(col("vec_id") % 10 === 9), root)
+        Seq(1L).toDF("done")
       },
       "cms_store_read" -> (dir => SparkEntry.queries("q423_cms_store_probe")(spark, dir)),
       "dup_ngram_frac" -> (dir => ext.TextAnalysis.dupNgramFraction(docsOf(dir))),
