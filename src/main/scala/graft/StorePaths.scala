@@ -86,12 +86,30 @@ object StorePaths {
     base.resolve("d_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
   }
 
-  /** A short per-session discriminator (identity hash — unique among
-    * live sessions in one JVM, which is the scope that matters: the
-    * PID suffix already separates JVMs).
+  /** A short per-session discriminator, GUARANTEED unique among the
+    * sessions of one JVM (the scope that matters: the PID suffix
+    * already separates JVMs). A plain identity hash is NOT such a
+    * guarantee — JVM identity hashes may legally collide, and a
+    * collision would silently hand two live sessions the same store
+    * path and catalog-table names, recreating the exact cross-session
+    * clobbering this tag exists to prevent. A monotonic counter in a
+    * weak map gives the guarantee without pinning sessions in memory.
     */
+  private val sessionTags =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+  private val nextTag = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def sessionTag(s: org.apache.spark.sql.SparkSession): String =
-    Integer.toHexString(System.identityHashCode(s))
+    sessionTags.synchronized {
+      val got = sessionTags.get(s)
+      if (got != null) got
+      else {
+        val t = java.lang.Long.toHexString(nextTag.getAndIncrement())
+        sessionTags.put(s, t)
+        t
+      }
+    }
 
   /** [[root]] scoped to a SparkSession (r16 ADVICE): the
     * [[StoreLifecycle]] memo is keyed on the session OBJECT, but a

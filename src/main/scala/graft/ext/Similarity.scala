@@ -296,11 +296,18 @@ object Similarity {
       lloydRounds: Int = 2,
       cellsPerDir: Int = 32): Int = {
     val s = unit.sparkSession
-    val n = unit.count()
+    // ONE materialization up front: the job makes ~5 passes over the
+    // corpus (count, the sample inside each Lloyd round, the final
+    // assignment, the landing join) — without it every pass re-reads
+    // the source AND re-pays the per-row normalization the callers
+    // compute in `unit` (the dominant re-quantization cost at the
+    // 100× tier). Standard posture for an iterative multi-pass fit.
+    val u = unit.localCheckpoint(true)
+    val n = u.count()
     require(n > 0, "requantizeIvf: empty vector corpus")
     val ncells = math.max(1, math.sqrt(n.toDouble).toInt)
     val m = math.max(1L, n / sampleCap)
-    val sample = unit.filter(col("vec_id") % m === 0)
+    val sample = u.filter(col("vec_id") % m === 0)
     var seeds = sample.orderBy("vec_id").limit(ncells)
       .select(col("vec_id").as("cid"), col("u").as("cu"))
       .localCheckpoint(true)
@@ -312,8 +319,8 @@ object Similarity {
     val ndirs = math.max(1, (ncells + cellsPerDir - 1) / cellsPerDir)
     import s.implicits._
     Seq(ndirs).toDF("ndirs").write.mode("overwrite").parquet(s"$root/meta")
-    val assigned = assignCells(unit, cents)
-    unit.join(assigned, "vec_id")
+    val assigned = assignCells(u, cents)
+    u.join(assigned, "vec_id")
       .select(col("vec_id"), col("u"), col("cell"),
         pmod(hash(col("cell")), lit(ndirs)).as("grp"))
       .repartition(col("grp"))

@@ -53,19 +53,34 @@ object FsLock {
     if (isLocal(fs)) {
       import java.nio.file.{Files, Paths}
       val target = Paths.get(lock.toUri.getPath)
-      val tmp = target.resolveSibling(s"${lock.getName}.tmp.$pid")
+      // Tmp name unique per ATTEMPT (pid + thread + nanos): a pid-only
+      // name is shared by two threads of one JVM, and the loser's
+      // cleanup could delete the winner's tmp mid-link, turning a
+      // clean "contended" result into a raw NoSuchFileException.
+      val tmp = target.resolveSibling(
+        s"${lock.getName}.tmp.$pid.${Thread.currentThread().getId}.${System.nanoTime()}")
       Files.createDirectories(target.getParent)
       Files.write(tmp, pid.toString.getBytes("UTF-8"))
       try { Files.createLink(target, tmp); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
       finally Files.deleteIfExists(tmp)
     } else {
-      try {
+      val created = try {
         val out = fs.create(lock, false)
         try out.writeBytes(pid.toString)
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+      // Fencing read-back: a grace-window steal can take an EMPTY lock
+      // from a LIVE writer stalled in its create→write gap (GC pause,
+      // NN failover). That writer's stream keeps writing into the
+      // renamed-aside inode, so the lock PATH no longer carries its
+      // pid — only the process whose pid the path holds owns the lock.
+      created && (try {
+        val in = fs.open(lock)
+        try scala.io.Source.fromInputStream(in).mkString.trim == pid.toString
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => false })
     }
 
   private def acquire(fs: FileSystem, lock: HPath, what: String): Unit = {
@@ -93,7 +108,16 @@ object FsLock {
         s"$what: found an ownerless lock $lock younger than ${GraceMs}ms — " +
           "a concurrent acquirer may be mid-write; retry shortly")
     }
-    fs.delete(lock, false)
+    // ATOMIC steal via rename-aside, never delete-then-acquire: two
+    // runs that both adjudicated the same lock dead would otherwise
+    // both delete and both acquire (the second delete removes the
+    // first stealer's FRESH lock). Rename has exactly one winner — the
+    // loser's rename returns false (source gone) and it falls through
+    // to a fresh acquire attempt, failing loudly below if the winner
+    // got there first.
+    val stale = new HPath(lock.getParent,
+      s"${lock.getName}.stale.$pid.${System.nanoTime()}")
+    if (fs.rename(lock, stale)) fs.delete(stale, false)
     require(tryAcquire(fs, lock), s"$what: lost the lock race on $lock")
   }
 }

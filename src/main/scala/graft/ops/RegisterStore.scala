@@ -94,6 +94,23 @@ object RegisterStore {
     def landed = fs.listStatus(rootPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$genCol="))
       .map(_.getPath.getName.stripPrefix(s"$genCol=").toLong)
+    // Finish any INTERRUPTED cleanup before computing a new merge: a
+    // partition `gen=k` carrying its `_COMPACTED_k` marker proves the
+    // merge up to k landed, so any partition with gen < k still on
+    // disk is an un-deleted INPUT of that finished merge (a crash
+    // between the swap and deleteAged). The same-upTo re-run is
+    // short-circuited by the marker below — but a LATER run at a
+    // HIGHER upTo would read those leftovers ALONGSIDE the head that
+    // already contains them and double every register under SUM.
+    // Deleting them here makes the marker's guarantee hold for every
+    // future upTo, not just the crashed run's own.
+    landed.sorted.reverse
+      .find(k => fs.exists(new HPath(rootPath, s"$genCol=$k/_COMPACTED_$k")))
+      .foreach { k =>
+        landed.filter(_ < k).foreach { g =>
+          fs.delete(new HPath(rootPath, s"$genCol=$g"), true)
+        }
+      }
     val all = landed
     require(all.isEmpty || upTo < all.max,
       s"RegisterStore.compact: upTo=$upTo must be strictly below the " +

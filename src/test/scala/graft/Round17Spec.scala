@@ -162,6 +162,54 @@ class Round17Spec extends SparkTestBase {
     assert(headRows(rootB) === directHead())
   }
 
+  test("q430 crash matrix, the HIGHER-upTo leg: aged generations left by a " +
+    "run killed after the swap must NOT be re-merged by a LATER compaction " +
+    "at a higher upTo — the marked head already contains them, and the " +
+    "entry sweep finishes the interrupted cleanup first") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-r17-crashC").toString
+    landGens(root)
+    ops.RegisterStore.compact(spark, root, "gen", 2L, sumMerge)
+    val terms = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+    // Recreate gens 0-1 — the inputs a crash-after-swap never deleted.
+    (0 to 1).foreach { g =>
+      terms.filter(col("doc_id") % 4 === g)
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .withColumn("gen", lit(g.toLong))
+        .write.mode("append").partitionBy("gen").parquet(root)
+    }
+    // The producer lands two more batches; the next SCHEDULED run
+    // arrives with a higher upTo — the same-upTo marker short-circuit
+    // cannot fire for it.
+    Seq(4L -> 1, 5L -> 5).foreach { case (g, m) =>
+      terms.filter(col("doc_id") % 8 === m)
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .withColumn("gen", lit(g))
+        .write.mode("append").partitionBy("gen").parquet(root)
+    }
+    ops.RegisterStore.compact(spark, root, "gen", 4L, sumMerge)
+    assert(genDirs(root) === Set("gen=4", "gen=5"),
+      s"higher-upTo run left the wrong layout: ${genDirs(root)}")
+    // Head must equal {every doc once} + {the %8==1 batch once more}:
+    // the leftover gens 0-1, already inside the marked gen=2 head,
+    // would add a THIRD copy of their docs' registers if re-merged.
+    val expect = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .withColumn("w",
+        when(col("doc_id") % 8 === 1, lit(2)).otherwise(lit(1)))
+      .groupBy(col("term")).agg(sum(col("w")).as("df"))
+      .collect().map(_.toSeq).toSet
+    val head = spark.read.parquet(root)
+      .filter(col("gen").cast("long") === 4L).drop("gen")
+      .collect().map(_.toSeq).toSet
+    assert(head === expect,
+      "leftover aged generations were re-merged — registers double-counted " +
+        "across the crash boundary")
+  }
+
   test("q430 repeated compaction (the monthly cadence): a SECOND compact " +
     "over {previous head + newer generations} treats the old head as one " +
     "input generation — registers stay equal to the direct from-raw merge, " +
