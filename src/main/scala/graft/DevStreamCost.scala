@@ -71,6 +71,43 @@ object DevStreamCost {
     println(f"[stream-cost] batches=$nBatches head(5-14)=$head%.2f s " +
       f"tail(last 10)=$tail%.2f s tail/head=${tail / head}%.2f " +
       f"pre-compact=$preC%.2f s post-compact=$postC%.2f s kept=$kept sigs=$sigs")
+
+    // ---- q435's sink: the HLL register micro-batch curve ----------------
+    // Per-batch work here is WRITE-ONLY (the sink never reads the
+    // store), so unlike the dedup loop above there is no O(store) term
+    // at all — the curve must be flat outright, and the mid-stream
+    // register compaction (MAX algebra) must leave it untouched. The
+    // per-batch register frame is ≤ types × 256 rows at any batch size.
+    val regDir = s"$root/regs"
+    val ev = Tables.events(spark, base)
+      .select(col("event_type").as("t"), col("user_id"))
+      .localCheckpoint(true)
+    val regTimes = (0 until nBatches).map { i =>
+      if (i == compactAt && i >= 3) {
+        val t0 = System.nanoTime()
+        ops.RegisterStore.compact(spark, regDir, "batch_id", i - 2L,
+          m => m.groupBy(col("t"), col("reg")).agg(max(col("rho")).as("rho")))
+        println(f"[stream-cost] reg-compacted batch_id<=${i - 2} " +
+          f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      val batch = ev.filter(col("user_id") % nBatches === i)
+      val t0 = System.nanoTime()
+      streaming.EventStream.writeBatchIdempotent(
+        ops.Sketches.hllPortableRegisters(batch, Seq("t"), col("user_id")),
+        i.toLong, regDir)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[stream-cost] reg-batch $i%02d $dt%.2f s")
+      dt
+    }
+    val rHead = mean(regTimes.slice(5, 15))
+    val rTail = mean(regTimes.slice(nBatches - 10, nBatches))
+    val rPre = mean(regTimes.slice(math.max(0, compactAt - 10), compactAt))
+    val rPost = mean(regTimes.slice(compactAt, math.min(nBatches, compactAt + 10)))
+    val merged = spark.read.parquet(regDir)
+      .groupBy(col("t"), col("reg")).agg(max(col("rho")).as("rho")).count()
+    println(f"[stream-cost] reg batches=$nBatches head(5-14)=$rHead%.2f s " +
+      f"tail(last 10)=$rTail%.2f s tail/head=${rTail / rHead}%.2f " +
+      f"pre-compact=$rPre%.2f s post-compact=$rPost%.2f s merged_regs=$merged")
     spark.stop()
   }
 }
