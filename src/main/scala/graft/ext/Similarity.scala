@@ -296,31 +296,36 @@ object Similarity {
       lloydRounds: Int = 2,
       cellsPerDir: Int = 32): Int = {
     val s = unit.sparkSession
-    // ONE materialization up front: the job makes ~5 passes over the
-    // corpus (count, the sample inside each Lloyd round, the final
-    // assignment, the landing join) — without it every pass re-reads
-    // the source AND re-pays the per-row normalization the callers
-    // compute in `unit` (the dominant re-quantization cost at the
-    // 100× tier). Standard posture for an iterative multi-pass fit.
-    val u = unit.localCheckpoint(true)
-    val n = u.count()
+    val n = unit.count()
     require(n > 0, "requantizeIvf: empty vector corpus")
     val ncells = math.max(1, math.sqrt(n.toDouble).toInt)
     val m = math.max(1L, n / sampleCap)
-    val sample = u.filter(col("vec_id") % m === 0)
-    var seeds = sample.orderBy("vec_id").limit(ncells)
-      .select(col("vec_id").as("cid"), col("u").as("cu"))
-      .localCheckpoint(true)
-    (1 to lloydRounds).foreach { _ =>
-      seeds = kmeansCentroidRound(sample, seeds).localCheckpoint(true)
-    }
-    seeds.write.mode("overwrite").parquet(s"$root/centroids")
+    // Cache ONLY the training sample (≤ sampleCap rows): the Lloyd
+    // loop re-reads it 2× per round, and each uncached re-read would
+    // re-scan and re-normalize the whole corpus through the filter.
+    // Caching the full CORPUS instead was measured slower — the
+    // columnar cache encode/decode on 64-double arrays outweighs the
+    // scans it saves (and pins the job's largest frame in executor
+    // storage). The corpus streams uncached through its remaining
+    // passes (count above, the final assignment, the landing join);
+    // the sample cache is released before returning.
+    val sample = unit.filter(col("vec_id") % m === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var seeds = sample.orderBy("vec_id").limit(ncells)
+        .select(col("vec_id").as("cid"), col("u").as("cu"))
+        .localCheckpoint(true)
+      (1 to lloydRounds).foreach { _ =>
+        seeds = kmeansCentroidRound(sample, seeds).localCheckpoint(true)
+      }
+      seeds.write.mode("overwrite").parquet(s"$root/centroids")
+    } finally sample.unpersist(false)
     val cents = s.read.parquet(s"$root/centroids")
     val ndirs = math.max(1, (ncells + cellsPerDir - 1) / cellsPerDir)
     import s.implicits._
     Seq(ndirs).toDF("ndirs").write.mode("overwrite").parquet(s"$root/meta")
-    val assigned = assignCells(u, cents)
-    u.join(assigned, "vec_id")
+    val assigned = assignCells(unit, cents)
+    unit.join(assigned, "vec_id")
       .select(col("vec_id"), col("u"), col("cell"),
         pmod(hash(col("cell")), lit(ndirs)).as("grp"))
       .repartition(col("grp"))
