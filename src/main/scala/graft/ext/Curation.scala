@@ -595,8 +595,12 @@ object Curation {
     * integers only (no double ever orders the list).
     *
     * Scale: one gram explode with ONE corpus-wide shuffle on the gram
-    * (the q108 audited core), map-side quality/token collapse, then
-    * source-bounded joins and a source-frame rank window.
+    * (the q108 audited core — since r17 both ride the gram-partitioned
+    * count window instead of a counts-agg + join-back, which ran the
+    * explode and its exchange twice; see dupNgramFraction's note for
+    * the measured 2× and the unchanged skew class), map-side
+    * quality/token collapse, then source-bounded joins and a
+    * source-frame rank window.
     */
   def q300(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -606,8 +610,8 @@ object Curation {
       .select(col("source"),
         explode_outer(Dedup.shinglesKAll(col("ws"), 10)).as("gram"))
       .filter(col("gram").isNotNull)
-    val counts = g.groupBy(col("gram")).agg(count(lit(1)).as("n"))
-    val dup = g.join(counts, "gram")
+    val wg = Window.partitionBy(col("gram"))
+    val dup = g.withColumn("n", count(lit(1)).over(wg))
       .groupBy("source")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_grams"))

@@ -232,11 +232,43 @@ object Graph {
     // exchange chains for one frame — r13 q153 re-pin: 4.9 → ~3.4 s at
     // sf0.1). Edge-sized, same footprint the join needs in flight.
     val wz = sym.join(zw, "z").localCheckpoint(true)
-    val cand = wz.select(col("z"), col("n").as("x"), col("w"))
+    val wedges = wz.select(col("z"), col("n").as("x"), col("w"))
       .join(wz.select(col("z"), col("n").as("y")), "z")
       .filter(col("x") < col("y"))
-      .groupBy(col("x"), col("y"))
-      .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa"))
+    // r17 optimization (guide §2.3 — shuffle fewer bytes): the wedge
+    // stream is Σ C(deg(z), 2) rows with a near-unique (x, y) key
+    // (18.5M wedges → 15.1M distinct pairs at sf0.1), so the pair agg
+    // IS the dominant stage and its per-row key cost doubles it. When
+    // the id domain provably packs — non-negative ids with
+    // (maxId+1)² < 2⁶³ — the two-column key collapses to ONE long,
+    // measured 6.5 → 3.5 s on the sf0.1 wedge stage (narrower shuffle
+    // rows, single-word hash/compare in both agg passes). Ids outside
+    // that domain keep the two-column agg — same result either way
+    // (the pack is bijective on [0, maxId]²; counts and the w-sum are
+    // over exactly the same wedge rows, and double-sum order was
+    // never deterministic across partitionings to begin with — the
+    // e6 grid absorbs it, measured like every aa margin).
+    val idType = e.schema("a").dataType
+    val bounds = e.agg(
+      min(col("a")).cast("long").as("lo"),
+      max(col("b")).cast("long").as("hi")).head()
+    val packable = !bounds.isNullAt(0) && bounds.getLong(0) >= 0L &&
+      bounds.getLong(1) < 3037000499L // (maxId+1)^2 < 2^63
+    val cand =
+      if (packable) {
+        val stride = bounds.getLong(1) + 1L
+        wedges
+          .select((col("x").cast("long") * stride + col("y").cast("long"))
+            .as("k"), col("w"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa"))
+          .select(expr(s"k DIV $stride").cast(idType).as("x"),
+            (col("k") % stride).cast(idType).as("y"),
+            col("cn"), col("aa"))
+      } else {
+        wedges.groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa"))
+      }
     cand.join(e, col("x") === col("a") && col("y") === col("b"), "left_anti")
       .orderBy(col("cn").desc, col("x"), col("y"))
       .limit(topN)
@@ -272,23 +304,37 @@ object Graph {
       isSeed: Column => Column,
       maxDepth: Int = 6,
       loopShufflePartitions: Option[Int] = None): DataFrame = {
-    require(maxDepth >= 1, s"seedDistance: maxDepth must be >= 1, got $maxDepth")
     val spark = edges.sparkSession
     val e = canonEdges(edges).localCheckpoint(true)
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    // Pre-partitioned by the per-round join key in BOTH branches
+    // (r13 verdict item 1 — the runPageRank comment has the full
+    // rationale): rounds exchange only the node-sized dist frame.
+    val symC = Components.withAqeOff(spark) {
+      loopShufflePartitions
+        .map(w => sym.repartition(w, col("src")))
+        .getOrElse(sym.repartition(col("src")))
+        .sortWithinPartitions("src").localCheckpoint(true)
+    }
+    seedDistanceFrom(symC, isSeed, maxDepth, loopShufflePartitions)
+  }
+
+  /** [[seedDistance]] over an ALREADY-prepared symmetric edge frame —
+    * src-partitioned, src-sorted, checkpointed (exactly the shape
+    * [[Components.PreparedWalk]] holds). r17: q156 consumes the
+    * session-shared walk prep instead of rebuilding the same frame.
+    */
+  private[ext] def seedDistanceFrom(
+      symC: DataFrame,
+      isSeed: Column => Column,
+      maxDepth: Int = 6,
+      loopShufflePartitions: Option[Int] = None): DataFrame = {
+    require(maxDepth >= 1, s"seedDistance: maxDepth must be >= 1, got $maxDepth")
+    val spark = symC.sparkSession
     def scoped[A](f: => A): A = loopShufflePartitions
       .map(p => Components.withSmallScope(spark, p)(f)).getOrElse(f)
     scoped {
-      // Pre-partitioned by the per-round join key in BOTH branches
-      // (r13 verdict item 1 — the runPageRank comment has the full
-      // rationale): rounds exchange only the node-sized dist frame.
-      val symC = Components.withAqeOff(spark) {
-        loopShufflePartitions
-          .map(w => sym.repartition(w, col("src")))
-          .getOrElse(sym.repartition(col("src")))
-          .sortWithinPartitions("src").localCheckpoint(true)
-      }
       var dist = symC.select(col("src").as("id")).distinct()
         .filter(isSeed(col("id")))
         .select(col("id"), lit(0L).as("dist"))
@@ -456,33 +502,41 @@ object Graph {
     custSuppCache.computeIfAbsent((s, dir),
       _ => custSuppEdges(s, dir).localCheckpoint(true))
 
-  /** Part co-order edge frame shared by q150/q151/q153/q171: two parts
-    * are adjacent when some order contains both. Density FALLS with
-    * scale (parts and orders both grow linearly, so pair probability
-    * ~1/N) — the projection gets sparser, not denser, at 100 TB.
-    */
-  private def partCoOrderEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    li.select(col("o"), col("p").as("src"))
-      .join(li.select(col("o"), col("p").as("dst")), "o")
-      .filter(col("src") < col("dst"))
-      .select(col("src"), col("dst"))
-  }
-
-  /** The materialized part co-order graph: canonical edges, per-node
-    * degrees, per-node triangle counts. `deg`/`tri` are LAZY: an
-    * edges-only consumer (q153 — link prediction over a bounded
-    * endpoint subset) must never pay the triangle wedge join. The r13
-    * 100× audit caught exactly this: the eager `tri` materialization
-    * spilled the disk to death on a 100×-sf0.1 co-order graph that
-    * q153's own bounded plan never touches. First ACTUAL consumer
-    * (q150/q151/q171) still pays once; the memo then shares the
-    * checkpointed blocks.
+  /** The materialized part co-order graph: the distinct (order, part)
+    * item frame, per-pair co-order SUPPORT counts, canonical edges,
+    * per-node degrees, per-node triangle counts. Two parts are
+    * adjacent when some order contains both; density FALLS with scale
+    * (parts and orders both grow linearly, so pair probability ~1/N) —
+    * the projection gets sparser, not denser, at 100 TB.
+    *
+    * r17: the frame carries pair SUPPORTS, not just the pair set —
+    * q161 (association rules) and q318 (triple itemsets) each re-ran
+    * the identical lineitem self-join + pair-count agg that the edge
+    * derivation already pays (three computations of one frame per
+    * sweep); the graph consumers project the counts away, and
+    * `distinct pairs ≡ groupBy(a, b) keys` makes the edge set
+    * unchanged. `items` is shared for the same reason (q161's
+    * per-item supports, q318's Apriori prune and both n-orders
+    * censuses read it).
+    *
+    * `deg`/`tri` are LAZY: an edges-only consumer (q153 — link
+    * prediction over a bounded endpoint subset) must never pay the
+    * triangle wedge join. The r13 100× audit caught exactly this: the
+    * eager `tri` materialization spilled the disk to death on a
+    * 100×-sf0.1 co-order graph that q153's own bounded plan never
+    * touches. First ACTUAL consumer still pays once; the memo then
+    * shares the checkpointed blocks.
     */
   private final class CoOrderGraph(s: SparkSession, dir: String) {
-    val edges: DataFrame =
-      canonEdges(partCoOrderEdges(s, dir)).localCheckpoint(true)
+    val items: DataFrame = Tables.table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true)
+    val pairSupports: DataFrame = items.select(col("o"), col("p").as("a"))
+      .join(items.select(col("o"), col("p").as("b")), "o")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+      .localCheckpoint(true)
+    val edges: DataFrame = pairSupports.select(col("a"), col("b"))
     lazy val deg: DataFrame = degreesOf(edges).localCheckpoint(true)
     lazy val tri: DataFrame = triangleCountsCanon(edges, deg).localCheckpoint(true)
   }
@@ -508,6 +562,14 @@ object Graph {
     */
   private def coOrderGraph(s: SparkSession, dir: String): CoOrderGraph =
     coOrderCache.computeIfAbsent((s, dir), _ => new CoOrderGraph(s, dir))
+
+  /** Shared distinct (order, part) item frame — see [[CoOrderGraph]]. */
+  private[ext] def coOrderItems(s: SparkSession, dir: String): DataFrame =
+    coOrderGraph(s, dir).items
+
+  /** Shared per-pair co-order support counts — see [[CoOrderGraph]]. */
+  private[ext] def coOrderPairSupports(s: SparkSession, dir: String): DataFrame =
+    coOrderGraph(s, dir).pairSupports
 
   /** q149 — HITS on the directed customer→supplier graph: customers
     * are hubs (they only point), suppliers authorities (they are only
@@ -567,7 +629,14 @@ object Graph {
     * every node within 6 hops of a seed.
     */
   def q156(s: SparkSession, dir: String): DataFrame =
-    seedDistance(custSuppEdgesShared(s, dir), isSeed = _ % 97 === 0,
+    // r17: rides the session-shared prepared walk (same symmetric pair
+    // set the BFS built itself pre-r17 — canonical dedup then both
+    // orientations — already src-partitioned/sorted/checkpointed; the
+    // projection keeps the captured distribution).
+    seedDistanceFrom(
+      Components.custSuppWalkShared(s, dir, Some(8))
+        .symDeg.select(col("src"), col("dst")),
+      isSeed = _ % 97 === 0,
       maxDepth = 6, loopShufflePartitions = Some(8))
       .orderBy("id")
 

@@ -40,15 +40,15 @@ object Patterns {
     * TakeOrderedAndProject.
     */
   def q161(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      .localCheckpoint(true)
+    // r17: the distinct item frame and the pair-support agg are the
+    // session-shared co-order frames (Graph.coOrderGraph) — this query,
+    // q318 and the co-order graph family each re-ran the identical
+    // lineitem self-join before; counts are the same integers.
+    val li = Graph.coOrderItems(s, dir)
     val n = li.select(col("o")).distinct().count()
     val sup = li.groupBy(col("p")).agg(count(lit(1)).as("s"))
-    val pairs = li.select(col("o"), col("p").as("a"))
-      .join(li.select(col("o"), col("p").as("b")), "o")
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup_ab"))
+    val pairs = Graph.coOrderPairSupports(s, dir)
+      .select(col("a"), col("b"), col("supp").as("sup_ab"))
     pairs
       .join(sup.select(col("p").as("a"), col("s").as("sup_a")), "a")
       .join(sup.select(col("p").as("b"), col("s").as("sup_b")), "b")
@@ -1000,13 +1000,9 @@ object Patterns {
     * map-side-combinable count on (a, b, c).
     */
   def q318(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      .localCheckpoint(true)
-    val f2 = li.select(col("o"), col("p").as("a"))
-      .join(li.select(col("o"), col("p").as("b")), "o")
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+    // r17: shared co-order item/pair-support frames — see q161's note.
+    val li = Graph.coOrderItems(s, dir)
+    val f2 = Graph.coOrderPairSupports(s, dir)
       .filter(col("supp") >= 2L)
     val fitems = f2.select(explode(array(col("a"), col("b"))).as("p")).distinct()
     val lif = li.join(fitems, Seq("p"), "left_semi").localCheckpoint(true)

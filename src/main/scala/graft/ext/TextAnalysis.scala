@@ -322,10 +322,18 @@ object TextAnalysis {
     * survive exact dedup because the duplication is partial.
     *
     * Scale shape: this is THE canonical heavy text metric — one
-    * explode, a gram-keyed count (combiner-reduced: identical grams
-    * collapse map-side), a co-partitioned join back on gram (both sides
-    * hash-partition on gram; AQE reuses the exchange), then a doc-keyed
-    * agg of two counters. No step holds more than (gram, count) state.
+    * explode, ONE corpus-wide exchange on the gram, a gram-partitioned
+    * count window attaching each occurrence its corpus frequency, then
+    * a doc-keyed agg of two counters. (r17 optimization: the previous
+    * shape computed a separate gram-count aggregate and joined it back,
+    * which ran the tokenize+explode subtree and its exchange TWICE —
+    * the window form halved the measured wall time at sf0.1, 2.3 →
+    * 1.3 s. Skew posture is unchanged in class: a boilerplate hot gram
+    * concentrates its occurrence list on one partition either way —
+    * the join path sorted it for the SMJ, the window path buffers it
+    * in a spillable array; a production corpus caps runaway grams the
+    * q109 df-cap way before either.) No step holds more than one
+    * gram's occurrence group in memory.
     */
   def q108(s: SparkSession, dir: String): DataFrame =
     dupNgramFraction(docs(s, dir)).orderBy("doc_id")
@@ -342,8 +350,8 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode_outer(Dedup.shinglesKAll(col("ws"), 10)).as("gram"))
       .filter(col("gram").isNotNull)
-    val counts = g.groupBy(col("gram")).agg(count(lit(1)).as("n"))
-    g.join(counts, "gram")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    g.withColumn("n", count(lit(1)).over(w))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),

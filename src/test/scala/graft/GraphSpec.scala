@@ -110,6 +110,26 @@ class GraphSpec extends SparkTestBase {
     assert(square === Array((1L, 3L, 2L, aa2), (2L, 4L, 2L, aa2)))
   }
 
+  test("linkPrediction: packed pair agg equals the two-column fallback") {
+    // r17: ids that fit the (maxId+1)² < 2⁶³ bound ride a single-long
+    // packed pair key through the wedge agg; ids beyond it keep the
+    // two-column groupBy. Shifting every id by an offset that pushes
+    // maxId past the pack bound must flip the code path WITHOUT
+    // changing any cn (integer) — and the aa doubles are sums of the
+    // same 1/ln(deg) terms, so they agree exactly here (one term per
+    // common neighbor on these fixtures' scale, far from any e6 edge).
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 5L), (5L, 3L))
+    val off = 4000000000L // maxId+1 > 3037000499 → fallback path
+    val packed = lp(base)
+    val shifted = Graph.linkPrediction(
+      base.map { case (a, b) => (a + off, b + off) }.toDF("src", "dst"),
+      topN = 10, degCap = 1000)
+      .collect()
+      .map(r => (r.getLong(0) - off, r.getLong(1) - off,
+        r.getLong(2), r.getLong(3)))
+    assert(packed.nonEmpty && (packed.toSeq === shifted.toSeq))
+  }
+
   test("linkPrediction: adjacent pairs are excluded; degCap drops hub wedges") {
     // K3: every pair is an edge — nothing to predict
     assert(lp(Seq((1L, 2L), (2L, 3L), (3L, 1L))).isEmpty)
