@@ -305,10 +305,22 @@ object Multimodal {
     * rows). The bit-string band keys shuffle only candidate pairs.
     */
   def q306(s: SparkSession, dir: String): DataFrame = {
-    val hex64 = concat(md5(col("text")), md5(md5(col("text"))))
+    // r17: the 64-nibble transform used to reference the digest
+    // EXPRESSION, and a lambda body re-evaluates its captured subtree
+    // per element — 64 × (3 md5 of the full text) per row (CSE does
+    // not reach inside higher-order-function bodies). Materializing
+    // the 32-char digest string through a checkpoint first makes the
+    // lambda a substr over a constant-width column: 2.2 → ~0.6 s at
+    // sf0.1, bit-identical nibbles (the checkpoint is 5k × 32 chars at
+    // the bench SF; doc-count-linear with a constant row width at any
+    // scale — the same class as the bits frame below).
+    val hexed = docs(s, dir)
+      .select(col("doc_id"),
+        concat(md5(col("text")), md5(md5(col("text")))).as("hex"))
+      .localCheckpoint(true)
     val nibs = transform(sequence(lit(0), lit(63)), i =>
-      conv(substr(hex64, i + lit(1), lit(1)), 16, 10).cast("long"))
-    val base = docs(s, dir)
+      conv(substr(col("hex"), i + lit(1), lit(1)), 16, 10).cast("long"))
+    val base = hexed
       .select(col("doc_id"), nibs.as("nibs"))
       .select(col("doc_id"), col("nibs"),
         aggregate(col("nibs"), lit(0L), (a, x) => a + x).as("tot"))
