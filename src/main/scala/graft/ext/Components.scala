@@ -748,31 +748,30 @@ object Components {
     }
   }
 
-  private val neardupProbeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]
+  private val probePairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
 
-  /** Memoized per-(session, dir) probe subset + simhash-band candidate
-    * PAIRS (r17): the pair DERIVATION (fingerprint + band self-join)
-    * is one code path (Dedup.simhashBandPairs) feeding BOTH CC
-    * implementations — q102's min-label family through [[neardupLabels]]
-    * and q120's star contraction — so computing it once per session is
-    * the production shape (the candidate stage lands once; labelers
-    * consume it). The two LABELING implementations stay fully
-    * independent — that is the q120-vs-q102 cross-check — and the
-    * oracle recomputes the pairs from raw text regardless.
+  /** Memoized per-(session, dir) simhash-band candidate pairs over the
+    * 1000-doc probe subset — `(id_a, id_b, hamming)`, the q65-certified
+    * derivation (60 bits, 4 bands, Hamming ≤ 2) — r17: SEVEN query
+    * paths re-ran this identical fingerprint + band self-join per run
+    * (q65's declared set, q94's rescore, q102's labeling family, q120's
+    * star contraction, q139's split-leak census, q319's transitivity,
+    * q321's signal-agreement census). The candidate stage now lands
+    * once per session — the production shape: one LSH pass, many
+    * consumers. Labeling implementations (min-label vs star) stay fully
+    * independent, and every consumer's oracle still recomputes the
+    * pairs from raw text.
     */
-  private def neardupProbe(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) =
-    neardupProbeCache.computeIfAbsent((s, dir), { _ =>
+  private[ext] def probeBandPairs(s: SparkSession, dir: String): DataFrame =
+    probePairsCache.computeIfAbsent((s, dir), { _ =>
       withSmallScope(s, 4) {
-        val subset = Tables.table(s, dir, "documents")
-          .filter(col("doc_id") < 1000)
-        val pairs = Dedup.simhashBandPairs(
-          Dedup.simhashN(subset, col("doc_id"), col("text"), bits = 60),
+        Dedup.simhashBandPairs(
+          Dedup.simhashN(
+            Tables.table(s, dir, "documents").filter(col("doc_id") < 1000),
+            col("doc_id"), col("text"), bits = 60),
           bits = 60, bands = 4, maxHamming = 2)
-          .select(col("id_a").as("src"), col("id_b").as("dst"))
           .localCheckpoint(true)
-        (subset, pairs)
       }
     })
 
@@ -780,7 +779,9 @@ object Components {
       s: SparkSession, dir: String,
       cc: (DataFrame, DataFrame) => DataFrame)
       : (DataFrame, DataFrame) = withSmallScope(s, 4) {
-    val (subset, pairs) = neardupProbe(s, dir)
+    val subset = Tables.table(s, dir, "documents").filter(col("doc_id") < 1000)
+    val pairs = probeBandPairs(s, dir)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
     val labels = cc(subset.select(col("doc_id").as("id")), pairs)
       .select(col("id").as("doc_id"), col("comp").as("component"))
     (subset, labels)

@@ -401,12 +401,11 @@ object Dedup {
     * scale factors; at sf0.01 the bound covers the whole corpus.
     * The hamming-space counterpart of q57's set-space MinHashLSH.
     */
-  def q65(s: SparkSession, dir: String): DataFrame = {
-    val subset = docs(s, dir).filter(col("doc_id") < 1000)
-    val hashed = simhashN(subset, col("doc_id"), col("text"), bits = 60)
-    simhashBandPairs(hashed, bits = 60, bands = 4, maxHamming = 2)
+  def q65(s: SparkSession, dir: String): DataFrame =
+    // r17: the session-shared probe pair set (Components.probeBandPairs
+    // — same derivation, one LSH pass for its seven consumers).
+    Components.probeBandPairs(s, dir)
       .orderBy("id_a", "id_b")
-  }
 
   /** q94 — the library's INTENDED near-dup composition, end-to-end:
     * LSH candidate generation (q65's pigeonhole-complete simhash bands)
@@ -417,9 +416,7 @@ object Dedup {
     */
   def q94(s: SparkSession, dir: String): DataFrame = {
     val subset = docs(s, dir).filter(col("doc_id") < 1000)
-    val pairs = simhashBandPairs(
-      simhashN(subset, col("doc_id"), col("text"), bits = 60),
-      bits = 60, bands = 4, maxHamming = 2)
+    val pairs = Components.probeBandPairs(s, dir) // r17 shared LSH pass
     val toks = subset.select(
       col("doc_id"), array_distinct(split(col("text"), " ")).as("w1"))
     pairs
@@ -864,12 +861,8 @@ object Dedup {
     * join rides the degree-oriented cap. One-row output.
     */
   def q319(s: SparkSession, dir: String): DataFrame = {
-    val subset = docs(s, dir).filter(col("doc_id") < 1000)
-    val pairs = simhashBandPairs(
-      simhashN(subset, col("doc_id"), col("text"), bits = 60),
-      bits = 60, bands = 4, maxHamming = 2)
+    val pairs = Components.probeBandPairs(s, dir) // r17 shared LSH pass
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .localCheckpoint(true)
     val deg = pairs.select(col("src").as("id"))
       .unionAll(pairs.select(col("dst").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -906,10 +899,7 @@ object Dedup {
     * the full-outer alignment join is candidate-sized.
     */
   def q321(s: SparkSession, dir: String): DataFrame = {
-    val tp = simhashBandPairs(
-      simhashN(docs(s, dir).filter(col("doc_id") < 1000),
-        col("doc_id"), col("text"), bits = 60),
-      bits = 60, bands = 4, maxHamming = 2)
+    val tp = Components.probeBandPairs(s, dir) // r17 shared LSH pass
       .select(col("id_a").as("a"), col("id_b").as("b"), lit(1L).as("t"))
     val unit = Similarity.withUnitVec(
         graft.Tables.table(s, dir, "embeddings"), "embedding", "u")

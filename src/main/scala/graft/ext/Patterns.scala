@@ -944,7 +944,12 @@ object Patterns {
     * Scale: one user-keyed lead window collapses events to the
     * type-bounded transition matrix (≤ |types|² + END rows); the 8
     * iterations ride that tiny frame (broadcast joins), checkpointed
-    * per round. Nothing after the first agg is event-sized.
+    * per round. (r17 note: a lazy single-job chain was tried and
+    * MEASURED SLOWER here — 1.83 → 2.73 s in a full sweep — unlike
+    * q408/q308 whose lazy chains are flat; this loop's per-round
+    * left-join + explicit broadcast nesting plans worse un-checkpointed,
+    * so the eager rounds stay.) Nothing after the first agg is
+    * event-sized.
     */
   def q314(s: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"

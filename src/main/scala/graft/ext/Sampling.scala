@@ -283,9 +283,7 @@ object Sampling {
     */
   def q139(s: SparkSession, dir: String): DataFrame = {
     val subset = docs(s, dir).filter(col("doc_id") < 1000)
-    val pairs = Dedup.simhashBandPairs(
-      Dedup.simhashN(subset, col("doc_id"), col("text"), bits = 60),
-      bits = 60, bands = 4, maxHamming = 2)
+    val pairs = Components.probeBandPairs(s, dir) // r17 shared LSH pass
       .select(col("id_a"), col("id_b"))
     val split = hashSplit(subset, col("doc_id")).select(col("doc_id"), col("split"))
     pairs

@@ -1199,12 +1199,14 @@ object TextAnalysis {
       .localCheckpoint(true)
     var score = wdeg.select(col("u").as("id"), lit(1.0).as("sc"))
       .localCheckpoint(true)
+    // r17: lazy round chain — each vocab-sized score frame is consumed
+    // exactly once by the next round, so the 3 rounds run as ONE job
+    // (the q314 note has the rationale); arithmetic unchanged.
     (1 to 3).foreach { _ =>
       score = prop.join(score, col("u") === col("id"))
         .groupBy(col("v"))
         .agg((lit(0.15) + lit(0.85) * sum(col("share") * col("sc"))).as("sc"))
         .select(col("v").as("id"), col("sc"))
-        .localCheckpoint(true)
     }
     score
       .select(col("id").as("word"),

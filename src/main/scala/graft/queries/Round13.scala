@@ -255,8 +255,8 @@ object Round13 {
     *
     * Scale: one user-keyed lead window collapses events to the
     * ≤ |types|² matrix; the 6 iterations ride that census frame via
-    * broadcast joins, checkpointed per round. Nothing after the first
-    * agg is event-sized.
+    * broadcast joins as one lazy plan (r17 — single-consumer rounds,
+    * one job). Nothing after the first agg is event-sized.
     */
   def q408(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -282,6 +282,10 @@ object Round13 {
         expr("CAST((2 * CAST(1000000000 AS DECIMAL(38,0)) + nt)" +
           " DIV (2 * nt) AS BIGINT)").as("p"))
       .localCheckpoint(true)
+    // r17: lazy round chain — each round's ≤|types|-row frame is
+    // consumed exactly once by the next, so the 6 rounds compile into
+    // ONE job instead of 6 checkpoint jobs of scheduling constants
+    // (the q314 note has the full rationale).
     (1 to 6).foreach { _ =>
       p = q.join(broadcast(p), "i")
         .groupBy(col("j"))
@@ -289,7 +293,6 @@ object Round13 {
         .select(col("j").as("i"),
           expr("CAST((2 * acc + 1000000000) DIV (CAST(2 AS DECIMAL(38,0))" +
             " * 1000000000) AS BIGINT)").as("p"))
-        .localCheckpoint(true)
     }
     p.join(r, "i")
       .select(col("i").as("event_type"), col("r").as("n_out"),
