@@ -112,6 +112,20 @@ object Bench {
     val blockProbeSamples = Array.fill(blocks.length)(
       scala.collection.mutable.ArrayBuffer.empty[Double])
     (1 to runs).foreach { round =>
+      // Bench honesty (r17 verdict item 1): the session-scoped shared
+      // derived frames (prepared walks, probe LSH pairs, co-order
+      // graph, ...) are memoized per session, so without this the
+      // derivations would run once — inside the DISCARDED warmup
+      // round — and every warm-round consumer median would time a
+      // localCheckpoint read while the real prep cost appeared in no
+      // reported figure (q65's declared output IS the memoized pair
+      // frame). Clearing at the start of EVERY round makes each round
+      // pay each derivation exactly once (its first consumer in
+      // registry order carries it), so the reported medians are what a
+      // fresh session pays; within-round sharing keeps the production
+      // one-pass-many-consumers shape. The unpersist bounds
+      // block-manager growth across rounds.
+      graft.ext.SessionMemo.clearAllAndUnpersist(spark)
       blocks.zipWithIndex.foreach { case (block, bi) =>
         SparkEntry.queries.get(probeNames(bi % probeNames.length)).foreach { pfn =>
           val t0 = System.nanoTime()
@@ -215,8 +229,16 @@ object Bench {
         "\"" + k + "\":" + (if (v < 0) v else math.rint(v / f * 1000) / 1000)
       }.mkString("{", ",", "}")
     }.getOrElse("null")
+    // Self-evidencing CPUs contract (r17 verdict item 2): the driver's
+    // scaling probe re-runs the bench at a lower SPARK_GRAFT_CPUS and
+    // could not verify from the output that the env var actually bound
+    // (`suspect_cpus_ignored`). Echo the applied core count and the two
+    // runtime values it drives so every bench line proves its own
+    // parallelism.
+    val cpusEcho =
+      s""""cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}","default_parallelism":${spark.sparkContext.defaultParallelism},"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_total":$minTotal,"mins":$minQs,"drift_factor":$driftJson,"probes":$probesJson,"block_drift":$blockDriftJson,"normalized":$normJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_total":$minTotal,"mins":$minQs,"drift_factor":$driftJson,"probes":$probesJson,"block_drift":$blockDriftJson,"normalized":$normJson,$cpusEcho,"sf":"$sfDir"}"""
     // The driver captures only a ~4 KB stdout TAIL and parses the LAST
     // line. With 200+ queries even a short-id map is ~3 KB and its
     // head gets clipped by the window (r4–r8: "parsed": null every
@@ -232,7 +254,7 @@ object Bench {
     val shortLine =
       s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}"""
     val summaryLine =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.length},"drift_factor":$driftJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.length},"drift_factor":$driftJson,$cpusEcho,"sf":"$sfDir"}"""
     val sfName = Paths.get(sfDir).getFileName.toString
     val resultsFile = Paths.get(s"bench/results-$sfName.json")
     // Print BEFORE any file I/O: a read-only cwd must not eat the

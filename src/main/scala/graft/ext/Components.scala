@@ -899,6 +899,17 @@ object Components {
         .localCheckpoint(true) // feeds self-join + store join, twice over
     })
 
+  /** Drop every session-scoped derived-frame memo in this object — see
+    * [[SessionMemo]] (bench honesty: each timed round re-pays each
+    * shared derivation exactly once).
+    */
+  private[ext] def clearSessionMemos(): Unit = {
+    walkCache.clear()
+    probePairsCache.clear()
+    neardupCache.clear()
+    incFpCache.clear()
+  }
+
   def q415(s: SparkSession, dir: String): DataFrame = {
     val store = ensureCcStore(s, dir)
     withSmallScope(s, 4) {

@@ -563,6 +563,16 @@ object Graph {
   private def coOrderGraph(s: SparkSession, dir: String): CoOrderGraph =
     coOrderCache.computeIfAbsent((s, dir), _ => new CoOrderGraph(s, dir))
 
+  /** Drop every session-scoped derived-frame memo in this object — see
+    * [[SessionMemo]] (bench honesty: each timed round re-pays each
+    * shared derivation exactly once).
+    */
+  private[ext] def clearSessionMemos(): Unit = {
+    custSuppCache.clear()
+    coOrderCache.clear()
+    lpaCache.clear()
+  }
+
   /** Shared distinct (order, part) item frame — see [[CoOrderGraph]]. */
   private[ext] def coOrderItems(s: SparkSession, dir: String): DataFrame =
     coOrderGraph(s, dir).items

@@ -1505,6 +1505,12 @@ object Similarity {
   private def covCellsFull(s: SparkSession, dir: String): DataFrame =
     covCellsCache.computeIfAbsent((s, dir), { _ => covCellsFresh(s, dir) })
 
+  /** Drop every session-scoped derived-frame memo in this object — see
+    * [[SessionMemo]] (bench honesty: each timed round re-pays each
+    * shared derivation exactly once).
+    */
+  private[ext] def clearSessionMemos(): Unit = covCellsCache.clear()
+
   /** Uncached covariance-cell body — DevScaleAudit times this directly
     * so the session memo cannot hide the 10x cost. r10: the production
     * core is the MAP-SIDE moment accumulator (no per-vector d² fan-out
