@@ -31,6 +31,14 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Codegen class cache (STATIC conf — bind at build time). The
+      // Spark default of 100 compiled classes thrashes under a
+      // 432-query suite: every generated stage recompiles (~10-100 ms
+      // Janino each) every sweep round. Scale-neutral (a JVM-level
+      // compile cache, nothing to do with data layout or core count);
+      // parameterized for A/B, default measured in r18.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

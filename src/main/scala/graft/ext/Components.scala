@@ -477,7 +477,6 @@ object Components {
       table: String,
       path: String,
       buckets: Int): Unit = {
-    val spark = edges.sparkSession
     // Same construction as the cold path, spelled identically (warm ≡
     // cold is a hash contract): canonical-orientation dedup, doubled
     // union, summed incident weight.
@@ -485,8 +484,23 @@ object Components {
     val sym = canon
       .union(canon.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val deg = sym.groupBy("src").agg(sum(col("w")).as("d"))
+    persistPreparedSymDeg(sym.join(deg, "src"), table, path, buckets)
+  }
+
+  /** [[persistPreparedEdges]] for an ALREADY-prepared symDeg frame
+    * (r17 ADVICE: q414's store build had hand-inlined this write) —
+    * the ONE spelling of the bucketed warm-store contract
+    * (bucketBy/sortBy on `src`, table + explicit path), so warm ≡ cold
+    * stays a single-site property.
+    */
+  def persistPreparedSymDeg(
+      symDeg: DataFrame,
+      table: String,
+      path: String,
+      buckets: Int): Unit = {
+    val spark = symDeg.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    sym.join(deg, "src")
+    symDeg
       .repartition(buckets, col("src"))
       .write.mode("overwrite")
       .option("path", path)
@@ -1180,14 +1194,11 @@ object Components {
       // the table out from under the first.
       val table = "graft_prep_edges_" + graft.StorePaths.sessionTag(s) + "_" +
         dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
-      val spark = s
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      g.symDeg
-        .repartition(8, col("src"))
-        .write.mode("overwrite")
-        .option("path", graft.StorePaths.sessionRoot(s, "prepedges", dir))
-        .bucketBy(8, "src").sortBy("src")
-        .saveAsTable(table)
+      // One spelling of the warm-store write (r17 ADVICE): the shared
+      // prepared frame is symDeg row-for-row, and the bucket contract
+      // lives in persistPreparedSymDeg for both call sites.
+      persistPreparedSymDeg(g.symDeg, table,
+        graft.StorePaths.sessionRoot(s, "prepedges", dir), buckets = 8)
       (path, table)
     }
 

@@ -634,7 +634,17 @@ object Dedup {
         col("p_type").as("ptype"), col("p_size").as("size"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("w", split(col("name"), " ").getItem(1))
-      .withColumn("k", concat_ws("|", col("name"), col("brand"),
+      // r18 (guide §2.3 — cheaper per-row work on the fan-out): the
+      // pair orientation used to be a concatenated-profile STRING
+      // compare (`ka < kb`) evaluated on every ordered in-block combo
+      // (~48M string compares at sf0.1). ANY strict total order over
+      // profiles yields the same unordered-pair census — all four
+      // field weights are symmetric, JW is symmetric (pinned in
+      // Round9bSpec), and the JW grid holds both orders — so the
+      // orientation now rides one precomputed xxhash64 long (field
+      // tie-break for the astronomically-unlikely hash collision;
+      // equal profiles fail every branch, exactly like `ka < kb`).
+      .withColumn("h", xxhash64(col("name"), col("brand"),
         col("ptype"), col("size")))
     // Explicit 64-way spread of the probe side: the profile frame is
     // tiny (19.6k rows at sf0.1) so AQE coalesces it to ~1 partition —
@@ -642,11 +652,11 @@ object Dedup {
     // inherits the probe side's parallelism. An explicit repartition
     // is an AQE-respected barrier; 64 ways keeps every core busy at
     // bench scale and is noise at the gate SFs.
-    val a = prof.select(col("w"), col("k").as("ka"), col("name").as("na"),
+    val a = prof.select(col("w"), col("h").as("ha"), col("name").as("na"),
       col("brand").as("ba"), col("ptype").as("ta"), col("size").as("sa"),
       col("cnt").as("ca"))
-      .repartition(64, col("ka"))
-    val b = prof.select(col("w"), col("k").as("kb"), col("name").as("nb"),
+      .repartition(64, col("ha"))
+    val b = prof.select(col("w"), col("h").as("hb"), col("name").as("nb"),
       col("brand").as("bb"), col("ptype").as("tb"), col("size").as("sb"),
       col("cnt").as("cb"))
     // JW is the only expensive comparator and depends ONLY on the name
@@ -669,7 +679,11 @@ object Dedup {
         when(col("ta") === col("tb"), 1386294L).otherwise(-1386294L) +
         when(abs(col("sa") - col("sb")) <= 2, 2140066L).otherwise(-1791759L)
     a.join(b, "w")
-      .filter(col("ka") < col("kb"))
+      .filter(col("ha") < col("hb") ||
+        (col("ha") === col("hb") && (col("na") < col("nb") ||
+          (col("na") === col("nb") && (col("ba") < col("bb") ||
+            (col("ba") === col("bb") && (col("ta") < col("tb") ||
+              (col("ta") === col("tb") && col("sa") < col("sb")))))))))
       .join(broadcast(jwAgree), Seq("na", "nb"))
       .select(col("w"), weight.as("wt"),
         (col("ca") * col("cb")).as("rec_pairs"))

@@ -214,10 +214,21 @@ object Graph {
     * @param topN   result size (rank by cn DESC, then pair ids)
     * @param degCap wedge intermediates with degree > cap are excluded
     */
-  def linkPrediction(edges: DataFrame, topN: Int, degCap: Int): DataFrame = {
+  def linkPrediction(edges: DataFrame, topN: Int, degCap: Int): DataFrame =
+    linkPredictionFrom(canonEdges(edges), topN, degCap)
+
+  /** [[linkPrediction]] over an ALREADY-canonical edge frame (one
+    * `a` < `b` row per pair, no self-loops, no duplicates — e.g. the
+    * co-order graph's pair projection, canonical by construction from
+    * its `a < b` groupBy keys). Skips the redundant canonicalization
+    * (a full distinct Exchange of the edge frame — r18, guide §2.4:
+    * remove shuffles on data that is already unique).
+    */
+  private[graft] def linkPredictionFrom(
+      canon: DataFrame, topN: Int, degCap: Int): DataFrame = {
     require(topN >= 1 && degCap >= 2,
       s"linkPrediction: need topN >= 1, degCap >= 2; got $topN, $degCap")
-    val e = canonEdges(edges).localCheckpoint(true)
+    val e = canon.select(col("a"), col("b")).localCheckpoint(true)
     val sym = e.select(col("a").as("z"), col("b").as("n"))
       .unionAll(e.select(col("b").as("z"), col("a").as("n")))
     // (z, neighbor, 1/ln deg(z)) for capped intermediates only. deg ≥ 2
@@ -249,31 +260,61 @@ object Graph {
     // never deterministic across partitionings to begin with — the
     // e6 grid absorbs it, measured like every aa margin).
     val idType = e.schema("a").dataType
-    val bounds = e.agg(
-      min(col("a")).cast("long").as("lo"),
-      max(col("b")).cast("long").as("hi")).head()
-    val packable = !bounds.isNullAt(0) && bounds.getLong(0) >= 0L &&
-      bounds.getLong(1) < 3037000499L // (maxId+1)^2 < 2^63
-    val cand =
+    // Integral ids only (r17 ADVICE): for string ids the min/max are
+    // LEXICOGRAPHIC before the cast, and double/decimal ids truncate —
+    // either could understate maxId and let distinct pairs collide in
+    // the packed key. Non-integral domains take the two-column path.
+    val integral = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    // The bounds probe itself must be gated on `integral`: ANSI cast
+    // THROWS on non-numeric strings, so non-integral domains must not
+    // even run the agg (they take the two-column path unconditionally).
+    val bounds =
+      if (integral)
+        Some(e.agg(
+          min(col("a")).cast("long").as("lo"),
+          max(col("b")).cast("long").as("hi")).head())
+      else None
+    val packable = bounds.exists(b =>
+      !b.isNullAt(0) && b.getLong(0) >= 0L &&
+        b.getLong(1) < 3037000499L) // (maxId+1)^2 < 2^63
+    val top =
       if (packable) {
-        val stride = bounds.getLong(1) + 1L
+        val stride = bounds.get.getLong(1) + 1L
+        // r18 (guide §2.3): the anti-join and the top-N ride the packed
+        // key too — e's ids define `bounds`, so e packs under the same
+        // stride, and k = x·stride + y is MONOTONE in the (x, y) lex
+        // order (stride > maxId ≥ y), making (cn DESC, k ASC) exactly
+        // the declared (cn DESC, x, y) total order. The ~15M-row
+        // candidate frame now anti-joins and ranks on one long instead
+        // of two columns; only the topN survivors pay the decode.
+        val eK = e.select(
+          (col("a").cast("long") * stride + col("b").cast("long")).as("k"))
         wedges
           .select((col("x").cast("long") * stride + col("y").cast("long"))
             .as("k"), col("w"))
           .groupBy(col("k"))
           .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa"))
+          .join(eK, Seq("k"), "left_anti")
+          .orderBy(col("cn").desc, col("k"))
+          .limit(topN)
           .select(expr(s"k DIV $stride").cast(idType).as("x"),
             (col("k") % stride).cast(idType).as("y"),
             col("cn"), col("aa"))
       } else {
         wedges.groupBy(col("x"), col("y"))
           .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa"))
+          .join(e, col("x") === col("a") && col("y") === col("b"), "left_anti")
+          .orderBy(col("cn").desc, col("x"), col("y"))
+          .limit(topN)
       }
-    cand.join(e, col("x") === col("a") && col("y") === col("b"), "left_anti")
-      .orderBy(col("cn").desc, col("x"), col("y"))
-      .limit(topN)
-      .select(col("x"), col("y"), col("cn"),
-        Similarity.intScaled(col("aa"), 1000000L).as("aa_e6"))
+    top.select(col("x"), col("y"), col("cn"),
+      Similarity.intScaled(col("aa"), 1000000L).as("aa_e6"))
   }
 
   // ---- seed distance (multi-source BFS) -----------------------------------
@@ -627,11 +668,14 @@ object Graph {
     // The bound filters ENDPOINTS, so filtering the shared canonical
     // frame is identical to canonicalizing the filtered raw frame —
     // q153 reuses the cached lineitem self-join instead of paying it
-    // again.
-    linkPrediction(
+    // again; and because the co-order pair projection is ALREADY
+    // canonical (a < b groupBy keys, distinct by construction), the
+    // canonical entry point skips the redundant distinct Exchange
+    // (r18 — GraphSpec pins linkPredictionFrom ≡ linkPrediction on
+    // this frame).
+    linkPredictionFrom(
       coOrderGraph(s, dir).edges
-        .filter(col("a") < 10000 && col("b") < 10000)
-        .select(col("a").as("src"), col("b").as("dst")),
+        .filter(col("a") < 10000 && col("b") < 10000),
       topN = 500, degCap = 1000)
 
   /** q156 — BFS hop distance from the id%97=0 seed set on the

@@ -151,6 +151,53 @@ object TwoPhase {
     specs.indices.foldLeft(out)((acc, i) => acc.drop(s"__tp_b$i"))
   }
 
+  /** Exact k-th element (1-based, over the (`v` ASC, `tie` ASC) total
+    * order) WITHOUT ranking every row — the median/quantile-pick
+    * special case of [[rankCum]] (r18, guide §2.4): a caller that only
+    * FILTERS on `rn = k` pays rankCum's full-frame broadcast-join +
+    * window for one row. Here the bucket census locates the ONE bucket
+    * containing position k, and only that bucket's rows (~1/#buckets
+    * of the frame) are joined and ranked; `k` is derived in-plan from
+    * the frame-wide count (e.g. the lower median `(n+1) div 2`), so
+    * nothing is collected.
+    *
+    * Returns a ONE-ROW frame `out` = the k-th value. Identical to
+    * `rankCum(...).filter(rn = kOfN(n))` by construction: the census
+    * prefix offsets are the same, and the within-bucket (v, tie)
+    * window is rankCum's (pinned in TwoPhaseSpec).
+    */
+  def kth(
+      df: DataFrame,
+      v: String,
+      tie: String,
+      kOfN: Column => Column,
+      out: String): DataFrame = {
+    val bucketed = df.withColumn(B, hdrBucket(col(v))).localCheckpoint(true)
+    val census = bucketed.groupBy(col(B)).agg(count(lit(1)).as("__tp_n"))
+    val wOff = Window.orderBy(col(B).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // census-sized windows (≤ ~520 rows) — the exempt value-collapsed
+    // shape, exactly as in rankCum
+    val hit = census
+      .withColumn("__tp_off_n", coalesce(sum(col("__tp_n")).over(wOff), lit(0L)))
+      .withColumn("__tp_k", kOfN(sum(col("__tp_n")).over(wAll)))
+      .filter(col("__tp_k") > col("__tp_off_n") &&
+        col("__tp_k") <= col("__tp_off_n") + col("__tp_n"))
+      .select(col(B), col("__tp_off_n"), col("__tp_k"))
+    val wIn = Window.partitionBy(col(B)).orderBy(col(v).asc, col(tie).asc)
+    bucketed.join(broadcast(hit), Seq(B))
+      .withColumn("__tp_rn", col("__tp_off_n") + row_number().over(wIn))
+      .filter(col("__tp_rn") === col("__tp_k"))
+      .select(col(v).as(out))
+      // exactly one row matches by construction; the explicit limit is
+      // the PLAN-LEVEL bound consumers' broadcast crossJoins need (the
+      // BNL-net contract: a broadcast build side must be provably
+      // bounded in the plan itself)
+      .limit(1)
+  }
+
   def rankCum(
       df: DataFrame,
       part: Seq[String],

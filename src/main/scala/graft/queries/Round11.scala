@@ -682,13 +682,17 @@ object Round11 {
     * frame total comes off the same bucket census. Output ≤ 9 rows.
     */
   def q364(s: SparkSession, dir: String): DataFrame = {
+    // r18: no checkpoint on the fact projection — it has exactly ONE
+    // consumer (the monthly collapse; rankCum's internal checkpoint
+    // covers the branched part-sized frame), so the eager
+    // materialization was a pure extra write+read of the fact at any
+    // scale (guide §5: cache only what is reused).
     val li = t(s, dir, "lineitem")
       .select(col("l_partkey"),
         (year(col("l_shipdate").cast("date")) * 12 +
           month(col("l_shipdate").cast("date")) - 1).cast("long").as("ym"),
         cents(col("l_extendedprice")).as("cents"),
         col("l_quantity").cast("long").as("q"))
-      .localCheckpoint(true)
     val monthly = li.groupBy(col("l_partkey"), col("ym"))
       .agg(sum(col("q")).as("mq"), sum(col("cents")).as("mcents"))
     val per = monthly.groupBy(col("l_partkey"))

@@ -285,21 +285,24 @@ object Round12 {
     * map-side-combined one-row aggs.
     */
   def q390(s: SparkSession, dir: String): DataFrame = {
+    // r18 (guide §2.4): the two rankCum passes ranked EVERY order
+    // twice (full-frame broadcast-join + bucket window each) only to
+    // FILTER to the one median/MAD row, and each ranked frame was
+    // checkpointed order-sized. TwoPhase.kth locates the k-th element
+    // from the bucket census and ranks only the ONE hit bucket
+    // (~1/#buckets of the frame); the dev/census passes re-read the
+    // cheap parquet projection instead of an order-sized checkpoint.
+    // The pick semantics are rankCum's exactly — same (v asc, tie asc)
+    // order, same lower-median k = (n+1) div 2 (TwoPhaseSpec pins
+    // kth ≡ rankCum-filter) — so the declared result is unchanged.
     val o = t(s, dir, "orders")
       .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("x"))
-    val r1 = graft.ops.TwoPhase.rankCum(o, Nil, "x", "k",
-      asc = true, rn = Some("rn"), n = Some("n"))
-      .localCheckpoint(true) // branched: the median pick AND the dev map
-    val med = r1.filter(expr("rn = (n + 1) div 2")).limit(1)
-      .select(col("x").as("med"))
-    val dev = r1.select(col("k"), col("x")).withGlobalStats(med)
+    val lowerMedian = (c: Column) => shiftright(c + lit(1L), 1)
+    val med = graft.ops.TwoPhase.kth(o, "x", "k", lowerMedian, "med")
+    val dev = o.withGlobalStats(med)
       .select(col("k"), col("med"), abs(col("x") - col("med")).as("d"))
-    val r2 = graft.ops.TwoPhase.rankCum(dev, Nil, "d", "k",
-      asc = true, rn = Some("rn2"), n = Some("n2"))
-      .localCheckpoint(true) // branched: the MAD pick AND the census
-    val mad = r2.filter(expr("rn2 = (n2 + 1) div 2")).limit(1)
-      .select(col("d").as("mad"))
-    r2.withGlobalStats(mad)
+    val mad = graft.ops.TwoPhase.kth(dev, "d", "k", lowerMedian, "mad")
+    dev.withGlobalStats(mad)
       .agg(count(lit(1)).as("n_orders"),
         max(col("med")).as("median_cents"),
         max(col("mad")).as("mad_cents"),

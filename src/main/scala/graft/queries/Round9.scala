@@ -138,26 +138,35 @@ object Round9 {
     t(s, dir, "supplier").createOrReplaceTempView("mc_supplier")
     t(s, dir, "nation").createOrReplaceTempView("mc_nation")
     t(s, dir, "region").createOrReplaceTempView("mc_region")
+    // r18 (guide §2.4): the correlated MIN subquery made the planner
+    // inline the fact-sized `cost` aggregation TWICE (outer chain +
+    // de-correlated subquery — two full lineitem scans/aggs in the
+    // before-plan). Both the outer rows and the subquery's domain are
+    // the SAME Europe-restricted (part, supplier) cost frame, so one
+    // per-part window MIN over it is the identical predicate: a row
+    // survives iff its cost equals the minimum European cost for its
+    // part. Same rows, same total order, one fact agg.
     s.sql(
       """WITH cost AS (
         |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
         |         MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
         |                  AS BIGINT)) AS cost_cents
-        |  FROM mc_lineitem GROUP BY 1, 2)
+        |  FROM mc_lineitem GROUP BY 1, 2),
+        |euro AS (
+        |  SELECT cost.partkey, cost.cost_cents, s_name, s_acctbal, n_name
+        |  FROM cost, mc_supplier, mc_nation, mc_region
+        |  WHERE s_suppkey = cost.suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |best AS (
+        |  SELECT partkey, cost_cents, s_name, s_acctbal, n_name,
+        |         MIN(cost_cents) OVER (PARTITION BY partkey) AS min_cost
+        |  FROM euro)
         |SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
         |         AS bal_cents,
         |       s_name, n_name, p_partkey, cost_cents
-        |FROM mc_part, cost, mc_supplier, mc_nation, mc_region
-        |WHERE p_partkey = cost.partkey AND s_suppkey = cost.suppkey
-        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND p_size = 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
-        |  AND cost_cents =
-        |      (SELECT MIN(c2.cost_cents)
-        |       FROM cost c2, mc_supplier s2, mc_nation n2, mc_region r2
-        |       WHERE c2.partkey = p_partkey AND s2.s_suppkey = c2.suppkey
-        |         AND s2.s_nationkey = n2.n_nationkey
-        |         AND n2.n_regionkey = r2.r_regionkey
-        |         AND r2.r_name = 'EUROPE')
+        |FROM mc_part JOIN best ON p_partkey = best.partkey
+        |WHERE p_size = 15 AND p_type = 'ECONOMY'
+        |  AND cost_cents = min_cost
         |ORDER BY bal_cents DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin)
   }

@@ -130,6 +130,40 @@ class GraphSpec extends SparkTestBase {
     assert(packed.nonEmpty && (packed.toSeq === shifted.toSeq))
   }
 
+  test("linkPrediction: non-integral id types take the two-column path") {
+    // r17 ADVICE: string ids give LEXICOGRAPHIC min/max before the
+    // cast (null here, since strings don't cast), and float ids
+    // truncate — the packable gate must reject both rather than pack
+    // with an understated stride. Path x-y-z: one candidate (x, z).
+    val viaStr = Graph.linkPrediction(
+      Seq(("x", "y"), ("y", "z")).toDF("src", "dst"), topN = 10, degCap = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(viaStr.toSeq === Seq(("x", "z", 1L)))
+    val viaDouble = Graph.linkPrediction(
+      Seq((1.5, 2.5), (2.5, 3.5)).toDF("src", "dst"), topN = 10, degCap = 1000)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    assert(viaDouble.toSeq === Seq((1.5, 3.5, 1L)))
+  }
+
+  test("linkPredictionFrom: canonical entry equals the canonicalizing one") {
+    // r18: q153 feeds the co-order pair projection (canonical by
+    // construction — a < b groupBy keys) through linkPredictionFrom,
+    // which skips the distinct Exchange. Equality on the real fixture
+    // graph, bounded exactly like q153.
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val canon = li.select(col("o"), col("p").as("a"))
+      .join(li.select(col("o"), col("p").as("b")), "o")
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+      .filter(col("a") < 10000 && col("b") < 10000)
+    val viaFrom = Graph.linkPredictionFrom(canon, topN = 500, degCap = 1000)
+      .collect().toSeq
+    val viaCanon = Graph.linkPrediction(
+      canon.select(col("a").as("src"), col("b").as("dst")),
+      topN = 500, degCap = 1000).collect().toSeq
+    assert(viaFrom.nonEmpty && viaFrom === viaCanon)
+  }
+
   test("linkPrediction: adjacent pairs are excluded; degCap drops hub wedges") {
     // K3: every pair is an edge — nothing to predict
     assert(lp(Seq((1L, 2L), (2L, 3L), (3L, 1L))).isEmpty)

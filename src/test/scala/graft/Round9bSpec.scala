@@ -175,6 +175,69 @@ class Round9bSpec extends SparkTestBase {
     info(f"q257 min JW margin (grid/threshold): $m%.4f over ${jwMargins.size} pairs")
   }
 
+  test("q257 pair orientation: hash order ≡ key order, JW symmetric") {
+    // r18: the fan-out's pair orientation moved from the concat-key
+    // string compare (`ka < kb`) to an xxhash64-first strict total
+    // order. Any strict total order gives the same unordered census
+    // ONLY IF every per-pair term is orientation-free — the three
+    // field comparisons are trivially symmetric; JW symmetry is an
+    // implementation property, pinned here bit-for-bit over every
+    // blocked name pair (the oracle evaluates DuckDB's JW in ITS
+    // k-orientation, so an asymmetric graft JW would diverge exactly
+    // on the pairs the hash order flips).
+    val names = spark.read.parquet(s"$sf/part.parquet")
+      .select(split($"p_name", " ").getItem(1).as("w"), $"p_name".as("n"))
+      .distinct()
+    val asym = names.as("x").join(names.as("y"), "w")
+      .filter($"x.n" < $"y.n")
+      .select(graft.ops.JaroWinkler($"x.n", $"y.n").as("fwd"),
+        graft.ops.JaroWinkler($"y.n", $"x.n").as("rev"))
+      .filter($"fwd" =!= $"rev")
+      .count()
+    assert(asym == 0L, s"JaroWinkler asymmetric on $asym blocked name pairs")
+
+    // Census equality: the shipped q257 (hash orientation) must equal
+    // the pre-r18 key orientation row for row.
+    val prof = spark.read.parquet(s"$sf/part.parquet")
+      .groupBy($"p_name".as("name"), $"p_brand".as("brand"),
+        $"p_type".as("ptype"), $"p_size".as("size"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w", split($"name", " ").getItem(1))
+      .withColumn("k", concat_ws("|", $"name", $"brand", $"ptype", $"size"))
+    val a = prof.select($"w", $"k".as("ka"), $"name".as("na"),
+      $"brand".as("ba"), $"ptype".as("ta"), $"size".as("sa"), $"cnt".as("ca"))
+    val b = prof.select($"w", $"k".as("kb"), $"name".as("nb"),
+      $"brand".as("bb"), $"ptype".as("tb"), $"size".as("sb"), $"cnt".as("cb"))
+    val nm = prof.select($"w", $"name").distinct()
+    val jwAgree = nm.select($"w", $"name".as("na"))
+      .join(nm.select($"w", $"name".as("nb")), "w")
+      .select($"na", $"nb",
+        (graft.ext.Similarity.intScaled(
+          graft.ops.JaroWinkler($"na", $"nb"), 1000000L) >= 880000L)
+          .as("jw_agree"))
+    val weight =
+      when($"jw_agree", 2890372L).otherwise(-2251292L) +
+        when($"ba" === $"bb", 3167583L).otherwise(-2954910L) +
+        when($"ta" === $"tb", 1386294L).otherwise(-1386294L) +
+        when(abs($"sa" - $"sb") <= 2, 2140066L).otherwise(-1791759L)
+    val legacy = a.join(b, "w")
+      .filter($"ka" < $"kb")
+      .join(broadcast(jwAgree), Seq("na", "nb"))
+      .select($"w", weight.as("wt"), ($"ca" * $"cb").as("rec_pairs"))
+      .withColumn("decision",
+        when($"wt" >= 5000000L, "match")
+          .when($"wt" >= 0L, "possible")
+          .otherwise("nonmatch"))
+      .groupBy($"w", $"decision")
+      .agg(count(lit(1)).as("n_profile_pairs"),
+        sum($"rec_pairs").as("n_record_pairs"),
+        min($"wt").as("min_wt"), max($"wt").as("max_wt"))
+      .orderBy("w", "decision")
+      .collect().toSeq
+    val shipped = graft.ext.Dedup.q257(spark, sf).collect().toSeq
+    assert(shipped == legacy, "hash-order census must equal key-order census")
+  }
+
   // --------------------------------------------------------------- q258
 
   /** BigInt replay of [[graft.ext.Curation.bhFdr]]: Cantelli rationals,

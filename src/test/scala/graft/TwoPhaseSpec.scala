@@ -82,6 +82,25 @@ class TwoPhaseSpec extends SparkTestBase {
     assert(act === exp)
   }
 
+  test("kth equals rankCum-filter for every position on the signed fixture") {
+    // r18: TwoPhase.kth locates position k from the bucket census and
+    // ranks only the hit bucket — must equal filtering the full
+    // rankCum at rn = k for EVERY k (1..n), including the lower-median
+    // k = (n+1) div 2 that q390 consumes.
+    val n = signed.count().toInt
+    val full = TwoPhase.rankCum(signed, Nil, "v", "id",
+      asc = true, rn = Some("rn"))
+      .select($"rn", $"v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // positions spanning bucket boundaries, ends, and the median
+    // (each kth call is several jobs — sample, don't sweep all n)
+    Seq(1, 2, 3, n / 3, (n + 1) / 2, 2 * n / 3, n - 1, n).distinct.foreach { k =>
+      val got = TwoPhase.kth(signed, "v", "id", _ => lit(k.toLong), "v")
+        .collect()
+      assert(got.length == 1 && got.head.getLong(0) == full(k.toLong),
+        s"kth($k) = ${got.toSeq} != rankCum rn=$k -> ${full(k.toLong)}")
+    }
+  }
+
   test("hdrBucket is monotone nondecreasing over a sign-spanning grid") {
     // Every adjacent pair of a sorted value grid must have
     // nondecreasing buckets — the property the prefix math relies on.
