@@ -205,7 +205,12 @@ object DevScaleAudit {
     // 100× tier runs `… dev/sf100x <subset> 100` with
     // SPARK_DRIVER_MEM=64g — ~60M-row lineitem in the 128 GiB sandbox)
     val factor = if (args.length > 3) args(3).toInt else 10
-    val spark = Engine.session(cores = "32", appName = "graft-scale-audit")
+    // r18: honor SPARK_GRAFT_CPUS so the VERDICT-r17 scaling tier
+    // (8-vs-32 cores at 10×/100× data, where the ratios should
+    // separate) runs through the same audit harness.
+    val spark = Engine.session(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      appName = "graft-scale-audit")
     synth(spark, base, out, factor)
     // 1× healthcare CSV (the base dir is read-only): 50k rows, the
     // pipe_healthcare row's 1× input.
@@ -410,6 +415,9 @@ object DevScaleAudit {
       // only the first agg scans ×10); kcenter/silhouette/covcells
       // are k·O(N), N·L, and d²-moment passes over vectors ×10.
       "txt_ahash" -> (dir => SparkEntry.queries("q306_ahash_neardup")(spark, dir)),
+      // r18 (verdict item 8): the r17 winsorized rewrite (value-
+      // collapsed cumulative census) gets its own 100×-tier row.
+      "ord_winsorized" -> (dir => SparkEntry.queries("q238_winsorized")(spark, dir)),
       "txt_textrank" -> (dir => SparkEntry.queries("q308_textrank")(spark, dir)),
       "graph_lpa" -> (dir => ext.Graph.lpaLabelsFresh(spark, dir)
         .groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))),

@@ -31,14 +31,18 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      // Codegen class cache (STATIC conf — bind at build time). The
-      // Spark default of 100 compiled classes thrashes under a
-      // 432-query suite: every generated stage recompiles (~10-100 ms
-      // Janino each) every sweep round. Scale-neutral (a JVM-level
-      // compile cache, nothing to do with data layout or core count);
-      // parameterized for A/B, default measured in r18.
+      // Codegen class cache (STATIC conf — bind at build time).
+      // Hypothesis was that the Spark default of 100 compiled classes
+      // thrashes under a 432-query suite (every generated stage
+      // recompiles via Janino every sweep round); the r18 controlled
+      // A/B (two RUNS=2 mini-sweeps, identical code, cache 100 vs
+      // 5000) measured NO win — geomean 0.98, total 388.7 s vs 394.9 s,
+      // differences inside block-phase noise. Janino compile cost is
+      // evidently not a per-query bottleneck at this suite's plan
+      // sizes, so the Spark default stays; the env lever remains for
+      // re-testing on other hosts.
       .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

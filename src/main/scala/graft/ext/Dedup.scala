@@ -372,6 +372,13 @@ object Dedup {
     * candidates from q57's LSH buckets).
     */
   def q58(s: SparkSession, dir: String): DataFrame = {
+    // r18 probe: persisting this frame (q57's pattern — the
+    // consecutive-id join evaluates the subtree in both legs) measured
+    // a WASH and was reverted: DevTime min 2.23→2.01 s but median
+    // 2.45→2.81 at sf0.1, min 2.04→1.74 / median 2.36→2.70 at 10× —
+    // the tokenize+distinct subtree here is cheap enough that the
+    // array-payload cache write cancels the saved recompute (q57's
+    // subtree hashes through HashingTF, a different cost class).
     val t = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(

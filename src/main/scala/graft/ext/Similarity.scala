@@ -1847,11 +1847,17 @@ object Similarity {
     val dl = q.withGlobalStats(cent)
       .select(col("vec_id"), col("label"), col("cl"),
         (sqrt(a2.cast("double")) / col("cn").cast("double")).as("dist"))
-    val own = dl.filter(col("label") === col("cl"))
-      .select(col("vec_id"), col("label"), col("dist").as("a"))
-    val oth = dl.filter(col("label") =!= col("cl"))
-      .groupBy(col("vec_id")).agg(min(col("dist")).as("b"))
-    val srow = own.join(oth, "vec_id")
+    // r18 (guide §2.4): ONE agg computes a and b together — the old
+    // own-filter + other-min + join-back consumed the N·L fan-out (and
+    // its 64-dim integer fold) TWICE and paid a vec_id exchange to
+    // rejoin. Exactly one row per vec has cl = label (own centroid), so
+    // the conditional max IS that row's dist; the isNotNull filter
+    // reproduces the inner join's L=1 degenerate case (no other
+    // centroid → row dropped) bit for bit.
+    val srow = dl.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("cl") === col("label"), col("dist"))).as("a"),
+        min(when(col("cl") =!= col("label"), col("dist"))).as("b"))
+      .filter(col("b").isNotNull)
       .select(col("label"),
         when(greatest(col("a"), col("b")) > 0.0,
           intScaled((col("b") - col("a")) / greatest(col("a"), col("b")),

@@ -725,10 +725,17 @@ object TextAnalysis {
     * (complement of q108's duplicate-gram fraction: q108 asks "how much
     * of this doc is duplicated", novelty asks "who owns the original").
     *
-    * Scale shape: q108's exact pipeline — explode → gram-keyed min-agg
-    * (map-side combined) → co-partitioned join back on gram → doc-keyed
-    * agg; no state beyond (gram, owner). Docs shorter than k grams are
-    * absent (they contribute no grams) in both engines alike.
+    * Scale shape: q108's exact pipeline — one explode, ONE corpus-wide
+    * exchange on the gram, a gram-partitioned min window attaching each
+    * occurrence its corpus-wide first owner, then a doc-keyed agg. (r18,
+    * guide §2.4, the same rewrite q108 got in r17: the previous shape
+    * computed a separate min-agg and joined it back, which materialized
+    * the exploded frame via an eager checkpoint and exchanged it twice
+    * — once into the agg, once into the join. The window form is one
+    * exchange and no checkpoint; skew posture unchanged in class, a hot
+    * gram's occurrence list lands on one partition either way.) Docs
+    * shorter than k grams are absent (they contribute no grams) in both
+    * engines alike.
     */
   def gramNovelty(d: DataFrame, k: Int): DataFrame = {
     val g = d
@@ -736,9 +743,8 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode_outer(array_distinct(Dedup.shinglesKAll(col("ws"), k))).as("gram"))
       .filter(col("gram").isNotNull)
-      .localCheckpoint(true) // branched: owner agg AND the join probe side
-    val owner = g.groupBy(col("gram")).agg(min(col("doc_id")).as("owner"))
-    g.join(owner, "gram")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    g.withColumn("owner", min(col("doc_id")).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))

@@ -140,6 +140,15 @@ object Round10 {
     *
     * Scale: the orders join is the audited fact shape; totals
     * broadcast back; everything else is map-side. 5-row output.
+    *
+    * r18 probe, tried and REVERTED: collapsing to a (priority, p, q)
+    * value census first (one fact pass + a bounded ~27M-row-max
+    * checkpoint, weighted moments — the q238 discipline) measured
+    * SLOWER than the two lazy fact passes at both tiers (DevTime min
+    * 2.28→2.43 s at sf0.1, 2.54→2.61 s at 10×; medians worse): cents
+    * values are near-unique per row at bench scale, so the census
+    * barely collapses and its checkpoint + extra exchange eat the
+    * saved pass. The two-pass shape stays.
     */
   def q333(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")

@@ -257,12 +257,20 @@ object Round11 {
       .groupBy(col("thr_hr"), col("user_id"), col("sid"))
       .agg(count(lit(1)).as("n_ev"),
         (max(col("us")) - min(col("us"))).as("dur_us"))
-    val wRank = Window.partitionBy(col("thr_hr"))
-      .orderBy(col("dur_us"), col("user_id"), col("sid"))
-    sess
-      .withColumn("rn", row_number().over(wRank))
-      .withColumn("ns",
-        count(lit(1)).over(Window.partitionBy(col("thr_hr"))))
+    // r18 (guide §2.2): the rank rode a thr_hr-partitioned window —
+    // FOUR partitions, i.e. a full sort of the session frame on 4
+    // tasks (plus a second single-pass count window), the same
+    // single-reducer class TwoPhase exists for. rankCum buckets the
+    // durations (distributed within-bucket sort, ~520-bucket census)
+    // and hands back rank + per-threshold count in one shape. Tie
+    // note: (dur_us, user_id) is not unique per threshold, so rn is
+    // tie-arbitrary WITHIN equal (dur, user) rows — exactly as
+    // row_number over the old window was across equal (dur, user,
+    // sid) reshuffles — and the ONE consumer, min(dur | 2·rn ≥ ns),
+    // is tie-invariant: permuting ranks inside an equal-dur run never
+    // changes which dur VALUE first crosses ns/2.
+    graft.ops.TwoPhase.rankCum(sess, Seq("thr_hr"), "dur_us", "user_id",
+        asc = true, rn = Some("rn"), n = Some("ns"))
       .groupBy(col("thr_hr"))
       .agg(max(col("ns")).as("n_sessions"),
         countDistinct(col("user_id")).as("n_users"),
