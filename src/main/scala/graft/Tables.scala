@@ -11,9 +11,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
-  /** Read `<dir>/<name>.parquet`. */
+  // Base-relation memo, keyed on the session OBJECT plus (dir, name).
+  // `spark.read.parquet` re-resolves the relation on every call —
+  // file listing + footer schema read + DataSource construction,
+  // ~10-50 ms of driver time — and the r18 overhead probe measured
+  // that per-call resolution as the single largest slice (~120 ms
+  // build) of the ~0.3-0.6 s fixed cost dominating the ~390
+  // sub-second queries. A production deployment resolves tables
+  // through a catalog (metastore-cached metadata); this map is that
+  // catalog shape for the path layout. METADATA only — no rows, no
+  // results: every execution still scans the parquet, and pushdown /
+  // pruning act per query plan exactly as before. SessionMemo clears
+  // it with the derived-frame memos, so every timed bench round
+  // re-pays one real resolution per table (first caller carries it).
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
+  private[graft] def clearSessionMemo(): Unit = relCache.clear()
+
+  /** Read `<dir>/<name>.parquet` (relation memoized per session). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relCache.computeIfAbsent((spark, dir, name),
+      k => k._1.read.parquet(s"${k._2}/${k._3}.parquet"))
 
   /** Nanoseconds per day, as the string every floored-day expression
     * interpolates. */

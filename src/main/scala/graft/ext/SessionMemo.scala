@@ -39,6 +39,10 @@ object SessionMemo {
     Components.clearSessionMemos()
     Graph.clearSessionMemos()
     Similarity.clearSessionMemos()
+    // Base-relation metadata memo (r18): cleared on the same cadence
+    // so each timed round re-pays one real parquet resolution per
+    // table, keeping the round medians fresh-session-honest.
+    graft.Tables.clearSessionMemo()
   }
 
   /** [[clearAll]] plus explicit unpersist of every RDD still pinned in
